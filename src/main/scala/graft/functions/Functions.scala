@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar-function kit re-expressing the reference's row-wise Python
+  * (SURVEY.md §2.6 F1-F16) as pure `Column` combinators. Everything
+  * here stays inside whole-stage codegen — no UDFs except where noted.
+  */
+object Functions {
+
+  // ---- F1: string trim / clean ------------------------------------
+  /** Strip UTF-8 BOM characters; reference:
+    * datasets/create_scripts_dataset.ipynb cell 3.
+    */
+  def stripBom(c: Column): Column = regexp_replace(c, "﻿", "")
+
+  /** CR/LF → single space; reference: fetch_gsheet_instructions.py:46. */
+  def flattenNewlines(c: Column): Column =
+    regexp_replace(c, "[\\r\\n]", " ")
+
+  // ---- F2: prefix strip --------------------------------------------
+  /** reference: create_gitlab_dataset.ipynb cell 5
+    * (`str.replace("^plugins/revit/", "", regex=True)`).
+    */
+  def stripPrefix(c: Column, prefix: String): Column =
+    regexp_replace(c, "^" + java.util.regex.Pattern.quote(prefix), "")
+
+  // ---- F3: split + slice + rejoin (extract_short_name) --------------
+  /** First two `sep`-separated parts rejoined, identity when <2 parts;
+    * reference: create_projectsync_dataset.ipynb cell 8.
+    */
+  def shortName(c: Column, sep: String = "_"): Column = {
+    val parts = split(c, java.util.regex.Pattern.quote(sep))
+    when(size(parts) >= 2, concat_ws(sep, slice(parts, 1, 2))).otherwise(c)
+  }
+
+  // ---- F4: conditional suffix strip (extract_file_storage_name) -----
+  /** If the last `_`-part equals `username` (case-insensitive, trimmed),
+    * drop it; reference: create_projectsync_dataset.ipynb cell 11.
+    */
+  def fileStorageName(project: Column, username: Column): Column = {
+    val parts = split(project, "_")
+    val last = element_at(parts, -1)
+    when(
+      size(parts) >= 2 &&
+        lower(trim(last)) === lower(trim(username)),
+      concat_ws("_", slice(parts, lit(1), size(parts) - 1))
+    ).otherwise(project)
+  }
+
+  // ---- F5: first-match-wins when-chain classification ----------------
+  /** Ordered (condition, value) branches, first match wins — branch
+    * order is load-bearing (SURVEY.md §7.5 #4); reference:
+    * create_projectsync_dataset.ipynb cells 9,12,13 (np.select).
+    */
+  def whenChain(branches: Seq[(Column, Column)], default: Column): Column =
+    branches.foldRight(default) { case ((cond, value), acc) =>
+      when(cond, value).otherwise(acc)
+    }
+
+  // ---- F6: boolean derivations ---------------------------------------
+  /** Null-safe case-insensitive regex contains (pandas
+    * `str.contains(..., case=False, na=False)`); reference:
+    * create_projectsync_dataset.ipynb cells 9,10. `(?iu)` makes the
+    * JVM regex case-fold Unicode (Cyrillic) like pandas does.
+    */
+  def containsCi(c: Column, pattern: String): Column =
+    coalesce(c.rlike("(?iu)" + pattern), lit(false))
+
+  // ---- F7/F8: tolerant timestamp parse / epoch-ms ---------------------
+  /** Epoch-millis (possibly string-typed / garbage) → timestamp, null on
+    * failure; reference: fetch_yougile_programming.py:160-191 (to_iso).
+    */
+  def fromEpochMs(c: Column): Column =
+    timestamp_millis(c.try_cast(LongType))
+
+  /** pandas `to_datetime(errors='coerce')`; reference:
+    * create_yougile_dataset.ipynb cell 7.
+    */
+  def tryTimestamp(c: Column): Column = try_to_timestamp(c)
+
+  // ---- F9: timezone convert -------------------------------------------
+  /** UTC → local wall time, tz dropped; reference:
+    * create_yougile_dataset.ipynb cell 7 (`to_local`).
+    */
+  def toLocal(c: Column, tz: String = "Asia/Yekaterinburg"): Column =
+    from_utc_timestamp(c, tz)
+
+  // ---- F11: numeric coercion -------------------------------------------
+  /** pandas `to_numeric(errors='coerce').astype('Int64')`; reference:
+    * create_scripts_dataset.ipynb cell 10.
+    */
+  def tryLong(c: Column): Column = c.try_cast(LongType)
+
+  /** Sheet-ID `"123.0"` format; reference:
+    * create_gitlab_dataset.ipynb cell 5.
+    */
+  def sheetIdFormat(c: Column): Column =
+    format_string("%d.0", c.try_cast(LongType))
+
+  // ---- F12: dtype-driven null canonicalization ---------------------------
+  /** strings→stringDefault, integers/floats→0, booleans→false,
+    * timestamps left null (pandas NaT); reference:
+    * create_projectsync_dataset.ipynb cell 14.
+    */
+  def fillByType(df: DataFrame, stringDefault: String = "Нет данных"): DataFrame = {
+    val stringCols = df.schema.fields.collect {
+      case f if f.dataType == StringType => f.name
+    }
+    val numCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }
+    val boolCols = df.schema.fields.collect {
+      case f if f.dataType == BooleanType => f.name
+    }
+    df.na.fill(stringDefault, stringCols)
+      .na.fill(0, numCols)
+      .na.fill(false, boolCols)
+  }
+
+  // ---- F13: map lookup with default --------------------------------------
+  /** dict.get(k, default); reference: fetch_yougile_programming.py:265. */
+  def mapLookup(m: Column, key: Column, default: Column): Column =
+    coalesce(element_at(m, key), default)
+
+  // ---- F16: first-token truncate -------------------------------------------
+  /** reference: fetch_gsheet_instructions.py:48-49. */
+  def firstToken(c: Column, sep: String = " "): Column =
+    substring_index(c, sep, 1)
+
+  // ---- P10: drop all-null columns --------------------------------------------
+  /** pandas `dropna(axis=1, how='all')` — one aggregate pass computing
+    * non-null counts per column, then drop the empty ones; reference:
+    * fetch_asterisk_cdr.py:61. Single job, no per-column scans.
+    */
+  def dropAllNullColumns(df: DataFrame): DataFrame = {
+    val counts = df.agg(
+      count(lit(1)).as("__rows"),
+      df.columns.map(c => count(col(c)).as(c)): _*
+    ).head()
+    val empty = df.columns.filter(c => counts.getAs[Long](c) == 0L)
+    if (empty.isEmpty) df else df.drop(empty: _*)
+  }
+
+  /** P3: drop every column whose name matches a predicate; reference:
+    * create_yougile_dataset.ipynb cell 3 (startswith('raw')).
+    */
+  def dropColumnsWhere(df: DataFrame, p: String => Boolean): DataFrame = {
+    val doomed = df.columns.filter(p)
+    if (doomed.isEmpty) df else df.drop(doomed: _*)
+  }
+}

@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables.table
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's relational core (SURVEY.md §2.3-2.5, §2.7):
+  * projections, filters, equi-join family, hash aggregates, argmax.
+  * Every query is a lazy Catalyst plan — filters and projections push
+  * into the parquet scan, dimensions broadcast, aggregates run
+  * partial→final. Output is deterministically ordered so the driver's
+  * hash compare and the bench both see stable results.
+  */
+object Relational {
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // A2/A6: grouped aggregation, TPC-H Q1 shape. Map-side partial agg
+    // then 8-group final — shuffles 8 rows regardless of input size.
+    "q1_agg" -> QueryDef(
+      (s, dir) => table(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // P1/P4: projection + rename (reference: select/rename bulk ops).
+    "q_project_rename" -> QueryDef(
+      (s, dir) => table(s, dir, "customer")
+        .select(
+          col("c_custkey").as("customer_id"),
+          col("c_name").as("customer_name"),
+          col("c_mktsegment").as("segment"))
+        .orderBy("customer_id"),
+      """SELECT c_custkey AS customer_id, c_name AS customer_name,
+        |  c_mktsegment AS segment
+        |FROM customer ORDER BY customer_id""".stripMargin),
+
+    // P5: prefix filter — pushed to the parquet scan as StartsWith.
+    "q_filter_prefix" -> QueryDef(
+      (s, dir) => table(s, dir, "part")
+        .filter(col("p_type").startsWith("STANDARD"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey"),
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_type LIKE 'STANDARD%' ORDER BY p_partkey""".stripMargin),
+
+    // P6: membership filter (reference: dst.isin(allowed)).
+    "q_filter_isin" -> QueryDef(
+      (s, dir) => table(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderpriority"),
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // P8: case-insensitive regex contains, null-safe (pandas
+    // str.contains(case=False, na=False)).
+    "q_filter_rlike_ci" -> QueryDef(
+      (s, dir) => table(s, dir, "events")
+        .filter(coalesce(col("event_type").rlike("(?iu)(SIGN|PURCH)"), lit(false)))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE regexp_matches(event_type, '(?i)(SIGN|PURCH)')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // P9: boolean-flag conjunction split (reference bim/designers split).
+    "q_filter_flags" -> QueryDef(
+      (s, dir) => table(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 25)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("revenue"))
+        .orderBy("l_linestatus"),
+      """SELECT l_linestatus, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 25
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+
+    // J1/J4: left equi-join with a broadcast dimension (the reference's
+    // universal join shape). customer is the dim side at every SF that
+    // fits broadcast; AQE demotes gracefully if not.
+    "q_join_left" -> QueryDef(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val c = table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+          .groupBy(coalesce(col("c_mktsegment"), lit("Нет данных")).as("segment"))
+          .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("segment")
+      },
+      """SELECT coalesce(c_mktsegment, 'Нет данных') AS segment,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin),
+
+    // J11: snowflake chain customer→nation→region with dim filter —
+    // two broadcast joins, filter pushed below the joins by Catalyst.
+    "q_join_snowflake" -> QueryDef(
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val n = table(s, dir, "nation")
+        val r = table(s, dir, "region").filter(col("r_name").isin("ASIA", "EUROPE"))
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("n_customers"),
+            round(avg("c_acctbal"), 4).as("avg_bal"))
+          .orderBy("r_name", "n_name")
+      },
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  round(avg(c_acctbal), 4) AS avg_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA','EUROPE')
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
+
+    // P7: anti-join — customers with no orders (reference: unmapped-key
+    // extraction before sheet writeback).
+    "q_join_anti" -> QueryDef(
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders").select(col("o_custkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // P6-as-join: semi-join — suppliers that appear in lineitem.
+    "q_join_semi" -> QueryDef(
+      (s, dir) => {
+        val sup = table(s, dir, "supplier")
+        val li = table(s, dir, "lineitem").select(col("l_suppkey"))
+        sup.join(li, sup("s_suppkey") === li("l_suppkey"), "left_semi")
+          .select("s_suppkey", "s_name")
+          .orderBy("s_suppkey")
+      },
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+        |ORDER BY s_suppkey""".stripMargin),
+
+    // A1: scalar max (high-watermark read, reference S9/K5).
+    "q_max_scalar" -> QueryDef(
+      (s, dir) => table(s, dir, "orders")
+        .agg(max("o_orderdate").as("max_date"),
+          max("o_orderkey").as("max_key")),
+      "SELECT max(o_orderdate) AS max_date, max(o_orderkey) AS max_key FROM orders"),
+
+    // A4: argmax / top-1 per group (reference: branch with max LOC).
+    // max_by avoids the window shuffle+sort — single hash aggregate.
+    "q_argmax" -> QueryDef(
+      (s, dir) => table(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+          .as("top_order"),
+          round(max("o_totalprice"), 2).as("top_price"))
+        .orderBy("o_custkey"),
+      """SELECT o_custkey, o_orderkey AS top_order,
+        |  round(o_totalprice, 2) AS top_price
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |      FROM orders) WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin),
+
+    // A5: distinct-set collect, canonicalized to a sorted joined string
+    // so the hash compare is order-independent.
+    "q_collect_set" -> QueryDef(
+      (s, dir) => table(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          array_join(array_sort(collect_set("event_type")), ",").as("types"),
+          countDistinct("event_type").as("n_types"))
+        .orderBy("user_id"),
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // §2.7 extension: window function (running aggregate per key) —
+    // single shuffle on user_id, sort within partition.
+    "q_window_running" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        table(s, dir, "events")
+          .withColumn("running_value", round(sum("value").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+          .withColumn("rn", row_number().over(w))
+          .select("event_id", "user_id", "rn", "running_value")
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id,
+        |  row_number() OVER w AS rn,
+        |  round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin),
+
+    // §2.5 extension: rollup (grouping sets) over the snowflake.
+    "q_rollup" -> QueryDef(
+      (s, dir) => table(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  )
+}
