@@ -10,7 +10,7 @@ object SparkEntry {
     * oracle. Area objects keep SURVEY.md §2's inventory navigable.
     */
   def registry: Map[String, QueryDef] =
-    operators.Relational.defs
+    operators.Relational.defs ++ operators.Etl.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The projectsync-pipeline backbone (SURVEY.md §7.3): join + flag +
