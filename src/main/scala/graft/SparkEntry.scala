@@ -10,7 +10,10 @@ object SparkEntry {
     * oracle. Area objects keep SURVEY.md §2's inventory navigable.
     */
   def registry: Map[String, QueryDef] =
-    operators.Relational.defs ++ operators.Etl.defs
+    operators.Relational.defs ++ operators.Etl.defs ++
+      operators.TextAnalysis.defs ++ operators.Dedup.defs ++
+      operators.Similarity.defs ++ operators.Multimodal.defs ++
+      streaming.EventsStream.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The projectsync-pipeline backbone (SURVEY.md §7.3): join + flag +

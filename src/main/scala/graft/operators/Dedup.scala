@@ -1,0 +1,254 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.operators.TextAnalysis.{fingerprint, tokens}
+import graft.sources.Tables.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for a training-data pipeline: exact
+  * (fingerprint groupBy), bag-of-words, MinHash+LSH near-dup, SimHash,
+  * n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every variant is a hash-partitioned groupBy or a
+  * key-equi self-join (LSH band buckets), never an unblocked n² —
+  * the only cross product is bounded by bucket width. Exact-Jaccard
+  * verification runs only on LSH candidates.
+  */
+object Dedup {
+
+  // ---------- shingling ------------------------------------------------
+
+  /** Word n-grams of a token array (empty array when too short). */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Distinct word-3-gram shingle set of a text column. */
+  def shingleSet(text: Column): Column =
+    array_distinct(wordNgrams(tokens(text), 3))
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    val uni = size(array_union(a, b)).cast(DoubleType)
+    when(uni > 0, inter / uni).otherwise(0.0)
+  }
+
+  // ---------- MinHash --------------------------------------------------
+
+  /** Mersenne prime 2^61-1: (a*h32+b) stays < 2^63, no overflow. */
+  private val P = 2305843009213693951L
+  val NumHashes = 64
+  val Bands = 32 // r = 2 rows/band → candidate prob 1-(1-J²)^32
+
+  /** Deterministic (a,b) permutation params, seed 42. */
+  val hashParams: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumHashes)((rnd.nextInt(1 << 30).toLong + 1, math.abs(rnd.nextLong()) % P))
+  }
+
+  /** MinHash signature (array of NumHashes longs) of a shingle array.
+    * Base hash = xxhash64 masked to 32 bits so the modular multiply
+    * never overflows a long.
+    */
+  def minhashSignature(shingles: Column): Column = {
+    val h32 = transform(shingles, s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)))
+    array(hashParams.map { case (a, b) =>
+      array_min(transform(h32, h => pmod(h * lit(a) + lit(b), lit(P))))
+    }: _*)
+  }
+
+  /** (doc_id, band, band_key) rows — one per LSH band. Docs sharing a
+    * band_key within a band are candidate pairs.
+    */
+  def lshBands(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val rows = NumHashes / Bands
+    val sig = minhashSignature(shingleSet(col(textCol)))
+    df.select(col(idCol), sig.as("sig"))
+      .select(col(idCol), posexplode(
+        array((0 until Bands).map { b =>
+          xxhash64(lit(b) +: (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
+        }: _*)).as(Seq("band", "band_key")))
+  }
+
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification:
+    * band-bucket self-join → distinct candidates → verify jac ≥ minJaccard.
+    */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double): DataFrame = {
+    val bands = lshBands(docs, idCol, textCol)
+    val l = bands.toDF("id_a", "band", "band_key")
+    val r = bands.toDF("id_b", "band", "band_key")
+    val candidates = l.join(r, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sh = docs.select(col(idCol), shingleSet(col(textCol)).as("sh"))
+    candidates
+      .join(sh.toDF("id_a", "sh_a"), "id_a")
+      .join(sh.toDF("id_b", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jac"))
+      .filter(col("jac") >= minJaccard)
+  }
+
+  // ---------- SimHash ---------------------------------------------------
+
+  /** 64-bit SimHash of a token array: per-bit majority vote over the
+    * xxhash64 of each distinct token. Pure column math: for each bit,
+    * sum(+1/-1 per token) > 0 → bit set.
+    */
+  def simhash(toks: Column): Column = {
+    val hashes = transform(array_distinct(toks), t => xxhash64(t))
+    (0 until 64).map { bit =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << bit)) =!= 0, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << bit)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4×16-bit signature segments
+    * (a pair with hamming ≤ 3 shares at least one exact segment by
+    * pigeonhole), verify hamming ≤ maxDist on candidates.
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame = {
+    val sigs = docs.select(col(idCol),
+      simhash(tokens(col(textCol))).as("sig"))
+    val seg = sigs.select(col(idCol), col("sig"), posexplode(
+      array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      .as(Seq("seg", "seg_key")))
+    val l = seg.toDF("id_a", "sig_a", "seg", "seg_key")
+    val r = seg.toDF("id_b", "sig_b", "seg", "seg_key")
+    l.join(r, Seq("seg", "seg_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  // ---------- embedding near-dup ------------------------------------------
+
+  /** Cosine similarity of two float-array columns, computed in double
+    * with in-order summation (bit-compatible with the DuckDB oracle).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  // ---------- declared queries ----------------------------------------------
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // Exact dedup: md5-fingerprint groupBy — one shuffle keyed on the
+    // 128-bit digest, arbitrary corpus size.
+    "q_dedup_exact" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+        .orderBy("canonical_id"),
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin),
+
+    // Bag-of-words dedup: order-insensitive token-set fingerprint
+    // (catches shuffled near-copies the exact key misses).
+    "q_dedup_bow" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .groupBy(md5(array_join(array_sort(array_distinct(tokens(lower(col("text"))))), " "))
+          .as("bow_fp"))
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .orderBy("canonical_id"),
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS bow_fp,
+        |  min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY canonical_id""".stripMargin),
+
+    // Exact word-3-gram Jaccard on a deterministic blocked pair set —
+    // the oracle-checked ground truth for the shingle/jaccard math the
+    // LSH path reuses. Blocking (doc_id % 10 = 0) bounds pairs to
+    // (n/10)²/2 — swap in LSH candidates for the unblocked version.
+    "q_ngram_jaccard" -> QueryDef(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), shingleSet(col("text")).as("sh"))
+        val a = d.toDF("id_a", "sh_a")
+        val b = d.toDF("id_b", "sh_b")
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(jaccard(col("sh_a"), col("sh_b")), 4).as("jac"))
+          .filter(col("jac") > 0) // >0 is exact (ratio of ints) — no boundary risk
+          .orderBy("id_a", "id_b")
+      },
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+        |    i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\s+')[i+2])) AS g
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CASE WHEN len(list_distinct(a.g || b.g)) > 0
+        |      THEN len(list_intersect(a.g, b.g)) * 1.0 / len(list_distinct(a.g || b.g))
+        |      ELSE 0.0 END, 4) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jac FROM pairs WHERE jac > 0
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
+    // exact-verify). Probabilistic candidate generation → rows-only
+    // check here; parity vs brute force is asserted in DedupSpec.
+    "q_dedup_minhash" -> QueryDef(
+      (s, dir) => minhashNearDups(
+        table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.25)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // SimHash near-dup pairs (64-bit majority-vote signature, 16-bit
+    // segment blocking, hamming ≤ 6). Hash-dependent → rows-only.
+    "q_dedup_simhash" -> QueryDef(
+      (s, dir) => simhashNearDups(
+        table(s, dir, "documents"), "doc_id", "text", maxDist = 6)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // Embedding-cosine near-dup: all-pairs here (embeddings table is
+    // dim-table-sized); the LSH-bucketed variant in Similarity.scala
+    // is the path for corpus-scale inputs.
+    "q_dedup_embedding" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            cosine(col("v_a"), col("v_b")).as("cos_raw"))
+          .filter(col("cos_raw") >= 0.4) // threshold on RAW value, like the oracle
+          .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos"))
+          .orderBy("id_a", "id_b")
+      },
+      """WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin)
+  )
+}

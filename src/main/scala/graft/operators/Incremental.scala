@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental-load semantics (SURVEY.md §2.8, K5/S9): high-watermark
+  * append with schema evolution.
+  *
+  * The reference's pattern: read `max(key)` from the sink, insert only
+  * rows above it, `ALTER TABLE ADD COLUMN IF NOT EXISTS` for new
+  * columns. Here the sink is parquet (the 100 TB path — a table
+  * format, not JDBC): the watermark read is a parquet-stats-only
+  * aggregate, the append is partitioned, and evolution is mergeSchema
+  * on read. `JdbcDdl` provides the DDL generation for an actual JDBC
+  * sink.
+  */
+object Incremental {
+
+  /** Append only rows with watermarkCol strictly above the sink's
+    * current max. Returns the number of appended rows. Idempotent:
+    * re-running with the same input appends 0.
+    */
+  def appendIncrement(df: DataFrame, path: String, watermarkCol: String): Long = {
+    val spark = df.sparkSession
+    val fs = new java.io.File(path)
+    val watermark: Option[Any] =
+      if (fs.exists() && fs.listFiles() != null && fs.listFiles().nonEmpty)
+        Option(spark.read.option("mergeSchema", "true").parquet(path)
+          .agg(max(watermarkCol)).head().get(0))
+      else None
+    val fresh = watermark match {
+      case Some(w) => df.filter(col(watermarkCol) > lit(w))
+      case None => df
+    }
+    // count once via an accumulator-free two-phase write: cache the
+    // increment (it is the small delta, not the full table)
+    fresh.cache()
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode("append").parquet(path)
+    fresh.unpersist()
+    n
+  }
+
+  /** Read an evolved sink (union of all historical schemas). */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+}
+
+/** DDL generation for the JDBC flavor of K5 — Spark's JDBC writer
+  * cannot add columns; the reference does `ALTER TABLE ... ADD COLUMN
+  * IF NOT EXISTS` per new column (create_projectsync_dataset.ipynb
+  * cell 17, `_ensure_table_and_columns`).
+  */
+object JdbcDdl {
+
+  def sqlType(dt: DataType): String = dt match {
+    case StringType => "TEXT"
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case DoubleType => "DOUBLE PRECISION"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case TimestampType => "TIMESTAMP"
+    case DateType => "DATE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case _ => "TEXT"
+  }
+
+  /** ALTER statements for columns present in `incoming` but not in
+    * `existing` (name-matched case-insensitively, like PostgreSQL).
+    */
+  def alterStatements(existing: StructType, incoming: StructType,
+      table: String): Seq[String] = {
+    val have = existing.fields.map(_.name.toLowerCase).toSet
+    incoming.fields.toSeq
+      .filterNot(f => have.contains(f.name.toLowerCase))
+      .map(f => s"""ALTER TABLE $table ADD COLUMN IF NOT EXISTS "${f.name}" ${sqlType(f.dataType)}""")
+  }
+
+  /** CREATE TABLE derived from a DataFrame schema — the reference's
+    * `head(0).to_sql(if_exists='replace')` two-phase load.
+    */
+  def createTable(schema: StructType, table: String): String =
+    schema.fields
+      .map(f => s""""${f.name}" ${sqlType(f.dataType)}""")
+      .mkString(s"CREATE TABLE IF NOT EXISTS $table (", ", ", ")")
+}

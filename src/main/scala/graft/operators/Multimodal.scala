@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables.table
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads with
+  * typed metadata, decoded/feature-extracted by pluggable per-batch
+  * functions, frame-sampled by exploding computed offsets.
+  *
+  * The decode step is a STUB — no image/audio codecs ship in this
+  * environment — implemented as a deterministic fake that derives
+  * "header" fields from the payload bytes. Everything around it
+  * (binary schema, metadata struct, explode-based frame sampling,
+  * partition-friendly layout) is the real Spark-side design: at 100 TB
+  * the payloads stay columnar in parquet, the metadata struct prunes
+  * scans, and sampling explodes offsets instead of materializing
+  * frames.
+  */
+object Multimodal {
+
+  /** STUB decoder: derives (width, height, n_frames) deterministically
+    * from the first payload bytes. A real build replaces this column
+    * logic with a codec call per batch (mapPartitions over the binary
+    * column) behind the same struct signature.
+    */
+  def fakeDecodeHeader(payload: Column, nBytes: Column): Column = struct(
+    ((ascii(payload.cast(StringType)) % 16) + 1).multiply(64).as("width"),
+    ((ascii(substring(payload.cast(StringType), 2, 1)) % 9) + 1).multiply(64).as("height"),
+    (nBytes % 24 + 1).cast(IntegerType).as("n_frames"))
+
+  /** Frame-sample offsets: every `step`-th frame index with its byte
+    * offset — an explode of a computed sequence, never a frame blob
+    * materialization.
+    */
+  def sampleFrames(nFrames: Column, step: Int, frameBytes: Long): Column =
+    filter(sequence(lit(0), nFrames - 1), i => i % step === 0)
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // Binary payload + metadata struct extraction. The text column
+    // stands in for the media payload (cast to binary); metadata comes
+    // from the stub decoder.
+    "q_multimodal_meta" -> QueryDef(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .withColumn("payload", col("text").cast(BinaryType))
+          .withColumn("n_bytes", octet_length(col("payload")))
+        d.withColumn("hdr", fakeDecodeHeader(col("payload"), col("n_bytes")))
+          .select(
+            col("doc_id"), col("n_bytes"),
+            col("hdr.width").as("width"),
+            col("hdr.height").as("height"),
+            col("hdr.n_frames").as("n_frames"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  ((ascii(text) % 16) + 1) * 64 AS width,
+        |  ((ascii(substring(text, 2, 1)) % 9) + 1) * 64 AS height,
+        |  CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Frame sampling: explode every 3rd frame index with byte offsets —
+    // the row-multiplying half of the multimodal path.
+    "q_frame_sample" -> QueryDef(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .withColumn("n_bytes", octet_length(col("text").cast(BinaryType)))
+          .withColumn("n_frames", (col("n_bytes") % 24 + 1).cast(IntegerType))
+        d.select(col("doc_id"), col("n_frames"),
+          explode(sampleFrames(col("n_frames"), step = 3, frameBytes = 1024L))
+            .as("frame_idx"))
+          .select(col("doc_id"), col("frame_idx"),
+            (col("frame_idx").cast(LongType) * 1024L).as("byte_offset"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, s.g AS frame_idx, s.g * 1024 AS byte_offset
+        |FROM d JOIN (SELECT unnest(generate_series(0, 1023)) AS g) s
+        |  ON s.g < d.n_frames AND s.g % 3 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin)
+  )
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.operators.Dedup.cosine
+import graft.sources.Tables.table
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - brute-force top-k: the query side is broadcast (a query set is
+  *    always dim-table-sized), the corpus streams — one pass, no
+  *    shuffle of the corpus, exact results. This is the baseline and
+  *    the verification oracle.
+  *  - random-hyperplane LSH: corpus is bucketed by a b-bit signature
+  *    (one groupBy-free map pass), queries probe only their own
+  *    bucket — candidate count drops ~2^b-fold; recall is tunable via
+  *    multi-probe (signature Hamming-1 neighbors). This is the 100 TB
+  *    path: bucket keys partition the corpus so each query touches a
+  *    bounded slice.
+  */
+object Similarity {
+
+  /** Deterministic random hyperplanes (seed 42): NumPlanes × dim. */
+  def hyperplanes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** b-bit random-hyperplane signature of a float-array column. */
+  def lshSignature(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(v, typedlit(p.toSeq), (x, w) => x.cast(DoubleType) * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Exact brute-force top-k: broadcast query set × streamed corpus. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_v"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_v"), col("c_v")).as("cos_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_raw"), 4).as("cos"))
+  }
+
+  /** LSH-bucketed top-k: candidates limited to the query's signature
+    * bucket plus its Hamming-1 probes (recall/cost dial = numPlanes &
+    * probe radius).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val sig = lshSignature(col("embedding"), planes)
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_v"), sig.as("bucket"))
+    // multi-probe: each query probes its bucket and all Hamming-1 buckets
+    val probes = array(lit(0L) +: (0 until numPlanes).map(i => lit(1L << i)): _*)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_v"), sig.as("q_sig"))
+      .select(col("query_id"), col("q_v"),
+        explode(transform(probes, m => col("q_sig").bitwiseXOR(m))).as("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_v"), col("c_v")).as("cos_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_raw"), 4).as("cos"))
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // Brute-force cosine top-3 for a fixed 32-query panel — exact,
+    // oracle-checked.
+    "q_ann_brute" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        bruteForceTopK(e, e.filter(col("vec_id") < 32), k = 3)
+          .orderBy("query_id", "neighbor_id")
+      },
+      """WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+        |  FROM u q JOIN u c ON q.vec_id < 32 AND c.vec_id != q.vec_id)
+        |SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos
+        |FROM sims
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cos_raw DESC, neighbor_id) <= 3
+        |ORDER BY query_id, neighbor_id""".stripMargin),
+
+    // LSH-bucketed ANN (approximate → rows-only; recall vs brute force
+    // is asserted in SimilaritySpec).
+    "q_ann_lsh" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        lshTopK(e, e.filter(col("vec_id") < 32), k = 3)
+          .orderBy("query_id", "neighbor_id")
+      },
+      None)
+  )
+}

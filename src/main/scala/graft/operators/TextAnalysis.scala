@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables.table
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a training-data pipeline (north-star
+  * extensions beyond the reference, see BASELINE.json): tokenization,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  * All pure column expressions — per-row cost is O(|text|), no
+  * shuffles except the final aggregates, so the plan is embarrassingly
+  * parallel at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (trim first so no empty edge tokens). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Canonical text form: lowercase, collapse whitespace runs. */
+  def normalize(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** MD5 fingerprint of the normalized text — the exact-dup key. */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** BPE-ish subword count estimate: whitespace tokens plus an extra
+    * unit per 6 chars of long tokens (a public rule-of-thumb proxy —
+    * ~4 chars/token for English); real tokenizers drop in behind the
+    * same column signature.
+    */
+  def tokenEstimate(c: Column): Column =
+    aggregate(
+      tokens(c),
+      lit(0L),
+      (acc, t) => acc + greatest(ceil(length(t).cast(DoubleType) / 6.0).cast(LongType), lit(1L)))
+
+  /** Stopword ratio over a broadcast-small stopword set. */
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(c)
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+        .cast(DoubleType) / size(toks))
+      .otherwise(0.0)
+  }
+
+  /** Language-ID heuristic: charset detection first (script is the
+    * strongest signal), then distinctive function words. First match
+    * wins — order is part of the contract.
+    */
+  def langId(c: Column): Column = {
+    val t = lower(c)
+    def hasWord(w: String) = t.rlike(s"(^|\\s)$w(\\s|$$)")
+    when(c.rlike("[\\p{IsCyrillic}]"), "ru")
+      .when(c.rlike("[\\p{IsHan}]"), "zh")
+      .when(c.rlike("[äöüß]"), "de")
+      .when(c.rlike("[áéíóúñ¿¡]"), "es")
+      .when(hasWord("der") || hasWord("und") || hasWord("nicht"), "de")
+      .when(hasWord("el") || hasWord("los") || hasWord("las"), "es")
+      .when(hasWord("le") || hasWord("les") || hasWord("est"), "fr")
+      .when(hasWord("the") || hasWord("and") || hasWord("is"), "en")
+      .otherwise("und")
+  }
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "is")
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // Token counting: whitespace tokens, distinct tokens, subword
+    // estimate — the unit economics of an LLM data pipeline.
+    "q_token_count" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).as("n_tokens"),
+          size(array_distinct(tokens(col("text")))).as("n_distinct"),
+          tokenEstimate(col("text")).as("n_subwords"))
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct,
+        |  list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> greatest(CAST(ceil(length(t) / 6.0) AS BIGINT), 1))) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Quality scoring: length stats, punctuation ratio, stopword
+    // ratio, mean token length — the standard pre-training filters.
+    "q_text_quality" -> QueryDef(
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            length(col("text")).as("n_chars_actual"),
+            size(toks).as("n_tokens"),
+            round(length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+              .cast(DoubleType) / greatest(length(col("text")), lit(1)), 4)
+              .as("punct_ratio"),
+            round(stopwordRatio(col("text"), stopwords), 4).as("stopword_ratio"),
+            round(aggregate(toks, lit(0L), (a, t) => a + length(t))
+              .cast(DoubleType) / greatest(size(toks), lit(1)), 4)
+              .as("avg_token_len"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  length(text) AS n_chars_actual,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  round(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+        |    / greatest(length(text), 1), 4) AS punct_ratio,
+        |  round(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('the','a','and','of','to','is')))
+        |    / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS stopword_ratio,
+        |  round(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> length(t)))
+        |    / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Language-ID heuristic output + corpus distribution vs the
+    // labeled lang column (charset + function-word rules; the
+    // synthetic corpus is English-wordlist text so the heuristic
+    // stays deterministic).
+    "q_lang_id" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+        |    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |    WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+        |    WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+        |    WHEN regexp_matches(lower(text), '(^|\s)(der|und|nicht)(\s|$)') THEN 'de'
+        |    WHEN regexp_matches(lower(text), '(^|\s)(el|los|las)(\s|$)') THEN 'es'
+        |    WHEN regexp_matches(lower(text), '(^|\s)(le|les|est)(\s|$)') THEN 'fr'
+        |    WHEN regexp_matches(lower(text), '(^|\s)(the|and|is)(\s|$)') THEN 'en'
+        |    ELSE 'und' END AS pred_lang
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Corpus stats per labeled language.
+    "q_lang_dist" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg("n_chars"), 4).as("avg_chars"),
+          sum(size(tokens(col("text")))).as("total_tokens"))
+        .orderBy("lang"),
+      """SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // Document fingerprinting: md5 of the normalized text — the
+    // canonical exact-dup / lineage key.
+    "q_fingerprint" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+}
