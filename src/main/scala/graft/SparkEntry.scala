@@ -13,6 +13,7 @@ object SparkEntry {
     operators.Relational.defs ++ operators.Etl.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
+      operators.ArrayOps.defs ++ operators.Incremental.defs ++
       streaming.EventsStream.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -20,7 +20,14 @@ object Dedup {
 
   // ---------- shingling ------------------------------------------------
 
-  /** Word n-grams of a token array (empty array when too short). */
+  /** Word n-grams of a token array (empty array when too short).
+    *
+    * PERF: pass a *materialized* token array (a projected column), not
+    * an inline `split(...)` expression — higher-order functions are
+    * interpreted, so an inline split would re-tokenize the full text
+    * for every one of the 3×|tokens| element accesses (measured ~160×
+    * per-row blowup on the harness corpus).
+    */
   def wordNgrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
@@ -30,6 +37,20 @@ object Dedup {
   /** Distinct word-3-gram shingle set of a text column. */
   def shingleSet(text: Column): Column =
     array_distinct(wordNgrams(tokens(text), 3))
+
+  /** (id, shingle-set) projection, tokenized in its own stage so the
+    * split runs once per row (CollapseProject keeps multi-use non-cheap
+    * expressions un-inlined), repartitioned to cluster parallelism —
+    * shingling is compute-bound, and a small single-file scan would
+    * otherwise pin the whole stage to one task.
+    */
+  def shingled(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.select(col(idCol), col(textCol))
+      .repartition(par)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), array_distinct(wordNgrams(col("__toks"), 3)).as("sh"))
+  }
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -51,24 +72,28 @@ object Dedup {
     Seq.fill(NumHashes)((rnd.nextInt(1 << 30).toLong + 1, math.abs(rnd.nextLong()) % P))
   }
 
-  /** MinHash signature (array of NumHashes longs) of a shingle array.
-    * Base hash = xxhash64 masked to 32 bits so the modular multiply
-    * never overflows a long.
+  /** MinHash signature (array of NumHashes longs) over a *materialized*
+    * base-hash column. Base hash = xxhash64 masked to 32 bits so the
+    * modular multiply never overflows a long. The NumHashes min-scans
+    * each traverse the bound array — the string hashing happens once,
+    * in the projection that produced `h32`.
     */
-  def minhashSignature(shingles: Column): Column = {
-    val h32 = transform(shingles, s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)))
+  def minhashSignature(h32: Column): Column =
     array(hashParams.map { case (a, b) =>
       array_min(transform(h32, h => pmod(h * lit(a) + lit(b), lit(P))))
     }: _*)
-  }
 
   /** (doc_id, band, band_key) rows — one per LSH band. Docs sharing a
-    * band_key within a band are candidate pairs.
+    * band_key within a band are candidate pairs. Staged projections:
+    * tokenize → shingle → base-hash → signature → bands, each array
+    * computed exactly once per row.
     */
   def lshBands(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val rows = NumHashes / Bands
-    val sig = minhashSignature(shingleSet(col(textCol)))
-    df.select(col(idCol), sig.as("sig"))
+    shingled(df, idCol, textCol)
+      .select(col(idCol),
+        transform(col("sh"), s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL))).as("h32"))
+      .select(col(idCol), minhashSignature(col("h32")).as("sig"))
       .select(col(idCol), posexplode(
         array((0 until Bands).map { b =>
           xxhash64(lit(b) +: (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
@@ -86,7 +111,7 @@ object Dedup {
     val candidates = l.join(r, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sh = docs.select(col(idCol), shingleSet(col(textCol)).as("sh"))
+    val sh = shingled(docs, idCol, textCol)
     candidates
       .join(sh.toDF("id_a", "sh_a"), "id_a")
       .join(sh.toDF("id_b", "sh_b"), "id_b")
@@ -97,18 +122,24 @@ object Dedup {
 
   // ---------- SimHash ---------------------------------------------------
 
-  /** 64-bit SimHash of a token array: per-bit majority vote over the
-    * xxhash64 of each distinct token. Pure column math: for each bit,
-    * sum(+1/-1 per token) > 0 → bit set.
+  /** 64-bit SimHash from a *materialized* token-hash array: per-bit
+    * majority vote — for each bit, sum(+1/-1 per token) > 0 → bit set.
+    * The 64 vote scans traverse the bound array; hash the tokens once
+    * in the projection that produced `hashes`.
     */
-  def simhash(toks: Column): Column = {
-    val hashes = transform(array_distinct(toks), t => xxhash64(t))
+  def simhashFromHashes(hashes: Column): Column =
     (0 until 64).map { bit =>
       val votes = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(h.bitwiseAND(lit(1L << bit)) =!= 0, 1L).otherwise(-1L))
       when(votes > 0, lit(1L << bit)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
-  }
+
+  /** Convenience form over a token array (re-derives the hash array
+    * inline — use the staged projection in simhashNearDups for bulk
+    * work).
+    */
+  def simhash(toks: Column): Column =
+    simhashFromHashes(transform(array_distinct(toks), t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -119,8 +150,13 @@ object Dedup {
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame = {
-    val sigs = docs.select(col(idCol),
-      simhash(tokens(col(textCol))).as("sig"))
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sigs = docs.select(col(idCol), col(textCol))
+      .repartition(par)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        transform(array_distinct(col("__toks")), t => xxhash64(t)).as("__h"))
+      .select(col(idCol), simhashFromHashes(col("__h")).as("sig"))
     val seg = sigs.select(col(idCol), col("sig"), posexplode(
       array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -137,15 +173,19 @@ object Dedup {
 
   // ---------- embedding near-dup ------------------------------------------
 
-  /** Cosine similarity of two float-array columns, computed in double
-    * with in-order summation (bit-compatible with the DuckDB oracle).
+  /** Float-array dot product in double with in-order summation
+    * (bit-compatible with the DuckDB oracle's list_dot_product).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(x: Column, y: Column): Column = aggregate(
+    zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+    lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity of two float-array columns. For bulk pairwise
+    * work precompute the norms per row (see q_dedup_embedding) — this
+    * convenience form recomputes both self-norms per call.
+    */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 
   // ---------- declared queries ----------------------------------------------
 
@@ -166,6 +206,7 @@ object Dedup {
     // (catches shuffled near-copies the exact key misses).
     "q_dedup_bow" -> QueryDef(
       (s, dir) => table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .groupBy(md5(array_join(array_sort(array_distinct(tokens(lower(col("text"))))), " "))
           .as("bow_fp"))
         .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
@@ -183,9 +224,9 @@ object Dedup {
     // (n/10)²/2 — swap in LSH candidates for the unblocked version.
     "q_ngram_jaccard" -> QueryDef(
       (s, dir) => {
-        val d = table(s, dir, "documents")
-          .filter(col("doc_id") % 10 === 0)
-          .select(col("doc_id"), shingleSet(col("text")).as("sh"))
+        val d = shingled(
+          table(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+          "doc_id", "text")
         val a = d.toDF("id_a", "sh_a")
         val b = d.toDF("id_b", "sh_b")
         a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -220,24 +261,30 @@ object Dedup {
       None),
 
     // SimHash near-dup pairs (64-bit majority-vote signature, 16-bit
-    // segment blocking, hamming ≤ 6). Hash-dependent → rows-only.
+    // segment blocking, hamming ≤ 3 — the radius the 4-segment
+    // pigeonhole blocking makes exact). Hash-dependent → rows-only.
     "q_dedup_simhash" -> QueryDef(
       (s, dir) => simhashNearDups(
-        table(s, dir, "documents"), "doc_id", "text", maxDist = 6)
+        table(s, dir, "documents"), "doc_id", "text", maxDist = 3)
         .orderBy("id_a", "id_b"),
       None),
 
     // Embedding-cosine near-dup: all-pairs here (embeddings table is
     // dim-table-sized); the LSH-bucketed variant in Similarity.scala
-    // is the path for corpus-scale inputs.
+    // is the path for corpus-scale inputs. Norms precomputed per row —
+    // one dot product per pair.
     "q_dedup_embedding" -> QueryDef(
       (s, dir) => {
         val e = table(s, dir, "embeddings")
-        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
-        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
+          col("norm").as("n_a"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
+          col("norm").as("n_b"))
         a.crossJoin(b).filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
-            cosine(col("v_a"), col("v_b")).as("cos_raw"))
+            (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos_raw"))
           .filter(col("cos_raw") >= 0.4) // threshold on RAW value, like the oracle
           .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos"))
           .orderBy("id_a", "id_b")

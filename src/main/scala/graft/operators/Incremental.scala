@@ -47,6 +47,30 @@ object Incremental {
   /** Read an evolved sink (union of all historical schemas). */
   def readEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** The S9/K5 watermark semantics as a declared query: max over the
+    * "sink" slice, then only strictly-newer source rows survive. The
+    * scalar watermark broadcasts — no driver round-trip, and on a real
+    * sink table the max() is a stats-only read.
+    */
+  def defs: Map[String, QueryDef] = Map(
+    "q_watermark_filter" -> QueryDef(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val sink = o.filter(col("o_orderkey") % 3 =!= 0)
+        val wm = sink.agg(max("o_orderdate").as("wm"))
+        o.join(broadcast(wm), o("o_orderdate") > wm("wm"))
+          .agg(count(lit(1)).as("n_fresh"),
+            min("o_orderdate").cast(StringType).as("first_fresh"),
+            max("o_orderdate").cast(StringType).as("last_fresh"))
+      },
+      """SELECT count(*) AS n_fresh,
+        |  CAST(min(o_orderdate) AS VARCHAR) AS first_fresh,
+        |  CAST(max(o_orderdate) AS VARCHAR) AS last_fresh
+        |FROM orders
+        |WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders
+        |                     WHERE o_orderkey % 3 <> 0)""".stripMargin)
+  )
 }
 
 /** DDL generation for the JDBC flavor of K5 — Spark's JDBC writer

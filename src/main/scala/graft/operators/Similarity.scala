@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
-import graft.operators.Dedup.cosine
+import graft.operators.Dedup.dot
 import graft.sources.Tables.table
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -39,15 +39,22 @@ object Similarity {
       when(dot >= 0, lit(1L << i)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** Exact brute-force top-k: broadcast query set × streamed corpus. */
+  /** Exact brute-force top-k: broadcast query set × streamed corpus.
+    * Norms are precomputed per row — each pair then costs one dot
+    * product, not three.
+    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
+      .withColumn("q_norm", sqrt(dot(col("q_v"), col("q_v"))))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_v"))
+      .repartition(par)
+      .withColumn("c_norm", sqrt(dot(col("c_v"), col("c_v"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_v"), col("c_v")).as("cos_raw"))
+        (dot(col("q_v"), col("c_v")) / (col("q_norm") * col("c_norm"))).as("cos_raw"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
@@ -60,22 +67,26 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val planes = hyperplanes(numPlanes, dim)
     val sig = lshSignature(col("embedding"), planes)
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("c_v"), sig.as("bucket"))
+      .repartition(par)
+      .withColumn("c_norm", sqrt(dot(col("c_v"), col("c_v"))))
     // multi-probe: each query probes its bucket and all Hamming-1 buckets
     val probes = array(lit(0L) +: (0 until numPlanes).map(i => lit(1L << i)): _*)
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_v"), sig.as("q_sig"))
-      .select(col("query_id"), col("q_v"),
+      .withColumn("q_norm", sqrt(dot(col("q_v"), col("q_v"))))
+      .select(col("query_id"), col("q_v"), col("q_norm"),
         explode(transform(probes, m => col("q_sig").bitwiseXOR(m))).as("bucket"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id"))
     q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_v"), col("c_v")).as("cos_raw"))
+        (dot(col("q_v"), col("c_v")) / (col("q_norm") * col("c_norm"))).as("cos_raw"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),

@@ -68,14 +68,20 @@ object TextAnalysis {
   def defs: Map[String, QueryDef] = Map(
 
     // Token counting: whitespace tokens, distinct tokens, subword
-    // estimate — the unit economics of an LLM data pipeline.
+    // estimate — the unit economics of an LLM data pipeline. The token
+    // array is projected once (multi-use non-cheap expressions stay
+    // un-collapsed) so the text splits once per row.
     "q_token_count" -> QueryDef(
       (s, dir) => table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), tokens(col("text")).as("__toks"))
         .select(
           col("doc_id"),
-          size(tokens(col("text"))).as("n_tokens"),
-          size(array_distinct(tokens(col("text")))).as("n_distinct"),
-          tokenEstimate(col("text")).as("n_subwords"))
+          size(col("__toks")).as("n_tokens"),
+          size(array_distinct(col("__toks"))).as("n_distinct"),
+          aggregate(col("__toks"), lit(0L), (acc, t) =>
+            acc + greatest(ceil(length(t).cast(DoubleType) / 6.0).cast(LongType), lit(1L)))
+            .as("n_subwords"))
         .orderBy("doc_id"),
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
@@ -88,8 +94,10 @@ object TextAnalysis {
     // ratio, mean token length — the standard pre-training filters.
     "q_text_quality" -> QueryDef(
       (s, dir) => {
-        val toks = tokens(col("text"))
+        val toks = col("__toks")
         table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("text"), tokens(col("text")).as("__toks"))
           .select(
             col("doc_id"),
             length(col("text")).as("n_chars_actual"),
@@ -97,7 +105,9 @@ object TextAnalysis {
             round(length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
               .cast(DoubleType) / greatest(length(col("text")), lit(1)), 4)
               .as("punct_ratio"),
-            round(stopwordRatio(col("text"), stopwords), 4).as("stopword_ratio"),
+            round(size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+              .cast(DoubleType) / greatest(size(toks), lit(1)), 4)
+              .as("stopword_ratio"),
             round(aggregate(toks, lit(0L), (a, t) => a + length(t))
               .cast(DoubleType) / greatest(size(toks), lit(1)), 4)
               .as("avg_token_len"))

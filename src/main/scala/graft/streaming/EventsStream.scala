@@ -28,7 +28,48 @@ object EventsStream {
         .orderBy("window_start", "event_type"),
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    // Batch twin of `sessionize`: gap-based sessions via lag + running
+    // sum of session breaks — one shuffle on user_id, two window passes
+    // over it, then the per-session aggregate. This is the scalable
+    // batch formulation (state never exceeds a partition sort), and it
+    // puts the session math under the oracle gate. Gap compares
+    // microsecond integers on both sides — no float/truncation drift.
+    "q_sessionize_batch" -> graft.QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gapMicros = 30L * 60 * 1000000
+        graft.sources.Tables.table(s, dir, "events")
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("is_new",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > gapMicros, 1L).otherwise(0L))
+          .withColumn("session_id", sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum("value"), 2).as("total_value"),
+            date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH g AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin))
   )
 
   /** events.parquet carries INT64 TIMESTAMP(NANOS) — declared as long
@@ -73,48 +114,63 @@ object EventsStream {
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Int, total_value: Double)
 
-  /** Sessions close after `gapMs` of user inactivity (processing-time
-    * timeout drives emission). KeyValueGroupedDataset.mapGroupsWithState
-    * keeps one small state record per live user — memory is O(active
-    * users), not O(events).
+  /** Pure per-group fold: thread the incoming (sorted) events through
+    * the open session, emitting closed sessions on each gap. Extracted
+    * from the stateful operator so the gap logic is unit-testable.
     */
-  def sessionize(events: DataFrame, gapMs: Long = 30 * 60 * 1000L) = {
+  def foldSessions(userId: Long, open: Option[SessionState],
+      sorted: Seq[Event], gapMs: Long): (List[Session], Option[SessionState]) = {
+    var closed = List.empty[Session]
+    var cur = open
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.lastTs <= gapMs =>
+          cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+            totalValue = s.totalValue + e.value))
+        case Some(s) =>
+          closed ::= Session(userId, new java.sql.Timestamp(s.sessionStart),
+            new java.sql.Timestamp(s.lastTs), s.nEvents, s.totalValue)
+          cur = Some(SessionState(t, t, 1, e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    (closed.reverse, cur)
+  }
+
+  /** Sessions close after `gapMs` of user inactivity.
+    * KeyValueGroupedDataset.flatMapGroupsWithState keeps one small
+    * state record per live user — memory is O(active users), not
+    * O(events). With the default ProcessingTimeTimeout the open
+    * session flushes after the gap elapses in wall time; pass
+    * NoTimeout for bounded runs (AvailableNow) where only gap-driven
+    * closure should fire.
+    */
+  def sessionize(events: DataFrame, gapMs: Long = 30 * 60 * 1000L,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout) = {
     import events.sparkSession.implicits._
+    val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
     events
       .selectExpr("event_id", "ts", "user_id", "event_type", "value")
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeout) {
         (userId: Long, events: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
+          if (useTimeout && state.hasTimedOut) {
             val s = state.get
             state.remove()
             Iterator(Session(userId, new java.sql.Timestamp(s.sessionStart),
               new java.sql.Timestamp(s.lastTs), s.nEvents, s.totalValue))
           } else {
             val sorted = events.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.lastTs <= gapMs =>
-                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
-                    totalValue = s.totalValue + e.value))
-                case Some(s) =>
-                  closed ::= Session(userId, new java.sql.Timestamp(s.sessionStart),
-                    new java.sql.Timestamp(s.lastTs), s.nEvents, s.totalValue)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
+            val (closed, cur) = foldSessions(userId, state.getOption, sorted, gapMs)
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
             }
-            closed.reverseIterator
+            closed.iterator
           }
       }
   }

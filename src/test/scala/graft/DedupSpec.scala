@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.Dedup._
+import graft.operators.TextAnalysis.tokens
+import org.apache.spark.sql.functions._
+
+/** Dedup operators: exact Jaccard math, MinHash-LSH parity vs brute
+  * force, SimHash invariants. All deterministic (seed-42 hash params).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),
+    (3L, "the quick brown fox jumps over the lazy cat"),
+    (4L, "completely different words entirely unrelated text corpus here"),
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("jaccard: identical 1.0, known overlap, disjoint 0.0, empty 0.0") {
+    val sh = docs.select(col("doc_id"), shingleSet(col("text")).as("sh"))
+    val a = sh.toDF("id_a", "sh_a")
+    val b = sh.toDF("id_b", "sh_b")
+    val jac = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac((1L, 2L)) == 1.0)
+    // docs 1 vs 3: 7 shingles each, 6 shared → 6/8
+    assert(math.abs(jac((1L, 3L)) - 0.75) < 1e-9)
+    assert(jac((1L, 4L)) == 0.0)
+    // doc 5 has <3 tokens → empty shingle set → 0 against everything
+    assert(jac((1L, 5L)) == 0.0)
+  }
+
+  test("minhash-LSH near-dups match brute-force exact Jaccard at the threshold") {
+    val lsh = minhashNearDups(docs, "doc_id", "text", minJaccard = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("minhash-LSH on the harness corpus: every reported pair meets the threshold, " +
+    "and recall vs brute force is total at J>=0.5") {
+    val corpus = graft.sources.Tables.table(spark, sfDir, "documents")
+    val lsh = minhashNearDups(corpus, "doc_id", "text", minJaccard = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth over all pairs
+    val sh = corpus.select(col("doc_id"), shingleSet(col("text")).as("sh"))
+    val brute = sh.toDF("id_a", "sh_a")
+      .crossJoin(sh.toDF("id_b", "sh_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification step guarantees precision; 32 bands × 2 rows makes
+    // a miss at J>=0.5 astronomically unlikely (and seed-fixed).
+    assert(lsh == brute)
+  }
+
+  test("simhash: identical texts collide, hamming is symmetric and 0 on self") {
+    val sigs = docs.select(col("doc_id"), simhash(tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    // bit_count yields IntegerType
+    val h = spark.range(1).select(
+      hamming(lit(sigs(1L)), lit(sigs(3L))).as("d13"),
+      hamming(lit(sigs(3L)), lit(sigs(1L))).as("d31"),
+      hamming(lit(sigs(1L)), lit(sigs(1L))).as("self")).head()
+    assert(h.getInt(0) == h.getInt(1))
+    assert(h.getInt(2) == 0)
+    // near-identical docs are much closer than unrelated ones
+    assert(h.getInt(0) < spark.range(1)
+      .select(hamming(lit(sigs(1L)), lit(sigs(4L)))).head().getInt(0))
+  }
+
+  test("simhashNearDups finds the identical pair at distance 0") {
+    val pairs = simhashNearDups(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("cosine: orthogonal 0, identical 1, known angle") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(1.0f, 1.0f))
+    ).toDF("a", "b").select(cosine(col("a"), col("b")).as("c"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(0)) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("wordNgrams: short inputs give empty arrays, order preserved") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(wordNgrams(tokens(col("t")), 3).as("g"))
+    val got = df.collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{Incremental, JdbcDdl}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** High-watermark incremental append (SURVEY.md §2.8, K5/S9):
+  * idempotence, strict-watermark filtering, schema evolution, and the
+  * JDBC DDL generation the reference's _ensure_table_and_columns does.
+  */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_inc").resolve("sink").toString
+
+  test("first append writes all rows; re-running the same input appends 0") {
+    val path = tmp()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    assert(Incremental.appendIncrement(df, path, "k") == 3)
+    assert(Incremental.appendIncrement(df, path, "k") == 0)
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
+  test("only rows strictly above the sink watermark are appended") {
+    val path = tmp()
+    Incremental.appendIncrement(Seq((1L, "a"), (5L, "b")).toDF("k", "v"), path, "k")
+    val n = Incremental.appendIncrement(
+      Seq((4L, "late"), (5L, "dup"), (6L, "new"), (7L, "new")).toDF("k", "v"), path, "k")
+    assert(n == 2)
+    val keys = spark.read.parquet(path).select("k").as[Long].collect().sorted
+    assert(keys.toSeq == Seq(1L, 5L, 6L, 7L))
+  }
+
+  test("schema evolution: new columns survive mergeSchema read") {
+    val path = tmp()
+    Incremental.appendIncrement(Seq((1L, "a")).toDF("k", "v"), path, "k")
+    Incremental.appendIncrement(
+      Seq((2L, "b", 9.5)).toDF("k", "v", "score"), path, "k")
+    val evolved = Incremental.readEvolved(spark, path)
+    assert(evolved.columns.toSet == Set("k", "v", "score"))
+    val old = evolved.filter(col("k") === 1L).head()
+    assert(old.isNullAt(old.fieldIndex("score")))
+  }
+
+  test("JdbcDdl generates ALTER only for missing columns, case-insensitively") {
+    val existing = StructType(Seq(StructField("id", LongType),
+      StructField("Name", StringType)))
+    val incoming = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("score", DoubleType)))
+    val stmts = JdbcDdl.alterStatements(existing, incoming, "datalake.t")
+    assert(stmts ==
+      Seq("""ALTER TABLE datalake.t ADD COLUMN IF NOT EXISTS "score" DOUBLE PRECISION"""))
+  }
+
+  test("JdbcDdl createTable derives DDL from the schema like head(0).to_sql") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("ts", TimestampType)))
+    assert(JdbcDdl.createTable(schema, "datalake.t") ==
+      """CREATE TABLE IF NOT EXISTS datalake.t ("id" BIGINT, "name" TEXT, "ts" TIMESTAMP)""")
+  }
+}

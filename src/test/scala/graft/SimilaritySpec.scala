@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Similarity._
+import org.apache.spark.sql.functions._
+
+/** ANN search: brute-force exactness on a hand-built corpus; LSH
+  * bucketing recall on clustered data (seed-42 hyperplanes →
+  * deterministic).
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK returns the exact nearest neighbors in order") {
+    // 2-d corpus with known geometry around the x axis
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.99f, 0.14f)),   // ~8° off
+      (2L, Array(0.7f, 0.7f)),     // 45°
+      (3L, Array(0.0f, 1.0f)),     // 90°
+      (4L, Array(-1.0f, 0.0f))     // 180°
+    ).toDF("vec_id", "embedding")
+    val res = bruteForceTopK(corpus, corpus.filter(col("vec_id") === 0L), k = 3)
+      .orderBy(desc("cos"))
+      .collect().map(r => r.getAs[Long]("neighbor_id"))
+    assert(res.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("brute-force top-k never exceeds k and excludes self") {
+    val e = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val res = bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 3)
+    val byQuery = res.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.values.forall(_.length <= 3))
+    assert(res.filter(col("query_id") === col("neighbor_id")).count() == 0)
+  }
+
+  test("lshTopK recovers true neighbors on clustered data (the LSH contract)") {
+    // 10 tight clusters of 10 vectors: true neighbors are
+    // near-identical, so they share a signature bucket and recall is
+    // total. (On *uniformly random* vectors hyperplane LSH has no
+    // contract — nearest cosines are noise-level — so that is not the
+    // property to test.)
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = for {
+      c <- centers.indices
+      i <- 0 until 10
+    } yield (c * 10L + i,
+      centers(c).map(v => v + 0.01f * rnd.nextGaussian().toFloat))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 10 === 0) // one per cluster
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(bruteForceTopK(corpus, queries, k = 3))
+    val lsh = pairs(lshTopK(corpus, queries, k = 3, numPlanes = 8, dim = dim))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall == 1.0, s"recall $recall")
+    assert(lsh.forall { case (a, b) => a != b })
+  }
+
+  test("lshSignature buckets co-directional vectors together") {
+    val planes = hyperplanes(8, 2)
+    val df = Seq(
+      (0L, Array(1.0f, 0.01f)),
+      (1L, Array(0.9f, 0.012f)),   // same direction, different norm
+      (2L, Array(-1.0f, -0.01f))   // opposite
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"), lshSignature(col("embedding"), planes).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    // opposite vector flips every plane
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) == 8)
+  }
+}

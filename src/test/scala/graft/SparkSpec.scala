@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM, one session). */
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = GraftSession.builder("local[4]").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.session
+  /** sf0.001 harness data — the smoke-scale fixtures. */
+  val sfDir = "/root/testdata/sf0.001"
+}

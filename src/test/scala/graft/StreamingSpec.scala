@@ -1,0 +1,92 @@
+package graft
+
+import graft.streaming.EventsStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import java.sql.Timestamp
+
+/** Structured-streaming operators: watermarked tumbling windows match
+  * the batch twin; gap sessionization closes sessions on gaps.
+  *
+  * Both queries run with Trigger.AvailableNow — process exactly the
+  * staged data, then stop. A default (continuous micro-batch) trigger
+  * with a processing-time timeout would spin empty batches forever.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts over a memory stream matches the batch groupBy") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    mem.addData(
+      (1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 10:55:00"), 1L, "click", 2.0),
+      (3L, ts("2024-01-01 11:05:00"), 2L, "view", 4.0))
+    val query = EventsStream.windowedCounts(events).writeStream
+      .format("memory").queryName("wc").outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      assert(query.awaitTermination(120000), "stream did not finish in 120s")
+      val got = spark.table("wc")
+        .select("window_start", "event_type", "n", "total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L, 3.0),
+        (ts("2024-01-01 11:00:00"), "view", 1L, 4.0)))
+    } finally query.stop()
+  }
+
+  test("sessionize closes a session when the gap is exceeded") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // user 1: two bursts 1h apart → the first burst closes when the
+    // second arrives in the same batch
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click", 2.0),
+      (3L, ts("2024-01-01 11:30:00"), 1L, "click", 3.0))
+    val query = EventsStream.sessionize(events, gapMs = 10 * 60 * 1000L,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream
+      .format("memory").queryName("sess").outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      assert(query.awaitTermination(120000), "stream did not finish in 120s")
+      val got = spark.table("sess")
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getInt(3), r.getDouble(4)))
+      assert(got.toSeq == Seq(
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"), 2, 3.0)))
+    } finally query.stop()
+  }
+
+  test("foldSessions: gap splits, carry-over state, multi-close") {
+    import EventsStream.{Event, Session, SessionState, foldSessions}
+    def ev(id: Long, t: String, v: Double) = Event(id, ts(t), 1L, "e", v)
+    // three bursts in one batch → two closed, one open
+    val (closed, open) = foldSessions(1L, None, Seq(
+      ev(1, "2024-01-01 10:00:00", 1.0), ev(2, "2024-01-01 10:05:00", 2.0),
+      ev(3, "2024-01-01 11:00:00", 4.0),
+      ev(4, "2024-01-01 12:00:00", 8.0)), gapMs = 10 * 60 * 1000L)
+    assert(closed == List(
+      Session(1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"), 2, 3.0),
+      Session(1L, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:00:00"), 1, 4.0)))
+    assert(open.contains(SessionState(
+      ts("2024-01-01 12:00:00").getTime, ts("2024-01-01 12:00:00").getTime, 1, 8.0)))
+    // carried state extends across batches within the gap
+    val (closed2, open2) = foldSessions(1L, open,
+      Seq(ev(5, "2024-01-01 12:05:00", 1.0)), gapMs = 10 * 60 * 1000L)
+    assert(closed2.isEmpty)
+    assert(open2.exists(_.nEvents == 2))
+  }
+}
