@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.sources.Tables.table
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -37,6 +37,33 @@ object Multimodal {
     */
   def sampleFrames(nFrames: Column, step: Int, frameBytes: Long): Column =
     filter(sequence(lit(0), nFrames - 1), i => i % step === 0)
+
+  final case class MediaMeta(doc_id: Long, n_bytes: Int,
+      width: Int, height: Int, n_frames: Int)
+
+  /** The codec-call shape for real decoders: mapPartitions over the
+    * binary column — a decoder library initializes ONCE per partition
+    * (the commented seam), then streams the batch. The decode body is
+    * the same deterministic STUB as fakeDecodeHeader, so the columnar
+    * and batch paths are cross-checked in MultimodalSpec. At 100 TB
+    * the payloads stay columnar in parquet and each task touches only
+    * its partition's blobs.
+    */
+  def decodeBatch(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // val codec = Codec.open()  ← per-partition init seam (stubbed)
+        it.map { case (id, bytes) =>
+          val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+          val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+          MediaMeta(id, bytes.length,
+            (b0 % 16 + 1) * 64, (b1 % 9 + 1) * 64, bytes.length % 24 + 1)
+        }
+      }
+  }
 
   def defs: Map[String, QueryDef] = Map(
 
