@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import java.time.{LocalDate, LocalDateTime}
+
+/** SQL-callable surface of the scalar kit: Spark 4 SQL scalar
+  * functions (`CREATE TEMPORARY FUNCTION ... RETURN expr`) for the
+  * pure-expression operators — they inline into the calling plan and
+  * stay inside codegen — plus one registered Scala UDF for the
+  * business-day duration (the single operator with calendar state).
+  * `install` once per session; everything is then usable from
+  * `spark.sql(...)` exactly like the DataFrame combinators.
+  */
+object SqlMacros {
+
+  def install(spark: SparkSession): Unit = {
+    val stmts = Seq(
+      // F3 extract_short_name
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_short_name(s STRING)
+        |RETURNS STRING
+        |RETURN CASE WHEN size(split(s, '_')) >= 2
+        |  THEN concat_ws('_', slice(split(s, '_'), 1, 2)) ELSE s END""",
+      // F4 extract_file_storage_name
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_storage_name(p STRING, u STRING)
+        |RETURNS STRING
+        |RETURN CASE WHEN size(split(p, '_')) >= 2
+        |    AND lower(trim(element_at(split(p, '_'), -1))) = lower(trim(u))
+        |  THEN concat_ws('_', slice(split(p, '_'), 1, size(split(p, '_')) - 1))
+        |  ELSE p END""",
+      // F1 BOM strip
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_strip_bom(s STRING)
+        |RETURNS STRING RETURN regexp_replace(s, '﻿', '')""",
+      // exact-dup fingerprint (normalize + md5)
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_fingerprint(s STRING)
+        |RETURNS STRING
+        |RETURN md5(regexp_replace(lower(trim(s)), '\\s+', ' '))""",
+      // BPE-ish token estimate
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_token_estimate(s STRING)
+        |RETURNS BIGINT
+        |RETURN aggregate(split(trim(s), '\\s+'), 0L,
+        |  (acc, t) -> acc + greatest(CAST(ceil(length(t) / 6.0) AS BIGINT), 1L))""",
+      // null-safe case-insensitive contains (pandas str.contains na=False)
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_contains_ci(s STRING, pat STRING)
+        |RETURNS BOOLEAN
+        |RETURN coalesce(s RLIKE concat('(?iu)', pat), false)""")
+    stmts.foreach(s => spark.sql(s.stripMargin))
+
+    spark.udf.register("graft_workdays_diff",
+      (start: LocalDateTime, end: LocalDateTime) =>
+        Workdays.workdaysDiffScala(start, end, defaultHolidaySet))
+  }
+
+  private lazy val defaultHolidaySet: Set[LocalDate] =
+    Workdays.ruHolidays(1995, 2030).map(LocalDate.parse).toSet
+}

@@ -100,22 +100,62 @@ object Workdays {
       .otherwise(round(sameDay, 2))
   }
 
-  /** Russian federal holidays 2020-2026 (public calendar: New Year
-    * week Jan 1-8, Defender Day Feb 23, Women's Day Mar 8, Spring and
-    * Labour Day May 1, Victory Day May 9, Russia Day Jun 12, Unity Day
-    * Nov 4). Observed-date shifts are intentionally NOT modeled — the
-    * reference's workalendar dependency only counts the statutory
+  /** Russian federal holidays for a year range (public calendar: New
+    * Year week Jan 1-8, Defender Day Feb 23, Women's Day Mar 8, Spring
+    * and Labour Day May 1, Victory Day May 9, Russia Day Jun 12, Unity
+    * Day Nov 4). Observed-date shifts are intentionally NOT modeled —
+    * the reference's workalendar dependency only counts the statutory
     * dates for `is_working_day`.
     */
-  val ruHolidays: Seq[String] = (2020 to 2026).flatMap { y =>
-    Seq(f"$y-01-01", f"$y-01-02", f"$y-01-03", f"$y-01-04", f"$y-01-05",
-      f"$y-01-06", f"$y-01-07", f"$y-01-08", f"$y-02-23", f"$y-03-08",
-      f"$y-05-01", f"$y-05-09", f"$y-06-12", f"$y-11-04")
-  }
+  def ruHolidays(fromYear: Int, toYear: Int): Seq[String] =
+    (fromYear to toYear).flatMap { y =>
+      Seq(f"$y-01-01", f"$y-01-02", f"$y-01-03", f"$y-01-04", f"$y-01-05",
+        f"$y-01-06", f"$y-01-07", f"$y-01-08", f"$y-02-23", f"$y-03-08",
+        f"$y-05-01", f"$y-05-09", f"$y-06-12", f"$y-11-04")
+    }
 
   /** The holiday fixture as an array<date> literal column. */
-  def ruHolidayColumn: Column =
-    Holidays.toDateArray(ruHolidays)
+  def ruHolidayColumn(fromYear: Int = 2020, toYear: Int = 2026): Column =
+    Holidays.toDateArray(ruHolidays(fromYear, toYear))
+
+  /** JVM mirror of `workdaysDiff` for the SQL-registered UDF path
+    * (SURVEY.md §7.4: the one irreducible UDF). Column math is the
+    * primary implementation; parity between the two is asserted in
+    * WorkdaysSpec.
+    */
+  def workdaysDiffScala(start: java.time.LocalDateTime,
+      end: java.time.LocalDateTime,
+      holidays: Set[java.time.LocalDate]): java.lang.Double = {
+    import java.time.LocalDate
+    if (start == null || end == null) return null
+    val anchor = LocalDate.of(1970, 1, 5)
+    def isWeekday(d: LocalDate) = d.getDayOfWeek.getValue <= 5
+    def isWorking(d: LocalDate) = isWeekday(d) && !holidays(d)
+    def hourOf(t: java.time.LocalDateTime) = t.getHour + t.getMinute / 60.0
+    def clip(x: Double) = math.min(math.max(x, 0.0), 9.0)
+    def wi(d: LocalDate) = {
+      val n = d.toEpochDay - anchor.toEpochDay
+      val weeks = Math.floorDiv(n, 7)
+      weeks * 5 + math.min(n - weeks * 7, 5)
+    }
+    val sD = start.toLocalDate
+    val eD = end.toLocalDate
+    val res =
+      if (sD.isBefore(eD)) {
+        val weekdays = wi(eD.plusDays(1)) - wi(sD.plusDays(1))
+        val holHits = holidays.count(h =>
+          h.isAfter(sD) && !h.isAfter(eD) && isWeekday(h))
+        val between = math.max(weekdays - holHits - 1, 0).toDouble
+        val first =
+          if (isWorking(sD)) clip(17.0 - math.max(hourOf(start), 8.0)) / 9.0 else 0.0
+        val last =
+          if (isWorking(eD)) clip(math.min(hourOf(end), 17.0) - 8.0) / 9.0 else 0.0
+        between + first + last
+      } else if (isWorking(sD))
+        clip(math.min(hourOf(end), 17.0) - math.max(hourOf(start), 8.0)) / 9.0
+      else 0.0
+    math.round(res * 100).toDouble / 100
+  }
 }
 
 object Holidays {

@@ -200,6 +200,65 @@ object Etl {
         |    ELSE 0.0 END, 2) AS work_days
         |FROM calc ORDER BY o_orderkey, l_linenumber""".stripMargin),
 
+    // F10 with the real holiday fixture: same closed-form weekday math
+    // plus an O(|H|) per-row holiday scan (|H| ≈ 100 — array literal
+    // beats a join at any scale). The oracle transliterates the same
+    // formula with DuckDB list lambdas over the same date literals.
+    "q_workdays_ru" -> QueryDef(
+      (s, dir) => {
+        val o = table(s, dir, "orders").select("o_orderkey", "o_orderdate")
+        val li = table(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_shipdate")
+        val hol = Workdays.ruHolidayColumn(1995, 2001)
+        o.join(li, o("o_orderkey") === li("l_orderkey"))
+          .select(
+            col("o_orderkey"), col("l_linenumber"),
+            Workdays.workdaysDiff(col("o_orderdate"), col("l_shipdate"), hol)
+              .as("work_days"))
+          .orderBy("o_orderkey", "l_linenumber")
+      }, {
+        val holList = Workdays.ruHolidays(1995, 2001)
+          .map(d => s"DATE '$d'").mkString("[", ", ", "]")
+        s"""WITH pairs AS (
+          |  SELECT o_orderkey, l_linenumber,
+          |    CAST(o_orderdate AS DATE) AS d1, CAST(l_shipdate AS DATE) AS d2
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |calc AS (
+          |  SELECT o_orderkey, l_linenumber, d1, d2,
+          |    datediff('day', DATE '1970-01-05', d1 + 1) AS n1,
+          |    datediff('day', DATE '1970-01-05', d2 + 1) AS n2,
+          |    (isodow(d1) <= 5 AND NOT list_contains($holList, d1)) AS w1,
+          |    len(list_filter($holList,
+          |      h -> h > d1 AND h <= d2 AND isodow(h) <= 5)) AS nh
+          |  FROM pairs)
+          |SELECT o_orderkey, l_linenumber,
+          |  round(CASE
+          |    WHEN d1 < d2 THEN
+          |      greatest((5*(n2//7) + least(n2%7, 5)) - (5*(n1//7) + least(n1%7, 5)) - nh - 1, 0)
+          |      + (CASE WHEN w1 THEN 1.0 ELSE 0.0 END)
+          |    ELSE 0.0 END, 2) AS work_days
+          |FROM calc ORDER BY o_orderkey, l_linenumber""".stripMargin
+      }),
+
+    // S2-adjacent: semi-structured JSON column parse (from_json with a
+    // declared schema, struct field access) — the ingest-normalization
+    // path for the reference's nested REST payloads
+    // (fetch_yougile_programming.py:283-297).
+    "q_json_parse" -> QueryDef(
+      (s, dir) => table(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type"),
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+        |  min(CAST(props->>'k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // P10: all-null column drop exercised through the declared-query
     // surface: inject an all-null and a partly-null column; the helper
     // must drop only the former (pandas dropna(axis=1, how='all');

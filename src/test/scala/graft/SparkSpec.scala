@@ -6,7 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all suites (one JVM, one session). */
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = GraftSession.builder("local[4]").getOrCreate()
+    val wh = java.nio.file.Files.createTempDirectory("graft_warehouse")
+    val s = GraftSession.builder("local[4]")
+      .config("spark.sql.warehouse.dir", wh.toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }

@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.{SqlMacros, Workdays}
+import org.apache.spark.sql.functions._
+
+/** SQL-callable kit: macros agree with the Column combinators, and the
+  * registered workdays UDF agrees with the closed-form column math
+  * over a dense grid of timestamp pairs (incl. holidays, weekends,
+  * clipped edges).
+  */
+class SqlMacrosSpec extends SparkSpec {
+
+  SqlMacros.install(spark)
+
+  test("SQL macros match the Column kit") {
+    val row = spark.sql(
+      """SELECT
+        |  graft_short_name('a_b_c') AS sn,
+        |  graft_storage_name('proj_x_IVAN', 'ivan ') AS stn,
+        |  graft_strip_bom('﻿x') AS bom,
+        |  graft_fingerprint('A   b') = graft_fingerprint('a b') AS fp_eq,
+        |  graft_token_estimate('hi abcdefghijkl') AS te,
+        |  graft_contains_ci(NULL, 'x') AS ci_null,
+        |  graft_contains_ci('ОТСОЕДИНЕНО', 'отсоединено') AS ci_ru
+        |""".stripMargin).head()
+    assert(row.getString(0) == "a_b")
+    assert(row.getString(1) == "proj_x")
+    assert(row.getString(2) == "x")
+    assert(row.getBoolean(3))
+    assert(row.getLong(4) == 3L)
+    assert(!row.getBoolean(5))
+    assert(row.getBoolean(6))
+  }
+
+  test("workdays UDF matches the column closed form over a timestamp grid") {
+    import spark.implicits._
+    // pairs spanning new-year holidays, weekends, clipped hours
+    val starts = for {
+      day <- 25 to 31; hour <- Seq(6, 9, 16)
+    } yield f"2023-12-$day%02d $hour%02d:30:00"
+    val ends = for {
+      day <- 1 to 12; hour <- Seq(7, 12, 18)
+    } yield f"2024-01-$day%02d $hour%02d:00:00"
+    val pairs = starts.flatMap(s => ends.map(e => (s, e))).toDF("s", "e")
+      .select(to_timestamp(col("s")).as("s"), to_timestamp(col("e")).as("e"))
+    val both = pairs.select(
+      Workdays.workdaysDiff(col("s"), col("e"),
+        Workdays.ruHolidayColumn(2023, 2024)).as("col_math"),
+      expr("graft_workdays_diff(s, e)").as("udf"))
+    val mismatches = both.filter(col("col_math") =!= col("udf")).count()
+    assert(mismatches == 0, s"$mismatches of ${both.count()} pairs disagree")
+  }
+}

@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.EventsStream
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import java.sql.Timestamp
 
@@ -67,6 +68,31 @@ class StreamingSpec extends SparkSpec {
           r.getInt(3), r.getDouble(4)))
       assert(got.toSeq == Seq(
         (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"), 2, 3.0)))
+    } finally query.stop()
+  }
+
+  test("file-source stream over events parquet matches the batch windowed counts") {
+    // stage the nanos-timestamped harness file as a stream directory
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sfDir, "events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventsStream.readEvents(spark, dir.toString)
+    val query = EventsStream.windowedCounts(stream).writeStream
+      .format("memory").queryName("filewc").outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      assert(query.awaitTermination(120000), "stream did not finish in 120s")
+      val streamed = spark.table("filewc")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("w"),
+          col("event_type"), col("n"), col("total_value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = SparkEntry.queries("q_window_tumbling")(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batch)
     } finally query.stop()
   }
 
