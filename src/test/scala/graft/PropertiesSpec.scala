@@ -1,0 +1,101 @@
+package graft
+
+import graft.functions.Functions._
+import graft.operators.Dedup
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.4). Inputs are generated
+  * with ScalaCheck Gens (fixed seed → reproducible), evaluated in one
+  * Spark batch per property.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.from(0)
+      .map(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+      .collect { case Some(a) => a }
+      .take(n).toSeq
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val name = Gen.chooseNum(0, 5).flatMap(k =>
+    Gen.listOfN(k + 1, word).map(_.mkString("_")))
+
+  test("shortName output never has more than two '_' parts and is a prefix") {
+    val inputs = sample(name, 300)
+    val got = inputs.toDF("s")
+      .select(col("s"), shortName(col("s")).as("out"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (in, out) =>
+      assert(out.split("_").length <= 2, s"$in -> $out")
+      assert(in.startsWith(out), s"$in -> $out")
+      if (in.split("_").length <= 1) assert(out == in)
+    }
+  }
+
+  test("fillByType never changes non-null values") {
+    val rows = sample(Gen.zip(Gen.option(word), Gen.option(Gen.chooseNum(-100L, 100L))), 300)
+    val df = rows.toDF("s", "n")
+    val filled = fillByType(df).collect().zip(rows)
+    filled.foreach { case (row, (s, n)) =>
+      s.foreach(v => assert(row.getString(0) == v))
+      n.foreach(v => assert(row.getLong(1) == v))
+      if (s.isEmpty) assert(row.getString(0) == "Нет данных")
+      if (n.isEmpty) assert(row.getLong(1) == 0L)
+    }
+  }
+
+  test("jaccard is symmetric, bounded, and 1 on self for non-empty sets") {
+    val text = Gen.listOfN(8, word).map(_.mkString(" "))
+    val pairs = sample(Gen.zip(text, text), 150)
+    val df = pairs.toDF("a", "b").select(
+      Dedup.jaccard(Dedup.shingleSet(col("a")), Dedup.shingleSet(col("b"))).as("ab"),
+      Dedup.jaccard(Dedup.shingleSet(col("b")), Dedup.shingleSet(col("a"))).as("ba"),
+      Dedup.jaccard(Dedup.shingleSet(col("a")), Dedup.shingleSet(col("a"))).as("self"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(2) == 1.0)
+    }
+  }
+
+  test("fingerprint is invariant under whitespace runs and case") {
+    val text = Gen.listOfN(5, word).map(_.mkString(" "))
+    val inputs = sample(text, 200)
+    val mangled = inputs.map { s =>
+      val spaced = s.replace(" ", "   ")
+      (s, "  " + spaced.toUpperCase + " ")
+    }
+    val df = mangled.toDF("a", "b").select(
+      (TextAnalysis.fingerprint(lower(col("a"))) ===
+        TextAnalysis.fingerprint(lower(col("b")))).as("eq"))
+    assert(df.collect().forall(_.getBoolean(0)))
+  }
+
+  test("minhash signature of identical shingle sets is identical; " +
+    "signature similarity approximates Jaccard") {
+    val text = Gen.listOfN(30, Gen.oneOf("альфа", "beta", "gamma", "дельта",
+      "epsilon", "zeta", "eta", "theta")).map(_.mkString(" "))
+    val pairs = sample(Gen.zip(text, text), 60)
+    val shA = pairs.toDF("a", "b")
+      .select(
+        transform(Dedup.shingleSet(col("a")), s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL))).as("ha"),
+        transform(Dedup.shingleSet(col("b")), s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL))).as("hb"),
+        Dedup.jaccard(Dedup.shingleSet(col("a")), Dedup.shingleSet(col("b"))).as("jac"))
+      .select(
+        Dedup.minhashSignature(col("ha")).as("sa"),
+        Dedup.minhashSignature(col("hb")).as("sb"),
+        col("jac"))
+    shA.collect().foreach { r =>
+      val sa = r.getSeq[Long](0)
+      val sb = r.getSeq[Long](1)
+      val jac = r.getDouble(2)
+      val sigSim = sa.zip(sb).count { case (x, y) => x == y }.toDouble / sa.length
+      // E[sigSim] = jac; with 64 hashes allow a generous band
+      assert(math.abs(sigSim - jac) <= 0.35, s"sigSim=$sigSim jac=$jac")
+    }
+  }
+}
