@@ -74,24 +74,29 @@ object Dedup {
 
   /** MinHash signature (array of NumHashes longs) over a *materialized*
     * base-hash column. Base hash = xxhash64 masked to 32 bits so the
-    * modular multiply never overflows a long. The NumHashes min-scans
-    * each traverse the bound array — the string hashing happens once,
-    * in the projection that produced `h32`.
+    * modular multiply never overflows a long. One aggregate pass with a
+    * NumHashes-wide running-min accumulator and the (a,b) permutation
+    * params as an array literal — a constant-size expression tree
+    * (NumHashes separate array_min(transform(...)) trees made analysis
+    * + codegen the dominant cost).
     */
-  def minhashSignature(h32: Column): Column =
-    array(hashParams.map { case (a, b) =>
-      array_min(transform(h32, h => pmod(h * lit(a) + lit(b), lit(P))))
-    }: _*)
+  def minhashSignature(h32: Column): Column = {
+    val params = typedlit(hashParams)
+    aggregate(
+      h32,
+      array_repeat(lit(P), NumHashes),
+      (acc, h) => zip_with(acc, params, (m, p) =>
+        least(m, pmod(h * p.getField("_1") + p.getField("_2"), lit(P)))))
+  }
 
-  /** (doc_id, band, band_key) rows — one per LSH band. Docs sharing a
-    * band_key within a band are candidate pairs. Staged projections:
-    * tokenize → shingle → base-hash → signature → bands, each array
-    * computed exactly once per row.
+  /** (id, band, band_key) rows from a (id, sh) shingle frame — one row
+    * per LSH band. Docs sharing a band_key within a band are candidate
+    * pairs. Staged projections: base-hash → signature → bands, each
+    * array computed exactly once per row.
     */
-  def lshBands(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def lshBandsFromShingles(sh: DataFrame, idCol: String): DataFrame = {
     val rows = NumHashes / Bands
-    shingled(df, idCol, textCol)
-      .select(col(idCol),
+    sh.select(col(idCol),
         transform(col("sh"), s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL))).as("h32"))
       .select(col(idCol), minhashSignature(col("h32")).as("sig"))
       .select(col(idCol), posexplode(
@@ -100,18 +105,25 @@ object Dedup {
         }: _*)).as(Seq("band", "band_key")))
   }
 
+  def lshBands(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    lshBandsFromShingles(shingled(df, idCol, textCol), idCol)
+
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification:
-    * band-bucket self-join → distinct candidates → verify jac ≥ minJaccard.
+    * band-bucket self-join → distinct candidates → verify jac ≥
+    * minJaccard. The shingle frame is persisted — banding reads it
+    * once and the verification joins read it twice; re-shingling the
+    * corpus three times would dominate the runtime.
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double): DataFrame = {
-    val bands = lshBands(docs, idCol, textCol)
+    val sh = shingled(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = lshBandsFromShingles(sh, idCol)
     val l = bands.toDF("id_a", "band", "band_key")
     val r = bands.toDF("id_b", "band", "band_key")
     val candidates = l.join(r, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sh = shingled(docs, idCol, textCol)
     candidates
       .join(sh.toDF("id_a", "sh_a"), "id_a")
       .join(sh.toDF("id_b", "sh_b"), "id_b")
