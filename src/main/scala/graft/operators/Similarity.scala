@@ -93,7 +93,84 @@ object Similarity {
         round(col("cos_raw"), 4).as("cos"))
   }
 
+  // ---- IVF (inverted-file) index --------------------------------------
+
+  /** Deterministic coarse quantizer: every (n/k)-th corpus vector is a
+    * centroid (k-means would drop in behind the same shape; for a
+    * bench-reproducible index the stride sample is the right choice).
+    * Returns (centroid_id, centroid) rows — dim-table-sized, broadcast.
+    */
+  def strideCentroids(corpus: DataFrame, k: Int): DataFrame = {
+    val n = corpus.count()
+    val stride = math.max(n / k, 1L)
+    corpus.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % stride === 0)
+      .limit(k)
+      .select((col("vec_id") / stride).cast("long").as("centroid_id"),
+        col("embedding").as("centroid"))
+  }
+
+  /** Nearest-centroid id for a vector against a broadcast centroid
+    * array literal: argmax of dot product via a single aggregate over
+    * the (id, centroid) struct array.
+    */
+  private def nearestCentroid(v: Column, centroids: Seq[(Long, Seq[Double])]): Column = {
+    val lits = typedlit(centroids)
+    val best = aggregate(
+      lits,
+      struct(lit(-1L).as("id"), lit(Double.MinValue).as("score")),
+      (acc, c) => {
+        val score = aggregate(
+          zip_with(v, c.getField("_2"), (x, w) => x.cast(DoubleType) * w),
+          lit(0.0), (s, x) => s + x)
+        when(score > acc.getField("score"),
+          struct(c.getField("_1").as("id"), score.as("score"))).otherwise(acc)
+      })
+    best.getField("id")
+  }
+
+  /** IVF top-k: corpus vectors are assigned to their nearest centroid
+    * list once (the index build — a narrow map pass); each query scans
+    * only its own list. nprobe > 1 would union the next-nearest lists;
+    * at 100 TB the lists are the partition keys, so a query touches
+    * 1/k of the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numLists: Int = 16): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val cents = strideCentroids(corpus, numLists).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+      .toSeq
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_v"))
+      .repartition(par)
+      .withColumn("list_id", nearestCentroid(col("c_v"), cents))
+      .withColumn("c_norm", sqrt(dot(col("c_v"), col("c_v"))))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
+      .withColumn("list_id", nearestCentroid(col("q_v"), cents))
+      .withColumn("q_norm", sqrt(dot(col("q_v"), col("q_v"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    q.join(c, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_v"), col("c_v")) / (col("q_norm") * col("c_norm"))).as("cos_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_raw"), 4).as("cos"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // IVF-bucketed ANN (approximate → rows-only; cluster-recovery
+    // behavior asserted in SimilaritySpec).
+    "q_ann_ivf" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        ivfTopK(e, e.filter(col("vec_id") < 32), k = 3)
+          .orderBy("query_id", "neighbor_id")
+      },
+      None),
 
     // Brute-force cosine top-3 for a fixed 32-query panel — exact,
     // oracle-checked.

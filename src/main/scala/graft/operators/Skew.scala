@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys (SURVEY.md §7.1: "salting for
+  * skew"). AQE's skew-join split handles sort-merge skew at runtime;
+  * salting is the declarative fallback when one key dominates so hard
+  * that even a split partition won't fit — e.g. a null-heavy natural
+  * key or a single viral entity.
+  *
+  * Shape: the probe side gets a deterministic salt in [0, factor) from
+  * a hash of the whole row; the build side replicates each row
+  * `factor` times (explode over the salt range). The join key becomes
+  * (key, salt), spreading one hot key over `factor` reducers. Result
+  * equals the plain inner equi-join row-for-row.
+  */
+object Skew {
+
+  def saltedEquiJoin(probe: DataFrame, build: DataFrame, key: String,
+      factor: Int = 8): DataFrame = {
+    require(factor > 0)
+    // deterministic row-hash salt — no rand(): re-computed partitions
+    // (task retries) must salt identically
+    val salted = probe.withColumn("__salt",
+      pmod(xxhash64(probe.columns.map(col): _*), lit(factor)))
+    val replicated = build.withColumn("__salt",
+      explode(array((0 until factor).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -58,6 +58,25 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.forall { case (a, b) => a != b })
   }
 
+  test("ivfTopK recovers true neighbors on clustered data and bounds candidates") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = for {
+      c <- centers.indices
+      i <- 0 until 10
+    } yield (c * 10L + i,
+      centers(c).map(v => v + 0.01f * rnd.nextGaussian().toFloat))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 10 === 1)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(bruteForceTopK(corpus, queries, k = 3))
+    val ivf = pairs(ivfTopK(corpus, queries, k = 3, numLists = 8))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall == 1.0, s"recall $recall")
+  }
+
   test("lshSignature buckets co-directional vectors together") {
     val planes = hyperplanes(8, 2)
     val df = Seq(
