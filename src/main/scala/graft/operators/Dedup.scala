@@ -287,16 +287,17 @@ object Dedup {
     // one dot product per pair.
     "q_dedup_embedding" -> QueryDef(
       (s, dir) => {
+        import graft.functions.FloatDotProduct.fdot
         val e = table(s, dir, "embeddings")
           .repartition(s.sparkContext.defaultParallelism)
-          .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+          .withColumn("norm", sqrt(fdot(col("embedding"), col("embedding"))))
         val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
           col("norm").as("n_a"))
         val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
           col("norm").as("n_b"))
         a.crossJoin(b).filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
-            (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos_raw"))
+            (fdot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos_raw"))
           .filter(col("cos_raw") >= 0.4) // threshold on RAW value, like the oracle
           .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos"))
           .orderBy("id_a", "id_b")

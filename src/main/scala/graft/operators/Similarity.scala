@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
-import graft.operators.Dedup.dot
+import graft.functions.FloatDotProduct.fdot
 import graft.sources.Tables.table
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -46,15 +46,15 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
-      .withColumn("q_norm", sqrt(dot(col("q_v"), col("q_v"))))
+      .withColumn("q_norm", sqrt(fdot(col("q_v"), col("q_v"))))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_v"))
       .repartition(par)
-      .withColumn("c_norm", sqrt(dot(col("c_v"), col("c_v"))))
+      .withColumn("c_norm", sqrt(fdot(col("c_v"), col("c_v"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("q_v"), col("c_v")) / (col("q_norm") * col("c_norm"))).as("cos_raw"))
+        (fdot(col("q_v"), col("c_v")) / (col("q_norm") * col("c_norm"))).as("cos_raw"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
@@ -73,12 +73,12 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("c_v"), sig.as("bucket"))
       .repartition(par)
-      .withColumn("c_norm", sqrt(dot(col("c_v"), col("c_v"))))
+      .withColumn("c_norm", sqrt(fdot(col("c_v"), col("c_v"))))
     // multi-probe: each query probes its bucket and all Hamming-1 buckets
     val probes = array(lit(0L) +: (0 until numPlanes).map(i => lit(1L << i)): _*)
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_v"), sig.as("q_sig"))
-      .withColumn("q_norm", sqrt(dot(col("q_v"), col("q_v"))))
+      .withColumn("q_norm", sqrt(fdot(col("q_v"), col("q_v"))))
       .select(col("query_id"), col("q_v"), col("q_norm"),
         explode(transform(probes, m => col("q_sig").bitwiseXOR(m))).as("bucket"))
     val w = Window.partitionBy("query_id")
@@ -86,7 +86,7 @@ object Similarity {
     q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("q_v"), col("c_v")) / (col("q_norm") * col("c_norm"))).as("cos_raw"))
+        (fdot(col("q_v"), col("c_v")) / (col("q_norm") * col("c_norm"))).as("cos_raw"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
@@ -144,16 +144,16 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_v"))
       .repartition(par)
       .withColumn("list_id", nearestCentroid(col("c_v"), cents))
-      .withColumn("c_norm", sqrt(dot(col("c_v"), col("c_v"))))
+      .withColumn("c_norm", sqrt(fdot(col("c_v"), col("c_v"))))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
       .withColumn("list_id", nearestCentroid(col("q_v"), cents))
-      .withColumn("q_norm", sqrt(dot(col("q_v"), col("q_v"))))
+      .withColumn("q_norm", sqrt(fdot(col("q_v"), col("q_v"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id"))
     q.join(c, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("q_v"), col("c_v")) / (col("q_norm") * col("c_norm"))).as("cos_raw"))
+        (fdot(col("q_v"), col("c_v")) / (col("q_norm") * col("c_norm"))).as("cos_raw"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
