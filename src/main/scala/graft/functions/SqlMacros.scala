@@ -48,6 +48,11 @@ object SqlMacros {
     spark.udf.register("graft_workdays_diff",
       (start: LocalDateTime, end: LocalDateTime) =>
         Workdays.workdaysDiffScala(start, end, defaultHolidaySet))
+
+    graft.GraftExtensions.functions.foreach { case (id, _, builder) =>
+      org.apache.spark.sql.GraftColumnBridge
+        .registerFunction(spark, id.funcName, builder)
+    }
   }
 
   private lazy val defaultHolidaySet: Set[LocalDate] =

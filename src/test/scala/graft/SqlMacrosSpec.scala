@@ -32,6 +32,12 @@ class SqlMacrosSpec extends SparkSpec {
     assert(row.getBoolean(6))
   }
 
+  test("native fdot expression is SQL-callable after install") {
+    val row = spark.sql(
+      "SELECT graft_fdot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d").head()
+    assert(row.getDouble(0) == 11.0)
+  }
+
   test("workdays UDF matches the column closed form over a timestamp grid") {
     import spark.implicits._
     // pairs spanning new-year holidays, weekends, clipped hours
