@@ -215,6 +215,33 @@ object Relational {
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY event_id""".stripMargin),
 
+    // §2.5 extension: exact interpolated percentiles (Spark
+    // `percentile` ≡ DuckDB `quantile_cont` — same linear
+    // interpolation definition).
+    "q_percentile" -> QueryDef(
+      (s, dir) => table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("price_p99"))
+        .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.95), 4) AS p95,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // §2.5 extension: distinct-count sketch (HyperLogLog++). The
+    // estimate is algorithm-specific → rows-only here; the ±5% bound
+    // vs exact countDistinct is asserted in RelationalSpec.
+    "q_approx_distinct" -> QueryDef(
+      (s, dir) => table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
     // §2.5 extension: rollup (grouping sets) over the snowflake.
     "q_rollup" -> QueryDef(
       (s, dir) => table(s, dir, "orders")

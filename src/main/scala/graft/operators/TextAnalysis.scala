@@ -161,6 +161,46 @@ object TextAnalysis {
         |  sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
 
+    // TF-IDF top term per document: explode → per-(doc,term) tf →
+    // per-term df (distinct docs) → broadcast N → score → windowed
+    // top-1. Two shuffles (tf groupBy, df groupBy) + one broadcast —
+    // the canonical multi-stage text-pipeline shape at any corpus
+    // size. Ties break on term order in both engines.
+    "q_tfidf" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+        val tf = docs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df_ = docs.groupBy("term")
+          .agg(countDistinct("doc_id").as("df"))
+        val n = table(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term"))
+        tf.join(df_, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("term"), round(col("score"), 4).as("score"))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf * ln((n_docs + 1.0) / (df + 1.0)) AS score
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, term, round(score, 4) AS score
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) = 1
+        |ORDER BY doc_id""".stripMargin),
+
     // Document fingerprinting: md5 of the normalized text — the
     // canonical exact-dup / lineage key.
     "q_fingerprint" -> QueryDef(
