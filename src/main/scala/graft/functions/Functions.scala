@@ -151,4 +151,36 @@ object Functions {
     val doomed = df.columns.filter(p)
     if (doomed.isEmpty) df else df.drop(doomed: _*)
   }
+
+  /** Union-type ingest normalization (SURVEY.md §7.4: the sticker
+    * field arrives as EITHER an object `{"id": ...}` OR a bare array
+    * `[...]`; reference: fetch_yougile_programming.py:62-126). Parse
+    * the JSON column against each candidate schema with the FAILFAST-
+    * free from_json (null on mismatch) and coalesce to one canonical
+    * array form. Pure column expr — no UDF.
+    */
+  def normalizeDictOrList(json: Column): Column = {
+    import org.apache.spark.sql.types.{ArrayType, StructField}
+    val asObj = from_json(json,
+      StructType(Seq(StructField("id", StringType))))
+    val asList = from_json(json, ArrayType(StringType))
+    coalesce(
+      asList,
+      when(asObj.getField("id").isNotNull, array(asObj.getField("id"))),
+      array().cast(ArrayType(StringType)))
+  }
+
+  /** Polymorphic scalar coercion (`to_iso` accepts int | numeric
+    * string | `{"timestamp"/"date"/"value"/"ms": ...}`; reference:
+    * fetch_yougile_programming.py:160-191): first parse that yields a
+    * value wins, garbage → NULL.
+    */
+  def epochMsAnyToTimestamp(c: Column): Column = {
+    import org.apache.spark.sql.types.StructField
+    val fields = Seq("timestamp", "date", "value", "ms")
+    val asObj = from_json(c.cast(StringType),
+      StructType(fields.map(f => StructField(f, StringType))))
+    val fromDict = coalesce(fields.map(f => asObj.getField(f).try_cast(LongType)): _*)
+    timestamp_millis(coalesce(c.cast(StringType).try_cast(LongType), fromDict))
+  }
 }

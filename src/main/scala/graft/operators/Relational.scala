@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.sources.Tables.table
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** The reference's relational core (SURVEY.md §2.3-2.5, §2.7):
   * projections, filters, equi-join family, hash aggregates, argmax.
@@ -158,6 +159,32 @@ object Relational {
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
         |ORDER BY s_suppkey""".stripMargin),
+
+    // J8: equi-join after lossy key coercion — both sides try_cast to
+    // nullable long (pandas Int64 semantics: garbage → NULL, and NULL
+    // keys never match; reference: create_scripts_dataset.ipynb cell
+    // 10). Keys are synthesized from props digits so some rows carry
+    // unparseable keys.
+    "q_join_trycast" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .select(
+            regexp_extract(col("props"), "([0-9]+)", 1).try_cast(LongType).as("k"),
+            col("value"))
+        val c = table(s, dir, "customer")
+          .select(col("c_custkey").cast(StringType).try_cast(LongType).as("k"),
+            col("c_mktsegment"))
+        e.join(broadcast(c), Seq("k"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+          .orderBy("c_mktsegment")
+      },
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total
+        |FROM (SELECT TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k, value
+        |      FROM events) e
+        |JOIN (SELECT TRY_CAST(CAST(c_custkey AS VARCHAR) AS BIGINT) AS k, c_mktsegment
+        |      FROM customer) c USING (k)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
 
     // A1: scalar max (high-watermark read, reference S9/K5).
     "q_max_scalar" -> QueryDef(

@@ -96,6 +96,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("checkpointed file stream is exactly-once across restarts") {
+    val base = java.nio.file.Files.createTempDirectory("graft_eo")
+    val in = base.resolve("in"); java.nio.file.Files.createDirectories(in)
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    def runOnce(): Unit = {
+      val q = EventsStream.readEvents(spark, in.toString)
+        .select("event_id", "event_type", "value")
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "stream did not finish")
+      q.stop()
+    }
+    val src = java.nio.file.Paths.get(sfDir, "events.parquet")
+    val n = Tables_events_count
+    java.nio.file.Files.copy(src, in.resolve("a.parquet"))
+    runOnce()
+    assert(spark.read.parquet(out).count() == n)
+    // restart with no new data: nothing reprocessed
+    runOnce()
+    assert(spark.read.parquet(out).count() == n)
+    // second file arrives; only it is processed on the next run
+    java.nio.file.Files.copy(src, in.resolve("b.parquet"))
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2 * n)
+  }
+
+  private lazy val Tables_events_count =
+    graft.sources.Tables.table(spark, sfDir, "events").count()
+
   test("foldSessions: gap splits, carry-over state, multi-close") {
     import EventsStream.{Event, Session, SessionState, foldSessions}
     def ev(id: Long, t: String, v: Double) = Event(id, ts(t), 1L, "e", v)
