@@ -48,6 +48,35 @@ object Incremental {
   def readEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** The 100 TB flavor (SURVEY.md §7.5 #7): sink partitioned by a
+    * date-derived column; the watermark is the max *partition value*,
+    * read from the directory listing — pure metadata, no data scan of
+    * the sink — and the append touches only partitions above it.
+    * Semantics: everything in a partition lands atomically-per-file
+    * with the partition dir as the visibility unit; re-running with
+    * the same input appends 0 (same strict > filter as the row-level
+    * variant, at partition granularity).
+    */
+  def appendIncrementPartitioned(df: DataFrame, path: String,
+      partitionCol: String): Long = {
+    val dir = new java.io.File(path)
+    val existing: Array[String] =
+      if (dir.exists()) dir.listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith(s"$partitionCol="))
+        .map(_.stripPrefix(s"$partitionCol="))
+      else Array.empty
+    val fresh = existing.sorted.lastOption match {
+      case Some(maxPart) => df.filter(col(partitionCol) > lit(maxPart))
+      case None => df
+    }
+    fresh.cache()
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode("append")
+      .partitionBy(partitionCol).parquet(path)
+    fresh.unpersist()
+    n
+  }
+
   /** The S9/K5 watermark semantics as a declared query: max over the
     * "sink" slice, then only strictly-newer source rows survive. The
     * scalar watermark broadcasts — no driver round-trip, and on a real

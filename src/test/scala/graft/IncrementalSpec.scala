@@ -44,6 +44,21 @@ class IncrementalSpec extends SparkSpec {
     assert(old.isNullAt(old.fieldIndex("score")))
   }
 
+  test("partitioned variant: watermark from partition dirs, no sink data scan") {
+    val path = tmp()
+    val day1 = Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("d", "v")
+    assert(Incremental.appendIncrementPartitioned(day1, path, "d") == 2)
+    // re-run: idempotent
+    assert(Incremental.appendIncrementPartitioned(day1, path, "d") == 0)
+    // late row (old partition) is rejected; new partition lands
+    val day2 = Seq(("2024-01-02", 99L), ("2024-01-03", 3L)).toDF("d", "v")
+    assert(Incremental.appendIncrementPartitioned(day2, path, "d") == 1)
+    val rows = spark.read.parquet(path)
+      .selectExpr("CAST(d AS STRING) AS d", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("2024-01-01", 1L), ("2024-01-02", 2L), ("2024-01-03", 3L)))
+  }
+
   test("JdbcDdl generates ALTER only for missing columns, case-insensitively") {
     val existing = StructType(Seq(StructField("id", LongType),
       StructField("Name", StringType)))
