@@ -263,6 +263,36 @@ object Dedup {
         |SELECT id_a, id_b, jac FROM pairs WHERE jac > 0
         |ORDER BY id_a, id_b""".stripMargin),
 
+    // Edit-distance closest pairs on a deterministic blocked pair set —
+    // levenshtein is O(m·n) per pair, so blocking plus a length-band
+    // pre-filter is mandatory at any scale (each edit changes length
+    // by ≤1, so the band is a lossless lower-bound prune for a
+    // threshold variant). Top-k closest with id tie-break keeps the
+    // result deterministic on any corpus.
+    "q_dedup_editdist" -> QueryDef(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        val a = d.toDF("id_a", "t_a", "len_a")
+        val b = d.toDF("id_b", "t_b", "len_b")
+        a.crossJoin(b)
+          .filter(col("id_a") < col("id_b"))
+          .filter(abs(col("len_a") - col("len_b")) <= 60)
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("t_a"), col("t_b")).as("dist"))
+          .orderBy(col("dist"), col("id_a"), col("id_b"))
+          .limit(20)
+      },
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.text, b.text) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id
+        | AND a.doc_id % 10 = 0 AND b.doc_id % 10 = 0
+        | AND abs(length(a.text) - length(b.text)) <= 60
+        |ORDER BY dist, id_a, id_b LIMIT 20""".stripMargin),
+
     // MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
     // exact-verify). Probabilistic candidate generation → rows-only
     // check here; parity vs brute force is asserted in DedupSpec.

@@ -259,6 +259,33 @@ object Etl {
         |  max(CAST(props->>'k' AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // Data profiling: per-column completeness/cardinality/range in ONE
+    // pass (every ETL run's first diagnostic; generalizes the
+    // reference's printed row counters). Unpivoted to (column, metric)
+    // rows so the shape is schema-independent.
+    "q_profile" -> QueryDef(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        o.agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_custkey")).as("custkey_nonnull"),
+          countDistinct(col("o_custkey")).as("custkey_distinct"),
+          count(col("o_orderstatus")).as("status_nonnull"),
+          countDistinct(col("o_orderstatus")).as("status_distinct"),
+          round(min("o_totalprice"), 2).as("price_min"),
+          round(max("o_totalprice"), 2).as("price_max"),
+          round(avg("o_totalprice"), 2).as("price_avg"))
+      },
+      """SELECT count(*) AS n_rows,
+        |  count(o_custkey) AS custkey_nonnull,
+        |  count(DISTINCT o_custkey) AS custkey_distinct,
+        |  count(o_orderstatus) AS status_nonnull,
+        |  count(DISTINCT o_orderstatus) AS status_distinct,
+        |  round(min(o_totalprice), 2) AS price_min,
+        |  round(max(o_totalprice), 2) AS price_max,
+        |  round(avg(o_totalprice), 2) AS price_avg
+        |FROM orders""".stripMargin),
+
     // P10: all-null column drop exercised through the declared-query
     // surface: inject an all-null and a partly-null column; the helper
     // must drop only the former (pandas dropna(axis=1, how='all');
