@@ -15,14 +15,16 @@ object ArrayOps {
   def defs: Map[String, QueryDef] = Map(
 
     // J12/F14: the user-resolution shape — explode the fact's key,
-    // broadcast-join the dimension, re-aggregate to a sorted joined
-    // string with a default for unmatched (reference:
-    // fetch_yougile_programming.py:195-200,261-267).
+    // dim join, re-aggregate to a sorted joined string with a default
+    // for unmatched (reference: fetch_yougile_programming.py:195-200,
+    // 261-267). No broadcast hint: supplier grows with scale factor,
+    // so the planner/AQE must own the build-side decision (it still
+    // auto-broadcasts below the threshold).
     "q_explode_agg" -> QueryDef(
       (s, dir) => {
         val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
         val sup = table(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
-        li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"), "left")
+        li.join(sup, li("l_suppkey") === sup("s_suppkey"), "left")
           .groupBy("l_orderkey")
           .agg(
             array_join(array_sort(collect_set(

@@ -93,15 +93,17 @@ object Relational {
         |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 25
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
 
-    // J1/J4: left equi-join with a broadcast dimension (the reference's
-    // universal join shape). customer is the dim side at every SF that
-    // fits broadcast; AQE demotes gracefully if not.
+    // J1/J4: left equi-join with a dimension (the reference's
+    // universal join shape). No broadcast hint: customer grows with
+    // scale factor, so a forced hint would pin a multi-TB build side
+    // at the 100 TB target — the planner auto-broadcasts while the dim
+    // fits and AQE re-plans at runtime otherwise.
     "q_join_left" -> QueryDef(
       (s, dir) => {
         val o = table(s, dir, "orders")
         val c = table(s, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment"))
-        o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        o.join(c, o("o_custkey") === c("c_custkey"), "left")
           .groupBy(coalesce(col("c_mktsegment"), lit("Нет данных")).as("segment"))
           .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
           .orderBy("segment")
@@ -174,7 +176,7 @@ object Relational {
         val c = table(s, dir, "customer")
           .select(col("c_custkey").cast(StringType).try_cast(LongType).as("k"),
             col("c_mktsegment"))
-        e.join(broadcast(c), Seq("k"))
+        e.join(c, Seq("k"))
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
           .orderBy("c_mktsegment")
