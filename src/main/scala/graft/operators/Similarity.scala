@@ -129,14 +129,28 @@ object Similarity {
     best.getField("id")
   }
 
+  /** Top-`p` centroid ids by dot product (the IVF nprobe dial): score
+    * every centroid, sort the (−score, id) struct array, slice p,
+    * project ids — one array expression, no shuffle.
+    */
+  private def nearestCentroids(v: Column, centroids: Seq[(Long, Seq[Double])],
+      p: Int): Column = {
+    val scored = transform(typedlit(centroids), c => struct(
+      (lit(0.0) - aggregate(
+        zip_with(v, c.getField("_2"), (x, w) => x.cast(DoubleType) * w),
+        lit(0.0), (s, x) => s + x)).as("neg_score"),
+      c.getField("_1").as("id")))
+    transform(slice(array_sort(scored), 1, p), s => s.getField("id"))
+  }
+
   /** IVF top-k: corpus vectors are assigned to their nearest centroid
     * list once (the index build — a narrow map pass); each query scans
-    * only its own list. nprobe > 1 would union the next-nearest lists;
-    * at 100 TB the lists are the partition keys, so a query touches
-    * 1/k of the corpus.
+    * its `nprobe` nearest lists (recall/cost dial). At 100 TB the
+    * lists are the partition keys, so a query touches nprobe/k of the
+    * corpus.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      numLists: Int = 16): DataFrame = {
+      numLists: Int = 16, nprobe: Int = 1): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val cents = strideCentroids(corpus, numLists).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
@@ -146,7 +160,8 @@ object Similarity {
       .withColumn("list_id", nearestCentroid(col("c_v"), cents))
       .withColumn("c_norm", sqrt(fdot(col("c_v"), col("c_v"))))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
-      .withColumn("list_id", nearestCentroid(col("q_v"), cents))
+      .withColumn("list_id",
+        explode(nearestCentroids(col("q_v"), cents, nprobe)))
       .withColumn("q_norm", sqrt(fdot(col("q_v"), col("q_v"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id"))

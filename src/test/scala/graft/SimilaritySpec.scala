@@ -75,6 +75,10 @@ class SimilaritySpec extends SparkSpec {
     val ivf = pairs(ivfTopK(corpus, queries, k = 3, numLists = 8))
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall == 1.0, s"recall $recall")
+    // widening nprobe can only add candidates — recall is monotone
+    val ivf2 = pairs(ivfTopK(corpus, queries, k = 3, numLists = 8, nprobe = 2))
+    val recall2 = (brute & ivf2).size.toDouble / brute.size
+    assert(recall2 >= recall, s"nprobe=2 recall $recall2 < $recall")
   }
 
   test("lshSignature buckets co-directional vectors together") {
