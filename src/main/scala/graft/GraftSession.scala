@@ -33,6 +33,9 @@ object GraftSession {
   def getOrCreate(): SparkSession = {
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SQL-callable kit (scalar macros + native functions) ships with
+    // every session; CREATE OR REPLACE makes this idempotent.
+    functions.SqlMacros.install(spark)
     spark
   }
 }
