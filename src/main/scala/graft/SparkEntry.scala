@@ -14,7 +14,7 @@ object SparkEntry {
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
       operators.ArrayOps.defs ++ operators.Incremental.defs ++
-      streaming.EventsStream.defs
+      streaming.EventsStream.defs ++ pipelines.Corpus.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The projectsync-pipeline backbone (SURVEY.md §7.3): join + flag +

@@ -183,6 +183,68 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  // ---------- pair graph → clusters ------------------------------------
+
+  /** Connected components over a near-dup pair list (id_a, id_b) by
+    * min-label propagation: every node starts as its own label; each
+    * round a node takes the min label among itself and its neighbors;
+    * fixpoint when no label changes. Rounds are bounded by component
+    * diameter — near-dup clusters are small and dense, so this
+    * converges in 2-3 rounds; `maxIter` caps adversarial chains.
+    * Returns (id, cluster_id = min member id). Each round is a
+    * neighbor-min (one shuffle) plus a pointer jump
+    * (label := label(label), one join) — the jump halves path lengths
+    * so convergence is O(log diameter). Every round ends in
+    * localCheckpoint: iterative self-joins otherwise grow the lineage
+    * exponentially (plan explosion, then driver OOM — the canonical
+    * iterative-algorithm pitfall).
+    */
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    // persist the INPUT: edges = pairs ∪ flip(pairs) would otherwise
+    // evaluate the (often expensive — LSH) pair plan once per branch
+    val p = pairs.select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    // labels only ever decrease (min of self+neighbors), so the label
+    // sum is strictly monotone until fixpoint — one agg scan per round
+    // replaces a join+count change detector
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // alias every derived output fresh: `labels` feeds both union
+      // branches, and shared exprIds across union children trip
+      // Catalyst's constraint rewriting (key-not-found at analysis)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label").as("label"))
+      val minned = labels.select(col("id").as("id"), col("label").as("label"))
+        .union(viaNeighbors)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      // pointer jump: follow the label one hop (label of my label)
+      val hop = minned.select(col("id").as("__jid"), col("label").as("__jump"))
+      val jumped = minned
+        .join(hop, minned("label") === hop("__jid"), "left")
+        .select(minned("id").as("id"),
+          least(minned("label"), coalesce(col("__jump"), minned("label"))).as("label"))
+      val next = jumped.localCheckpoint()
+      val nextSum = labelSum(next)
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      iter += 1
+    }
+    p.unpersist()
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   // ---------- embedding near-dup ------------------------------------------
 
   /** Float-array dot product in double with in-order summation
@@ -339,6 +401,51 @@ object Dedup {
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) /
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // Pair graph → connected components (min-label propagation +
+    // pointer jumping). Candidate pairs via inverted shingle index —
+    // exact, not approximate: Jaccard ≥ 0.5 > 0 implies a shared
+    // shingle, so joining posting lists loses nothing, and cost is
+    // Σ df² over shingles (df is bounded by cluster size in real
+    // corpora — measured max 25 here) instead of the all-pairs n².
+    // DuckDB reproduces the same pair set from the cross join at
+    // oracle scale (recursive CTE for the components).
+    "q_dedup_clusters" -> QueryDef(
+      (s, dir) => {
+        val d = shingled(table(s, dir, "documents"), "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val inv = d.select(col("doc_id"), explode(col("sh")).as("g"))
+        val cand = inv.select(col("doc_id").as("id_a"), col("g"))
+          .join(inv.select(col("doc_id").as("id_b"), col("g")), "g")
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val pairs = cand
+          .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.5)
+          .select("id_a", "id_b")
+        clusterPairs(pairs).orderBy("id")
+      },
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+        |    i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\s+')[i+2])) AS g
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.g, b.g)) * 1.0 /
+        |        greatest(len(list_distinct(a.g || b.g)), 1) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |walk(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
+        |SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
+        |ORDER BY id""".stripMargin)
   )
 }

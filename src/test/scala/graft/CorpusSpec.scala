@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Dedup
+import graft.pipelines.Corpus
+import org.apache.spark.sql.functions._
+
+/** Pair-graph clustering and the end-to-end corpus preparation run. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clusterPairs: chain and isolated pair form the right components") {
+    // components: {1,2,3} (chain via 2), {7,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterPairs(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("clusterPairs converges on a long chain within the iteration cap") {
+    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clusterPairs(chain, maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(1L))
+    assert(got.size == 20)
+  }
+
+  test("prepare: quality gate, exact dups, and near-dup clusters all collapse") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),  // exact dup of 1
+      (3L, "THE  quick brown fox jumps over the lazy dog tonight"), // normalized dup of 1
+      (4L, "the quick brown fox jumps over the lazy cat tonight"),  // near-dup of 1
+      (5L, "!!! ??? ***"),                                          // punctuation junk
+      (6L, "too short"),                                            // under token floor
+      (7L, "completely different text with many unrelated words inside it")
+    ).toDF("doc_id", "text")
+    val out = Corpus.prepare(docs,
+      Corpus.Config(minTokens = 5, maxPunctRatio = 0.3, nearDupJaccard = 0.5))
+    val kept = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 7L))
+    val tok = out.filter(col("doc_id") === 1L).select("n_tokens").head().getInt(0)
+    assert(tok == 10)
+  }
+}
