@@ -65,9 +65,12 @@ object Corpus {
     */
   def prepare(docs: DataFrame, cfg: Config = Config(),
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val cleaned = nearDedup(
-      exactDedup(qualityFilter(docs, cfg), idCol, textCol),
-      idCol, textCol, cfg.nearDupJaccard)
+    // the filtered+exact-deduped corpus feeds three passes (LSH pair
+    // generation, the anti join, the final projection) — persist it
+    // once instead of recomputing the scan+filter+semi-join chain
+    val base = exactDedup(qualityFilter(docs, cfg), idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cleaned = nearDedup(base, idCol, textCol, cfg.nearDupJaccard)
     cleaned.withColumn("n_tokens", size(TextAnalysis.tokens(col(textCol))))
   }
 
