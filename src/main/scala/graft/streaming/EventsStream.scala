@@ -105,6 +105,19 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup: drop rows whose key reappears within the
+    * watermark horizon. dropDuplicatesWithinWatermark expires a key's
+    * state once the watermark passes it, so state is bounded by the
+    * horizon's key cardinality — a plain dropDuplicates on a stream
+    * accumulates every key forever. This is the streaming face of the
+    * batch q_dedup_exact family: dedup an event feed by id on ingest,
+    * or by content fingerprint for at-least-once upstream sources.
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   // ---- gap-based sessionization with custom state --------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -71,6 +71,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedupWithinWatermark drops re-sent events, keeps distinct ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // event 1 re-sent twice (same id, later ts within horizon)
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      (1L, ts("2024-01-01 10:00:30"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "view", 2.0),
+      (1L, ts("2024-01-01 10:02:00"), 1L, "click", 1.0))
+    val query = EventsStream.dedupWithinWatermark(events, Seq("event_id"))
+      .writeStream
+      .format("memory").queryName("dedup").outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      assert(query.awaitTermination(120000), "stream did not finish in 120s")
+      val got = spark.table("dedup").select("event_id").as[Long]
+        .collect().sorted.toSeq
+      assert(got == Seq(1L, 2L))
+    } finally query.stop()
+  }
+
   test("file-source stream over events parquet matches the batch windowed counts") {
     // stage the nanos-timestamped harness file as a stream directory
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
