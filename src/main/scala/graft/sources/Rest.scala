@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.reflect.runtime.universe.TypeTag
+
+/** The reference's REST-extractor protocol (S5-S7;
+  * extractors/fetch_yougile_programming.py:127-157) as pure,
+  * injectable driver-side logic: limit/offset pagination to
+  * exhaustion and a retry policy with exponential backoff that honors
+  * `Retry-After` on 429.
+  *
+  * The HTTP transport is a plain `(offset, limit) => Page` function —
+  * external I/O stays outside the engine (and outside this zero-egress
+  * harness); tests drive the protocol with fakes. Fetched items enter
+  * Spark through `ingest` (createDataFrame), after which everything is
+  * distributed. Connector fetch volume is bounded (catalog-sized API
+  * exports, 1000 rows/page in the reference), so a driver-side collect
+  * then parallelize is the right scale shape — the fact tables that
+  * actually grow arrive through file/JDBC scans, not REST.
+  */
+object Rest {
+
+  /** One fetched page. `hasNext` mirrors the reference's
+    * `paging.next` hint: pagination stops on an empty page, or when
+    * the hint is false AND the page came back short (both conditions,
+    * like the reference — a full page with no hint still advances).
+    */
+  final case class Page[A](items: Seq[A], hasNext: Boolean = false)
+
+  /** HTTP failure surfaced by a transport. */
+  final case class HttpError(status: Int, retryAfterSec: Option[Long] = None)
+    extends RuntimeException(s"HTTP $status")
+
+  /** fetch_yougile_programming.py:46-52,128-143 — 5 retries, 2^attempt
+    * seconds backoff, retryable statuses, Retry-After wins on 429.
+    */
+  final case class RetryPolicy(
+      maxRetries: Int = 5,
+      retryable: Set[Int] = Set(429, 500, 502, 503, 504))
+
+  /** Run `f`, retrying per policy. `sleep` is injectable for tests;
+    * delays are whole seconds (2^attempt, or the server's Retry-After
+    * on 429).
+    */
+  @annotation.tailrec
+  def withRetry[A](policy: RetryPolicy = RetryPolicy(),
+      sleep: Long => Unit = Thread.sleep, attempt: Int = 0)(f: () => A): A = {
+    val r = try Right(f()) catch {
+      case e: HttpError if policy.retryable(e.status) && attempt < policy.maxRetries =>
+        Left(e)
+    }
+    r match {
+      case Right(a) => a
+      case Left(e) =>
+        val delaySec = e.retryAfterSec.filter(_ => e.status == 429)
+          .getOrElse(1L << attempt)
+        sleep(delaySec * 1000)
+        withRetry(policy, sleep, attempt + 1)(f)
+    }
+  }
+
+  /** Lazy limit/offset pagination to exhaustion, each page fetch
+    * wrapped in the retry policy.
+    */
+  def paginate[A](pageLimit: Int, fetch: (Long, Int) => Page[A],
+      policy: RetryPolicy = RetryPolicy(),
+      sleep: Long => Unit = Thread.sleep): Iterator[A] =
+    Iterator.unfold(Option(0L)) {
+      case None => None
+      case Some(offset) =>
+        val page = withRetry(policy, sleep)(() => fetch(offset, pageLimit))
+        if (page.items.isEmpty) None
+        else {
+          val done = !page.hasNext && page.items.size < pageLimit
+          Some((page.items, if (done) None else Some(offset + pageLimit)))
+        }
+    }.flatten
+
+  /** The driver→cluster seam: connector output becomes a partitioned
+    * DataFrame. From here on, every transform is distributed.
+    */
+  def ingest[A <: Product: TypeTag](spark: SparkSession, items: Seq[A]): DataFrame = {
+    import spark.implicits._
+    val df = spark.createDataset(items).toDF()
+    df.repartition(spark.sparkContext.defaultParallelism)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.sources.Rest
+import graft.sources.Rest.{HttpError, Page, RetryPolicy}
+import scala.collection.mutable
+
+/** The REST connector protocol against fake transports — paging
+  * boundaries, retry/backoff schedule, Retry-After, and the
+  * createDataFrame ingest seam.
+  */
+class RestSpec extends SparkSpec {
+
+  test("paginate walks offsets and stops on the short no-next page") {
+    val calls = mutable.Buffer[Long]()
+    val total = 2500
+    def fetch(offset: Long, limit: Int): Page[Int] = {
+      calls += offset
+      val items = (offset.toInt until math.min(offset.toInt + limit, total)).toSeq
+      Page(items, hasNext = offset + limit < total)
+    }
+    val got = Rest.paginate(1000, fetch).toSeq
+    assert(got == (0 until 2500))
+    assert(calls.toSeq == Seq(0L, 1000L, 2000L)) // no 4th probe
+  }
+
+  test("paginate stops on an empty page even when the hint says next") {
+    def fetch(offset: Long, limit: Int): Page[Int] =
+      if (offset == 0) Page(Seq(1, 2, 3), hasNext = true)
+      else Page(Seq.empty, hasNext = true)
+    assert(Rest.paginate(3, fetch).toSeq == Seq(1, 2, 3))
+  }
+
+  test("a full page without a next hint still advances") {
+    def fetch(offset: Long, limit: Int): Page[Int] =
+      if (offset == 0) Page(Seq(1, 2), hasNext = false) // full (limit 2)
+      else Page(Seq(3), hasNext = false)                // short → stop
+    assert(Rest.paginate(2, fetch).toSeq == Seq(1, 2, 3))
+  }
+
+  test("withRetry: exponential backoff then success") {
+    val sleeps = mutable.Buffer[Long]()
+    var n = 0
+    val got = Rest.withRetry(sleep = sleeps += _)(() => {
+      n += 1
+      if (n <= 3) throw HttpError(503) else "ok"
+    })
+    assert(got == "ok" && n == 4)
+    assert(sleeps.toSeq == Seq(1000L, 2000L, 4000L)) // 2^0, 2^1, 2^2 sec
+  }
+
+  test("withRetry: Retry-After drives the 429 delay") {
+    val sleeps = mutable.Buffer[Long]()
+    var n = 0
+    Rest.withRetry(sleep = sleeps += _)(() => {
+      n += 1
+      if (n == 1) throw HttpError(429, retryAfterSec = Some(7)) else "ok"
+    })
+    assert(sleeps.toSeq == Seq(7000L))
+  }
+
+  test("withRetry: non-retryable status propagates immediately") {
+    var n = 0
+    val e = intercept[HttpError](Rest.withRetry(sleep = _ => ())(() => {
+      n += 1; throw HttpError(404)
+    }))
+    assert(e.status == 404 && n == 1)
+  }
+
+  test("withRetry: budget exhausts after maxRetries") {
+    var n = 0
+    def boom(): String = { n += 1; throw HttpError(503) }
+    intercept[HttpError](
+      Rest.withRetry(RetryPolicy(maxRetries = 5), sleep = _ => ())(boom _))
+    assert(n == 6) // 1 initial + 5 retries, like the reference
+  }
+
+  test("ingest lands connector items as a partitioned DataFrame") {
+    val df = Rest.ingest(spark, Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(df.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    assert(df.count() == 3)
+  }
+}
