@@ -14,6 +14,7 @@ object SparkEntry {
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
       operators.ArrayOps.defs ++ operators.Incremental.defs ++
+      operators.AsOf.defs ++
       streaming.EventsStream.defs ++ pipelines.Corpus.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
