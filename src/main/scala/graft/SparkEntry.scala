@@ -14,7 +14,8 @@ object SparkEntry {
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
       operators.ArrayOps.defs ++ operators.Incremental.defs ++
-      operators.AsOf.defs ++
+      operators.AsOf.defs ++ operators.RangeJoin.defs ++
+      operators.Sampling.defs ++
       streaming.EventsStream.defs ++ pipelines.Corpus.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -282,6 +282,28 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+
+    // Top-k per group: rank window + filter. Catalyst's
+    // InferWindowGroupLimit rewrites the rank<=k filter into a
+    // WindowGroupLimit that keeps only k rows per key per partition
+    // BEFORE the shuffle — map-side top-k, so the sort never sees the
+    // full group. Tie-broken on the unique key for determinism.
+    "q_topk_group" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        table(s, dir, "orders")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("price"))
+          .orderBy("o_orderpriority", "rk")
+      },
+      """SELECT o_orderpriority, rk, o_orderkey, round(o_totalprice, 2) AS price
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin)
   )
 }

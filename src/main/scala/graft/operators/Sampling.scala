@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables.table
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and split assignment for training-data
+  * pipelines. Everything keys off a content hash, never `rand()`:
+  * the same row lands in the same split on every run, every engine,
+  * and every cluster size — re-ingesting a 100 TB corpus cannot
+  * migrate documents between train and test, and a downstream join
+  * against yesterday's split assignment is a no-op by construction.
+  * Narrow per-row math; no shuffle, no state.
+  */
+object Sampling {
+
+  /** Uniform-ish fraction in [0,1) from the md5 of a key: the first 8
+    * hex digits as a 32-bit integer over 2^32. md5 (not xxhash64) so
+    * any engine can reproduce the mapping bit-for-bit.
+    */
+  def hashFraction(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+
+  /** Stable split label from a key hash. Fractions are cumulative
+    * cutoffs: train < trainFrac ≤ val < trainFrac+valFrac ≤ test.
+    */
+  def assignSplit(key: Column, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1): Column = {
+    val f = hashFraction(key)
+    when(f < trainFrac, "train")
+      .when(f < trainFrac + valFrac, "val")
+      .otherwise("test")
+  }
+
+  /** Deterministic p-fraction sample by key hash. */
+  def hashSample(df: DataFrame, keyCol: String, p: Double): DataFrame =
+    df.filter(hashFraction(col(keyCol)) < p)
+
+  def defs: Map[String, QueryDef] = Map(
+    "q_split_assign" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), assignSplit(col("doc_id")).as("split"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CASE
+        |  WHEN frac < 0.8 THEN 'train'
+        |  WHEN frac < 0.9 THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UINT32)
+        |    / 4294967296.0 AS frac
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin))
+  )
+}

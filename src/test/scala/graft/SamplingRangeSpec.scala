@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.{RangeJoin, Sampling}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Deterministic hash splits and the bucketed range join. */
+class SamplingRangeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("assignSplit is stable, total, and roughly proportioned") {
+    val ids = (1L to 2000L).toDF("id")
+    val split = ids.select(col("id"), Sampling.assignSplit(col("id")).as("s"))
+    val counts = split.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(counts("train") > 1500 && counts("train") < 1700) // ~80%
+    assert(counts("val") > 120 && counts("val") < 280)       // ~10%
+    // rerun gives the identical assignment (no rand() anywhere)
+    val again = ids.select(col("id"), Sampling.assignSplit(col("id")).as("s"))
+    assert(split.exceptAll(again).count() == 0)
+  }
+
+  test("hashSample keeps a stable subset of about p") {
+    val ids = (1L to 2000L).toDF("id")
+    val n = Sampling.hashSample(ids, "id", 0.25).count()
+    assert(n > 400 && n < 600)
+    // subset property: sampling at a higher p contains the lower-p set
+    val small = Sampling.hashSample(ids, "id", 0.1)
+    val big = Sampling.hashSample(ids, "id", 0.5)
+    assert(small.exceptAll(big).count() == 0)
+  }
+
+  test("rangeJoin: containment honored across bucket boundaries") {
+    val points = Seq(
+      (1L, ts("2024-01-01 10:14:00"), "in-w1"),
+      (1L, ts("2024-01-01 10:46:00"), "in-w2-crossbucket"),
+      (1L, ts("2024-01-01 11:30:00"), "outside"),
+      (2L, ts("2024-01-01 10:14:00"), "wrong-key")
+    ).toDF("k", "t", "tag")
+    val intervals = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:15:00"), "w1"),
+      (1L, ts("2024-01-01 10:40:00"), ts("2024-01-01 11:10:00"), "w2")
+    ).toDF("k", "s", "e", "w")
+    val got = RangeJoin.rangeJoin(points, "t", intervals, "s", "e",
+        Seq("k"), bucketMicros = 30L * 60 * 1000000)
+      .select("tag", "w").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("in-w1", "w1"), ("in-w2-crossbucket", "w2")))
+  }
+
+  test("rangeJoin leftOpen excludes the start instant, includes the end") {
+    val points = Seq((1L, ts("2024-01-01 10:00:00"), "at-start"),
+      (1L, ts("2024-01-01 10:30:00"), "at-end")).toDF("k", "t", "tag")
+    val intervals = Seq((1L, ts("2024-01-01 10:00:00"),
+      ts("2024-01-01 10:30:00"), "w")).toDF("k", "s", "e", "w")
+    def tags(leftOpen: Boolean) = RangeJoin.rangeJoin(points, "t", intervals,
+        "s", "e", Seq("k"), 30L * 60 * 1000000, leftOpen)
+      .select("tag").as[String].collect().toSet
+    assert(tags(leftOpen = true) == Set("at-end"))
+    assert(tags(leftOpen = false) == Set("at-start", "at-end"))
+  }
+}
