@@ -65,6 +65,40 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "and", "of", "to", "is")
 
+  // ---------- winnowing fingerprints (rolling hash) --------------------
+
+  /** Engine-portable 32-bit token hash (md5 hex prefix) as a long —
+    * any SQL engine can reproduce it, unlike xxhash64.
+    */
+  def hash32(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+
+  private val RkP = 2147483647L // 2^31-1
+  private val RkB = 131L
+
+  /** Rolling Rabin-Karp 4-gram hashes over a *materialized* token-hash
+    * array: Horner with mod at each step, so intermediates stay under
+    * 2^39 — identical integer math is expressible in any engine.
+    */
+  def gramHashes(h: Column): Column =
+    when(size(h) >= 4,
+      transform(sequence(lit(1), size(h) - 3), i => pmod(
+        pmod(pmod(
+          element_at(h, i) * RkB + element_at(h, i + lit(1)), lit(RkP)) * RkB +
+          element_at(h, i + lit(2)), lit(RkP)) * RkB +
+          element_at(h, i + lit(3)), lit(RkP))))
+      .otherwise(array().cast(ArrayType(LongType)))
+
+  /** Winnowing (the MOSS scheme): the min gram hash of every
+    * w-window, deduped — a position-robust fingerprint set whose size
+    * is ~2/(w+1) of the grams, giving near-dup overlap detection at a
+    * fraction of full-shingle cost.
+    */
+  def winnow(g: Column, w: Int = 5): Column =
+    array_sort(array_distinct(transform(
+      sequence(lit(1), size(g) - (w - 1)),
+      i => array_min(slice(g, i, lit(w))))))
+
   def defs: Map[String, QueryDef] = Map(
 
     // Token counting: whitespace tokens, distinct tokens, subword
@@ -211,6 +245,40 @@ object TextAnalysis {
         .orderBy("doc_id"),
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Winnowing fingerprints: token md5-hash → rolling 4-gram Horner
+    // hash mod 2^31-1 → window-5 minima, deduped and exploded. Staged
+    // projections keep each interpreted HOF pass over a materialized
+    // array. Integer math end to end — the oracle reproduces it
+    // bit-for-bit.
+    "q_winnow_fp" -> QueryDef(
+      (s, dir) => {
+        val par = s.sparkContext.defaultParallelism
+        table(s, dir, "documents")
+          .repartition(par)
+          .select(col("doc_id"), tokens(col("text")).as("__toks"))
+          .select(col("doc_id"),
+            transform(col("__toks"), t => hash32(t)).as("__h"))
+          .select(col("doc_id"), gramHashes(col("__h")).as("__g"))
+          .filter(size(col("__g")) >= 5)
+          .select(col("doc_id"), explode(winnow(col("__g"))).as("fp"))
+          .orderBy("doc_id", "fp")
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UINT32) AS BIGINT)) AS h
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_transform(generate_series(1, len(h) - 3),
+        |    i -> ((((h[i] * 131 + h[i+1]) % 2147483647) * 131 + h[i+2])
+        |          % 2147483647 * 131 + h[i+3]) % 2147483647) AS g
+        |  FROM toks),
+        |winnowed AS (
+        |  SELECT doc_id, list_sort(list_distinct(list_transform(
+        |    generate_series(1, len(g) - 4), i -> list_min(g[i:i+4])))) AS fps
+        |  FROM grams WHERE len(g) >= 5)
+        |SELECT doc_id, unnest(fps) AS fp FROM winnowed
+        |ORDER BY doc_id, fp""".stripMargin)
   )
 }

@@ -50,4 +50,27 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     cases.foreach { case (t, want) => assert(got(t) == want, t) }
   }
+
+  test("winnow: shared text yields shared fingerprints; shifted text too") {
+    def fps(text: String): Set[Long] = {
+      Seq(text).toDF("t")
+        .select(transform(tokens(col("t")), w => hash32(w)).as("h"))
+        .select(gramHashes(col("h")).as("g"))
+        .select(explode(winnow(col("g"))).as("fp"))
+        .collect().map(_.getLong(0)).toSet
+    }
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val shifted = "PREFIX " + base // same content, shifted one position
+    val other = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    assert(fps(base).nonEmpty)
+    // winnowing fingerprints are position-independent: a pure shift
+    // preserves every window minimum
+    assert(fps(base).subsetOf(fps(shifted)))
+    assert(fps(base).intersect(fps(other)).isEmpty)
+    // gram count below window width → no fingerprints
+    val tiny = Seq("a b c d e").toDF("t")
+      .select(gramHashes(transform(tokens(col("t")), w => hash32(w))).as("g"))
+      .select(size(col("g")).as("n")).head().getInt(0)
+    assert(tiny == 2) // 5 tokens → 2 grams < window 5
+  }
 }
