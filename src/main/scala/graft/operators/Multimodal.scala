@@ -65,6 +65,63 @@ object Multimodal {
       }
   }
 
+  final case class Resized(doc_id: Long, payload: Array[Byte],
+      width: Int, height: Int)
+
+  /** Resize plumbing: binary in, smaller binary out, target dims in
+    * the metadata. The STUB "resampler" strides over the payload so
+    * output size tracks the target pixel count deterministically; a
+    * real build swaps the body for a codec resize behind the same
+    * per-partition-init seam and signature. Payloads never leave
+    * their partition.
+    */
+  def resizeBatch(df: DataFrame, idCol: String, payloadCol: String,
+      targetW: Int, targetH: Int): Dataset[Resized] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targetBytes = math.max(1, targetW * targetH / 64)
+    df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // val codec = Codec.open()  ← per-partition init seam (stubbed)
+        it.map { case (id, bytes) =>
+          // ceiling stride: output length never exceeds the target
+          val stride = math.max(1, (bytes.length + targetBytes - 1) / targetBytes)
+          Resized(id, bytes.indices.by(stride).map(bytes).toArray,
+            targetW, targetH)
+        }
+      }
+  }
+
+  final case class Embedded(doc_id: Long, embedding: Array[Float])
+
+  /** Feature-extraction plumbing: binary payload → fixed-dim float
+    * embedding via mapPartitions, the "model loads once per partition,
+    * then streams its batch" shape of real vision/audio encoders. The
+    * STUB embedding is a strided byte histogram — deterministic and
+    * content-sensitive, so the output is a REAL embedding column:
+    * MultimodalSpec pipes it straight into the ANN operators.
+    */
+  def embedBatch(df: DataFrame, idCol: String, payloadCol: String,
+      dim: Int = 64): Dataset[Embedded] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // val model = Encoder.load()  ← per-partition init seam (stubbed)
+        it.map { case (id, bytes) =>
+          val v = Array.tabulate(dim) { i =>
+            var s = 0
+            var j = i
+            while (j < bytes.length) { s += (bytes(j) & 0xff); j += dim }
+            (s % 997).toFloat / 997f
+          }
+          Embedded(id, v)
+        }
+      }
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // Binary payload + metadata struct extraction. The text column

@@ -26,4 +26,32 @@ class MultimodalSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(got == Seq(0L, 3L, 6L, 9L))
   }
+
+  test("resizeBatch shrinks payloads toward the target and is deterministic") {
+    val d = Tables.table(spark, sfDir, "documents")
+      .withColumn("payload", col("text").cast("binary")).limit(50)
+    val out = Multimodal.resizeBatch(d, "doc_id", "payload", 64, 64).collect()
+    assert(out.length == 50)
+    assert(out.forall(r => r.width == 64 && r.height == 64))
+    assert(out.forall(r => r.payload.nonEmpty && r.payload.length <= 64 * 64 / 64 + 1))
+    val again = Multimodal.resizeBatch(d, "doc_id", "payload", 64, 64).collect()
+    assert(out.map(r => (r.doc_id, r.payload.toSeq)).toSet ==
+      again.map(r => (r.doc_id, r.payload.toSeq)).toSet)
+  }
+
+  test("embedBatch emits a real embedding column the ANN operators accept") {
+    val d = Tables.table(spark, sfDir, "documents")
+      .withColumn("payload", col("text").cast("binary")).limit(40)
+    val emb = Multimodal.embedBatch(d, "doc_id", "payload").toDF()
+      .withColumnRenamed("doc_id", "vec_id")
+    val rows = emb.collect()
+    assert(rows.forall(_.getSeq[Float](1).length == 64))
+    // content-sensitive: more than one distinct vector
+    assert(rows.map(_.getSeq[Float](1)).distinct.length > 1)
+    // end-to-end: stubbed encoder output drives the real brute-force ANN
+    val queries = emb.limit(3)
+    val topk = graft.operators.Similarity.bruteForceTopK(emb, queries, k = 5)
+    val counts = topk.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(counts.length == 3 && counts.forall(_ == 5))
+  }
 }
