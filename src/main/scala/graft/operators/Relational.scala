@@ -304,6 +304,41 @@ object Relational {
         |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_orderpriority
         |    ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
-        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin),
+
+    // Pivot with an explicit value list: one partial-agg shuffle, no
+    // distinct-values pre-pass on the driver (an unlisted pivot scans
+    // the column twice — never do that at scale).
+    "q_pivot" -> QueryDef(
+      (s, dir) => table(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("user_id"),
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'view') AS view,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // Unpivot/melt (wide → long): generated row expansion, no shuffle
+    // at all — the narrow-transform twin of pivot.
+    "q_unpivot" -> QueryDef(
+      (s, dir) => table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("totalprice"),
+          col("o_custkey").cast("double").as("custkey"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("totalprice"), col("custkey")), "metric", "value")
+        .orderBy("o_orderkey", "metric"),
+      """SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE)
+        |FROM orders
+        |ORDER BY o_orderkey, metric""".stripMargin)
   )
 }
