@@ -93,11 +93,24 @@ object TextAnalysis {
     * w-window, deduped — a position-robust fingerprint set whose size
     * is ~2/(w+1) of the grams, giving near-dup overlap detection at a
     * fraction of full-shingle cost.
+    *
+    * PERF: the sliding min is w-1 zip_with rounds against shifted
+    * slices, NOT `transform(seq, i => array_min(slice(g, i, w)))`.
+    * Array arguments of zip_with/slice are HOF *children*, evaluated
+    * once per row; a column referenced inside a transform lambda
+    * re-evaluates its whole upstream expression per element when the
+    * optimizer inlines the projection chain (measured 100× here: the
+    * md5 token hashing re-ran for every window).
     */
-  def winnow(g: Column, w: Int = 5): Column =
-    array_sort(array_distinct(transform(
-      sequence(lit(1), size(g) - (w - 1)),
-      i => array_min(slice(g, i, lit(w))))))
+  def winnow(g: Column, w: Int = 5): Column = {
+    // mins_k[i] = min(g[i..i+k-1]); extend one shifted copy at a time
+    val mins = (1 until w).foldLeft(g) { (m, k) =>
+      zip_with(m, slice(g, lit(k + 1), size(g)), (a, b) => least(a, b))
+    }
+    when(size(g) >= w,
+      array_sort(array_distinct(slice(mins, lit(1), size(g) - (w - 1)))))
+      .otherwise(array().cast(ArrayType(LongType)))
+  }
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -258,10 +271,19 @@ object TextAnalysis {
         table(s, dir, "documents")
           .repartition(par)
           .select(col("doc_id"), tokens(col("text")).as("__toks"))
+          // filter EARLY on the cheapest equivalent predicate
+          // (tokens ≥ 8 ⟺ grams ≥ 5): predicate pushdown substitutes
+          // projection chains into the predicate regardless of cost,
+          // and a filter on size(__g) would re-run the md5-per-token
+          // chain once per gram inside gramHashes' lambda (measured
+          // 100× — 50 s at sf0.1 for a 1 s pipeline)
+          .filter(size(col("__toks")) >= 8)
           .select(col("doc_id"),
             transform(col("__toks"), t => hash32(t)).as("__h"))
           .select(col("doc_id"), gramHashes(col("__h")).as("__g"))
-          .filter(size(col("__g")) >= 5)
+          // barrier: winnow references __g ~w times; the shuffle pins
+          // the gram array to a materialized column first
+          .repartition(par)
           .select(col("doc_id"), explode(winnow(col("__g"))).as("fp"))
           .orderBy("doc_id", "fp")
       },
