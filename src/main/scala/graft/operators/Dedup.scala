@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.QueryDef
-import graft.operators.TextAnalysis.{fingerprint, tokens}
+import graft.operators.TextAnalysis.{fingerprint, hash32, tokens}
 import graft.sources.Tables.table
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -61,10 +62,23 @@ object Dedup {
 
   // ---------- MinHash --------------------------------------------------
 
-  /** Mersenne prime 2^61-1: (a*h32+b) stays < 2^63, no overflow. */
-  private val P = 2305843009213693951L
+  /** MinHash modulus: the prime just above 2^32. The modulus must sit
+    * BELOW a·h (a < 2^30, h < 2^32 ⇒ a·h < 2^62, still no int64
+    * overflow) so each product wraps it ~a times and every (a,b) is a
+    * genuine scramble of the 32-bit universe. A modulus above a·h
+    * (e.g. 2^61-1) makes h ↦ a·h+b order-preserving — all 64 "hash
+    * functions" then share one argmin and the band collision
+    * probability collapses far below the 1-(1-J²)^bands model.
+    */
+  val P = 4294967311L
   val NumHashes = 64
   val Bands = 32 // r = 2 rows/band → candidate prob 1-(1-J²)^32
+
+  /** Posting-list df ceiling for the inverted-index candidate join:
+    * shingles seen in more than this many docs are treated as
+    * stop-shingles (boilerplate) and never generate candidates.
+    */
+  val StopShingleDf = 1000
 
   /** Deterministic (a,b) permutation params, seed 42. */
   val hashParams: Seq[(Long, Long)] = {
@@ -72,13 +86,22 @@ object Dedup {
     Seq.fill(NumHashes)((rnd.nextInt(1 << 30).toLong + 1, math.abs(rnd.nextLong()) % P))
   }
 
+  /** The permutation params as a SQL list-of-[a,b] literal, so an
+    * external engine reproduces the exact signatures (the same
+    * embed-the-constants pattern as Workdays.ruHolidays).
+    */
+  def paramsLit: String =
+    hashParams.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
+
   /** MinHash signature (array of NumHashes longs) over a *materialized*
-    * base-hash column. Base hash = xxhash64 masked to 32 bits so the
-    * modular multiply never overflows a long. One aggregate pass with a
-    * NumHashes-wide running-min accumulator and the (a,b) permutation
-    * params as an array literal — a constant-size expression tree
-    * (NumHashes separate array_min(transform(...)) trees made analysis
-    * + codegen the dominant cost).
+    * base-hash column. Base hash = the engine-portable 32-bit md5
+    * prefix (TextAnalysis.hash32) so any SQL engine reproduces the
+    * signature bit-for-bit, and the modular multiply never overflows a
+    * long (h < 2^32, a < 2^30, b < P ⇒ h·a+b < 2^63). One aggregate
+    * pass with a NumHashes-wide running-min accumulator and the (a,b)
+    * permutation params as an array literal — a constant-size
+    * expression tree (NumHashes separate array_min(transform(...))
+    * trees made analysis + codegen the dominant cost).
     */
   def minhashSignature(h32: Column): Column = {
     val params = typedlit(hashParams)
@@ -92,16 +115,19 @@ object Dedup {
   /** (id, band, band_key) rows from a (id, sh) shingle frame — one row
     * per LSH band. Docs sharing a band_key within a band are candidate
     * pairs. Staged projections: base-hash → signature → bands, each
-    * array computed exactly once per row.
+    * array computed exactly once per row. The band key is the
+    * ':'-joined signature slice (the band column already scopes the
+    * join), so an external engine can rebuild identical keys from the
+    * same hashParams literals — no engine-private hash anywhere.
     */
   def lshBandsFromShingles(sh: DataFrame, idCol: String): DataFrame = {
     val rows = NumHashes / Bands
     sh.select(col(idCol),
-        transform(col("sh"), s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL))).as("h32"))
+        transform(col("sh"), s => hash32(s)).as("h32"))
       .select(col(idCol), minhashSignature(col("h32")).as("sig"))
       .select(col(idCol), posexplode(
         array((0 until Bands).map { b =>
-          xxhash64(lit(b) +: (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
+          concat_ws(":", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
         }: _*)).as(Seq("band", "band_key")))
   }
 
@@ -134,51 +160,75 @@ object Dedup {
 
   // ---------- SimHash ---------------------------------------------------
 
-  /** 64-bit SimHash from a *materialized* token-hash array: per-bit
-    * majority vote — for each bit, sum(+1/-1 per token) > 0 → bit set.
-    * The 64 vote scans traverse the bound array; hash the tokens once
-    * in the projection that produced `hashes`.
+  /** The 64-bit SimHash is built as 4 independent 16-bit segments, each
+    * voted from its own hex slice of the token md5 (bits of an md5 are
+    * i.i.d., so slicing loses nothing) — every intermediate stays far
+    * below 2^31 and any SQL engine reproduces the signature exactly,
+    * which is what makes q_dedup_simhash oracle-checkable.
     */
-  def simhashFromHashes(hashes: Column): Column =
-    (0 until 64).map { bit =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << bit)) =!= 0, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L << bit)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
+  private val bitMasks16 = typedlit((0 until 16).map(b => 1L << b))
 
-  /** Convenience form over a token array (re-derives the hash array
-    * inline — use the staged projection in simhashNearDups for bulk
-    * work).
+  /** Portable 16-bit token hash for segment k (0-3): hex chars
+    * [4k+1, 4k+4] of the token md5 as an integer.
+    */
+  def hash16(tok: Column, k: Int): Column =
+    conv(substring(md5(tok), k * 4 + 1, 4), 16, 10).cast(LongType)
+
+  /** One 16-bit SimHash segment from a *materialized* array of 16-bit
+    * token hashes: a single aggregate pass with a 16-wide vote
+    * accumulator (per bit: sum of +1/-1 over tokens), then sum the
+    * masks whose vote is positive. One pass over the array instead of
+    * 16 — wide per-bit expression trees made analysis + interpretation
+    * the dominant cost (same lesson as minhashSignature).
+    */
+  def simhashSegment(h16: Column): Column = {
+    val votes = aggregate(h16, array_repeat(lit(0L), 16),
+      (acc, h) => zip_with(acc, bitMasks16, (a, m) =>
+        a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
+    aggregate(zip_with(votes, bitMasks16, (v, m) => when(v > 0, m).otherwise(0L)),
+      lit(0L), (a, v) => a + v)
+  }
+
+  /** Convenience 64-bit signature over a token array (re-derives the
+    * md5s once per segment inline — use the staged projection in
+    * simhashNearDups for bulk work).
     */
   def simhash(toks: Column): Column =
-    simhashFromHashes(transform(array_distinct(toks), t => xxhash64(t)))
+    (0 until 4).map { k =>
+      shiftleft(simhashSegment(transform(array_distinct(toks), t => hash16(t, k))), k * 16)
+    }.reduce((a, b) => a.bitwiseOR(b))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on 4×16-bit signature segments
+  /** SimHash near-dup pairs: block on the 4 16-bit signature segments
     * (a pair with hamming ≤ 3 shares at least one exact segment by
-    * pigeonhole), verify hamming ≤ maxDist on candidates.
+    * pigeonhole), verify total hamming ≤ maxDist on candidates.
+    * Staged projections: tokens → md5 hexes → 4 segment-hash arrays →
+    * segment signatures; each array materializes once per row.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val sigs = docs.select(col(idCol), col(textCol))
       .repartition(par)
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), array_distinct(tokens(col(textCol))).as("__toks"))
+      .select(col(idCol), transform(col("__toks"), t => md5(t)).as("__md5"))
+      .select(col(idCol) +: (0 until 4).map(k =>
+        transform(col("__md5"), m =>
+          conv(substring(m, k * 4 + 1, 4), 16, 10).cast(LongType)).as(s"__h$k")): _*)
       .select(col(idCol),
-        transform(array_distinct(col("__toks")), t => xxhash64(t)).as("__h"))
-      .select(col(idCol), simhashFromHashes(col("__h")).as("sig"))
-    val seg = sigs.select(col(idCol), col("sig"), posexplode(
-      array((0 until 4).map(i =>
-        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
-      .as(Seq("seg", "seg_key")))
-    val l = seg.toDF("id_a", "sig_a", "seg", "seg_key")
-    val r = seg.toDF("id_b", "sig_b", "seg", "seg_key")
+        array((0 until 4).map(k => simhashSegment(col(s"__h$k"))): _*).as("segs"))
+    val seg = sigs.select(col(idCol), col("segs"),
+      posexplode(col("segs")).as(Seq("seg", "seg_key")))
+    val l = seg.toDF("id_a", "segs_a", "seg", "seg_key")
+    val r = seg.toDF("id_b", "segs_b", "seg", "seg_key")
     l.join(r, Seq("seg", "seg_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        hamming(col("sig_a"), col("sig_b")).as("dist"))
+        aggregate(zip_with(col("segs_a"), col("segs_b"),
+          (x, y) => bit_count(x.bitwiseXOR(y)).cast(LongType)),
+          lit(0L), (a, v) => a + v).as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
   }
@@ -206,8 +256,13 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed label = min(self, neighbors) in ONE groupBy — the same
+    // shuffle a plain identity init would pay for its distinct, but it
+    // performs round one's neighbor-min for free, so small dense
+    // near-dup clusters (diameter ≤ 2 via the pointer jump) converge a
+    // full round earlier
+    var labels = edges.groupBy("src").agg(min("dst").as("__mn"))
+      .select(col("src").as("id"), least(col("src"), col("__mn")).as("label"))
       .localCheckpoint()
     // labels only ever decrease (min of self+neighbors), so the label
     // sum is strictly monotone until fixpoint — one agg scan per round
@@ -333,17 +388,25 @@ object Dedup {
     // levenshtein is O(m·n) per pair, so blocking plus a length-band
     // pre-filter is mandatory at any scale (each edit changes length
     // by ≤1, so the band is a lossless lower-bound prune for a
-    // threshold variant). Top-k closest with id tie-break keeps the
-    // result deterministic on any corpus.
+    // threshold variant). The length band IS the join key: each right
+    // row explodes to its own bucket ±1 (bucket = ⌊len/60⌋), so a pair
+    // within 60 always lands in exactly one shuffle-hash bucket —
+    // an equi-join plan, not the BroadcastNestedLoopJoin a
+    // crossJoin+filter would enumerate over all (n/10)²/2 pairs.
+    // Top-k closest with id tie-break keeps the result deterministic.
     "q_dedup_editdist" -> QueryDef(
       (s, dir) => {
         val d = table(s, dir, "documents")
           .filter(col("doc_id") % 10 === 0)
           .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-        val a = d.toDF("id_a", "t_a", "len_a")
-        val b = d.toDF("id_b", "t_b", "len_b")
-        a.crossJoin(b)
+          .select(col("doc_id"), col("text"), length(col("text")).as("len"),
+            floor(length(col("text")) / lit(60)).as("bkt"))
+        val a = d.select(col("doc_id").as("id_a"), col("text").as("t_a"),
+          col("len").as("len_a"), col("bkt"))
+        val b = d.select(col("doc_id").as("id_b"), col("text").as("t_b"),
+          col("len").as("len_b"),
+          explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+        a.join(b, Seq("bkt"))
           .filter(col("id_a") < col("id_b"))
           .filter(abs(col("len_a") - col("len_b")) <= 60)
           .select(col("id_a"), col("id_b"),
@@ -360,22 +423,82 @@ object Dedup {
         |ORDER BY dist, id_a, id_b LIMIT 20""".stripMargin),
 
     // MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
-    // exact-verify). Probabilistic candidate generation → rows-only
-    // check here; parity vs brute force is asserted in DedupSpec.
+    // exact-verify). Every hash is engine-portable (md5-prefix base
+    // hash, (a,b) permutation params embedded below as literals — the
+    // ruHolidays pattern), so the oracle replays the EXACT candidate
+    // generation, not just the verified output: a banding bug that
+    // dropped a true pair would hash-mismatch. Parity vs brute force
+    // is additionally asserted in DedupSpec.
     "q_dedup_minhash" -> QueryDef(
       (s, dir) => minhashNearDups(
         table(s, dir, "documents"), "doc_id", "text", minJaccard = 0.25)
         .orderBy("id_a", "id_b"),
-      None),
+      s"""WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+        |    i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\\s+')[i+2])) AS g
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_transform(g,
+        |    s2 -> CAST(CAST(('0x' || substr(md5(s2), 1, 8)) AS UINT32) AS BIGINT)) AS hs
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, list_transform(${paramsLit},
+        |    p -> coalesce(list_min(list_transform(hs,
+        |      x -> (x * p[1] + p[2]) % ${P})),
+        |      ${P})) AS sig
+        |  FROM h),
+        |bands AS (
+        |  SELECT doc_id, k AS band,
+        |    CAST(sig[2*k+1] AS VARCHAR) || ':' || CAST(sig[2*k+2] AS VARCHAR) AS band_key
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, ${Bands})) AS k) ks),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    round(len(list_intersect(sa.g, sb.g)) * 1.0 /
+        |      greatest(len(list_distinct(sa.g || sb.g)), 1), 4) AS jac
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, jac FROM scored WHERE jac >= 0.25
+        |ORDER BY id_a, id_b""".stripMargin),
 
-    // SimHash near-dup pairs (64-bit majority-vote signature, 16-bit
-    // segment blocking, hamming ≤ 3 — the radius the 4-segment
-    // pigeonhole blocking makes exact). Hash-dependent → rows-only.
+    // SimHash near-dup pairs (4 × 16-bit md5-sliced majority-vote
+    // segments, segment blocking, hamming ≤ 3 — the radius the
+    // 4-segment pigeonhole blocking makes exact). The md5-derived
+    // segments are engine-portable, so the oracle replays signature
+    // construction, blocking and verification bit-for-bit.
     "q_dedup_simhash" -> QueryDef(
       (s, dir) => simhashNearDups(
         table(s, dir, "documents"), "doc_id", "text", maxDist = 3)
         .orderBy("id_a", "id_b"),
-      None),
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |md AS (SELECT doc_id, list_transform(t, x -> md5(x)) AS m FROM toks),
+        |seg AS (
+        |  SELECT doc_id, k,
+        |    CAST(list_sum(list_transform(range(0, 16), j ->
+        |      CASE WHEN coalesce(list_sum(list_transform(m, x ->
+        |          CASE WHEN (CAST(('0x' || substr(x, k*4+1, 4)) AS UINT32) >> j) & 1 = 1
+        |            THEN 1 ELSE -1 END)), 0) > 0
+        |        THEN 1 << j ELSE 0 END)) AS BIGINT) AS seg_key
+        |  FROM md CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks),
+        |sig AS (SELECT doc_id, list(seg_key ORDER BY k) AS segs FROM seg GROUP BY doc_id),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM seg a JOIN seg b
+        |    ON a.k = b.k AND a.seg_key = b.seg_key AND a.doc_id < b.doc_id),
+        |d AS (
+        |  SELECT id_a, id_b,
+        |    CAST(list_sum(list_transform(range(1, 5), i ->
+        |      bit_count(xor(sa.segs[i], sb.segs[i])))) AS BIGINT) AS dist
+        |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, dist FROM d WHERE dist <= 3
+        |ORDER BY id_a, id_b""".stripMargin),
 
     // Embedding-cosine near-dup: all-pairs here (embeddings table is
     // dim-table-sized); the LSH-bucketed variant in Similarity.scala
@@ -419,7 +542,21 @@ object Dedup {
       (s, dir) => {
         val d = shingled(table(s, dir, "documents"), "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Stop-shingle ceiling: a shingle in df docs contributes
+        // O(df²) candidate pairs, so one viral shingle ("click here to
+        // subscribe") can quadratically blow a partition at corpus
+        // scale. Shingles with df > StopShingleDf are dropped BEFORE
+        // the self-join — near-dup pairs share many shingles, so a
+        // true pair loses nothing unless its entire overlap is viral.
+        // The count rides the same hash-partition-by-g shuffle the
+        // self-join needs (window, no extra exchange). Harness df max
+        // is 25, so the pruned pair set is bit-identical here and the
+        // oracle needs no mirror term; the adversarial case is covered
+        // in DedupSpec.
         val inv = d.select(col("doc_id"), explode(col("sh")).as("g"))
+          .withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
+          .filter(col("__df") <= StopShingleDf)
+          .drop("__df")
         val cand = inv.select(col("doc_id").as("id_a"), col("g"))
           .join(inv.select(col("doc_id").as("id_b"), col("g")), "g")
           .filter(col("id_a") < col("id_b"))

@@ -112,7 +112,7 @@ object Etl {
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
         .orderBy("event_type"),
       """SELECT event_type, count(*) AS n,
-        |  sum(TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS sum_k
+        |  CAST(sum(TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     // F1/F2/F16: string kit — trim, prefix strip, first token;
@@ -254,7 +254,7 @@ object Etl {
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type"),
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(props->>'k' AS BIGINT)) AS min_k,
         |  max(CAST(props->>'k' AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),

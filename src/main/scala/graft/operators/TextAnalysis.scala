@@ -133,8 +133,8 @@ object TextAnalysis {
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
         |  len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct,
-        |  list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
-        |    t -> greatest(CAST(ceil(length(t) / 6.0) AS BIGINT), 1))) AS n_subwords
+        |  CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> greatest(CAST(ceil(length(t) / 6.0) AS BIGINT), 1))) AS BIGINT) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin),
 
     // Quality scoring: length stats, punctuation ratio, stopword
@@ -205,7 +205,7 @@ object TextAnalysis {
         .orderBy("lang"),
       """SELECT lang, count(*) AS n_docs,
         |  round(avg(n_chars), 4) AS avg_chars,
-        |  sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
 
     // TF-IDF top term per document: explode → per-(doc,term) tf →

@@ -74,15 +74,70 @@ object Corpus {
     cleaned.withColumn("n_tokens", size(TextAnalysis.tokens(col(textCol))))
   }
 
-  /** End-to-end corpus run. LSH candidate generation is
-    * hash-dependent, so this is a rows-only check; every stage's math
-    * is oracle-checked separately (q_dedup_exact, q_ngram_jaccard,
-    * q_dedup_clusters, q_text_quality).
+  /** End-to-end corpus run, oracle-checked stage by stage: quality
+    * gate → min-id exact dedup → the SAME portable MinHash-LSH
+    * candidate generation the engine runs (md5-prefix base hash,
+    * permutation params as literals) → recursive-CTE connected
+    * components → anti-join survivors. A drift anywhere in the
+    * pipeline — filter math, fingerprint, banding, clustering —
+    * hash-mismatches the final (doc_id, n_tokens) surface.
     */
   def defs: Map[String, QueryDef] = Map(
     "q_corpus_prepare" -> QueryDef(
       (s, dir) => prepare(table(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"))
         .orderBy("doc_id"),
-      None))
+      s"""WITH RECURSIVE base AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_split_to_array(trim(text), '\\s+')) AS ntok,
+        |    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 /
+        |      greatest(length(text), 1) AS punct
+        |  FROM documents),
+        |q AS (SELECT doc_id, text FROM base WHERE ntok >= 5 AND punct <= 0.3),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM q
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+        |ded AS (SELECT q.doc_id, q.text FROM q JOIN keep USING (doc_id)),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+        |    i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\\s+')[i+2])) AS g
+        |  FROM ded),
+        |h AS (
+        |  SELECT doc_id, list_transform(g,
+        |    s2 -> CAST(CAST(('0x' || substr(md5(s2), 1, 8)) AS UINT32) AS BIGINT)) AS hs
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, list_transform(${Dedup.paramsLit},
+        |    p -> coalesce(list_min(list_transform(hs,
+        |      x -> (x * p[1] + p[2]) % ${Dedup.P})),
+        |      ${Dedup.P})) AS sig
+        |  FROM h),
+        |bands AS (
+        |  SELECT doc_id, k AS band,
+        |    CAST(sig[2*k+1] AS VARCHAR) || ':' || CAST(sig[2*k+2] AS VARCHAR) AS band_key
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, ${Dedup.Bands})) AS k) ks),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |  WHERE round(len(list_intersect(sa.g, sb.g)) * 1.0 /
+        |      greatest(len(list_distinct(sa.g || sb.g)), 1), 4) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |walk(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+        |doomed AS (
+        |  SELECT id FROM (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id)
+        |  WHERE id <> cluster_id)
+        |SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        |FROM ded WHERE doc_id NOT IN (SELECT id FROM doomed)
+        |ORDER BY doc_id""".stripMargin))
 }

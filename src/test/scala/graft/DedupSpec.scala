@@ -75,8 +75,8 @@ class DedupSpec extends SparkSpec {
 
   test("simhashNearDups finds the identical pair at distance 0") {
     val pairs = simhashNearDups(docs, "doc_id", "text", maxDist = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
   }
 
   test("cosine: orthogonal 0, identical 1, known angle") {

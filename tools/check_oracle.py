@@ -60,10 +60,18 @@ def main(sf_dir: str, out_dir: str) -> None:
             n_fail += 1
             continue
         diffs = []
+        type_diffs = []
         for c in a.columns:
             av, bv = a[c], b[c]
+            # The driver's compare hashes typed value representations, so a
+            # dtype mismatch (e.g. DuckDB HUGEINT->float64 vs Spark int64)
+            # is a FAIL even when the numbers agree. Mirror that: dtype kind
+            # must match before values are compared.
+            if av.dtype.kind != bv.dtype.kind:
+                type_diffs.append((c, str(av.dtype), str(bv.dtype)))
+                continue
             try:
-                if av.dtype.kind in "fc" or bv.dtype.kind in "fc":
+                if av.dtype.kind in "fc":
                     import numpy as np
                     ok = np.allclose(av.astype(float).fillna(-9e99),
                                      bv.astype(float).fillna(-9e99),
@@ -74,6 +82,10 @@ def main(sf_dir: str, out_dir: str) -> None:
                 ok = av.astype(str).equals(bv.astype(str))
             if not ok:
                 diffs.append(c)
+        if type_diffs:
+            print(f"✗ {name}: dtype mismatch {type_diffs}")
+            n_fail += 1
+            continue
         if diffs:
             print(f"✗ {name}: value mismatch in columns {diffs}")
             for c in diffs[:2]:
