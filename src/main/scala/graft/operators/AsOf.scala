@@ -31,17 +31,26 @@ object AsOf {
     * @return left columns unchanged, plus every non-key right column
     *         (its time included) prefixed with `asof_`; unmatched left
     *         rows keep nulls (left-join semantics)
+    *
+    * SQL join-key null semantics: a window partition would happily
+    * group null keys together and "match" them, but `l.key = r.key`
+    * (and `l.t >= r.t`) is never true on NULL — so null-key/null-time
+    * right rows are dropped and null-key/null-time left rows bypass
+    * the window entirely, emitted unmatched. The bypass is a second
+    * pushdown-narrowed scan of `left` only.
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, prefix: String = "asof_"): DataFrame = {
     val lPayload = left.columns.filterNot(keys.contains)
     val rPayload = right.columns.filterNot(keys.contains)
-    val rPacked = right.select(
+    val lValid = (keys :+ leftTime).map(col(_).isNotNull).reduce(_ && _)
+    val rValid = (keys :+ rightTime).map(col(_).isNotNull).reduce(_ && _)
+    val rPacked = right.filter(rValid).select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"), lit(1).as("__r"),
         struct(rPayload.map(col): _*).as("__rp")): _*)
     val rStructType = rPacked.schema("__rp").dataType
-    val lPacked = left.select(
+    val lPacked = left.filter(lValid).select(
       keys.map(col) ++ Seq(
         col(leftTime).as("__t"), lit(0).as("__r"),
         lit(null).cast(rStructType).as("__rp"),
@@ -54,13 +63,20 @@ object AsOf {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__r").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
+    val matched = unioned
       .withColumn("__m", last("__rp", ignoreNulls = true).over(w))
       .filter(col("__r") === 0)
       .select(
         keys.map(col) ++
           lPayload.map(c => col(s"__lp.$c").as(c)) ++
           rPayload.map(c => col(s"__m.$c").as(s"$prefix$c")): _*)
+    val passthrough = left.filter(!lValid)
+      .select(
+        keys.map(col) ++
+          lPayload.map(col) ++
+          rPayload.map(c =>
+            lit(null).cast(right.schema(c).dataType).as(s"$prefix$c")): _*)
+    matched.unionByName(passthrough)
   }
 
   def defs: Map[String, QueryDef] = Map(

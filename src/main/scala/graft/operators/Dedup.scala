@@ -233,6 +233,34 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Candidate pairs via an inverted shingle index — exact for any
+    * Jaccard threshold > 0 (a positive-Jaccard pair shares ≥ 1
+    * shingle, so joining posting lists loses nothing), at cost Σ df²
+    * over shingles instead of all-pairs n².
+    *
+    * Stop-shingle ceiling: a shingle in df docs contributes O(df²)
+    * candidate pairs, so one viral shingle ("click here to subscribe")
+    * can quadratically blow a partition at corpus scale. Shingles with
+    * df > dfCap are dropped BEFORE the self-join — near-dup pairs
+    * share many shingles, so a true pair loses nothing unless its
+    * entire overlap is viral boilerplate. The df count rides the same
+    * hash-partition-by-g shuffle the self-join needs (window, no extra
+    * exchange). Harness df max is 25, far under the default cap, so
+    * the declared query's pair set is unpruned; the adversarial case
+    * is covered in DedupSpec.
+    */
+  def postingListCandidates(sh: DataFrame, idCol: String,
+      dfCap: Int = StopShingleDf): DataFrame = {
+    val inv = sh.select(col(idCol), explode(col("sh")).as("g"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("__df") <= dfCap)
+      .drop("__df")
+    inv.select(col(idCol).as("id_a"), col("g"))
+      .join(inv.select(col(idCol).as("id_b"), col("g")), "g")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   // ---------- pair graph → clusters ------------------------------------
 
   /** Connected components over a near-dup pair list (id_a, id_b) by
@@ -542,25 +570,7 @@ object Dedup {
       (s, dir) => {
         val d = shingled(table(s, dir, "documents"), "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // Stop-shingle ceiling: a shingle in df docs contributes
-        // O(df²) candidate pairs, so one viral shingle ("click here to
-        // subscribe") can quadratically blow a partition at corpus
-        // scale. Shingles with df > StopShingleDf are dropped BEFORE
-        // the self-join — near-dup pairs share many shingles, so a
-        // true pair loses nothing unless its entire overlap is viral.
-        // The count rides the same hash-partition-by-g shuffle the
-        // self-join needs (window, no extra exchange). Harness df max
-        // is 25, so the pruned pair set is bit-identical here and the
-        // oracle needs no mirror term; the adversarial case is covered
-        // in DedupSpec.
-        val inv = d.select(col("doc_id"), explode(col("sh")).as("g"))
-          .withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
-          .filter(col("__df") <= StopShingleDf)
-          .drop("__df")
-        val cand = inv.select(col("doc_id").as("id_a"), col("g"))
-          .join(inv.select(col("doc_id").as("id_b"), col("g")), "g")
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
+        val cand = postingListCandidates(d, "doc_id")
         val pairs = cand
           .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
           .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")

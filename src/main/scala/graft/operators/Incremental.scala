@@ -19,15 +19,30 @@ import org.apache.spark.sql.types._
   */
 object Incremental {
 
+  /** Does the sink contain data files? Hadoop FS API, not java.io —
+    * a `java.io.File` probe silently reports hdfs:///s3a:// paths as
+    * absent, which would re-ingest the full source every run. Hidden
+    * entries (_SUCCESS, .staging) don't count: a dir holding only
+    * markers must read as empty or the parquet reader fails schema
+    * inference.
+    */
+  private def sinkNonEmpty(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   /** Append only rows with watermarkCol strictly above the sink's
     * current max. Returns the number of appended rows. Idempotent:
     * re-running with the same input appends 0.
     */
   def appendIncrement(df: DataFrame, path: String, watermarkCol: String): Long = {
     val spark = df.sparkSession
-    val fs = new java.io.File(path)
     val watermark: Option[Any] =
-      if (fs.exists() && fs.listFiles() != null && fs.listFiles().nonEmpty)
+      if (sinkNonEmpty(spark, path))
         Option(spark.read.option("mergeSchema", "true").parquet(path)
           .agg(max(watermarkCol)).head().get(0))
       else None
@@ -59,14 +74,30 @@ object Incremental {
     */
   def appendIncrementPartitioned(df: DataFrame, path: String,
       partitionCol: String): Long = {
-    val dir = new java.io.File(path)
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing: Array[String] =
-      if (dir.exists()) dir.listFiles().filter(_.isDirectory)
-        .map(_.getName).filter(_.startsWith(s"$partitionCol="))
+      if (hfs.exists(p)) hfs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith(s"$partitionCol="))
         .map(_.stripPrefix(s"$partitionCol="))
       else Array.empty
-    val fresh = existing.sorted.lastOption match {
-      case Some(maxPart) => df.filter(col(partitionCol) > lit(maxPart))
+    // the watermark is the max in the COLUMN's type, not the max dir
+    // string: lexicographic max picks '9' over '10' for numeric
+    // partitions and would silently skip (or re-append) partitions.
+    // The filter literal is cast to the column type for the same
+    // reason. Date-style fixed-width strings order identically either
+    // way.
+    val dt = df.schema(partitionCol).dataType
+    val maxPart: Option[String] =
+      if (existing.isEmpty) None
+      else Some(dt match {
+        case LongType | IntegerType | ShortType | ByteType => existing.maxBy(_.toLong)
+        case DoubleType | FloatType => existing.maxBy(_.toDouble)
+        case _ => existing.max
+      })
+    val fresh = maxPart match {
+      case Some(m) => df.filter(col(partitionCol) > lit(m).cast(dt))
       case None => df
     }
     fresh.cache()

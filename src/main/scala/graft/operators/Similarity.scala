@@ -30,6 +30,15 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** The hyperplanes as a SQL list-of-lists literal (Double.toString
+    * round-trips exactly, so an external engine rebuilds bit-identical
+    * planes — the embed-the-constants pattern that makes q_ann_lsh
+    * oracle-checkable).
+    */
+  def planesLit(numPlanes: Int = 8, dim: Int = 64): String =
+    hyperplanes(numPlanes, dim)
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
   /** b-bit random-hyperplane signature of a float-array column. */
   def lshSignature(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
@@ -103,9 +112,10 @@ object Similarity {
   def strideCentroids(corpus: DataFrame, k: Int): DataFrame = {
     val n = corpus.count()
     val stride = math.max(n / k, 1L)
+    // vec_id < stride·k (not limit(k)): limit on an unordered frame is
+    // pick-any — fine single-file, nondeterministic on a real cluster
     corpus.select(col("vec_id"), col("embedding"))
-      .filter(col("vec_id") % stride === 0)
-      .limit(k)
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
       .select((col("vec_id") / stride).cast("long").as("centroid_id"),
         col("embedding").as("centroid"))
   }
@@ -177,15 +187,41 @@ object Similarity {
 
   def defs: Map[String, QueryDef] = Map(
 
-    // IVF-bucketed ANN (approximate → rows-only; cluster-recovery
-    // behavior asserted in SimilaritySpec).
+    // IVF-bucketed ANN. The index is fully deterministic (stride
+    // centroids, argmax-dot assignment), so the oracle rebuilds the
+    // same inverted lists and replays the probe — approximation and
+    // all. Cluster-recovery behavior is additionally asserted in
+    // SimilaritySpec.
     "q_ann_ivf" -> QueryDef(
       (s, dir) => {
         val e = table(s, dir, "embeddings")
         ivfTopK(e, e.filter(col("vec_id") < 32), k = 3)
           .orderBy("query_id", "neighbor_id")
       },
-      None),
+      """WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT greatest(count(*) // 16, 1) AS stride FROM u),
+        |cents AS (
+        |  SELECT CAST(vec_id // stride AS BIGINT) AS centroid_id, v AS cent
+        |  FROM u, p WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+        |assign AS (
+        |  SELECT u.vec_id, u.v, c.centroid_id,
+        |    row_number() OVER (PARTITION BY u.vec_id
+        |      ORDER BY list_dot_product(u.v, c.cent) DESC, c.centroid_id) AS rn
+        |  FROM u CROSS JOIN cents c),
+        |lists AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+        |    centroid_id AS list_id
+        |  FROM assign WHERE rn = 1),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
+        |  FROM lists q JOIN lists c USING (list_id)
+        |  WHERE q.vec_id < 32 AND c.vec_id != q.vec_id)
+        |SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos
+        |FROM sims
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cos_raw DESC, neighbor_id) <= 3
+        |ORDER BY query_id, neighbor_id""".stripMargin),
 
     // Brute-force cosine top-3 for a fixed 32-query panel — exact,
     // oracle-checked.
@@ -207,14 +243,37 @@ object Similarity {
         |  ORDER BY cos_raw DESC, neighbor_id) <= 3
         |ORDER BY query_id, neighbor_id""".stripMargin),
 
-    // LSH-bucketed ANN (approximate → rows-only; recall vs brute force
-    // is asserted in SimilaritySpec).
+    // LSH-bucketed ANN. The hyperplanes are embedded as double
+    // literals (exact round-trip), so the oracle rebuilds identical
+    // 8-bit signatures, replays the Hamming-1 multi-probe, and ranks
+    // the same candidates — the approximation itself is checked, not
+    // just plausibility. Recall vs brute force is additionally
+    // asserted in SimilaritySpec.
     "q_ann_lsh" -> QueryDef(
       (s, dir) => {
         val e = table(s, dir, "embeddings")
         lshTopK(e, e.filter(col("vec_id") < 32), k = 3)
           .orderBy("query_id", "neighbor_id")
       },
-      None)
+      s"""WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sigs AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+        |    CAST(list_sum(list_transform(range(1, 9), i ->
+        |      CASE WHEN list_dot_product(v, (${planesLit()})[i]) >= 0
+        |        THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM u),
+        |q AS (
+        |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, xor(sig, m) AS bucket
+        |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS m) ms
+        |  WHERE vec_id < 32),
+        |sims AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(qv, c.v) / (qn * c.nrm) AS cos_raw
+        |  FROM q JOIN sigs c ON c.sig = q.bucket AND c.vec_id != query_id)
+        |SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos
+        |FROM sims
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cos_raw DESC, neighbor_id) <= 3
+        |ORDER BY query_id, neighbor_id""".stripMargin)
   )
 }

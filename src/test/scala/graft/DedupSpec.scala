@@ -91,6 +91,27 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got(2) - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
+  test("stop-shingle ceiling: a viral shingle stops generating candidates, " +
+      "rare-shingle pairs survive") {
+    // every doc shares the viral 3-gram; only 1&2 also share a rare one
+    val viral = Seq(
+      (1L, "click here to win now alpha beta"),
+      (2L, "click here to win now alpha beta"),
+      (3L, "click here to sign up quickly"),
+      (4L, "click here to unsubscribe from this")
+    ).toDF("doc_id", "text")
+    val sh = shingled(viral, "doc_id", "text")
+    // uncapped: the shared "click here to" makes all 6 pairs candidates
+    val uncapped = postingListCandidates(sh, "doc_id", dfCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 6)
+    // df cap 3 kills the viral shingle (df=4); 1&2 still pair via
+    // their rare shared grams, the viral-only pairs disappear
+    val capped = postingListCandidates(sh, "doc_id", dfCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+  }
+
   test("wordNgrams: short inputs give empty arrays, order preserved") {
     val df = Seq("a b c d", "a b").toDF("t")
       .select(wordNgrams(tokens(col("t")), 3).as("g"))

@@ -59,6 +59,27 @@ class IncrementalSpec extends SparkSpec {
     assert(rows == Set(("2024-01-01", 1L), ("2024-01-02", 2L), ("2024-01-03", 3L)))
   }
 
+  test("sink probe goes through the Hadoop FS API: file: URIs work") {
+    val path = "file://" + tmp()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    assert(Incremental.appendIncrement(df, path, "k") == 2)
+    assert(Incremental.appendIncrement(df, path, "k") == 0)
+  }
+
+  test("partitioned watermark compares in the column's type, not dir-name order") {
+    val path = tmp()
+    // lexicographic max of dirs would be '9' — the typed max is 10
+    val first = Seq((9L, "a"), (10L, "b")).toDF("p", "v")
+    assert(Incremental.appendIncrementPartitioned(first, path, "p") == 2)
+    // 9 and 10 already present; only 11 is new. A string compare
+    // ('11' < '9') would wrongly re-append nothing — or worse,
+    // re-append 10.
+    val next = Seq((9L, "dup"), (10L, "dup"), (11L, "new")).toDF("p", "v")
+    assert(Incremental.appendIncrementPartitioned(next, path, "p") == 1)
+    val parts = spark.read.parquet(path).select("p").as[Long].collect().sorted
+    assert(parts.toSeq == Seq(9L, 10L, 11L))
+  }
+
   test("JdbcDdl generates ALTER only for missing columns, case-insensitively") {
     val existing = StructType(Seq(StructField("id", LongType),
       StructField("Name", StringType)))
