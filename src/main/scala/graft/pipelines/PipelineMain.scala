@@ -1,0 +1,210 @@
+package graft.pipelines
+
+import graft.operators.Incremental
+import graft.sources.{SchemaGuard, Sinks}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The `run.py`-equivalent orchestrator (reference: run.py:29-31) —
+  * bronze ingest, then the five pipelines in the reference's notebook
+  * order (scripts → gitlab → projectsync → yougile → logs), fail-fast
+  * like its `subprocess.run(check=True)`: the first failing stage
+  * aborts the run and nothing downstream executes.
+  *
+  * Orchestration discipline the reference gets for free from eager
+  * pandas, made explicit under Spark's laziness:
+  *  - bronze schemas are inferred ONCE at ingest and checked against
+  *    the declared contract (SchemaGuard) before any pipeline plans;
+  *  - the K6 spreadsheet writeback is forced by an action BEFORE the
+  *    mapping is re-read for the gitlab enrichment join, so the side
+  *    effect cannot be reordered behind it;
+  *  - the projectsync sinks go through the K5 watermark-incremental
+  *    append (re-running the whole orchestrator appends 0).
+  */
+object PipelineMain {
+
+  final case class StageResult(stage: String, sinkRows: Map[String, Long])
+
+  /** Bronze contracts — the columns each pipeline dereferences
+    * (FIXTURES.md). Only presence/type of these is load-bearing;
+    * additions pass through (the incremental sink evolves).
+    */
+  private val contracts: Map[String, StructType] = Map(
+    "tim_export_monitoring" -> StructType(Seq(
+      StructField("plugin_id", StringType),
+      StructField("user_display_name", StringType),
+      StructField("project_name", StringType))),
+    "tim_export_log" -> StructType(Seq(
+      StructField("plugin_id", StringType),
+      StructField("user_display_name", StringType))),
+    "tim_export_project_sync" -> StructType(Seq(
+      StructField("project_name", StringType),
+      StructField("user_display_name", StringType))),
+    "plugin" -> StructType(Seq(
+      StructField("id", StringType),
+      StructField("display_name", StringType),
+      StructField("developer", StringType))),
+    "development_stage" -> StructType(Seq(
+      StructField("description", StringType))),
+    "plugin_mapping" -> StructType(Seq(
+      StructField("gitlab_name", StringType),
+      StructField("tim_guid", StringType))),
+    "gitlab_repos" -> StructType(Seq(
+      StructField("name", StringType))),
+    "ad_users" -> StructType(Seq(
+      StructField("display_name", StringType))),
+    "yougile_users" -> StructType(Seq(
+      StructField("user_id", StringType),
+      StructField("real_name", StringType))))
+
+  /** CSV bronze read: inference happens here and only here; breaking
+    * drift (contract column removed or retyped) aborts the run.
+    */
+  def readBronze(spark: SparkSession, bronzeDir: String, name: String): DataFrame = {
+    val df = spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(s"$bronzeDir/$name")
+    contracts.get(name).foreach(c => SchemaGuard.requireCompatible(c, df.schema))
+    df
+  }
+
+  private val yougileTaskSchema = StructType(Seq(
+    StructField("task_id", StringType),
+    StructField("title", StringType),
+    StructField("assigned", ArrayType(StringType)),
+    StructField("subtasks", ArrayType(StringType)),
+    StructField("created_ms", LongType),
+    StructField("completed_ms", LongType),
+    StructField("stickers", StringType)))
+
+  private val gitlabScanSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("chosen_branch", StringType),
+    StructField("loc_by_language", MapType(StringType, LongType))))
+
+  private val mappingWriteSchema = StructType(Seq(
+    StructField("gitlab_name", StringType),
+    StructField("gitlab_id", LongType),
+    StructField("tim_guid", StringType),
+    StructField("yougile_guid", StringType)))
+
+  /** fail-fast wrapper: name the stage, abort the whole run. */
+  private def stage[A](name: String)(body: => A): A =
+    try body catch {
+      case e: Throwable => throw new RuntimeException(
+        s"pipeline stage '$name' failed — run aborted (fail-fast)", e)
+    }
+
+  private def sink(df: DataFrame, sinkDir: String, name: String): (String, Long) = {
+    df.write.mode("overwrite").parquet(s"$sinkDir/$name")
+    name -> df.sparkSession.read.parquet(s"$sinkDir/$name").count()
+  }
+
+  /** The full run. Returns per-stage sink row counts, in execution
+    * order. `bimUsers` and the projectsync classifier are run config
+    * (the reference hard-codes them in notebook cells).
+    */
+  def run(spark: SparkSession, bronzeDir: String, sinkDir: String,
+      bimUsers: Seq[String],
+      syncCfg: ProjectSync.Config): Seq[StageResult] = {
+
+    // shared dims, read once before any stage (run.py's extractors
+    // phase has already landed them in bronze)
+    val plugins = stage("bronze") { readBronze(spark, bronzeDir, "plugin") }
+    val stages = readBronze(spark, bronzeDir, "development_stage")
+
+    // 1. scripts — monitoring fact through the four-hop dim chain
+    val scriptsResult = stage("scripts") {
+      val monitoring = readBronze(spark, bronzeDir, "tim_export_monitoring")
+      val mapping = readBronze(spark, bronzeDir, "plugin_mapping")
+      val gitScan = spark.read.schema(gitlabScanSchema)
+        .json(s"$bronzeDir/gitlab_scan")
+      val out = Scripts.transform(monitoring, plugins, stages, mapping,
+        gitScan, bimUsers)
+      val (bim, designers) = Scripts.split(out)
+      StageResult("scripts", Map(
+        sink(bim, sinkDir, "scripts_bim"),
+        sink(designers, sinkDir, "scripts_designers")))
+    }
+
+    // 2. gitlab — K6 FIRST: the unmapped-plugin writeback is an action
+    // (collect + append) that completes before the mapping is re-read,
+    // so the enrichment join below sees the appended rows. Laziness
+    // must not reorder this; forcing it here is the whole point.
+    val gitlabResult = stage("gitlab") {
+      val repos = readBronze(spark, bronzeDir, "gitlab_repos")
+      val mapping = readBronze(spark, bronzeDir, "plugin_mapping")
+      val unmapped = Gitlab.unmappedPlugins(repos, mapping)
+      val written = Sinks.writebackUnmapped(unmapped, rows => {
+        val add = spark.createDataFrame(
+          java.util.Arrays.asList(rows.map(r =>
+            // bronze inference may have sized the id to int — the
+            // sheet schema is canonical long
+            Row(r.getString(0), r.get(1).toString.toLong, null, null)): _*),
+          mappingWriteSchema)
+        Sinks.csvAppend(add, s"$bronzeDir/plugin_mapping")
+      })
+      val mappingAfter = readBronze(spark, bronzeDir, "plugin_mapping")
+      val enriched = Gitlab.transform(repos, mappingAfter, plugins)
+      StageResult("gitlab", Map(
+        sink(enriched, sinkDir, "gitlab_enriched"),
+        "mapping_writeback" -> written))
+    }
+
+    // 3. projectsync — K5 watermark-incremental sinks: the whole
+    // orchestrator is idempotent because re-runs append 0 here
+    val syncResult = stage("projectsync") {
+      val sync = readBronze(spark, bronzeDir, "tim_export_project_sync")
+        .withColumn("date", col("date").cast(TimestampType))
+      val ad = readBronze(spark, bronzeDir, "ad_users")
+      val out = ProjectSync.transform(sync, ad, syncCfg)
+      val (bim, designers) = ProjectSync.split(out)
+      StageResult("projectsync", Map(
+        "projectsync_bim" ->
+          Incremental.appendIncrement(bim, s"$sinkDir/projectsync_bim", "date"),
+        "projectsync_designers" ->
+          Incremental.appendIncrement(designers, s"$sinkDir/projectsync_designers", "date")))
+    }
+
+    // 4. yougile — task-tracker export
+    val yougileResult = stage("yougile") {
+      val tasks = spark.read.schema(yougileTaskSchema)
+        .json(s"$bronzeDir/yougile_tasks")
+      val users = readBronze(spark, bronzeDir, "yougile_users")
+      val out = Yougile.transform(tasks, users)
+      StageResult("yougile", Map(sink(out, sinkDir, "yougile_tasks")))
+    }
+
+    // 5. logs — plugin telemetry
+    val logsResult = stage("logs") {
+      val logs = readBronze(spark, bronzeDir, "tim_export_log")
+      val out = Logs.transform(logs, plugins, bimUsers)
+      val (bim, designers) = Logs.split(out)
+      StageResult("logs", Map(
+        sink(bim, sinkDir, "logs_bim"),
+        sink(designers, sinkDir, "logs_designers")))
+    }
+
+    Seq(scriptsResult, gitlabResult, syncResult, yougileResult, logsResult)
+  }
+
+  /** CLI parity with run.py: `runMain graft.pipelines.PipelineMain
+    * <bronzeDir> <sinkDir>`. Classifier/bim config uses the
+    * reference's notebook constants.
+    */
+  def main(args: Array[String]): Unit = {
+    val Array(bronzeDir, sinkDir) = args
+    val spark = graft.GraftSession.getOrCreate()
+    val results = run(spark, bronzeDir, sinkDir,
+      bimUsers = Seq.empty,
+      syncCfg = ProjectSync.Config(
+        userCol = "user_display_name",
+        bimUsers = Seq.empty,
+        objectClassifier = ProjectSync.Classifier("project_name",
+          Seq("атом" -> "АЭС", "ику" -> "ИКУ"), "Неизвестные проекты")))
+    results.foreach(r => println(s"[pipeline] ${r.stage}: ${r.sinkRows}"))
+    spark.stop()
+  }
+}

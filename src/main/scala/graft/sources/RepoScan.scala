@@ -42,4 +42,61 @@ object RepoScan {
       .filter(!col("value").contains("\u0000")) // F17 binary sniff
       .filter(length(trim(col("value"))) > 0)
       .filter(!(col("lang") === "cs" && trim(col("value")).isin("{", "}")))
+
+  // ---- multi-branch scan + chosen-branch argmax (the S8 git half) ----
+
+  /** Per-(project, branch, lang) LOC over a `<root>/<project>/<branch>/
+    * ...` tree — the Spark-side shape of the reference's one-clone-all-
+    * refs scan (fetch_gitlab_lines.py:87-117: ls-tree per ref, count
+    * per file). Cloning/ref materialization stays a connector concern;
+    * once refs are laid out as directories the scan is one distributed
+    * pass with the same per-line counting rules as locLines.
+    */
+  def locByProjectBranchLang(spark: SparkSession, root: String): DataFrame = {
+    // anchor on the root's basename rather than the full URI:
+    // input_file_name() and Path.makeQualified disagree on scheme
+    // spelling (file:/// vs file:/), but both end with
+    // .../<rootName>/<project>/<branch>/...
+    val rootName = java.util.regex.Pattern.quote(
+      new org.apache.hadoop.fs.Path(root).getName)
+    locLines(spark, root)
+      .withColumn("rel",
+        regexp_extract(col("path"), s"/$rootName/(.+)$$", 1))
+      .withColumn("project", split(col("rel"), "/").getItem(0))
+      .withColumn("branch", split(col("rel"), "/").getItem(1))
+      .groupBy("project", "branch", "lang")
+      .agg(count(lit(1)).as("loc"))
+  }
+
+  /** The reference's branch policy (fetch_gitlab_lines.py:78-84,
+    * 148-152): consider only {default-or-main, master} ∪ {branches
+    * containing "dev"}; pick the branch with the most total LOC and
+    * report its per-language breakdown. `defaults` is a per-project
+    * (project, default_branch) dim — broadcast, like every dim here.
+    * Tie-break is (total desc, branch asc): the reference's Python
+    * `max` over a set-ordered dict is arbitrary on ties, so the
+    * deterministic rule is ours by design.
+    */
+  def chosenBranchLoc(spark: SparkSession, root: String,
+      defaults: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = locByProjectBranchLang(spark, root)
+    val eligible = byLang
+      .join(broadcast(defaults), Seq("project"), "left")
+      .filter(col("branch") === coalesce(col("default_branch"), lit("main")) ||
+        col("branch") === "master" ||
+        lower(col("branch")).contains("dev"))
+      .drop("default_branch")
+    val totals = eligible.groupBy("project", "branch")
+      .agg(sum("loc").as("total"))
+    val w = Window.partitionBy("project")
+      .orderBy(col("total").desc, col("branch").asc)
+    val chosen = totals
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("project"), col("branch"))
+    eligible.join(chosen, Seq("project", "branch"))
+      .select(col("project"), col("branch").as("chosen_branch"),
+        col("lang"), col("loc"))
+  }
 }

@@ -39,4 +39,30 @@ class RepoScanSpec extends SparkSpec {
     val top = byFile.orderBy(desc("loc")).limit(1).head()
     assert(top.getLong(2) > 100)
   }
+
+  test("multi-branch fixture: eligible set is default ∪ master ∪ *dev*, " +
+      "argmax picks the fattest branch per project") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_branches")
+    def write(rel: String, text: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, text)
+    }
+    // projA: default=main (3 loc), dev-feature (10 loc), release (100
+    // loc but NOT eligible — must never be chosen)
+    write("projA/main/src/a.py", (1 to 3).map(i => s"x = $i").mkString("\n"))
+    write("projA/dev-feature/src/a.py", (1 to 10).map(i => s"x = $i").mkString("\n"))
+    write("projA/release/big.py", (1 to 100).map(i => s"x = $i").mkString("\n"))
+    // projB: master only, C# brace-only lines don't count (2 of 5)
+    write("projB/master/b.cs", "class B\n{\nint x;\nint y;\n}")
+    val defaults = Seq(("projA", "main"), ("projB", "master"))
+      .toDF("project", "default_branch")
+
+    val got = RepoScan.chosenBranchLoc(spark, root.toString, defaults)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSet == Set(
+      ("projA", "dev-feature", "py", 10L),
+      ("projB", "master", "cs", 3L)))
+  }
 }
