@@ -528,22 +528,45 @@ object Dedup {
         |SELECT id_a, id_b, dist FROM d WHERE dist <= 3
         |ORDER BY id_a, id_b""".stripMargin),
 
-    // Embedding-cosine near-dup: all-pairs here (embeddings table is
-    // dim-table-sized); the LSH-bucketed variant in Similarity.scala
-    // is the path for corpus-scale inputs. Norms precomputed per row —
-    // one dot product per pair.
+    // Embedding-cosine near-dup: EXACT all-pairs, but block-structured
+    // — never a crossJoin. Exact above-threshold similarity at cos 0.4
+    // is inherently Θ(n²) compute (hyperplane LSH stops pruning this
+    // far below ~0.8 — plane-agreement is ~0.63, so bands pass most
+    // random pairs while still losing true ones); what must NOT be
+    // quadratic is the *plan's memory and task shape*. Each vector
+    // gets block = vec_id % B; the B(B+1)/2 unordered block pairs are
+    // a broadcast literal; the corpus joins it twice by block id. Every
+    // task then scores one bounded block×block tile — no all-rows
+    // broadcast, no BroadcastNestedLoopJoin, even parallelism at any n
+    // (scale B ~ n/5e4 to hold tile size constant). Sub-quadratic
+    // near-dup at real thresholds is q_dedup_minhash / Similarity's
+    // ANN; this query is the exact-similarity operator done in the
+    // only shape that survives a big corpus. Norms precomputed per
+    // row — one codegen'd fdot per pair.
     "q_dedup_embedding" -> QueryDef(
       (s, dir) => {
         import graft.functions.FloatDotProduct.fdot
+        val B = 32
+        val blockPairs = {
+          import s.implicits._
+          val ps = for { i <- 0 until B; j <- i until B } yield (i, j)
+          broadcast(ps.toDF("blk_a", "blk_b"))
+        }
         val e = table(s, dir, "embeddings")
           .repartition(s.sparkContext.defaultParallelism)
           .withColumn("norm", sqrt(fdot(col("embedding"), col("embedding"))))
+          .withColumn("blk", pmod(col("vec_id"), lit(B)).cast(IntegerType))
         val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
-          col("norm").as("n_a"))
+          col("norm").as("n_a"), col("blk").as("blk_a"))
         val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
-          col("norm").as("n_b"))
-        a.crossJoin(b).filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"),
+          col("norm").as("n_b"), col("blk").as("blk_b"))
+        a.join(blockPairs, Seq("blk_a"))
+          .join(b, Seq("blk_b"))
+          // same-block tiles carry both orientations — halve by id;
+          // cross-block tiles appear once, either orientation of ids
+          .filter(col("blk_a") =!= col("blk_b") || col("id_a") < col("id_b"))
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"),
             (fdot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos_raw"))
           .filter(col("cos_raw") >= 0.4) // threshold on RAW value, like the oracle
           .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos"))

@@ -84,4 +84,54 @@ object Rest {
     val df = spark.createDataset(items).toDF()
     df.repartition(spark.sparkContext.defaultParallelism)
   }
+
+  // ---- S6: SharePoint OData-verbose envelope ----------------------------
+
+  /** Auth is a transport concern (the reference's
+    * requests_ntlm HttpNtlmAuth, fetch_sharepoint_users.py:21-27):
+    * the engine only requires that *something* decorates the request.
+    * A transport closes over its AuthContext; the parse below never
+    * sees credentials.
+    */
+  final case class AuthContext(headers: Map[String, String] = Map(
+    "Accept" -> "application/json;odata=verbose"))
+
+  /** `data['d']['results']` of an `odata=verbose` payload as an array
+    * column (fetch_sharepoint_users.py:29-31). Declared item schema —
+    * unknown fields are dropped by from_json, exactly like the
+    * reference's column projection after DataFrame(users).
+    */
+  def odataVerboseResults(payload: org.apache.spark.sql.Column,
+      itemSchema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+    org.apache.spark.sql.functions.from_json(payload,
+      StructType(Seq(StructField("d", StructType(Seq(
+        StructField("results", ArrayType(itemSchema))))))))
+      .getField("d").getField("results")
+  }
+
+  /** The site-users export end to end (S6): one authed GET (driver-
+    * side, catalog-sized — same rationale as `paginate`), envelope
+    * parse, the reference's exact 4-column projection
+    * (fetch_sharepoint_users.py:33). The fetch seam takes the
+    * AuthContext so tests (and a real NTLM transport) plug in behind
+    * the same signature.
+    */
+  def sharePointSiteUsers(spark: SparkSession,
+      fetchBody: AuthContext => String,
+      auth: AuthContext = AuthContext()): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val itemSchema = StructType(Seq(
+      StructField("Id", LongType),
+      StructField("Title", StringType),
+      StructField("Email", StringType),
+      StructField("LoginName", StringType)))
+    val body = withRetry()(() => fetchBody(auth))
+    import spark.implicits._
+    Seq(body).toDF("payload")
+      .select(explode(odataVerboseResults(col("payload"), itemSchema)).as("u"))
+      .select(col("u.Id").as("Id"), col("u.Title").as("Title"),
+        col("u.Email").as("Email"), col("u.LoginName").as("LoginName"))
+  }
 }

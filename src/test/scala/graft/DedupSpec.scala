@@ -112,6 +112,14 @@ class DedupSpec extends SparkSpec {
     assert(capped == Set((1L, 2L)))
   }
 
+  test("q_dedup_embedding: block-structured exact all-pairs — equi-join plan, " +
+      "no nested loop") {
+    val plan = graft.operators.Dedup.defs("q_dedup_embedding")
+      .fn(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("wordNgrams: short inputs give empty arrays, order preserved") {
     val df = Seq("a b c d", "a b").toDF("t")
       .select(wordNgrams(tokens(col("t")), 3).as("g"))

@@ -79,4 +79,27 @@ class RestSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
     assert(df.count() == 3)
   }
+
+  test("S6: OData-verbose envelope parse, 4-column projection, auth on the seam") {
+    var seenAccept: Option[String] = None
+    val body = """{"d":{"results":[
+      {"Id": 7, "Title": "Григорьев Роман", "Email": "r@x.ru",
+       "LoginName": "i:0#.w|dom\\r.grigoriev", "IsSiteAdmin": true,
+       "PrincipalType": 1},
+      {"Id": 9, "Title": "Анна", "Email": null,
+       "LoginName": "i:0#.w|dom\\anna", "IsSiteAdmin": false}
+    ]}}"""
+    val got = Rest.sharePointSiteUsers(spark, auth => {
+      seenAccept = auth.headers.get("Accept"); body
+    })
+    // the transport saw the odata=verbose accept header
+    assert(seenAccept.contains("application/json;odata=verbose"))
+    // exactly the reference's projection — extra payload fields dropped
+    assert(got.columns.toSeq == Seq("Id", "Title", "Email", "LoginName"))
+    val rows = got.orderBy("Id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 7L)
+    assert(rows(0).getString(1) == "Григорьев Роман")
+    assert(rows(1).isNullAt(2)) // null Email survives as null
+  }
 }
