@@ -261,6 +261,35 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Above-threshold exact-Jaccard pairs from the inverted index
+    * ALONE: the number of posting-join hits per (id_a, id_b) IS
+    * |A∩B| (shingle sets are distinct), and |A∪B| = |A|+|B|−|A∩B| from
+    * two broadcast-sized size lookups — so verification costs one
+    * count aggregate over the join, never an array_intersect over
+    * materialized shingle arrays. At sf0.1 the array formulation spent
+    * 16 s intersecting ~150-element arrays for 1.1 M candidates that
+    * yield 256 pairs; the counting join prices each candidate at one
+    * tally. J ≥ t ⟺ ∩ ≥ t·(|A|+|B|−∩), multiplication instead of
+    * division so the compare stays in integers×one-double.
+    */
+  def jaccardPairs(sh: DataFrame, idCol: String, minJaccard: Double,
+      dfCap: Int = StopShingleDf): DataFrame = {
+    val inv = sh.select(col(idCol), explode(col("sh")).as("g"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("__df") <= dfCap)
+      .drop("__df")
+    val sizes = sh.select(col(idCol), size(col("sh")).as("n"))
+    inv.select(col(idCol).as("id_a"), col("g"))
+      .join(inv.select(col(idCol).as("id_b"), col("g")), "g")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("__na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("__nb")), "id_b")
+      .filter(col("__inter") >=
+        (col("__na") + col("__nb") - col("__inter")) * minJaccard)
+      .select("id_a", "id_b")
+  }
+
   // ---------- pair graph → clusters ------------------------------------
 
   /** Connected components over a near-dup pair list (id_a, id_b) by
@@ -593,12 +622,7 @@ object Dedup {
       (s, dir) => {
         val d = shingled(table(s, dir, "documents"), "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cand = postingListCandidates(d, "doc_id")
-        val pairs = cand
-          .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-          .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-          .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.5)
-          .select("id_a", "id_b")
+        val pairs = jaccardPairs(d, "doc_id", minJaccard = 0.5)
         clusterPairs(pairs).orderBy("id")
       },
       """WITH RECURSIVE sh AS (
