@@ -67,8 +67,12 @@ object Corpus {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // the filtered+exact-deduped corpus feeds three passes (LSH pair
     // generation, the anti join, the final projection) — persist it
-    // once instead of recomputing the scan+filter+semi-join chain
-    val base = exactDedup(qualityFilter(docs, cfg), idCol, textCol)
+    // once instead of recomputing the scan+filter+semi-join chain.
+    // Repartition FIRST: a small single-file source scans as one
+    // partition, and the quality regexes + fingerprint md5 would run
+    // on one core of the cluster (measured 3.8 s of the sf0.1 run).
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val base = exactDedup(qualityFilter(docs.repartition(par), cfg), idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cleaned = nearDedup(base, idCol, textCol, cfg.nearDupJaccard)
     cleaned.withColumn("n_tokens", size(TextAnalysis.tokens(col(textCol))))
