@@ -207,29 +207,51 @@ object Dedup {
     * Staged projections: tokens → md5 hexes → 4 segment-hash arrays →
     * segment signatures; each array materializes once per row.
     */
+  private val bitMasks64 = typedlit((0 until 64).map(b => 1L << b))
+
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // one combined 64-bit token hash (4 hex slices shifted together)
+    // and ONE 64-wide vote aggregate, not 4 arrays × 4 aggregates —
+    // HOFs are interpreted, so array traversals and aggregate
+    // overhead dominate; this is the same op count in 1/4 the passes.
+    // __votes is staged as its own projection: the seg extraction
+    // below reads it 4 times, and an inline aggregate would re-run
+    // per use.
+    val h64 = (m: Column) => (0 until 4).map(k =>
+      shiftleft(conv(substring(m, k * 4 + 1, 4), 16, 10).cast(LongType), k * 16))
+      .reduce((a, b) => a.bitwiseOR(b))
     val sigs = docs.select(col(idCol), col(textCol))
       .repartition(par)
       .select(col(idCol), array_distinct(tokens(col(textCol))).as("__toks"))
-      .select(col(idCol), transform(col("__toks"), t => md5(t)).as("__md5"))
-      .select(col(idCol) +: (0 until 4).map(k =>
-        transform(col("__md5"), m =>
-          conv(substring(m, k * 4 + 1, 4), 16, 10).cast(LongType)).as(s"__h$k")): _*)
+      .select(col(idCol), transform(col("__toks"), t => h64(md5(t))).as("__h"))
+      .select(col(idCol), aggregate(col("__h"), array_repeat(lit(0L), 64),
+        (acc, h) => zip_with(acc, bitMasks64, (a, m) =>
+          a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L))).as("__votes"))
       .select(col(idCol),
-        array((0 until 4).map(k => simhashSegment(col(s"__h$k"))): _*).as("segs"))
+        array((0 until 4).map { k =>
+          aggregate(zip_with(slice(col("__votes"), k * 16 + 1, 16), bitMasks16,
+            (v, m) => when(v > 0, m).otherwise(0L)), lit(0L), (a, v) => a + v)
+        }: _*).as("segs"))
     val seg = sigs.select(col(idCol), col("segs"),
       posexplode(col("segs")).as(Seq("seg", "seg_key")))
     val l = seg.toDF("id_a", "segs_a", "seg", "seg_key")
     val r = seg.toDF("id_b", "segs_b", "seg", "seg_key")
     l.join(r, Seq("seg", "seg_key"))
       .filter(col("id_a") < col("id_b"))
+      // a pair sharing s segments surfaces s times — keep only its
+      // FIRST shared segment (both sigs ride along, so "is this the
+      // first equal index" is a row-local predicate). Candidates are
+      // then unique per pair BY CONSTRUCTION: the usual
+      // distinct-on-candidates shuffle disappears, and the hamming
+      // distance is computed once per pair instead of once per echo.
+      .filter(col("seg") + 1 === array_position(
+        zip_with(col("segs_a"), col("segs_b"), (x, y) => x === y), true))
       .select(col("id_a"), col("id_b"),
         aggregate(zip_with(col("segs_a"), col("segs_b"),
           (x, y) => bit_count(x.bitwiseXOR(y)).cast(LongType)),
           lit(0L), (a, v) => a + v).as("dist"))
-      .distinct()
       .filter(col("dist") <= maxDist)
   }
 
