@@ -122,13 +122,25 @@ object Dedup {
     */
   def lshBandsFromShingles(sh: DataFrame, idCol: String): DataFrame = {
     val rows = NumHashes / Bands
-    sh.select(col(idCol),
-        transform(col("sh"), s => hash32(s)).as("h32"))
-      .select(col(idCol), minhashSignature(col("h32")).as("sig"))
-      .select(col(idCol), posexplode(
-        array((0 until Bands).map { b =>
-          concat_ws(":", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
-        }: _*)).as(Seq("band", "band_key")))
+    // Signatures as codegen'd grouped aggregation, not HOF lambdas:
+    // explode the shingles to rows, hash each once (whole-stage
+    // codegen md5), and take the 64 permutation minima as grouped min
+    // aggregates with map-side partial combine — the interpreted
+    // aggregate/zip_with formulation was the corpus bench's hottest
+    // stage. Docs with NO shingles (< 3 tokens) drop out of the
+    // explode; they previously carried an all-P sentinel signature,
+    // banded together, and were always discarded by the exact-Jaccard
+    // verify (empty ∩ empty = 0) — the emitted pair set is identical.
+    val inv = sh.select(col(idCol), explode(col("sh")).as("__g"))
+      .select(col(idCol), hash32(col("__g")).as("__h"))
+    val minCols = hashParams.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("__h") * a + b, lit(P))).as(s"__m$i")
+    }
+    val sig = inv.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+    sig.select(col(idCol), posexplode(
+      array((0 until Bands).map { bnd =>
+        concat_ws(":", (0 until rows).map(r => col(s"__m${bnd * rows + r}")): _*)
+      }: _*)).as(Seq("band", "band_key")))
   }
 
   def lshBands(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -207,33 +219,34 @@ object Dedup {
     * Staged projections: tokens → md5 hexes → 4 segment-hash arrays →
     * segment signatures; each array materializes once per row.
     */
-  private val bitMasks64 = typedlit((0 until 64).map(b => 1L << b))
-
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    // one combined 64-bit token hash (4 hex slices shifted together)
-    // and ONE 64-wide vote aggregate, not 4 arrays × 4 aggregates —
-    // HOFs are interpreted, so array traversals and aggregate
-    // overhead dominate; this is the same op count in 1/4 the passes.
-    // __votes is staged as its own projection: the seg extraction
-    // below reads it 4 times, and an inline aggregate would re-run
-    // per use.
+    // The signature stage runs FULLY whole-stage-codegen'd: explode
+    // the distinct tokens to rows, hash each once (one combined
+    // 64-bit value from the 4 md5 hex slices), then vote all 64 bits
+    // as grouped ±1 sum aggregates with map-side partial combine.
+    // The higher-order-function formulation (transform + aggregate
+    // lambdas) evaluates interpreted and was the bench's slowest
+    // stage; as rows, the same arithmetic is Tungsten codegen, and
+    // the groupBy shuffle carries one 64-long buffer per doc.
     val h64 = (m: Column) => (0 until 4).map(k =>
       shiftleft(conv(substring(m, k * 4 + 1, 4), 16, 10).cast(LongType), k * 16))
       .reduce((a, b) => a.bitwiseOR(b))
-    val sigs = docs.select(col(idCol), col(textCol))
+    val toks = docs.select(col(idCol), col(textCol))
       .repartition(par)
-      .select(col(idCol), array_distinct(tokens(col(textCol))).as("__toks"))
-      .select(col(idCol), transform(col("__toks"), t => h64(md5(t))).as("__h"))
-      .select(col(idCol), aggregate(col("__h"), array_repeat(lit(0L), 64),
-        (acc, h) => zip_with(acc, bitMasks64, (a, m) =>
-          a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L))).as("__votes"))
-      .select(col(idCol),
-        array((0 until 4).map { k =>
-          aggregate(zip_with(slice(col("__votes"), k * 16 + 1, 16), bitMasks16,
-            (v, m) => when(v > 0, m).otherwise(0L)), lit(0L), (a, v) => a + v)
-        }: _*).as("segs"))
+      .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("__t"))
+      .select(col(idCol), h64(md5(col("__t"))).as("__h"))
+    val voteCols = (0 until 64).map(b =>
+      sum(when(col("__h").bitwiseAND(lit(1L << b)) =!= 0, 1L).otherwise(-1L))
+        .as(s"__v$b"))
+    val votes = toks.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
+    val sigs = votes.select(col(idCol),
+      array((0 until 4).map { k =>
+        (0 until 16).map(j =>
+          when(col(s"__v${k * 16 + j}") > 0, lit(1L << j)).otherwise(0L))
+          .reduce((a, b) => a + b)
+      }: _*).as("segs"))
     val seg = sigs.select(col(idCol), col("segs"),
       posexplode(col("segs")).as(Seq("seg", "seg_key")))
     val l = seg.toDF("id_a", "segs_a", "seg", "seg_key")
