@@ -241,30 +241,38 @@ object Dedup {
       sum(when(col("__h").bitwiseAND(lit(1L << b)) =!= 0, 1L).otherwise(-1L))
         .as(s"__v$b"))
     val votes = toks.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
-    val sigs = votes.select(col(idCol),
-      array((0 until 4).map { k =>
-        (0 until 16).map(j =>
-          when(col(s"__v${k * 16 + j}") > 0, lit(1L << j)).otherwise(0L))
-          .reduce((a, b) => a + b)
-      }: _*).as("segs"))
-    val seg = sigs.select(col(idCol), col("segs"),
-      posexplode(col("segs")).as(Seq("seg", "seg_key")))
-    val l = seg.toDF("id_a", "segs_a", "seg", "seg_key")
-    val r = seg.toDF("id_b", "segs_b", "seg", "seg_key")
+    // segments as four plain long columns (no array anywhere): the
+    // fan-out join below is the volume axis, and flat columns keep
+    // its predicates and the hamming math inside whole-stage codegen
+    val sigs = votes.select(col(idCol) +: (0 until 4).map { k =>
+      (0 until 16).map(j =>
+        when(col(s"__v${k * 16 + j}") > 0, lit(1L << j)).otherwise(0L))
+        .reduce((a, b) => a + b).as(s"__s$k")
+    }: _*)
+    val seg = sigs.select(
+      col(idCol) +: (0 until 4).map(k => col(s"__s$k")) :+
+        posexplode(array((0 until 4).map(k => col(s"__s$k")): _*))
+          .as(Seq("seg", "seg_key")): _*)
+    val l = seg.toDF("id_a", "a0", "a1", "a2", "a3", "seg", "seg_key")
+    val r = seg.toDF("id_b", "b0", "b1", "b2", "b3", "seg", "seg_key")
+    def neq(k: Int) = col(s"a$k") =!= col(s"b$k")
     l.join(r, Seq("seg", "seg_key"))
       .filter(col("id_a") < col("id_b"))
       // a pair sharing s segments surfaces s times — keep only its
-      // FIRST shared segment (both sigs ride along, so "is this the
-      // first equal index" is a row-local predicate). Candidates are
-      // then unique per pair BY CONSTRUCTION: the usual
-      // distinct-on-candidates shuffle disappears, and the hamming
-      // distance is computed once per pair instead of once per echo.
-      .filter(col("seg") + 1 === array_position(
-        zip_with(col("segs_a"), col("segs_b"), (x, y) => x === y), true))
+      // FIRST shared segment (a row-local predicate: every earlier
+      // segment differs; the join itself pins seg_key equality at
+      // `seg`). Candidates are then unique per pair BY CONSTRUCTION:
+      // the usual distinct-on-candidates shuffle disappears and the
+      // hamming distance is computed once per pair, not once per echo.
+      .filter(
+        (col("seg") === 0) ||
+        (col("seg") === 1 && neq(0)) ||
+        (col("seg") === 2 && neq(0) && neq(1)) ||
+        (col("seg") === 3 && neq(0) && neq(1) && neq(2)))
       .select(col("id_a"), col("id_b"),
-        aggregate(zip_with(col("segs_a"), col("segs_b"),
-          (x, y) => bit_count(x.bitwiseXOR(y)).cast(LongType)),
-          lit(0L), (a, v) => a + v).as("dist"))
+        (0 until 4).map(k =>
+          bit_count(col(s"a$k").bitwiseXOR(col(s"b$k"))).cast(LongType))
+          .reduce((x, y) => x + y).as("dist"))
       .filter(col("dist") <= maxDist)
   }
 
