@@ -92,6 +92,33 @@ object EventsStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** The 100 TB flavor of the K5 incremental sink (SURVEY §7.5 #7):
+    * incremental ingest as a checkpointed Structured Streaming file
+    * sink. Each Trigger.AvailableNow run processes exactly the source
+    * files the checkpoint hasn't committed — restart-safe
+    * exactly-once with no watermark column, no directory listing, and
+    * none of the lexicographic-max pitfalls of hand-rolled
+    * watermarks. Pair with a `readStream` source (e.g. readEvents);
+    * the caller awaits the returned query.
+    */
+  def incrementalFileIngest(src: DataFrame, sinkDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    src.writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Stream-static dimension enrichment — the Logs/Scripts broadcast
+    * join in streaming form. The static side re-plans per micro-batch
+    * (a file-backed dim refreshes between batches); the stream side
+    * never shuffles.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Watermarked tumbling-window counts per event type — the canonical
     * late-data-tolerant streaming aggregate. State is bounded by the
     * watermark horizon regardless of stream length.

@@ -98,4 +98,23 @@ class PropertiesSpec extends SparkSpec {
       assert(math.abs(sigSim - jac) <= 0.35, s"sigSim=$sigSim jac=$jac")
     }
   }
+
+  test("jaccardPairs (counting join) agrees with array-math jaccard on random docs") {
+    // random short docs over a small vocabulary so overlaps actually occur
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val doc = Gen.listOfN(8, Gen.oneOf(vocab)).map(_.mkString(" "))
+    val docs = sample(doc, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sh = Dedup.shingled(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counting = Dedup.jaccardPairs(sh, "doc_id", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = sh.toDF("id_a", "sh_a")
+    val b = sh.toDF("id_b", "sh_b")
+    val arrays = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sh.unpersist()
+    assert(counting == arrays)
+  }
 }

@@ -43,6 +43,25 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment: broadcast dim joined per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("event_id", "plugin_id")
+    mem.addData((1L, "p1"), (2L, "p9"))
+    val dim = Seq(("p1", "Stair Tool")).toDF("plugin_id", "display_name")
+    val query = EventsStream.enrichWithDim(stream, dim, "plugin_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      assert(query.awaitTermination(120000), "stream did not finish")
+      val got = spark.table("enriched")
+        .collect().map(r => r.getLong(1) -> Option(r.getString(2))).toMap
+      assert(got == Map(1L -> Some("Stair Tool"), 2L -> None))
+    } finally query.stop()
+  }
+
   test("sessionize closes a session when the gap is exceeded") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
@@ -126,15 +145,10 @@ class StreamingSpec extends SparkSpec {
     val out = base.resolve("out").toString
     val ckpt = base.resolve("ckpt").toString
     def runOnce(): Unit = {
-      val q = EventsStream.readEvents(spark, in.toString)
-        .select("event_id", "event_type", "value")
-        .writeStream
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val q = EventsStream.incrementalFileIngest(
+        EventsStream.readEvents(spark, in.toString)
+          .select("event_id", "event_type", "value"),
+        out, ckpt)
       assert(q.awaitTermination(120000), "stream did not finish")
       q.stop()
     }
