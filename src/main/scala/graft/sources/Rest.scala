@@ -76,6 +76,29 @@ object Rest {
         }
     }.flatten
 
+  /** OData-style link pagination: follow the server's continuation
+    * token (`d.__next` / `odata.nextLink`) to exhaustion — the
+    * envelope-driven sibling of limit/offset `paginate`, for APIs
+    * where the server, not the client, owns the cursor. `fetch`
+    * receives None for the first page, then each continuation token;
+    * every page fetch is wrapped in the retry policy. Lazy: pages are
+    * fetched as the iterator is consumed (Iterator#++ is non-strict).
+    */
+  def paginateByLink[A](fetch: Option[String] => (Seq[A], Option[String]),
+      policy: RetryPolicy = RetryPolicy(),
+      sleep: Long => Unit = Thread.sleep): Iterator[A] = {
+    def pages(token: Option[String]): Iterator[Seq[A]] = {
+      val (items, next) = withRetry(policy, sleep)(() => fetch(token))
+      Iterator.single(items) ++ (next match {
+        case Some(t) => pages(Some(t))
+        case None => Iterator.empty
+      })
+    }
+    // Iterator#++'s operand is by-name — the empty prefix defers even
+    // the FIRST fetch until the iterator is consumed
+    (Iterator.empty[Seq[A]] ++ pages(None)).flatten
+  }
+
   /** The driver→cluster seam: connector output becomes a partitioned
     * DataFrame. From here on, every transform is distributed.
     */

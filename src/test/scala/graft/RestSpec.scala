@@ -102,4 +102,32 @@ class RestSpec extends SparkSpec {
     assert(rows(0).getString(1) == "Григорьев Роман")
     assert(rows(1).isNullAt(2)) // null Email survives as null
   }
+
+  test("paginateByLink follows continuation tokens lazily to exhaustion") {
+    var fetched = List.empty[Option[String]]
+    def fetch(tok: Option[String]): (Seq[Int], Option[String]) = {
+      fetched :+= tok
+      tok match {
+        case None => (Seq(1, 2), Some("t1"))
+        case Some("t1") => (Seq(3), Some("t2"))
+        case Some("t2") => (Seq(4, 5), None)
+        case other => fail(s"unexpected token $other")
+      }
+    }
+    val it = Rest.paginateByLink(fetch, sleep = _ => ())
+    assert(fetched.isEmpty) // nothing fetched until consumed
+    assert(it.toSeq == Seq(1, 2, 3, 4, 5))
+    assert(fetched == List(None, Some("t1"), Some("t2")))
+  }
+
+  test("paginateByLink retries a flaky page then continues the chain") {
+    var failures = 1
+    def fetch(tok: Option[String]): (Seq[Int], Option[String]) = tok match {
+      case None => (Seq(1), Some("t"))
+      case Some("t") if failures > 0 => failures -= 1; throw HttpError(503)
+      case Some("t") => (Seq(2), None)
+      case other => fail(s"unexpected token $other")
+    }
+    assert(Rest.paginateByLink(fetch, sleep = _ => ()).toSeq == Seq(1, 2))
+  }
 }
