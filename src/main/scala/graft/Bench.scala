@@ -16,10 +16,19 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () })
     else
       SparkEntry.queries.get("q_max_scalar").foreach(_(spark, sfDir).count())
+    // drop leftover persists/checkpoints between queries: operator
+    // persists (shingle frames, label-propagation checkpoints) are
+    // scoped to their query and would otherwise accumulate cache
+    // pressure across the 60+-query run
+    def dropCaches(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    dropCaches()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropCaches()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
