@@ -20,8 +20,15 @@ object Bench {
     // persists (shingle frames, label-propagation checkpoints) are
     // scoped to their query and would otherwise accumulate cache
     // pressure across the 60+-query run
-    def dropCaches(): Unit =
+    def dropCaches(): Unit = {
+      // clearCache unpersists AND deregisters InMemoryRelations (an
+      // RDD-level unpersist would leave the CacheManager entry, and a
+      // later query with a matching plan fragment would silently pay
+      // re-materialization inside its timed window); the RDD sweep
+      // catches localCheckpoint RDDs, which the catalog doesn't track
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     dropCaches()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

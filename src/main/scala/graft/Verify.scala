@@ -15,6 +15,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // per-query operator persists are scoped to their query
+      // (clearCache also deregisters, so no stale CacheManager entry
+      // gets substituted into a later query's plan)
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -321,7 +321,12 @@ object Dedup {
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("__df") <= dfCap)
       .drop("__df")
-    val sizes = sh.select(col(idCol), size(col("sh")).as("n"))
+    // set sizes from the SAME pruned index: with stop-shingles
+    // dropped, the Jaccard is computed consistently on the pruned
+    // shingle space — mixing a capped intersection with uncapped set
+    // sizes would underestimate J for every pair that contains a
+    // viral shingle, not just viral-only pairs
+    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     inv.select(col(idCol).as("id_a"), col("g"))
       .join(inv.select(col(idCol).as("id_b"), col("g")), "g")
       .filter(col("id_a") < col("id_b"))

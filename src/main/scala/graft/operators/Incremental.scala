@@ -89,12 +89,22 @@ object Incremental {
     // reason. Date-style fixed-width strings order identically either
     // way.
     val dt = df.schema(partitionCol).dataType
+    // a null partition value lands as __HIVE_DEFAULT_PARTITION__ —
+    // never a watermark candidate, and unparseable for numeric
+    // columns (it would NumberFormatException the whole ingest)
+    val parseable = existing.filter { v =>
+      dt match {
+        case LongType | IntegerType | ShortType | ByteType => v.toLongOption.isDefined
+        case DoubleType | FloatType => v.toDoubleOption.isDefined
+        case _ => v != "__HIVE_DEFAULT_PARTITION__"
+      }
+    }
     val maxPart: Option[String] =
-      if (existing.isEmpty) None
+      if (parseable.isEmpty) None
       else Some(dt match {
-        case LongType | IntegerType | ShortType | ByteType => existing.maxBy(_.toLong)
-        case DoubleType | FloatType => existing.maxBy(_.toDouble)
-        case _ => existing.max
+        case LongType | IntegerType | ShortType | ByteType => parseable.maxBy(_.toLong)
+        case DoubleType | FloatType => parseable.maxBy(_.toDouble)
+        case _ => parseable.max
       })
     val fresh = maxPart match {
       case Some(m) => df.filter(col(partitionCol) > lit(m).cast(dt))

@@ -58,8 +58,22 @@ object PipelineMain {
       StructField("user_id", StringType),
       StructField("real_name", StringType))))
 
+  /** Numeric/temporal columns the pipelines dereference. CSV
+    * inference legitimately sizes these differently run to run (41 →
+    * int, 4100000000 → long), so the typed contract can't pin them —
+    * but their ABSENCE is still breaking drift and must abort here,
+    * not as a raw AnalysisException three joins later.
+    */
+  private val requiredCols: Map[String, Seq[String]] = Map(
+    "gitlab_repos" -> Seq("id"),
+    "plugin" -> Seq("development_stage_id"),
+    "plugin_mapping" -> Seq("gitlab_id"),
+    "development_stage" -> Seq("id"),
+    "tim_export_project_sync" -> Seq("date"))
+
   /** CSV bronze read: inference happens here and only here; breaking
-    * drift (contract column removed or retyped) aborts the run.
+    * drift (contract column removed or retyped, or a dereferenced
+    * numeric/temporal column missing) aborts the run.
     */
   def readBronze(spark: SparkSession, bronzeDir: String, name: String): DataFrame = {
     val df = spark.read
@@ -67,6 +81,11 @@ object PipelineMain {
       .option("inferSchema", "true")
       .csv(s"$bronzeDir/$name")
     contracts.get(name).foreach(c => SchemaGuard.requireCompatible(c, df.schema))
+    val missing = requiredCols.getOrElse(name, Nil)
+      .filterNot(df.columns.map(_.toLowerCase).contains)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"schema drift: $name removed: ${missing.mkString(",")}")
     df
   }
 
@@ -112,8 +131,10 @@ object PipelineMain {
 
     // shared dims, read once before any stage (run.py's extractors
     // phase has already landed them in bronze)
-    val plugins = stage("bronze") { readBronze(spark, bronzeDir, "plugin") }
-    val stages = readBronze(spark, bronzeDir, "development_stage")
+    val (plugins, stages) = stage("bronze") {
+      (readBronze(spark, bronzeDir, "plugin"),
+        readBronze(spark, bronzeDir, "development_stage"))
+    }
 
     // 1. scripts — monitoring fact through the four-hop dim chain
     val scriptsResult = stage("scripts") {
@@ -144,7 +165,14 @@ object PipelineMain {
             // sheet schema is canonical long
             Row(r.getString(0), r.get(1).toString.toLong, null, null)): _*),
           mappingWriteSchema)
-        Sinks.csvAppend(add, s"$bronzeDir/plugin_mapping")
+        // align to the live file's physical column order: Spark's CSV
+        // reader maps part files positionally against the first
+        // file's header, so an order mismatch would silently shear
+        // values into the wrong columns on the re-read
+        val aligned = add.select(mapping.columns.map(c =>
+          if (add.columns.contains(c)) col(c)
+          else lit(null).cast(StringType).as(c)): _*)
+        Sinks.csvAppend(aligned, s"$bronzeDir/plugin_mapping")
       })
       val mappingAfter = readBronze(spark, bronzeDir, "plugin_mapping")
       val enriched = Gitlab.transform(repos, mappingAfter, plugins)

@@ -57,11 +57,19 @@ object RepoScan {
     // input_file_name() and Path.makeQualified disagree on scheme
     // spelling (file:/// vs file:/), but both end with
     // .../<rootName>/<project>/<branch>/...
-    val rootName = java.util.regex.Pattern.quote(
-      new org.apache.hadoop.fs.Path(root).getName)
+    // match the root's full absolute path with the scheme left
+    // flexible: input_file_name() and Path.makeQualified disagree on
+    // scheme spelling (file:/// vs file:/), but the rooted path after
+    // the scheme is identical — and unlike a basename anchor it can't
+    // be confused by directories elsewhere in the tree sharing the
+    // root's name
+    val p = new org.apache.hadoop.fs.Path(root)
+    val absRoot = java.util.regex.Pattern.quote(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toUri.getPath)
     locLines(spark, root)
       .withColumn("rel",
-        regexp_extract(col("path"), s"/$rootName/(.+)$$", 1))
+        regexp_extract(col("path"), s"^(?:[a-zA-Z0-9.+-]+:/{0,2})?$absRoot/(.+)$$", 1))
       .withColumn("project", split(col("rel"), "/").getItem(0))
       .withColumn("branch", split(col("rel"), "/").getItem(1))
       .groupBy("project", "branch", "lang")

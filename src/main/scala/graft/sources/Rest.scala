@@ -152,8 +152,17 @@ object Rest {
       StructField("LoginName", StringType)))
     val body = withRetry()(() => fetchBody(auth))
     import spark.implicits._
-    Seq(body).toDF("payload")
-      .select(explode(odataVerboseResults(col("payload"), itemSchema)).as("u"))
+    val parsed = Seq(body).toDF("payload")
+      .select(odataVerboseResults(col("payload"), itemSchema).as("results"))
+    // fail fast on a non-envelope payload (HTML error page, odata=
+    // nometadata {"value":[...]}, truncated JSON): from_json turns all
+    // of those into null, and exploding null would silently report
+    // "zero site users" — the reference's data['d']['results'] raises
+    if (parsed.head().isNullAt(0))
+      throw new IllegalStateException(
+        "sharePointSiteUsers: payload is not an odata=verbose d.results envelope")
+    parsed
+      .select(explode(col("results")).as("u"))
       .select(col("u.Id").as("Id"), col("u.Title").as("Title"),
         col("u.Email").as("Email"), col("u.LoginName").as("LoginName"))
   }

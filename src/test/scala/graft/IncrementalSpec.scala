@@ -80,6 +80,16 @@ class IncrementalSpec extends SparkSpec {
     assert(parts.toSeq == Seq(9L, 10L, 11L))
   }
 
+  test("partitioned watermark survives a null partition value " +
+      "(__HIVE_DEFAULT_PARTITION__ dir)") {
+    val path = tmp()
+    val withNull = Seq((Some(9L), "a"), (None, "null-part")).toDF("p", "v")
+    assert(Incremental.appendIncrementPartitioned(withNull, path, "p") == 2)
+    // the hive default-partition dir must not poison the numeric max
+    val next = Seq((Some(9L), "dup"), (Some(10L), "new")).toDF("p", "v")
+    assert(Incremental.appendIncrementPartitioned(next, path, "p") == 1)
+  }
+
   test("JdbcDdl generates ALTER only for missing columns, case-insensitively") {
     val existing = StructType(Seq(StructField("id", LongType),
       StructField("Name", StringType)))

@@ -130,4 +130,11 @@ class RestSpec extends SparkSpec {
     }
     assert(Rest.paginateByLink(fetch, sleep = _ => ()).toSeq == Seq(1, 2))
   }
+
+  test("S6: a non-envelope payload fails fast instead of yielding zero users") {
+    val e = intercept[IllegalStateException] {
+      Rest.sharePointSiteUsers(spark, _ => """<html>502 Bad Gateway</html>""")
+    }
+    assert(e.getMessage.contains("envelope"))
+  }
 }
