@@ -127,4 +127,27 @@ class DedupSpec extends SparkSpec {
     assert(got(0) == Seq("a b c", "b c d"))
     assert(got(1).isEmpty)
   }
+
+  test("simhashNearDups at radius 3 is EXACT: pigeonhole blocking finds every " +
+      "brute-force pair") {
+    import spark.implicits._
+    // vocabulary small enough that signatures actually collide
+    val vocab = Vector("data", "spark", "join", "hash", "text", "near", "dup")
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 80).map(i =>
+      (i.toLong, Seq.fill(6)(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = simhashNearDups(corpus, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the convenience 64-bit signature (same md5
+    // slices — also proves the two signature code paths agree)
+    val sigs = corpus.select(col("doc_id"),
+      simhash(tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == brute)
+  }
 }
