@@ -220,8 +220,11 @@ object TextAnalysis {
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
         val tf = docs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val df_ = docs.groupBy("term")
-          .agg(countDistinct("doc_id").as("df"))
+        // df from the tf aggregate, not a second tokenize pass: tf
+        // already holds one row per (doc, term), so df(term) is a
+        // plain count — this halves the corpus scans and drops the
+        // expensive countDistinct re-aggregation
+        val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val n = table(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("term"))
