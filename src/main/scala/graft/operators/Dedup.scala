@@ -317,6 +317,11 @@ object Dedup {
     */
   def jaccardPairs(sh: DataFrame, idCol: String, minJaccard: Double,
       dfCap: Int = StopShingleDf): DataFrame = {
+    // NOT persisted, deliberately: the self-join sides share the
+    // df-window's exchange via ReusedExchange, and only the size
+    // aggregation re-runs the window — caching here was measured 5×
+    // SLOWER, because an InMemoryRelation hides runtime stats from
+    // AQE and the candidate self-join gets planned blind
     val inv = sh.select(col(idCol), explode(col("sh")).as("g"))
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("__df") <= dfCap)
