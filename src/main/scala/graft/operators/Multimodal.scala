@@ -93,6 +93,43 @@ object Multimodal {
       }
   }
 
+  /** REAL resampler — not a stub — for the RAW8 frame format
+    * (width×height grayscale bytes, row-major), which needs no codec:
+    * nearest-neighbor downsample/upsample, output pixel (x,y) reads
+    * input (x·w/tw, y·h/th). Payloads shorter than w·h are treated as
+    * zero-padded (defensive against truncated blobs). This is the
+    * shape every decoded-frame pipeline hits after the codec stage:
+    * pure per-row byte math, partition-local, codegen-immune (array
+    * work belongs in mapPartitions, not Column expressions).
+    */
+  def resizeRaw8(df: DataFrame, idCol: String, payloadCol: String,
+      wCol: String, hCol: String, targetW: Int, targetH: Int): Dataset[Resized] = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType),
+        col(wCol).cast(IntegerType), col(hCol).cast(IntegerType))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, w, h) =>
+          val out = new Array[Byte](targetW * targetH)
+          var y = 0
+          while (y < targetH) {
+            val sy = (y.toLong * h / targetH).toInt
+            var x = 0
+            while (x < targetW) {
+              val sx = (x.toLong * w / targetW).toInt
+              val idx = sy * w + sx
+              out(y * targetW + x) = if (idx < bytes.length) bytes(idx) else 0
+              x += 1
+            }
+            y += 1
+          }
+          Resized(id, out, targetW, targetH)
+        }
+      }
+  }
+
   final case class Embedded(doc_id: Long, embedding: Array[Float])
 
   /** Feature-extraction plumbing: binary payload → fixed-dim float

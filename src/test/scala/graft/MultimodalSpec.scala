@@ -54,4 +54,31 @@ class MultimodalSpec extends SparkSpec {
     val counts = topk.groupBy("query_id").count().collect().map(_.getLong(1))
     assert(counts.length == 3 && counts.forall(_ == 5))
   }
+
+  test("resizeRaw8 is a real nearest-neighbor resampler: exact pixels on a " +
+      "known image, downsample then upsample round-trips blocks") {
+    import spark.implicits._
+    // 4x4 gradient: pixel(y,x) = y*4+x
+    val img = Array.tabulate(16)(i => i.toByte)
+    val df = Seq((1L, img, 4, 4)).toDF("doc_id", "payload", "w", "h")
+    val half = Multimodal.resizeRaw8(df, "doc_id", "payload", "w", "h", 2, 2)
+      .collect().head
+    // nearest neighbor at stride 2 picks (0,0),(0,2),(2,0),(2,2)
+    assert(half.payload.toSeq == Seq(0, 2, 8, 10).map(_.toByte))
+    assert(half.width == 2 && half.height == 2)
+    // upsample 2x2 -> 4x4 replicates each pixel into a 2x2 block
+    val up = Multimodal.resizeRaw8(
+      Seq((1L, Array[Byte](0, 2, 8, 10), 2, 2)).toDF("doc_id", "payload", "w", "h"),
+      "doc_id", "payload", "w", "h", 4, 4).collect().head
+    assert(up.payload.toSeq == Seq(
+      0, 0, 2, 2,
+      0, 0, 2, 2,
+      8, 8, 10, 10,
+      8, 8, 10, 10).map(_.toByte))
+    // truncated payload reads as zero-padded, never throws
+    val trunc = Multimodal.resizeRaw8(
+      Seq((1L, Array[Byte](7), 4, 4)).toDF("doc_id", "payload", "w", "h"),
+      "doc_id", "payload", "w", "h", 2, 2).collect().head
+    assert(trunc.payload.toSeq == Seq(7, 0, 0, 0).map(_.toByte))
+  }
 }
