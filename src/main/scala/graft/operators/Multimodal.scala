@@ -107,23 +107,35 @@ object Multimodal {
     require(targetW > 0 && targetH > 0, "target dims must be positive")
     val spark = df.sparkSession
     import spark.implicits._
+    // corrupt rows must degrade, not kill the stage: null metadata
+    // coalesces to 0 (→ all-zero frame below), null payloads read as
+    // empty, and all index math is Long so adversarial w·h can't wrap
+    // an Int into a negative array index
     df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType),
-        col(wCol).cast(IntegerType), col(hCol).cast(IntegerType))
+        coalesce(col(wCol).cast(IntegerType), lit(0)),
+        coalesce(col(hCol).cast(IntegerType), lit(0)))
       .as[(Long, Array[Byte], Int, Int)]
       .mapPartitions { it =>
-        it.map { case (id, bytes, w, h) =>
+        it.map { case (id, bytesOrNull, w, h) =>
+          val bytes =
+            if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
           val out = new Array[Byte](targetW * targetH)
-          var y = 0
-          while (y < targetH) {
-            val sy = (y.toLong * h / targetH).toInt
-            var x = 0
-            while (x < targetW) {
-              val sx = (x.toLong * w / targetW).toInt
-              val idx = sy * w + sx
-              out(y * targetW + x) = if (idx < bytes.length) bytes(idx) else 0
-              x += 1
+          if (w > 0 && h > 0) {
+            // source column per output x depends only on (x, w): one
+            // division per column/row, not per pixel
+            val sxs = Array.tabulate(targetW)(x => x.toLong * w / targetW)
+            var y = 0
+            while (y < targetH) {
+              val rowBase = y.toLong * h / targetH * w
+              var x = 0
+              while (x < targetW) {
+                val idx = rowBase + sxs(x)
+                out(y * targetW + x) =
+                  if (idx < bytes.length) bytes(idx.toInt) else 0
+                x += 1
+              }
+              y += 1
             }
-            y += 1
           }
           Resized(id, out, targetW, targetH)
         }

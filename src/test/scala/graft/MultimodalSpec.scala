@@ -80,5 +80,21 @@ class MultimodalSpec extends SparkSpec {
       Seq((1L, Array[Byte](7), 4, 4)).toDF("doc_id", "payload", "w", "h"),
       "doc_id", "payload", "w", "h", 2, 2).collect().head
     assert(trunc.payload.toSeq == Seq(7, 0, 0, 0).map(_.toByte))
+    // corrupt rows degrade to zero frames instead of killing the stage:
+    // null payload, null/negative dims, and overflow-scale dims
+    val corrupt = Multimodal.resizeRaw8(
+      Seq(
+        (1L, null.asInstanceOf[Array[Byte]], Some(4), Some(4)),
+        (2L, Array[Byte](1, 2, 3), None, Some(4)),
+        (3L, Array[Byte](1, 2, 3), Some(-4), Some(4)),
+        (4L, Array[Byte](7), Some(66000), Some(66000))
+      ).toDF("doc_id", "payload", "w", "h"),
+      "doc_id", "payload", "w", "h", 2, 2).collect()
+    assert(corrupt.length == 4)
+    assert(corrupt.filter(r => r.doc_id != 4L)
+      .forall(_.payload.toSeq == Seq[Byte](0, 0, 0, 0)))
+    // the 66000x66000 claim over a 1-byte payload: pixel (0,0) exists,
+    // everything else zero-pads — no Int wraparound crash
+    assert(corrupt.find(_.doc_id == 4L).get.payload.head == 7.toByte)
   }
 }

@@ -15,12 +15,17 @@ class PlanShapeSpec extends SparkSpec {
     *  - q_ann_brute: broadcast query panel × streamed corpus with a
     *    non-equi predicate — the exact baseline, corpus never
     *    materializes;
-    *  - q_tfidf / q_watermark_filter / q_max_scalar / q_profile:
-    *    scalar (1-row) broadcast factors joined without a key.
+    *  - q_tfidf / q_watermark_filter: scalar (1-row) broadcast factors
+    *    joined without a key.
+    *
+    * Known boundary: joins INSIDE eagerly-checkpointed iterative loops
+    * (clusterPairs' label-propagation rounds) have already executed by
+    * the time executedPlan is read — the checkpoint truncates them out
+    * of the plan text. Those joins are equi-joins by construction
+    * (groupBy/join on id); the guard covers every non-iterative stage.
     */
   private val allowed = Set(
-    "q_ngram_jaccard", "q_ann_brute", "q_tfidf", "q_watermark_filter",
-    "q_max_scalar", "q_profile")
+    "q_ngram_jaccard", "q_ann_brute", "q_tfidf", "q_watermark_filter")
 
   test("no declared query plans an unlisted cross product or nested loop") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
