@@ -42,17 +42,37 @@ object SqlMacros {
       // null-safe case-insensitive contains (pandas str.contains na=False)
       """CREATE OR REPLACE TEMPORARY FUNCTION graft_contains_ci(s STRING, pat STRING)
         |RETURNS BOOLEAN
-        |RETURN coalesce(s RLIKE concat('(?iu)', pat), false)""")
+        |RETURN coalesce(s RLIKE concat('(?iu)', pat), false)""",
+      // engine-portable 32-bit hash (md5 hex prefix) — the dedup
+      // family's base hash, exposed so SQL users shard/sample/dedup
+      // with the exact same key space as the operators
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_hash32(s STRING)
+        |RETURNS BIGINT
+        |RETURN CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)""",
+      // exact Jaccard of two (distinct-element) arrays
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_jaccard(
+        |    a ARRAY<STRING>, b ARRAY<STRING>)
+        |RETURNS DOUBLE
+        |RETURN CASE WHEN size(array_union(a, b)) > 0
+        |  THEN CAST(size(array_intersect(a, b)) AS DOUBLE) / size(array_union(a, b))
+        |  ELSE 0.0 END""",
+      // cosine over float embeddings, riding the codegen'd native dot
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_cosine(
+        |    a ARRAY<FLOAT>, b ARRAY<FLOAT>)
+        |RETURNS DOUBLE
+        |RETURN graft_fdot(a, b) / (sqrt(graft_fdot(a, a)) * sqrt(graft_fdot(b, b)))""")
+    // native expressions first: graft_cosine's macro body references
+    // graft_fdot, which must resolve when the CREATE FUNCTION runs
+    graft.GraftExtensions.functions.foreach { case (id, _, builder) =>
+      org.apache.spark.sql.GraftColumnBridge
+        .registerFunction(spark, id.funcName, builder)
+    }
+
     stmts.foreach(s => spark.sql(s.stripMargin))
 
     spark.udf.register("graft_workdays_diff",
       (start: LocalDateTime, end: LocalDateTime) =>
         Workdays.workdaysDiffScala(start, end, defaultHolidaySet))
-
-    graft.GraftExtensions.functions.foreach { case (id, _, builder) =>
-      org.apache.spark.sql.GraftColumnBridge
-        .registerFunction(spark, id.funcName, builder)
-    }
   }
 
   private lazy val defaultHolidaySet: Set[LocalDate] =

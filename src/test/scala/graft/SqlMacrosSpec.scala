@@ -56,4 +56,23 @@ class SqlMacrosSpec extends SparkSpec {
     val mismatches = both.filter(col("col_math") =!= col("udf")).count()
     assert(mismatches == 0, s"$mismatches of ${both.count()} pairs disagree")
   }
+
+  test("hash32 / jaccard / cosine macros match their operator twins") {
+    import spark.implicits._
+    val r = spark.sql("""SELECT
+      graft_hash32('alpha beta') AS h,
+      graft_jaccard(array('a','b','c'), array('b','c','d')) AS j,
+      graft_jaccard(array(), array()) AS j0,
+      graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                   array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS c
+    """).head()
+    // same value as the operators' hash32 column
+    val viaCol = Seq("alpha beta").toDF("s")
+      .select(graft.operators.TextAnalysis.hash32(org.apache.spark.sql.functions.col("s")))
+      .head().getLong(0)
+    assert(r.getLong(0) == viaCol)
+    assert(math.abs(r.getDouble(1) - 0.5) < 1e-12)
+    assert(r.getDouble(2) == 0.0)
+    assert(math.abs(r.getDouble(3) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
 }
