@@ -50,4 +50,28 @@ class NullSemanticsSpec extends SparkSpec {
     assert(got(2).getTimestamp(0).toInstant.toEpochMilli == ms)
     assert(got(3).isNullAt(0))
   }
+
+  test("dedup operators tolerate null and empty text: no crash, null docs excluded") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, Some("the quick brown fox jumps tonight")),
+      (2L, Some("the quick brown fox jumps tonight")),
+      (3L, Some("")),        // empty text
+      (4L, None)             // null text
+    ).toDF("doc_id", "text")
+    // minhash: the identical pair survives; null/empty docs never pair
+    val mh = Dedup.minhashNearDups(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == Set((1L, 2L)))
+    // simhash: same contract
+    val sh = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.contains((1L, 2L)))
+    assert(!sh.exists(p => p._1 == 4L || p._2 == 4L))
+    // counting-join jaccard: exact pair only
+    val jp = Dedup.jaccardPairs(
+      Dedup.shingled(docs, "doc_id", "text"), "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jp == Set((1L, 2L)))
+  }
 }
