@@ -19,10 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Near-dup pair generation strategy — both are 100 TB shapes with
+    * different contracts:
+    *  - MinhashLsh: probabilistic banding; cost independent of shingle
+    *    df distribution, may miss a pair with probability
+    *    (1-J²)^bands (negligible at J ≥ 0.8);
+    *  - ExactPostingLists: exact for any threshold > 0 via the
+    *    counting join; cost is Σ df² over shingles, bounded by the
+    *    stop-shingle ceiling.
+    */
+  sealed trait PairStrategy
+  case object MinhashLsh extends PairStrategy
+  case object ExactPostingLists extends PairStrategy
+
   final case class Config(
       minTokens: Int = 5,
       maxPunctRatio: Double = 0.3,
-      nearDupJaccard: Double = 0.8)
+      nearDupJaccard: Double = 0.8,
+      pairStrategy: PairStrategy = MinhashLsh)
 
   /** Quality gate: token floor and punctuation ceiling (the standard
     * pre-training heuristics from TextAnalysis).
@@ -48,12 +62,20 @@ object Corpus {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** Near-dedup: LSH pairs → connected components → keep the cluster
-    * minimum (the cluster_id IS the canonical id).
+  /** Near-dedup: candidate pairs (strategy-chosen) → connected
+    * components → keep the cluster minimum (the cluster_id IS the
+    * canonical id).
     */
   def nearDedup(docs: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double): DataFrame = {
-    val pairs = Dedup.minhashNearDups(docs, idCol, textCol, minJaccard)
+      minJaccard: Double,
+      strategy: PairStrategy = MinhashLsh): DataFrame = {
+    val pairs = strategy match {
+      case MinhashLsh =>
+        Dedup.minhashNearDups(docs, idCol, textCol, minJaccard)
+      case ExactPostingLists =>
+        Dedup.jaccardPairs(
+          Dedup.shingled(docs, idCol, textCol), idCol, minJaccard)
+    }
     val doomed = Dedup.clusterPairs(pairs)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
@@ -74,7 +96,7 @@ object Corpus {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val base = exactDedup(qualityFilter(docs.repartition(par), cfg), idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cleaned = nearDedup(base, idCol, textCol, cfg.nearDupJaccard)
+    val cleaned = nearDedup(base, idCol, textCol, cfg.nearDupJaccard, cfg.pairStrategy)
     cleaned.withColumn("n_tokens", size(TextAnalysis.tokens(col(textCol))))
   }
 

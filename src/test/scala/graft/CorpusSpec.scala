@@ -41,4 +41,19 @@ class CorpusSpec extends SparkSpec {
     val tok = out.filter(col("doc_id") === 1L).select("n_tokens").head().getInt(0)
     assert(tok == 10)
   }
+
+  test("both pair strategies keep the same survivors on the fixture") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (4L, "the quick brown fox jumps over the lazy cat tonight"),
+      (7L, "completely different text with many unrelated words inside it")
+    ).toDF("doc_id", "text")
+    val lsh = Corpus.prepare(docs, Corpus.Config(nearDupJaccard = 0.5))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val exact = Corpus.prepare(docs,
+      Corpus.Config(nearDupJaccard = 0.5,
+        pairStrategy = Corpus.ExactPostingLists))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(lsh == exact && lsh == Seq(1L, 7L))
+  }
 }
