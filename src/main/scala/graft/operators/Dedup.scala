@@ -93,15 +93,15 @@ object Dedup {
   def paramsLit: String =
     hashParams.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
 
-  /** MinHash signature (array of NumHashes longs) over a *materialized*
-    * base-hash column. Base hash = the engine-portable 32-bit md5
-    * prefix (TextAnalysis.hash32) so any SQL engine reproduces the
-    * signature bit-for-bit, and the modular multiply never overflows a
-    * long (h < 2^32, a < 2^30, b < P ⇒ h·a+b < 2^63). One aggregate
-    * pass with a NumHashes-wide running-min accumulator and the (a,b)
-    * permutation params as an array literal — a constant-size
-    * expression tree (NumHashes separate array_min(transform(...))
-    * trees made analysis + codegen the dominant cost).
+  /** Column-level MinHash signature (array of NumHashes longs) over a
+    * *materialized* base-hash column — the COLUMN-API TWIN of the
+    * grouped-agg path lshBandsFromShingles runs in production (the
+    * grouped form is codegen'd and faster in bulk; this form composes
+    * as a scalar expression). Bit-for-bit parity between the two paths
+    * is asserted in PropertiesSpec. Base hash = the engine-portable
+    * 32-bit md5 prefix (TextAnalysis.hash32) so any SQL engine
+    * reproduces the signature, and the modular multiply never
+    * overflows a long (h < 2^32, a < 2^30, b < P ⇒ h·a+b < 2^63).
     */
   def minhashSignature(h32: Column): Column = {
     val params = typedlit(hashParams)
@@ -665,12 +665,14 @@ object Dedup {
 
     // Pair graph → connected components (min-label propagation +
     // pointer jumping). Candidate pairs via inverted shingle index —
-    // exact, not approximate: Jaccard ≥ 0.5 > 0 implies a shared
-    // shingle, so joining posting lists loses nothing, and cost is
-    // Σ df² over shingles (df is bounded by cluster size in real
-    // corpora — measured max 25 here) instead of the all-pairs n².
-    // DuckDB reproduces the same pair set from the cross join at
-    // oracle scale (recursive CTE for the components).
+    // Jaccard ≥ 0.5 > 0 implies a shared shingle, so joining posting
+    // lists loses nothing, and cost is Σ df² over shingles (df max 25
+    // on the harness corpus) instead of the all-pairs n², with the
+    // stop-shingle ceiling bounding the worst shingle. The oracle
+    // MIRRORS the whole pruned-space formulation — df ceiling,
+    // counting-join intersections, pruned sizes — so Spark and DuckDB
+    // agree on ANY corpus, not just ones below the cap (recursive CTE
+    // for the components).
     "q_dedup_clusters" -> QueryDef(
       (s, dir) => {
         val d = shingled(table(s, dir, "documents"), "doc_id", "text")
@@ -678,18 +680,28 @@ object Dedup {
         val pairs = jaccardPairs(d, "doc_id", minJaccard = 0.5)
         clusterPairs(pairs).orderBy("id")
       },
-      """WITH RECURSIVE sh AS (
+      s"""WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
-        |    i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
-        |         regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
-        |         regexp_split_to_array(trim(text), '\s+')[i+2])) AS g
+        |    generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+        |    i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\\s+')[i+2])) AS g
         |  FROM documents),
+        |inv AS (SELECT doc_id, unnest(g) AS s FROM sh),
+        |pruned AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM inv)
+        |  WHERE df <= ${StopShingleDf}),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
         |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.g, b.g)) * 1.0 /
-        |        greatest(len(list_distinct(a.g || b.g)), 1) >= 0.5),
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE i >= (na.n + nb.n - i) * 0.5),
         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
         |          UNION ALL SELECT id_b, id_a FROM pairs),
         |walk(id, label) AS (

@@ -77,10 +77,15 @@ object Incremental {
     val spark = df.sparkSession
     val p = new org.apache.hadoop.fs.Path(path)
     val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // dir names are Hive-escaped (a timestamp partition writes
+    // "ts=2024-01-01 10%3A00%3A00"); without unescaping, the cast
+    // below yields null, the filter becomes col > null, and every
+    // later run silently appends 0 rows
     val existing: Array[String] =
       if (hfs.exists(p)) hfs.listStatus(p).filter(_.isDirectory)
         .map(_.getPath.getName).filter(_.startsWith(s"$partitionCol="))
-        .map(_.stripPrefix(s"$partitionCol="))
+        .map(n => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(n.stripPrefix(s"$partitionCol=")))
       else Array.empty
     // the watermark is the max in the COLUMN's type, not the max dir
     // string: lexicographic max picks '9' over '10' for numeric

@@ -24,9 +24,10 @@ object Corpus {
     *  - MinhashLsh: probabilistic banding; cost independent of shingle
     *    df distribution, may miss a pair with probability
     *    (1-J²)^bands (negligible at J ≥ 0.8);
-    *  - ExactPostingLists: exact for any threshold > 0 via the
-    *    counting join; cost is Σ df² over shingles, bounded by the
-    *    stop-shingle ceiling.
+    *  - ExactPostingLists: exact on the stop-shingle-pruned space
+    *    (shingles above the df ceiling never count toward candidacy
+    *    OR similarity) for any threshold > 0, via the counting join;
+    *    cost is Σ df² over surviving shingles.
     */
   sealed trait PairStrategy
   case object MinhashLsh extends PairStrategy

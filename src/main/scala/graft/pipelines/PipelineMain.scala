@@ -157,13 +157,19 @@ object PipelineMain {
     val gitlabResult = stage("gitlab") {
       val repos = readBronze(spark, bronzeDir, "gitlab_repos")
       val mapping = readBronze(spark, bronzeDir, "plugin_mapping")
+      // canonicalize the id to long ON the frame: bronze inference may
+      // have sized it int or even double ("42.5" anywhere in the
+      // column), and a driver-side .toString.toLong would crash the
+      // fail-fast run on one dirty cell; null ids stay null in the
+      // sheet row rather than NPE-ing the writeback
       val unmapped = Gitlab.unmappedPlugins(repos, mapping)
+        .withColumn("gitlab_id", col("gitlab_id").cast(LongType))
       val written = Sinks.writebackUnmapped(unmapped, rows => {
         val add = spark.createDataFrame(
           java.util.Arrays.asList(rows.map(r =>
-            // bronze inference may have sized the id to int — the
-            // sheet schema is canonical long
-            Row(r.getString(0), r.get(1).toString.toLong, null, null)): _*),
+            Row(r.getString(0),
+              if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)),
+              null, null)): _*),
           mappingWriteSchema)
         // align to the live file's physical column order: Spark's CSV
         // reader maps part files positionally against the first

@@ -53,23 +53,25 @@ object RepoScan {
     * pass with the same per-line counting rules as locLines.
     */
   def locByProjectBranchLang(spark: SparkSession, root: String): DataFrame = {
-    // anchor on the root's basename rather than the full URI:
-    // input_file_name() and Path.makeQualified disagree on scheme
-    // spelling (file:/// vs file:/), but both end with
-    // .../<rootName>/<project>/<branch>/...
-    // match the root's full absolute path with the scheme left
-    // flexible: input_file_name() and Path.makeQualified disagree on
-    // scheme spelling (file:/// vs file:/), but the rooted path after
-    // the scheme is identical — and unlike a basename anchor it can't
-    // be confused by directories elsewhere in the tree sharing the
-    // root's name
+    // Anchor on the root's FULL qualified location, tolerating the one
+    // thing input_file_name() and Path.makeQualified disagree on —
+    // local scheme spelling (file:/// vs file:/). Authority-carrying
+    // URIs (hdfs://nn, s3a://bucket) render identically on both sides,
+    // so scheme+authority match verbatim; and unlike a basename
+    // anchor, a directory elsewhere in the tree sharing the root's
+    // name can't shift the project/branch split. (Caveat: characters
+    // input_file_name percent-encodes, e.g. spaces, would need
+    // decoding — repo layouts don't contain them.)
     val p = new org.apache.hadoop.fs.Path(root)
-    val absRoot = java.util.regex.Pattern.quote(
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .makeQualified(p).toUri.getPath)
+    val uri = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toUri
+    def q(s: String) = java.util.regex.Pattern.quote(s)
+    val anchor = Option(uri.getAuthority).filter(_.nonEmpty) match {
+      case Some(auth) => "^" + q(s"${uri.getScheme}://$auth${uri.getPath}")
+      case None => s"^${q(uri.getScheme)}:/{0,2}" + q(uri.getPath)
+    }
     locLines(spark, root)
-      .withColumn("rel",
-        regexp_extract(col("path"), s"^(?:[a-zA-Z0-9.+-]+:/{0,2})?$absRoot/(.+)$$", 1))
+      .withColumn("rel", regexp_extract(col("path"), s"$anchor/(.+)$$", 1))
       .withColumn("project", split(col("rel"), "/").getItem(0))
       .withColumn("branch", split(col("rel"), "/").getItem(1))
       .groupBy("project", "branch", "lang")

@@ -90,6 +90,22 @@ class IncrementalSpec extends SparkSpec {
     assert(Incremental.appendIncrementPartitioned(next, path, "p") == 1)
   }
 
+  test("partitioned watermark unescapes Hive dir encoding (timestamp partitions)") {
+    val path = tmp()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // timestamp dirs land as "ts=2024-01-01 10%3A00%3A00"
+    val first = Seq((t("2024-01-01 10:00:00"), "a"), (t("2024-01-02 11:30:00"), "b"))
+      .toDF("ts", "v")
+    assert(Incremental.appendIncrementPartitioned(first, path, "ts") == 2)
+    // idempotent re-run: without unescaping, the cast of the escaped
+    // dir value nulls out and this would re-append everything (or 0
+    // forever) — the watermark must be the real max timestamp
+    assert(Incremental.appendIncrementPartitioned(first, path, "ts") == 0)
+    val next = Seq((t("2024-01-02 11:30:00"), "dup"), (t("2024-01-03 09:15:00"), "new"))
+      .toDF("ts", "v")
+    assert(Incremental.appendIncrementPartitioned(next, path, "ts") == 1)
+  }
+
   test("JdbcDdl generates ALTER only for missing columns, case-insensitively") {
     val existing = StructType(Seq(StructField("id", LongType),
       StructField("Name", StringType)))

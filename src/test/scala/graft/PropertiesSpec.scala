@@ -117,4 +117,26 @@ class PropertiesSpec extends SparkSpec {
     sh.unpersist()
     assert(counting == arrays)
   }
+
+  test("HOF minhashSignature twin matches the grouped-agg banding path bit-for-bit") {
+    val text = Gen.listOfN(25, Gen.oneOf("альфа", "beta", "gamma", "дельта",
+      "epsilon", "zeta")).map(_.mkString(" "))
+    val docs = sample(text, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sh = Dedup.shingled(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grouped = Dedup.lshBandsFromShingles(sh, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val rows = Dedup.NumHashes / Dedup.Bands
+    val viaHof = sh.select(col("doc_id"),
+        transform(col("sh"), s => TextAnalysis.hash32(s)).as("h32"))
+      .select(col("doc_id"), Dedup.minhashSignature(col("h32")).as("sig"))
+      .select(col("doc_id"), posexplode(array((0 until Dedup.Bands).map { b =>
+        concat_ws(":", (0 until rows).map(r2 =>
+          element_at(col("sig"), b * rows + r2 + 1)): _*)
+      }: _*)).as(Seq("band", "band_key")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    sh.unpersist()
+    assert(grouped == viaHof)
+  }
 }
