@@ -59,6 +59,11 @@ class RepoScanSpec extends SparkSpec {
     val defaults = Seq(("projA", "main"), ("projB", "master"))
       .toDF("project", "default_branch")
 
+    // exercise the URI-anchored split through an explicit scheme too
+    val viaScheme = RepoScan.locByProjectBranchLang(spark, "file://" + root)
+      .collect()
+    assert(viaScheme.nonEmpty && viaScheme.forall(r => r.getString(1) != null))
+
     val got = RepoScan.chosenBranchLoc(spark, root.toString, defaults)
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(got.toSet == Set(
