@@ -188,4 +188,39 @@ class StreamingSpec extends SparkSpec {
     assert(closed2.isEmpty)
     assert(open2.exists(_.nEvents == 2))
   }
+
+  test("composed streaming pipeline: dedup -> dim enrichment -> exactly-once sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_pipe")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val dim = Seq(("click", "Click Event")).toDF("event_type", "label")
+    // ONE source across restarts: the checkpoint stores committed
+    // offsets, so a fresh MemoryStream (offsets restarting at 0)
+    // would have its data skipped as already-seen
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    def runBatch(): Unit = {
+      val stream = mem.toDF().toDF("event_id", "ts", "event_type")
+      val staged = EventsStream.enrichWithDim(
+        EventsStream.dedupWithinWatermark(stream, Seq("event_id")),
+        dim, "event_type")
+      val q = EventsStream.incrementalFileIngest(staged, out, ckpt)
+      assert(q.awaitTermination(120000), "stream did not finish")
+      q.stop()
+    }
+    // batch 1: a duplicate event_id inside the watermark horizon drops
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), "click"),
+      (1L, ts("2024-01-01 10:00:01"), "click"), // re-sent
+      (2L, ts("2024-01-01 10:00:02"), "view"))
+    runBatch()
+    val afterFirst = spark.read.parquet(out)
+    assert(afterFirst.count() == 2)
+    assert(afterFirst.filter($"event_id" === 1L).head().getAs[String]("label")
+      == "Click Event")
+    // batch 2 restarts from the checkpoint: only new data lands
+    mem.addData((3L, ts("2024-01-01 10:00:05"), "view"))
+    runBatch()
+    assert(spark.read.parquet(out).count() == 3)
+  }
 }
