@@ -359,11 +359,44 @@ object Dedup {
     * exponentially (plan explosion, then driver OOM — the canonical
     * iterative-algorithm pitfall).
     */
-  def clusterPairs(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+  /** Pair-count ceiling under which connected components run as a
+    * driver-side union-find instead of the iterative distributed
+    * loop. Same spirit as the broadcast-join size threshold: a
+    * near-dup pair list is usually tiny relative to its corpus, and
+    * each distributed round costs ~5 scheduled jobs — pure overhead
+    * when the whole edge list fits in one driver array. The
+    * distributed path remains the contract for big graphs.
+    */
+  val DriverClusterMaxPairs = 100000L
+
+  def clusterPairs(pairs: DataFrame,
+      maxIter: Int = 15,
+      driverMaxPairs: Long = DriverClusterMaxPairs): DataFrame = {
     // persist the INPUT: edges = pairs ∪ flip(pairs) would otherwise
     // evaluate the (often expensive — LSH) pair plan once per branch
     val p = pairs.select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (p.count() <= driverMaxPairs) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val edgeList = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      p.unpersist()
+      // union-find with path compression, then min member id per root
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val px = parent.getOrElse(x, x)
+        if (px == x) x
+        else { val r = find(px); parent(x) = r; r }
+      }
+      edgeList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      val nodes = edgeList.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val minOfRoot = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+      return nodes.map(n => (n, minOfRoot(find(n)))).toSeq
+        .toDF("id", "cluster_id")
+    }
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     // seed label = min(self, neighbors) in ONE groupBy — the same

@@ -24,6 +24,17 @@ class CorpusSpec extends SparkSpec {
     assert(got.size == 20)
   }
 
+  test("driver union-find and the distributed loop agree (threshold forced both ways)") {
+    val pairs = (Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 11L), (20L, 21L)) ++
+      (30L until 45L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val viaDriver = Dedup.clusterPairs(pairs, driverMaxPairs = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = Dedup.clusterPairs(pairs, driverMaxPairs = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaLoop)
+    assert(viaDriver(3L) == 1L && viaDriver(11L) == 7L && viaDriver(44L) == 30L)
+  }
+
   test("prepare: quality gate, exact dups, and near-dup clusters all collapse") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
