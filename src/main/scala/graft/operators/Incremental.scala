@@ -35,19 +35,95 @@ object Incremental {
     }
   }
 
+  /** Sink max of `column` from parquet FOOTER statistics — O(files)
+    * metadata reads, never a data scan, which is what makes the
+    * watermark read viable against a 100 TB sink. Returns the max as
+    * a comparison Column, or None when footers can't answer exactly
+    * (no stats, a non-numeric/temporal type — string stats may be
+    * truncated upper bounds, INT96 stats are unreliable) and the
+    * caller must fall back to an aggregate scan. Files missing the
+    * column (schema evolution) contribute nothing, matching the
+    * mergeSchema read's null semantics; a chunk with no non-null
+    * values is skipped the same way.
+    */
+  private[graft] def footerMax(spark: SparkSession, path: String,
+      column: String, dt: DataType): Option[org.apache.spark.sql.Column] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val supported = dt match {
+      case LongType | IntegerType | ShortType | ByteType |
+           DoubleType | FloatType | TimestampType | DateType => true
+      case _ => false
+    }
+    if (!supported) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = {
+      val it = fs.listFiles(root, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")) buf += st.getPath
+      }
+      buf.toSeq
+    }
+    try {
+      var maxLong: Option[Long] = None // Long/Int/Timestamp/Date family
+      var maxDouble: Option[Double] = None // Double/Float family
+      files.foreach { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try {
+          val blocks = reader.getFooter.getBlocks
+          blocks.forEach { b =>
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == column) {
+                val st = c.getStatistics
+                if (st == null) throw new IllegalStateException("no stats")
+                if (st.hasNonNullValue) {
+                  st.genericGetMax match {
+                    case n: java.lang.Long => maxLong = Some(maxLong.fold(n.longValue)(math.max(_, n.longValue)))
+                    case n: java.lang.Integer => maxLong = Some(maxLong.fold(n.longValue)(math.max(_, n.longValue)))
+                    case n: java.lang.Double => maxDouble = Some(maxDouble.fold(n.doubleValue)(math.max(_, n.doubleValue)))
+                    case n: java.lang.Float => maxDouble = Some(maxDouble.fold(n.doubleValue)(math.max(_, n.doubleValue)))
+                    case _ => throw new IllegalStateException("unsupported stats type")
+                  }
+                }
+              }
+            }
+          }
+        } finally reader.close()
+      }
+      dt match {
+        case TimestampType => maxLong.map(v => timestamp_micros(lit(v)))
+        case DateType => maxLong.map(v => date_from_unix_date(lit(v.toInt)))
+        case LongType | IntegerType | ShortType | ByteType =>
+          maxLong.map(v => lit(v).cast(dt))
+        case _ => maxDouble.map(v => lit(v).cast(dt))
+      }
+    } catch {
+      case _: Exception => None // any surprise → exact fallback scan
+    }
+  }
+
   /** Append only rows with watermarkCol strictly above the sink's
     * current max. Returns the number of appended rows. Idempotent:
-    * re-running with the same input appends 0.
+    * re-running with the same input appends 0. The watermark comes
+    * from parquet footer statistics when they can answer exactly;
+    * otherwise from a mergeSchema aggregate scan.
     */
   def appendIncrement(df: DataFrame, path: String, watermarkCol: String): Long = {
     val spark = df.sparkSession
-    val watermark: Option[Any] =
-      if (sinkNonEmpty(spark, path))
-        Option(spark.read.option("mergeSchema", "true").parquet(path)
-          .agg(max(watermarkCol)).head().get(0))
-      else None
-    val fresh = watermark match {
-      case Some(w) => df.filter(col(watermarkCol) > lit(w))
+    val wmExpr: Option[org.apache.spark.sql.Column] =
+      if (!sinkNonEmpty(spark, path)) None
+      else footerMax(spark, path, watermarkCol, df.schema(watermarkCol).dataType)
+        .orElse(
+          Option(spark.read.option("mergeSchema", "true").parquet(path)
+            .agg(max(watermarkCol)).head().get(0)).map(lit))
+    val fresh = wmExpr match {
+      case Some(w) => df.filter(col(watermarkCol) > w)
       case None => df
     }
     // count once via an accumulator-free two-phase write: cache the

@@ -106,6 +106,31 @@ class IncrementalSpec extends SparkSpec {
     assert(Incremental.appendIncrementPartitioned(next, path, "ts") == 1)
   }
 
+  test("footerMax answers from parquet statistics for numeric/temporal, " +
+      "declines for strings") {
+    val path = tmp()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, 1.5, t("2024-01-01 10:00:00"), "a"),
+        (9L, -2.5, t("2024-03-05 08:30:00"), "z"))
+      .toDF("k", "x", "ts", "s")
+      .repartition(2).write.parquet(path)
+    def evalExpr(c: org.apache.spark.sql.Column): Any =
+      spark.range(1).select(c).head().get(0)
+    val kMax = Incremental.footerMax(spark, path, "k", LongType)
+    assert(kMax.isDefined && evalExpr(kMax.get) == 9L)
+    val xMax = Incremental.footerMax(spark, path, "x", DoubleType)
+    assert(xMax.isDefined && evalExpr(xMax.get) == 1.5)
+    // timestamps: exact when written as TIMESTAMP_MICROS, None (scan
+    // fallback) when the writer used INT96 — either way never wrong
+    Incremental.footerMax(spark, path, "ts", TimestampType).foreach { c =>
+      assert(evalExpr(c) == t("2024-03-05 08:30:00"))
+    }
+    // string statistics may be truncated bounds — must decline
+    assert(Incremental.footerMax(spark, path, "s", StringType).isEmpty)
+    // absent column: no stats anywhere -> None, caller scans
+    assert(Incremental.footerMax(spark, path, "nope", LongType).isEmpty)
+  }
+
   test("JdbcDdl generates ALTER only for missing columns, case-insensitively") {
     val existing = StructType(Seq(StructField("id", LongType),
       StructField("Name", StringType)))
