@@ -202,13 +202,22 @@ object PipelineMain {
           Incremental.appendIncrement(designers, s"$sinkDir/projectsync_designers", "date")))
     }
 
-    // 4. yougile — task-tracker export
+    // 4. yougile — task-tracker export; alongside the parquet sink,
+    // the reference ships an Excel-compatible utf-8-sig CSV
+    // (create_yougile_dataset.ipynb cell 7) — the K1 BOM variant
     val yougileResult = stage("yougile") {
       val tasks = spark.read.schema(yougileTaskSchema)
         .json(s"$bronzeDir/yougile_tasks")
       val users = readBronze(spark, bronzeDir, "yougile_users")
       val out = Yougile.transform(tasks, users)
-      StageResult("yougile", Map(sink(out, sinkDir, "yougile_tasks")))
+      val parquetSink = sink(out, sinkDir, "yougile_tasks")
+      // CSV can't carry arrays — flatten sticker ids for the export
+      // only; the parquet sink keeps the typed column
+      Sinks.csvOverwriteWithBom(
+        out.withColumn("sticker_ids", concat_ws(",", col("sticker_ids"))),
+        s"$sinkDir/yougile_tasks_csv")
+      StageResult("yougile", Map(parquetSink,
+        "yougile_tasks_csv" -> parquetSink._2))
     }
 
     // 5. logs — plugin telemetry

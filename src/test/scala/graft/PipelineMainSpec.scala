@@ -93,6 +93,11 @@ class PipelineMainSpec extends SparkSpec {
     assert(byStage("projectsync")("projectsync_bim") == 1L)
     assert(byStage("projectsync")("projectsync_designers") == 1L)
     assert(byStage("yougile")("yougile_tasks") == 1L) // subtask dropped
+    // the Excel export landed with the utf-8-sig BOM on the header
+    val csvPart = new java.io.File(s"$sinks/yougile_tasks_csv").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv")).head
+    val bytes = java.nio.file.Files.readAllBytes(csvPart.toPath)
+    assert(bytes.take(3).toSeq == Seq(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
     assert(byStage("logs")("logs_bim") == 1L)
     assert(byStage("logs")("logs_designers") == 1L)
 
