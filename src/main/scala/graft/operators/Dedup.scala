@@ -378,24 +378,44 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (p.count() <= driverMaxPairs) {
       val spark = pairs.sparkSession
-      import spark.implicits._
-      val edgeList = p.collect().map(r => (r.getLong(0), r.getLong(1)))
-      p.unpersist()
-      // union-find with path compression, then min member id per root
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        val px = parent.getOrElse(x, x)
-        if (px == x) x
-        else { val r = find(px); parent(x) = r; r }
+      // id-type-generic (long, int, string — anything orderable), like
+      // the distributed loop; null-keyed edges are not unionable, so
+      // their presence falls through to the distributed path
+      val edgeList = p.collect().map(r => (r.get(0), r.get(1)))
+      if (!edgeList.exists(e => e._1 == null || e._2 == null)) {
+        p.unpersist()
+        // union-find with ITERATIVE find + path compression: a
+        // recursive find on a 100k-edge chain overflows the JVM stack
+        val parent = scala.collection.mutable.Map.empty[Any, Any]
+        def find(x: Any): Any = {
+          var root = x
+          while (parent.getOrElse(root, root) != root)
+            root = parent.getOrElse(root, root)
+          var cur = x
+          while (cur != root) {
+            val next = parent.getOrElse(cur, cur)
+            parent(cur) = root
+            cur = next
+          }
+          root
+        }
+        edgeList.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(ra) = rb
+        }
+        def lt(x: Any, y: Any): Boolean =
+          x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+        val nodes = edgeList.flatMap { case (a, b) => Seq(a, b) }.distinct
+        val minOfRoot = nodes.groupBy(find)
+          .map { case (r, ns) => r -> ns.reduce((x, y) => if (lt(x, y)) x else y) }
+        val idType = pairs.schema("id_a").dataType
+        val outSchema = StructType(Seq(
+          StructField("id", idType), StructField("cluster_id", idType)))
+        return spark.createDataFrame(
+          java.util.Arrays.asList(
+            nodes.map(n => org.apache.spark.sql.Row(n, minOfRoot(find(n)))): _*),
+          outSchema)
       }
-      edgeList.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(ra) = rb
-      }
-      val nodes = edgeList.flatMap { case (a, b) => Seq(a, b) }.distinct
-      val minOfRoot = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
-      return nodes.map(n => (n, minOfRoot(find(n)))).toSeq
-        .toDF("id", "cluster_id")
     }
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))

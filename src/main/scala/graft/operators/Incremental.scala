@@ -50,6 +50,7 @@ object Incremental {
       column: String, dt: DataType): Option[org.apache.spark.sql.Column] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
     val supported = dt match {
       case LongType | IntegerType | ShortType | ByteType |
            DoubleType | FloatType | TimestampType | DateType => true
@@ -59,14 +60,22 @@ object Incremental {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
+    val rootUri = fs.makeQualified(root).toUri.getPath
     val files = {
       val it = fs.listFiles(root, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
       while (it.hasNext) {
         val st = it.next()
-        val n = st.getPath.getName
-        if (st.isFile && n.endsWith(".parquet") &&
-          !n.startsWith("_") && !n.startsWith(".")) buf += st.getPath
+        val fp = st.getPath
+        // EVERY path component below the root must be non-hidden, not
+        // just the leaf — a crashed writer's _temporary/.../part.parquet
+        // would otherwise inflate the watermark with uncommitted data
+        // (Spark's own reader skips hidden components the same way)
+        val rel = fs.makeQualified(fp).toUri.getPath.stripPrefix(rootUri)
+        val hiddenComponent = rel.split("/").exists(seg =>
+          seg.startsWith("_") || seg.startsWith("."))
+        if (st.isFile && fp.getName.endsWith(".parquet") && !hiddenComponent)
+          buf += fp
       }
       buf.toSeq
     }
@@ -76,20 +85,49 @@ object Incremental {
       files.foreach { f =>
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
         try {
-          val blocks = reader.getFooter.getBlocks
-          blocks.forEach { b =>
+          val footer = reader.getFooter
+          // timestamp unit from the column's logical type: stats are in
+          // the WRITER's unit (MILLIS under outputTimestampType=
+          // TIMESTAMP_MILLIS), and a micros assumption would build a
+          // 1000x-early watermark and silently re-append everything
+          val tsToMicros: Long => Long =
+            if (dt != TimestampType) identity
+            else {
+              import org.apache.parquet.schema.LogicalTypeAnnotation
+              import LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
+              val fld = footer.getFileMetaData.getSchema.getFields.asScala
+                .find(_.getName == column)
+                .getOrElse(throw new IllegalStateException("column absent"))
+              fld.getLogicalTypeAnnotation match {
+                case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+                  case TimeUnit.MICROS => identity
+                  case TimeUnit.MILLIS => (v: Long) => math.multiplyExact(v, 1000L)
+                  case _ => throw new IllegalStateException("unsupported ts unit")
+                }
+                case _ => throw new IllegalStateException("untyped timestamp")
+              }
+            }
+          footer.getBlocks.forEach { b =>
             b.getColumns.forEach { c =>
               if (c.getPath.toDotString == column) {
                 val st = c.getStatistics
                 if (st == null) throw new IllegalStateException("no stats")
                 if (st.hasNonNullValue) {
                   st.genericGetMax match {
-                    case n: java.lang.Long => maxLong = Some(maxLong.fold(n.longValue)(math.max(_, n.longValue)))
+                    case n: java.lang.Long =>
+                      val v = if (dt == TimestampType) tsToMicros(n.longValue) else n.longValue
+                      maxLong = Some(maxLong.fold(v)(math.max(_, v)))
                     case n: java.lang.Integer => maxLong = Some(maxLong.fold(n.longValue)(math.max(_, n.longValue)))
                     case n: java.lang.Double => maxDouble = Some(maxDouble.fold(n.doubleValue)(math.max(_, n.doubleValue)))
                     case n: java.lang.Float => maxDouble = Some(maxDouble.fold(n.doubleValue)(math.max(_, n.doubleValue)))
                     case _ => throw new IllegalStateException("unsupported stats type")
                   }
+                } else if (!(st.isNumNullsSet && st.getNumNulls == c.getValueCount)) {
+                  // hasNonNullValue=false can mean "stats not recorded"
+                  // (parquet-mr omits min/max for NaN-bearing float
+                  // chunks) — only a provably all-null chunk may be
+                  // skipped; anything else must fall back to the scan
+                  throw new IllegalStateException("stats not recorded")
                 }
               }
             }
@@ -116,9 +154,16 @@ object Incremental {
     */
   def appendIncrement(df: DataFrame, path: String, watermarkCol: String): Long = {
     val spark = df.sparkSession
+    // resolve case-insensitively like every other column reference in
+    // Spark — a strict df.schema(name) lookup would reject "Date" vs
+    // "date" that max()/col() happily accept
+    val resolved = df.schema.fields
+      .find(_.name.equalsIgnoreCase(watermarkCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"watermark column '$watermarkCol' not in ${df.columns.mkString(",")}"))
     val wmExpr: Option[org.apache.spark.sql.Column] =
       if (!sinkNonEmpty(spark, path)) None
-      else footerMax(spark, path, watermarkCol, df.schema(watermarkCol).dataType)
+      else footerMax(spark, path, resolved.name, resolved.dataType)
         .orElse(
           Option(spark.read.option("mergeSchema", "true").parquet(path)
             .agg(max(watermarkCol)).head().get(0)).map(lit))

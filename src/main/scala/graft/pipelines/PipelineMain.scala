@@ -211,10 +211,14 @@ object PipelineMain {
       val users = readBronze(spark, bronzeDir, "yougile_users")
       val out = Yougile.transform(tasks, users)
       val parquetSink = sink(out, sinkDir, "yougile_tasks")
-      // CSV can't carry arrays — flatten sticker ids for the export
-      // only; the parquet sink keeps the typed column
+      // export FROM the parquet snapshot just written — re-running the
+      // transform plan would execute the whole anti-join/explode chain
+      // a third time and could diverge if bronze changed mid-run. CSV
+      // can't carry arrays, so sticker ids flatten in the export only;
+      // the parquet sink keeps the typed column.
+      val snapshot = spark.read.parquet(s"$sinkDir/yougile_tasks")
       Sinks.csvOverwriteWithBom(
-        out.withColumn("sticker_ids", concat_ws(",", col("sticker_ids"))),
+        snapshot.withColumn("sticker_ids", concat_ws(",", col("sticker_ids"))),
         s"$sinkDir/yougile_tasks_csv")
       StageResult("yougile", Map(parquetSink,
         "yougile_tasks_csv" -> parquetSink._2))

@@ -24,6 +24,21 @@ class CorpusSpec extends SparkSpec {
     assert(got.size == 20)
   }
 
+  test("driver union-find survives a 100k-edge chain (iterative find) " +
+      "and non-long ids") {
+    // chain depth is the adversarial case for recursive path
+    // compression — this must not stack-overflow
+    val chain = (1L until 100000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.clusterPairs(chain).select("cluster_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(labels == Seq(1L))
+    // string ids go through the same driver path, preserving the type
+    val strPairs = Seq(("docB", "docA"), ("docC", "docB")).toDF("id_a", "id_b")
+    val got = Dedup.clusterPairs(strPairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA"))
+  }
+
   test("driver union-find and the distributed loop agree (threshold forced both ways)") {
     val pairs = (Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 11L), (20L, 21L)) ++
       (30L until 45L).map(i => (i, i + 1))).toDF("id_a", "id_b")
