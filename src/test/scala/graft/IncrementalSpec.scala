@@ -131,6 +131,42 @@ class IncrementalSpec extends SparkSpec {
     assert(Incremental.footerMax(spark, path, "nope", LongType).isEmpty)
   }
 
+  test("footer watermark ignores uncommitted files under hidden directories") {
+    val path = tmp()
+    Seq((5L, "a")).toDF("k", "v").write.parquet(path)
+    // a crashed writer's task attempt: higher watermark, never
+    // committed (staged outside, then placed like a leftover task file)
+    val staging = tmp()
+    Seq((99L, "junk")).toDF("k", "v").coalesce(1).write.parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val tempDir = new java.io.File(s"$path/.staging/0")
+    tempDir.mkdirs()
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(tempDir, part.getName).toPath)
+    val m = Incremental.footerMax(spark, path, "k", LongType)
+    assert(m.isDefined)
+    assert(spark.range(1).select(m.get).head().get(0) == 5L)
+    // and the full append honors the committed watermark only
+    assert(Incremental.appendIncrement(
+      Seq((6L, "new")).toDF("k", "v"), path, "k") == 1)
+  }
+
+  test("footer watermark converts TIMESTAMP_MILLIS statistics by declared unit") {
+    val path = tmp()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try Seq((t("2024-03-05 08:30:00"), "a")).toDF("ts", "v").write.parquet(path)
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    Incremental.footerMax(spark, path, "ts", TimestampType) match {
+      case Some(c) =>
+        // millis stats scaled to micros — NOT a 1970-adjacent value
+        assert(spark.range(1).select(c).head().getTimestamp(0) ==
+          t("2024-03-05 08:30:00"))
+      case None => fail("expected footer stats for TIMESTAMP_MILLIS")
+    }
+  }
+
   test("JdbcDdl generates ALTER only for missing columns, case-insensitively") {
     val existing = StructType(Seq(StructField("id", LongType),
       StructField("Name", StringType)))
