@@ -572,6 +572,15 @@ object Dedup {
         a.join(b, Seq("bkt"))
           .filter(col("id_a") < col("id_b"))
           .filter(abs(col("len_a") - col("len_b")) <= 60)
+          // re-spread the PAIRS before the DP: the bucket join key has
+          // ~⌈len_max/60⌉ distinct values (a corpus with concentrated
+          // lengths collapses to 1-2), so the join output lands on a
+          // few partitions while levenshtein — O(m·n) per pair, the
+          // actual cost — would run near-serially. One narrow shuffle
+          // of (ids, texts) keyed by the pair restores even
+          // parallelism at any length distribution.
+          .repartition(s.sparkContext.defaultParallelism,
+            col("id_a"), col("id_b"))
           .select(col("id_a"), col("id_b"),
             levenshtein(col("t_a"), col("t_b")).as("dist"))
           .orderBy(col("dist"), col("id_a"), col("id_b"))

@@ -39,13 +39,14 @@ object Similarity {
     hyperplanes(numPlanes, dim)
       .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
-  /** b-bit random-hyperplane signature of a float-array column. */
+  /** b-bit random-hyperplane signature of a float-array column — one
+    * codegen'd `fdot` per plane (float×double, exact vs the oracle's
+    * double math); the interpreted zip_with/aggregate formulation cost
+    * planes×dim boxed lambda steps per corpus row.
+    */
   def lshSignature(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(v, typedlit(p.toSeq), (x, w) => x.cast(DoubleType) * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << i)).otherwise(0L)
+      when(fdot(v, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** Exact brute-force top-k: broadcast query set × streamed corpus.
@@ -120,36 +121,34 @@ object Similarity {
         col("embedding").as("centroid"))
   }
 
-  /** Nearest-centroid id for a vector against a broadcast centroid
-    * array literal: argmax of dot product via a single aggregate over
-    * the (id, centroid) struct array.
+  /** Nearest-centroid id for a vector against broadcast centroid
+    * literals: one codegen'd `fdot` per centroid, argmin over
+    * (−score, id) structs via `least` — struct ordering is
+    * lexicographic, so ties go to the smaller centroid id, matching
+    * the oracle's `ORDER BY dot DESC, centroid_id`. The previous
+    * aggregate/zip_with formulation evaluated interpreted (per corpus
+    * row: k×dim boxed lambda steps) and dominated the whole IVF run;
+    * the double math is unchanged — float→double is exact, products
+    * accumulate in index order on both paths.
     */
-  private def nearestCentroid(v: Column, centroids: Seq[(Long, Seq[Double])]): Column = {
-    val lits = typedlit(centroids)
-    val best = aggregate(
-      lits,
-      struct(lit(-1L).as("id"), lit(Double.MinValue).as("score")),
-      (acc, c) => {
-        val score = aggregate(
-          zip_with(v, c.getField("_2"), (x, w) => x.cast(DoubleType) * w),
-          lit(0.0), (s, x) => s + x)
-        when(score > acc.getField("score"),
-          struct(c.getField("_1").as("id"), score.as("score"))).otherwise(acc)
-      })
-    best.getField("id")
+  private def nearestCentroid(v: Column, centroids: Seq[(Long, Seq[Float])]): Column = {
+    val scored = centroids.map { case (id, c) =>
+      struct((lit(0.0) - fdot(v, typedlit(c))).as("neg_score"), lit(id).as("id"))
+    }
+    least(scored: _*).getField("id")
   }
 
   /** Top-`p` centroid ids by dot product (the IVF nprobe dial): score
-    * every centroid, sort the (−score, id) struct array, slice p,
-    * project ids — one array expression, no shuffle.
+    * every centroid with codegen'd `fdot`, sort the (−score, id)
+    * struct array, slice p, project ids — one array expression, no
+    * shuffle. The sort/slice lambdas are interpreted but run only on
+    * the query panel (dim-table-sized), never the corpus.
     */
-  private def nearestCentroids(v: Column, centroids: Seq[(Long, Seq[Double])],
+  private def nearestCentroids(v: Column, centroids: Seq[(Long, Seq[Float])],
       p: Int): Column = {
-    val scored = transform(typedlit(centroids), c => struct(
-      (lit(0.0) - aggregate(
-        zip_with(v, c.getField("_2"), (x, w) => x.cast(DoubleType) * w),
-        lit(0.0), (s, x) => s + x)).as("neg_score"),
-      c.getField("_1").as("id")))
+    val scored = array(centroids.map { case (id, c) =>
+      struct((lit(0.0) - fdot(v, typedlit(c))).as("neg_score"), lit(id).as("id"))
+    }: _*)
     transform(slice(array_sort(scored), 1, p), s => s.getField("id"))
   }
 
@@ -163,7 +162,7 @@ object Similarity {
       numLists: Int = 16, nprobe: Int = 1): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val cents = strideCentroids(corpus, numLists).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .toSeq
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_v"))
       .repartition(par)

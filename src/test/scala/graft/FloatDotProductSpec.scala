@@ -35,8 +35,21 @@ class FloatDotProductSpec extends SparkSpec {
     assert(rows(2).isNullAt(0))
   }
 
-  test("fdot rejects non-float-array inputs at analysis") {
-    val bad = Seq((Array(1.0, 2.0), Array(1.0f))).toDF("x", "y")
+  test("fdot accepts double and mixed-width arrays with exact double math") {
+    val df = Seq((Array(1.5, -2.0, 0.25), Array(2.0f, 3.0f, 8.0f)))
+      .toDF("x", "y")
+      .select(
+        fdot(col("x"), col("y")).as("mixed"),
+        fdot(col("x"), col("x")).as("dd"),
+        fdot(col("y"), col("y")).as("ff"))
+    val r = df.head()
+    assert(r.getDouble(0) == 1.5 * 2.0 + -2.0 * 3.0 + 0.25 * 8.0)
+    assert(r.getDouble(1) == 1.5 * 1.5 + 4.0 + 0.0625)
+    assert(r.getDouble(2) == 4.0 + 9.0 + 64.0)
+  }
+
+  test("fdot rejects non-numeric-array inputs at analysis") {
+    val bad = Seq((Array("a", "b"), Array(1.0f))).toDF("x", "y")
     intercept[org.apache.spark.sql.AnalysisException] {
       bad.select(fdot(col("x"), col("y"))).collect()
     }
