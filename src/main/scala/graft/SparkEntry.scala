@@ -15,7 +15,7 @@ object SparkEntry {
       operators.Similarity.defs ++ operators.Multimodal.defs ++
       operators.ArrayOps.defs ++ operators.Incremental.defs ++
       operators.AsOf.defs ++ operators.RangeJoin.defs ++
-      operators.Sampling.defs ++
+      operators.Sampling.defs ++ operators.Hygiene.defs ++
       streaming.EventsStream.defs ++ pipelines.Corpus.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

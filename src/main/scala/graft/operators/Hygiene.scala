@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.operators.TextAnalysis.tokens
+import graft.sources.Tables.table
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-hygiene operators for a training-data pipeline: PII
+  * scrubbing, repetition-based quality filters (the Gopher/C4 rules),
+  * and benchmark decontamination. All three are standard pre-training
+  * stages a user of a large-scale data engine expects as first-class
+  * operators.
+  *
+  * Scale design: scrubbing and repetition metrics are pure column
+  * expressions / per-doc aggregates (embarrassingly parallel, narrow
+  * shuffles keyed by doc); decontamination joins the corpus's exploded
+  * n-grams against a BROADCAST benchmark-gram set — the benchmark side
+  * is eval-suite-sized by construction, so the corpus never shuffles.
+  */
+object Hygiene {
+
+  // ---------- PII scrubbing -------------------------------------------
+
+  /** Redaction patterns, ordered: URLs first (an email or IP inside a
+    * URL must redact as part of the URL), then emails, then IPv4s.
+    * The patterns are deliberately backtracking-free so Java regex
+    * (Spark) and RE2 (DuckDB, external engines) agree exactly.
+    */
+  val UrlRe = "https?://[^\\s]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Scrub a text column: URLs → <URL>, emails → <EMAIL>,
+    * IPv4s → <IP>, applied in that order.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      Ipv4Re, "<IP>")
+
+  // ---------- repetition metrics (Gopher/C4 quality rules) ------------
+
+  /** Per-document repetition metrics from one unigram and one bigram
+    * explode: duplicate-token fraction, most-frequent-unigram
+    * fraction, most-frequent-bigram fraction. Two narrow groupBys
+    * keyed by (doc, gram) then doc — map-side combine does most of
+    * the work, so the plan is the same at 500 docs or 5 B.
+    */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val base = docs.select(col(idCol), col(textCol))
+      .repartition(par)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val uni = base.select(col(idCol), explode(col("__toks")).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max("c").as("__top1"), sum("c").as("n_tokens"),
+        count(lit(1)).as("__n_distinct"))
+    val bi = base
+      .select(col(idCol),
+        explode(when(size(col("__toks")) >= 2,
+          transform(sequence(lit(1), size(col("__toks")) - 1), i =>
+            concat_ws(" ", element_at(col("__toks"), i),
+              element_at(col("__toks"), i + lit(1)))))
+          .otherwise(array().cast(ArrayType(StringType)))).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max("c").as("__top2"), sum("c").as("__n_bigrams"))
+    uni.join(bi, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        round(lit(1.0) - col("__n_distinct").cast(DoubleType) /
+          greatest(col("n_tokens"), lit(1L)), 4).as("dup_token_frac"),
+        round(col("__top1").cast(DoubleType) /
+          greatest(col("n_tokens"), lit(1L)), 4).as("top_unigram_frac"),
+        round(coalesce(col("__top2").cast(DoubleType) /
+          greatest(col("__n_bigrams"), lit(1L)), lit(0.0)), 4)
+          .as("top_bigram_frac"))
+  }
+
+  // ---------- benchmark decontamination --------------------------------
+
+  /** Flag corpus documents sharing word n-grams with a benchmark/eval
+    * set: explode the corpus's distinct 3-gram shingles, inner-join the
+    * broadcast distinct benchmark-gram set, count hits per doc. Real
+    * pipelines dial n to 8-13; the harness vocabulary is tiny, so the
+    * declared query uses the same word-3-gram shingles as the near-dup
+    * family (one shared shingling code path).
+    *
+    * Returns (id, n_overlap, n_grams, contam_frac) for every corpus
+    * doc with at least one overlapping gram.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      benchPred: Column): DataFrame = {
+    val sh = Dedup.shingled(docs, idCol, textCol)
+    val bench = sh.filter(benchPred)
+      .select(explode(col("sh")).as("g")).distinct()
+    val corpus = sh.filter(!benchPred)
+    val hits = corpus.select(col(idCol), explode(col("sh")).as("g"))
+      .join(broadcast(bench), "g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol), size(col("sh")).as("n_grams"))
+      .join(hits, Seq(idCol))
+      .select(col(idCol), col("n_overlap"), col("n_grams"),
+        round(col("n_overlap").cast(DoubleType) /
+          greatest(col("n_grams"), lit(1)), 4).as("contam_frac"))
+  }
+
+  // ---------- declared queries ------------------------------------------
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // PII scrub: the corpus carries no PII by construction, so the
+    // query plants a deterministic doc_id-derived URL/email/IP suffix
+    // on every document — both engines build the identical augmented
+    // text, so the oracle checks the scrub itself (counts AND the
+    // md5 of the scrubbed text), not just plausibility.
+    "q_pii_scrub" -> QueryDef(
+      (s, dir) => {
+        val aug = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@example.com via http://site"), col("doc_id").cast(StringType),
+          lit(".example.org/p or 10.1."),
+          pmod(col("doc_id"), lit(256)).cast(StringType), lit(".7"))
+        table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), aug.as("__aug"))
+          .select(col("doc_id"),
+            regexp_count(col("__aug"), lit(UrlRe)).cast(LongType).as("n_urls"),
+            regexp_count(col("__aug"), lit(EmailRe)).cast(LongType).as("n_emails"),
+            regexp_count(col("__aug"), lit(Ipv4Re)).cast(LongType).as("n_ips"),
+            md5(scrubPii(col("__aug"))).as("scrub_fp"))
+          .orderBy("doc_id")
+      },
+      s"""WITH aug AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com via http://site' || CAST(doc_id AS VARCHAR)
+        |    || '.example.org/p or 10.1.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.7' AS a
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(a, '$UrlRe')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(a, '$EmailRe')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(a, '$Ipv4Re')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(a,
+        |    '$UrlRe', '<URL>', 'g'),
+        |    '$EmailRe', '<EMAIL>', 'g'),
+        |    '$Ipv4Re', '<IP>', 'g')) AS scrub_fp
+        |FROM aug ORDER BY doc_id""".stripMargin),
+
+    // Repetition quality metrics (Gopher rules): duplicate-token
+    // fraction, top-unigram fraction, top-bigram fraction.
+    "q_repetition" -> QueryDef(
+      (s, dir) => repetitionMetrics(
+        table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |uc AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2),
+        |us AS (
+        |  SELECT doc_id, max(c) AS top1, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct
+        |  FROM uc GROUP BY 1),
+        |bc AS (
+        |  SELECT doc_id, g, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS g
+        |    FROM toks) GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, max(c) AS top2, sum(c) AS n_bigrams FROM bc GROUP BY 1)
+        |SELECT us.doc_id, n_tokens,
+        |  round(1.0 - n_distinct * 1.0 / greatest(n_tokens, 1), 4) AS dup_token_frac,
+        |  round(top1 * 1.0 / greatest(n_tokens, 1), 4) AS top_unigram_frac,
+        |  round(coalesce(top2 * 1.0 / greatest(n_bigrams, 1), 0.0), 4) AS top_bigram_frac
+        |FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+        |ORDER BY us.doc_id""".stripMargin),
+
+    // Decontamination vs a deterministic benchmark slice
+    // (doc_id % 97 = 0 stands in for the eval suite): corpus docs
+    // sharing ≥ 1 word-3-gram with any benchmark doc, with overlap
+    // counts — the exact surface a contamination audit reports.
+    "q_decontaminate" -> QueryDef(
+      (s, dir) => decontaminate(
+        table(s, dir, "documents"), "doc_id", "text",
+        pmod(col("doc_id"), lit(97)) === 0)
+        .orderBy("doc_id"),
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+        |    i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\s+')[i+2])) AS g
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT unnest(g) AS gr FROM sh WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_overlap
+        |  FROM (SELECT doc_id, unnest(g) AS gr FROM corpus) cg
+        |  JOIN bench USING (gr) GROUP BY 1)
+        |SELECT doc_id, n_overlap, len(g) AS n_grams,
+        |  round(n_overlap * 1.0 / greatest(len(g), 1), 4) AS contam_frac
+        |FROM corpus JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
+  )
+}

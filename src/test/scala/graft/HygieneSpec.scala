@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Hygiene
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators: PII scrub completeness, repetition
+  * metrics on hand-computed fixtures, decontamination hit logic.
+  */
+class HygieneSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scrubPii removes every URL, email, and IPv4; keeps clean text") {
+    val df = Seq(
+      "mail me at bob.smith+x@corp.example.co and visit https://a.b/c?d=1",
+      "server at 192.168.0.1 rebooted",
+      "nothing sensitive here",
+      "edge 1.2.3.4 and user@host.io together https://x.io/%20p"
+    ).toDF("text").select(Hygiene.scrubPii(col("text")).as("s"))
+    val scrubbed = df.as[String].collect()
+    assert(scrubbed(0) == "mail me at <EMAIL> and visit <URL>")
+    assert(scrubbed(1) == "server at <IP> rebooted")
+    assert(scrubbed(2) == "nothing sensitive here")
+    assert(scrubbed(3) == "edge <IP> and <EMAIL> together <URL>")
+    // nothing PII-shaped survives any scrubbed output
+    val leftover = df.filter(
+      col("s").rlike(Hygiene.UrlRe) || col("s").rlike(Hygiene.EmailRe) ||
+        col("s").rlike(Hygiene.Ipv4Re)).count()
+    assert(leftover == 0)
+  }
+
+  test("repetition metrics match hand computation") {
+    val docs = Seq(
+      (1L, "a a a b"),        // top1 = a:3/4; bigrams: "a a" 2/3; distinct 2
+      (2L, "x y z w"),        // no repetition
+      (3L, "solo")            // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val m = Hygiene.repetitionMetrics(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(m(0).getLong(1) == 4L)
+    assert(m(0).getDouble(2) == 0.5)      // 1 - 2/4
+    assert(m(0).getDouble(3) == 0.75)     // a: 3/4
+    assert(m(0).getDouble(4) == 0.6667)   // "a a": 2/3
+    assert(m(1).getDouble(2) == 0.0)
+    assert(m(1).getDouble(3) == 0.25)
+    assert(m(1).getDouble(4) == 0.3333)   // all bigrams count 1 of 3
+    assert(m(2).getLong(1) == 1L)
+    assert(m(2).getDouble(4) == 0.0)      // no bigrams → coalesced 0
+  }
+
+  test("decontaminate counts benchmark 3-gram overlap per corpus doc") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps high"),   // benchmark (id % 97 == 0)
+      (1L, "the quick brown fox sleeps now"),   // shares 2 grams with bench
+      (2L, "completely different words here today friend"), // no overlap
+      (3L, "a the quick brown fox jumps")       // shares 3 grams
+    ).toDF("doc_id", "text")
+    val out = Hygiene.decontaminate(docs, "doc_id", "text",
+      pmod(col("doc_id"), lit(97)) === 0)
+      .orderBy("doc_id").collect()
+    // only overlapping corpus docs are reported; benchmark docs excluded
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(out(0).getLong(1) == 2L)  // "the quick brown", "quick brown fox"
+    assert(out(0).getInt(2) == 4)
+    assert(out(1).getLong(1) == 3L)  // + "brown fox jumps"
+    assert(out(1).getInt(2) == 4)
+    assert(out(1).getDouble(3) == 0.75)
+  }
+}
