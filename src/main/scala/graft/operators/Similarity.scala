@@ -131,7 +131,7 @@ object Similarity {
     * the double math is unchanged — float→double is exact, products
     * accumulate in index order on both paths.
     */
-  private def nearestCentroid(v: Column, centroids: Seq[(Long, Seq[Float])]): Column = {
+  private def nearestCentroid(v: Column, centroids: Seq[(Long, Seq[Double])]): Column = {
     val scored = centroids.map { case (id, c) =>
       struct((lit(0.0) - fdot(v, typedlit(c))).as("neg_score"), lit(id).as("id"))
     }
@@ -144,12 +144,57 @@ object Similarity {
     * shuffle. The sort/slice lambdas are interpreted but run only on
     * the query panel (dim-table-sized), never the corpus.
     */
-  private def nearestCentroids(v: Column, centroids: Seq[(Long, Seq[Float])],
+  private def nearestCentroids(v: Column, centroids: Seq[(Long, Seq[Double])],
       p: Int): Column = {
     val scored = array(centroids.map { case (id, c) =>
       struct((lit(0.0) - fdot(v, typedlit(c))).as("neg_score"), lit(id).as("id"))
     }: _*)
     transform(slice(array_sort(scored), 1, p), s => s.getField("id"))
+  }
+
+  // ---- k-means (Lloyd) centroid refinement ----------------------------
+
+  /** Quantization scale for the deterministic centroid mean: dims are
+    * rounded to 1/2^20 before summation. x·2^20 is a power-of-two
+    * scale (exact in double); the per-dim integer sums are then
+    * associative — the SAME centroid falls out at any partitioning,
+    * with map-side partial combine, where a double `avg` would leak
+    * summation order into the low bits and break engine parity.
+    */
+  val MeanQ = 1048576L
+
+  /** Lloyd refinement of the stride centroids, `iters` iterations of
+    * (assign via codegen'd dot / argmax, recompute quantized means).
+    * Each iteration is ONE job over the corpus with broadcast centroid
+    * literals plus a k×dim-row collect (k=16, dim=64 → 1 k rows) —
+    * the standard scalable k-means shape. Empty lists keep their old
+    * centroid. Centroid dims are s/(n·2^20) computed in IEEE double —
+    * bit-identical on any engine, so the whole refinement is
+    * oracle-replayable.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int,
+      iters: Int): Seq[(Long, Seq[Double])] = {
+    var cents: Seq[(Long, Seq[Double])] = strideCentroids(corpus, k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+      .toSeq.sortBy(_._1)
+    for (_ <- 0 until iters) {
+      val sums = corpus.select(col("vec_id"), col("embedding"))
+        .withColumn("list_id", nearestCentroid(col("embedding"), cents))
+        .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("list_id", "pos")
+        .agg(sum(floor(col("x").cast(DoubleType) * MeanQ + lit(0.5))).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byList = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (id, old) =>
+        byList.get(id).map { rows =>
+          val dims = rows.sortBy(_.getInt(1)).map(r =>
+            r.getLong(2).toDouble / (r.getLong(3) * MeanQ).toDouble)
+          (id, dims.toSeq)
+        }.getOrElse((id, old))
+      }
+    }
+    cents
   }
 
   /** IVF top-k: corpus vectors are assigned to their nearest centroid
@@ -160,10 +205,22 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numLists: Int = 16, nprobe: Int = 1): DataFrame = {
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val cents = strideCentroids(corpus, numLists).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble): Seq[Double]))
       .toSeq
+    probeTopK(corpus, queries, cents, k, nprobe)
+  }
+
+  /** IVF with Lloyd-refined centroids (see kmeansCentroids) — same
+    * probe, better-balanced lists than the raw stride quantizer.
+    */
+  def kmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numLists: Int = 16, iters: Int = 2, nprobe: Int = 1): DataFrame =
+    probeTopK(corpus, queries, kmeansCentroids(corpus, numLists, iters), k, nprobe)
+
+  private def probeTopK(corpus: DataFrame, queries: DataFrame,
+      cents: Seq[(Long, Seq[Double])], k: Int, nprobe: Int): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_v"))
       .repartition(par)
       .withColumn("list_id", nearestCentroid(col("c_v"), cents))
@@ -184,7 +241,65 @@ object Similarity {
         round(col("cos_raw"), 4).as("cos"))
   }
 
+  /** One unrolled Lloyd iteration as DuckDB CTEs: assignment by
+    * dot-product argmax (tie → smaller cid), quantized per-dim integer
+    * sums, IEEE-double mean, empty lists keep the previous centroid —
+    * the exact arithmetic kmeansCentroids runs.
+    */
+  private def lloydIterSql(i: Int, prev: String): String =
+    s"""a$i AS (SELECT u.vec_id, u.v, c.cid,
+       |    row_number() OVER (PARTITION BY u.vec_id
+       |      ORDER BY list_dot_product(u.v, c.cent) DESC, c.cid) AS rn
+       |  FROM u CROSS JOIN $prev c),
+       |l$i AS (SELECT vec_id, v, cid FROM a$i WHERE rn = 1),
+       |s$i AS (SELECT cid, pos,
+       |    CAST(sum(CAST(floor(v[pos] * ${MeanQ} + 0.5) AS BIGINT)) AS BIGINT) AS s,
+       |    count(*) AS n
+       |  FROM l$i, (SELECT unnest(range(1, 65)) AS pos) ps GROUP BY 1, 2),
+       |m$i AS (SELECT cid,
+       |    list(CAST(s AS DOUBLE) / CAST(n * ${MeanQ} AS DOUBLE) ORDER BY pos) AS cent
+       |  FROM s$i GROUP BY 1),
+       |c$i AS (SELECT p.cid, coalesce(m$i.cent, p.cent) AS cent
+       |  FROM $prev p LEFT JOIN m$i USING (cid)),""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+
+    // IVF with k-means-refined centroids: stride init, two Lloyd
+    // iterations of (argmax-dot assignment, quantized-mean update),
+    // then the standard inverted-list probe. Every step is
+    // deterministic integer-or-IEEE math, so the oracle replays the
+    // full refinement — a drifted centroid anywhere changes list
+    // membership and hash-mismatches.
+    "q_ann_kmeans" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        kmeansTopK(e, e.filter(col("vec_id") < 32), k = 3)
+          .orderBy("query_id", "neighbor_id")
+      },
+      s"""WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT greatest(count(*) // 16, 1) AS stride FROM u),
+        |c0 AS (
+        |  SELECT CAST(vec_id // stride AS BIGINT) AS cid, v AS cent
+        |  FROM u, p WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+        |${lloydIterSql(1, "c0")}
+        |${lloydIterSql(2, "c1")}
+        |af AS (SELECT u.vec_id, u.v, c.cid,
+        |    row_number() OVER (PARTITION BY u.vec_id
+        |      ORDER BY list_dot_product(u.v, c.cent) DESC, c.cid) AS rn
+        |  FROM u CROSS JOIN c2 c),
+        |lists AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, cid AS list_id
+        |  FROM af WHERE rn = 1),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
+        |  FROM lists q JOIN lists c USING (list_id)
+        |  WHERE q.vec_id < 32 AND c.vec_id != q.vec_id)
+        |SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos
+        |FROM sims
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cos_raw DESC, neighbor_id) <= 3
+        |ORDER BY query_id, neighbor_id""".stripMargin),
 
     // IVF-bucketed ANN. The index is fully deterministic (stride
     // centroids, argmax-dot assignment), so the oracle rebuilds the

@@ -81,6 +81,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall2 >= recall, s"nprobe=2 recall $recall2 < $recall")
   }
 
+  test("kmeansCentroids moves stride centroids to cluster means; probe keeps recall") {
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val centers = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat * 3f))
+    // block membership: the stride quantizer's initial picks (ids 0,
+    // 20, 40, 60) each land in a distinct true cluster — Lloyd's job
+    // is then to move each pick (a noisy member) onto its cluster MEAN
+    val rows = for (i <- 0 until 80)
+      yield (i.toLong,
+        centers(i / 20).map(v => v + 0.01f * rnd.nextGaussian().toFloat))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val refined = kmeansCentroids(corpus, k = 4, iters = 2)
+    assert(refined.size == 4)
+    // every true center is recovered by some refined centroid
+    // (max dim distance far below inter-center spacing)
+    centers.foreach { tc =>
+      val best = refined.map { case (_, c) =>
+        tc.zip(c).map { case (a, b) => math.abs(a - b) }.max }.min
+      assert(best < 0.05, s"no refined centroid near a true center ($best)")
+    }
+    val queries = corpus.filter(col("vec_id") < 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(bruteForceTopK(corpus, queries, k = 3))
+    val km = pairs(kmeansTopK(corpus, queries, k = 3, numLists = 4, iters = 2))
+    assert((brute & km).size.toDouble / brute.size == 1.0)
+  }
+
   test("lshSignature buckets co-directional vectors together") {
     val planes = hyperplanes(8, 2)
     val df = Seq(
