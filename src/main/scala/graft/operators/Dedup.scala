@@ -45,12 +45,13 @@ object Dedup {
     * shingling is compute-bound, and a small single-file scan would
     * otherwise pin the whole stage to one task.
     */
-  def shingled(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def shingled(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     df.select(col(idCol), col(textCol))
       .repartition(par)
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), array_distinct(wordNgrams(col("__toks"), 3)).as("sh"))
+      .select(col(idCol), array_distinct(wordNgrams(col("__toks"), n)).as("sh"))
   }
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
