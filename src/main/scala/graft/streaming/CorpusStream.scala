@@ -2,7 +2,8 @@ package graft.streaming
 
 import graft.operators.Dedup
 import graft.pipelines.Corpus
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
@@ -28,45 +29,78 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   *      exact-verified by Jaccard against the admitted shingles;
   *   3. survivors get the batch-internal near-dedup
   *      (`Corpus.nearDedup`: LSH pairs → components → keep min id);
-  *   4. admitted docs append to the sink, their bands/shingles to the
-  *      index.
+  *   4. admitted docs land in the sink, their bands/shingles in the
+  *      index — each in a `batch=<id>` partition directory.
+  *
+  * REPLAY SAFETY (exactly-once effective semantics without a
+  * transactional table format):
+  *   - every write goes to `<dir>/batch=<batchId>` with Overwrite, so
+  *     a replayed micro-batch rewrites its own partition instead of
+  *     double-appending sink or index;
+  *   - the index probe excludes the current batch's doc_ids by
+  *     anti-join (NOT by partition), so leftovers from a crashed
+  *     attempt of this very batch can't self-match and over-drop, and
+  *     the admit decision is bit-identical on every attempt;
+  *   - `admitted` is localCheckpoint'ed before any write, truncating
+  *     lineage over the index files the overwrite is about to replace.
+  *
+  * COMPACTION: every `compactEvery` batches the prior index partitions
+  * are folded (together with the batch's own rows) into the current
+  * `batch=<id>` partition and the old directories deleted, bounding
+  * index file count by O(compactEvery), not O(stream length). A crash
+  * between fold and delete leaves prior rows present twice — harmless,
+  * because the probe `distinct()`s candidates and the replayed batch
+  * re-runs the fold+delete. A crash after the deletes is covered by
+  * the fold: reads go through the parent directory, so rows survive in
+  * whichever partition carries them.
   *
   * State is the index directory: bounded by the ADMITTED corpus (not
   * the stream length), keyed by band bucket so the per-batch probe
-  * shuffles only the batch. The streaming checkpoint makes file
-  * ingestion exactly-once per batch; a mid-step crash can replay step
-  * 4's appends, so a transactional table format (or a doc_id dedup on
-  * read) is the production sink — the same caveat every
-  * foreachBatch-append pipeline carries.
+  * shuffles only the batch.
   */
 object CorpusStream {
 
-  private def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  private def fileSystem(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Batch ids of the `batch=<id>` partition directories under `dir`. */
+  private def batchPartitions(spark: SparkSession, dir: String): Seq[Long] = {
+    val fs = fileSystem(spark, dir)
+    val p = new Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
   }
 
   /** One micro-batch step — factored out so the spec (and a backfill
     * job) can drive it directly with deterministic batch boundaries.
+    * Idempotent in `batchId`: re-running the same (batch, batchId) is a
+    * no-op on the final sink/index state.
     */
-  def nearDedupBatchStep(batch: DataFrame, indexDir: String, sinkDir: String,
-      minJaccard: Double): Unit = {
+  def nearDedupBatchStep(batch: DataFrame, batchId: Long, indexDir: String,
+      sinkDir: String, minJaccard: Double, compactEvery: Int = 8): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     val bandsPath = s"$indexDir/bands"
     val shinglesPath = s"$indexDir/shingles"
+    val batchDocIds = batch.select("doc_id")
     val sh = Dedup.shingled(batch, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = Dedup.lshBandsFromShingles(sh, "doc_id")
+    val havePrior = batchPartitions(spark, bandsPath).nonEmpty
     // docs near-dupped by the ADMITTED corpus: band-bucket probe, then
     // exact Jaccard against the admitted shingle sets (candidate-only
-    // work, the batch LSH contract)
+    // work, the batch LSH contract). The anti-join against the batch's
+    // own ids is the replay shield — see the object doc.
     val doomedByIndex =
-      if (exists(spark, bandsPath)) {
+      if (havePrior) {
         val idxBands = spark.read.parquet(bandsPath)
           .select(col("doc_id").as("idx_id"), col("band"), col("band_key"))
+          .join(batchDocIds.select(col("doc_id").as("idx_id")), Seq("idx_id"), "left_anti")
         val idxSh = spark.read.parquet(shinglesPath)
           .select(col("doc_id").as("idx_id"), col("sh").as("sh_old"))
+          .join(batchDocIds.select(col("doc_id").as("idx_id")), Seq("idx_id"), "left_anti")
         bands.join(idxBands, Seq("band", "band_key"))
           .select(col("doc_id"), col("idx_id")).distinct()
           .join(sh.select(col("doc_id"), col("sh").as("sh_new")), "doc_id")
@@ -75,28 +109,54 @@ object CorpusStream {
           .select("doc_id").distinct()
       } else spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
     val survivors = batch.join(doomedByIndex, Seq("doc_id"), "left_anti")
-    // batch-internal near-dedup (min-id canonical within the batch)
+    // batch-internal near-dedup (min-id canonical within the batch);
+    // localCheckpoint truncates lineage over the index files the
+    // writes below may replace on a replay
     val admitted = Corpus.nearDedup(survivors, "doc_id", "text", minJaccard)
       .select("doc_id", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val admittedIds = admitted.select("doc_id")
-    admitted.write.mode(SaveMode.Append).parquet(sinkDir)
-    bands.join(admittedIds, "doc_id")
-      .write.mode(SaveMode.Append).parquet(bandsPath)
-    sh.join(admittedIds, "doc_id")
-      .write.mode(SaveMode.Append).parquet(shinglesPath)
-    admitted.unpersist()
+    admitted.write.mode(SaveMode.Overwrite).parquet(s"$sinkDir/batch=$batchId")
+    // micro-batches are small → one file per partition dir; at 100 TB
+    // size this by bytes (batchRows / targetFileRows) instead
+    val newBands = bands.join(admittedIds, "doc_id")
+      .select("doc_id", "band", "band_key")
+    val newSh = sh.join(admittedIds, "doc_id").select("doc_id", "sh")
+    val compact = compactEvery > 0 && havePrior && batchId % compactEvery == 0
+    if (compact) {
+      val priorBands = spark.read.parquet(bandsPath)
+        .select("doc_id", "band", "band_key")
+        .join(batchDocIds, Seq("doc_id"), "left_anti")
+      val priorSh = spark.read.parquet(shinglesPath)
+        .select("doc_id", "sh")
+        .join(batchDocIds, Seq("doc_id"), "left_anti")
+      // materialize the fold BEFORE overwriting inside the same tree:
+      // the write job must not re-list files its own Overwrite deletes
+      val foldBands = priorBands.union(newBands).coalesce(2).localCheckpoint(true)
+      val foldSh = priorSh.union(newSh).coalesce(2).localCheckpoint(true)
+      foldBands.write.mode(SaveMode.Overwrite).parquet(s"$bandsPath/batch=$batchId")
+      foldSh.write.mode(SaveMode.Overwrite).parquet(s"$shinglesPath/batch=$batchId")
+      for (dir <- Seq(bandsPath, shinglesPath);
+           b <- batchPartitions(spark, dir) if b < batchId)
+        fileSystem(spark, dir).delete(new Path(dir, s"batch=$b"), true)
+    } else {
+      newBands.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$bandsPath/batch=$batchId")
+      newSh.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$shinglesPath/batch=$batchId")
+    }
     sh.unpersist()
   }
 
   /** Wire the step into a checkpointed AvailableNow/continuous stream. */
   def nearDedupStream(docs: DataFrame, indexDir: String, sinkDir: String,
       checkpointDir: String, minJaccard: Double = 0.8,
+      compactEvery: Int = 8,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        nearDedupBatchStep(batch, indexDir, sinkDir, minJaccard)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDedupBatchStep(batch, batchId, indexDir, sinkDir, minJaccard, compactEvery)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

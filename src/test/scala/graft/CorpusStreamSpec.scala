@@ -85,4 +85,47 @@ class CorpusStreamSpec extends SparkSpec {
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(indexed == sinkIds)
   }
+
+  test("replayed micro-batch is a no-op; compaction bounds index partitions") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cstep")
+    val index = base.resolve("index").toString
+    val sink = base.resolve("sink").toString
+    // 12 unique tokens per doc → disjoint 3-gram shingles across docs
+    def doc(i: Int): (Long, String) =
+      (i.toLong, (0 until 12).map(t => s"w${i}x$t").mkString(" "))
+    def step(rows: Seq[(Long, String)], id: Long): Unit =
+      CorpusStream.nearDedupBatchStep(
+        rows.toDF("doc_id", "text"), id, index, sink,
+        minJaccard = 0.8, compactEvery = 3)
+    def sinkIds: Seq[Long] =
+      spark.read.parquet(sink).select("doc_id").as[Long].collect().toSeq.sorted
+    def bandPartDirs: Seq[String] = {
+      val d = java.nio.file.Paths.get(index, "bands")
+      val it = java.nio.file.Files.list(d).iterator()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .map(_.getFileName.toString).filter(_.startsWith("batch=")).toSeq
+    }
+
+    step(Seq(doc(1), doc(2)), 0L)
+    // batch 1: a near-dup of doc 1 (dropped via the index) + fresh doc 3
+    val nearDup1 = (10L, doc(1)._2 + " extra")
+    step(Seq(nearDup1, doc(3)), 1L)
+    assert(sinkIds == Seq(1L, 2L, 3L))
+    // REPLAY batch 1 (crash before checkpoint commit): the sink must
+    // not double-append, and the index leftovers of the first attempt
+    // must not self-match doc 3 out of the corpus
+    step(Seq(nearDup1, doc(3)), 1L)
+    assert(sinkIds == Seq(1L, 2L, 3L))
+    // five more unique-doc batches; compaction fires at ids 3 and 6
+    for (i <- 2 to 6) step(Seq(doc(10 + i)), i.toLong)
+    assert(sinkIds == Seq(1L, 2L, 3L, 12L, 13L, 14L, 15L, 16L))
+    assert(bandPartDirs.size <= 3, s"index partitions unbounded: $bandPartDirs")
+    // the folded index still drops a near-dup of a batch-0 doc
+    step(Seq((99L, doc(2)._2 + " tail")), 7L)
+    assert(sinkIds == Seq(1L, 2L, 3L, 12L, 13L, 14L, 15L, 16L))
+    // and holds bands for exactly the admitted docs
+    val indexed = spark.read.parquet(s"$index/bands")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(indexed == sinkIds.toSet)
+  }
 }
