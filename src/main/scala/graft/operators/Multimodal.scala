@@ -10,10 +10,17 @@ import org.apache.spark.sql.types._
   * typed metadata, decoded/feature-extracted by pluggable per-batch
   * functions, frame-sampled by exploding computed offsets.
   *
-  * The decode step is a STUB — no image/audio codecs ship in this
-  * environment — implemented as a deterministic fake that derives
-  * "header" fields from the payload bytes. Everything around it
-  * (binary schema, metadata struct, explode-based frame sampling,
+  * Two decode paths ship:
+  *   - `decodeImageBatch` — a REAL image codec over `javax.imageio`
+  *     (PNG/BMP/GIF/JPEG readers are part of the JDK's java.desktop
+  *     module, headless-safe): binary → (width, height, RAW8 grayscale
+  *     frame) that feeds `resizeRaw8`/`embedBatch`/ANN end-to-end;
+  *   - `decodeBatch`/`fakeDecodeHeader` — a deterministic fake kept as
+  *     the oracle-replayable twin (DuckDB can mirror its byte math,
+  *     which it cannot for a PNG inflate).
+  * Audio/video codecs don't ship in the JDK; those stay behind the
+  * same per-partition-init seam. Everything around the codecs (binary
+  * schema, metadata struct, explode-based frame sampling,
   * partition-friendly layout) is the real Spark-side design: at 100 TB
   * the payloads stay columnar in parquet, the metadata struct prunes
   * scans, and sampling explodes offsets instead of materializing
@@ -61,6 +68,61 @@ object Multimodal {
           val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
           MediaMeta(id, bytes.length,
             (b0 % 16 + 1) * 64, (b1 % 9 + 1) * 64, bytes.length % 24 + 1)
+        }
+      }
+  }
+
+  final case class DecodedFrame(doc_id: Long, width: Int, height: Int,
+      payload: Array[Byte])
+
+  /** REAL image decode: `javax.imageio` (JDK-bundled PNG/BMP/GIF/JPEG
+    * readers, no display needed) → RAW8 grayscale frame (row-major
+    * BT.601 luma), the format `resizeRaw8`/`embedBatch` consume.
+    * Undecodable or empty payloads degrade to (0, 0, empty) instead of
+    * killing the stage — the corrupt-row contract shared with
+    * `resizeRaw8`. mapPartitions keeps the blob partition-local; the
+    * per-record `ImageIO.read` is the codec-call seam a production
+    * build would swap for a pooled decoder. Grayscale conversion walks
+    * the BufferedImage raster row-major; for TYPE_BYTE_GRAY sources
+    * the raster IS the frame and is copied without the luma math.
+    */
+  def decodeImageBatch(df: DataFrame, idCol: String, payloadCol: String): Dataset[DecodedFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytesOrNull) =>
+          val img =
+            try {
+              if (bytesOrNull == null || bytesOrNull.isEmpty) null
+              else javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytesOrNull))
+            } catch { case _: java.io.IOException => null }
+          if (img == null) DecodedFrame(id, 0, 0, Array.emptyByteArray)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val out = new Array[Byte](w * h)
+            if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+              img.getRaster.getDataElements(0, 0, w, h, out)
+            } else {
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val r = (rgb >> 16) & 0xff
+                  val g = (rgb >> 8) & 0xff
+                  val b = rgb & 0xff
+                  out(y * w + x) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+                  x += 1
+                }
+                y += 1
+              }
+            }
+            DecodedFrame(id, w, h, out)
+          }
         }
       }
   }

@@ -55,6 +55,49 @@ class MultimodalSpec extends SparkSpec {
     assert(counts.length == 3 && counts.forall(_ == 5))
   }
 
+  test("decodeImageBatch decodes real PNGs via javax.imageio into the " +
+      "resize/embed/ANN chain; corrupt payloads degrade") {
+    import spark.implicits._
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(8, 6, (x, y) => (x * 32 << 16) | (y * 40 << 8) | 7)),
+      (2L, png(16, 16, (x, y) => ((x ^ y) * 16) * 0x10101)),
+      (3L, Array[Byte](1, 2, 3)), // not an image
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val df = rows.toDF("doc_id", "payload")
+    val dec = Multimodal.decodeImageBatch(df, "doc_id", "payload")
+      .collect().map(d => d.doc_id -> d).toMap
+    // PNG round-trips TYPE_INT_RGB losslessly: check an exact luma —
+    // pixel (x=2, y=3) of doc 1 is rgb(64, 120, 7) → BT.601 luma 90
+    val d1 = dec(1L)
+    assert(d1.width == 8 && d1.height == 6 && d1.payload.length == 48)
+    assert((d1.payload(3 * 8 + 2) & 0xff) == (64 * 299 + 120 * 587 + 7 * 114) / 1000)
+    // doc 2 is gray-on-gray (r=g=b): luma equals the channel value
+    val d2 = dec(2L)
+    assert(d2.width == 16 && d2.height == 16)
+    assert((d2.payload(5 * 16 + 9) & 0xff) == ((9 ^ 5) * 16))
+    // corrupt rows degrade to empty frames, never throw
+    assert(dec(3L).width == 0 && dec(3L).payload.isEmpty)
+    assert(dec(4L).width == 0 && dec(4L).payload.isEmpty)
+    // end-to-end: decoded frames → resizeRaw8 → embed → brute ANN
+    val frames = Multimodal.decodeImageBatch(df, "doc_id", "payload").toDF()
+      .filter(col("width") > 0)
+    val resized = Multimodal.resizeRaw8(
+      frames, "doc_id", "payload", "width", "height", 8, 8).toDF()
+    val emb = Multimodal.embedBatch(resized, "doc_id", "payload")
+      .toDF().withColumnRenamed("doc_id", "vec_id")
+    // 2 decodable docs, self excluded → exactly one neighbor row
+    val topk = graft.operators.Similarity.bruteForceTopK(emb, emb.limit(1), k = 2)
+    assert(topk.count() == 1)
+  }
+
   test("resizeRaw8 is a real nearest-neighbor resampler: exact pixels on a " +
       "known image, downsample then upsample round-trips blocks") {
     import spark.implicits._
