@@ -105,21 +105,24 @@ object Similarity {
 
   // ---- IVF (inverted-file) index --------------------------------------
 
-  /** Deterministic coarse quantizer: every (n/k)-th corpus vector is a
-    * centroid (k-means would drop in behind the same shape; for a
-    * bench-reproducible index the stride sample is the right choice).
-    * Returns (centroid_id, centroid) rows — dim-table-sized, broadcast.
+  /** Deterministic coarse quantizer WITHOUT a corpus count: the k
+    * corpus vectors with the smallest md5(vec_id) hex strings — a
+    * uniform deterministic sample (the same md5 trick as
+    * `Sampling.hashFraction`) fetched by ONE TakeOrderedAndProject job
+    * (per-partition top-k, driver merge; no count() pre-pass, no full
+    * sort, no dense-vec_id assumption). Centroid ids are the 0..k-1
+    * rank in hash order, so an external engine rebuilds the identical
+    * index via `ORDER BY md5(vec_id) LIMIT k`.
     */
-  def strideCentroids(corpus: DataFrame, k: Int): DataFrame = {
-    val n = corpus.count()
-    val stride = math.max(n / k, 1L)
-    // vec_id < stride·k (not limit(k)): limit on an unordered frame is
-    // pick-any — fine single-file, nondeterministic on a real cluster
-    corpus.select(col("vec_id"), col("embedding"))
-      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
-      .select((col("vec_id") / stride).cast("long").as("centroid_id"),
-        col("embedding").as("centroid"))
-  }
+  def hashCentroids(corpus: DataFrame, k: Int): Seq[(Long, Seq[Double])] =
+    corpus.select(md5(col("vec_id").cast("string")).as("hk"), col("embedding"))
+      .orderBy("hk")
+      .limit(k)
+      .collect()
+      .sortBy(_.getString(0))
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](1).map(_.toDouble): Seq[Double]) }
+      .toSeq
 
   /** Nearest-centroid id for a vector against broadcast centroid
     * literals: one codegen'd `fdot` per centroid, argmin over
@@ -163,22 +166,27 @@ object Similarity {
     */
   val MeanQ = 1048576L
 
-  /** Lloyd refinement of the stride centroids, `iters` iterations of
+  /** Lloyd refinement of the hash centroids, `iters` iterations of
     * (assign via codegen'd dot / argmax, recompute quantized means).
-    * Each iteration is ONE job over the corpus with broadcast centroid
-    * literals plus a k×dim-row collect (k=16, dim=64 → 1 k rows) —
-    * the standard scalable k-means shape. Empty lists keep their old
-    * centroid. Centroid dims are s/(n·2^20) computed in IEEE double —
-    * bit-identical on any engine, so the whole refinement is
-    * oracle-replayable.
+    * Each iteration is ONE job with broadcast centroid literals plus a
+    * k×dim-row collect (k=16, dim=64 → 1 k rows) — the standard
+    * scalable k-means shape. With `sampleFrac < 1` the refinement runs
+    * on a deterministic md5-fraction sample (`Sampling.hashFraction`
+    * on vec_id): iters passes over frac·n rows instead of n — the
+    * 100 TB shape — and the single FULL corpus pass stays where it
+    * always was, in `probeTopK`'s index-build assignment. Empty lists
+    * keep their old centroid. Centroid dims are s/(n·2^20) computed in
+    * IEEE double — bit-identical on any engine, so the whole
+    * refinement (sample membership included) is oracle-replayable.
     */
   def kmeansCentroids(corpus: DataFrame, k: Int,
-      iters: Int): Seq[(Long, Seq[Double])] = {
-    var cents: Seq[(Long, Seq[Double])] = strideCentroids(corpus, k).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
-      .toSeq.sortBy(_._1)
+      iters: Int, sampleFrac: Double = 1.0): Seq[(Long, Seq[Double])] = {
+    var cents: Seq[(Long, Seq[Double])] = hashCentroids(corpus, k)
+    val train =
+      if (sampleFrac >= 1.0) corpus
+      else corpus.filter(Sampling.hashFraction(col("vec_id")) < sampleFrac)
     for (_ <- 0 until iters) {
-      val sums = corpus.select(col("vec_id"), col("embedding"))
+      val sums = train.select(col("vec_id"), col("embedding"))
         .withColumn("list_id", nearestCentroid(col("embedding"), cents))
         .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("list_id", "pos")
@@ -204,19 +212,17 @@ object Similarity {
     * corpus.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      numLists: Int = 16, nprobe: Int = 1): DataFrame = {
-    val cents = strideCentroids(corpus, numLists).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble): Seq[Double]))
-      .toSeq
-    probeTopK(corpus, queries, cents, k, nprobe)
-  }
+      numLists: Int = 16, nprobe: Int = 1): DataFrame =
+    probeTopK(corpus, queries, hashCentroids(corpus, numLists), k, nprobe)
 
   /** IVF with Lloyd-refined centroids (see kmeansCentroids) — same
-    * probe, better-balanced lists than the raw stride quantizer.
+    * probe, better-balanced lists than the raw hash quantizer.
     */
   def kmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      numLists: Int = 16, iters: Int = 2, nprobe: Int = 1): DataFrame =
-    probeTopK(corpus, queries, kmeansCentroids(corpus, numLists, iters), k, nprobe)
+      numLists: Int = 16, iters: Int = 2, nprobe: Int = 1,
+      sampleFrac: Double = 1.0): DataFrame =
+    probeTopK(corpus, queries,
+      kmeansCentroids(corpus, numLists, iters, sampleFrac), k, nprobe)
 
   private def probeTopK(corpus: DataFrame, queries: DataFrame,
       cents: Seq[(Long, Seq[Double])], k: Int, nprobe: Int): DataFrame = {
@@ -244,13 +250,14 @@ object Similarity {
   /** One unrolled Lloyd iteration as DuckDB CTEs: assignment by
     * dot-product argmax (tie → smaller cid), quantized per-dim integer
     * sums, IEEE-double mean, empty lists keep the previous centroid —
-    * the exact arithmetic kmeansCentroids runs.
+    * the exact arithmetic kmeansCentroids runs, over the `tr` sample
+    * CTE (the md5-fraction training set).
     */
   private def lloydIterSql(i: Int, prev: String): String =
     s"""a$i AS (SELECT u.vec_id, u.v, c.cid,
        |    row_number() OVER (PARTITION BY u.vec_id
        |      ORDER BY list_dot_product(u.v, c.cent) DESC, c.cid) AS rn
-       |  FROM u CROSS JOIN $prev c),
+       |  FROM tr u CROSS JOIN $prev c),
        |l$i AS (SELECT vec_id, v, cid FROM a$i WHERE rn = 1),
        |s$i AS (SELECT cid, pos,
        |    CAST(sum(CAST(floor(v[pos] * ${MeanQ} + 0.5) AS BIGINT)) AS BIGINT) AS s,
@@ -264,23 +271,30 @@ object Similarity {
 
   def defs: Map[String, QueryDef] = Map(
 
-    // IVF with k-means-refined centroids: stride init, two Lloyd
-    // iterations of (argmax-dot assignment, quantized-mean update),
-    // then the standard inverted-list probe. Every step is
-    // deterministic integer-or-IEEE math, so the oracle replays the
-    // full refinement — a drifted centroid anywhere changes list
-    // membership and hash-mismatches.
+    // IVF with k-means-refined centroids: md5-rank hash init (no
+    // count() pre-pass), two SAMPLE-BASED Lloyd iterations
+    // (argmax-dot assignment + quantized-mean update over the
+    // deterministic md5-fraction half of the corpus — the 100 TB
+    // shape), then ONE full-corpus assignment inside the standard
+    // inverted-list probe. Every step is deterministic
+    // integer-or-IEEE math, so the oracle replays the full refinement
+    // — sample membership included; a drifted centroid anywhere
+    // changes list membership and hash-mismatches.
     "q_ann_kmeans" -> QueryDef(
       (s, dir) => {
         val e = table(s, dir, "embeddings")
-        kmeansTopK(e, e.filter(col("vec_id") < 32), k = 3)
+        kmeansTopK(e, e.filter(col("vec_id") < 32), k = 3, sampleFrac = 0.5)
           .orderBy("query_id", "neighbor_id")
       },
       s"""WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |p AS (SELECT greatest(count(*) // 16, 1) AS stride FROM u),
+        |tr AS (SELECT * FROM u
+        |  WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS UINT32)
+        |    / 4294967296.0 < 0.5),
         |c0 AS (
-        |  SELECT CAST(vec_id // stride AS BIGINT) AS cid, v AS cent
-        |  FROM u, p WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+        |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+        |      AS BIGINT) AS cid, v AS cent
+        |  FROM u
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 16),
         |${lloydIterSql(1, "c0")}
         |${lloydIterSql(2, "c1")}
         |af AS (SELECT u.vec_id, u.v, c.cid,
@@ -301,10 +315,11 @@ object Similarity {
         |  ORDER BY cos_raw DESC, neighbor_id) <= 3
         |ORDER BY query_id, neighbor_id""".stripMargin),
 
-    // IVF-bucketed ANN. The index is fully deterministic (stride
-    // centroids, argmax-dot assignment), so the oracle rebuilds the
-    // same inverted lists and replays the probe — approximation and
-    // all. Cluster-recovery behavior is additionally asserted in
+    // IVF-bucketed ANN. The index is fully deterministic (md5-rank
+    // hash centroids — one TakeOrderedAndProject job, no count()
+    // pre-pass — then argmax-dot assignment), so the oracle rebuilds
+    // the same inverted lists and replays the probe — approximation
+    // and all. Cluster-recovery behavior is additionally asserted in
     // SimilaritySpec.
     "q_ann_ivf" -> QueryDef(
       (s, dir) => {
@@ -313,10 +328,11 @@ object Similarity {
           .orderBy("query_id", "neighbor_id")
       },
       """WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |p AS (SELECT greatest(count(*) // 16, 1) AS stride FROM u),
         |cents AS (
-        |  SELECT CAST(vec_id // stride AS BIGINT) AS centroid_id, v AS cent
-        |  FROM u, p WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+        |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+        |      AS BIGINT) AS centroid_id, v AS cent
+        |  FROM u
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 16),
         |assign AS (
         |  SELECT u.vec_id, u.v, c.centroid_id,
         |    row_number() OVER (PARTITION BY u.vec_id

@@ -62,13 +62,22 @@ class SimilaritySpec extends SparkSpec {
     val rnd = new scala.util.Random(11)
     val dim = 16
     val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat))
-    val rows = for {
-      c <- centers.indices
-      i <- 0 until 10
-    } yield (c * 10L + i,
-      centers(c).map(v => v + 0.01f * rnd.nextGaussian().toFloat))
+    // the hash quantizer's 8 picks over ids 0..79 are the 8 smallest
+    // md5(id) values — 27,63,60,59,69,6,43,33; pin each to a distinct
+    // cluster (remaining ids round-robin) so every inverted list seeds
+    // in its own cluster, the same arrangement the stride quantizer got
+    // for free from block membership
+    val pickCluster = Map(27 -> 0, 63 -> 1, 60 -> 2, 59 -> 3,
+      69 -> 4, 6 -> 5, 43 -> 6, 33 -> 7)
+    def clusterOf(i: Int): Int = pickCluster.getOrElse(i, i % 8)
+    val rows = for (i <- 0 until 80)
+      yield (i.toLong,
+        centers(clusterOf(i)).map(v => v + 0.01f * rnd.nextGaussian().toFloat))
     val corpus = rows.toDF("vec_id", "embedding")
-    val queries = corpus.filter(col("vec_id") % 10 === 1)
+    // one query per cluster (id 6 is a pick pinned to cluster 5, so
+    // cluster 6's query is id 14)
+    val queries = corpus.filter(col("vec_id")
+      .isin(0L, 1L, 2L, 3L, 4L, 5L, 14L, 7L))
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val brute = pairs(bruteForceTopK(corpus, queries, k = 3))
@@ -81,16 +90,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall2 >= recall, s"nprobe=2 recall $recall2 < $recall")
   }
 
-  test("kmeansCentroids moves stride centroids to cluster means; probe keeps recall") {
+  test("kmeansCentroids moves hash centroids to cluster means; probe keeps recall") {
     val rnd = new scala.util.Random(13)
     val dim = 16
     val centers = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat * 3f))
-    // block membership: the stride quantizer's initial picks (ids 0,
-    // 20, 40, 60) each land in a distinct true cluster — Lloyd's job
-    // is then to move each pick (a noisy member) onto its cluster MEAN
+    // the hash quantizer's initial picks over ids 0..79 (the 4
+    // smallest md5(id): 27, 63, 60, 59) are pinned to distinct true
+    // clusters — Lloyd's job is then to move each pick (a noisy
+    // member) onto its cluster MEAN
+    val pickCluster = Map(27 -> 0, 63 -> 1, 60 -> 2, 59 -> 3)
+    def clusterOf(i: Int): Int = pickCluster.getOrElse(i, i % 4)
     val rows = for (i <- 0 until 80)
       yield (i.toLong,
-        centers(i / 20).map(v => v + 0.01f * rnd.nextGaussian().toFloat))
+        centers(clusterOf(i)).map(v => v + 0.01f * rnd.nextGaussian().toFloat))
     val corpus = rows.toDF("vec_id", "embedding")
     val refined = kmeansCentroids(corpus, k = 4, iters = 2)
     assert(refined.size == 4)
@@ -107,6 +119,12 @@ class SimilaritySpec extends SparkSpec {
     val brute = pairs(bruteForceTopK(corpus, queries, k = 3))
     val km = pairs(kmeansTopK(corpus, queries, k = 3, numLists = 4, iters = 2))
     assert((brute & km).size.toDouble / brute.size == 1.0)
+    // sample-based Lloyd (the 100 TB shape: refine on the md5-half,
+    // one full assignment in the probe) keeps the same recall — tight
+    // clusters mean the sampled means sit next to the full means
+    val kmS = pairs(kmeansTopK(corpus, queries, k = 3, numLists = 4,
+      iters = 2, sampleFrac = 0.5))
+    assert((brute & kmS).size.toDouble / brute.size == 1.0)
   }
 
   test("lshSignature buckets co-directional vectors together") {
