@@ -80,7 +80,11 @@ object Multimodal {
     * BT.601 luma), the format `resizeRaw8`/`embedBatch` consume.
     * Undecodable or empty payloads degrade to (0, 0, empty) instead of
     * killing the stage — the corrupt-row contract shared with
-    * `resizeRaw8`. mapPartitions keeps the blob partition-local; the
+    * `resizeRaw8`. That guard catches NonFatal, not just IOException:
+    * plugin readers throw unchecked exceptions on adversarial payloads
+    * (IllegalArgumentException, CMMException, NegativeArraySizeException),
+    * and a decoded frame whose w·h exceeds Int.MaxValue is rejected the
+    * same way rather than overflowing the array allocation. mapPartitions keeps the blob partition-local; the
     * per-record `ImageIO.read` is the codec-call seam a production
     * build would swap for a pooled decoder. Grayscale conversion walks
     * the BufferedImage raster row-major; for TYPE_BYTE_GRAY sources
@@ -98,8 +102,10 @@ object Multimodal {
               if (bytesOrNull == null || bytesOrNull.isEmpty) null
               else javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(bytesOrNull))
-            } catch { case _: java.io.IOException => null }
-          if (img == null) DecodedFrame(id, 0, 0, Array.emptyByteArray)
+            } catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null ||
+              img.getWidth.toLong * img.getHeight > Int.MaxValue)
+            DecodedFrame(id, 0, 0, Array.emptyByteArray)
           else {
             val w = img.getWidth
             val h = img.getHeight

@@ -43,16 +43,28 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   *     the admit decision is bit-identical on every attempt;
   *   - `admitted` is localCheckpoint'ed before any write, truncating
   *     lineage over the index files the overwrite is about to replace.
+  *     localCheckpoint is executor-local, NOT fault-tolerant: an
+  *     executor lost between checkpoint and the writes fails that
+  *     attempt — acceptable only because the idempotent replay re-runs
+  *     the batch cleanly (a lossy cluster wanting attempt-level
+  *     recovery would use reliable checkpoint() to DFS instead);
+  *   - the anti-join shield keys on doc_id, so doc_id MUST be unique
+  *     across the stream's lifetime (the usual contract for a document
+  *     corpus). A source that re-delivers an already-admitted doc_id in
+  *     a LATER batch is indistinguishable from a crashed attempt of
+  *     that batch: the old index rows are excluded from the probe and
+  *     the doc is re-admitted as a duplicate sink row.
   *
   * COMPACTION: every `compactEvery` batches the prior index partitions
   * are folded (together with the batch's own rows) into the current
   * `batch=<id>` partition and the old directories deleted, bounding
   * index file count by O(compactEvery), not O(stream length). A crash
-  * between fold and delete leaves prior rows present twice — harmless,
-  * because the probe `distinct()`s candidates and the replayed batch
-  * re-runs the fold+delete. A crash after the deletes is covered by
-  * the fold: reads go through the parent directory, so rows survive in
-  * whichever partition carries them.
+  * between fold and delete leaves prior rows present in both an old
+  * partition and the fold; admission stays correct (the probe ends in
+  * `distinct()`), and the replayed fold `distinct()`s its input so the
+  * duplicates collapse instead of accumulating. A crash after the
+  * deletes is covered by the fold: reads go through the parent
+  * directory, so rows survive in whichever partition carries them.
   *
   * State is the index directory: bounded by the ADMITTED corpus (not
   * the stream length), keyed by band bucket so the per-batch probe
@@ -131,9 +143,15 @@ object CorpusStream {
         .select("doc_id", "sh")
         .join(batchDocIds, Seq("doc_id"), "left_anti")
       // materialize the fold BEFORE overwriting inside the same tree:
-      // the write job must not re-list files its own Overwrite deletes
-      val foldBands = priorBands.union(newBands).coalesce(2).localCheckpoint(true)
-      val foldSh = priorSh.union(newSh).coalesce(2).localCheckpoint(true)
+      // the write job must not re-list files its own Overwrite deletes.
+      // distinct() folds away rows a prior crash (between fold-write and
+      // partition delete) left present in BOTH an old partition and the
+      // fold — without it those rows re-duplicate on every replay and
+      // persist in the index permanently
+      val foldBands = priorBands.union(newBands).distinct()
+        .coalesce(2).localCheckpoint(true)
+      val foldSh = priorSh.union(newSh).distinct()
+        .coalesce(2).localCheckpoint(true)
       foldBands.write.mode(SaveMode.Overwrite).parquet(s"$bandsPath/batch=$batchId")
       foldSh.write.mode(SaveMode.Overwrite).parquet(s"$shinglesPath/batch=$batchId")
       for (dir <- Seq(bandsPath, shinglesPath);

@@ -98,6 +98,29 @@ class MultimodalSpec extends SparkSpec {
     assert(topk.count() == 1)
   }
 
+  test("decodeImageBatch survives adversarial payloads: truncated and " +
+      "bit-flipped codec headers degrade to empty frames, never throw") {
+    import spark.implicits._
+    // real format magics followed by garbage/truncation — the inputs
+    // that push plugin readers past IOException into unchecked throws
+    val magics = Seq[Array[Byte]](
+      Array(0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      "GIF89a".getBytes, "GIF87a".getBytes, "BM".getBytes,
+      Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte))
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 50).map { i =>
+      val magic = magics(i % magics.length)
+      val tail = new Array[Byte](i * 7 % 96)
+      rnd.nextBytes(tail)
+      (i.toLong, magic ++ tail)
+    }
+    val dec = Multimodal.decodeImageBatch(
+      rows.toDF("doc_id", "payload"), "doc_id", "payload").collect()
+    assert(dec.length == 50)
+    // every row degraded (none of these is a decodable image)
+    assert(dec.forall(d => d.width == 0 && d.payload.isEmpty))
+  }
+
   test("resizeRaw8 is a real nearest-neighbor resampler: exact pixels on a " +
       "known image, downsample then upsample round-trips blocks") {
     import spark.implicits._
