@@ -128,4 +128,67 @@ class CorpusStreamSpec extends SparkSpec {
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(indexed == sinkIds.toSet)
   }
+
+  test("compaction crash between fold-write and delete: replay collapses " +
+      "the duplicated rows instead of accumulating them") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ccrash")
+    val index = base.resolve("index").toString
+    val sink = base.resolve("sink").toString
+    def doc(i: Int): (Long, String) =
+      (i.toLong, (0 until 12).map(t => s"c${i}y$t").mkString(" "))
+    def step(rows: Seq[(Long, String)], id: Long): Unit =
+      CorpusStream.nearDedupBatchStep(
+        rows.toDF("doc_id", "text"), id, index, sink,
+        minJaccard = 0.8, compactEvery = 3)
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      val it = java.nio.file.Files.walk(from).iterator()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).foreach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
+    step(Seq(doc(1), doc(2)), 0L)
+    step(Seq(doc(3)), 1L)
+    step(Seq(doc(4)), 2L)
+    // snapshot the pre-compaction index, then compact at batch 3
+    val snap = base.resolve("snap")
+    copyTree(java.nio.file.Paths.get(index), snap)
+    val b3 = Seq(doc(5))
+    step(b3, 3L)
+    // simulate the crash window: fold partition batch=3 exists AND the
+    // pre-compaction partitions are back (delete never ran)
+    copyTree(snap, java.nio.file.Paths.get(index))
+    // drop the inferred batch=<id> partition column so row identity is
+    // the index payload, not the directory the row happens to live in
+    val bandsDup = spark.read.parquet(s"$index/bands").drop("batch")
+    assert(bandsDup.count() > bandsDup.distinct().count(),
+      "precondition: crash state must actually duplicate rows")
+    // replay batch 3: the fold must distinct() the duplicates away and
+    // the delete must clear the old partitions
+    step(b3, 3L)
+    val bands = spark.read.parquet(s"$index/bands").drop("batch")
+    assert(bands.count() == bands.distinct().count(),
+      "replayed fold left duplicate band rows")
+    val shingles = spark.read.parquet(s"$index/shingles").drop("batch")
+    assert(shingles.count() == shingles.distinct().count(),
+      "replayed fold left duplicate shingle rows")
+    def partsUnder(sub: String): Seq[String] = {
+      val it = java.nio.file.Files.list(
+        java.nio.file.Paths.get(index, sub)).iterator()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .map(_.getFileName.toString).filter(_.startsWith("batch=")).toSeq
+    }
+    assert(partsUnder("bands") == Seq("batch=3"))
+    assert(partsUnder("shingles") == Seq("batch=3"))
+    // admission is still exact after the replayed compaction: a near-dup
+    // of a batch-0 doc is dropped, a fresh doc admitted
+    step(Seq((50L, doc(1)._2 + " tail"), doc(6)), 4L)
+    val ids = spark.read.parquet(sink)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
 }
