@@ -24,22 +24,34 @@ object Hygiene {
   // ---------- PII scrubbing -------------------------------------------
 
   /** Redaction patterns, ordered: URLs first (an email or IP inside a
-    * URL must redact as part of the URL), then emails, then IPv4s.
+    * URL must redact as part of the URL), then emails, then phone
+    * numbers (the international `+CC …` shape, matched before cards so
+    * a phone's digit groups can't be half-eaten by the card pattern),
+    * then 16-digit card numbers in 4-4-4-4 groups, then IPv4s (last:
+    * dot-separated, so no earlier pattern overlaps it).
     * The patterns are deliberately backtracking-free so Java regex
-    * (Spark) and RE2 (DuckDB, external engines) agree exactly.
+    * (Spark) and RE2 (DuckDB, external engines) agree exactly — no
+    * backreferences, no lookaround.
     */
   val UrlRe = "https?://[^\\s]+"
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+\\d{1,2}[ .-]?\\(?\\d{2,3}\\)?[ .-]?\\d{3,4}[ .-]?\\d{4}\\b"
+  val CardRe = "\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   /** Scrub a text column: URLs → <URL>, emails → <EMAIL>,
-    * IPv4s → <IP>, applied in that order.
+    * phones → <PHONE>, cards → <CARD>, IPv4s → <IP>, applied in that
+    * order.
     */
   def scrubPii(c: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(c, UrlRe, "<URL>"),
-        EmailRe, "<EMAIL>"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(c, UrlRe, "<URL>"),
+            EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        CardRe, "<CARD>"),
       Ipv4Re, "<IP>")
 
   // ---------- repetition metrics (Gopher/C4 quality rules) ------------
@@ -149,16 +161,20 @@ object Hygiene {
   def defs: Map[String, QueryDef] = Map(
 
     // PII scrub: the corpus carries no PII by construction, so the
-    // query plants a deterministic doc_id-derived URL/email/IP suffix
-    // on every document — both engines build the identical augmented
-    // text, so the oracle checks the scrub itself (counts AND the
-    // md5 of the scrubbed text), not just plausibility.
+    // query plants a deterministic doc_id-derived URL/email/phone/
+    // card/IP suffix on every document — both engines build the
+    // identical augmented text, so the oracle checks the scrub itself
+    // (counts AND the md5 of the scrubbed text), not just
+    // plausibility.
     "q_pii_scrub" -> QueryDef(
       (s, dir) => {
+        val d4 = lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0")
         val aug = concat(col("text"),
           lit(" contact user"), col("doc_id").cast(StringType),
           lit("@example.com via http://site"), col("doc_id").cast(StringType),
-          lit(".example.org/p or 10.1."),
+          lit(".example.org/p call +1 555-123-"), d4,
+          lit(" pay 4111 1111 "), d4,
+          lit(" 1111 or 10.1."),
           pmod(col("doc_id"), lit(256)).cast(StringType), lit(".7"))
         table(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism)
@@ -166,6 +182,8 @@ object Hygiene {
           .select(col("doc_id"),
             regexp_count(col("__aug"), lit(UrlRe)).cast(LongType).as("n_urls"),
             regexp_count(col("__aug"), lit(EmailRe)).cast(LongType).as("n_emails"),
+            regexp_count(col("__aug"), lit(PhoneRe)).cast(LongType).as("n_phones"),
+            regexp_count(col("__aug"), lit(CardRe)).cast(LongType).as("n_cards"),
             regexp_count(col("__aug"), lit(Ipv4Re)).cast(LongType).as("n_ips"),
             md5(scrubPii(col("__aug"))).as("scrub_fp"))
           .orderBy("doc_id")
@@ -173,16 +191,24 @@ object Hygiene {
       s"""WITH aug AS (
         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
         |    || '@example.com via http://site' || CAST(doc_id AS VARCHAR)
-        |    || '.example.org/p or 10.1.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.example.org/p call +1 555-123-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' pay 4111 1111 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' 1111 or 10.1.' || CAST(doc_id % 256 AS VARCHAR)
         |    || '.7' AS a
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(a, '$UrlRe')) AS BIGINT) AS n_urls,
         |  CAST(len(regexp_extract_all(a, '$EmailRe')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(a, '$PhoneRe')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(a, '$CardRe')) AS BIGINT) AS n_cards,
         |  CAST(len(regexp_extract_all(a, '$Ipv4Re')) AS BIGINT) AS n_ips,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(a,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(a,
         |    '$UrlRe', '<URL>', 'g'),
         |    '$EmailRe', '<EMAIL>', 'g'),
+        |    '$PhoneRe', '<PHONE>', 'g'),
+        |    '$CardRe', '<CARD>', 'g'),
         |    '$Ipv4Re', '<IP>', 'g')) AS scrub_fp
         |FROM aug ORDER BY doc_id""".stripMargin),
 

@@ -9,21 +9,29 @@ import org.apache.spark.sql.functions._
 class HygieneSpec extends SparkSpec {
   import spark.implicits._
 
-  test("scrubPii removes every URL, email, and IPv4; keeps clean text") {
+  test("scrubPii removes every URL, email, phone, card, and IPv4; " +
+      "keeps clean text") {
     val df = Seq(
       "mail me at bob.smith+x@corp.example.co and visit https://a.b/c?d=1",
       "server at 192.168.0.1 rebooted",
       "nothing sensitive here",
-      "edge 1.2.3.4 and user@host.io together https://x.io/%20p"
+      "edge 1.2.3.4 and user@host.io together https://x.io/%20p",
+      "call +1 (555) 123-4567 or +44 20 7946 0958 now",
+      "card 4111 1111 1111 1111 and compact 4111111111111111 too",
+      "phone +15551234567 then pay 5500-0000-0000-0004"
     ).toDF("text").select(Hygiene.scrubPii(col("text")).as("s"))
     val scrubbed = df.as[String].collect()
     assert(scrubbed(0) == "mail me at <EMAIL> and visit <URL>")
     assert(scrubbed(1) == "server at <IP> rebooted")
     assert(scrubbed(2) == "nothing sensitive here")
     assert(scrubbed(3) == "edge <IP> and <EMAIL> together <URL>")
+    assert(scrubbed(4) == "call <PHONE> or <PHONE> now")
+    assert(scrubbed(5) == "card <CARD> and compact <CARD> too")
+    assert(scrubbed(6) == "phone <PHONE> then pay <CARD>")
     // nothing PII-shaped survives any scrubbed output
     val leftover = df.filter(
       col("s").rlike(Hygiene.UrlRe) || col("s").rlike(Hygiene.EmailRe) ||
+        col("s").rlike(Hygiene.PhoneRe) || col("s").rlike(Hygiene.CardRe) ||
         col("s").rlike(Hygiene.Ipv4Re)).count()
     assert(leftover == 0)
   }
