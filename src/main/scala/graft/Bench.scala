@@ -26,6 +26,10 @@ object Bench {
       // later query with a matching plan fragment would silently pay
       // re-materialization inside its timed window); the RDD sweep
       // catches localCheckpoint RDDs, which the catalog doesn't track
+      // drain first so the tracked-cache bin empties instead of holding
+      // references across the whole run; the sweep then catches any
+      // untracked leftovers
+      InternalCaches.drain()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

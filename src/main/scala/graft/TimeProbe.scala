@@ -13,6 +13,10 @@ object TimeProbe {
     val sel = if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
     def drop(): Unit = {
+      // drain first so the tracked-cache bin empties instead of holding
+      // references across the whole run; the sweep then catches any
+      // untracked leftovers
+      InternalCaches.drain()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

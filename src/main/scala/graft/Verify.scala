@@ -24,6 +24,10 @@ object Verify {
       // per-query operator persists are scoped to their query
       // (clearCache also deregisters, so no stale CacheManager entry
       // gets substituted into a later query's plan)
+      // drain first so the tracked-cache bin empties instead of holding
+      // references across the whole run; the sweep then catches any
+      // untracked leftovers
+      InternalCaches.drain()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

@@ -155,8 +155,8 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double): DataFrame = {
-    val sh = shingled(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.InternalCaches.track(shingled(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bands = lshBandsFromShingles(sh, idCol)
     val l = bands.toDF("id_a", "band", "band_key")
     val r = bands.toDF("id_b", "band", "band_key")
@@ -425,9 +425,9 @@ object Dedup {
     // performs round one's neighbor-min for free, so small dense
     // near-dup clusters (diameter ≤ 2 via the pointer jump) converge a
     // full round earlier
-    var labels = edges.groupBy("src").agg(min("dst").as("__mn"))
-      .select(col("src").as("id"), least(col("src"), col("__mn")).as("label"))
-      .localCheckpoint()
+    var (labels, labelsCkpt) = graft.InternalCaches.localCheckpointHandle(
+      edges.groupBy("src").agg(min("dst").as("__mn"))
+        .select(col("src").as("id"), least(col("src"), col("__mn")).as("label")))
     // labels only ever decrease (min of self+neighbors), so the label
     // sum is strictly monotone until fixpoint — one agg scan per round
     // replaces a join+count change detector
@@ -457,14 +457,22 @@ object Dedup {
         .join(hop, minned("label") === hop("__jid"), "left")
         .select(minned("id").as("id"),
           least(minned("label"), coalesce(col("__jump"), minned("label"))).as("label"))
-      val next = jumped.localCheckpoint()
+      val (next, nextCkpt) = graft.InternalCaches.localCheckpointHandle(jumped)
       val nextSum = labelSum(next)
+      // round k's checkpoint is dead once round k+1 materialized:
+      // release it now so in-flight cache is one label frame, not
+      // O(iterations) of them
+      graft.InternalCaches.release(labelsCkpt)
       labels = next
+      labelsCkpt = nextCkpt
       converged = nextSum == prevSum
       prevSum = nextSum
       iter += 1
     }
     p.unpersist()
+    // the RETURNED frame still reads the final checkpoint — register
+    // it for the caller's post-action drain instead of releasing here
+    graft.InternalCaches.trackRdds(labelsCkpt)
     labels.withColumnRenamed("label", "cluster_id")
   }
 
@@ -738,8 +746,9 @@ object Dedup {
     // for the components).
     "q_dedup_clusters" -> QueryDef(
       (s, dir) => {
-        val d = shingled(table(s, dir, "documents"), "doc_id", "text")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val d = graft.InternalCaches.track(
+          shingled(table(s, dir, "documents"), "doc_id", "text")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val pairs = jaccardPairs(d, "doc_id", minJaccard = 0.5)
         clusterPairs(pairs).orderBy("id")
       },

@@ -115,8 +115,8 @@ object Hygiene {
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
       benchPred: Column, n: Int = 3): DataFrame = {
-    val sh = Dedup.shingled(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.InternalCaches.track(Dedup.shingled(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bench = sh.filter(benchPred)
       .select(explode(col("sh")).as("g")).distinct()
     val corpus = sh.filter(!benchPred)

@@ -95,8 +95,9 @@ object Corpus {
     // partition, and the quality regexes + fingerprint md5 would run
     // on one core of the cluster (measured 3.8 s of the sf0.1 run).
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val base = exactDedup(qualityFilter(docs.repartition(par), cfg), idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = graft.InternalCaches.track(
+      exactDedup(qualityFilter(docs.repartition(par), cfg), idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cleaned = nearDedup(base, idCol, textCol, cfg.nearDupJaccard, cfg.pairStrategy)
     cleaned.withColumn("n_tokens", size(TextAnalysis.tokens(col(textCol))))
   }

@@ -124,9 +124,10 @@ object CorpusStream {
     // batch-internal near-dedup (min-id canonical within the batch);
     // localCheckpoint truncates lineage over the index files the
     // writes below may replace on a replay
-    val admitted = Corpus.nearDedup(survivors, "doc_id", "text", minJaccard)
-      .select("doc_id", "text")
-      .localCheckpoint(true)
+    val (admitted, admittedCkpt) = graft.InternalCaches.localCheckpointHandle(
+      Corpus.nearDedup(survivors, "doc_id", "text", minJaccard)
+        .select("doc_id", "text"))
+    graft.InternalCaches.trackRdds(admittedCkpt)
     val admittedIds = admitted.select("doc_id")
     admitted.write.mode(SaveMode.Overwrite).parquet(s"$sinkDir/batch=$batchId")
     // micro-batches are small → one file per partition dir; at 100 TB
@@ -148,10 +149,12 @@ object CorpusStream {
       // partition delete) left present in BOTH an old partition and the
       // fold — without it those rows re-duplicate on every replay and
       // persist in the index permanently
-      val foldBands = priorBands.union(newBands).distinct()
-        .coalesce(2).localCheckpoint(true)
-      val foldSh = priorSh.union(newSh).distinct()
-        .coalesce(2).localCheckpoint(true)
+      val (foldBands, fbCkpt) = graft.InternalCaches.localCheckpointHandle(
+        priorBands.union(newBands).distinct().coalesce(2))
+      val (foldSh, fsCkpt) = graft.InternalCaches.localCheckpointHandle(
+        priorSh.union(newSh).distinct().coalesce(2))
+      graft.InternalCaches.trackRdds(fbCkpt)
+      graft.InternalCaches.trackRdds(fsCkpt)
       foldBands.write.mode(SaveMode.Overwrite).parquet(s"$bandsPath/batch=$batchId")
       foldSh.write.mode(SaveMode.Overwrite).parquet(s"$shinglesPath/batch=$batchId")
       for (dir <- Seq(bandsPath, shinglesPath);
@@ -164,6 +167,12 @@ object CorpusStream {
         .parquet(s"$shinglesPath/batch=$batchId")
     }
     sh.unpersist()
+    // drop every operator-internal cache this batch created (the
+    // admitted/fold checkpoints above, plus the shingle persists and
+    // component checkpoints inside Corpus.nearDedup) — a stream that
+    // skipped this would leak one cache set per micro-batch for its
+    // whole lifetime
+    graft.InternalCaches.drain()
   }
 
   /** Wire the step into a checkpointed AvailableNow/continuous stream. */
