@@ -39,4 +39,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unlisted cross-product plans in: ${offenders.sorted.mkString(", ")}")
   }
+
+  // Plan-shape locks for specific wins: these queries regressed (or
+  // nearly did) in past rounds by silently losing a persist or a join
+  // strategy; pin the shape so a refactor that re-plans them fails
+  // here, not in the bench.
+
+  test("q_decontaminate: one broadcast exchange, shingles read from cache") {
+    val plan = SparkEntry.queries("q_decontaminate")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val nBroadcast = "BroadcastExchange".r.findAllIn(plan).length
+    // exactly one broadcast: the benchmark-gram set; the corpus side
+    // must never broadcast (it is the 100 TB side)
+    assert(nBroadcast == 1, s"expected 1 BroadcastExchange, got $nBroadcast:\n$plan")
+    // both branches of the persisted shingle frame read the cache —
+    // losing this re-runs the tokenize+n-gram stage per branch (the
+    // 16.9 s round-3 plan)
+    assert(plan.contains("InMemoryTableScan"),
+      s"shingle persist not in plan:\n$plan")
+    InternalCaches.drain(blocking = true)
+    spark.catalog.clearCache()
+  }
+
+  test("q_dedup_editdist: length-band candidates join as a hash equi-join") {
+    val plan = SparkEntry.queries("q_dedup_editdist")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the candidate generator must stay a key-equi join (shuffled or
+    // broadcast hash) on the length band — a nested loop here is the
+    // O(n²) failure mode the banding exists to prevent
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin")
+        || plan.contains("BroadcastHashJoin"),
+      s"no equi-join in editdist plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+        && !plan.contains("CartesianProduct"),
+      s"editdist planned a cross product:\n$plan")
+  }
 }
