@@ -10,6 +10,11 @@ object TimeProbe {
     val dir = sys.env.getOrElse("PROBE_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // numbers are only comparable to BENCH_r*.json when the core count
+    // matches the driver's SPARK_GRAFT_CPUS=32 — print the session
+    // shape so a local[4] probe can't masquerade as a 4x regression
+    // (a CPU-bound stage like the editdist DP scales ~linearly here)
+    println(s"[probe] master=${spark.sparkContext.master} dir=$dir")
     val sel = if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
     def drop(): Unit = {
