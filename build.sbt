@@ -23,6 +23,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// sbt's JUnitXmlReportPlugin only ever adds XML to target/test-reports;
+// a report for a since-deleted suite survives forever and poisons the
+// aggregate (phantom failures). Wipe the dir before every `test` run so
+// the directory always reflects exactly the live suites.
+val cleanTestReports = taskKey[Unit]("delete stale junit xml reports")
+cleanTestReports := IO.delete(target.value / "test-reports")
+Test / test := (Test / test).dependsOn(cleanTestReports).value
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
