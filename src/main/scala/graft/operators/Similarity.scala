@@ -247,6 +247,95 @@ object Similarity {
         round(col("cos_raw"), 4).as("cos"))
   }
 
+  // ---- IVF-PQ (product quantization, inner-product metric) ------------
+
+  /** LUT quantization grid: ADC table entries are rounded to 1/2^20
+    * before the 8-way sum, making the per-pair score an INTEGER sum —
+    * associative, so Spark's left-to-right expression and any SQL
+    * engine's aggregate produce the same bits regardless of order.
+    * Production ADC does the same thing harder (FAISS quantizes the
+    * LUT to int8 for SIMD); this grid keeps ~6 decimal digits.
+    */
+  val LutQ: Long = MeanQ
+
+  /** Code of sub-vector m against a codebook: argmax inner product
+    * (tie → smaller code), one codegen'd `fdot` per codebook entry on
+    * the `slice` of the embedding — the same least-of-structs argmin
+    * shape as `nearestCentroid`, never interpreted on the corpus.
+    */
+  private def subCode(v: Column, m: Int, sub: Int,
+      books: Seq[(Long, Seq[Double])]): Column = {
+    val s = slice(v, m * sub + 1, sub)
+    least(books.map { case (j, c) =>
+      struct((lit(0.0) - fdot(s, typedlit(c))).as("neg"), lit(j.toInt).as("j"))
+    }: _*).getField("j")
+  }
+
+  /** IVF-PQ top-k — the FAISS-style 100 TB ANN shape: a coarse
+    * quantizer partitions the corpus into inverted lists (the shuffle/
+    * storage key), and within a list candidates are ranked by
+    * PRODUCT-QUANTIZED approximate inner product: each vector is
+    * stored as M small codes (one per dim/M-wide subspace, argmax
+    * inner product against that subspace's codebook), and a query
+    * scores a candidate by summing M lookup-table entries instead of
+    * computing a dim-wide dot product. At 100 TB the corpus holds
+    * M bytes per vector instead of 4·dim — the codes column IS the
+    * compressed index — and the scan does M integer lookups per
+    * candidate.
+    *
+    * Determinism contract (what makes q_ann_pq oracle-replayable):
+    * coarse centroids AND subspace codebooks both come from
+    * `hashCentroids` (md5-rank sample, one driver job, shared);
+    * codebook m is the m-th slice of each sampled vector. Code
+    * assignment compares RAW double dots (ties → smaller code);
+    * LUT entries are quantized to 1/2^20 (`LutQ`) so the ADC sum is
+    * an associative integer sum; ranking orders by that integer
+    * (desc, then neighbor_id). Every step replays in portable SQL.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numLists: Int = 16, numSubspaces: Int = 8, dim: Int = 64,
+      nprobe: Int = 1): DataFrame = {
+    require(dim % numSubspaces == 0, "dim must divide into subspaces")
+    val sub = dim / numSubspaces
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val cents = hashCentroids(corpus, numLists)
+    val books: Seq[Seq[(Long, Seq[Double])]] = (0 until numSubspaces).map(m =>
+      cents.map { case (j, c) => (j, c.slice(m * sub, m * sub + sub)) })
+    // corpus → (list_id, code0..codeM-1): the compressed index. One
+    // narrow map pass, codegen end to end; the full embedding is
+    // DROPPED after encoding — that is the PQ memory win.
+    val coded = (0 until numSubspaces).foldLeft(
+      corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_v"))
+        .repartition(par)
+        .withColumn("list_id", nearestCentroid(col("c_v"), cents))) {
+      (df, m) => df.withColumn(s"code$m", subCode(col("c_v"), m, sub, books(m)))
+    }.drop("c_v")
+    // queries → per-subspace quantized LUTs (16 longs each, computed
+    // on the dim-table-sized panel only) + probed list ids
+    val withLut = (0 until numSubspaces).foldLeft(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
+        .withColumn("list_id",
+          explode(nearestCentroids(col("q_v"), cents, nprobe)))) { (df, m) =>
+      df.withColumn(s"lut$m", array(books(m).map { case (_, c) =>
+        floor(fdot(slice(col("q_v"), m * sub + 1, sub), typedlit(c))
+          * LutQ + lit(0.5)).cast(LongType)
+      }: _*))
+    }.drop("q_v")
+    // ADC: equi-join on the inverted list, score = Σ_m lut_m[code_m]
+    // — a fixed-order integer expression, no dot products
+    val score = (0 until numSubspaces).map(m =>
+      element_at(col(s"lut$m"), col(s"code$m") + 1)).reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adot_q").desc, col("neighbor_id"))
+    withLut.join(coded, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), score.as("adot_q"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adot_q").cast(DoubleType) / LutQ, 4).as("adot"))
+  }
+
   /** One unrolled Lloyd iteration as DuckDB CTEs: assignment by
     * dot-product argmax (tie → smaller cid), quantized per-dim integer
     * sums, IEEE-double mean, empty lists keep the previous centroid —
@@ -351,6 +440,67 @@ object Similarity {
         |FROM sims
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY cos_raw DESC, neighbor_id) <= 3
+        |ORDER BY query_id, neighbor_id""".stripMargin),
+
+    // IVF-PQ: inverted lists from the md5-rank coarse quantizer,
+    // in-list ranking by product-quantized approximate inner product
+    // (8 subspaces × 16-entry codebooks = the hash-sampled vectors'
+    // slices). The oracle rebuilds the codebooks, re-encodes every
+    // vector (argmax RAW dot, tie → smaller code), re-quantizes the
+    // LUT to the 1/2^20 grid, and replays the integer ADC sum — the
+    // approximation pipeline is checked end to end, compression
+    // included.
+    "q_ann_pq" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        pqTopK(e, e.filter(col("vec_id") < 32), k = 3)
+          .orderBy("query_id", "neighbor_id")
+      },
+      s"""WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+        |      AS BIGINT) AS cid, v AS cent
+        |  FROM u
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 16),
+        |assign AS (
+        |  SELECT u.vec_id, u.v, c.cid,
+        |    row_number() OVER (PARTITION BY u.vec_id
+        |      ORDER BY list_dot_product(u.v, c.cent) DESC, c.cid) AS rn
+        |  FROM u CROSS JOIN cb c),
+        |lists AS (SELECT vec_id, v, cid AS list_id FROM assign WHERE rn = 1),
+        |ms AS (SELECT unnest(range(0, 8)) AS m),
+        |subdot AS (
+        |  SELECT l.vec_id, ms.m, c.cid AS j,
+        |    list_dot_product(l.v[ms.m*8+1 : ms.m*8+8],
+        |                     c.cent[ms.m*8+1 : ms.m*8+8]) AS d
+        |  FROM lists l CROSS JOIN ms CROSS JOIN cb c),
+        |codes AS (
+        |  SELECT vec_id, m, j AS code FROM (
+        |    SELECT vec_id, m, j,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d DESC, j) AS rn
+        |    FROM subdot) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv, list_id
+        |  FROM lists WHERE vec_id < 32),
+        |lut AS (
+        |  SELECT q.query_id, ms.m, c.cid AS j,
+        |    CAST(floor(list_dot_product(q.qv[ms.m*8+1 : ms.m*8+8],
+        |      c.cent[ms.m*8+1 : ms.m*8+8]) * ${LutQ} + 0.5) AS BIGINT) AS dq
+        |  FROM q CROSS JOIN ms CROSS JOIN cb c),
+        |cand AS (
+        |  SELECT q.query_id, l.vec_id AS neighbor_id, c.m, c.code
+        |  FROM q JOIN lists l USING (list_id)
+        |  JOIN codes c ON c.vec_id = l.vec_id
+        |  WHERE l.vec_id != q.query_id),
+        |adc AS (
+        |  SELECT c.query_id, c.neighbor_id, CAST(sum(l.dq) AS BIGINT) AS s
+        |  FROM cand c JOIN lut l
+        |    ON l.query_id = c.query_id AND l.m = c.m AND l.j = c.code
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id,
+        |  round(CAST(s AS DOUBLE) / ${LutQ}, 4) AS adot
+        |FROM adc
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY s DESC, neighbor_id) <= 3
         |ORDER BY query_id, neighbor_id""".stripMargin),
 
     // Brute-force cosine top-3 for a fixed 32-query panel — exact,

@@ -127,6 +127,54 @@ class SimilaritySpec extends SparkSpec {
     assert((brute & kmS).size.toDouble / brute.size == 1.0)
   }
 
+  test("pqTopK: ADC ranking stays inside the true cluster and the " +
+      "quantized score tracks the exact inner product") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    // same pinned-pick arrangement as the ivf test: each of the hash
+    // quantizer's 8 picks seeds a distinct cluster
+    val pickCluster = Map(27 -> 0, 63 -> 1, 60 -> 2, 59 -> 3,
+      69 -> 4, 6 -> 5, 43 -> 6, 33 -> 7)
+    def clusterOf(i: Int): Int = pickCluster.getOrElse(i, i % 8)
+    val rows = for (i <- 0 until 80)
+      yield (i.toLong,
+        centers(clusterOf(i)).map(v => v + 0.01f * rnd.nextGaussian().toFloat))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id")
+      .isin(0L, 1L, 2L, 3L, 4L, 5L, 14L, 7L))
+    val res = pqTopK(corpus, queries, k = 3, numLists = 8,
+      numSubspaces = 4, dim = dim).collect()
+    assert(res.nonEmpty)
+    val byQuery = res.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 8 && byQuery.values.forall(_.length == 3))
+    // cluster purity: with near-identical in-cluster vectors PQ codes
+    // can tie (that is the point of quantization), so the contract is
+    // "every returned neighbor is a true cluster-mate", not an exact
+    // brute-force match
+    res.foreach { r =>
+      val q = r.getAs[Long]("query_id").toInt
+      val n = r.getAs[Long]("neighbor_id").toInt
+      assert(clusterOf(q) == clusterOf(n),
+        s"neighbor $n of query $q crossed clusters")
+      assert(q != n)
+    }
+    // the quantized ADC score tracks the exact inner product. Max-dot
+    // encoding is upward-biased (a subvector may encode to a codebook
+    // entry with a HIGHER dot than its own cluster-mate — inherent to
+    // inner-product PQ), so the bound is relative, not the in-cluster
+    // noise floor: within ~15% on cluster-scale dots
+    val vecs = rows.toMap
+    res.foreach { r =>
+      val q = vecs(r.getAs[Long]("query_id"))
+      val n = vecs(r.getAs[Long]("neighbor_id"))
+      val exact = q.zip(n).map { case (a, b) => a.toDouble * b }.sum
+      assert(math.abs(r.getAs[Double]("adot") - exact) <
+        0.15 * math.abs(exact) + 0.75,
+        s"ADC ${r.getAs[Double]("adot")} far from exact $exact")
+    }
+  }
+
   test("lshSignature buckets co-directional vectors together") {
     val planes = hyperplanes(8, 2)
     val df = Seq(
