@@ -38,7 +38,44 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, p: Double): DataFrame =
     df.filter(hashFraction(col(keyCol)) < p)
 
+  /** Weighted mixture sampling — the data-mixing primitive of a
+    * training pipeline: each source keeps a deterministic
+    * hash-fraction of its rows at that source's target rate
+    * (up-weighting curated sources, down-weighting crawl). Same
+    * hash-cutoff mechanics as `hashSample`, so re-running with a
+    * RAISED rate strictly grows the kept set (the previous sample is
+    * a prefix by construction) — a rate change never reshuffles which
+    * rows survive, only how many. Narrow per-row math, no shuffle.
+    */
+  def mixtureSample(df: DataFrame, keyCol: String, sourceCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(hashFraction(col(keyCol)) < rate)
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    // Mixture sampling over the documents corpus: per-source target
+    // rates (src0 kept whole, src1 half, src2 a quarter, the rest at
+    // a 10% floor), keyed by the doc_id hash — the oracle replays the
+    // exact cutoff per row, so a drifted rate or hash mismatches.
+    "q_mixture" -> QueryDef(
+      (s, dir) => mixtureSample(table(s, dir, "documents"),
+        "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultRate = 0.1)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UINT32)
+        |      / 4294967296.0 AS frac
+        |  FROM documents)
+        |WHERE frac < CASE source
+        |  WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |  WHEN 'src2' THEN 0.25 ELSE 0.1 END
+        |ORDER BY doc_id""".stripMargin),
     "q_split_assign" -> QueryDef(
       (s, dir) => table(s, dir, "documents")
         .select(col("doc_id"), assignSplit(col("doc_id")).as("split"))

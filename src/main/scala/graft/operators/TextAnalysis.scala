@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.sources.Tables.table
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -112,7 +112,53 @@ object TextAnalysis {
       .otherwise(array().cast(ArrayType(LongType)))
   }
 
+  /** Sliding token-window chunking — context-length preparation for a
+    * training pipeline: each document becomes fixed-size token windows
+    * at `stride` offsets (overlap = chunkTokens − stride keeps
+    * boundary context). One window per stride offset below n_tokens;
+    * trailing windows run short rather than re-aligning (simple,
+    * deterministic, oracle-replayable — dial `stride` to taste).
+    * explode + slice on the materialized token array: narrow per-row
+    * work, no shuffle, the same plan at 500 docs or 5 B.
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 128, stride: Int = 96): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunk and stride must be positive")
+    docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__t"), col("__n"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as(Seq("chunk_id", "__start")))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", slice(col("__t"), col("__start") + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(lit(chunkTokens), col("__n") - col("__start"))
+          .as("n_chunk_tokens"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    // Sliding-window chunking at chunk=32/stride=24 (docs average ~54
+    // tokens, so most emit 2-3 chunks). The oracle rebuilds every
+    // window — offsets, slice text, short-tail lengths — so an
+    // off-by-one anywhere in the windowing hash-mismatches.
+    "q_chunk_docs" -> QueryDef(
+      (s, dir) => chunkDocs(table(s, dir, "documents"),
+        "doc_id", "text", chunkTokens = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id"),
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |    unnest(range(0, len(t), 24)) AS start
+        |  FROM toks WHERE len(t) > 0)
+        |SELECT doc_id, CAST(start // 24 AS INT) AS chunk_id,
+        |  array_to_string(t[start+1 : start+32], ' ') AS chunk_text,
+        |  CAST(least(32, n - start) AS INT) AS n_chunk_tokens
+        |FROM st
+        |ORDER BY doc_id, chunk_id""".stripMargin),
+
 
     // Token counting: whitespace tokens, distinct tokens, subword
     // estimate — the unit economics of an LLM data pipeline. The token

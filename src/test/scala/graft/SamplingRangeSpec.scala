@@ -33,6 +33,29 @@ class SamplingRangeSpec extends SparkSpec {
     assert(small.exceptAll(big).count() == 0)
   }
 
+  test("mixtureSample applies per-source rates; raising a rate only " +
+      "grows that source's kept set") {
+    val rows = (for (i <- 1L to 3000L)
+      yield (i, s"src${i % 3}")).toDF("id", "source")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.4, "src2" -> 0.0)
+    val kept = Sampling.mixtureSample(rows, "id", "source", rates)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 1000)            // rate 1.0 keeps everything
+    assert(!bySrc.contains("src2"))          // rate 0.0 keeps nothing
+    assert(bySrc("src1") > 300 && bySrc("src1") < 500) // ~40%
+    // unknown sources fall to defaultRate
+    val other = Seq((1L, "srcX")).toDF("id", "source")
+    assert(Sampling.mixtureSample(other, "id", "source", rates).count() == 0)
+    assert(Sampling.mixtureSample(other, "id", "source", rates,
+      defaultRate = 1.0).count() == 1)
+    // monotone: the 0.4 sample is a prefix of the 0.8 sample, so a
+    // rate bump never swaps which rows survive
+    val bumped = Sampling.mixtureSample(rows, "id", "source",
+      rates + ("src1" -> 0.8))
+    assert(kept.exceptAll(bumped).count() == 0)
+  }
+
   test("rangeJoin: containment honored across bucket boundaries") {
     val points = Seq(
       (1L, ts("2024-01-01 10:14:00"), "in-w1"),

@@ -73,4 +73,34 @@ class TextAnalysisSpec extends SparkSpec {
       .select(size(col("g")).as("n")).head().getInt(0)
     assert(tiny == 2) // 5 tokens → 2 grams < window 5
   }
+
+  test("chunkDocs: exact windows, stride overlap, short tail, and the " +
+      "empty-doc tokenizer contract") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),   // 7 tokens: chunk 4 / stride 3 → 3 windows
+      (2L, "x y"),             // fits one window
+      (3L, "")                 // whitespace-only tokenizes to [""]
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .chunkDocs(docs, "doc_id", "text", chunkTokens = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+      .map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(d1.toSeq == Seq(
+      (0, "a b c d", 4),
+      (1, "d e f g", 4),       // overlap of 1 token with the previous
+      (2, "g", 1)))            // short tail, not re-aligned
+    val d2 = out.filter(_.getLong(0) == 2L)
+      .map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(d2.toSeq == Seq((0, "x y", 2)))
+    // the whitespace tokenizer maps "" to [""], so an empty doc emits
+    // exactly one empty chunk — the same contract the oracle replays
+    val d3 = out.filter(_.getLong(0) == 3L)
+      .map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(d3.toSeq == Seq((0, "", 1)))
+    // reconstruction: stride-aligned window starts cover every token
+    val rebuilt = d1.map(_._2.split(" ").toSeq).zipWithIndex
+      .flatMap { case (w, i) => w.drop(if (i == 0) 0 else 1) }
+    assert(rebuilt.toSeq == Seq("a", "b", "c", "d", "e", "f", "g"))
+  }
 }
