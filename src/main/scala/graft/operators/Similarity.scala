@@ -258,18 +258,30 @@ object Similarity {
     */
   val LutQ: Long = MeanQ
 
-  /** Code of sub-vector m against a codebook: argmax inner product
-    * (tie → smaller code), one codegen'd `fdot` per codebook entry on
-    * the `slice` of the embedding — the same least-of-structs argmin
-    * shape as `nearestCentroid`, never interpreted on the corpus.
+  /** The per-subspace dot-product arrays (one 16-double array per
+    * subspace m: dot of the m-th embedding slice against every
+    * codebook entry) — computed ONCE per row and reused for BOTH the
+    * coarse list assignment and the per-subspace codes. Because the
+    * codebooks are slices of the coarse centroids, the full-width dot
+    * is exactly the sum of these subspace dots; deriving the coarse
+    * argmax from the same arrays halves the encoding math (no second
+    * 64-dim dot pass) at the cost of a different (but deterministic,
+    * left-associated, oracle-mirrored) float summation order.
     */
-  private def subCode(v: Column, m: Int, sub: Int,
-      books: Seq[(Long, Seq[Double])]): Column = {
-    val s = slice(v, m * sub + 1, sub)
-    least(books.map { case (j, c) =>
-      struct((lit(0.0) - fdot(s, typedlit(c))).as("neg"), lit(j.toInt).as("j"))
-    }: _*).getField("j")
-  }
+  private def subDotArrays(v: Column, sub: Int,
+      books: Seq[Seq[(Long, Seq[Double])]]): Seq[Column] =
+    books.zipWithIndex.map { case (book, m) =>
+      array(book.map { case (_, c) =>
+        fdot(slice(v, m * sub + 1, sub), typedlit(c))
+      }: _*)
+    }
+
+  /** Full-width score of entry j: the subspace dots summed left to
+    * right — the association the oracle replays term by term.
+    */
+  private def sumScore(pfx: String, numSubspaces: Int)(j: Int): Column =
+    (0 until numSubspaces).map(m =>
+      element_at(col(s"$pfx$m"), j + 1)).reduce(_ + _)
 
   /** IVF-PQ top-k — the FAISS-style 100 TB ANN shape: a coarse
     * quantizer partitions the corpus into inverted lists (the shuffle/
@@ -286,11 +298,14 @@ object Similarity {
     * Determinism contract (what makes q_ann_pq oracle-replayable):
     * coarse centroids AND subspace codebooks both come from
     * `hashCentroids` (md5-rank sample, one driver job, shared);
-    * codebook m is the m-th slice of each sampled vector. Code
-    * assignment compares RAW double dots (ties → smaller code);
-    * LUT entries are quantized to 1/2^20 (`LutQ`) so the ADC sum is
-    * an associative integer sum; ranking orders by that integer
-    * (desc, then neighbor_id). Every step replays in portable SQL.
+    * codebook m is the m-th slice of each sampled vector. The coarse
+    * score is the LEFT-ASSOCIATED sum of the 8 subspace dots (not a
+    * single 64-dim accumulation — the oracle sums the same terms in
+    * the same order), code assignment compares RAW double dots (ties
+    * → smaller code); LUT entries are quantized to 1/2^20 (`LutQ`) so
+    * the ADC sum is an associative integer sum; ranking orders by
+    * that integer (desc, then neighbor_id). Every step replays in
+    * portable SQL.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numLists: Int = 16, numSubspaces: Int = 8, dim: Int = 64,
@@ -301,26 +316,46 @@ object Similarity {
     val cents = hashCentroids(corpus, numLists)
     val books: Seq[Seq[(Long, Seq[Double])]] = (0 until numSubspaces).map(m =>
       cents.map { case (j, c) => (j, c.slice(m * sub, m * sub + sub)) })
-    // corpus → (list_id, code0..codeM-1): the compressed index. One
-    // narrow map pass, codegen end to end; the full embedding is
-    // DROPPED after encoding — that is the PQ memory win.
-    val coded = (0 until numSubspaces).foldLeft(
+    def argmaxList(pfx: String): Column =
+      least(cents.map { case (j, _) =>
+        struct((lit(0.0) - sumScore(pfx, numSubspaces)(j.toInt)).as("neg"),
+          lit(j).as("id"))
+      }: _*).getField("id")
+    // corpus → (list_id, code0..codeM-1): the compressed index. The
+    // subspace-dot arrays are computed once per row; the coarse
+    // assignment is their sum-argmax and each code the per-subspace
+    // argmax — one narrow codegen'd map pass, and the full embedding
+    // is DROPPED after encoding (the PQ memory win).
+    val withD = subDotArrays(col("c_v"), sub, books).zipWithIndex.foldLeft(
       corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_v"))
-        .repartition(par)
-        .withColumn("list_id", nearestCentroid(col("c_v"), cents))) {
-      (df, m) => df.withColumn(s"code$m", subCode(col("c_v"), m, sub, books(m)))
-    }.drop("c_v")
-    // queries → per-subspace quantized LUTs (16 longs each, computed
-    // on the dim-table-sized panel only) + probed list ids
+        .repartition(par)) { case (df, (a, m)) => df.withColumn(s"__d$m", a) }
+    val coded = (0 until numSubspaces).foldLeft(
+      withD.withColumn("list_id", argmaxList("__d"))) { (df, m) =>
+      df.withColumn(s"code$m", least(books(m).map { case (j, _) =>
+        struct((lit(0.0) - element_at(col(s"__d$m"), j.toInt + 1)).as("neg"),
+          lit(j.toInt).as("j"))
+      }: _*).getField("j"))
+    }.select(col("list_id") +: col("neighbor_id") +:
+      (0 until numSubspaces).map(m => col(s"code$m")): _*)
+    // queries → the same subspace-dot machinery (so a query vector
+    // that is also a corpus row assigns to the SAME list), probed
+    // top-nprobe lists by summed score, LUTs quantized per entry —
+    // all on the dim-table-sized panel only
+    val qD = subDotArrays(col("q_v"), sub, books).zipWithIndex.foldLeft(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))) {
+      case (df, (a, m)) => df.withColumn(s"__q$m", a)
+    }
+    val probeIds = transform(
+      slice(array_sort(array(cents.map { case (j, _) =>
+        struct((lit(0.0) - sumScore("__q", numSubspaces)(j.toInt)).as("neg"),
+          lit(j).as("id"))
+      }: _*)), 1, nprobe), s => s.getField("id"))
     val withLut = (0 until numSubspaces).foldLeft(
-      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
-        .withColumn("list_id",
-          explode(nearestCentroids(col("q_v"), cents, nprobe)))) { (df, m) =>
-      df.withColumn(s"lut$m", array(books(m).map { case (_, c) =>
-        floor(fdot(slice(col("q_v"), m * sub + 1, sub), typedlit(c))
-          * LutQ + lit(0.5)).cast(LongType)
-      }: _*))
-    }.drop("q_v")
+      qD.withColumn("list_id", explode(probeIds))) { (df, m) =>
+      df.withColumn(s"lut$m", transform(col(s"__q$m"),
+        d => floor(d * LutQ + lit(0.5)).cast(LongType)))
+    }.select(col("list_id") +: col("query_id") +:
+      (0 until numSubspaces).map(m => col(s"lut$m")): _*)
     // ADC: equi-join on the inverted list, score = Σ_m lut_m[code_m]
     // — a fixed-order integer expression, no dot products
     val score = (0 until numSubspaces).map(m =>
@@ -357,6 +392,13 @@ object Similarity {
        |  FROM s$i GROUP BY 1),
        |c$i AS (SELECT p.cid, coalesce(m$i.cent, p.cent) AS cent
        |  FROM $prev p LEFT JOIN m$i USING (cid)),""".stripMargin
+
+  /** The coarse score of q_ann_pq's oracle: the 8 subspace dots summed
+    * left to right — term-for-term the association `sumScore` builds.
+    */
+  private def pqCoarseSumSql: String = (0 until 8).map(m =>
+    s"list_dot_product(u.v[${m * 8 + 1} : ${m * 8 + 8}], " +
+      s"c.cent[${m * 8 + 1} : ${m * 8 + 8}])").mkString(" + ")
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -465,7 +507,7 @@ object Similarity {
         |assign AS (
         |  SELECT u.vec_id, u.v, c.cid,
         |    row_number() OVER (PARTITION BY u.vec_id
-        |      ORDER BY list_dot_product(u.v, c.cent) DESC, c.cid) AS rn
+        |      ORDER BY (${pqCoarseSumSql}) DESC, c.cid) AS rn
         |  FROM u CROSS JOIN cb c),
         |lists AS (SELECT vec_id, v, cid AS list_id FROM assign WHERE rn = 1),
         |ms AS (SELECT unnest(range(0, 8)) AS m),
