@@ -15,6 +15,21 @@ import org.apache.spark.sql.DataFrame
   * a caller (or a driver loop, between pipeline runs) calls `drain()`
   * once its actions are done.
   *
+  * DRAIN CONTRACT: call `drain()` only at a QUIESCED point — after the
+  * actions on every previously-obtained operator output have run, and
+  * before obtaining new ones. A persisted frame acted on after a drain
+  * merely recomputes, but a frame backed by a dropped localCheckpoint
+  * is INVALID (lineage was truncated; the blocks are gone) — acting on
+  * it fails. Bench/Verify drain between queries; a pipeline drains
+  * between runs.
+  *
+  * SCOPES: `scoped { ... }` redirects every registration made by the
+  * current thread for the duration of the block into a private bin and
+  * releases that bin when the block exits. Work that must not touch —
+  * and must not be touched by — the rest of the session (a streaming
+  * micro-batch sharing the session with other queries) wraps itself in
+  * a scope: its caches are cleaned eagerly, everyone else's survive.
+  *
   * `localCheckpoint` needs special handling: `Dataset.localCheckpoint`
   * does not expose the RDD it persisted, and `df.unpersist()` only
   * clears CacheManager entries, not checkpoint RDDs. The handle is
@@ -22,26 +37,54 @@ import org.apache.spark.sql.DataFrame
   * checkpoint — best-effort under concurrent persists from other
   * threads (a foreign RDD persisted inside that window would be
   * captured too), which graft's single-action call pattern does not do.
-  *
-  * Handles can also be released early and individually (`release`):
-  * iterative algorithms drop round k's checkpoint the moment round
-  * k+1 materializes, bounding in-flight cache at O(1) rounds, and the
-  * streaming batch step releases its per-batch checkpoints at the end
-  * of the batch instead of leaking one set per micro-batch.
   */
 object InternalCaches {
 
   /** The persisted RDDs behind one tracked checkpoint. */
   type Handle = Seq[RDD[_]]
 
-  private val frames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-  private val rdds = new java.util.concurrent.ConcurrentLinkedQueue[RDD[_]]()
+  private final class Bin {
+    val frames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    val rdds = new java.util.concurrent.ConcurrentLinkedQueue[RDD[_]]()
+    def drain(blocking: Boolean): Int = {
+      var n = 0
+      var df = frames.poll()
+      while (df != null) { df.unpersist(blocking); n += 1; df = frames.poll() }
+      var rdd = rdds.poll()
+      while (rdd != null) { rdd.unpersist(blocking); n += 1; rdd = rdds.poll() }
+      n
+    }
+  }
 
-  /** Register an internally-persisted frame for the next `drain()`. */
-  def track(df: DataFrame): DataFrame = { frames.add(df); df }
+  private val global = new Bin
+  private val scopeBin = new ThreadLocal[Bin]
+  private def bin: Bin = Option(scopeBin.get).getOrElse(global)
 
-  /** Register a checkpoint handle for the next `drain()`. */
-  def trackRdds(h: Handle): Unit = h.foreach(rdds.add)
+  /** Register an internally-persisted frame for the next `drain()`
+    * (or the end of the enclosing scope).
+    */
+  def track(df: DataFrame): DataFrame = { bin.frames.add(df); df }
+
+  /** Register a checkpoint handle for the next `drain()` (or the end
+    * of the enclosing scope).
+    */
+  def trackRdds(h: Handle): Unit = h.foreach(bin.rdds.add)
+
+  /** Run `body` with all of THIS thread's registrations captured in a
+    * private bin, released when the block exits. Actions on the
+    * operator outputs must complete inside the block — checkpoint-
+    * backed frames do not outlive it (see DRAIN CONTRACT).
+    */
+  def scoped[A](body: => A): A = {
+    val outer = scopeBin.get
+    val mine = new Bin
+    scopeBin.set(mine)
+    try body
+    finally {
+      if (outer == null) scopeBin.remove() else scopeBin.set(outer)
+      mine.drain(false)
+    }
+  }
 
   /** Eager localCheckpoint returning the persisted-RDD handle, so the
     * caller can `release` it (or `trackRdds` it for the next drain).
@@ -60,16 +103,8 @@ object InternalCaches {
   def release(h: Handle, blocking: Boolean = false): Unit =
     h.foreach(_.unpersist(blocking))
 
-  /** Unpersist everything registered since the last drain; returns the
-    * number of caches dropped. Safe to call at any quiesced point — a
-    * tracked frame acted on later just recomputes.
+  /** Unpersist everything registered (outside scopes) since the last
+    * drain; returns the number of caches dropped. See DRAIN CONTRACT.
     */
-  def drain(blocking: Boolean = false): Int = {
-    var n = 0
-    var df = frames.poll()
-    while (df != null) { df.unpersist(blocking); n += 1; df = frames.poll() }
-    var rdd = rdds.poll()
-    while (rdd != null) { rdd.unpersist(blocking); n += 1; rdd = rdds.poll() }
-    n
-  }
+  def drain(blocking: Boolean = false): Int = global.drain(blocking)
 }

@@ -83,7 +83,9 @@ object Multimodal {
     * `resizeRaw8`. That guard catches NonFatal, not just IOException:
     * plugin readers throw unchecked exceptions on adversarial payloads
     * (IllegalArgumentException, CMMException, NegativeArraySizeException),
-    * and a decoded frame whose w·h exceeds Int.MaxValue is rejected the
+    * and a decoded frame whose w·h exceeds the JVM array cap
+    * (Int.MaxValue − 8 — allocation past it throws an Error NonFatal
+    * would not catch) is rejected the
     * same way rather than overflowing the array allocation. mapPartitions keeps the blob partition-local; the
     * per-record `ImageIO.read` is the codec-call seam a production
     * build would swap for a pooled decoder. Grayscale conversion walks
@@ -104,7 +106,7 @@ object Multimodal {
                 new java.io.ByteArrayInputStream(bytesOrNull))
             } catch { case scala.util.control.NonFatal(_) => null }
           if (img == null ||
-              img.getWidth.toLong * img.getHeight > Int.MaxValue)
+              img.getWidth.toLong * img.getHeight > Int.MaxValue - 8)
             DecodedFrame(id, 0, 0, Array.emptyByteArray)
           else {
             val w = img.getWidth

@@ -46,13 +46,21 @@ object Sampling {
     * RAISED rate strictly grows the kept set (the previous sample is
     * a prefix by construction) — a rate change never reshuffles which
     * rows survive, only how many. Narrow per-row math, no shuffle.
+    *
+    * The cutoff hashes `key|salt`, NOT the bare key: `assignSplit` and
+    * `hashSample` cut on the bare-key hash, so an unsalted mixture at
+    * rates ≤ 0.9 would leave the post-mix corpus with an exactly-empty
+    * test split (every survivor has bare-hash < 0.9 by construction).
+    * The salt decorrelates the two cutoffs; change it only in lockstep
+    * with any external replay.
     */
   def mixtureSample(df: DataFrame, keyCol: String, sourceCol: String,
-      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "mix"): DataFrame = {
     val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
       case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
     }
-    df.filter(hashFraction(col(keyCol)) < rate)
+    df.filter(hashFraction(concat(col(keyCol).cast("string"), lit("|" + salt))) < rate)
   }
 
   def defs: Map[String, QueryDef] = Map(
@@ -69,8 +77,8 @@ object Sampling {
         .orderBy("doc_id"),
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,
-        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UINT32)
-        |      / 4294967296.0 AS frac
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 8))
+        |      AS UINT32) / 4294967296.0 AS frac
         |  FROM documents)
         |WHERE frac < CASE source
         |  WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5

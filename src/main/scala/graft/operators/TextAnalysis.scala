@@ -124,7 +124,11 @@ object TextAnalysis {
   def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 128, stride: Int = 96): DataFrame = {
     require(chunkTokens > 0 && stride > 0, "chunk and stride must be positive")
-    docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    // repartition FIRST: a small single-file source scans as one
+    // partition and the tokenize+slice work would run on one core
+    // (the q_pii_scrub/repetitionMetrics lesson)
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
       .withColumn("__n", size(col("__t")))
       .filter(col("__n") > 0)
       .select(col(idCol), col("__t"), col("__n"),

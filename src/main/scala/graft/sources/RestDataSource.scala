@@ -25,7 +25,10 @@ trait RestTransport {
 /** Optional planning capability: a transport that can report its total
   * page count (APIs that return `total` in the envelope, or a HEAD
   * count endpoint) lets the driver plan partitions without a `pages`
-  * option. Probed once, driver-side, at scan planning.
+  * option. Probed driver-side at each scan planning — DSv2 plans per
+  * ACTION, so two actions on the same DataFrame may see a feed that
+  * grew in between (and pay one probe call each); pass the `pages`
+  * option instead to pin the range and skip the probes.
   */
 trait KnownPageCount { self: RestTransport =>
   def pageCount(pageSize: Int): Long
@@ -180,7 +183,11 @@ private[sources] class RestPartitionReader(p: RestInputPartition)
     else {
       val fetched = Rest.withRetry(policy)(() =>
         transport.fetch(page * p.pageSize, p.pageSize))
-      if (fetched.items.size < p.pageSize && !fetched.hasNext) exhausted = true
+      // mirror Rest.paginate exactly: an EMPTY page always ends the
+      // range (even with a stale hasNext hint), a short page ends it
+      // unless the server hints otherwise
+      if (fetched.items.isEmpty ||
+          (fetched.items.size < p.pageSize && !fetched.hasNext)) exhausted = true
       page += 1
       items = fetched.items.iterator
       advance()

@@ -91,7 +91,20 @@ object CorpusStream {
     * no-op on the final sink/index state.
     */
   def nearDedupBatchStep(batch: DataFrame, batchId: Long, indexDir: String,
-      sinkDir: String, minJaccard: Double, compactEvery: Int = 8): Unit = {
+      sinkDir: String, minJaccard: Double, compactEvery: Int = 8): Unit =
+    // every operator-internal cache this batch creates (the admitted/
+    // fold checkpoints, the shingle persists and component checkpoints
+    // inside Corpus.nearDedup) is scoped to the batch and released on
+    // exit — a stream that skipped this would leak one cache set per
+    // micro-batch, and a GLOBAL drain here would invalidate caches of
+    // other queries sharing the session
+    graft.InternalCaches.scoped {
+      nearDedupBatchBody(batch, batchId, indexDir, sinkDir, minJaccard, compactEvery)
+    }
+
+  private def nearDedupBatchBody(batch: DataFrame, batchId: Long,
+      indexDir: String, sinkDir: String, minJaccard: Double,
+      compactEvery: Int): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     val bandsPath = s"$indexDir/bands"
@@ -167,12 +180,6 @@ object CorpusStream {
         .parquet(s"$shinglesPath/batch=$batchId")
     }
     sh.unpersist()
-    // drop every operator-internal cache this batch created (the
-    // admitted/fold checkpoints above, plus the shingle persists and
-    // component checkpoints inside Corpus.nearDedup) — a stream that
-    // skipped this would leak one cache set per micro-batch for its
-    // whole lifetime
-    graft.InternalCaches.drain()
   }
 
   /** Wire the step into a checkpointed AvailableNow/continuous stream. */

@@ -49,6 +49,19 @@ class ShrunkFeedTransport extends RestTransport {
   }
 }
 
+/** One full page, then empty pages that still carry a stale
+  * hasNext=true hint — the empty page must end the range anyway
+  * (the `Rest.paginate` rule).
+  */
+class StaleHintTransport extends RestTransport {
+  override def fetch(offset: Long, limit: Int): Rest.Page[String] = {
+    FakeFeeds.synchronized { FakeFeeds.fetches += 1 }
+    if (offset >= 100) Rest.Page(Seq.empty, hasNext = true)
+    else Rest.Page((offset until offset + limit).map(FakeFeeds.item),
+      hasNext = true)
+  }
+}
+
 class RestDsv2Spec extends SparkSpec {
 
   private val itemSchema = StructType(Seq(
@@ -101,6 +114,15 @@ class RestDsv2Spec extends SparkSpec {
       "pagesPerPartition" -> "40")
     assert(df.count() == 123)
     // pages 0 (full) and 1 (short, 23 rows) fetched; 2-39 skipped
+    assert(FakeFeeds.fetches == 2, s"fetched ${FakeFeeds.fetches} pages")
+  }
+
+  test("an empty page ends the range even under a stale hasNext hint") {
+    FakeFeeds.fetches = 0
+    val df = read(classOf[StaleHintTransport], "pages" -> "40",
+      "pagesPerPartition" -> "40")
+    assert(df.count() == 100)
+    // page 0 (full, hasNext) and page 1 (empty) fetched; 2-39 skipped
     assert(FakeFeeds.fetches == 2, s"fetched ${FakeFeeds.fetches} pages")
   }
 
