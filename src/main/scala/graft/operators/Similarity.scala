@@ -3,7 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.functions.FloatDotProduct.fdot
 import graft.sources.Tables.table
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
@@ -307,40 +307,63 @@ object Similarity {
     * that integer (desc, then neighbor_id). Every step replays in
     * portable SQL.
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      numLists: Int = 16, numSubspaces: Int = 8, dim: Int = 64,
-      nprobe: Int = 1): DataFrame = {
+  private def pqBooks(cents: Seq[(Long, Seq[Double])], numSubspaces: Int,
+      dim: Int): Seq[Seq[(Long, Seq[Double])]] = {
+    val sub = dim / numSubspaces
+    (0 until numSubspaces).map(m =>
+      cents.map { case (j, c) => (j, c.slice(m * sub, m * sub + sub)) })
+  }
+
+  private def argmaxList(pfx: String, cents: Seq[(Long, Seq[Double])],
+      numSubspaces: Int): Column =
+    least(cents.map { case (j, _) =>
+      struct((lit(0.0) - sumScore(pfx, numSubspaces)(j.toInt)).as("neg"),
+        lit(j).as("id"))
+    }: _*).getField("id")
+
+  /** Encode the corpus into the compressed IVF-PQ index:
+    * (vec_id, code0..codeM-1, list_id). The subspace-dot arrays are
+    * computed once per row; the coarse assignment is their sum-argmax
+    * and each code the per-subspace argmax — one narrow codegen'd map
+    * pass, and the full embedding is DROPPED after encoding (the PQ
+    * memory win).
+    */
+  def pqEncode(corpus: DataFrame, cents: Seq[(Long, Seq[Double])],
+      numSubspaces: Int = 8, dim: Int = 64): DataFrame = {
     require(dim % numSubspaces == 0, "dim must divide into subspaces")
     val sub = dim / numSubspaces
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val cents = hashCentroids(corpus, numLists)
-    val books: Seq[Seq[(Long, Seq[Double])]] = (0 until numSubspaces).map(m =>
-      cents.map { case (j, c) => (j, c.slice(m * sub, m * sub + sub)) })
-    def argmaxList(pfx: String): Column =
-      least(cents.map { case (j, _) =>
-        struct((lit(0.0) - sumScore(pfx, numSubspaces)(j.toInt)).as("neg"),
-          lit(j).as("id"))
-      }: _*).getField("id")
-    // corpus → (list_id, code0..codeM-1): the compressed index. The
-    // subspace-dot arrays are computed once per row; the coarse
-    // assignment is their sum-argmax and each code the per-subspace
-    // argmax — one narrow codegen'd map pass, and the full embedding
-    // is DROPPED after encoding (the PQ memory win).
+    val books = pqBooks(cents, numSubspaces, dim)
     val withD = subDotArrays(col("c_v"), sub, books).zipWithIndex.foldLeft(
-      corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_v"))
+      corpus.select(col("vec_id"), col("embedding").as("c_v"))
         .repartition(par)) { case (df, (a, m)) => df.withColumn(s"__d$m", a) }
-    val coded = (0 until numSubspaces).foldLeft(
-      withD.withColumn("list_id", argmaxList("__d"))) { (df, m) =>
-      df.withColumn(s"code$m", least(books(m).map { case (j, _) =>
-        struct((lit(0.0) - element_at(col(s"__d$m"), j.toInt + 1)).as("neg"),
-          lit(j.toInt).as("j"))
-      }: _*).getField("j"))
-    }.select(col("list_id") +: col("neighbor_id") +:
+    (0 until numSubspaces).foldLeft(
+      withD.withColumn("list_id", argmaxList("__d", cents, numSubspaces))) {
+      (df, m) =>
+        df.withColumn(s"code$m", least(books(m).map { case (j, _) =>
+          struct((lit(0.0) - element_at(col(s"__d$m"), j.toInt + 1)).as("neg"),
+            lit(j.toInt).as("j"))
+        }: _*).getField("j"))
+    }.select(col("vec_id") +:
+      (0 until numSubspaces).map(m => col(s"code$m")) :+ col("list_id"): _*)
+  }
+
+  /** ADC probe over an encoded index (`pqEncode` output — fresh or
+    * read back from a persisted copy): queries run the same
+    * subspace-dot machinery (so a query vector that is also a corpus
+    * row assigns to the SAME list), probe their top-`nprobe` lists,
+    * and rank candidates by the quantized integer LUT sum — no dot
+    * products touch the index side.
+    */
+  def pqProbe(index: DataFrame, queries: DataFrame,
+      cents: Seq[(Long, Seq[Double])], k: Int, numSubspaces: Int = 8,
+      dim: Int = 64, nprobe: Int = 1): DataFrame = {
+    require(dim % numSubspaces == 0, "dim must divide into subspaces")
+    val sub = dim / numSubspaces
+    val books = pqBooks(cents, numSubspaces, dim)
+    val coded = index.select(col("list_id") +:
+      col("vec_id").as("neighbor_id") +:
       (0 until numSubspaces).map(m => col(s"code$m")): _*)
-    // queries → the same subspace-dot machinery (so a query vector
-    // that is also a corpus row assigns to the SAME list), probed
-    // top-nprobe lists by summed score, LUTs quantized per entry —
-    // all on the dim-table-sized panel only
     val qD = subDotArrays(col("q_v"), sub, books).zipWithIndex.foldLeft(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))) {
       case (df, (a, m)) => df.withColumn(s"__q$m", a)
@@ -369,6 +392,66 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("adot_q").cast(DoubleType) / LutQ, 4).as("adot"))
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numLists: Int = 16, numSubspaces: Int = 8, dim: Int = 64,
+      nprobe: Int = 1): DataFrame = {
+    val cents = hashCentroids(corpus, numLists)
+    pqProbe(pqEncode(corpus, cents, numSubspaces, dim), queries, cents, k,
+      numSubspaces, dim, nprobe)
+  }
+
+  /** Persist the IVF-PQ index: codes as parquet PARTITIONED BY the
+    * inverted list (so a probe's list_id equi-join prunes to nprobe
+    * directories — at 100 TB a query touches nprobe/numLists of the
+    * index FILES, not just rows) plus a tiny centroid sidecar
+    * (Double.toString round-trips exactly, so the probe rebuilds
+    * bit-identical codebooks). Build once, probe many — re-encoding
+    * the corpus per query panel is the cost this removes.
+    */
+  def writePqIndex(corpus: DataFrame, dir: String, numLists: Int = 16,
+      numSubspaces: Int = 8, dim: Int = 64): Unit = {
+    val cents = hashCentroids(corpus, numLists)
+    pqEncode(corpus, cents, numSubspaces, dim)
+      .write.mode(SaveMode.Overwrite).partitionBy("list_id")
+      .parquet(s"$dir/codes")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(corpus.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/centroids.tsv"), true)
+    try out.write(cents.map { case (id, c) => s"$id\t${c.mkString(",")}" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The centroid sidecar of a persisted index. */
+  def readPqCentroids(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, Seq[Double])] = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/centroids.tsv")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(path)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val Array(id, dims) = line.split("\t", 2)
+      (id.toLong, dims.split(",").toSeq.map(_.toDouble))
+    }
+  }
+
+  /** Probe a persisted index. The explicit schema pins `list_id` to
+    * LONG (partition-dir inference would guess INT and the cast would
+    * defeat partition pruning on the probe join).
+    */
+  def probePqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, numSubspaces: Int = 8, dim: Int = 64,
+      nprobe: Int = 1): DataFrame = {
+    val cents = readPqCentroids(spark, dir)
+    val schema = StructType(
+      StructField("vec_id", LongType) +:
+        (0 until numSubspaces).map(m => StructField(s"code$m", IntegerType)) :+
+        StructField("list_id", LongType))
+    val codes = spark.read.schema(schema).parquet(s"$dir/codes")
+    pqProbe(codes, queries, cents, k, numSubspaces, dim, nprobe)
   }
 
   /** One unrolled Lloyd iteration as DuckDB CTEs: assignment by

@@ -175,6 +175,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted PQ index: probe equals the direct path and prunes to " +
+      "the probed list partitions") {
+    val e = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    val direct = pqTopK(e, queries, k = 3)
+      .orderBy("query_id", "neighbor_id").collect().toSeq
+    writePqIndex(e, dir)
+    val probed = probePqIndex(spark, dir, queries, k = 3)
+    assert(probed.orderBy("query_id", "neighbor_id").collect().toSeq == direct)
+    // the codes directory is partitioned by list; the sidecar rebuilds
+    // bit-identical centroids
+    val cents = readPqCentroids(spark, dir)
+    assert(cents == hashCentroids(e, 16))
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir, "codes"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      .hasNext)
+    // pruning: the probe join carries a dynamic partition filter on
+    // list_id, so only the probed lists' directories are read
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") ||
+      plan.toLowerCase.contains("partitionfilters: [isnotnull(list_id"),
+      s"no partition pruning on the codes scan:\n$plan")
+  }
+
   test("lshSignature buckets co-directional vectors together") {
     val planes = hyperplanes(8, 2)
     val df = Seq(
