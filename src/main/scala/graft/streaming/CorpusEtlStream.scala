@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.operators.TextAnalysis
+import graft.pipelines.Corpus
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Streaming corpus ETL: documents arrive as a stream and leave as
+  * training-ready chunk rows — quality gate → EXACT dedup (batch-
+  * internal min-id, then against every previously-admitted document's
+  * fingerprint) → sliding-window chunking — with the same
+  * replay-safety mechanics as `CorpusStream` (the near-dup sibling):
+  *
+  *  - every write goes to `<dir>/batch=<id>` with Overwrite, so a
+  *    replayed micro-batch rewrites its own partition instead of
+  *    double-appending chunks or fingerprints;
+  *  - the fingerprint probe anti-joins out the current batch's own
+  *    doc_ids, so a crashed attempt's leftovers cannot drop the very
+  *    docs that wrote them (doc_id must be unique stream-wide — the
+  *    `CorpusStream` contract);
+  *  - every `compactEvery` batches the fingerprint partitions fold
+  *    (distinct()ed) into the current one and the old directories are
+  *    deleted — index files stay O(compactEvery); a crash between fold
+  *    and delete re-collapses on replay;
+  *  - operator-internal caches are scoped to the batch.
+  *
+  * State is one (doc_id, fp) row per ADMITTED document — bounded by
+  * the corpus, keyed nowhere (the probe is a fp equi-join, and at
+  * 100 TB the index would bucket by fp); chunks never re-enter the
+  * pipeline.
+  */
+object CorpusEtlStream {
+
+  private def fileSystem(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def batchPartitions(spark: SparkSession, dir: String): Seq[Long] = {
+    val fs = fileSystem(spark, dir)
+    val p = new Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+  }
+
+  /** One micro-batch step — public so the spec (and a backfill job)
+    * can drive it with deterministic batch boundaries. Idempotent in
+    * `batchId`.
+    */
+  def prepareBatchStep(batch: DataFrame, batchId: Long, indexDir: String,
+      sinkDir: String, cfg: Corpus.Config = Corpus.Config(),
+      chunkTokens: Int = 128, stride: Int = 96,
+      compactEvery: Int = 8): Unit = graft.InternalCaches.scoped {
+    val spark = batch.sparkSession
+    if (!batch.isEmpty) {
+      prepareBatchBody(batch, batchId, indexDir, sinkDir, cfg,
+        chunkTokens, stride, compactEvery, spark)
+    }
+  }
+
+  private def prepareBatchBody(batch: DataFrame, batchId: Long,
+      indexDir: String, sinkDir: String, cfg: Corpus.Config,
+      chunkTokens: Int, stride: Int, compactEvery: Int,
+      spark: SparkSession): Unit = {
+    val fpPath = s"$indexDir/fps"
+    val batchDocIds = batch.select("doc_id")
+    // quality gate, then batch-internal exact dedup (min-id per fp)
+    val clean = Corpus.exactDedup(
+      Corpus.qualityFilter(batch, cfg), "doc_id", "text")
+      .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+    // drop docs whose fingerprint is already ADMITTED — excluding this
+    // batch's own ids (the replay shield)
+    val survivors =
+      if (batchPartitions(spark, fpPath).nonEmpty) {
+        val priorFps = spark.read.parquet(fpPath)
+          .select(col("doc_id").as("idx_id"), col("fp").as("__fp"))
+          .join(batchDocIds.select(col("doc_id").as("idx_id")),
+            Seq("idx_id"), "left_anti")
+          .select("__fp").distinct()
+        clean.join(priorFps, Seq("__fp"), "left_anti")
+      } else clean
+    val (admitted, ckpt) = graft.InternalCaches.localCheckpointHandle(
+      survivors.select("doc_id", "text", "__fp"))
+    graft.InternalCaches.trackRdds(ckpt)
+    TextAnalysis.chunkDocs(admitted, "doc_id", "text", chunkTokens, stride)
+      .write.mode(SaveMode.Overwrite).parquet(s"$sinkDir/batch=$batchId")
+    val newFps = admitted.select(col("doc_id"), col("__fp").as("fp"))
+    val compact = compactEvery > 0 && batchId % compactEvery == 0 &&
+      batchPartitions(spark, fpPath).nonEmpty
+    if (compact) {
+      val priorFps = spark.read.parquet(fpPath).select("doc_id", "fp")
+        .join(batchDocIds, Seq("doc_id"), "left_anti")
+      val (fold, foldCkpt) = graft.InternalCaches.localCheckpointHandle(
+        priorFps.union(newFps).distinct().coalesce(2))
+      graft.InternalCaches.trackRdds(foldCkpt)
+      fold.write.mode(SaveMode.Overwrite).parquet(s"$fpPath/batch=$batchId")
+      for (b <- batchPartitions(spark, fpPath) if b < batchId)
+        fileSystem(spark, fpPath).delete(new Path(fpPath, s"batch=$b"), true)
+    } else {
+      newFps.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$fpPath/batch=$batchId")
+    }
+  }
+
+  /** Wire the step into a checkpointed AvailableNow/continuous stream. */
+  def prepareStream(docs: DataFrame, indexDir: String, sinkDir: String,
+      checkpointDir: String, cfg: Corpus.Config = Corpus.Config(),
+      chunkTokens: Int = 128, stride: Int = 96, compactEvery: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        prepareBatchStep(batch, batchId, indexDir, sinkDir, cfg,
+          chunkTokens, stride, compactEvery)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+}

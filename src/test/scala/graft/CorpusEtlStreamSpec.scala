@@ -1,0 +1,101 @@
+package graft
+
+import graft.streaming.CorpusEtlStream
+import org.apache.spark.sql.functions._
+
+/** Streaming corpus ETL: quality gate + cross-batch exact dedup +
+  * chunking with idempotent replay and bounded fingerprint index.
+  */
+class CorpusEtlStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream gates quality, drops exact dups across batches, chunks " +
+      "admitted docs, and replays idempotently") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cetl")
+    val index = base.resolve("index").toString
+    val sink = base.resolve("sink").toString
+    def doc(i: Int, n: Int = 12): (Long, String) =
+      (i.toLong, (0 until n).map(t => s"e${i}w$t").mkString(" "))
+    def step(rows: Seq[(Long, String)], id: Long): Unit =
+      CorpusEtlStream.prepareBatchStep(rows.toDF("doc_id", "text"), id,
+        index, sink, chunkTokens = 8, stride = 6, compactEvery = 3)
+    def sinkDocIds: Set[Long] = spark.read.parquet(sink)
+      .select("doc_id").distinct().as[Long].collect().toSet
+
+    // batch 0: one good doc, one below the 5-token floor, one pure
+    // punctuation (over the punct ceiling)
+    step(Seq(doc(1), (2L, "too short"), (3L, "!!! ??? ;;; ::: ...")), 0L)
+    assert(sinkDocIds == Set(1L))
+    // chunking really chunked: 12 tokens at chunk 8 / stride 6 → 2 rows
+    val d1 = spark.read.parquet(sink).filter(col("doc_id") === 1L)
+      .orderBy("chunk_id").collect()
+    assert(d1.length == 2)
+    assert(d1(0).getAs[Int]("n_chunk_tokens") == 8)
+    assert(d1(1).getAs[Int]("n_chunk_tokens") == 6)
+
+    // batch 1: an exact copy of doc 1's text (dropped via the index),
+    // an in-batch exact pair (min id 5 wins), a fresh doc
+    step(Seq((4L, doc(1)._2), doc(5), (6L, doc(5)._2), doc(7)), 1L)
+    assert(sinkDocIds == Set(1L, 5L, 7L))
+    // REPLAY batch 1: same sink state, no duplicate chunk rows
+    step(Seq((4L, doc(1)._2), doc(5), (6L, doc(5)._2), doc(7)), 1L)
+    assert(sinkDocIds == Set(1L, 5L, 7L))
+    val chunks = spark.read.parquet(sink)
+    assert(chunks.count() == chunks.dropDuplicates("doc_id", "chunk_id").count())
+
+    // more batches; compaction fires at batch 3 and 6 → bounded dirs
+    for (i <- 2 to 6) step(Seq(doc(10 + i)), i.toLong)
+    assert(sinkDocIds == Set(1L, 5L, 7L, 12L, 13L, 14L, 15L, 16L))
+    val fpDirs = {
+      val it = java.nio.file.Files.list(
+        java.nio.file.Paths.get(index, "fps")).iterator()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .map(_.getFileName.toString).filter(_.startsWith("batch=")).toSeq
+    }
+    assert(fpDirs.size <= 3, s"fp index partitions unbounded: $fpDirs")
+    // the folded index still drops a copy of a batch-0 doc
+    step(Seq((99L, doc(1)._2)), 7L)
+    assert(sinkDocIds == Set(1L, 5L, 7L, 12L, 13L, 14L, 15L, 16L))
+    // and the batch scope left no caches behind
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("wired stream: exactly-once across restarts via checkpoint") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cetl_q")
+    val in = base.resolve("in"); java.nio.file.Files.createDirectories(in)
+    val index = base.resolve("index").toString
+    val sink = base.resolve("sink").toString
+    val ckpt = base.resolve("ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def land(rows: Seq[(Long, String)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cetl_b")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(tmp.resolve("d").toString)
+      val it = java.nio.file.Files.list(tmp.resolve("d")).iterator()
+      val f = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(f, in.resolve(name))
+    }
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(in.toString)
+      val q = CorpusEtlStream.prepareStream(src, index, sink, ckpt,
+        chunkTokens = 8, stride = 6)
+      assert(q.awaitTermination(180000), "stream did not finish")
+      q.stop()
+    }
+    def doc(i: Int): (Long, String) =
+      (i.toLong, (0 until 12).map(t => s"s${i}q$t").mkString(" "))
+    land(Seq(doc(1), doc(2)), "b1.parquet")
+    runOnce()
+    land(Seq((3L, doc(1)._2), doc(4)), "b2.parquet")
+    runOnce()
+    runOnce() // restart with nothing new: no reprocessing
+    val ids = spark.read.parquet(sink)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 4L))
+  }
+}
