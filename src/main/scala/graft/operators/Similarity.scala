@@ -402,55 +402,102 @@ object Similarity {
       numSubspaces, dim, nprobe)
   }
 
-  /** Persist the IVF-PQ index: codes as parquet PARTITIONED BY the
-    * inverted list (so a probe's list_id equi-join prunes to nprobe
-    * directories — at 100 TB a query touches nprobe/numLists of the
-    * index FILES, not just rows) plus a tiny centroid sidecar
-    * (Double.toString round-trips exactly, so the probe rebuilds
-    * bit-identical codebooks). Build once, probe many — re-encoding
-    * the corpus per query panel is the cost this removes.
-    */
-  def writePqIndex(corpus: DataFrame, dir: String, numLists: Int = 16,
-      numSubspaces: Int = 8, dim: Int = 64): Unit = {
-    val cents = hashCentroids(corpus, numLists)
-    pqEncode(corpus, cents, numSubspaces, dim)
-      .write.mode(SaveMode.Overwrite).partitionBy("list_id")
-      .parquet(s"$dir/codes")
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(corpus.sparkSession.sessionState.newHadoopConf())
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/centroids.tsv"), true)
-    try out.write(cents.map { case (id, c) => s"$id\t${c.mkString(",")}" }
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-  }
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** The centroid sidecar of a persisted index. */
-  def readPqCentroids(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[(Long, Seq[Double])] = {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/centroids.tsv")
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val in = fs.open(path)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
-      val Array(id, dims) = line.split("\t", 2)
-      (id.toLong, dims.split(",").toSeq.map(_.toDouble))
+  /** The version the LATEST pointer names, if the index exists. */
+  private def pqLatestVersion(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[Long] = {
+    val fs = hadoopFs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/LATEST")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(text.trim.toLong)
     }
   }
 
-  /** Probe a persisted index. The explicit schema pins `list_id` to
-    * LONG (partition-dir inference would guess INT and the cast would
-    * defeat partition pruning on the probe join).
+  /** Persist the IVF-PQ index: codes as parquet PARTITIONED BY the
+    * inverted list (so a probe's list_id equi-join prunes to nprobe
+    * directories — at 100 TB a query touches nprobe/numLists of the
+    * index FILES, not just rows) plus a centroid sidecar whose header
+    * records the build parameters and whose doubles round-trip
+    * exactly, so the probe rebuilds bit-identical codebooks. Build
+    * once, probe many — re-encoding the corpus per query panel is the
+    * cost this removes.
+    *
+    * PUBLICATION is versioned: each build lands complete under
+    * `v<N>/`, and the one-file LATEST pointer flips only after both
+    * codes and sidecar are down — a crash mid-rebuild leaves readers
+    * on the previous complete version, never on new codes with stale
+    * centroids. The version before the new one is retained for
+    * readers that pinned it mid-probe; older ones are pruned.
+    * Single-writer contract (like any snapshot-pointer table).
+    */
+  def writePqIndex(corpus: DataFrame, dir: String, numLists: Int = 16,
+      numSubspaces: Int = 8, dim: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    val v = pqLatestVersion(spark, dir).getOrElse(0L) + 1
+    val cents = hashCentroids(corpus, numLists)
+    pqEncode(corpus, cents, numSubspaces, dim)
+      .write.mode(SaveMode.Overwrite).partitionBy("list_id")
+      .parquet(s"$dir/v$v/codes")
+    val fs = hadoopFs(spark, dir)
+    def writeFile(path: String, content: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    writeFile(s"$dir/v$v/centroids.tsv",
+      (s"#pq numLists=$numLists numSubspaces=$numSubspaces dim=$dim" +:
+        cents.map { case (id, c) => s"$id\t${c.mkString(",")}" })
+        .mkString("\n"))
+    writeFile(s"$dir/LATEST", v.toString) // the publication point
+    for (old <- 1L until v - 1)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$old"), true)
+  }
+
+  /** The centroid sidecar + build params of a persisted index's
+    * current version.
+    */
+  def readPqSidecar(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (Seq[(Long, Seq[Double])], Int, Int) = {
+    val v = pqLatestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no LATEST pointer under $dir"))
+    val path = new org.apache.hadoop.fs.Path(s"$dir/v$v/centroids.tsv")
+    val in = hadoopFs(spark, dir).open(path)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    val params = lines.head.stripPrefix("#pq ").split(" ")
+      .map { kv => val Array(k, n) = kv.split("="); k -> n.toInt }.toMap
+    val cents = lines.tail.map { line =>
+      val Array(id, dims) = line.split("\t", 2)
+      (id.toLong, dims.split(",").toSeq.map(_.toDouble))
+    }
+    val dim = params("dim")
+    require(cents.forall(_._2.length == dim),
+      s"sidecar centroids disagree with dim=$dim")
+    (cents, params("numSubspaces"), dim)
+  }
+
+  /** Probe a persisted index. Subspace count and dim come FROM the
+    * sidecar (a caller-supplied mismatch would read absent code
+    * columns as nulls and rank garbage silently); the explicit schema
+    * pins `list_id` to LONG (partition-dir inference would guess INT
+    * and the cast would defeat partition pruning on the probe join).
     */
   def probePqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      queries: DataFrame, k: Int, numSubspaces: Int = 8, dim: Int = 64,
-      nprobe: Int = 1): DataFrame = {
-    val cents = readPqCentroids(spark, dir)
+      queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    val (cents, numSubspaces, dim) = readPqSidecar(spark, dir)
+    val v = pqLatestVersion(spark, dir).get
     val schema = StructType(
       StructField("vec_id", LongType) +:
         (0 until numSubspaces).map(m => StructField(s"code$m", IntegerType)) :+
         StructField("list_id", LongType))
-    val codes = spark.read.schema(schema).parquet(s"$dir/codes")
+    val codes = spark.read.schema(schema).parquet(s"$dir/v$v/codes")
     pqProbe(codes, queries, cents, k, numSubspaces, dim, nprobe)
   }
 

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.operators.TextAnalysis
 import graft.pipelines.Corpus
-import org.apache.hadoop.fs.Path
+import graft.streaming.BatchDirs.{batchPartitions, deleteOlderThan}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
@@ -33,18 +33,6 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   */
 object CorpusEtlStream {
 
-  private def fileSystem(spark: SparkSession, path: String) =
-    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-
-  private def batchPartitions(spark: SparkSession, dir: String): Seq[Long] = {
-    val fs = fileSystem(spark, dir)
-    val p = new Path(dir)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
-  }
-
   /** One micro-batch step — public so the spec (and a backfill job)
     * can drive it with deterministic batch boundaries. Idempotent in
     * `batchId`.
@@ -66,14 +54,23 @@ object CorpusEtlStream {
       spark: SparkSession): Unit = {
     val fpPath = s"$indexDir/fps"
     val batchDocIds = batch.select("doc_id")
-    // quality gate, then batch-internal exact dedup (min-id per fp)
-    val clean = Corpus.exactDedup(
-      Corpus.qualityFilter(batch, cfg), "doc_id", "text")
+    // ONE filesystem listing per batch decides both the probe and the
+    // compaction branch (each listing is a remote LIST on an
+    // object-store index)
+    val havePrior = batchPartitions(spark, fpPath).nonEmpty
+    // quality gate, then batch-internal exact dedup — the fingerprint
+    // is computed ONCE and drives the min-id keep directly (running
+    // Corpus.exactDedup here would md5-normalize every doc a second
+    // time for the same key)
+    val gated = Corpus.qualityFilter(batch, cfg)
       .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+    val keepIds = gated.groupBy(col("__fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val clean = gated.join(keepIds, Seq("doc_id"), "left_semi")
     // drop docs whose fingerprint is already ADMITTED — excluding this
     // batch's own ids (the replay shield)
     val survivors =
-      if (batchPartitions(spark, fpPath).nonEmpty) {
+      if (havePrior) {
         val priorFps = spark.read.parquet(fpPath)
           .select(col("doc_id").as("idx_id"), col("fp").as("__fp"))
           .join(batchDocIds.select(col("doc_id").as("idx_id")),
@@ -87,8 +84,7 @@ object CorpusEtlStream {
     TextAnalysis.chunkDocs(admitted, "doc_id", "text", chunkTokens, stride)
       .write.mode(SaveMode.Overwrite).parquet(s"$sinkDir/batch=$batchId")
     val newFps = admitted.select(col("doc_id"), col("__fp").as("fp"))
-    val compact = compactEvery > 0 && batchId % compactEvery == 0 &&
-      batchPartitions(spark, fpPath).nonEmpty
+    val compact = compactEvery > 0 && batchId % compactEvery == 0 && havePrior
     if (compact) {
       val priorFps = spark.read.parquet(fpPath).select("doc_id", "fp")
         .join(batchDocIds, Seq("doc_id"), "left_anti")
@@ -96,8 +92,7 @@ object CorpusEtlStream {
         priorFps.union(newFps).distinct().coalesce(2))
       graft.InternalCaches.trackRdds(foldCkpt)
       fold.write.mode(SaveMode.Overwrite).parquet(s"$fpPath/batch=$batchId")
-      for (b <- batchPartitions(spark, fpPath) if b < batchId)
-        fileSystem(spark, fpPath).delete(new Path(fpPath, s"batch=$b"), true)
+      deleteOlderThan(spark, fpPath, batchId)
     } else {
       newFps.coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(s"$fpPath/batch=$batchId")

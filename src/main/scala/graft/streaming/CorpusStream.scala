@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.operators.Dedup
 import graft.pipelines.Corpus
-import org.apache.hadoop.fs.Path
+import graft.streaming.BatchDirs.{batchPartitions, deleteOlderThan}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
@@ -71,19 +71,6 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * shuffles only the batch.
   */
 object CorpusStream {
-
-  private def fileSystem(spark: SparkSession, path: String) =
-    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-
-  /** Batch ids of the `batch=<id>` partition directories under `dir`. */
-  private def batchPartitions(spark: SparkSession, dir: String): Seq[Long] = {
-    val fs = fileSystem(spark, dir)
-    val p = new Path(dir)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
-  }
 
   /** One micro-batch step — factored out so the spec (and a backfill
     * job) can drive it directly with deterministic batch boundaries.
@@ -170,9 +157,8 @@ object CorpusStream {
       graft.InternalCaches.trackRdds(fsCkpt)
       foldBands.write.mode(SaveMode.Overwrite).parquet(s"$bandsPath/batch=$batchId")
       foldSh.write.mode(SaveMode.Overwrite).parquet(s"$shinglesPath/batch=$batchId")
-      for (dir <- Seq(bandsPath, shinglesPath);
-           b <- batchPartitions(spark, dir) if b < batchId)
-        fileSystem(spark, dir).delete(new Path(dir, s"batch=$b"), true)
+      for (dir <- Seq(bandsPath, shinglesPath))
+        deleteOlderThan(spark, dir, batchId)
     } else {
       newBands.coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(s"$bandsPath/batch=$batchId")

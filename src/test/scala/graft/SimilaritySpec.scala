@@ -185,19 +185,28 @@ class SimilaritySpec extends SparkSpec {
     writePqIndex(e, dir)
     val probed = probePqIndex(spark, dir, queries, k = 3)
     assert(probed.orderBy("query_id", "neighbor_id").collect().toSeq == direct)
-    // the codes directory is partitioned by list; the sidecar rebuilds
-    // bit-identical centroids
-    val cents = readPqCentroids(spark, dir)
-    assert(cents == hashCentroids(e, 16))
-    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir, "codes"))
-      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-      .hasNext)
-    // pruning: the probe join carries a dynamic partition filter on
-    // list_id, so only the probed lists' directories are read
-    val plan = probed.queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruning") ||
-      plan.toLowerCase.contains("partitionfilters: [isnotnull(list_id"),
-      s"no partition pruning on the codes scan:\n$plan")
+    // the sidecar rebuilds bit-identical centroids and records the
+    // build params the probe derives its schema from
+    val (cents, m, d) = readPqSidecar(spark, dir)
+    assert(cents == hashCentroids(e, 16) && m == 8 && d == 64)
+    // pruning: the probe join must carry a DYNAMIC partition filter on
+    // list_id (isnotnull alone appears for any join key and proves
+    // nothing), so only the probed lists' directories are read
+    val plan = probed.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the codes scan:\n$plan")
+    // versioned publication: rebuilds flip LATEST and retain only the
+    // previous version for in-flight readers
+    writePqIndex(e, dir)
+    writePqIndex(e, dir)
+    val versions = {
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .map(_.getFileName.toString).filter(_.startsWith("v")).toSeq.sorted
+    }
+    assert(versions == Seq("v2", "v3"), s"version retention broke: $versions")
+    assert(probePqIndex(spark, dir, queries, k = 3)
+      .orderBy("query_id", "neighbor_id").collect().toSeq == direct)
   }
 
   test("lshSignature buckets co-directional vectors together") {
