@@ -130,6 +130,44 @@ object Hygiene {
           greatest(col("n_grams"), lit(1)), 4).as("contam_frac"))
   }
 
+  /** Winnow-fingerprint decontamination — the edit-robust sibling of
+    * `decontaminate`: a benchmark doc that differs from a corpus doc
+    * by whitespace or a few token edits shares most winnowing
+    * fingerprints (position-independent window minima) even when
+    * exact n-grams no longer match. Same scale shape: the benchmark
+    * fingerprint set is eval-suite-sized → broadcast; the corpus's
+    * exploded fingerprints never shuffle. Docs under 8 tokens carry no
+    * fingerprints and are out of scope (the winnowing floor).
+    *
+    * Returns (id, n_shared, n_fps, fp_frac) for corpus docs sharing
+    * ≥ `minShared` fingerprints with any benchmark doc.
+    */
+  def decontaminateByFingerprint(docs: DataFrame, idCol: String,
+      textCol: String, benchPred: Column, minShared: Int = 2): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val fps = graft.InternalCaches.track(docs.repartition(par)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 8)
+      .select(col(idCol),
+        transform(col("__toks"), t => TextAnalysis.hash32(t)).as("__h"))
+      .select(col(idCol), TextAnalysis.gramHashes(col("__h")).as("__g"))
+      .repartition(par)
+      .select(col(idCol), TextAnalysis.winnow(col("__g")).as("fps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bench = fps.filter(benchPred)
+      .select(explode(col("fps")).as("fp")).distinct()
+    fps.filter(!benchPred)
+      .select(col(idCol), size(col("fps")).as("n_fps"),
+        explode(col("fps")).as("fp"))
+      .join(broadcast(bench), "fp")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"), max(col("n_fps")).as("n_fps"))
+      .filter(col("n_shared") >= minShared)
+      .select(col(idCol), col("n_shared"), col("n_fps"),
+        round(col("n_shared").cast(DoubleType) /
+          greatest(col("n_fps"), lit(1)), 4).as("fp_frac"))
+  }
+
   /** DuckDB replay of `decontaminate` at word-n-gram size `n` with a
     * `doc_id % modK = 0` benchmark slice — generated so the n=3 and
     * n=8 oracles stay in lockstep with the Spark operator.
@@ -251,6 +289,42 @@ object Hygiene {
         pmod(col("doc_id"), lit(97)) === 0)
         .orderBy("doc_id"),
       decontamSql(3, 97)),
+
+    // Fingerprint decontamination vs a doc_id % 59 benchmark slice:
+    // hit docs are the planted near-dups of benchmark docs — the case
+    // where exact n-grams already drift but window minima survive.
+    // The oracle replays the whole winnowing chain (md5 token hashes,
+    // mod-2^31-ish rolling grams, window minima) plus the hit count.
+    "q_decontaminate_fp" -> QueryDef(
+      (s, dir) => decontaminateByFingerprint(
+        table(s, dir, "documents"), "doc_id", "text",
+        pmod(col("doc_id"), lit(59)) === 0)
+        .orderBy("doc_id"),
+      """WITH toks AS (
+        |  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UINT32) AS BIGINT)) AS h
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_transform(generate_series(1, len(h) - 3),
+        |    i -> ((((h[i] * 131 + h[i+1]) % 2147483647) * 131 + h[i+2])
+        |          % 2147483647 * 131 + h[i+3]) % 2147483647) AS g
+        |  FROM toks),
+        |winnowed AS (
+        |  SELECT doc_id, list_sort(list_distinct(list_transform(
+        |    generate_series(1, len(g) - 4), i -> list_min(g[i:i+4])))) AS fps
+        |  FROM grams WHERE len(g) >= 5),
+        |bench AS (SELECT DISTINCT unnest(fps) AS fp FROM winnowed
+        |  WHERE doc_id % 59 = 0),
+        |corp AS (SELECT * FROM winnowed WHERE doc_id % 59 <> 0),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_shared
+        |  FROM (SELECT doc_id, unnest(fps) AS fp FROM corp) cf
+        |  JOIN bench USING (fp) GROUP BY 1)
+        |SELECT doc_id, n_shared, CAST(len(fps) AS INT) AS n_fps,
+        |  round(n_shared * 1.0 / greatest(len(fps), 1), 4) AS fp_frac
+        |FROM corp JOIN hits USING (doc_id)
+        |WHERE n_shared >= 2
+        |ORDER BY doc_id""".stripMargin),
 
     // Decontamination at the production n-gram size (8 words — the
     // 8-13 range real contamination audits use). Overlap at n=8 only

@@ -55,6 +55,31 @@ class HygieneSpec extends SparkSpec {
     assert(m(2).getDouble(4) == 0.0)      // no bigrams → coalesced 0
   }
 
+  test("decontaminateByFingerprint catches an edited near-copy that " +
+      "production-size n-grams miss") {
+    val baseToks = (0 until 30).map(i => f"tok$i%02d")
+    val bench = baseToks.mkString(" ")
+    // edits every 8 tokens (positions 7, 15, 23): EVERY 8-gram spans
+    // an edit → exact n=8 decontamination finds zero overlap, while
+    // window minima between the edits survive (4 of 9 fingerprints,
+    // deterministic md5 math — verified by simulation)
+    val edited = baseToks.zipWithIndex.map { case (t, i) =>
+      if (i == 7 || i == 15 || i == 23) s"ED$i" else t }.mkString(" ")
+    val docs = Seq(
+      (0L, bench),                                   // benchmark (id % 59 == 0)
+      (1L, edited),
+      (2L, "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val exact8 = Hygiene.decontaminate(docs, "doc_id", "text",
+      pmod(col("doc_id"), lit(59)) === 0, n = 8).collect()
+    assert(exact8.isEmpty, "n=8 grams should all span the edit")
+    val fp = Hygiene.decontaminateByFingerprint(docs, "doc_id", "text",
+      pmod(col("doc_id"), lit(59)) === 0).collect()
+    assert(fp.map(_.getLong(0)).toSeq == Seq(1L), "fp decontam must flag doc 1")
+    assert(fp(0).getAs[Long]("n_shared") >= 2)
+    InternalCaches.drain(blocking = true)
+  }
+
   test("decontaminate counts benchmark 3-gram overlap per corpus doc") {
     val docs = Seq(
       (0L, "the quick brown fox jumps high"),   // benchmark (id % 97 == 0)
