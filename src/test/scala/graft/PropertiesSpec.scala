@@ -139,4 +139,45 @@ class PropertiesSpec extends SparkSpec {
     sh.unpersist()
     assert(grouped == viaHof)
   }
+
+  test("chunkDocs reconstructs the token stream for any doc and any " +
+      "chunk/stride with stride <= chunk") {
+    val docGen = Gen.chooseNum(1, 60).flatMap(n => Gen.listOfN(n, word))
+    val paramGen = for {
+      chunk <- Gen.chooseNum(2, 12)
+      stride <- Gen.chooseNum(1, chunk)
+    } yield (chunk, stride)
+    sample(paramGen, 8).foreach { case (chunk, stride) =>
+      val docs = sample(docGen, 40).zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+      val out = TextAnalysis.chunkDocs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", chunk, stride)
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getInt(1)).map(r =>
+          (r.getInt(1), r.getString(2).split(" ").toSeq, r.getInt(3))).toSeq)
+        .toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split("\\s+").toSeq
+        val chunks = out(id)
+        // windows at every stride offset below n, ids consecutive
+        assert(chunks.map(_._1) == chunks.indices.toSeq)
+        assert(chunks.size == (toks.size + stride - 1) / stride)
+        chunks.zipWithIndex.foreach { case ((_, w, n), i) =>
+          val start = i * stride
+          // each window is EXACTLY the slice of the token stream
+          assert(w == toks.slice(start, start + chunk),
+            s"chunk=$chunk stride=$stride window $i of $toks")
+          assert(n == math.min(chunk, toks.size - start))
+        }
+        // dropping each window's overlap re-creates the stream exactly
+        val rebuilt = chunks.zipWithIndex.flatMap { case ((_, w, _), i) =>
+          if (i == 0) w else w.drop(chunk - stride) }
+        // trailing sub-stride windows repeat covered tokens; the
+        // PREFIX property is the lossless-coverage invariant
+        assert(rebuilt.startsWith(toks) || toks.startsWith(rebuilt))
+        assert(rebuilt.toSet == toks.toSet)
+      }
+    }
+  }
 }
