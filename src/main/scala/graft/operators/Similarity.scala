@@ -483,6 +483,26 @@ object Similarity {
     (cents, params("numSubspaces"), dim)
   }
 
+  /** Append new vectors to the CURRENT version of a persisted index:
+    * they are encoded against the FROZEN sidecar centroids (codebooks
+    * never move on append — the standard incremental-IVF contract;
+    * quantization drift from a shifting corpus is what `writePqIndex`
+    * rebuilds are for) and their codes land as new files inside the
+    * existing list partitions, so probes see them immediately with no
+    * rewrite of prior data. Batch single-writer semantics: an append
+    * is not idempotent — a streaming caller wanting replay safety
+    * lands each batch under its own subdirectory (the `BatchDirs`
+    * pattern) or rebuilds periodically.
+    */
+  def appendToPqIndex(newVecs: DataFrame, dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val (cents, numSubspaces, dim) = readPqSidecar(spark, dir)
+    val v = pqLatestVersion(spark, dir).get
+    pqEncode(newVecs, cents, numSubspaces, dim)
+      .write.mode(SaveMode.Append).partitionBy("list_id")
+      .parquet(s"$dir/v$v/codes")
+  }
+
   /** Probe a persisted index. Subspace count and dim come FROM the
     * sidecar (a caller-supplied mismatch would read absent code
     * columns as nulls and rank garbage silently); the explicit schema

@@ -209,6 +209,30 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("query_id", "neighbor_id").collect().toSeq == direct)
   }
 
+  test("appendToPqIndex grows the index under frozen codebooks; probes " +
+      "see appended vectors immediately") {
+    val e = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val half = e.filter(col("vec_id") % 2 === 0)
+    val rest = e.filter(col("vec_id") % 2 === 1)
+    val queries = e.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqa").toString
+    writePqIndex(half, dir)
+    appendToPqIndex(rest, dir)
+    // the index now covers the whole corpus exactly once
+    val (cents, m, d) = readPqSidecar(spark, dir)
+    val indexed = spark.read.parquet(s"$dir/v1/codes")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val all = e.select("vec_id").as[Long].collect().sorted.toSeq
+    assert(indexed == all)
+    // probing equals encoding the full corpus against the SAME frozen
+    // (half-built) centroids — append is pure growth, no re-clustering
+    val expected = pqProbe(pqEncode(e, cents, m, d), queries, cents, k = 3,
+      m, d).orderBy("query_id", "neighbor_id").collect().toSeq
+    val got = probePqIndex(spark, dir, queries, k = 3)
+      .orderBy("query_id", "neighbor_id").collect().toSeq
+    assert(got == expected)
+  }
+
   test("lshSignature buckets co-directional vectors together") {
     val planes = hyperplanes(8, 2)
     val df = Seq(
