@@ -14,6 +14,8 @@ class CorpusEtlStreamSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("graft_cetl")
     val index = base.resolve("index").toString
     val sink = base.resolve("sink").toString
+    // suites share one context; only caches ADDED by this test count
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     def doc(i: Int, n: Int = 12): (Long, String) =
       (i.toLong, (0 until n).map(t => s"e${i}w$t").mkString(" "))
     def step(rows: Seq[(Long, String)], id: Long): Unit =
@@ -56,8 +58,9 @@ class CorpusEtlStreamSpec extends SparkSpec {
     // the folded index still drops a copy of a batch-0 doc
     step(Seq((99L, doc(1)._2)), 7L)
     assert(sinkDocIds == Set(1L, 5L, 7L, 12L, 13L, 14L, 15L, 16L))
-    // and the batch scope left no caches behind
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // and the batch scope left no caches of its own behind
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"batch scope leaked cached RDDs: $leaked")
   }
 
   test("wired stream: exactly-once across restarts via checkpoint") {

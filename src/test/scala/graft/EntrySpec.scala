@@ -7,7 +7,9 @@ package graft
 class EntrySpec extends SparkSpec {
 
   test("entry returns rows") {
-    assert(SparkEntry.entry(spark).count() > 0)
+    InternalCaches.scoped {
+      assert(SparkEntry.entry(spark).count() > 0)
+    }
   }
 
   test("oracleSql keys are a subset of queries") {
@@ -19,10 +21,15 @@ class EntrySpec extends SparkSpec {
   test("every query runs at sf0.001; only the anti-join may be empty") {
     val mayBeEmpty = Set("q_join_anti", "q_ngram_jaccard", "q_dedup_minhash",
       "q_dedup_bow")
+    // scope each run: operator-internal caches (shingle persists,
+    // checkpoint handles) drain per query instead of piling up for
+    // the rest of the shared-session suite run (DRAIN CONTRACT)
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sfDir).count()
-      assert(n >= 0, name)
-      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+      InternalCaches.scoped {
+        val n = fn(spark, sfDir).count()
+        assert(n >= 0, name)
+        if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+      }
     }
   }
 }
