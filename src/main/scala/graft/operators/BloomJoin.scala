@@ -1,0 +1,209 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables.table
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Predicate, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Bloom-filter pre-filtered joins — the shuffle-avoidance shape for
+  * big-big semi/anti joins (set membership, decontamination) when the
+  * key side is too large to broadcast-hash-join cheaply but its KEY SET
+  * still fits a few hundred MB of bits.
+  *
+  * At 100 TB the dominant cost of `corpus SEMI JOIN keys` is shuffling
+  * the corpus: every row travels to its hash partition just to learn
+  * "not a member". A Bloom filter over the key set is orders of
+  * magnitude smaller than the keys themselves (~1.2 GB for 10^9 keys at
+  * 1% fpp), broadcasts once, and evaluates scan-side inside whole-stage
+  * codegen — so the shuffle (or the probe of a shuffled hash join) only
+  * ever sees the pre-filtered survivors: true members plus an fpp-sized
+  * sliver of false positives. The exact join over the survivors then
+  * restores EXACT semantics; the Bloom stage can only change cost,
+  * never results. This mirrors Spark's own AQE runtime-bloom-filter
+  * rewrite (`spark.sql.optimizer.runtime.bloomFilter.enabled`), made
+  * explicit and composable so a pipeline can build the filter once and
+  * reuse it across many scans.
+  *
+  * No false negatives is load-bearing: the pre-filter drops a row only
+  * when the bloom is CERTAIN it is absent, which requires the probe
+  * hashing to match the build hashing exactly. `stat.bloomFilter`
+  * inserts integral columns via `putLong` and strings via `putBinary`
+  * of the UTF-8 bytes; [[BloomMightContain]] probes the same way
+  * (BloomJoinSpec pins the zero-false-negative contract for both).
+  */
+object BloomJoin {
+
+  /** Build a Bloom filter over `keys.keyCol` and broadcast it.
+    *
+    * `expectedItems <= 0` derives the sizing from a count of the key
+    * frame — one cheap extra job on the SMALL side; pass an estimate to
+    * skip it (oversizing only wastes bits, undersizing only raises the
+    * false-positive rate — correctness never depends on it).
+    */
+  def buildBloom(keys: DataFrame, keyCol: String,
+      expectedItems: Long = 0L, fpp: Double = 0.01): Broadcast[BloomFilter] = {
+    val n = if (expectedItems > 0) expectedItems else math.max(keys.count(), 1L)
+    val bf = keys.stat.bloomFilter(keyCol, n, fpp)
+    keys.sparkSession.sparkContext.broadcast(bf)
+  }
+
+  /** Scan-side membership probe: true iff the key MIGHT be in the set
+    * (null keys are definitely not members — false, not null, matching
+    * SQL join semantics where a null key never equi-matches).
+    */
+  def mightContain(bloom: Broadcast[BloomFilter], key: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      BloomMightContain(
+        org.apache.spark.sql.GraftColumnBridge.expression(key), bloom))
+
+  /** Exact left-semi join of `large` on `largeKey ∈ keys.keyCol`,
+    * executed as bloom pre-filter → exact semi join. One pass over
+    * `large`; only bloom-positive rows reach the join.
+    */
+  def bloomSemiJoin(large: DataFrame, largeKey: String,
+      keys: DataFrame, keyCol: String,
+      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    val bc = buildBloom(keys, keyCol, expectedItems, fpp)
+    large.filter(mightContain(bc, col(largeKey)))
+      .join(keys.select(col(keyCol).as(largeKey)), Seq(largeKey), "left_semi")
+  }
+
+  /** Exact left-anti join (decontamination shape): rows the bloom
+    * clears are DEFINITELY clean and bypass the join entirely; only the
+    * bloom-positive sliver (true members + fpp false positives) pays
+    * the exact anti join. Two scans of `large`, zero full-corpus
+    * shuffles — at scale, scanning columnar parquet twice is far
+    * cheaper than shuffling it once (and the clean branch's filter
+    * feeds whole-stage codegen straight into the sink).
+    */
+  def bloomAntiJoin(large: DataFrame, largeKey: String,
+      keys: DataFrame, keyCol: String,
+      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    val bc = buildBloom(keys, keyCol, expectedItems, fpp)
+    val clean = large.filter(!mightContain(bc, col(largeKey)))
+    val suspects = large.filter(mightContain(bc, col(largeKey)))
+      .join(keys.select(col(keyCol).as(largeKey)), Seq(largeKey), "left_anti")
+    clean.unionByName(suspects)
+  }
+
+  // ---------- declared queries ----------------------------------------
+
+  /** Reference: the incremental loads anti/semi-join new keys against
+    * loaded ones (etl-pipeline-old `datasets/create_projectsync_dataset
+    * .ipynb` cell 14's `~isin` over loaded ids) — broadcast-sized
+    * there; this is the same contract at corpus scale.
+    */
+  def defs: Map[String, QueryDef] = Map(
+
+    // Semi: restrict the fact table to orders in a key set. The agg on
+    // top keeps the compared result small and order-insensitive.
+    "q_bloom_semi" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val keys = table(s, dir, "orders")
+          .filter(col("o_totalprice") > 150000).select("o_orderkey")
+        bloomSemiJoin(li, "l_orderkey", keys, "o_orderkey")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Anti over STRING keys (the decontamination shape): drop corpus
+    // docs whose exact-dup fingerprint appears in a benchmark slice.
+    "q_bloom_decontam" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val fp = TextAnalysis.fingerprint(col("text"))
+        val bench = docs.filter(col("doc_id") % 7 === 0)
+          .select(fp.as("fp"))
+        val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), fp.as("fp"), col("lang"), col("source"))
+        bloomAntiJoin(corpus, "fp", bench, "fp")
+          .select("doc_id", "lang", "source").orderBy("doc_id")
+      },
+      """WITH f AS (
+        |  SELECT doc_id, lang, source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM f
+        |WHERE doc_id % 7 <> 0 AND fp NOT IN
+        |  (SELECT fp FROM f WHERE doc_id % 7 = 0)
+        |ORDER BY doc_id""".stripMargin)
+  )
+}
+
+/** `key MIGHT-BE-IN bloom` as a native codegen predicate. The filter
+  * holds a [[Broadcast]] handle, so the (potentially hundreds-of-MB)
+  * bit array ships to each executor once via the broadcast mechanism,
+  * not per-task inside the serialized plan; the generated code
+  * resolves `value()` once per partition into a local field and probes
+  * per row without boxing. Null keys evaluate to false (never-null
+  * output keeps the predicate usable under `!` for the anti shape).
+  */
+case class BloomMightContain(child: Expression, bloom: Broadcast[BloomFilter])
+    extends UnaryExpression with Predicate {
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType | ByteType | ShortType | IntegerType | LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain expects a string, binary, or integral key, got ${t.simpleString}")
+  }
+
+  @transient private lazy val bf: BloomFilter = bloom.value
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) false
+    else child.dataType match {
+      case StringType => bf.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+      case BinaryType => bf.mightContainBinary(v.asInstanceOf[Array[Byte]])
+      case ByteType => bf.mightContainLong(v.asInstanceOf[Byte].toLong)
+      case ShortType => bf.mightContainLong(v.asInstanceOf[Short].toLong)
+      case IntegerType => bf.mightContainLong(v.asInstanceOf[Int].toLong)
+      case LongType => bf.mightContainLong(v.asInstanceOf[Long])
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("graftBloomBc", bloom,
+      classOf[Broadcast[BloomFilter]].getName)
+    val bfClass = classOf[BloomFilter].getName
+    // resolve the broadcast once per partition, probe a local field per row
+    val bfTerm = ctx.addMutableState(bfClass, "graftBloom",
+      v => s"$v = ($bfClass) $bcRef.value();")
+    val childGen = child.genCode(ctx)
+    val probe = child.dataType match {
+      case StringType => s"$bfTerm.mightContainBinary(${childGen.value}.getBytes())"
+      case BinaryType => s"$bfTerm.mightContainBinary(${childGen.value})"
+      case _ => s"$bfTerm.mightContainLong((long) ${childGen.value})"
+    }
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.value} = false;
+        if (!${childGen.isNull}) {
+          ${ev.value} = $probe;
+        }
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
