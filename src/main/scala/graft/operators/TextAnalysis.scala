@@ -141,6 +141,47 @@ object TextAnalysis {
           .as("n_chunk_tokens"))
   }
 
+  /** Cross-document duplicated-passage stats: for every doc, the
+    * fraction of its token `k`-gram POSITIONS whose gram also occurs
+    * in at least one other document — the per-doc signal behind exact
+    * substring dedup (remove or down-weight docs made of passages the
+    * corpus already has; cf. the duplicated-spans analyses in the
+    * public train-data-dedup literature). Position-weighted, so a doc
+    * that repeats a shared passage five times scores it five times.
+    *
+    * Scale shape: grams key every shuffle as their 128-bit md5 (bounded
+    * width however long the passage), and the per-gram document count
+    * attaches via an equi-JOIN rather than a window — a stop-phrase
+    * gram shared by 10^8 docs becomes an AQE-splittable skewed join
+    * partition instead of one unsplittable window partition. Three
+    * keyed shuffles total: (gram,doc) combine, gram count, doc rollup.
+    */
+  def dupPassages(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k > 0, "k must be positive")
+    val t = col("__t")
+    val grams = when(size(t) >= k,
+      transform(sequence(lit(1), size(t) - (k - 1)),
+        i => concat_ws(" ",
+          (0 until k).map(j => element_at(t, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+    val pos = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode(grams).as("__gram"))
+      .select(col(idCol), md5(col("__gram")).as("__fp"))
+    val byDoc = pos.groupBy("__fp", idCol).agg(count(lit(1)).as("__n_pos"))
+    val gramDocs = byDoc.groupBy("__fp").agg(count(lit(1)).as("__n_docs"))
+    byDoc.join(gramDocs, "__fp")
+      .groupBy(idCol)
+      .agg(
+        sum("__n_pos").as("n_grams"),
+        sum(when(col("__n_docs") >= 2, col("__n_pos")).otherwise(0L))
+          .as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup") * lit(1.0) / col("n_grams"), 4))
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // Sliding-window chunking at chunk=32/stride=24 (docs average ~54
     // tokens, so most emit 2-3 chunks). The oracle rebuilds every
@@ -163,6 +204,32 @@ object TextAnalysis {
         |FROM st
         |ORDER BY doc_id, chunk_id""".stripMargin),
 
+
+    // Duplicated-passage profile at 5-gram granularity. The oracle
+    // rebuilds every gram position, so windowing, within-doc repeat
+    // counting, and the cross-doc threshold all hash-check.
+    "q_dup_passages" -> QueryDef(
+      (s, dir) => dupPassages(table(s, dir, "documents"),
+        "doc_id", "text", k = 5).orderBy("doc_id"),
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+        |         t[i+3] || ' ' || t[i+4])) AS gram
+        |  FROM toks WHERE len(t) >= 5),
+        |bydoc AS (
+        |  SELECT doc_id, gram, count(*) AS n_pos FROM pos GROUP BY 1, 2),
+        |gd AS (SELECT gram, count(*) AS n_docs FROM bydoc GROUP BY 1)
+        |SELECT doc_id, CAST(sum(n_pos) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN n_docs >= 2 THEN n_pos ELSE 0 END) AS BIGINT)
+        |    AS n_dup,
+        |  round(sum(CASE WHEN n_docs >= 2 THEN n_pos ELSE 0 END) * 1.0 /
+        |    sum(n_pos), 4) AS dup_frac
+        |FROM bydoc JOIN gd USING (gram)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin),
 
     // Token counting: whitespace tokens, distinct tokens, subword
     // estimate — the unit economics of an LLM data pipeline. The token

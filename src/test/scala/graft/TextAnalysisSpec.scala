@@ -103,4 +103,25 @@ class TextAnalysisSpec extends SparkSpec {
       .flatMap { case (w, i) => w.drop(if (i == 0) 0 else 1) }
     assert(rebuilt.toSeq == Seq("a", "b", "c", "d", "e", "f", "g"))
   }
+
+  test("dupPassages: position-weighted cross-doc 5-gram dup fraction") {
+    val docs = Seq(
+      (1L, "a b c d e f"),              // grams: "a b c d e", "b c d e f"
+      (2L, "x a b c d e"),              // grams: "x a b c d", "a b c d e"
+      (3L, "a b c d e a b c d e"),      // contains the shared gram TWICE
+      (4L, "p q r s"),                  // < 5 tokens: no grams, excluded
+      (5L, "u v w x y z")               // all grams unique to doc 5
+    ).toDF("doc_id", "text")
+    val out = dupPassages(docs, "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 3's 6 positions: "a b c d e"×2 dup, "b c d e a", "c d e a b",
+    // "d e a b c", "e a b c d" unique → 2/6
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 0.5),
+      (2L, 2L, 1L, 0.5),
+      (3L, 6L, 2L, 0.3333),
+      (5L, 2L, 0L, 0.0)))
+  }
 }
