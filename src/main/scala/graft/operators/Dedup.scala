@@ -317,16 +317,31 @@ object Dedup {
     * division so the compare stays in integers×one-double.
     */
   def jaccardPairs(sh: DataFrame, idCol: String, minJaccard: Double,
+      dfCap: Int = StopShingleDf): DataFrame =
+    jaccardScored(sh, idCol, dfCap)
+      .filter(col("__inter") >=
+        (col("__na") + col("__nb") - col("__inter")) * minJaccard)
+      .select("id_a", "id_b")
+
+  /** The counting join itself, un-thresholded: every pair sharing at
+    * least one surviving shingle, with its intersection and set sizes
+    * (`__inter`, `__na`, `__nb`) — J = ∩ / (na + nb − ∩). `dfCap =
+    * Int.MaxValue` skips the df window entirely for EXACT all-pairs
+    * Jaccard; any finite cap prunes stop-shingles first.
+    */
+  def jaccardScored(sh: DataFrame, idCol: String,
       dfCap: Int = StopShingleDf): DataFrame = {
     // NOT persisted, deliberately: the self-join sides share the
     // df-window's exchange via ReusedExchange, and only the size
     // aggregation re-runs the window — caching here was measured 5×
     // SLOWER, because an InMemoryRelation hides runtime stats from
     // AQE and the candidate self-join gets planned blind
-    val inv = sh.select(col(idCol), explode(col("sh")).as("g"))
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
-      .filter(col("__df") <= dfCap)
-      .drop("__df")
+    val raw = sh.select(col(idCol), explode(col("sh")).as("g"))
+    val inv = if (dfCap == Int.MaxValue) raw
+      else raw
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
+        .filter(col("__df") <= dfCap)
+        .drop("__df")
     // set sizes from the SAME pruned index: with stop-shingles
     // dropped, the Jaccard is computed consistently on the pruned
     // shingle space — mixing a capped intersection with uncapped set
@@ -339,9 +354,6 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
       .join(sizes.select(col(idCol).as("id_a"), col("n").as("__na")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("n").as("__nb")), "id_b")
-      .filter(col("__inter") >=
-        (col("__na") + col("__nb") - col("__inter")) * minJaccard)
-      .select("id_a", "id_b")
   }
 
   // ---------- pair graph → clusters ------------------------------------
@@ -529,14 +541,18 @@ object Dedup {
     // (n/10)²/2 — swap in LSH candidates for the unblocked version.
     "q_ngram_jaccard" -> QueryDef(
       (s, dir) => {
+        // all-pairs jaccard WITHOUT the crossJoin: a pair has jac > 0
+        // iff it shares a shingle, so the exact posting-list counting
+        // join (uncapped) enumerates exactly the nonzero pairs — cost
+        // Σ df² over shingles instead of n²·|sh| array intersections,
+        // the only formulation that survives a corpus-sized n
         val d = shingled(
           table(s, dir, "documents").filter(col("doc_id") % 10 === 0),
           "doc_id", "text")
-        val a = d.toDF("id_a", "sh_a")
-        val b = d.toDF("id_b", "sh_b")
-        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        jaccardScored(d, "doc_id", dfCap = Int.MaxValue)
           .select(col("id_a"), col("id_b"),
-            round(jaccard(col("sh_a"), col("sh_b")), 4).as("jac"))
+            round(col("__inter") * lit(1.0) /
+              (col("__na") + col("__nb") - col("__inter")), 4).as("jac"))
           .filter(col("jac") > 0) // >0 is exact (ratio of ints) — no boundary risk
           .orderBy("id_a", "id_b")
       },
