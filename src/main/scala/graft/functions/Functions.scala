@@ -10,6 +10,29 @@ import org.apache.spark.sql.types._
   */
 object Functions {
 
+  /** Exploded projection that computes the array expression exactly
+    * once per row. A plain `explode` triggers InferFiltersFromGenerate,
+    * which derives `size(arr) > 0 AND isnotnull(arr)` and pushes both
+    * below every barrier (filters commute with Repartition) into the
+    * scan filter — re-inlining the full array expression 2× per
+    * SOURCE row. For interpreted higher-order expressions (transform /
+    * aggregate lambdas: shingles, winnow fingerprints, token n-grams)
+    * that triples the dominant cost: measured 6× on the shingle
+    * posting list at sf0.1. `explode_outer` infers nothing; dropping
+    * the null stub rows ABOVE the Generate (a predicate on the
+    * generator OUTPUT cannot push below it) restores exact `explode`
+    * semantics.
+    *
+    * Precondition: array ELEMENTS must be non-null — a null element
+    * row is indistinguishable from an empty-array stub and is dropped.
+    * Every caller explodes concat/split/hash-derived arrays, which
+    * never contain nulls.
+    */
+  def explodeOnce(df: DataFrame, keep: Seq[Column], arr: Column,
+      name: String): DataFrame =
+    df.select((keep :+ explode_outer(arr).as(name)): _*)
+      .filter(col(name).isNotNull)
+
   // ---- F1: string trim / clean ------------------------------------
   /** Strip UTF-8 BOM characters; reference:
     * datasets/create_scripts_dataset.ipynb cell 3.

@@ -159,6 +159,8 @@ case class BloomMightContain(child: Expression, bloom: Broadcast[BloomFilter])
 
   override def nullable: Boolean = false
 
+  override def prettyName: String = "bloom_might_contain"
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType | BinaryType | ByteType | ShortType | IntegerType | LongType =>
       TypeCheckResult.TypeCheckSuccess

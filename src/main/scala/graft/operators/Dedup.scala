@@ -132,7 +132,8 @@ object Dedup {
     // explode; they previously carried an all-P sentinel signature,
     // banded together, and were always discarded by the exact-Jaccard
     // verify (empty ∩ empty = 0) — the emitted pair set is identical.
-    val inv = sh.select(col(idCol), explode(col("sh")).as("__g"))
+    val inv = graft.functions.Functions.explodeOnce(
+        sh, Seq(col(idCol)), col("sh"), "__g")
       .select(col(idCol), hash32(col("__g")).as("__h"))
     val minCols = hashParams.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("__h") * a + b, lit(P))).as(s"__m$i")
@@ -234,9 +235,9 @@ object Dedup {
     val h64 = (m: Column) => (0 until 4).map(k =>
       shiftleft(conv(substring(m, k * 4 + 1, 4), 16, 10).cast(LongType), k * 16))
       .reduce((a, b) => a.bitwiseOR(b))
-    val toks = docs.select(col(idCol), col(textCol))
-      .repartition(par)
-      .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("__t"))
+    val toks = graft.functions.Functions.explodeOnce(
+        docs.select(col(idCol), col(textCol)).repartition(par),
+        Seq(col(idCol)), array_distinct(tokens(col(textCol))), "__t")
       .select(col(idCol), h64(md5(col("__t"))).as("__h"))
     val voteCols = (0 until 64).map(b =>
       sum(when(col("__h").bitwiseAND(lit(1L << b)) =!= 0, 1L).otherwise(-1L))
@@ -295,7 +296,8 @@ object Dedup {
     */
   def postingListCandidates(sh: DataFrame, idCol: String,
       dfCap: Int = StopShingleDf): DataFrame = {
-    val inv = sh.select(col(idCol), explode(col("sh")).as("g"))
+    val inv = graft.functions.Functions.explodeOnce(
+        sh, Seq(col(idCol)), col("sh"), "g")
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("__df") <= dfCap)
       .drop("__df")
@@ -336,18 +338,31 @@ object Dedup {
     // aggregation re-runs the window — caching here was measured 5×
     // SLOWER, because an InMemoryRelation hides runtime stats from
     // AQE and the candidate self-join gets planned blind
-    val raw = sh.select(col(idCol), explode(col("sh")).as("g"))
-    val inv = if (dfCap == Int.MaxValue) raw
+    val raw = graft.functions.Functions.explodeOnce(
+      sh, Seq(col(idCol)), col("sh"), "g")
+    // Both paths end in an exchange keyed on g — the df window's
+    // shuffle in the capped path, an explicit repartition in the
+    // uncapped one — so the self-join sides are canonically equal and
+    // share ONE exchange (ReusedExchange); without it the
+    // tokenize+shingle+explode stage re-runs per join side. An
+    // InMemoryRelation here instead was measured 5× SLOWER — the cache
+    // hides runtime stats from AQE and the candidate join gets planned
+    // blind.
+    val inv = if (dfCap == Int.MaxValue) raw.repartition(col("g"))
       else raw
         .withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
         .filter(col("__df") <= dfCap)
         .drop("__df")
-    // set sizes from the SAME pruned index: with stop-shingles
-    // dropped, the Jaccard is computed consistently on the pruned
-    // shingle space — mixing a capped intersection with uncapped set
-    // sizes would underestimate J for every pair that contains a
-    // viral shingle, not just viral-only pairs
-    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    // Set sizes: with stop-shingles dropped the Jaccard must be
+    // computed consistently on the PRUNED shingle space (mixing a
+    // capped intersection with uncapped set sizes would underestimate
+    // J for every pair containing a viral shingle), so the capped path
+    // counts the pruned index. Uncapped, |set| is just size(sh) —
+    // shingle arrays are distinct by construction — which skips a
+    // third explode+shuffle branch entirely.
+    val sizes =
+      if (dfCap == Int.MaxValue) sh.select(col(idCol), size(col("sh")).as("n"))
+      else inv.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     inv.select(col(idCol).as("id_a"), col("g"))
       .join(inv.select(col(idCol).as("id_b"), col("g")), "g")
       .filter(col("id_a") < col("id_b"))

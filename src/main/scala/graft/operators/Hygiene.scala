@@ -67,18 +67,19 @@ object Hygiene {
     val base = docs.select(col(idCol), col(textCol))
       .repartition(par)
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
-    val uni = base.select(col(idCol), explode(col("__toks")).as("g"))
+    val uni = graft.functions.Functions.explodeOnce(
+        base, Seq(col(idCol)), col("__toks"), "g")
       .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
       .agg(max("c").as("__top1"), sum("c").as("n_tokens"),
         count(lit(1)).as("__n_distinct"))
-    val bi = base
-      .select(col(idCol),
-        explode(when(size(col("__toks")) >= 2,
+    val bi = graft.functions.Functions.explodeOnce(
+        base, Seq(col(idCol)),
+        when(size(col("__toks")) >= 2,
           transform(sequence(lit(1), size(col("__toks")) - 1), i =>
             concat_ws(" ", element_at(col("__toks"), i),
               element_at(col("__toks"), i + lit(1)))))
-          .otherwise(array().cast(ArrayType(StringType)))).as("g"))
+          .otherwise(array().cast(ArrayType(StringType))), "g")
       .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
       .agg(max("c").as("__top2"), sum("c").as("__n_bigrams"))

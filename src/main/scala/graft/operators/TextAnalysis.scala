@@ -165,10 +165,11 @@ object TextAnalysis {
         i => concat_ws(" ",
           (0 until k).map(j => element_at(t, i + lit(j))): _*)))
       .otherwise(array().cast("array<string>"))
-    val pos = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), tokens(col(textCol)).as("__t"))
-      .select(col(idCol), explode(grams).as("__gram"))
+    val pos = graft.functions.Functions.explodeOnce(
+        docs
+          .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+          .select(col(idCol), tokens(col(textCol)).as("__t")),
+        Seq(col(idCol)), grams, "__gram")
       .select(col(idCol), md5(col("__gram")).as("__fp"))
     val byDoc = pos.groupBy("__fp", idCol).agg(count(lit(1)).as("__n_pos"))
     val gramDocs = byDoc.groupBy("__fp").agg(count(lit(1)).as("__n_docs"))
@@ -333,9 +334,10 @@ object TextAnalysis {
     "q_tfidf" -> QueryDef(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = table(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+        val docs = graft.functions.Functions.explodeOnce(
+          table(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism),
+          Seq(col("doc_id")), tokens(lower(col("text"))), "term")
         val tf = docs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         // df from the tf aggregate, not a second tokenize pass: tf
         // already holds one row per (doc, term), so df(term) is a
@@ -404,7 +406,11 @@ object TextAnalysis {
           // barrier: winnow references __g ~w times; the shuffle pins
           // the gram array to a materialized column first
           .repartition(par)
-          .select(col("doc_id"), explode(winnow(col("__g"))).as("fp"))
+          .select(col("doc_id"), explode_outer(winnow(col("__g"))).as("fp"))
+          // explode_outer + null drop, NOT explode: the inferred
+          // size-filter would push the winnow chain below the barrier
+          // (Functions.explodeOnce, inlined to keep the select shape)
+          .filter(col("fp").isNotNull)
           .orderBy("doc_id", "fp")
       },
       """WITH toks AS (

@@ -10,13 +10,13 @@ package graft
 class PlanShapeSpec extends SparkSpec {
 
   /** Queries allowed to contain BroadcastNestedLoopJoin/Cartesian:
-    *  - q_ngram_jaccard: deliberately-blocked cross join, the oracle
-    *    ground-truth fixture for the LSH math (documented);
     *  - q_ann_brute: broadcast query panel × streamed corpus with a
     *    non-equi predicate — the exact baseline, corpus never
     *    materializes;
     *  - q_tfidf / q_watermark_filter: scalar (1-row) broadcast factors
     *    joined without a key.
+    * (q_ngram_jaccard left this list in round 6: the all-pairs cross
+    * join became the posting-list counting join.)
     *
     * Known boundary: joins INSIDE eagerly-checkpointed iterative loops
     * (clusterPairs' label-propagation rounds) have already executed by
@@ -25,7 +25,7 @@ class PlanShapeSpec extends SparkSpec {
     * (groupBy/join on id); the guard covers every non-iterative stage.
     */
   private val allowed = Set(
-    "q_ngram_jaccard", "q_ann_brute", "q_tfidf", "q_watermark_filter")
+    "q_ann_brute", "q_tfidf", "q_watermark_filter")
 
   test("no declared query plans an unlisted cross product or nested loop") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
@@ -59,6 +59,24 @@ class PlanShapeSpec extends SparkSpec {
       s"shingle persist not in plan:\n$plan")
     InternalCaches.drain(blocking = true)
     spark.catalog.clearCache()
+  }
+
+  test("q_bloom_semi: bloom probe filters the fact scan before the join") {
+    val plan = SparkEntry.queries("q_bloom_semi")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the probe must appear as a Filter predicate (scan-side, inside
+    // codegen) — if it vanishes, every fact row reaches the join and
+    // the operator degenerates to a plain semi join
+    assert(plan.contains("bloom_might_contain"),
+      s"bloom probe missing from plan:\n$plan")
+  }
+
+  test("q_dup_passages: gram doc-counts attach via join, not a window") {
+    val plan = SparkEntry.queries("q_dup_passages")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // a Window over the gram key would make every viral gram one
+    // unsplittable partition; the join shape stays AQE-skew-splittable
+    assert(!plan.contains("Window"), s"window crept into plan:\n$plan")
   }
 
   test("q_dedup_editdist: length-band candidates join as a hash equi-join") {
