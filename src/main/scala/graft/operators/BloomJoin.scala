@@ -71,11 +71,19 @@ object BloomJoin {
     */
   def bloomSemiJoin(large: DataFrame, largeKey: String,
       keys: DataFrame, keyCol: String,
-      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
-    val bc = buildBloom(keys, keyCol, expectedItems, fpp)
-    large.filter(mightContain(bc, col(largeKey)))
+      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame =
+    bloomSemiJoinWith(large, largeKey, keys, keyCol,
+      buildBloom(keys, keyCol, expectedItems, fpp))
+
+  /** Semi join with a PREBUILT filter — the shape for a static key set
+    * probed repeatedly (a benchmark set against every micro-batch):
+    * build once, probe many.
+    */
+  def bloomSemiJoinWith(large: DataFrame, largeKey: String,
+      keys: DataFrame, keyCol: String,
+      bloom: Broadcast[BloomFilter]): DataFrame =
+    large.filter(mightContain(bloom, col(largeKey)))
       .join(keys.select(col(keyCol).as(largeKey)), Seq(largeKey), "left_semi")
-  }
 
   /** Exact left-anti join (decontamination shape): rows the bloom
     * clears are DEFINITELY clean and bypass the join entirely; only the
@@ -87,10 +95,16 @@ object BloomJoin {
     */
   def bloomAntiJoin(large: DataFrame, largeKey: String,
       keys: DataFrame, keyCol: String,
-      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
-    val bc = buildBloom(keys, keyCol, expectedItems, fpp)
-    val clean = large.filter(!mightContain(bc, col(largeKey)))
-    val suspects = large.filter(mightContain(bc, col(largeKey)))
+      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame =
+    bloomAntiJoinWith(large, largeKey, keys, keyCol,
+      buildBloom(keys, keyCol, expectedItems, fpp))
+
+  /** Anti join with a PREBUILT filter (see [[bloomSemiJoinWith]]). */
+  def bloomAntiJoinWith(large: DataFrame, largeKey: String,
+      keys: DataFrame, keyCol: String,
+      bloom: Broadcast[BloomFilter]): DataFrame = {
+    val clean = large.filter(!mightContain(bloom, col(largeKey)))
+    val suspects = large.filter(mightContain(bloom, col(largeKey)))
       .join(keys.select(col(keyCol).as(largeKey)), Seq(largeKey), "left_anti")
     clean.unionByName(suspects)
   }

@@ -10,8 +10,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 /** Streaming corpus ETL: documents arrive as a stream and leave as
   * training-ready chunk rows — quality gate → EXACT dedup (batch-
   * internal min-id, then against every previously-admitted document's
-  * fingerprint) → sliding-window chunking — with the same
-  * replay-safety mechanics as `CorpusStream` (the near-dup sibling):
+  * fingerprint) → optional benchmark decontamination
+  * ([[CorpusEtlStream.BenchmarkGate]]: bloom-prefiltered exact
+  * anti-join on the same fingerprint) → sliding-window chunking —
+  * with the same replay-safety mechanics as `CorpusStream` (the
+  * near-dup sibling):
   *
   *  - every write goes to `<dir>/batch=<id>` with Overwrite, so a
   *    replayed micro-batch rewrites its own partition instead of
@@ -33,6 +36,33 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   */
 object CorpusEtlStream {
 
+  /** Static benchmark-decontamination gate shared across micro-batches:
+    * docs whose exact-dup fingerprint (md5 of normalized text) matches
+    * a benchmark doc are dropped before they reach the sink. The Bloom
+    * filter over the benchmark fingerprints is built ONCE at
+    * construction — every micro-batch then pays a scan-side codegen
+    * probe, and only the (rare) bloom-positive docs reach the exact
+    * anti-join that restores exact semantics. Exact-copy decontam only:
+    * the n-gram / winnow-fingerprint operators (`Hygiene`) are the
+    * batch-mode tools for partial contamination, which needs the whole
+    * doc scored, not gated row-wise.
+    */
+  final class BenchmarkGate(benchFps: DataFrame) extends Serializable {
+    private val fps = benchFps.select("fp")
+    private val bloom = graft.operators.BloomJoin.buildBloom(fps, "fp")
+    /** Anti-join `docs` on `fpCol` against the benchmark set. */
+    def scrub(docs: DataFrame, fpCol: String): DataFrame =
+      graft.operators.BloomJoin.bloomAntiJoinWith(
+        docs, fpCol, fps, "fp", bloom)
+  }
+
+  object BenchmarkGate {
+    /** Build the gate from raw benchmark documents. */
+    def fromDocs(bench: DataFrame, textCol: String = "text"): BenchmarkGate =
+      new BenchmarkGate(bench.select(
+        TextAnalysis.fingerprint(col(textCol)).as("fp")))
+  }
+
   /** One micro-batch step — public so the spec (and a backfill job)
     * can drive it with deterministic batch boundaries. Idempotent in
     * `batchId`.
@@ -40,17 +70,20 @@ object CorpusEtlStream {
   def prepareBatchStep(batch: DataFrame, batchId: Long, indexDir: String,
       sinkDir: String, cfg: Corpus.Config = Corpus.Config(),
       chunkTokens: Int = 128, stride: Int = 96,
-      compactEvery: Int = 8): Unit = graft.InternalCaches.scoped {
-    val spark = batch.sparkSession
-    if (!batch.isEmpty) {
-      prepareBatchBody(batch, batchId, indexDir, sinkDir, cfg,
-        chunkTokens, stride, compactEvery, spark)
+      compactEvery: Int = 8,
+      benchmark: Option[BenchmarkGate] = None): Unit =
+    graft.InternalCaches.scoped {
+      val spark = batch.sparkSession
+      if (!batch.isEmpty) {
+        prepareBatchBody(batch, batchId, indexDir, sinkDir, cfg,
+          chunkTokens, stride, compactEvery, benchmark, spark)
+      }
     }
-  }
 
   private def prepareBatchBody(batch: DataFrame, batchId: Long,
       indexDir: String, sinkDir: String, cfg: Corpus.Config,
       chunkTokens: Int, stride: Int, compactEvery: Int,
+      benchmark: Option[BenchmarkGate],
       spark: SparkSession): Unit = {
     val fpPath = s"$indexDir/fps"
     val batchDocIds = batch.select("doc_id")
@@ -66,7 +99,10 @@ object CorpusEtlStream {
       .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
     val keepIds = gated.groupBy(col("__fp"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val clean = gated.join(keepIds, Seq("doc_id"), "left_semi")
+    val deduped = gated.join(keepIds, Seq("doc_id"), "left_semi")
+    // benchmark decontamination rides the SAME fingerprint column the
+    // dedup already computed — zero extra text passes
+    val clean = benchmark.fold(deduped)(_.scrub(deduped, "__fp"))
     // drop docs whose fingerprint is already ADMITTED — excluding this
     // batch's own ids (the replay shield)
     val survivors =
@@ -103,12 +139,13 @@ object CorpusEtlStream {
   def prepareStream(docs: DataFrame, indexDir: String, sinkDir: String,
       checkpointDir: String, cfg: Corpus.Config = Corpus.Config(),
       chunkTokens: Int = 128, stride: Int = 96, compactEvery: Int = 8,
+      benchmark: Option[BenchmarkGate] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         prepareBatchStep(batch, batchId, indexDir, sinkDir, cfg,
-          chunkTokens, stride, compactEvery)
+          chunkTokens, stride, compactEvery, benchmark)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

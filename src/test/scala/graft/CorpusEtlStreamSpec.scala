@@ -63,6 +63,31 @@ class CorpusEtlStreamSpec extends SparkSpec {
     assert(leaked.isEmpty, s"batch scope leaked cached RDDs: $leaked")
   }
 
+  test("benchmark gate drops exact benchmark copies, replays idempotently") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cetl_bm")
+    val index = base.resolve("index").toString
+    val sink = base.resolve("sink").toString
+    def doc(i: Int): (Long, String) =
+      (i.toLong, (0 until 12).map(t => s"b${i}w$t").mkString(" "))
+    // benchmark holds doc 2's text, differing only in case+whitespace —
+    // the normalized fingerprint still matches
+    val bench = Seq(Tuple1("  " + doc(2)._2.toUpperCase + "  ")).toDF("text")
+    val gate = CorpusEtlStream.BenchmarkGate.fromDocs(bench)
+    def step(rows: Seq[(Long, String)], id: Long): Unit =
+      CorpusEtlStream.prepareBatchStep(rows.toDF("doc_id", "text"), id,
+        index, sink, chunkTokens = 8, stride = 6, benchmark = Some(gate))
+    step(Seq(doc(1), doc(2), doc(3)), 0L)
+    def sinkDocIds: Set[Long] = spark.read.parquet(sink)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(sinkDocIds == Set(1L, 3L))
+    // replay: same state, no duplicates
+    step(Seq(doc(1), doc(2), doc(3)), 0L)
+    assert(sinkDocIds == Set(1L, 3L))
+    val chunks = spark.read.parquet(sink)
+    assert(chunks.count() ==
+      chunks.dropDuplicates("doc_id", "chunk_id").count())
+  }
+
   test("wired stream: exactly-once across restarts via checkpoint") {
     val base = java.nio.file.Files.createTempDirectory("graft_cetl_q")
     val in = base.resolve("in"); java.nio.file.Files.createDirectories(in)
