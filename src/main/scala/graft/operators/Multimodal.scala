@@ -212,6 +212,43 @@ object Multimodal {
       }
   }
 
+  final case class PHash(doc_id: Long, phash: Long)
+
+  /** 64-bit average-hash (aHash) of a decoded RAW8 grayscale frame:
+    * resample to 8×8 with the SAME nearest-neighbor kernel as
+    * `resizeRaw8`, then set bit i (row-major) iff pixel i exceeds the
+    * 64-pixel mean (strict, on unsigned bytes; the compare is
+    * `pixel·64 > sum` so no rounding mode is involved). Re-encodes,
+    * resizes, and mild compression noise preserve the hash, so a
+    * plain groupBy on `phash` IS image near-dup dedup — the
+    * multimodal twin of the text fingerprint dedup, one shuffle keyed
+    * by a long at any corpus size. Pairwise similarity, when wanted,
+    * is `bit_count(a ^ b)` hamming over the same column (the SimHash
+    * segment-blocking shape applies unchanged). Corrupt frames
+    * (0×0 after decode) hash to 0 and group harmlessly among
+    * themselves.
+    */
+  def aHash64(frames: Dataset[DecodedFrame]): Dataset[PHash] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    resizeRaw8(frames.toDF(), "doc_id", "payload", "width", "height", 8, 8)
+      .map { r =>
+        val px = r.payload
+        var sum = 0L
+        var i = 0
+        while (i < 64) { sum += px(i) & 0xff; i += 1 }
+        var bits = 0L
+        i = 0
+        while (i < 64) {
+          if ((px(i) & 0xff).toLong * 64 > sum) bits |= (1L << i)
+          i += 1
+        }
+        // all-equal frames (including corrupt 0×0 → all-zero) have no
+        // pixel strictly above the mean: hash 0 by construction
+        PHash(r.doc_id, bits)
+      }
+  }
+
   final case class Embedded(doc_id: Long, embedding: Array[Float])
 
   /** Feature-extraction plumbing: binary payload → fixed-dim float

@@ -163,4 +163,46 @@ class MultimodalSpec extends SparkSpec {
     // everything else zero-pads — no Int wraparound crash
     assert(corrupt.find(_.doc_id == 4L).get.payload.head == 7.toByte)
   }
+
+  test("aHash64: re-encoded and rescaled copies share the hash; " +
+      "exact-phash groupBy dedups images") {
+    import spark.implicits._
+    def encode(w: Int, h: Int, fmt: String, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, f(x, y) * 0x10101) // gray
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    // a horizontal gradient; doc 2 is the SAME image scaled 2× and
+    // re-encoded as BMP (different bytes, 3BYTE_BGR decode path);
+    // doc 3 is the mirrored gradient; doc 4 is corrupt
+    val grad = (x: Int, _: Int) => x * 16
+    val rows = Seq(
+      (1L, encode(16, 16, "png", grad)),
+      (2L, encode(32, 32, "bmp", (x, y) => grad(x / 2, y / 2))),
+      (3L, encode(16, 16, "png", (x, y) => 240 - grad(x, y))),
+      (4L, Array[Byte](9, 9, 9)))
+    val frames = Multimodal.decodeImageBatch(
+      rows.toDF("doc_id", "payload"), "doc_id", "payload")
+    val hashes = Multimodal.aHash64(frames)
+      .collect().map(p => p.doc_id -> p.phash).toMap
+    assert(hashes(1L) == hashes(2L),
+      s"re-encoded copy drifted: ${hashes(1L)} vs ${hashes(2L)}")
+    assert(hashes(1L) != hashes(3L), "distinct images collided")
+    assert(hashes(4L) == 0L, "corrupt frame must hash to 0")
+    // hamming via bit_count(a ^ b): the mirrored gradient flips every
+    // set bit, so the distance is |bits(1)| + |bits(3)|
+    val dist = Seq((hashes(1L), hashes(3L))).toDF("a", "b")
+      .select(bit_count(col("a").bitwiseXOR(col("b")))).as[Int].head()
+    assert(dist > 32, s"mirror should be far: hamming $dist")
+    // dedup: one shuffle keyed by the long hash, min id canonical
+    val groups = Multimodal.aHash64(frames).toDF()
+      .groupBy("phash").agg(min("doc_id").as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(groups(1L) == 2L && groups(3L) == 1L && groups(4L) == 1L)
+  }
 }
