@@ -32,6 +32,45 @@ class LayoutSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("range-clustered layout skips row groups: the scan emits only " +
+      "the matching key slice") {
+    val base = Files.createTempDirectory("graft_rc")
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val total = li.count()
+    Layout.writeRangeClustered(li, base.resolve("sorted").toString,
+      "l_orderkey", files = 8)
+    // control: identical rows, key order destroyed — row-group min/max
+    // spans the whole key domain, so footer skipping cannot help
+    li.repartition(8).write.parquet(base.resolve("shuffled").toString)
+
+    def scanEmitted(path: String): (Long, Long) = {
+      val df = spark.read.parquet(path).filter(col("l_orderkey") < 100)
+      // collect(), not count(): count() spawns a separate
+      // QueryExecution and THIS plan's metrics would stay zero
+      val n = df.collect().length.toLong
+      // under AQE the pre-execution plan's leaves are fresh copies with
+      // zeroed metrics — read the FINAL plan the action actually ran
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      (n, finalPlan.collectLeaves().head.metrics("numOutputRows").value)
+    }
+    val (nSorted, emittedSorted) = scanEmitted(base.resolve("sorted").toString)
+    val (nShuffled, emittedShuffled) = scanEmitted(base.resolve("shuffled").toString)
+    assert(nSorted == nShuffled && nSorted > 0)
+    // shuffled layout: every row group overlaps the predicate range →
+    // the scan decodes everything; range-clustered: only the row
+    // group(s) whose min/max admit l_orderkey < 100
+    assert(emittedShuffled == total,
+      s"control scan should emit all $total rows, got $emittedShuffled")
+    assert(emittedSorted < total / 4,
+      s"range-clustered scan should skip most row groups: " +
+        s"emitted $emittedSorted of $total")
+  }
+
   private def bucketedJoinBody(): Unit = {
     Layout.writeBucketed(
       Tables.table(spark, sfDir, "orders").select("o_orderkey", "o_totalprice"),
