@@ -167,5 +167,30 @@ object Corpus {
         |  WHERE id <> cluster_id)
         |SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
         |FROM ded WHERE doc_id NOT IN (SELECT id FROM doomed)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin),
+
+    // Corpus data card: the per-source / per-lang / per-cell summary a
+    // dataset report ships — doc counts, token volume, average doc
+    // size — in ONE grouping-sets pass (one shuffle, partial-agg
+    // map-side; a cell, a row-margin, and a column-margin sweep would
+    // otherwise scan the corpus three times).
+    "q_corpus_card" -> QueryDef(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        d.groupingSets(
+            Seq(Seq(col("source")), Seq(col("lang")),
+              Seq(col("source"), col("lang"))),
+            col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(TextAnalysis.tokens(col("text")))).as("n_tokens"),
+            round(avg(col("n_chars")), 4).as("avg_chars"))
+          .orderBy("source", "lang")
+      },
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |    AS n_tokens,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((source), (lang), (source, lang))
+        |ORDER BY source, lang""".stripMargin))
 }
