@@ -183,6 +183,53 @@ object TextAnalysis {
         round(col("n_dup") * lit(1.0) / col("n_grams"), 4))
   }
 
+  /** Maximal duplicated spans — the localization stage of exact
+    * substring dedup: where [[dupPassages]] scores how much of a doc
+    * is duplicated elsewhere, this returns WHICH token ranges are,
+    * as maximal runs of consecutive duplicated k-gram positions
+    * (the spans an exact-substring dedup pass would cut). A position
+    * is duplicated iff its k-gram occurs in ≥ 2 documents; a run of
+    * positions [p, q] covers tokens [p, q + k - 1].
+    *
+    * Scale shape: same keyed shuffles as dupPassages for the gram doc
+    * counts (md5 keys, join not window over grams), then island
+    * detection (`pos − row_number()`) in ONE window partitioned by
+    * doc — per-doc row counts are bounded by doc length, so the
+    * window partition never exceeds a document, regardless of corpus
+    * size.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val t = col("__t")
+    val grams = when(size(t) >= k,
+      transform(sequence(lit(1), size(t) - (k - 1)),
+        i => concat_ws(" ",
+          (0 until k).map(j => element_at(t, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+    val pos = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), posexplode_outer(grams).as(Seq("__p0", "__gram")))
+      .filter(col("__gram").isNotNull) // explodeOnce, posexplode form
+      .select(col(idCol), (col("__p0") + 1).as("__pos"),
+        md5(col("__gram")).as("__fp"))
+    val gramDocs = pos.select(col(idCol), col("__fp")).distinct()
+      .groupBy("__fp").agg(count(lit(1)).as("__n_docs"))
+    val dupPos = pos.join(gramDocs, "__fp")
+      .filter(col("__n_docs") >= 2)
+      .select(col(idCol), col("__pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    dupPos
+      .withColumn("__isl", col("__pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min("__pos").as("span_start"),
+        (max("__pos") - min("__pos") + k).cast("int").as("span_tokens"))
+      .select(col(idCol), col("span_start").cast("int").as("span_start"),
+        col("span_tokens"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // Sliding-window chunking at chunk=32/stride=24 (docs average ~54
     // tokens, so most emit 2-3 chunks). The oracle rebuilds every
@@ -231,6 +278,37 @@ object TextAnalysis {
         |    sum(n_pos), 4) AS dup_frac
         |FROM bydoc JOIN gd USING (gram)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin),
+
+    // Maximal duplicated spans: island detection over duplicated
+    // 5-gram positions. The oracle rebuilds positions, the cross-doc
+    // test, and the row_number() islands, so any off-by-one in span
+    // boundaries hash-mismatches.
+    "q_dup_spans" -> QueryDef(
+      (s, dir) => dupSpans(table(s, dir, "documents"),
+        "doc_id", "text", k = 5).orderBy("doc_id", "span_start"),
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(t) - 4)) AS pos, t
+        |  FROM toks WHERE len(t) >= 5),
+        |pg AS (
+        |  SELECT doc_id, pos,
+        |    t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2] || ' ' ||
+        |    t[pos+3] || ' ' || t[pos+4] AS gram
+        |  FROM pos),
+        |gd AS (
+        |  SELECT gram, count(DISTINCT doc_id) AS n_docs FROM pg GROUP BY 1),
+        |dp AS (
+        |  SELECT doc_id, pos FROM pg JOIN gd USING (gram) WHERE n_docs >= 2),
+        |isl AS (
+        |  SELECT doc_id, pos, pos - row_number()
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM dp)
+        |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+        |  CAST(max(pos) - min(pos) + 5 AS INT) AS span_tokens
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin),
 
     // Token counting: whitespace tokens, distinct tokens, subword
     // estimate — the unit economics of an LLM data pipeline. The token

@@ -124,4 +124,24 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 6L, 2L, 0.3333),
       (5L, 2L, 0L, 0.0)))
   }
+
+  test("dupSpans: maximal islands of cross-doc duplicated 5-gram positions") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),                       // fully shared with doc 2
+      (2L, "z a b c d e f g"),                     // offset copy of doc 1
+      (3L, "p q r s t u v"),                       // nothing shared
+      (4L, "a b c d e x1 x2 x3 x4 x5 c d e f g"),  // two separate islands
+      (5L, "m n o p q r m n o p q r")              // repeats only WITHIN itself
+    ).toDF("doc_id", "text")
+    val out = dupSpans(docs, "doc_id", "text", k = 5)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.toSeq == Seq(
+      (1L, 1, 7),   // every position duplicated: one span, the whole doc
+      (2L, 2, 7),   // the copy starts one token in
+      (4L, 1, 5),   // "a b c d e" island
+      (4L, 11, 5))) // "c d e f g" island, separated by unique middles
+    // doc 3 shares nothing; doc 5's repeats are within-doc only — the
+    // cross-document definition excludes both
+  }
 }
