@@ -11,8 +11,8 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * training-ready chunk rows — quality gate → EXACT dedup (batch-
   * internal min-id, then against every previously-admitted document's
   * fingerprint) → optional benchmark decontamination
-  * ([[CorpusEtlStream.BenchmarkGate]]: bloom-prefiltered exact
-  * anti-join on the same fingerprint) → sliding-window chunking —
+  * ([[BenchmarkGate]]: bloom-prefiltered exact anti-join on the same
+  * fingerprint) → sliding-window chunking —
   * with the same replay-safety mechanics as `CorpusStream` (the
   * near-dup sibling):
   *
@@ -35,33 +35,6 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * pipeline.
   */
 object CorpusEtlStream {
-
-  /** Static benchmark-decontamination gate shared across micro-batches:
-    * docs whose exact-dup fingerprint (md5 of normalized text) matches
-    * a benchmark doc are dropped before they reach the sink. The Bloom
-    * filter over the benchmark fingerprints is built ONCE at
-    * construction — every micro-batch then pays a scan-side codegen
-    * probe, and only the (rare) bloom-positive docs reach the exact
-    * anti-join that restores exact semantics. Exact-copy decontam only:
-    * the n-gram / winnow-fingerprint operators (`Hygiene`) are the
-    * batch-mode tools for partial contamination, which needs the whole
-    * doc scored, not gated row-wise.
-    */
-  final class BenchmarkGate(benchFps: DataFrame) extends Serializable {
-    private val fps = benchFps.select("fp")
-    private val bloom = graft.operators.BloomJoin.buildBloom(fps, "fp")
-    /** Anti-join `docs` on `fpCol` against the benchmark set. */
-    def scrub(docs: DataFrame, fpCol: String): DataFrame =
-      graft.operators.BloomJoin.bloomAntiJoinWith(
-        docs, fpCol, fps, "fp", bloom)
-  }
-
-  object BenchmarkGate {
-    /** Build the gate from raw benchmark documents. */
-    def fromDocs(bench: DataFrame, textCol: String = "text"): BenchmarkGate =
-      new BenchmarkGate(bench.select(
-        TextAnalysis.fingerprint(col(textCol)).as("fp")))
-  }
 
   /** One micro-batch step — public so the spec (and a backfill job)
     * can drive it with deterministic batch boundaries. Idempotent in

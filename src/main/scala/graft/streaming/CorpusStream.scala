@@ -78,7 +78,8 @@ object CorpusStream {
     * no-op on the final sink/index state.
     */
   def nearDedupBatchStep(batch: DataFrame, batchId: Long, indexDir: String,
-      sinkDir: String, minJaccard: Double, compactEvery: Int = 8): Unit =
+      sinkDir: String, minJaccard: Double, compactEvery: Int = 8,
+      benchmark: Option[BenchmarkGate] = None): Unit =
     // every operator-internal cache this batch creates (the admitted/
     // fold checkpoints, the shingle persists and component checkpoints
     // inside Corpus.nearDedup) is scoped to the batch and released on
@@ -86,18 +87,24 @@ object CorpusStream {
     // micro-batch, and a GLOBAL drain here would invalidate caches of
     // other queries sharing the session
     graft.InternalCaches.scoped {
-      nearDedupBatchBody(batch, batchId, indexDir, sinkDir, minJaccard, compactEvery)
+      nearDedupBatchBody(batch, batchId, indexDir, sinkDir, minJaccard,
+        compactEvery, benchmark)
     }
 
   private def nearDedupBatchBody(batch: DataFrame, batchId: Long,
       indexDir: String, sinkDir: String, minJaccard: Double,
-      compactEvery: Int): Unit = {
+      compactEvery: Int, benchmark: Option[BenchmarkGate]): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     val bandsPath = s"$indexDir/bands"
     val shinglesPath = s"$indexDir/shingles"
     val batchDocIds = batch.select("doc_id")
-    val sh = Dedup.shingled(batch, "doc_id", "text")
+    // benchmark decontamination first: a contaminated doc must neither
+    // reach the sink nor enter the index (where it would near-dup-kill
+    // LEGITIMATE docs resembling it). Replay-safe: the gate is a pure
+    // filter, so a replayed batch drops the same docs again.
+    val gated = benchmark.fold(batch)(_.scrubDocs(batch))
+    val sh = Dedup.shingled(gated, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = Dedup.lshBandsFromShingles(sh, "doc_id")
     val havePrior = batchPartitions(spark, bandsPath).nonEmpty
@@ -120,7 +127,7 @@ object CorpusStream {
           .filter(Dedup.jaccard(col("sh_new"), col("sh_old")) >= minJaccard)
           .select("doc_id").distinct()
       } else spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
-    val survivors = batch.join(doomedByIndex, Seq("doc_id"), "left_anti")
+    val survivors = gated.join(doomedByIndex, Seq("doc_id"), "left_anti")
     // batch-internal near-dedup (min-id canonical within the batch);
     // localCheckpoint truncates lineage over the index files the
     // writes below may replace on a replay
@@ -172,11 +179,13 @@ object CorpusStream {
   def nearDedupStream(docs: DataFrame, indexDir: String, sinkDir: String,
       checkpointDir: String, minJaccard: Double = 0.8,
       compactEvery: Int = 8,
+      benchmark: Option[BenchmarkGate] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        nearDedupBatchStep(batch, batchId, indexDir, sinkDir, minJaccard, compactEvery)
+        nearDedupBatchStep(batch, batchId, indexDir, sinkDir, minJaccard,
+          compactEvery, benchmark)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

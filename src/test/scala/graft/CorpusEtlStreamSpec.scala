@@ -72,7 +72,7 @@ class CorpusEtlStreamSpec extends SparkSpec {
     // benchmark holds doc 2's text, differing only in case+whitespace —
     // the normalized fingerprint still matches
     val bench = Seq(Tuple1("  " + doc(2)._2.toUpperCase + "  ")).toDF("text")
-    val gate = CorpusEtlStream.BenchmarkGate.fromDocs(bench)
+    val gate = graft.streaming.BenchmarkGate.fromDocs(bench)
     def step(rows: Seq[(Long, String)], id: Long): Unit =
       CorpusEtlStream.prepareBatchStep(rows.toDF("doc_id", "text"), id,
         index, sink, chunkTokens = 8, stride = 6, benchmark = Some(gate))

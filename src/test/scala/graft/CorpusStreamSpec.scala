@@ -191,4 +191,23 @@ class CorpusStreamSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(ids == Set(1L, 2L, 3L, 4L, 5L, 6L))
   }
+
+  test("benchmark gate keeps contaminated docs out of sink AND index") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cs_bm")
+    val index = base.resolve("index").toString
+    val sink = base.resolve("sink").toString
+    val gate = graft.streaming.BenchmarkGate.fromDocs(
+      Seq(Tuple1(baseA.toUpperCase)).toDF("text")) // normalized-fp match
+    def step(rows: Seq[(Long, String)], id: Long): Unit =
+      CorpusStream.nearDedupBatchStep(rows.toDF("doc_id", "text"), id,
+        index, sink, minJaccard = 0.8, benchmark = Some(gate))
+    // doc 1 IS the benchmark doc (case differs): dropped by the gate,
+    // and because it never enters the index, doc 2 — a legitimate
+    // near-dup of the contaminated doc — is still admitted
+    step(Seq((1L, baseA), (3L, baseB)), 0L)
+    step(Seq((2L, baseA + " nu")), 1L)
+    val ids = spark.read.parquet(sink)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(2L, 3L))
+  }
 }
