@@ -48,11 +48,23 @@ object BloomJoin {
     * frame — one cheap extra job on the SMALL side; pass an estimate to
     * skip it (oversizing only wastes bits, undersizing only raises the
     * false-positive rate — correctness never depends on it).
+    *
+    * String/integral keys delegate to `stat.bloomFilter`; binary keys
+    * (which it rejects) build the same filter with a treeAggregate of
+    * `putBinary` — the identical hashing [[BloomMightContain]] probes.
     */
   def buildBloom(keys: DataFrame, keyCol: String,
       expectedItems: Long = 0L, fpp: Double = 0.01): Broadcast[BloomFilter] = {
     val n = if (expectedItems > 0) expectedItems else math.max(keys.count(), 1L)
-    val bf = keys.stat.bloomFilter(keyCol, n, fpp)
+    val bf = keys.schema(keyCol).dataType match {
+      case BinaryType =>
+        keys.select(col(keyCol)).where(col(keyCol).isNotNull)
+          .as(org.apache.spark.sql.Encoders.BINARY)
+          .rdd.treeAggregate(BloomFilter.create(n, fpp))(
+            (f, b) => { f.putBinary(b); f },
+            (a, b) => a.mergeInPlace(b))
+      case _ => keys.stat.bloomFilter(keyCol, n, fpp)
+    }
     keys.sparkSession.sparkContext.broadcast(bf)
   }
 

@@ -224,14 +224,22 @@ object Multimodal {
     * multimodal twin of the text fingerprint dedup, one shuffle keyed
     * by a long at any corpus size. Pairwise similarity, when wanted,
     * is `bit_count(a ^ b)` hamming over the same column (the SimHash
-    * segment-blocking shape applies unchanged). Corrupt frames
-    * (0×0 after decode) hash to 0 and group harmlessly among
-    * themselves.
+    * segment-blocking shape applies unchanged).
+    *
+    * Two boundary cases, both inherent to average-hashing: corrupt
+    * frames (0×0 after decode) are EXCLUDED from the output — hashing
+    * them would dedup them against each other and against legitimate
+    * flat images; and all UNIFORM images (all-white page, all-black
+    * frame) share hash 0, because no pixel exceeds the mean — aHash
+    * carries no brightness information, so flat images are
+    * indistinguishable to it by construction (use a brightness column
+    * alongside the hash if that distinction matters).
     */
   def aHash64(frames: Dataset[DecodedFrame]): Dataset[PHash] = {
     val spark = frames.sparkSession
     import spark.implicits._
-    resizeRaw8(frames.toDF(), "doc_id", "payload", "width", "height", 8, 8)
+    resizeRaw8(frames.toDF().filter(col("width") > 0 && col("height") > 0),
+        "doc_id", "payload", "width", "height", 8, 8)
       .map { r =>
         val px = r.payload
         var sum = 0L
@@ -243,8 +251,6 @@ object Multimodal {
           if ((px(i) & 0xff).toLong * 64 > sum) bits |= (1L << i)
           i += 1
         }
-        // all-equal frames (including corrupt 0×0 → all-zero) have no
-        // pixel strictly above the mean: hash 0 by construction
         PHash(r.doc_id, bits)
       }
   }

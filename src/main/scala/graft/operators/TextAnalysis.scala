@@ -159,17 +159,11 @@ object TextAnalysis {
   def dupPassages(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
     require(k > 0, "k must be positive")
-    val t = col("__t")
-    val grams = when(size(t) >= k,
-      transform(sequence(lit(1), size(t) - (k - 1)),
-        i => concat_ws(" ",
-          (0 until k).map(j => element_at(t, i + lit(j))): _*)))
-      .otherwise(array().cast("array<string>"))
     val pos = graft.functions.Functions.explodeOnce(
         docs
           .repartition(docs.sparkSession.sparkContext.defaultParallelism)
           .select(col(idCol), tokens(col(textCol)).as("__t")),
-        Seq(col(idCol)), grams, "__gram")
+        Seq(col(idCol)), Dedup.wordNgrams(col("__t"), k), "__gram")
       .select(col(idCol), md5(col("__gram")).as("__fp"))
     val byDoc = pos.groupBy("__fp", idCol).agg(count(lit(1)).as("__n_pos"))
     val gramDocs = byDoc.groupBy("__fp").agg(count(lit(1)).as("__n_docs"))
@@ -202,21 +196,23 @@ object TextAnalysis {
       k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, "k must be positive")
-    val t = col("__t")
-    val grams = when(size(t) >= k,
-      transform(sequence(lit(1), size(t) - (k - 1)),
-        i => concat_ws(" ",
-          (0 until k).map(j => element_at(t, i + lit(j))): _*)))
-      .otherwise(array().cast("array<string>"))
+    // posexplode form of Functions.explodeOnce: the outer generator
+    // infers no pushable filters, the null-stub drop stays above it
     val pos = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), tokens(col(textCol)).as("__t"))
-      .select(col(idCol), posexplode_outer(grams).as(Seq("__p0", "__gram")))
-      .filter(col("__gram").isNotNull) // explodeOnce, posexplode form
+      .select(col(idCol),
+        posexplode_outer(Dedup.wordNgrams(col("__t"), k))
+          .as(Seq("__p0", "__gram")))
+      .filter(col("__gram").isNotNull)
       .select(col(idCol), (col("__p0") + 1).as("__pos"),
         md5(col("__gram")).as("__fp"))
-    val gramDocs = pos.select(col(idCol), col("__fp")).distinct()
-      .groupBy("__fp").agg(count(lit(1)).as("__n_docs"))
+      // ONE exchange on __fp that both consumers below hang off
+      // (ReusedExchange) — without it the tokenize+gram+md5 stage runs
+      // once under the doc-count aggregate and again under the join
+      .repartition(col("__fp"))
+    val gramDocs = pos
+      .groupBy("__fp").agg(countDistinct(col(idCol)).as("__n_docs"))
     val dupPos = pos.join(gramDocs, "__fp")
       .filter(col("__n_docs") >= 2)
       .select(col(idCol), col("__pos"))
@@ -468,7 +464,7 @@ object TextAnalysis {
     "q_winnow_fp" -> QueryDef(
       (s, dir) => {
         val par = s.sparkContext.defaultParallelism
-        table(s, dir, "documents")
+        val gramFrame = table(s, dir, "documents")
           .repartition(par)
           .select(col("doc_id"), tokens(col("text")).as("__toks"))
           // filter EARLY on the cheapest equivalent predicate
@@ -484,11 +480,8 @@ object TextAnalysis {
           // barrier: winnow references __g ~w times; the shuffle pins
           // the gram array to a materialized column first
           .repartition(par)
-          .select(col("doc_id"), explode_outer(winnow(col("__g"))).as("fp"))
-          // explode_outer + null drop, NOT explode: the inferred
-          // size-filter would push the winnow chain below the barrier
-          // (Functions.explodeOnce, inlined to keep the select shape)
-          .filter(col("fp").isNotNull)
+        graft.functions.Functions.explodeOnce(
+            gramFrame, Seq(col("doc_id")), winnow(col("__g")), "fp")
           .orderBy("doc_id", "fp")
       },
       """WITH toks AS (

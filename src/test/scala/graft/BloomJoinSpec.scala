@@ -23,6 +23,18 @@ class BloomJoinSpec extends SparkSpec {
     val bcS = BloomJoin.buildBloom(keysStr, "key")
     val missedS = keysStr.filter(!BloomJoin.mightContain(bcS, col("key"))).count()
     assert(missedS == 0L, "string keys: bloom false negative")
+
+    // binary keys take the treeAggregate build (stat.bloomFilter
+    // rejects BinaryType) — same putBinary hashing the probe uses
+    val keysBin = (1 to 300).map(i => Tuple1(s"blob-$i".getBytes("UTF-8")))
+      .toDF("key")
+    val bcB = BloomJoin.buildBloom(keysBin, "key")
+    val missedB = keysBin.filter(!BloomJoin.mightContain(bcB, col("key"))).count()
+    assert(missedB == 0L, "binary keys: bloom false negative")
+    val semiB = BloomJoin.bloomSemiJoin(
+      (1 to 600).map(i => Tuple1(s"blob-$i".getBytes("UTF-8"))).toDF("key"),
+      "key", keysBin, "key").count()
+    assert(semiB == 300L)
   }
 
   test("bloomSemiJoin == exact left_semi; bloomAntiJoin == exact left_anti") {

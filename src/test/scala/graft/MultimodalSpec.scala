@@ -192,7 +192,8 @@ class MultimodalSpec extends SparkSpec {
     assert(hashes(1L) == hashes(2L),
       s"re-encoded copy drifted: ${hashes(1L)} vs ${hashes(2L)}")
     assert(hashes(1L) != hashes(3L), "distinct images collided")
-    assert(hashes(4L) == 0L, "corrupt frame must hash to 0")
+    assert(!hashes.contains(4L),
+      "corrupt frames must be excluded, not hashed into the dedup space")
     // hamming via bit_count(a ^ b): the mirrored gradient flips every
     // set bit, so the distance is |bits(1)| + |bits(3)|
     val dist = Seq((hashes(1L), hashes(3L))).toDF("a", "b")
@@ -203,6 +204,6 @@ class MultimodalSpec extends SparkSpec {
       .groupBy("phash").agg(min("doc_id").as("canonical_id"),
         count(lit(1)).as("n_copies"))
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
-    assert(groups(1L) == 2L && groups(3L) == 1L && groups(4L) == 1L)
+    assert(groups == Map(1L -> 2L, 3L -> 1L))
   }
 }
