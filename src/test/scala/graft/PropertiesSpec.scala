@@ -180,4 +180,23 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("explodeOnce ≡ explode for any docs with non-null array elements") {
+    // random texts including empties and whitespace runs: empty/short
+    // docs hit the empty-array stub, the rest explode normally. The
+    // equivalence is the whole contract of the generator-hygiene
+    // rewrite — if the null-stub drop ever diverges from explode
+    // semantics, every converted dedup/hygiene operator shifts.
+    val text = Gen.chooseNum(0, 9).flatMap(k =>
+      Gen.listOfN(k, word).map(_.mkString(" ")))
+    val docs = sample(text, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val arr = Dedup.wordNgrams(TextAnalysis.tokens(col("text")), 3)
+    val viaExplode = docs.select(col("id"), explode(arr).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val viaOnce = explodeOnce(docs, Seq(col("id")), arr, "g")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(viaOnce.sameElements(viaExplode))
+  }
 }
