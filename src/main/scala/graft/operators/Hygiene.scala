@@ -145,8 +145,27 @@ object Hygiene {
     */
   def decontaminateByFingerprint(docs: DataFrame, idCol: String,
       textCol: String, benchPred: Column, minShared: Int = 2): DataFrame = {
+    val fps = graft.InternalCaches.track(
+      winnowFingerprints(docs, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bench = fps.filter(benchPred)
+      .select(explode(col("fps")).as("fp")).distinct()
+    fingerprintHits(fps.filter(!benchPred), idCol, bench)
+      .filter(col("n_shared") >= minShared)
+      .select(col(idCol), col("n_shared"), col("n_fps"),
+        round(col("n_shared").cast(DoubleType) /
+          greatest(col("n_fps"), lit(1)), 4).as("fp_frac"))
+  }
+
+  /** (id, fps) winnow-fingerprint projection of a document frame —
+    * the shared front half of fingerprint decontamination. Docs under
+    * 8 tokens carry no fingerprints (the winnowing floor) and are
+    * filtered here.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val fps = graft.InternalCaches.track(docs.repartition(par)
+    docs.repartition(par)
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= 8)
       .select(col(idCol),
@@ -154,20 +173,19 @@ object Hygiene {
       .select(col(idCol), TextAnalysis.gramHashes(col("__h")).as("__g"))
       .repartition(par)
       .select(col(idCol), TextAnalysis.winnow(col("__g")).as("fps"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val bench = fps.filter(benchPred)
-      .select(explode(col("fps")).as("fp")).distinct()
-    fps.filter(!benchPred)
-      .select(col(idCol), size(col("fps")).as("n_fps"),
-        explode(col("fps")).as("fp"))
-      .join(broadcast(bench), "fp")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shared"), max(col("n_fps")).as("n_fps"))
-      .filter(col("n_shared") >= minShared)
-      .select(col(idCol), col("n_shared"), col("n_fps"),
-        round(col("n_shared").cast(DoubleType) /
-          greatest(col("n_fps"), lit(1)), 4).as("fp_frac"))
   }
+
+  /** Per-doc shared-fingerprint counts of a (id, fps) frame against a
+    * broadcast benchmark fingerprint column: (id, n_shared, n_fps).
+    */
+  def fingerprintHits(corpusFps: DataFrame, idCol: String,
+      benchFps: DataFrame): DataFrame =
+    graft.functions.Functions.explodeOnce(
+        corpusFps.withColumn("__n_fps", size(col("fps"))),
+        Seq(col(idCol), col("__n_fps")), col("fps"), "fp")
+      .join(broadcast(benchFps.select("fp")), "fp")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"), max(col("__n_fps")).as("n_fps"))
 
   /** DuckDB replay of `decontaminate` at word-n-gram size `n` with a
     * `doc_id % modK = 0` benchmark slice — generated so the n=3 and

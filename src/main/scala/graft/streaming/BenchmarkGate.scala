@@ -1,22 +1,37 @@
 package graft.streaming
 
-import graft.operators.{BloomJoin, TextAnalysis}
+import graft.operators.{BloomJoin, Hygiene, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Static benchmark-decontamination gate shared across micro-batches:
-  * docs whose exact-dup fingerprint (md5 of normalized text) matches a
-  * benchmark doc are dropped before they reach the sink. The Bloom
+/** A benchmark-decontamination gate shared across micro-batches:
+  * filters a batch's documents against a STATIC benchmark set built
+  * once at stream start. Two strengths ship — [[BenchmarkGate]] drops
+  * exact copies (normalized-text fingerprint match, bloom-prefiltered)
+  * and [[WinnowGate]] drops edit-drifted copies (≥ `minShared` shared
+  * winnow fingerprints). Both are pure per-batch filters, so a
+  * replayed batch drops the same docs again (the streams' idempotence
+  * contract is preserved).
+  */
+trait DocGate extends Serializable {
+  /** Remove benchmark-contaminated rows from raw docs. */
+  def scrubDocs(docs: DataFrame, textCol: String = "text"): DataFrame
+
+  /** Variant for callers that already carry the exact-dup fingerprint
+    * column; gates that can't use it just gate on the text.
+    */
+  def scrubWithFp(docs: DataFrame, fpCol: String,
+      textCol: String = "text"): DataFrame = scrubDocs(docs, textCol)
+}
+
+/** Exact-copy gate: docs whose exact-dup fingerprint (md5 of
+  * normalized text) matches a benchmark doc are dropped. The Bloom
   * filter over the benchmark fingerprints is built ONCE at
   * construction — every micro-batch then pays a scan-side codegen
   * probe, and only the (rare) bloom-positive docs reach the exact
-  * anti-join that restores exact semantics. Exact-copy decontam only:
-  * the n-gram / winnow-fingerprint operators (`Hygiene`) are the
-  * batch-mode tools for partial contamination, which needs the whole
-  * doc scored, not gated row-wise. Used by both streaming dedup
-  * pipelines (`CorpusEtlStream`, `CorpusStream`).
+  * anti-join that restores exact semantics.
   */
-final class BenchmarkGate(benchFps: DataFrame) extends Serializable {
+final class BenchmarkGate(benchFps: DataFrame) extends DocGate {
   private val fps = benchFps.select("fp")
   private val bloom = BloomJoin.buildBloom(fps, "fp")
 
@@ -24,11 +39,13 @@ final class BenchmarkGate(benchFps: DataFrame) extends Serializable {
   def scrub(docs: DataFrame, fpCol: String): DataFrame =
     BloomJoin.bloomAntiJoinWith(docs, fpCol, fps, "fp", bloom)
 
-  /** Anti-join raw docs, deriving the fingerprint from `textCol`. */
-  def scrubDocs(docs: DataFrame, textCol: String = "text"): DataFrame =
+  override def scrubDocs(docs: DataFrame, textCol: String): DataFrame =
     scrub(docs.withColumn("__bm_fp",
       TextAnalysis.fingerprint(col(textCol))), "__bm_fp")
       .drop("__bm_fp")
+
+  override def scrubWithFp(docs: DataFrame, fpCol: String,
+      textCol: String): DataFrame = scrub(docs, fpCol)
 }
 
 object BenchmarkGate {
@@ -36,4 +53,48 @@ object BenchmarkGate {
   def fromDocs(bench: DataFrame, textCol: String = "text"): BenchmarkGate =
     new BenchmarkGate(bench.select(
       TextAnalysis.fingerprint(col(textCol)).as("fp")))
+}
+
+/** Edit-robust gate: docs sharing ≥ `minShared` winnowing fingerprints
+  * with any benchmark doc are dropped — whitespace changes, case
+  * changes, and a few token edits still match (`Hygiene.
+  * decontaminateByFingerprint` is the batch-mode scorer this gates
+  * on). The benchmark fingerprint set is eval-suite-sized →
+  * broadcast; each batch pays one winnow pass over ITS OWN docs only.
+  * Docs under the 8-token winnowing floor carry no fingerprints and
+  * always pass.
+  */
+final class WinnowGate(benchFps: DataFrame, minShared: Int = 2)
+    extends DocGate {
+  // materialize ONCE at construction: without the persist every
+  // micro-batch would re-run the benchmark winnow plan just to
+  // broadcast it. Deliberately not registered with InternalCaches —
+  // the gate outlives every batch scope, and a recompute after
+  // eviction is deterministic.
+  private val fps = {
+    val f = benchFps.select("fp").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count()
+    f
+  }
+
+  override def scrubDocs(docs: DataFrame, textCol: String): DataFrame = {
+    val contaminated = Hygiene.fingerprintHits(
+        Hygiene.winnowFingerprints(docs, "doc_id", textCol), "doc_id", fps)
+      .filter(col("n_shared") >= minShared)
+      .select("doc_id")
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+}
+
+object WinnowGate {
+  /** Build the gate from raw benchmark documents. */
+  def fromDocs(bench: DataFrame, textCol: String = "text",
+      minShared: Int = 2): WinnowGate = {
+    val fps = Hygiene.winnowFingerprints(
+        bench.withColumn("__bm_id", monotonically_increasing_id()),
+        "__bm_id", textCol)
+      .select(explode(col("fps")).as("fp")).distinct()
+    new WinnowGate(fps, minShared)
+  }
 }

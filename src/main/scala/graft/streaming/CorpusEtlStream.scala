@@ -10,9 +10,10 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 /** Streaming corpus ETL: documents arrive as a stream and leave as
   * training-ready chunk rows — quality gate → EXACT dedup (batch-
   * internal min-id, then against every previously-admitted document's
-  * fingerprint) → optional benchmark decontamination
-  * ([[BenchmarkGate]]: bloom-prefiltered exact anti-join on the same
-  * fingerprint) → sliding-window chunking —
+  * fingerprint) → optional benchmark decontamination ([[DocGate]]:
+  * [[BenchmarkGate]] exact copies via a bloom-prefiltered anti-join
+  * on the same fingerprint, or [[WinnowGate]] edit-drifted copies
+  * via shared winnow fingerprints) → sliding-window chunking —
   * with the same replay-safety mechanics as `CorpusStream` (the
   * near-dup sibling):
   *
@@ -44,7 +45,7 @@ object CorpusEtlStream {
       sinkDir: String, cfg: Corpus.Config = Corpus.Config(),
       chunkTokens: Int = 128, stride: Int = 96,
       compactEvery: Int = 8,
-      benchmark: Option[BenchmarkGate] = None): Unit =
+      benchmark: Option[DocGate] = None): Unit =
     graft.InternalCaches.scoped {
       val spark = batch.sparkSession
       if (!batch.isEmpty) {
@@ -56,7 +57,7 @@ object CorpusEtlStream {
   private def prepareBatchBody(batch: DataFrame, batchId: Long,
       indexDir: String, sinkDir: String, cfg: Corpus.Config,
       chunkTokens: Int, stride: Int, compactEvery: Int,
-      benchmark: Option[BenchmarkGate],
+      benchmark: Option[DocGate],
       spark: SparkSession): Unit = {
     val fpPath = s"$indexDir/fps"
     val batchDocIds = batch.select("doc_id")
@@ -73,9 +74,10 @@ object CorpusEtlStream {
     val keepIds = gated.groupBy(col("__fp"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val deduped = gated.join(keepIds, Seq("doc_id"), "left_semi")
-    // benchmark decontamination rides the SAME fingerprint column the
-    // dedup already computed — zero extra text passes
-    val clean = benchmark.fold(deduped)(_.scrub(deduped, "__fp"))
+    // benchmark decontamination: the exact gate rides the SAME
+    // fingerprint column the dedup already computed (zero extra text
+    // passes); a winnow gate scores the text instead
+    val clean = benchmark.fold(deduped)(_.scrubWithFp(deduped, "__fp"))
     // drop docs whose fingerprint is already ADMITTED — excluding this
     // batch's own ids (the replay shield)
     val survivors =
@@ -112,7 +114,7 @@ object CorpusEtlStream {
   def prepareStream(docs: DataFrame, indexDir: String, sinkDir: String,
       checkpointDir: String, cfg: Corpus.Config = Corpus.Config(),
       chunkTokens: Int = 128, stride: Int = 96, compactEvery: Int = 8,
-      benchmark: Option[BenchmarkGate] = None,
+      benchmark: Option[DocGate] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Update())

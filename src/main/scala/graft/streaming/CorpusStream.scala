@@ -79,7 +79,7 @@ object CorpusStream {
     */
   def nearDedupBatchStep(batch: DataFrame, batchId: Long, indexDir: String,
       sinkDir: String, minJaccard: Double, compactEvery: Int = 8,
-      benchmark: Option[BenchmarkGate] = None): Unit =
+      benchmark: Option[DocGate] = None): Unit =
     // every operator-internal cache this batch creates (the admitted/
     // fold checkpoints, the shingle persists and component checkpoints
     // inside Corpus.nearDedup) is scoped to the batch and released on
@@ -93,7 +93,7 @@ object CorpusStream {
 
   private def nearDedupBatchBody(batch: DataFrame, batchId: Long,
       indexDir: String, sinkDir: String, minJaccard: Double,
-      compactEvery: Int, benchmark: Option[BenchmarkGate]): Unit = {
+      compactEvery: Int, benchmark: Option[DocGate]): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     val bandsPath = s"$indexDir/bands"
@@ -179,7 +179,7 @@ object CorpusStream {
   def nearDedupStream(docs: DataFrame, indexDir: String, sinkDir: String,
       checkpointDir: String, minJaccard: Double = 0.8,
       compactEvery: Int = 8,
-      benchmark: Option[BenchmarkGate] = None,
+      benchmark: Option[DocGate] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Update())

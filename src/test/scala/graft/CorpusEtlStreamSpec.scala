@@ -88,6 +88,28 @@ class CorpusEtlStreamSpec extends SparkSpec {
       chunks.dropDuplicates("doc_id", "chunk_id").count())
   }
 
+  test("winnow gate drops an edit-drifted benchmark copy the exact " +
+      "gate misses") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cetl_wg")
+    def text(i: Int) = (0 until 24).map(t => s"w${i}t$t").mkString(" ")
+    // benchmark = doc 2's text with ONE token edited: the exact-dup
+    // fingerprint no longer matches, most winnow fingerprints still do
+    val drifted = text(2).replace("w2t11", "EDITED")
+    val bench = Seq(Tuple1(drifted)).toDF("text")
+    assert(graft.streaming.BenchmarkGate.fromDocs(bench)
+      .scrubDocs(Seq((2L, text(2))).toDF("doc_id", "text"))
+      .count() == 1, "exact gate should MISS the drifted copy")
+    val gate = graft.streaming.WinnowGate.fromDocs(bench)
+    def step(rows: Seq[(Long, String)], id: Long): Unit =
+      CorpusEtlStream.prepareBatchStep(rows.toDF("doc_id", "text"), id,
+        base.resolve("index").toString, base.resolve("sink").toString,
+        chunkTokens = 8, stride = 6, benchmark = Some(gate))
+    step(Seq((1L, text(1)), (2L, text(2)), (3L, text(3))), 0L)
+    val ids = spark.read.parquet(base.resolve("sink").toString)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(ids == Set(1L, 3L))
+  }
+
   test("wired stream: exactly-once across restarts via checkpoint") {
     val base = java.nio.file.Files.createTempDirectory("graft_cetl_q")
     val in = base.resolve("in"); java.nio.file.Files.createDirectories(in)
