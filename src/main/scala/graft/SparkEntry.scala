@@ -15,7 +15,7 @@ object SparkEntry {
       operators.Similarity.defs ++ operators.Multimodal.defs ++
       operators.ArrayOps.defs ++ operators.Incremental.defs ++
       operators.AsOf.defs ++ operators.RangeJoin.defs ++
-      operators.BloomJoin.defs ++
+      operators.BloomJoin.defs ++ operators.Funnel.defs ++
       operators.Sampling.defs ++ operators.Hygiene.defs ++
       streaming.EventsStream.defs ++ pipelines.Corpus.defs
 

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables.table
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over an event stream: how many users reach
+  * each stage of `stages` IN ORDER — stage k counts only events
+  * strictly after the user's earliest completion of stage k−1 (an
+  * out-of-order click before the first view does not convert, matching
+  * the standard product-analytics definition).
+  *
+  * Scale shape: one pass over the events per stage, each pruned to its
+  * stage type at the scan (pushed filter), joined and aggregated on
+  * the user key — k user-keyed shuffles for a k-stage funnel, no
+  * windows over unbounded partitions, no per-user event arrays
+  * materialized (a collect_list + fold formulation would carry every
+  * user's full history through one shuffle; this shape carries one
+  * timestamp per user per stage).
+  */
+object Funnel {
+
+  /** Earliest in-order completion time per user per stage:
+    * (id, __t) for the users who reached `stages.length`-th stage —
+    * intermediate frames for each prefix are built along the way and
+    * aggregated by [[funnelCounts]].
+    */
+  def stageTimes(events: DataFrame, idCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): Seq[DataFrame] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    stages.zipWithIndex.foldLeft(Seq.empty[DataFrame]) {
+      case (acc, (stage, k)) =>
+        val evts = events.filter(col(typeCol) === stage)
+          .select(col(idCol), col(tsCol).as("__ets"))
+        val reached =
+          if (k == 0)
+            evts.groupBy(col(idCol)).agg(min("__ets").as("__t"))
+          else
+            evts.join(acc.last.select(col(idCol), col("__t")), Seq(idCol))
+              .filter(col("__ets") > col("__t"))
+              .groupBy(col(idCol)).agg(min("__ets").as("__t"))
+        acc :+ reached
+    }
+  }
+
+  /** (stage_idx, stage, n_users) — the funnel conversion table. */
+  def funnelCounts(events: DataFrame, idCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame =
+    stageTimes(events, idCol, tsCol, typeCol, stages).zipWithIndex
+      .map { case (reached, k) =>
+        reached.agg(count(lit(1)).as("n_users"))
+          .select(lit(k).as("stage_idx"), lit(stages(k)).as("stage"),
+            col("n_users"))
+      }
+      .reduce(_.unionByName(_))
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // view → click → purchase over the events table; the oracle
+    // rebuilds the strictly-after chaining stage by stage.
+    "q_funnel" -> QueryDef(
+      (s, dir) => funnelCounts(table(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy("stage_idx"),
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 0 AS stage_idx, 'view' AS stage,
+        |  CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+        |UNION ALL SELECT 1, 'click', CAST((SELECT count(*) FROM s1) AS BIGINT)
+        |UNION ALL SELECT 2, 'purchase', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |ORDER BY stage_idx""".stripMargin)
+  )
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Funnel
+import java.sql.Timestamp
+
+/** Ordered-funnel semantics: strictly-after chaining, out-of-order
+  * exclusion, and drop-off counting.
+  */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+
+  test("stage k counts only events strictly after stage k-1's earliest time") {
+    val events = Seq(
+      // u1 completes in order: view@1, click@2, purchase@3
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // u2 clicks BEFORE its first view and never after: stalls at
+      // view, and the later purchase must not count either — stage 2
+      // chains off an IN-ORDER stage 1, which u2 never completed
+      (2L, ts(1), "click"), (2L, ts(2), "view"), (2L, ts(3), "purchase"),
+      // u3 views only
+      (3L, ts(5), "view"),
+      // u4 never views: no stage counts at all, even with click+purchase
+      (4L, ts(1), "click"), (4L, ts(2), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnel.funnelCounts(events,
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0, "view", 3L),      // u1, u2, u3
+      (1, "click", 1L),     // only u1 clicks after viewing
+      (2, "purchase", 1L))) // only u1 converts end to end
+  }
+
+  test("same-timestamp stage events do not convert (strictly after)") {
+    val events = Seq(
+      (1L, ts(1), "view"), (1L, ts(1), "click"), // simultaneous
+      (2L, ts(1), "view"), (2L, ts(2), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnel.funnelCounts(events,
+        "user_id", "ts", "event_type", Seq("view", "click"))
+      .orderBy("stage_idx").collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("view", 2L), ("click", 1L)))
+  }
+}
