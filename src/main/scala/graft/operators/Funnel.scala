@@ -78,6 +78,38 @@ object Funnel {
         |  CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
         |UNION ALL SELECT 1, 'click', CAST((SELECT count(*) FROM s1) AS BIGINT)
         |UNION ALL SELECT 2, 'purchase', CAST((SELECT count(*) FROM s2) AS BIGINT)
-        |ORDER BY stage_idx""".stripMargin)
+        |ORDER BY stage_idx""".stripMargin),
+
+    // Cohort retention: users grouped by the week of their first
+    // event, counted distinct per whole-weeks-since-cohort offset.
+    // Two user-keyed shuffles (first-event, then the distinct count) —
+    // the cohort frame is one row per user, broadcast-sized relative
+    // to events at any scale. Offsets are day-arithmetic
+    // (floor(days/7) from the user's own first day), so no engine's
+    // week-boundary convention is load-bearing; the cohort LABEL uses
+    // Monday-start date_trunc, which Spark and DuckDB share.
+    "q_cohort_retention" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val first = e.groupBy("user_id").agg(min("d").as("cohort_d"))
+        e.join(first, "user_id")
+          .groupBy(
+            date_format(date_trunc("week", col("cohort_d")), "yyyy-MM-dd")
+              .as("cohort_week"),
+            floor(datediff(col("d"), col("cohort_d")) / 7).cast("int")
+              .as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY 1)
+        |SELECT strftime(date_trunc('week', cohort_d), '%Y-%m-%d')
+        |    AS cohort_week,
+        |  CAST(floor((d - cohort_d) / 7) AS INT) AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 }
