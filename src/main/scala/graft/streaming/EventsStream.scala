@@ -179,6 +179,62 @@ object EventsStream {
     (closed.reverse, cur)
   }
 
+  /** Per-user funnel progress: (stage index reached, ts of that
+    * completion). One record per LIVE user — O(active users) state,
+    * never O(events).
+    */
+  case class FunnelState(stage: Int, lastTs: Long)
+  case class FunnelProgress(user_id: Long, stage_reached: Int)
+
+  /** Advance a user's funnel state over ts-SORTED events: stage k
+    * completes on the first stage-k event strictly after stage k−1's
+    * completion (stage 0 on the first stage-0 event) — processing in
+    * ts order makes the greedy advance pick exactly the min-ts chain
+    * the batch operator (`operators.Funnel`) computes, which the
+    * parity spec pins. Pure function, unit-testable without Spark.
+    */
+  def foldFunnel(state: Option[FunnelState], sorted: Seq[Event],
+      stages: IndexedSeq[String]): Option[FunnelState] = {
+    var cur = state
+    sorted.foreach { e =>
+      val stage = cur.map(_.stage).getOrElse(0)
+      if (stage < stages.length && e.event_type == stages(stage) &&
+          cur.forall(s => e.ts.getTime > s.lastTs))
+        cur = Some(FunnelState(stage + 1, e.ts.getTime))
+    }
+    cur
+  }
+
+  /** Streaming twin of `operators.Funnel`: a per-user stage machine
+    * in flatMapGroupsWithState, emitting (user_id, stage_reached) on
+    * every advance. CONTRACT: events may arrive unordered WITHIN a
+    * micro-batch (sorted here) but not across batches — a cross-batch
+    * straggler older than the recorded stage time cannot rewind the
+    * machine (the batch operator over the full history is the
+    * backfill for that case).
+    */
+  def funnelProgress(events: DataFrame, stages: Seq[String]) = {
+    import events.sparkSession.implicits._
+    val idx = stages.toIndexedSeq
+    events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evts: Iterator[Event], state: GroupState[FunnelState]) =>
+          val before = state.getOption
+          val after = foldFunnel(before,
+            evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id)), idx)
+          after match {
+            case Some(s) if !before.contains(s) =>
+              state.update(s)
+              Iterator(FunnelProgress(userId, s.stage))
+            case _ => Iterator.empty
+          }
+      }
+  }
+
   /** Sessions close after `gapMs` of user inactivity.
     * KeyValueGroupedDataset.flatMapGroupsWithState keeps one small
     * state record per live user — memory is O(active users), not

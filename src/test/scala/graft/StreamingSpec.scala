@@ -90,6 +90,53 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming funnel matches the batch operator across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stages = Seq("view", "click", "purchase")
+    // deterministic pseudo-random event soup: 40 users × 12 events,
+    // types and minute offsets derived from (u, i) arithmetic —
+    // includes out-of-order stage arrivals and users that stall
+    val all = for (u <- 1L to 40L; i <- 0 until 12) yield {
+      val tpe = stages(((u * 7 + i * 5) % 11 % 3).toInt)
+      (u * 100 + i, ts(f"2024-01-01 ${10 + (i * 3 + u % 5) % 12}%02d:${(u * 13 + i * 17) % 60}%02d:00"),
+        u, tpe, 1.0)
+    }
+    // split into two micro-batches with each user's FIRST half (by
+    // ts) in batch 1 and the rest in batch 2 — the funnel stream's
+    // cross-batch ordering contract
+    val byUser = all.sortBy(e => (e._2.getTime, e._1)).groupBy(_._3)
+    val b1 = byUser.values.flatMap(es => es.take(es.length / 2)).toSeq
+    val b2 = byUser.values.flatMap(es => es.drop(es.length / 2)).toSeq
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventsStream.funnelProgress(events, stages)
+      .writeStream
+      .format("memory").queryName("funnel").outputMode(OutputMode.Update())
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      mem.addData(b1: _*)
+      query.processAllAvailable()
+      mem.addData(b2: _*)
+      query.processAllAvailable()
+      // streaming answer: deepest stage each user reached
+      val streamed = spark.table("funnel")
+        .groupBy("user_id").agg(max("stage_reached").as("s"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // batch answer over the full history
+      val batchTimes = graft.operators.Funnel.stageTimes(
+        all.toDF("event_id", "ts", "user_id", "event_type", "value"),
+        "user_id", "ts", "event_type", stages)
+      val batch = batchTimes.zipWithIndex.flatMap { case (df, k) =>
+        df.select("user_id").collect().map(_.getLong(0) -> (k + 1))
+      }.groupBy(_._1).map { case (u, ks) => u -> ks.map(_._2).max }
+      assert(streamed == batch,
+        s"streamed=$streamed\nbatch=$batch")
+    } finally query.stop()
+  }
+
   test("dedupWithinWatermark drops re-sent events, keeps distinct ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
