@@ -261,15 +261,27 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
-    // §2.5 extension: distinct-count sketch (HyperLogLog++). The
-    // estimate is algorithm-specific → rows-only here; the ±5% bound
-    // vs exact countDistinct is asserted in RelationalSpec.
+    // §2.5 extension: distinct-count sketch (HyperLogLog++). The raw
+    // estimate is algorithm-specific (no external engine replays HLL
+    // registers), so the query emits the exact count plus the
+    // PROPERTY the sketch guarantees — estimate within ±5% of exact —
+    // and the oracle asserts that property must hold (`within_bound`
+    // literally true per group). An HLL drift past the bound now
+    // hash-mismatches instead of hiding behind a rows-only check;
+    // RelationalSpec additionally pins the estimate's determinism.
     "q_approx_distinct" -> QueryDef(
       (s, dir) => table(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          (abs(approx_count_distinct("l_partkey", 0.02) -
+            countDistinct(col("l_partkey"))).cast("double") /
+            countDistinct(col("l_partkey")) <= 0.05).as("within_bound"))
         .orderBy("l_returnflag"),
-      None),
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  true AS within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // §2.5 extension: rollup (grouping sets) over the snowflake.
     "q_rollup" -> QueryDef(
