@@ -22,32 +22,49 @@ import org.apache.spark.sql.functions._
 object Funnel {
 
   /** Earliest in-order completion time per user per stage:
-    * (id, __t) for the users who reached `stages.length`-th stage —
-    * intermediate frames for each prefix are built along the way and
-    * aggregated by [[funnelCounts]].
+    * (id, __t, __t0) frames, one per funnel prefix, aggregated by
+    * [[funnelCounts]]. `maxSpanMicros` bounds the whole conversion:
+    * stage k counts only events within that span of the user's
+    * FIRST-stage completion (the standard "converted within N hours"
+    * definition); 0 means unbounded.
     */
   def stageTimes(events: DataFrame, idCol: String, tsCol: String,
-      typeCol: String, stages: Seq[String]): Seq[DataFrame] = {
+      typeCol: String, stages: Seq[String],
+      maxSpanMicros: Long = 0L): Seq[DataFrame] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     stages.zipWithIndex.foldLeft(Seq.empty[DataFrame]) {
       case (acc, (stage, k)) =>
         val evts = events.filter(col(typeCol) === stage)
-          .select(col(idCol), col(tsCol).as("__ets"))
+          .select(col(idCol), unix_micros(col(tsCol)).as("__ets"))
         val reached =
           if (k == 0)
-            evts.groupBy(col(idCol)).agg(min("__ets").as("__t"))
-          else
-            evts.join(acc.last.select(col(idCol), col("__t")), Seq(idCol))
-              .filter(col("__ets") > col("__t"))
-              .groupBy(col(idCol)).agg(min("__ets").as("__t"))
+            evts.groupBy(col(idCol))
+              .agg(min("__ets").as("__t"))
+              .withColumn("__t0", col("__t"))
+          else {
+            val within =
+              if (maxSpanMicros > 0)
+                col("__ets") <= col("__t0") + maxSpanMicros
+              else lit(true)
+            evts
+              .join(acc.last.select(col(idCol), col("__t"), col("__t0")),
+                Seq(idCol))
+              .filter(col("__ets") > col("__t") && within)
+              .groupBy(col(idCol))
+              // __t0 is constant per id (one row per id in the prior
+              // frame) — min() just carries it through the aggregate
+              .agg(min("__ets").as("__t"), min("__t0").as("__t0"))
+          }
         acc :+ reached
     }
   }
 
   /** (stage_idx, stage, n_users) — the funnel conversion table. */
   def funnelCounts(events: DataFrame, idCol: String, tsCol: String,
-      typeCol: String, stages: Seq[String]): DataFrame =
-    stageTimes(events, idCol, tsCol, typeCol, stages).zipWithIndex
+      typeCol: String, stages: Seq[String],
+      maxSpanMicros: Long = 0L): DataFrame =
+    stageTimes(events, idCol, tsCol, typeCol, stages, maxSpanMicros)
+      .zipWithIndex
       .map { case (reached, k) =>
         reached.agg(count(lit(1)).as("n_users"))
           .select(lit(k).as("stage_idx"), lit(stages(k)).as("stage"),
@@ -73,6 +90,35 @@ object Funnel {
         |s2 AS (
         |  SELECT e.user_id, min(e.ts) AS t FROM events e
         |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 0 AS stage_idx, 'view' AS stage,
+        |  CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+        |UNION ALL SELECT 1, 'click', CAST((SELECT count(*) FROM s1) AS BIGINT)
+        |UNION ALL SELECT 2, 'purchase', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |ORDER BY stage_idx""".stripMargin),
+
+    // The same funnel bounded to a 2-hour conversion window from the
+    // user's first view — "converted within N hours", the form real
+    // product funnels use. Micros arithmetic on both sides.
+    "q_funnel_windowed" -> QueryDef(
+      (s, dir) => funnelCounts(table(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        maxSpanMicros = 2L * 3600 * 1000000)
+        .orderBy("stage_idx"),
+      """WITH s0 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t, min(epoch_us(ts)) AS t0
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t, min(s0.t0) AS t0
+        |  FROM events e JOIN s0 ON e.user_id = s0.user_id
+        |    AND epoch_us(e.ts) > s0.t
+        |    AND epoch_us(e.ts) <= s0.t0 + 7200000000
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |    AND epoch_us(e.ts) > s1.t
+        |    AND epoch_us(e.ts) <= s1.t0 + 7200000000
         |  WHERE e.event_type = 'purchase' GROUP BY 1)
         |SELECT 0 AS stage_idx, 'view' AS stage,
         |  CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users

@@ -34,6 +34,23 @@ class FunnelSpec extends SparkSpec {
       (2, "purchase", 1L))) // only u1 converts end to end
   }
 
+  test("windowed funnel: conversions outside the span from first view " +
+      "do not count") {
+    val events = Seq(
+      // u1 converts fully inside a 10-minute window
+      (1L, ts(0), "view"), (1L, ts(4), "click"), (1L, ts(8), "purchase"),
+      // u2 clicks inside but purchases outside the window
+      (2L, ts(0), "view"), (2L, ts(4), "click"), (2L, ts(30), "purchase"),
+      // u3 clicks outside the window: stalls at view
+      (3L, ts(0), "view"), (3L, ts(20), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnel.funnelCounts(events,
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        maxSpanMicros = 10L * 60 * 1000000)
+      .orderBy("stage_idx").collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("view", 3L), ("click", 2L), ("purchase", 1L)))
+  }
+
   test("same-timestamp stage events do not convert (strictly after)") {
     val events = Seq(
       (1L, ts(1), "view"), (1L, ts(1), "click"), // simultaneous
