@@ -14,14 +14,19 @@ import org.apache.spark.sql.functions._
   * contract is preserved).
   */
 trait DocGate extends Serializable {
-  /** Remove benchmark-contaminated rows from raw docs. */
-  def scrubDocs(docs: DataFrame, textCol: String = "text"): DataFrame
+  /** Remove benchmark-contaminated rows from raw docs. `idCol` names
+    * the document key for gates that score per document (the winnow
+    * gate's hit aggregation); fingerprint gates ignore it.
+    */
+  def scrubDocs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame
 
   /** Variant for callers that already carry the exact-dup fingerprint
     * column; gates that can't use it just gate on the text.
     */
   def scrubWithFp(docs: DataFrame, fpCol: String,
-      textCol: String = "text"): DataFrame = scrubDocs(docs, textCol)
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    scrubDocs(docs, textCol, idCol)
 }
 
 /** Exact-copy gate: docs whose exact-dup fingerprint (md5 of
@@ -39,13 +44,14 @@ final class BenchmarkGate(benchFps: DataFrame) extends DocGate {
   def scrub(docs: DataFrame, fpCol: String): DataFrame =
     BloomJoin.bloomAntiJoinWith(docs, fpCol, fps, "fp", bloom)
 
-  override def scrubDocs(docs: DataFrame, textCol: String): DataFrame =
+  override def scrubDocs(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
     scrub(docs.withColumn("__bm_fp",
       TextAnalysis.fingerprint(col(textCol))), "__bm_fp")
       .drop("__bm_fp")
 
   override def scrubWithFp(docs: DataFrame, fpCol: String,
-      textCol: String): DataFrame = scrub(docs, fpCol)
+      textCol: String, idCol: String): DataFrame = scrub(docs, fpCol)
 }
 
 object BenchmarkGate {
@@ -78,12 +84,13 @@ final class WinnowGate(benchFps: DataFrame, minShared: Int = 2)
     f
   }
 
-  override def scrubDocs(docs: DataFrame, textCol: String): DataFrame = {
+  override def scrubDocs(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
     val contaminated = Hygiene.fingerprintHits(
-        Hygiene.winnowFingerprints(docs, "doc_id", textCol), "doc_id", fps)
+        Hygiene.winnowFingerprints(docs, idCol, textCol), idCol, fps)
       .filter(col("n_shared") >= minShared)
-      .select("doc_id")
-    docs.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(idCol)
+    docs.join(contaminated, Seq(idCol), "left_anti")
   }
 }
 
@@ -91,10 +98,12 @@ object WinnowGate {
   /** Build the gate from raw benchmark documents. */
   def fromDocs(bench: DataFrame, textCol: String = "text",
       minShared: Int = 2): WinnowGate = {
+    // no distinct here — the constructor's persist-time distinct is
+    // the canonical (and only) dedup pass over the benchmark set
     val fps = Hygiene.winnowFingerprints(
         bench.withColumn("__bm_id", monotonically_increasing_id()),
         "__bm_id", textCol)
-      .select(explode(col("fps")).as("fp")).distinct()
+      .select(explode(col("fps")).as("fp"))
     new WinnowGate(fps, minShared)
   }
 }

@@ -206,31 +206,59 @@ object EventsStream {
   }
 
   /** Streaming twin of `operators.Funnel`: a per-user stage machine
-    * in flatMapGroupsWithState, emitting (user_id, stage_reached) on
-    * every advance. CONTRACT: events may arrive unordered WITHIN a
-    * micro-batch (sorted here) but not across batches — a cross-batch
-    * straggler older than the recorded stage time cannot rewind the
-    * machine (the batch operator over the full history is the
-    * backfill for that case).
+    * in flatMapGroupsWithState. Emits one (user_id, stage_reached)
+    * record per user per micro-batch THAT ADVANCES the user — the net
+    * stage after the batch, not one row per intermediate hop (a user
+    * whose view/click/purchase all land in one batch emits a single
+    * stage-3 record); downstream funnels aggregate max(stage_reached)
+    * per user, never count rows per stage.
+    *
+    * CONTRACT: events may arrive unordered WITHIN a micro-batch
+    * (sorted here) but not across batches — a cross-batch straggler
+    * older than the recorded stage time cannot rewind the machine.
+    *
+    * STATE LIFECYCLE: one record per user seen. With the default
+    * ProcessingTimeTimeout a user inactive for `idleTimeoutMs` is
+    * EVICTED, bounding state by recently-active users; if such a user
+    * reappears the machine restarts from stage 0 — the deliberate
+    * memory/completeness trade on an unbounded stream, and the batch
+    * operator over full history is the exact backfill for both this
+    * and the straggler case. Pass NoTimeout only for bounded runs
+    * (AvailableNow), where state dies with the query.
     */
-  def funnelProgress(events: DataFrame, stages: Seq[String]) = {
+  def funnelProgress(events: DataFrame, stages: Seq[String],
+      idleTimeoutMs: Long = 24L * 3600 * 1000,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout) = {
     import events.sparkSession.implicits._
     val idx = stages.toIndexedSeq
+    val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
     events
       .selectExpr("event_id", "ts", "user_id", "event_type", "value")
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelProgress](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeout) {
         (userId: Long, evts: Iterator[Event], state: GroupState[FunnelState]) =>
-          val before = state.getOption
-          val after = foldFunnel(before,
-            evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id)), idx)
-          after match {
-            case Some(s) if !before.contains(s) =>
-              state.update(s)
-              Iterator(FunnelProgress(userId, s.stage))
-            case _ => Iterator.empty
+          if (useTimeout && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val before = state.getOption
+            val after = foldFunnel(before,
+              evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id)), idx)
+            after match {
+              case Some(s) if !before.contains(s) =>
+                state.update(s)
+                if (useTimeout) state.setTimeoutDuration(idleTimeoutMs)
+                Iterator(FunnelProgress(userId, s.stage))
+              case Some(_) =>
+                // no advance this batch, but the user is active —
+                // refresh the eviction clock
+                if (useTimeout && state.exists)
+                  state.setTimeoutDuration(idleTimeoutMs)
+                Iterator.empty
+              case None => Iterator.empty
+            }
           }
       }
   }

@@ -111,7 +111,8 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
     val events = mem.toDF()
       .toDF("event_id", "ts", "user_id", "event_type", "value")
-    val query = EventsStream.funnelProgress(events, stages)
+    val query = EventsStream.funnelProgress(events, stages,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
       .writeStream
       .format("memory").queryName("funnel").outputMode(OutputMode.Update())
       .trigger(Trigger.ProcessingTime(0))
