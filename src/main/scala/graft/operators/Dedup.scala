@@ -812,6 +812,70 @@ object Dedup {
         |  UNION
         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
         |SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
-        |ORDER BY id""".stripMargin)
+        |ORDER BY id""".stripMargin),
+
+    // Keep-BEST canonical per near-dup cluster: production dedup keeps
+    // the highest-quality member, not the smallest id (min-id is the
+    // deterministic default everywhere else in this file). Quality
+    // here is n_chars (ties → min id) — any scoring column drops into
+    // the same max(struct(score, -id)) argmax, one aggregate over the
+    // cluster assignment, no extra shuffle beyond it.
+    "q_dedup_keep_best" -> QueryDef(
+      (s, dir) => {
+        val d = graft.InternalCaches.track(
+          shingled(table(s, dir, "documents"), "doc_id", "text")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val clusters = clusterPairs(jaccardPairs(d, "doc_id", minJaccard = 0.5))
+        val quality = table(s, dir, "documents")
+          .select(col("doc_id").as("id"), col("n_chars"))
+        clusters.join(quality, "id")
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_docs"),
+            max(struct(col("n_chars").as("c"), (lit(0L) - col("id")).as("nid")))
+              .as("__b"))
+          .select(col("cluster_id"), col("n_docs"),
+            (lit(0L) - col("__b.nid")).as("best_id"),
+            col("__b.c").as("best_chars"))
+          .orderBy("cluster_id")
+      },
+      s"""WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+        |    i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\\s+')[i+2])) AS g
+        |  FROM documents),
+        |inv AS (SELECT doc_id, unnest(g) AS s FROM sh),
+        |pruned AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM inv)
+        |  WHERE df <= ${StopShingleDf}),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE i >= (na.n + nb.n - i) * 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |walk(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+        |clus AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id),
+        |scored AS (
+        |  SELECT c.cluster_id, c.id, d.n_chars
+        |  FROM clus c JOIN documents d ON d.doc_id = c.id)
+        |SELECT cluster_id, n_docs, best_id, best_chars FROM (
+        |  SELECT cluster_id, id AS best_id, n_chars AS best_chars,
+        |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_docs,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY n_chars DESC, id ASC) AS rn
+        |  FROM scored) t WHERE rn = 1
+        |ORDER BY cluster_id""".stripMargin)
   )
 }
