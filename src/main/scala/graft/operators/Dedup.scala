@@ -521,6 +521,43 @@ object Dedup {
 
   // ---------- declared queries ----------------------------------------------
 
+  /** DuckDB replay of the counting-join → connected-components chain
+    * (shingles → df-pruned posting join → threshold pairs → recursive
+    * min-label walk), shared by every cluster-consuming oracle so the
+    * replayed pipeline cannot drift between them. Ends at the `walk`
+    * CTE; callers append their own projection (and further CTEs after
+    * a comma).
+    */
+  private def clusterCteSql(minJaccard: Double): String =
+    s"""WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+      |    i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+      |         regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+      |         regexp_split_to_array(trim(text), '\\s+')[i+2])) AS g
+      |  FROM documents),
+      |inv AS (SELECT doc_id, unnest(g) AS s FROM sh),
+      |pruned AS (
+      |  SELECT doc_id, s FROM (
+      |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM inv)
+      |  WHERE df <= ${StopShingleDf}),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes na ON na.doc_id = id_a
+      |  JOIN sizes nb ON nb.doc_id = id_b
+      |  WHERE i >= (na.n + nb.n - i) * $minJaccard),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |walk(id, label) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
 
     // Exact dedup: md5-fingerprint groupBy — one shuffle keyed on the
@@ -783,34 +820,7 @@ object Dedup {
         val pairs = jaccardPairs(d, "doc_id", minJaccard = 0.5)
         clusterPairs(pairs).orderBy("id")
       },
-      s"""WITH RECURSIVE sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
-        |    i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
-        |         regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
-        |         regexp_split_to_array(trim(text), '\\s+')[i+2])) AS g
-        |  FROM documents),
-        |inv AS (SELECT doc_id, unnest(g) AS s FROM sh),
-        |pruned AS (
-        |  SELECT doc_id, s FROM (
-        |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM inv)
-        |  WHERE df <= ${StopShingleDf}),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM inter
-        |  JOIN sizes na ON na.doc_id = id_a
-        |  JOIN sizes nb ON nb.doc_id = id_b
-        |  WHERE i >= (na.n + nb.n - i) * 0.5),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION ALL SELECT id_b, id_a FROM pairs),
-        |walk(id, label) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
+      s"""${clusterCteSql(0.5)}
         |SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
         |ORDER BY id""".stripMargin),
 
@@ -838,34 +848,7 @@ object Dedup {
             col("__b.c").as("best_chars"))
           .orderBy("cluster_id")
       },
-      s"""WITH RECURSIVE sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
-        |    i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
-        |         regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
-        |         regexp_split_to_array(trim(text), '\\s+')[i+2])) AS g
-        |  FROM documents),
-        |inv AS (SELECT doc_id, unnest(g) AS s FROM sh),
-        |pruned AS (
-        |  SELECT doc_id, s FROM (
-        |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM inv)
-        |  WHERE df <= ${StopShingleDf}),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM inter
-        |  JOIN sizes na ON na.doc_id = id_a
-        |  JOIN sizes nb ON nb.doc_id = id_b
-        |  WHERE i >= (na.n + nb.n - i) * 0.5),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION ALL SELECT id_b, id_a FROM pairs),
-        |walk(id, label) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+      s"""${clusterCteSql(0.5)},
         |clus AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id),
         |scored AS (
         |  SELECT c.cluster_id, c.id, d.n_chars
