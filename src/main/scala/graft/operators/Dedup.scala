@@ -521,6 +521,25 @@ object Dedup {
 
   // ---------- declared queries ----------------------------------------------
 
+  /** The shared threshold of the two cluster-consuming declared
+    * queries — one constant so their Spark builders and their oracle
+    * CTEs cannot drift apart.
+    */
+  private val ClusterQueryJaccard = 0.5
+
+  /** The Spark half of the cluster replay: shingle (persisted via
+    * InternalCaches) → counting-join pairs at `minJaccard` →
+    * connected components — the one assignment both cluster queries
+    * build on, mirroring [[clusterCteSql]] exactly.
+    */
+  private def clusterAssignment(s: org.apache.spark.sql.SparkSession,
+      dir: String, minJaccard: Double): DataFrame = {
+    val d = graft.InternalCaches.track(
+      shingled(table(s, dir, "documents"), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    clusterPairs(jaccardPairs(d, "doc_id", minJaccard))
+  }
+
   /** DuckDB replay of the counting-join → connected-components chain
     * (shingles → df-pruned posting join → threshold pairs → recursive
     * min-label walk), shared by every cluster-consuming oracle so the
@@ -813,14 +832,9 @@ object Dedup {
     // agree on ANY corpus, not just ones below the cap (recursive CTE
     // for the components).
     "q_dedup_clusters" -> QueryDef(
-      (s, dir) => {
-        val d = graft.InternalCaches.track(
-          shingled(table(s, dir, "documents"), "doc_id", "text")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val pairs = jaccardPairs(d, "doc_id", minJaccard = 0.5)
-        clusterPairs(pairs).orderBy("id")
-      },
-      s"""${clusterCteSql(0.5)}
+      (s, dir) => clusterAssignment(s, dir, ClusterQueryJaccard)
+        .orderBy("id"),
+      s"""${clusterCteSql(ClusterQueryJaccard)}
         |SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
         |ORDER BY id""".stripMargin),
 
@@ -832,10 +846,7 @@ object Dedup {
     // cluster assignment, no extra shuffle beyond it.
     "q_dedup_keep_best" -> QueryDef(
       (s, dir) => {
-        val d = graft.InternalCaches.track(
-          shingled(table(s, dir, "documents"), "doc_id", "text")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val clusters = clusterPairs(jaccardPairs(d, "doc_id", minJaccard = 0.5))
+        val clusters = clusterAssignment(s, dir, ClusterQueryJaccard)
         val quality = table(s, dir, "documents")
           .select(col("doc_id").as("id"), col("n_chars"))
         clusters.join(quality, "id")
@@ -848,7 +859,7 @@ object Dedup {
             col("__b.c").as("best_chars"))
           .orderBy("cluster_id")
       },
-      s"""${clusterCteSql(0.5)},
+      s"""${clusterCteSql(ClusterQueryJaccard)},
         |clus AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id),
         |scored AS (
         |  SELECT c.cluster_id, c.id, d.n_chars

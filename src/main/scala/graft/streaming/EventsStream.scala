@@ -217,51 +217,66 @@ object EventsStream {
     * (sorted here) but not across batches — a cross-batch straggler
     * older than the recorded stage time cannot rewind the machine.
     *
-    * STATE LIFECYCLE: one record per user seen. With the default
-    * ProcessingTimeTimeout a user inactive for `idleTimeoutMs` is
-    * EVICTED, bounding state by recently-active users; if such a user
-    * reappears the machine restarts from stage 0 — the deliberate
+    * STATE LIFECYCLE: one record per user that ENTERED the funnel
+    * (users whose events never match stage 0 store nothing). Eviction
+    * is the DEFAULT — with ProcessingTimeTimeout a user inactive for
+    * `idleTimeoutMs` is removed, bounding state by recently-active
+    * funnel entrants; if such a user reappears the machine restarts
+    * from stage 0 and late conversions undercount — the deliberate
     * memory/completeness trade on an unbounded stream, and the batch
     * operator over full history is the exact backfill for both this
-    * and the straggler case. Pass NoTimeout only for bounded runs
-    * (AvailableNow), where state dies with the query.
+    * and the straggler case. Pass NoTimeout for bounded runs
+    * (AvailableNow) or when exact batch parity outweighs bounded
+    * state. EventTimeTimeout is rejected: nothing here sets an
+    * event-time timeout timestamp, so it would silently run with
+    * unbounded state while looking configured for eviction.
     */
   def funnelProgress(events: DataFrame, stages: Seq[String],
       idleTimeoutMs: Long = 24L * 3600 * 1000,
       timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout) = {
     import events.sparkSession.implicits._
-    val idx = stages.toIndexedSeq
+    require(timeout != GroupStateTimeout.EventTimeTimeout,
+      "funnelProgress supports ProcessingTimeTimeout or NoTimeout")
     val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
     events
       .selectExpr("event_id", "ts", "user_id", "event_type", "value")
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelProgress](
-        OutputMode.Update, timeout) {
-        (userId: Long, evts: Iterator[Event], state: GroupState[FunnelState]) =>
-          if (useTimeout && state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            val before = state.getOption
-            val after = foldFunnel(before,
-              evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id)), idx)
-            after match {
-              case Some(s) if !before.contains(s) =>
-                state.update(s)
-                if (useTimeout) state.setTimeoutDuration(idleTimeoutMs)
-                Iterator(FunnelProgress(userId, s.stage))
-              case Some(_) =>
-                // no advance this batch, but the user is active —
-                // refresh the eviction clock
-                if (useTimeout && state.exists)
-                  state.setTimeoutDuration(idleTimeoutMs)
-                Iterator.empty
-              case None => Iterator.empty
-            }
-          }
-      }
+        OutputMode.Update, timeout)(
+        funnelHandler(stages.toIndexedSeq, idleTimeoutMs, useTimeout))
   }
+
+  /** The per-group function behind [[funnelProgress]], factored out so
+    * the timeout/eviction lifecycle is unit-testable with Spark's
+    * TestGroupState (a wall-clock integration test of millisecond
+    * timers cannot run deterministically).
+    */
+  private[graft] def funnelHandler(stages: IndexedSeq[String],
+      idleTimeoutMs: Long, useTimeout: Boolean)(
+      userId: Long, evts: Iterator[Event],
+      state: GroupState[FunnelState]): Iterator[FunnelProgress] =
+    if (useTimeout && state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val before = state.getOption
+      val after = foldFunnel(before,
+        evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id)), stages)
+      after match {
+        case Some(s) if !before.contains(s) =>
+          state.update(s)
+          if (useTimeout) state.setTimeoutDuration(idleTimeoutMs)
+          Iterator(FunnelProgress(userId, s.stage))
+        case Some(_) =>
+          // no advance this batch, but the user is active — refresh
+          // the eviction clock (keyed to last EVENT, not last advance)
+          if (useTimeout && state.exists)
+            state.setTimeoutDuration(idleTimeoutMs)
+          Iterator.empty
+        case None => Iterator.empty
+      }
+    }
 
   /** Sessions close after `gapMs` of user inactivity.
     * KeyValueGroupedDataset.flatMapGroupsWithState keeps one small

@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import java.sql.Timestamp
+import org.apache.spark.api.java.Optional
 
 /** Structured-streaming operators: watermarked tumbling windows match
   * the batch twin; gap sessionization closes sessions on gaps.
@@ -136,6 +137,51 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch,
         s"streamed=$streamed\nbatch=$batch")
     } finally query.stop()
+  }
+
+  test("funnel eviction lifecycle: timeout removes state, activity " +
+      "refreshes the clock, an evicted user restarts from stage 0") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import EventsStream.{Event, FunnelState}
+    val stages = IndexedSeq("view", "click")
+    val handler = EventsStream.funnelHandler(stages,
+      idleTimeoutMs = 1000L, useTimeout = true) _
+    def ev(id: Long, t: String, tpe: String) =
+      Event(id, ts(t), 1L, tpe, 1.0)
+    def freshState(prior: Option[FunnelState], timedOut: Boolean = false) =
+      TestGroupState.create[FunnelState](
+        prior.map(Optional.of[FunnelState]).getOrElse(Optional.empty()),
+        GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+        Optional.empty[Long](), timedOut)
+
+    // advance: emits, updates state, arms the eviction clock
+    val s1 = freshState(None)
+    val out1 = handler(1L, Iterator(ev(1, "2024-01-01 10:00:00", "view")), s1)
+    assert(out1.toSeq.map(_.stage_reached) == Seq(1))
+    assert(s1.isUpdated && s1.getTimeoutTimestampMs.isPresent)
+
+    // activity WITHOUT advance still refreshes the eviction clock
+    val s2 = freshState(Some(FunnelState(1, 0L)))
+    val out2 = handler(1L, Iterator(ev(2, "2024-01-01 10:01:00", "view")), s2)
+    assert(out2.isEmpty && !s2.isUpdated && s2.getTimeoutTimestampMs.isPresent)
+
+    // timeout fires: state is REMOVED, nothing emitted
+    val s3 = freshState(Some(FunnelState(1, 0L)), timedOut = true)
+    assert(handler(1L, Iterator.empty, s3).isEmpty && s3.isRemoved)
+
+    // after eviction a click finds a stage-0 machine: no emission...
+    val s4 = freshState(None)
+    assert(handler(1L, Iterator(ev(3, "2024-01-01 10:02:00", "click")), s4)
+      .isEmpty && !s4.exists)
+    // ...and a fresh view re-enters the funnel from the start
+    val s5 = freshState(None)
+    assert(handler(1L, Iterator(ev(4, "2024-01-01 10:03:00", "view")), s5)
+      .toSeq.map(_.stage_reached) == Seq(1))
+
+    // users that never enter the funnel store no state at all
+    val s6 = freshState(None)
+    assert(handler(2L, Iterator(ev(5, "2024-01-01 10:04:00", "click")), s6)
+      .isEmpty && !s6.exists)
   }
 
   test("dedupWithinWatermark drops re-sent events, keeps distinct ids") {
