@@ -51,6 +51,35 @@ class FunnelSpec extends SparkSpec {
     assert(out.toSeq == Seq(("view", 3L), ("click", 2L), ("purchase", 1L)))
   }
 
+  test("invariants on random event soup: stage counts never increase " +
+      "down the funnel; windowing never adds conversions") {
+    val stages = Seq("view", "click", "purchase")
+    // deterministic pseudo-random soup, same recipe as the streaming
+    // parity test: out-of-order arrivals, stalls, repeats
+    val all = for (u <- 1L to 60L; i <- 0 until 10) yield {
+      val tpe = stages(((u * 7 + i * 5) % 11 % 3).toInt)
+      (u * 100 + i,
+        ts(((u * 13 + i * 29) % 300).toInt), u, tpe, 1.0)
+    }
+    val df = all.toDF("event_id", "ts", "user_id", "event_type", "value")
+    def counts(spanMicros: Long): Seq[Long] =
+      Funnel.funnelCounts(df, "user_id", "ts", "event_type", stages,
+          maxSpanMicros = spanMicros)
+        .orderBy("stage_idx").collect().map(_.getLong(2)).toSeq
+    val unbounded = counts(0L)
+    val windowed = counts(30L * 60 * 1000000) // 30 minutes
+    // funnel shape: each stage can only lose users
+    assert(unbounded == unbounded.sorted.reverse, s"not monotone: $unbounded")
+    assert(windowed == windowed.sorted.reverse, s"not monotone: $windowed")
+    // a conversion window can only REMOVE conversions, and stage 0
+    // (the window anchor) is identical by definition
+    assert(windowed.head == unbounded.head)
+    assert(windowed.zip(unbounded).forall { case (w, u) => w <= u },
+      s"window added conversions: $windowed vs $unbounded")
+    // sanity: the soup actually converts somewhere
+    assert(unbounded.last > 0)
+  }
+
   test("same-timestamp stage events do not convert (strictly after)") {
     val events = Seq(
       (1L, ts(1), "view"), (1L, ts(1), "click"), // simultaneous
