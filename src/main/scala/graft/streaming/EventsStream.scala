@@ -270,9 +270,9 @@ object EventsStream {
           Iterator(FunnelProgress(userId, s.stage))
         case Some(_) =>
           // no advance this batch, but the user is active — refresh
-          // the eviction clock (keyed to last EVENT, not last advance)
-          if (useTimeout && state.exists)
-            state.setTimeoutDuration(idleTimeoutMs)
+          // the eviction clock (keyed to last EVENT, not last advance;
+          // this arm only matches when state already exists)
+          if (useTimeout) state.setTimeoutDuration(idleTimeoutMs)
           Iterator.empty
         case None => Iterator.empty
       }
