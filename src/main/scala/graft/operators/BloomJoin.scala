@@ -111,7 +111,16 @@ object BloomJoin {
     bloomAntiJoinWith(large, largeKey, keys, keyCol,
       buildBloom(keys, keyCol, expectedItems, fpp))
 
-  /** Anti join with a PREBUILT filter (see [[bloomSemiJoinWith]]). */
+  /** Anti join with a PREBUILT filter (see [[bloomSemiJoinWith]]).
+    *
+    * PRECONDITION: `large` must be DETERMINISTIC. It is evaluated
+    * twice through complementary filters and unioned; a
+    * nondeterministic column (rand, uuid, monotonically_increasing_id)
+    * can disagree between the two scans, landing a row in both
+    * branches (duplicated) or neither (dropped). For such inputs,
+    * persist/localCheckpoint `large` first so both branches read one
+    * materialization.
+    */
   def bloomAntiJoinWith(large: DataFrame, largeKey: String,
       keys: DataFrame, keyCol: String,
       bloom: Broadcast[BloomFilter]): DataFrame = {

@@ -184,7 +184,9 @@ object Corpus {
           .agg(count(lit(1)).as("n_docs"),
             sum(size(TextAnalysis.tokens(col("text")))).as("n_tokens"),
             round(avg(col("n_chars")), 4).as("avg_chars"))
-          .orderBy("source", "lang")
+          // margin rows carry NULL source/lang; pin null order on both
+          // sides (Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST)
+          .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
       },
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
@@ -192,5 +194,5 @@ object Corpus {
         |  round(avg(n_chars), 4) AS avg_chars
         |FROM documents
         |GROUP BY GROUPING SETS ((source), (lang), (source, lang))
-        |ORDER BY source, lang""".stripMargin))
+        |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin))
 }

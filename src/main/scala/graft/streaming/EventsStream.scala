@@ -149,6 +149,24 @@ object EventsStream {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
+
+  /** Epoch MICROSECONDS of a timestamp — the precision the batch twins
+    * (`operators.Funnel`, `q_sessionize_batch`) chain and gap on via
+    * unix_micros. Timestamp.getTime is millisecond-truncated, so two
+    * events <1 ms apart would tie there and break the documented
+    * batch/stream parity; all state-machine comparisons and sort keys
+    * below use this instead.
+    */
+  private[graft] def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
+  private[graft] def microsToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** sessionStart/lastTs are epoch MICROSECONDS (see [[tsMicros]]). */
   case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Int,
       totalValue: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
@@ -160,17 +178,18 @@ object EventsStream {
     */
   def foldSessions(userId: Long, open: Option[SessionState],
       sorted: Seq[Event], gapMs: Long): (List[Session], Option[SessionState]) = {
+    val gapUs = gapMs * 1000L
     var closed = List.empty[Session]
     var cur = open
     sorted.foreach { e =>
-      val t = e.ts.getTime
+      val t = tsMicros(e.ts)
       cur match {
-        case Some(s) if t - s.lastTs <= gapMs =>
+        case Some(s) if t - s.lastTs <= gapUs =>
           cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
             totalValue = s.totalValue + e.value))
         case Some(s) =>
-          closed ::= Session(userId, new java.sql.Timestamp(s.sessionStart),
-            new java.sql.Timestamp(s.lastTs), s.nEvents, s.totalValue)
+          closed ::= Session(userId, microsToTs(s.sessionStart),
+            microsToTs(s.lastTs), s.nEvents, s.totalValue)
           cur = Some(SessionState(t, t, 1, e.value))
         case None =>
           cur = Some(SessionState(t, t, 1, e.value))
@@ -179,8 +198,10 @@ object EventsStream {
     (closed.reverse, cur)
   }
 
-  /** Per-user funnel progress: (stage index reached, ts of that
-    * completion). One record per LIVE user — O(active users) state,
+  /** Per-user funnel progress: (stage index reached, epoch-MICROS ts
+    * of that completion — micros so the strictly-after chain matches
+    * the batch operator's unix_micros comparison exactly, see
+    * [[tsMicros]]). One record per LIVE user — O(active users) state,
     * never O(events).
     */
   case class FunnelState(stage: Int, lastTs: Long)
@@ -199,8 +220,8 @@ object EventsStream {
     sorted.foreach { e =>
       val stage = cur.map(_.stage).getOrElse(0)
       if (stage < stages.length && e.event_type == stages(stage) &&
-          cur.forall(s => e.ts.getTime > s.lastTs))
-        cur = Some(FunnelState(stage + 1, e.ts.getTime))
+          cur.forall(s => tsMicros(e.ts) > s.lastTs))
+        cur = Some(FunnelState(stage + 1, tsMicros(e.ts)))
     }
     cur
   }
@@ -262,7 +283,7 @@ object EventsStream {
     } else {
       val before = state.getOption
       val after = foldFunnel(before,
-        evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id)), stages)
+        evts.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)), stages)
       after match {
         case Some(s) if !before.contains(s) =>
           state.update(s)
@@ -303,7 +324,7 @@ object EventsStream {
             Iterator(Session(userId, new java.sql.Timestamp(s.sessionStart),
               new java.sql.Timestamp(s.lastTs), s.nEvents, s.totalValue))
           } else {
-            val sorted = events.toSeq.sortBy(_.ts.getTime)
+            val sorted = events.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
             val (closed, cur) = foldSessions(userId, state.getOption, sorted, gapMs)
             cur.foreach { s =>
               state.update(s)

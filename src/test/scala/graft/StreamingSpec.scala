@@ -184,6 +184,51 @@ class StreamingSpec extends SparkSpec {
       .isEmpty && !s6.exists)
   }
 
+  test("foldFunnel chains at microsecond precision like the batch operator") {
+    import EventsStream.{Event, FunnelState, foldFunnel, tsMicros}
+    val stages = IndexedSeq("view", "click")
+    def at(us: Int): Timestamp = {
+      val t = ts("2024-01-01 10:00:00"); t.setNanos(us * 1000); t
+    }
+    // click 100µs after the view: same millisecond, strictly after in
+    // micros — the batch unix_micros chain advances, so must we
+    val sorted = Seq(Event(1, at(100), 1L, "view", 1.0),
+      Event(2, at(200), 1L, "click", 1.0))
+    assert(foldFunnel(None, sorted, stages)
+      .contains(FunnelState(2, tsMicros(at(200)))))
+    // exact µs tie does NOT advance (batch uses strict >)
+    val tied = Seq(Event(1, at(100), 1L, "view", 1.0),
+      Event(2, at(100), 1L, "click", 1.0))
+    assert(foldFunnel(None, tied, stages)
+      .contains(FunnelState(1, tsMicros(at(100)))))
+    // batch parity on the same sub-ms events
+    val df = sorted.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batchDeepest = graft.operators.Funnel
+      .stageTimes(df, "user_id", "ts", "event_type", stages)
+      .zipWithIndex.flatMap { case (d, k) =>
+        d.select("user_id").collect().map(_.getLong(0) -> (k + 1)) }
+      .groupBy(_._1).map { case (u, ks) => u -> ks.map(_._2).max }
+    assert(batchDeepest == Map(1L -> 2))
+  }
+
+  test("foldSessions gap compares at microsecond precision") {
+    import EventsStream.{Event, SessionState, foldSessions, tsMicros}
+    def at(us: Int): Timestamp = {
+      val t = ts("2024-01-01 10:00:00"); t.setNanos(us * 1000); t
+    }
+    // two events 500µs apart with a 0ms... use 1ms gap: both inside
+    val (closed, open) = foldSessions(1L, None,
+      Seq(Event(1, at(0), 1L, "e", 1.0), Event(2, at(500), 1L, "e", 2.0)),
+      gapMs = 1L)
+    assert(closed.isEmpty && open.contains(
+      SessionState(tsMicros(at(0)), tsMicros(at(500)), 2, 3.0)))
+    // session timestamps survive the µs round-trip
+    val (closed2, _) = foldSessions(1L, open,
+      Seq(Event(3, ts("2024-01-01 11:00:00"), 1L, "e", 4.0)), gapMs = 1L)
+    assert(closed2.head.session_end == at(500))
+  }
+
   test("dedupWithinWatermark drops re-sent events, keeps distinct ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
@@ -275,7 +320,8 @@ class StreamingSpec extends SparkSpec {
       Session(1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"), 2, 3.0),
       Session(1L, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:00:00"), 1, 4.0)))
     assert(open.contains(SessionState(
-      ts("2024-01-01 12:00:00").getTime, ts("2024-01-01 12:00:00").getTime, 1, 8.0)))
+      EventsStream.tsMicros(ts("2024-01-01 12:00:00")),
+      EventsStream.tsMicros(ts("2024-01-01 12:00:00")), 1, 8.0)))
     // carried state extends across batches within the gap
     val (closed2, open2) = foldSessions(1L, open,
       Seq(ev(5, "2024-01-01 12:05:00", 1.0)), gapMs = 10 * 60 * 1000L)
