@@ -37,14 +37,19 @@ object Corpus {
       minTokens: Int = 5,
       maxPunctRatio: Double = 0.3,
       nearDupJaccard: Double = 0.8,
-      pairStrategy: PairStrategy = MinhashLsh)
+      pairStrategy: PairStrategy = MinhashLsh,
+      // optional trained gate: keep docs whose QualityModel
+      // probability (frozen weights) is at least this
+      minModelScore: Option[Double] = None)
 
   /** Quality gate: token floor and punctuation ceiling (the standard
-    * pre-training heuristics from TextAnalysis).
+    * pre-training heuristics from TextAnalysis), plus — when
+    * `cfg.minModelScore` is set — the trained QualityModel
+    * probability gate. All per-row column math, no shuffle.
     */
   def qualityFilter(docs: DataFrame, cfg: Config): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
-    docs
+    val base = docs
       .withColumn("__n_tokens", size(toks))
       .withColumn("__punct",
         length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
@@ -52,6 +57,14 @@ object Corpus {
       .filter(col("__n_tokens") >= cfg.minTokens &&
         col("__punct") <= cfg.maxPunctRatio)
       .drop("__n_tokens", "__punct")
+    cfg.minModelScore.fold(base) { t =>
+      import graft.operators.QualityModel
+      base
+        .withColumn("__toks", toks)
+        .filter(QualityModel.probability(
+          QualityModel.score(col("text"), col("__toks"))) >= t)
+        .drop("__toks")
+    }
   }
 
   /** Exact dedup: keep the min-id doc per normalized fingerprint. */
