@@ -48,15 +48,6 @@ object Incremental {
     */
   private[graft] def footerMax(spark: SparkSession, path: String,
       column: String, dt: DataType): Option[org.apache.spark.sql.Column] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import scala.jdk.CollectionConverters._
-    val supported = dt match {
-      case LongType | IntegerType | ShortType | ByteType |
-           DoubleType | FloatType | TimestampType | DateType => true
-      case _ => false
-    }
-    if (!supported) return None
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
@@ -79,6 +70,26 @@ object Incremental {
       }
       buf.toSeq
     }
+    footerMaxOfFiles(spark, files, column, dt)
+  }
+
+  /** [[footerMax]] over an EXPLICIT file list — the entry point for
+    * manifest-committed sinks ([[AtomicIncrement]]), whose data files
+    * live under hidden directories a recursive listing must skip.
+    */
+  private[graft] def footerMaxOfFiles(spark: SparkSession,
+      files: Seq[org.apache.hadoop.fs.Path], column: String,
+      dt: DataType): Option[org.apache.spark.sql.Column] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val supported = dt match {
+      case LongType | IntegerType | ShortType | ByteType |
+           DoubleType | FloatType | TimestampType | DateType => true
+      case _ => false
+    }
+    if (!supported) return None
+    val conf = spark.sparkContext.hadoopConfiguration
     try {
       var maxLong: Option[Long] = None // Long/Int/Timestamp/Date family
       var maxDouble: Option[Double] = None // Double/Float family
