@@ -231,6 +231,16 @@ object Similarity {
       .repartition(par)
       .withColumn("list_id", nearestCentroid(col("c_v"), cents))
       .withColumn("c_norm", sqrt(fdot(col("c_v"), col("c_v"))))
+    probeAssigned(c, queries, cents, k, nprobe)
+  }
+
+  /** The probe half of IVF against an ALREADY-ASSIGNED corpus frame
+    * (neighbor_id, c_v, c_norm, list_id) — fresh from [[probeTopK]]'s
+    * map pass or read back from a persisted index, where the encode
+    * cost is already paid.
+    */
+  private def probeAssigned(c: DataFrame, queries: DataFrame,
+      cents: Seq[(Long, Seq[Double])], k: Int, nprobe: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
       .withColumn("list_id",
         explode(nearestCentroids(col("q_v"), cents, nprobe)))
@@ -521,6 +531,108 @@ object Similarity {
     pqProbe(codes, queries, cents, k, numSubspaces, dim, nprobe)
   }
 
+  // ---- persisted IVF (full-vector) index ------------------------------
+
+  /** Persist a k-means IVF index: (vec_id, vector, norm) rows
+    * PARTITIONED BY inverted list + the centroid sidecar — the same
+    * versioned LATEST-pointer publication as [[writePqIndex]]. Unlike
+    * PQ the vectors ride along (exact in-list cosine, no compression),
+    * so this is the reuse shape for `kmeansTopK`: the Lloyd refinement
+    * and the full-corpus assignment pass are paid once, probes after
+    * that read only their nprobe list directories.
+    */
+  def writeIvfIndex(corpus: DataFrame, dir: String, numLists: Int = 16,
+      iters: Int = 2, sampleFrac: Double = 1.0): Unit = {
+    val spark = corpus.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val v = pqLatestVersion(spark, dir).getOrElse(0L) + 1
+    val cents = kmeansCentroids(corpus, numLists, iters, sampleFrac)
+    corpus.select(col("vec_id"), col("embedding").as("c_v"))
+      .repartition(par)
+      .withColumn("list_id", nearestCentroid(col("c_v"), cents))
+      .withColumn("c_norm", sqrt(fdot(col("c_v"), col("c_v"))))
+      .write.mode(SaveMode.Overwrite).partitionBy("list_id")
+      .parquet(s"$dir/v$v/codes")
+    val fs = hadoopFs(spark, dir)
+    def writeFile(path: String, content: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    val dim = cents.head._2.length
+    writeFile(s"$dir/v$v/centroids.tsv",
+      (s"#ivf numLists=$numLists dim=$dim" +:
+        cents.map { case (id, c) => s"$id\t${c.mkString(",")}" })
+        .mkString("\n"))
+    writeFile(s"$dir/LATEST", v.toString)
+    for (old <- 1L until v - 1)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$old"), true)
+  }
+
+  /** Probe a persisted IVF index — [[probeAssigned]] over the stored
+    * list partitions, centroids from the sidecar.
+    */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    val v = pqLatestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no LATEST pointer under $dir"))
+    val path = new org.apache.hadoop.fs.Path(s"$dir/v$v/centroids.tsv")
+    val in = hadoopFs(spark, dir).open(path)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    val cents = lines.tail.map { line =>
+      val Array(id, dims) = line.split("\t", 2)
+      (id.toLong, dims.split(",").toSeq.map(_.toDouble))
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("c_v", ArrayType(FloatType)),
+      StructField("c_norm", DoubleType),
+      StructField("list_id", LongType)))
+    val codes = spark.read.schema(schema).parquet(s"$dir/v$v/codes")
+      .withColumnRenamed("vec_id", "neighbor_id")
+    probeAssigned(codes, queries, cents, k, nprobe)
+  }
+
+  // ---- build-once-probe-many for the declared queries -----------------
+
+  /** Cache directory for a source dir's persisted index, keyed by the
+    * embeddings file's identity (path, mtime, size) — a changed source
+    * gets a fresh key, so a stale index can never answer for new data.
+    */
+  private def indexCacheDir(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, kind: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
+    val st = hadoopFs(spark, sfDir).getFileStatus(p)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sfDir:${st.getModificationTime}:${st.getLen}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft_index/$kind-$key"
+  }
+
+  /** Build the persisted index iff this source has none yet; return
+    * its directory. The first caller pays the build, every later call
+    * (this process or the next) goes straight to the probe — the
+    * build-once-probe-many amortization the declared `_indexed`
+    * queries exercise.
+    */
+  private[graft] def ensurePqIndex(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): String = {
+    val dir = indexCacheDir(spark, sfDir, "pq")
+    if (pqLatestVersion(spark, dir).isEmpty)
+      writePqIndex(table(spark, sfDir, "embeddings"), dir)
+    dir
+  }
+
+  private[graft] def ensureIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): String = {
+    val dir = indexCacheDir(spark, sfDir, "ivf")
+    if (pqLatestVersion(spark, dir).isEmpty)
+      writeIvfIndex(table(spark, sfDir, "embeddings"), dir,
+        numLists = 16, iters = 2, sampleFrac = 0.5)
+    dir
+  }
+
   /** One unrolled Lloyd iteration as DuckDB CTEs: assignment by
     * dot-product argmax (tie → smaller cid), quantized per-dim integer
     * sums, IEEE-double mean, empty lists keep the previous centroid —
@@ -550,24 +662,12 @@ object Similarity {
     s"list_dot_product(u.v[${m * 8 + 1} : ${m * 8 + 8}], " +
       s"c.cent[${m * 8 + 1} : ${m * 8 + 8}])").mkString(" + ")
 
-  def defs: Map[String, QueryDef] = Map(
-
-    // IVF with k-means-refined centroids: md5-rank hash init (no
-    // count() pre-pass), two SAMPLE-BASED Lloyd iterations
-    // (argmax-dot assignment + quantized-mean update over the
-    // deterministic md5-fraction half of the corpus — the 100 TB
-    // shape), then ONE full-corpus assignment inside the standard
-    // inverted-list probe. Every step is deterministic
-    // integer-or-IEEE math, so the oracle replays the full refinement
-    // — sample membership included; a drifted centroid anywhere
-    // changes list membership and hash-mismatches.
-    "q_ann_kmeans" -> QueryDef(
-      (s, dir) => {
-        val e = table(s, dir, "embeddings")
-        kmeansTopK(e, e.filter(col("vec_id") < 32), k = 3, sampleFrac = 0.5)
-          .orderBy("query_id", "neighbor_id")
-      },
-      s"""WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** q_ann_kmeans' oracle — shared verbatim by q_ann_kmeans_indexed:
+    * the persisted-index probe must reproduce the rebuild query
+    * bit-for-bit, and one SQL string makes that contract literal.
+    */
+  private lazy val kmeansOracleSql: String =
+    s"""WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |tr AS (SELECT * FROM u
         |  WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS UINT32)
         |    / 4294967296.0 < 0.5),
@@ -594,7 +694,90 @@ object Similarity {
         |FROM sims
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY cos_raw DESC, neighbor_id) <= 3
-        |ORDER BY query_id, neighbor_id""".stripMargin),
+        |ORDER BY query_id, neighbor_id""".stripMargin
+
+  /** q_ann_pq's oracle — shared verbatim by q_ann_pq_indexed. */
+  private lazy val pqOracleSql: String =
+    s"""WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+        |      AS BIGINT) AS cid, v AS cent
+        |  FROM u
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 16),
+        |assign AS (
+        |  SELECT u.vec_id, u.v, c.cid,
+        |    row_number() OVER (PARTITION BY u.vec_id
+        |      ORDER BY (${pqCoarseSumSql}) DESC, c.cid) AS rn
+        |  FROM u CROSS JOIN cb c),
+        |lists AS (SELECT vec_id, v, cid AS list_id FROM assign WHERE rn = 1),
+        |ms AS (SELECT unnest(range(0, 8)) AS m),
+        |subdot AS (
+        |  SELECT l.vec_id, ms.m, c.cid AS j,
+        |    list_dot_product(l.v[ms.m*8+1 : ms.m*8+8],
+        |                     c.cent[ms.m*8+1 : ms.m*8+8]) AS d
+        |  FROM lists l CROSS JOIN ms CROSS JOIN cb c),
+        |codes AS (
+        |  SELECT vec_id, m, j AS code FROM (
+        |    SELECT vec_id, m, j,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d DESC, j) AS rn
+        |    FROM subdot) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv, list_id
+        |  FROM lists WHERE vec_id < 32),
+        |lut AS (
+        |  SELECT q.query_id, ms.m, c.cid AS j,
+        |    CAST(floor(list_dot_product(q.qv[ms.m*8+1 : ms.m*8+8],
+        |      c.cent[ms.m*8+1 : ms.m*8+8]) * ${LutQ} + 0.5) AS BIGINT) AS dq
+        |  FROM q CROSS JOIN ms CROSS JOIN cb c),
+        |cand AS (
+        |  SELECT q.query_id, l.vec_id AS neighbor_id, c.m, c.code
+        |  FROM q JOIN lists l USING (list_id)
+        |  JOIN codes c ON c.vec_id = l.vec_id
+        |  WHERE l.vec_id != q.query_id),
+        |adc AS (
+        |  SELECT c.query_id, c.neighbor_id, CAST(sum(l.dq) AS BIGINT) AS s
+        |  FROM cand c JOIN lut l
+        |    ON l.query_id = c.query_id AND l.m = c.m AND l.j = c.code
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id,
+        |  round(CAST(s AS DOUBLE) / ${LutQ}, 4) AS adot
+        |FROM adc
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY s DESC, neighbor_id) <= 3
+        |ORDER BY query_id, neighbor_id""".stripMargin
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // IVF with k-means-refined centroids: md5-rank hash init (no
+    // count() pre-pass), two SAMPLE-BASED Lloyd iterations
+    // (argmax-dot assignment + quantized-mean update over the
+    // deterministic md5-fraction half of the corpus — the 100 TB
+    // shape), then ONE full-corpus assignment inside the standard
+    // inverted-list probe. Every step is deterministic
+    // integer-or-IEEE math, so the oracle replays the full refinement
+    // — sample membership included; a drifted centroid anywhere
+    // changes list membership and hash-mismatches.
+    "q_ann_kmeans" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        kmeansTopK(e, e.filter(col("vec_id") < 32), k = 3, sampleFrac = 0.5)
+          .orderBy("query_id", "neighbor_id")
+      },
+      kmeansOracleSql),
+
+    // The build-once-probe-many twin of q_ann_kmeans: the Lloyd
+    // refinement + full-corpus assignment persist as a list-partitioned
+    // index (first run per source builds it; every run after — this
+    // process or the next — reads only the probed list directories).
+    // SAME oracle string as q_ann_kmeans: index reuse must be
+    // invisible in the results.
+    "q_ann_kmeans_indexed" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        probeIvfIndex(s, ensureIvfIndex(s, dir),
+            e.filter(col("vec_id") < 32), k = 3)
+          .orderBy("query_id", "neighbor_id")
+      },
+      kmeansOracleSql),
 
     // IVF-bucketed ANN. The index is fully deterministic (md5-rank
     // hash centroids — one TakeOrderedAndProject job, no count()
@@ -648,52 +831,20 @@ object Similarity {
         pqTopK(e, e.filter(col("vec_id") < 32), k = 3)
           .orderBy("query_id", "neighbor_id")
       },
-      s"""WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cb AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
-        |      AS BIGINT) AS cid, v AS cent
-        |  FROM u
-        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 16),
-        |assign AS (
-        |  SELECT u.vec_id, u.v, c.cid,
-        |    row_number() OVER (PARTITION BY u.vec_id
-        |      ORDER BY (${pqCoarseSumSql}) DESC, c.cid) AS rn
-        |  FROM u CROSS JOIN cb c),
-        |lists AS (SELECT vec_id, v, cid AS list_id FROM assign WHERE rn = 1),
-        |ms AS (SELECT unnest(range(0, 8)) AS m),
-        |subdot AS (
-        |  SELECT l.vec_id, ms.m, c.cid AS j,
-        |    list_dot_product(l.v[ms.m*8+1 : ms.m*8+8],
-        |                     c.cent[ms.m*8+1 : ms.m*8+8]) AS d
-        |  FROM lists l CROSS JOIN ms CROSS JOIN cb c),
-        |codes AS (
-        |  SELECT vec_id, m, j AS code FROM (
-        |    SELECT vec_id, m, j,
-        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d DESC, j) AS rn
-        |    FROM subdot) WHERE rn = 1),
-        |q AS (SELECT vec_id AS query_id, v AS qv, list_id
-        |  FROM lists WHERE vec_id < 32),
-        |lut AS (
-        |  SELECT q.query_id, ms.m, c.cid AS j,
-        |    CAST(floor(list_dot_product(q.qv[ms.m*8+1 : ms.m*8+8],
-        |      c.cent[ms.m*8+1 : ms.m*8+8]) * ${LutQ} + 0.5) AS BIGINT) AS dq
-        |  FROM q CROSS JOIN ms CROSS JOIN cb c),
-        |cand AS (
-        |  SELECT q.query_id, l.vec_id AS neighbor_id, c.m, c.code
-        |  FROM q JOIN lists l USING (list_id)
-        |  JOIN codes c ON c.vec_id = l.vec_id
-        |  WHERE l.vec_id != q.query_id),
-        |adc AS (
-        |  SELECT c.query_id, c.neighbor_id, CAST(sum(l.dq) AS BIGINT) AS s
-        |  FROM cand c JOIN lut l
-        |    ON l.query_id = c.query_id AND l.m = c.m AND l.j = c.code
-        |  GROUP BY 1, 2)
-        |SELECT query_id, neighbor_id,
-        |  round(CAST(s AS DOUBLE) / ${LutQ}, 4) AS adot
-        |FROM adc
-        |QUALIFY row_number() OVER (PARTITION BY query_id
-        |  ORDER BY s DESC, neighbor_id) <= 3
-        |ORDER BY query_id, neighbor_id""".stripMargin),
+      pqOracleSql),
+
+    // The build-once-probe-many twin of q_ann_pq over the persisted
+    // compressed index (codes + sidecar, versioned LATEST pointer).
+    // SAME oracle string as q_ann_pq: the persisted codes must rank
+    // identically to a fresh encode.
+    "q_ann_pq_indexed" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        probePqIndex(s, ensurePqIndex(s, dir),
+            e.filter(col("vec_id") < 32), k = 3)
+          .orderBy("query_id", "neighbor_id")
+      },
+      pqOracleSql),
 
     // Brute-force cosine top-3 for a fixed 32-query panel — exact,
     // oracle-checked.

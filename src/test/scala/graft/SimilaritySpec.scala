@@ -209,6 +209,21 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("query_id", "neighbor_id").collect().toSeq == direct)
   }
 
+  test("persisted IVF index: probe equals kmeansTopK and prunes to the " +
+      "probed list partitions") {
+    val e = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val direct = kmeansTopK(e, queries, k = 3, iters = 2, sampleFrac = 0.5)
+      .orderBy("query_id", "neighbor_id").collect().toSeq
+    writeIvfIndex(e, dir, numLists = 16, iters = 2, sampleFrac = 0.5)
+    val probed = probeIvfIndex(spark, dir, queries, k = 3)
+    assert(probed.orderBy("query_id", "neighbor_id").collect().toSeq == direct)
+    val plan = probed.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the IVF codes scan:\n$plan")
+  }
+
   test("appendToPqIndex grows the index under frozen codebooks; probes " +
       "see appended vectors immediately") {
     val e = graft.sources.Tables.table(spark, sfDir, "embeddings")
