@@ -531,13 +531,28 @@ object Dedup {
     * InternalCaches) → counting-join pairs at `minJaccard` →
     * connected components — the one assignment both cluster queries
     * build on, mirroring [[clusterCteSql]] exactly.
+    *
+    * MEMOIZED across queries: the first cluster-consuming query per
+    * source materializes the assignment to a content-keyed parquet
+    * (exact long/long rows — the round-trip is lossless), later ones
+    * read it back, so a combined verify/bench run clusters ONCE.
+    * Storage-backed rather than driver- or cache-backed on purpose:
+    * it survives the between-query cache drains, costs zero driver
+    * memory, and at 100 TB "the assignment" is exactly this — a
+    * corpus-keyed table you write once and join against.
     */
   private def clusterAssignment(s: org.apache.spark.sql.SparkSession,
       dir: String, minJaccard: Double): DataFrame = {
-    val d = graft.InternalCaches.track(
-      shingled(table(s, dir, "documents"), "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    clusterPairs(jaccardPairs(d, "doc_id", minJaccard))
+    val cache = graft.sources.DerivedCache.dirFor(
+      s, s"$dir/documents.parquet", "clusters", minJaccard.toString)
+    if (!graft.sources.DerivedCache.isComplete(s, cache)) {
+      val d = graft.InternalCaches.track(
+        shingled(table(s, dir, "documents"), "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      clusterPairs(jaccardPairs(d, "doc_id", minJaccard))
+        .write.mode("overwrite").parquet(cache)
+    }
+    s.read.parquet(cache)
   }
 
   /** DuckDB replay of the counting-join → connected-components chain

@@ -601,14 +601,9 @@ object Similarity {
     * gets a fresh key, so a stale index can never answer for new data.
     */
   private def indexCacheDir(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, kind: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
-    val st = hadoopFs(spark, sfDir).getFileStatus(p)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$sfDir:${st.getModificationTime}:${st.getLen}".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    s"${sys.props("java.io.tmpdir")}/graft_index/$kind-$key"
-  }
+      sfDir: String, kind: String): String =
+    graft.sources.DerivedCache.dirFor(spark,
+      s"$sfDir/embeddings.parquet", s"index-$kind")
 
   /** Build the persisted index iff this source has none yet; return
     * its directory. The first caller pays the build, every later call
