@@ -79,6 +79,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window crept into plan:\n$plan")
   }
 
+  test("q_ngram_jaccard: counting-join shape — equi-joins only, bounded exchanges") {
+    val plan = SparkEntry.queries("q_ngram_jaccard")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // round 6 replaced the all-pairs cross join with the posting-list
+    // counting join (1.68 s → 0.77 s); a regression would reappear as
+    // a nested loop or as extra full-pipeline re-computation
+    assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cross product returned to jaccard plan:\n$plan")
+    // the Σdf² intersection is a partial/final aggregate pair over
+    // (id_a, id_b); losing it means pairs re-score per shingle row
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"counting aggregate missing:\n$plan")
+    val nExchange = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+    assert(nExchange <= 8,
+      s"exchange count grew to $nExchange (pipeline re-computation?):\n$plan")
+  }
+
+  test("q_dedup_simhash: no distinct shuffle after the segment join") {
+    val q = SparkEntry.queries("q_dedup_simhash")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the 4-segment pigeonhole join dedups echo pairs ROW-LOCALLY
+    // (first-shared-segment filter); a distinct/groupBy after the join
+    // would add a pair-keyed shuffle of the whole candidate set. The
+    // build side carries 2 aggregate pairs (signature vote + segment
+    // rollup) per branch = 4 HashAggregates total; a post-join
+    // distinct shows up as a 5th/6th.
+    assert("HashAggregate".r.findAllIn(plan).length <= 4,
+      s"aggregate appeared after the segment join:\n$plan")
+    assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+      s"segment join degenerated to a cross product:\n$plan")
+  }
+
   test("q_dedup_editdist: length-band candidates join as a hash equi-join") {
     val plan = SparkEntry.queries("q_dedup_editdist")(spark, sfDir)
       .queryExecution.executedPlan.toString
