@@ -13,9 +13,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * fingerprint) → optional benchmark decontamination ([[DocGate]]:
   * [[BenchmarkGate]] exact copies via a bloom-prefiltered anti-join
   * on the same fingerprint, or [[WinnowGate]] edit-drifted copies
-  * via shared winnow fingerprints) → sliding-window chunking —
-  * with the same replay-safety mechanics as `CorpusStream` (the
-  * near-dup sibling):
+  * via shared winnow fingerprints) → optional NEAR-DUP admission
+  * (`nearDupJaccard`: the `CorpusStream` band/shingle admission core
+  * over a sibling index under `<indexDir>/neardup`, run after every
+  * cheaper gate) → sliding-window chunking — with the same
+  * replay-safety mechanics as `CorpusStream` (the near-dup sibling):
   *
   *  - every write goes to `<dir>/batch=<id>` with Overwrite, so a
   *    replayed micro-batch rewrites its own partition instead of
@@ -45,19 +47,20 @@ object CorpusEtlStream {
       sinkDir: String, cfg: Corpus.Config = Corpus.Config(),
       chunkTokens: Int = 128, stride: Int = 96,
       compactEvery: Int = 8,
-      benchmark: Option[DocGate] = None): Unit =
+      benchmark: Option[DocGate] = None,
+      nearDupJaccard: Option[Double] = None): Unit =
     graft.InternalCaches.scoped {
       val spark = batch.sparkSession
       if (!batch.isEmpty) {
         prepareBatchBody(batch, batchId, indexDir, sinkDir, cfg,
-          chunkTokens, stride, compactEvery, benchmark, spark)
+          chunkTokens, stride, compactEvery, benchmark, nearDupJaccard, spark)
       }
     }
 
   private def prepareBatchBody(batch: DataFrame, batchId: Long,
       indexDir: String, sinkDir: String, cfg: Corpus.Config,
       chunkTokens: Int, stride: Int, compactEvery: Int,
-      benchmark: Option[DocGate],
+      benchmark: Option[DocGate], nearDupJaccard: Option[Double],
       spark: SparkSession): Unit = {
     val fpPath = s"$indexDir/fps"
     val batchDocIds = batch.select("doc_id")
@@ -89,8 +92,22 @@ object CorpusEtlStream {
           .select("__fp").distinct()
         clean.join(priorFps, Seq("__fp"), "left_anti")
       } else clean
-    val (admitted, ckpt) = graft.InternalCaches.localCheckpointHandle(
-      survivors.select("doc_id", "text", "__fp"))
+    // optional near-dup stage: the CorpusStream admission core over a
+    // sibling band/shingle index — probe the admitted corpus, exact-
+    // verify, batch-internal near-dedup, land the survivors' bands.
+    // Runs AFTER exact dedup + decontam + the prior-fp drop, so the
+    // near-dup index only ever holds docs every cheaper gate admitted.
+    // admitNearDups localCheckpoints its result; the no-near-dup path
+    // checkpoints here — either way the frame below is materialized.
+    val (admitted, ckpt) = nearDupJaccard match {
+      case Some(j) =>
+        (CorpusStream.admitNearDups(survivors.select("doc_id", "text", "__fp"),
+          batchDocIds, batchId, s"$indexDir/neardup", j, compactEvery),
+          Seq.empty: graft.InternalCaches.Handle)
+      case None =>
+        graft.InternalCaches.localCheckpointHandle(
+          survivors.select("doc_id", "text", "__fp"))
+    }
     graft.InternalCaches.trackRdds(ckpt)
     TextAnalysis.chunkDocs(admitted, "doc_id", "text", chunkTokens, stride)
       .write.mode(SaveMode.Overwrite).parquet(s"$sinkDir/batch=$batchId")
@@ -115,12 +132,13 @@ object CorpusEtlStream {
       checkpointDir: String, cfg: Corpus.Config = Corpus.Config(),
       chunkTokens: Int = 128, stride: Int = 96, compactEvery: Int = 8,
       benchmark: Option[DocGate] = None,
+      nearDupJaccard: Option[Double] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         prepareBatchStep(batch, batchId, indexDir, sinkDir, cfg,
-          chunkTokens, stride, compactEvery, benchmark)
+          chunkTokens, stride, compactEvery, benchmark, nearDupJaccard)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -94,16 +94,34 @@ object CorpusStream {
   private def nearDedupBatchBody(batch: DataFrame, batchId: Long,
       indexDir: String, sinkDir: String, minJaccard: Double,
       compactEvery: Int, benchmark: Option[DocGate]): Unit = {
-    val spark = batch.sparkSession
     if (batch.isEmpty) return
-    val bandsPath = s"$indexDir/bands"
-    val shinglesPath = s"$indexDir/shingles"
-    val batchDocIds = batch.select("doc_id")
     // benchmark decontamination first: a contaminated doc must neither
     // reach the sink nor enter the index (where it would near-dup-kill
     // LEGITIMATE docs resembling it). Replay-safe: the gate is a pure
     // filter, so a replayed batch drops the same docs again.
     val gated = benchmark.fold(batch)(_.scrubDocs(batch))
+    val admitted = admitNearDups(gated, batch.select("doc_id"), batchId,
+      indexDir, minJaccard, compactEvery)
+    admitted.select("doc_id", "text")
+      .write.mode(SaveMode.Overwrite).parquet(s"$sinkDir/batch=$batchId")
+  }
+
+  /** The near-dup ADMISSION core, shared with `CorpusEtlStream`'s
+    * optional near-dup stage: probe the admitted-bands index, exact-
+    * verify candidates by Jaccard, batch-internal near-dedup, then
+    * land the admitted docs' bands/shingles in the index partition for
+    * `batchId` (with the compaction fold). Returns the admitted docs
+    * in the INPUT's full schema, localCheckpoint'ed (lineage truncated
+    * over the index files a replay overwrites) and cache-tracked.
+    * `batchDocIds` is the PRE-GATE batch id set — the replay shield
+    * must exclude every id a crashed attempt could have written.
+    */
+  private[streaming] def admitNearDups(gated: DataFrame,
+      batchDocIds: DataFrame, batchId: Long, indexDir: String,
+      minJaccard: Double, compactEvery: Int): DataFrame = {
+    val spark = gated.sparkSession
+    val bandsPath = s"$indexDir/bands"
+    val shinglesPath = s"$indexDir/shingles"
     val sh = Dedup.shingled(gated, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = Dedup.lshBandsFromShingles(sh, "doc_id")
@@ -132,11 +150,9 @@ object CorpusStream {
     // localCheckpoint truncates lineage over the index files the
     // writes below may replace on a replay
     val (admitted, admittedCkpt) = graft.InternalCaches.localCheckpointHandle(
-      Corpus.nearDedup(survivors, "doc_id", "text", minJaccard)
-        .select("doc_id", "text"))
+      Corpus.nearDedup(survivors, "doc_id", "text", minJaccard))
     graft.InternalCaches.trackRdds(admittedCkpt)
     val admittedIds = admitted.select("doc_id")
-    admitted.write.mode(SaveMode.Overwrite).parquet(s"$sinkDir/batch=$batchId")
     // micro-batches are small → one file per partition dir; at 100 TB
     // size this by bytes (batchRows / targetFileRows) instead
     val newBands = bands.join(admittedIds, "doc_id")
@@ -173,6 +189,7 @@ object CorpusStream {
         .parquet(s"$shinglesPath/batch=$batchId")
     }
     sh.unpersist()
+    admitted
   }
 
   /** Wire the step into a checkpointed AvailableNow/continuous stream. */

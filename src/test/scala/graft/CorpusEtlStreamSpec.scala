@@ -63,6 +63,64 @@ class CorpusEtlStreamSpec extends SparkSpec {
     assert(leaked.isEmpty, s"batch scope leaked cached RDDs: $leaked")
   }
 
+  test("all gates on: quality -> exact -> decontam -> near-dup -> chunk, " +
+      "exactly-once across replays, bounded indexes") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cetl_full")
+    val index = base.resolve("index").toString
+    val sink = base.resolve("sink").toString
+    // 12-token bases; appending a token keeps 3-gram Jaccard ≈ 0.91
+    val baseA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val baseB = "one two three four five six seven eight nine ten eleven twelve"
+    val fill1 = "car train plane boat bike ship truck bus tram scooter van rover"
+    val fill2 = "oak elm ash fir pine birch cedar maple willow spruce alder yew"
+    val benchText = "bench mark corpus text that must never leak into training data here"
+    val gate = graft.streaming.BenchmarkGate.fromDocs(
+      Seq(Tuple1(benchText)).toDF("text"))
+    def step(rows: Seq[(Long, String)], id: Long): Unit =
+      CorpusEtlStream.prepareBatchStep(rows.toDF("doc_id", "text"), id,
+        index, sink, chunkTokens = 8, stride = 6, compactEvery = 3,
+        benchmark = Some(gate), nearDupJaccard = Some(0.8))
+    def sinkDocIds: Set[Long] = spark.read.parquet(sink)
+      .select("doc_id").distinct().as[Long].collect().toSet
+
+    // batch 0: good doc; 2-token doc (quality floor); benchmark copy
+    step(Seq((1L, baseA), (2L, "too short"), (3L, benchText)), 0L)
+    assert(sinkDocIds == Set(1L))
+    // batch 1: exact copy of doc 1 (exact gate), near-dup of doc 1
+    // (near-dup gate), an in-batch near-dup pair (min id 6 wins), all
+    // four gates exercised in ONE batch
+    val b1 = Seq((4L, baseA), (5L, baseA + " nu"),
+      (6L, baseB), (7L, baseB + " thirteen"))
+    step(b1, 1L)
+    assert(sinkDocIds == Set(1L, 6L))
+    // replay batch 1: same state, no duplicate chunks
+    step(b1, 1L)
+    assert(sinkDocIds == Set(1L, 6L))
+    val chunks = spark.read.parquet(sink)
+    assert(chunks.count() == chunks.dropDuplicates("doc_id", "chunk_id").count())
+    // chunking still chunks: doc 1 (12 tokens, chunk 8 / stride 6) → 2
+    assert(chunks.filter(col("doc_id") === 1L).count() == 2)
+
+    // batches through the compaction boundary (batch 3 folds both the
+    // fp index and the near-dup band/shingle index)
+    step(Seq((22L, fill1)), 2L)
+    step(Seq((23L, fill2)), 3L)
+    // post-compaction: a near-dup of batch-1's doc 6 is still dropped,
+    // an exact copy of doc 1 is still dropped
+    step(Seq((30L, baseB + " fourteen"), (31L, baseA)), 4L)
+    assert(sinkDocIds == Set(1L, 6L, 22L, 23L))
+    // both indexes stay bounded after the fold
+    for (sub <- Seq("fps", "neardup/bands", "neardup/shingles")) {
+      val dirs = {
+        val it = java.nio.file.Files.list(
+          java.nio.file.Paths.get(index, sub)).iterator()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .map(_.getFileName.toString).filter(_.startsWith("batch=")).toSeq
+      }
+      assert(dirs.size <= 3, s"$sub partitions unbounded: $dirs")
+    }
+  }
+
   test("benchmark gate drops exact benchmark copies, replays idempotently") {
     val base = java.nio.file.Files.createTempDirectory("graft_cetl_bm")
     val index = base.resolve("index").toString
