@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale checkpoint (VERDICT r6 #3): run the heaviest dedup/ANN
+  * queries at 1× and `factor`× the source corpus and print the
+  * time ratios — the measured data point behind SCALING.md's
+  * design-scales claims. A near-linear ratio (≈ factor for linear
+  * operators) confirms the plan shapes hold as data grows; a
+  * superlinear one flags the query for profiling.
+  *
+  * The scaled corpus is `factor` disjoint replicas of the source:
+  * doc_ids/vec_ids offset per replica, every token prefixed with the
+  * replica tag so no shingle/gram matches across replicas — per-shard
+  * duplicate structure is preserved, volume multiplies, which is
+  * exactly how a sharded corpus grows. Embeddings replicate with
+  * offset ids (dot-product cost is content-independent). 1× and N×
+  * runs interleave per query so host-contention drift hits both
+  * sides of each ratio equally.
+  */
+object ScaleCheck {
+
+  val DefaultQueries: Seq[String] = Seq(
+    "q_dedup_clusters", "q_dedup_keep_best", "q_dedup_simhash",
+    "q_dedup_minhash", "q_ngram_jaccard", "q_dedup_editdist",
+    "q_dedup_editdist_lsh", "q_ann_pq", "q_dup_passages")
+
+  def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    val docs = sources.Tables.table(spark, srcDir, "documents")
+    val emb = sources.Tables.table(spark, srcDir, "embeddings")
+    val offset = 100000000L
+    val scaledDocs = (0 until factor).map { r =>
+      docs.select(
+        (col("doc_id") + lit(r * offset)).as("doc_id"),
+        // tag every token: replicas share no shingles, so dup
+        // structure stays per-shard instead of exploding 10-fold
+        concat_ws(" ", transform(split(trim(col("text")), "\\s+"),
+          t => concat(lit(s"r$r"), t))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionByName(_))
+    val scaledEmb = (0 until factor).map { r =>
+      emb.select((col("vec_id") + lit(r * offset)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_.unionByName(_))
+    scaledDocs.repartition(spark.sparkContext.defaultParallelism)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+    scaledEmb.repartition(8)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+  }
+
+  private def timeOne(spark: SparkSession, name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir)
+      .write.mode(SaveMode.Overwrite).format("noop").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    InternalCaches.drain()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    sec
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val queries = if (args.length > 2) args.drop(2).toSeq else DefaultQueries
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val scaledDir = java.nio.file.Files
+      .createTempDirectory("graft_scale").toString
+    println(s"[scale] building ${factor}x corpus at $scaledDir")
+    buildScaled(spark, srcDir, scaledDir, factor)
+    // warm the JIT/codegen paths once
+    SparkEntry.queries("q_max_scalar")(spark, srcDir).count()
+    queries.foreach { name =>
+      val t1 = timeOne(spark, name, srcDir)
+      val tN = timeOne(spark, name, scaledDir)
+      println(f"[scale] $name%-22s 1x=$t1%7.2fs ${factor}x=$tN%7.2fs " +
+        f"ratio=${tN / t1}%5.2f")
+    }
+  }
+}

@@ -705,6 +705,72 @@ object Dedup {
         | AND abs(length(a.text) - length(b.text)) <= 60
         |ORDER BY dist, id_a, id_b LIMIT 20""".stripMargin),
 
+    // Edit-distance ranking over LSH-BANDED candidates — the scale
+    // path for edit-similar search (ScaleCheck measured the banded
+    // variant above at 122x for 10x data when lengths concentrate:
+    // exhaustive top-k inside a length band is quadratic in band
+    // occupancy BY CONTRACT; MinHash banding bounds candidates by
+    // shingle similarity instead, which scales like q_dedup_minhash —
+    // 3.8x at 10x). Levenshtein runs only on candidate pairs; the
+    // oracle replays banding AND the DP, so the composition is checked
+    // end to end. The standard candidate-generate → expensive-verify
+    // composition of production dedup.
+    "q_dedup_editdist_lsh" -> QueryDef(
+      (s, dir) => {
+        val par = s.sparkContext.defaultParallelism
+        val d = table(s, dir, "documents")
+          .repartition(par).select(col("doc_id"), col("text"))
+        val sh = graft.InternalCaches.track(shingled(d, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val bands = lshBandsFromShingles(sh, "doc_id")
+        val cands = bands.toDF("id_a", "band", "band_key")
+          .join(bands.toDF("id_b", "band", "band_key"), Seq("band", "band_key"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        cands
+          .join(d.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
+          .join(d.select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")
+          // re-spread the pairs before the O(m·n) DP (same rationale
+          // as the banded variant: the band join can land skewed)
+          .repartition(par, col("id_a"), col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("t_a"), col("t_b")).as("dist"))
+          .orderBy(col("dist"), col("id_a"), col("id_b"))
+          .limit(20)
+      },
+      s"""WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+        |    i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\\s+')[i+2])) AS g
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_transform(g,
+        |    s2 -> CAST(CAST(('0x' || substr(md5(s2), 1, 8)) AS UINT32) AS BIGINT)) AS hs
+        |  FROM sh),
+        |sig AS (
+        |  -- len(hs) > 0 mirrors Spark's explode: shingle-less docs
+        |  -- never band (no sentinel signature; without a Jaccard
+        |  -- verify they would otherwise all pair with each other)
+        |  SELECT doc_id, list_transform(${paramsLit},
+        |    p -> list_min(list_transform(hs,
+        |      x -> (x * p[1] + p[2]) % ${P}))) AS sig
+        |  FROM h WHERE len(hs) > 0),
+        |bands AS (
+        |  SELECT doc_id, k AS band,
+        |    CAST(sig[2*k+1] AS VARCHAR) || ':' || CAST(sig[2*k+2] AS VARCHAR) AS band_key
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, ${Bands})) AS k) ks),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, levenshtein(da.text, db.text) AS dist
+        |FROM cand
+        |JOIN documents da ON da.doc_id = id_a
+        |JOIN documents db ON db.doc_id = id_b
+        |ORDER BY dist, id_a, id_b LIMIT 20""".stripMargin),
+
     // MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
     // exact-verify). Every hash is engine-portable (md5-prefix base
     // hash, (a,b) permutation params embedded below as literals — the
