@@ -224,6 +224,14 @@ object Similarity {
     probeTopK(corpus, queries,
       kmeansCentroids(corpus, numLists, iters, sampleFrac), k, nprobe)
 
+  /** IVF probe with CALLER-SUPPLIED centroids — the frozen-quantizer
+    * path (replaying a sidecar's centroids against a fresh corpus,
+    * e.g. to verify an appended index).
+    */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
+      cents: Seq[(Long, Seq[Double])], k: Int, nprobe: Int = 1): DataFrame =
+    probeTopK(corpus, queries, cents, k, nprobe)
+
   private def probeTopK(corpus: DataFrame, queries: DataFrame,
       cents: Seq[(Long, Seq[Double])], k: Int, nprobe: Int): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
@@ -568,6 +576,37 @@ object Similarity {
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$old"), true)
   }
 
+  private def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      dir: String, v: Long): Seq[(Long, Seq[Double])] = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/v$v/centroids.tsv")
+    val in = hadoopFs(spark, dir).open(path)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty).tail.map { line =>
+      val Array(id, dims) = line.split("\t", 2)
+      (id.toLong, dims.split(",").toSeq.map(_.toDouble))
+    }
+  }
+
+  /** Append new vectors to the CURRENT version of a persisted IVF
+    * index: assigned against the FROZEN sidecar centroids (the same
+    * incremental-IVF contract as [[appendToPqIndex]] — codebooks never
+    * move on append; rebuilds handle drift), landing as new files in
+    * the existing list partitions. Probes see them immediately.
+    */
+  def appendToIvfIndex(newVecs: DataFrame, dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val v = pqLatestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no LATEST pointer under $dir"))
+    val cents = readIvfCentroids(spark, dir, v)
+    newVecs.select(col("vec_id"), col("embedding").as("c_v"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("list_id", nearestCentroid(col("c_v"), cents))
+      .withColumn("c_norm", sqrt(fdot(col("c_v"), col("c_v"))))
+      .write.mode(SaveMode.Append).partitionBy("list_id")
+      .parquet(s"$dir/v$v/codes")
+  }
+
   /** Probe a persisted IVF index — [[probeAssigned]] over the stored
     * list partitions, centroids from the sidecar.
     */
@@ -575,15 +614,7 @@ object Similarity {
       queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
     val v = pqLatestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"no LATEST pointer under $dir"))
-    val path = new org.apache.hadoop.fs.Path(s"$dir/v$v/centroids.tsv")
-    val in = hadoopFs(spark, dir).open(path)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
-    val cents = lines.tail.map { line =>
-      val Array(id, dims) = line.split("\t", 2)
-      (id.toLong, dims.split(",").toSeq.map(_.toDouble))
-    }
+    val cents = readIvfCentroids(spark, dir, v)
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("c_v", ArrayType(FloatType)),

@@ -224,6 +224,28 @@ class SimilaritySpec extends SparkSpec {
       s"no dynamic partition pruning on the IVF codes scan:\n$plan")
   }
 
+  test("appendToIvfIndex grows the index under frozen centroids") {
+    val e = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val half = e.filter(col("vec_id") % 2 === 0)
+    val rest = e.filter(col("vec_id") % 2 === 1)
+    val queries = e.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfa").toString
+    writeIvfIndex(half, dir, numLists = 16, iters = 1)
+    appendToIvfIndex(rest, dir)
+    // index covers the whole corpus exactly once
+    val indexed = spark.read.parquet(s"$dir/v1/codes")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(indexed == e.select("vec_id").as[Long].collect().sorted.toSeq)
+    // probing equals assigning the full corpus against the SAME frozen
+    // (half-built) centroids — append is pure growth, no re-clustering
+    val cents = kmeansCentroids(half, 16, iters = 1)
+    val expected = ivfTopKWithCentroids(e, queries, cents, k = 3)
+      .orderBy("query_id", "neighbor_id").collect().toSeq
+    val got = probeIvfIndex(spark, dir, queries, k = 3)
+      .orderBy("query_id", "neighbor_id").collect().toSeq
+    assert(got == expected)
+  }
+
   test("appendToPqIndex grows the index under frozen codebooks; probes " +
       "see appended vectors immediately") {
     val e = graft.sources.Tables.table(spark, sfDir, "embeddings")
