@@ -902,6 +902,54 @@ object Dedup {
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin),
 
+    // The declared SCALE PATH of q_dedup_embedding: random-hyperplane
+    // LSH buckets + Hamming-1 multi-probe bound the candidate pairs
+    // (each vector meets only its ~2^-8 bucket slice, the q_ann_lsh
+    // machinery), cosine verifies candidates. Approximate BY CONTRACT
+    // — recall is the bucket-collision probability, and the oracle
+    // replays the identical signatures/probes/verification, so the
+    // approximation itself is hash-checked, exactly like q_ann_lsh.
+    // Each qualifying pair matches through exactly one probe mask
+    // (m = sig_a XOR sig_b), so no pair-distinct shuffle is needed.
+    "q_dedup_embedding_ann" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.FloatDotProduct.fdot
+        val planes = Similarity.hyperplanes(8, 64)
+        val sig = Similarity.lshSignature(col("embedding"), planes)
+        val c = table(s, dir, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id"), col("embedding").as("v"), sig.as("sig"))
+          .withColumn("nrm", sqrt(fdot(col("v"), col("v"))))
+        val probes = array(lit(0L) +: (0 until 8).map(i => lit(1L << i)): _*)
+        val a = c.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+          col("nrm").as("n_a"),
+          explode(transform(probes, m => col("sig").bitwiseXOR(m))).as("bucket"))
+        val b = c.select(col("vec_id").as("id_b"), col("v").as("v_b"),
+          col("nrm").as("n_b"), col("sig").as("bucket"))
+        a.join(b, Seq("bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (fdot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos_raw"))
+          .filter(col("cos_raw") >= 0.4)
+          .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos"))
+          .orderBy("id_a", "id_b")
+      },
+      s"""WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sigs AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+        |    CAST(list_sum(list_transform(range(1, 9), i ->
+        |      CASE WHEN list_dot_product(v, (${Similarity.planesLit()})[i]) >= 0
+        |        THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM u),
+        |a AS (
+        |  SELECT vec_id AS id_a, v AS va, nrm AS na, xor(sig, m) AS bucket
+        |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS m) ms)
+        |SELECT id_a, c.vec_id AS id_b,
+        |  round(list_dot_product(va, c.v) / (na * c.nrm), 4) AS cos
+        |FROM a JOIN sigs c ON c.sig = a.bucket AND id_a < c.vec_id
+        |WHERE list_dot_product(va, c.v) / (na * c.nrm) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin),
+
     // Pair graph → connected components (min-label propagation +
     // pointer jumping). Candidate pairs via inverted shingle index —
     // Jaccard ≥ 0.5 > 0 implies a shared shingle, so joining posting

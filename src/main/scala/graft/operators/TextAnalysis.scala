@@ -444,6 +444,77 @@ object TextAnalysis {
         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) = 1
         |ORDER BY doc_id""".stripMargin),
 
+    // Corpus bigram-LM quality score — the CCNet-style fluency signal
+    // beyond surface heuristics: train an add-k-smoothed bigram model
+    // on the corpus itself (two keyed shuffles: bigram counts, then
+    // context counts FROM the bigram aggregate), score each doc by its
+    // mean bigram log-probability. Repetitive/templated text scores
+    // high, token-soup scores low. Per-position log-probs are
+    // quantized to the 1/2^20 integer grid BEFORE the per-doc sum
+    // (the kmeans MeanQ trick): integer sums are associative, so the
+    // average is bit-stable under any shuffle order and the oracle
+    // replays it exactly — a raw double avg() would leak summation
+    // order into the low bits on BOTH engines.
+    "q_lm_score" -> QueryDef(
+      (s, dir) => {
+        val Q = 1048576L
+        val toksF = table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), tokens(lower(col("text"))).as("__t"))
+          .filter(size(col("__t")) >= 2)
+        val n = size(col("__t"))
+        val bigrams = zip_with(
+          slice(col("__t"), lit(1), n - 1), slice(col("__t"), lit(2), n - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))
+        val bi = graft.InternalCaches.track(
+          graft.functions.Functions.explodeOnce(
+              toksF, Seq(col("doc_id")), bigrams, "__bg")
+            .select(col("doc_id"), col("__bg.w1").as("w1"),
+              col("__bg.w2").as("w2"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        // context counts derive from the bigram aggregate (c1 = Σ_w2
+        // c12), not a second corpus pass
+        val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+        val vocab = toksF.select(explode(col("__t")).as("w"))
+          .agg(countDistinct("w").as("vsz"))
+        val lp = log((col("c12") + lit(0.5)) /
+          (col("c1") + lit(0.5) * col("vsz")))
+        bi.join(c12, Seq("w1", "w2"))
+          .join(c1, Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"),
+            floor(lp * Q + lit(0.5)).cast(LongType).as("__qlp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("__qlp").as("__s"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("__s").cast(DoubleType) /
+              (col("n_bigrams").cast(DoubleType) * lit(1048576.0)), 4)
+              .as("avg_logp"))
+          .orderBy("doc_id")
+      },
+      """WITH tf AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2),
+        |b2 AS (
+        |  SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> {'w1': t[i], 'w2': t[i+1]})) AS bg
+        |    FROM tf)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS vsz
+        |      FROM (SELECT unnest(t) AS w FROM tf)),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln((c12 + 0.5) / (c1 + 0.5 * vsz)) * 1048576 + 0.5)
+        |      AS BIGINT) AS qlp
+        |  FROM b2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(qlp) AS DOUBLE) /
+        |    (CAST(count(*) AS DOUBLE) * 1048576.0), 4) AS avg_logp
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin),
+
     // Document fingerprinting: md5 of the normalized text — the
     // canonical exact-dup / lineage key.
     "q_fingerprint" -> QueryDef(

@@ -120,6 +120,26 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("q_dedup_embedding_ann returns a SUBSET of the exact pairs with " +
+      "identical cosines — the LSH recall contract") {
+    val exact = graft.operators.Dedup.defs("q_dedup_embedding")
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = graft.operators.Dedup.defs("q_dedup_embedding_ann")
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(ann.nonEmpty, "ANN variant found no pairs at all")
+    ann.foreach { case (pair, cos) =>
+      assert(exact.get(pair).contains(cos),
+        s"ANN pair $pair (cos=$cos) not in the exact pair set")
+    }
+    // and its plan is the bucket equi-join, never a cross product
+    val plan = graft.operators.Dedup.defs("q_dedup_embedding_ann")
+      .fn(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("wordNgrams: short inputs give empty arrays, order preserved") {
     val df = Seq("a b c d", "a b").toDF("t")
       .select(wordNgrams(tokens(col("t")), 3).as("g"))

@@ -25,7 +25,8 @@ class PlanShapeSpec extends SparkSpec {
     * (groupBy/join on id); the guard covers every non-iterative stage.
     */
   private val allowed = Set(
-    "q_ann_brute", "q_tfidf", "q_watermark_filter")
+    "q_ann_brute", "q_tfidf", "q_watermark_filter",
+    "q_lm_score") // scalar (1-row) vocab-size broadcast factor
 
   test("no declared query plans an unlisted cross product or nested loop") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
