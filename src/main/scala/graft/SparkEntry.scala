@@ -17,7 +17,7 @@ object SparkEntry {
       operators.AsOf.defs ++ operators.RangeJoin.defs ++
       operators.BloomJoin.defs ++ operators.Funnel.defs ++
       operators.Sampling.defs ++ operators.Hygiene.defs ++
-      operators.QualityModel.defs ++
+      operators.QualityModel.defs ++ operators.Packing.defs ++
       streaming.EventsStream.defs ++ pipelines.Corpus.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
