@@ -923,6 +923,55 @@ object Similarity {
         |FROM sims
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY cos_raw DESC, neighbor_id) <= 3
-        |ORDER BY query_id, neighbor_id""".stripMargin)
+        |ORDER BY query_id, neighbor_id""".stripMargin),
+
+    // kNN label propagation — semi-supervised labeling over the
+    // embedding corpus: every fifth vector plays the unlabeled query
+    // set, the rest the labeled corpus; each query takes the majority
+    // label of its 5 cosine-nearest labeled neighbors (ties → smallest
+    // label, rank ties → smallest neighbor_id, both pinned). Exact
+    // brute-force scoring is the declared baseline (queries broadcast,
+    // corpus partition-local — the q_ann_brute shape); at 100 TB the
+    // same vote runs over probeIvfIndex candidates instead. The oracle
+    // replays scoring, k-cut, and the vote, so a rank flip or tie
+    // drift anywhere hash-mismatches. (The synthetic fixture's labels
+    // are independent of embedding geometry — chance-level accuracy by
+    // construction — so SimilaritySpec pins the vote MECHANICS against
+    // a driver-side recomputation, not accuracy.)
+    "q_knn_label" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val corpus = e.filter(col("vec_id") % 5 =!= 0)
+        val nn = bruteForceTopK(corpus, e.filter(col("vec_id") % 5 === 0), k = 5)
+          .join(corpus.select(col("vec_id").as("neighbor_id"), col("label")),
+            "neighbor_id")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("votes").desc, col("label"))
+        nn.groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("query_id").as("vec_id"),
+            col("label").as("pred_label"), col("votes"))
+          .orderBy("vec_id")
+      },
+      """WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+        |    list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+        |  FROM u q JOIN u c ON q.vec_id % 5 = 0 AND c.vec_id % 5 != 0),
+        |top AS (
+        |  SELECT query_id, label FROM sims
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_raw DESC, neighbor_id) <= 5),
+        |votes AS (
+        |  SELECT query_id, label, count(*) AS votes
+        |  FROM top GROUP BY query_id, label)
+        |SELECT query_id AS vec_id, label AS pred_label, votes
+        |FROM votes
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY votes DESC, label) = 1
+        |ORDER BY vec_id""".stripMargin)
   )
 }

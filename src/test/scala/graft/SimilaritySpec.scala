@@ -283,4 +283,35 @@ class SimilaritySpec extends SparkSpec {
     // opposite vector flips every plane
     assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) == 8)
   }
+
+  test("q_knn_label vote mechanics match a driver-side recomputation") {
+    // fdot promotes float→double and accumulates left-to-right; the
+    // same loop here reproduces its doubles bitwise, so the k-cut and
+    // vote must agree exactly (the fixture's labels are independent of
+    // geometry — chance accuracy — which is WHY this pins mechanics)
+    val rows = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+        r.getAs[Int]("label")))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val corpus = rows.filter(_._1 % 5 != 0)
+    val expected = rows.filter(_._1 % 5 == 0).map { case (qid, qv, _) =>
+      val top = corpus
+        .map { case (cid, cv, cl) =>
+          (dot(qv, cv) / (math.sqrt(dot(qv, qv)) * math.sqrt(dot(cv, cv))),
+            cid, cl)
+        }
+        .sortBy { case (cos, cid, _) => (-cos, cid) }.take(5)
+      val (label, votes) = top.groupBy(_._3).view.mapValues(_.length)
+        .toSeq.sortBy { case (l, n) => (-n, l) }.head
+      (qid, label, votes.toLong)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.registry("q_knn_label").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
 }
