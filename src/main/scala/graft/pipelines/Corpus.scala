@@ -90,6 +90,14 @@ object Corpus {
         Dedup.jaccardPairs(
           Dedup.shingled(docs, idCol, textCol), idCol, minJaccard)
     }
+    nearDedupFromPairs(docs, idCol, pairs)
+  }
+
+  /** Near-dedup from an already-generated pair frame (id_a, id_b):
+    * connected components → drop everything but the cluster minimum.
+    */
+  def nearDedupFromPairs(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
     val doomed = Dedup.clusterPairs(pairs)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
@@ -115,6 +123,28 @@ object Corpus {
     cleaned.withColumn("n_tokens", size(TextAnalysis.tokens(col(textCol))))
   }
 
+  /** [[prepare]] against a source DIRECTORY, with the MinHash banding
+    * served from the memoized per-doc artifacts
+    * (`Dedup.minhashNearDupsCached`) instead of re-hashing the
+    * filtered corpus — identical results (banding is per-row), and the
+    * 64-minhash signature pass, the pipeline's hottest stage, is paid
+    * once per source ever rather than once per run.
+    */
+  def prepareCached(s: org.apache.spark.sql.SparkSession, dir: String,
+      cfg: Config = Config()): DataFrame = {
+    require(cfg.pairStrategy == MinhashLsh,
+      "cached signatures exist for the MinHash strategy only")
+    val par = s.sparkContext.defaultParallelism
+    val base = graft.InternalCaches.track(
+      exactDedup(qualityFilter(
+          table(s, dir, "documents").repartition(par), cfg), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pairs = Dedup.minhashNearDupsCached(
+      s, dir, base, "doc_id", cfg.nearDupJaccard)
+    nearDedupFromPairs(base, "doc_id", pairs)
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
+  }
+
   /** End-to-end corpus run, oracle-checked stage by stage: quality
     * gate → min-id exact dedup → the SAME portable MinHash-LSH
     * candidate generation the engine runs (md5-prefix base hash,
@@ -125,7 +155,7 @@ object Corpus {
     */
   def defs: Map[String, QueryDef] = Map(
     "q_corpus_prepare" -> QueryDef(
-      (s, dir) => prepare(table(s, dir, "documents"))
+      (s, dir) => prepareCached(s, dir)
         .select(col("doc_id"), col("n_tokens"))
         .orderBy("doc_id"),
       s"""WITH RECURSIVE base AS (

@@ -26,7 +26,8 @@ class PlanShapeSpec extends SparkSpec {
     */
   private val allowed = Set(
     "q_ann_brute", "q_tfidf", "q_watermark_filter",
-    "q_lm_score") // scalar (1-row) vocab-size broadcast factor
+    "q_lm_score", // scalar (1-row) vocab-size broadcast factor
+    "q_knn_label") // bruteForceTopK baseline — q_ann_brute's shape
 
   test("no declared query plans an unlisted cross product or nested loop") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
@@ -126,5 +127,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin")
         && !plan.contains("CartesianProduct"),
       s"editdist planned a cross product:\n$plan")
+  }
+
+  test("q_dedup_editdist_lsh: a round-robin exchange spreads the DP") {
+    val plan = SparkEntry.queries("q_dedup_editdist_lsh")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the re-spread before levenshtein must be ROUND-ROBIN: a hash
+    // repartition on (id_a, id_b) is eliminated as redundant against
+    // the candidate distinct's identical partitioning, AQE then
+    // coalesces that tiny shuffle to one partition, and the whole
+    // O(m·n) DP runs on a single core (measured 3.4 s → 0.85 s at
+    // sf0.1 when this exchange is present)
+    assert(plan.contains("RoundRobinPartitioning"),
+      s"DP re-spread exchange missing from editdist_lsh plan:\n$plan")
   }
 }
