@@ -153,11 +153,12 @@ object Corpus {
     * pipeline — filter math, fingerprint, banding, clustering —
     * hash-mismatches the final (doc_id, n_tokens) surface.
     */
-  def defs: Map[String, QueryDef] = Map(
-    "q_corpus_prepare" -> QueryDef(
-      (s, dir) => prepareCached(s, dir)
-        .select(col("doc_id"), col("n_tokens"))
-        .orderBy("doc_id"),
+  /** The DuckDB replay of [[prepareCached]] as a CTE chain ending in
+    * `doomed` (near-dup losers); consumers append their own final
+    * SELECT over `ded` minus `doomed` — shared by q_corpus_prepare and
+    * q_corpus_pack so the two oracles can never drift apart.
+    */
+  private def cleanedOracleCte: String =
       s"""WITH RECURSIVE base AS (
         |  SELECT doc_id, text,
         |    len(regexp_split_to_array(trim(text), '\\s+')) AS ntok,
@@ -207,10 +208,48 @@ object Corpus {
         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
         |doomed AS (
         |  SELECT id FROM (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id)
-        |  WHERE id <> cluster_id)
+        |  WHERE id <> cluster_id)""".stripMargin
+
+  def defs: Map[String, QueryDef] = Map(
+    "q_corpus_prepare" -> QueryDef(
+      (s, dir) => prepareCached(s, dir)
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id"),
+      s"""$cleanedOracleCte
         |SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
         |FROM ded WHERE doc_id NOT IN (SELECT id FROM doomed)
         |ORDER BY doc_id""".stripMargin),
+
+    // The end of the training-data flow: pack the CLEANED corpus
+    // (quality → exact dedup → near-dedup survivors) into
+    // fixed-capacity sequences — prepare and Packing composed in one
+    // declared plan. The oracle replays the whole chain (the shared
+    // CTE above) plus the packing windows, so a drift in EITHER stage
+    // or in how they compose hash-mismatches.
+    "q_corpus_pack" -> QueryDef(
+      (s, dir) => graft.operators.Packing.packSequences(
+          prepareCached(s, dir), "doc_id", "text",
+          seqTokens = 256, nShards = 8)
+        .orderBy("doc_id"),
+      s"""$cleanedOracleCte,
+        |cleaned AS (
+        |  SELECT doc_id, text FROM ded
+        |  WHERE doc_id NOT IN (SELECT id FROM doomed)),
+        |t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+        |      AS n_toks
+        |  FROM cleaned),
+        |o AS (
+        |  SELECT doc_id, shard, n_toks,
+        |    CAST(coalesce(sum(n_toks + 1) OVER (PARTITION BY shard
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |  FROM t)
+        |SELECT doc_id, shard, n_toks, start_off,
+        |  start_off // 256 AS first_seq,
+        |  (start_off + n_toks - 1) // 256 AS last_seq
+        |FROM o ORDER BY doc_id""".stripMargin),
 
     // Corpus data card: the per-source / per-lang / per-cell summary a
     // dataset report ships — doc counts, token volume, average doc
