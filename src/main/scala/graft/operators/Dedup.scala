@@ -767,8 +767,9 @@ object Dedup {
     // variant above at 122x for 10x data when lengths concentrate:
     // exhaustive top-k inside a length band is quadratic in band
     // occupancy BY CONTRACT; MinHash banding bounds candidates by
-    // shingle similarity instead, which scales like q_dedup_minhash —
-    // 3.8x at 10x). Levenshtein runs only on candidate pairs; the
+    // shingle similarity instead — this query re-measured at 3.9x for
+    // 10x data after the round-robin DP re-spread below). Levenshtein
+    // runs only on candidate pairs; the
     // oracle replays banding AND the DP, so the composition is checked
     // end to end. The standard candidate-generate → expensive-verify
     // composition of production dedup.

@@ -771,6 +771,27 @@ object Similarity {
         |  ORDER BY s DESC, neighbor_id) <= 3
         |ORDER BY query_id, neighbor_id""".stripMargin
 
+  /** Majority vote over a (query_id, neighbor_id, …) top-k frame
+    * against the labeled corpus: each query takes the most frequent
+    * neighbor label (vote ties → smallest label). One groupBy + one
+    * tiny window over k rows per query — composes with ANY top-k
+    * generator above, which is what makes kNN classification run on
+    * whichever candidate path (brute/LSH/IVF/PQ) the scale calls for.
+    */
+  private def majorityVote(topK: DataFrame, labeled: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("label"))
+    topK
+      .join(labeled.select(col("vec_id").as("neighbor_id"), col("label")),
+        "neighbor_id")
+      .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id").as("vec_id"),
+        col("label").as("pred_label"), col("votes"))
+      .orderBy("vec_id")
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // IVF with k-means-refined centroids: md5-rank hash init (no
@@ -931,28 +952,20 @@ object Similarity {
     // label of its 5 cosine-nearest labeled neighbors (ties → smallest
     // label, rank ties → smallest neighbor_id, both pinned). Exact
     // brute-force scoring is the declared baseline (queries broadcast,
-    // corpus partition-local — the q_ann_brute shape); at 100 TB the
-    // same vote runs over probeIvfIndex candidates instead. The oracle
-    // replays scoring, k-cut, and the vote, so a rank flip or tie
-    // drift anywhere hash-mismatches. (The synthetic fixture's labels
-    // are independent of embedding geometry — chance-level accuracy by
-    // construction — so SimilaritySpec pins the vote MECHANICS against
-    // a driver-side recomputation, not accuracy.)
+    // corpus partition-local — the q_ann_brute shape);
+    // q_knn_label_ivf below is the same vote over the IVF probe. The
+    // oracle replays scoring, k-cut, and the vote, so a rank flip or
+    // tie drift anywhere hash-mismatches. (The synthetic fixture's
+    // labels are independent of embedding geometry — chance-level
+    // accuracy by construction — so SimilaritySpec pins the vote
+    // MECHANICS against a driver-side recomputation, not accuracy.)
     "q_knn_label" -> QueryDef(
       (s, dir) => {
         val e = table(s, dir, "embeddings")
         val corpus = e.filter(col("vec_id") % 5 =!= 0)
-        val nn = bruteForceTopK(corpus, e.filter(col("vec_id") % 5 === 0), k = 5)
-          .join(corpus.select(col("vec_id").as("neighbor_id"), col("label")),
-            "neighbor_id")
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("votes").desc, col("label"))
-        nn.groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .select(col("query_id").as("vec_id"),
-            col("label").as("pred_label"), col("votes"))
-          .orderBy("vec_id")
+        majorityVote(
+          bruteForceTopK(corpus, e.filter(col("vec_id") % 5 === 0), k = 5),
+          corpus)
       },
       """WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
         |  FROM embeddings),
@@ -968,6 +981,67 @@ object Similarity {
         |votes AS (
         |  SELECT query_id, label, count(*) AS votes
         |  FROM top GROUP BY query_id, label)
+        |SELECT query_id AS vec_id, label AS pred_label, votes
+        |FROM votes
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY votes DESC, label) = 1
+        |ORDER BY vec_id""".stripMargin),
+
+    // The SCALE PATH of q_knn_label: the identical majority vote over
+    // IVF-probed candidates — centroids are the md5-rank hash sample
+    // of the LABELED corpus, each query reads one inverted list
+    // (nprobe=1) instead of the whole corpus. The oracle rebuilds the
+    // quantizer, both list assignments, the probe, and the vote, so
+    // the approximation itself is hash-checked end to end, not just
+    // plausibility.
+    "q_knn_label_ivf" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val corpus = e.filter(col("vec_id") % 5 =!= 0)
+        majorityVote(
+          ivfTopK(corpus, e.filter(col("vec_id") % 5 === 0), k = 5),
+          corpus)
+      },
+      """WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id, v FROM u WHERE vec_id % 5 != 0),
+        |cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+        |      AS BIGINT) AS centroid_id, v AS cent
+        |  FROM c0
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 16),
+        |lists AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+        |    centroid_id AS list_id
+        |  FROM (
+        |    SELECT c0.vec_id, c0.v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY c0.vec_id
+        |        ORDER BY list_dot_product(c0.v, c.cent) DESC, c.centroid_id) AS rn
+        |    FROM c0 CROSS JOIN cents c)
+        |  WHERE rn = 1),
+        |qlists AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+        |    centroid_id AS list_id
+        |  FROM (
+        |    SELECT q0.vec_id, q0.v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY q0.vec_id
+        |        ORDER BY list_dot_product(q0.v, c.cent) DESC, c.centroid_id) AS rn
+        |    FROM (SELECT vec_id, v FROM u WHERE vec_id % 5 = 0) q0
+        |    CROSS JOIN cents c)
+        |  WHERE rn = 1),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
+        |  FROM qlists q JOIN lists c USING (list_id)
+        |  WHERE c.vec_id != q.vec_id),
+        |top AS (
+        |  SELECT query_id, neighbor_id FROM sims
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_raw DESC, neighbor_id) <= 5),
+        |votes AS (
+        |  SELECT t.query_id, u.label, count(*) AS votes
+        |  FROM top t JOIN u ON u.vec_id = t.neighbor_id
+        |  GROUP BY t.query_id, u.label)
         |SELECT query_id AS vec_id, label AS pred_label, votes
         |FROM votes
         |QUALIFY row_number() OVER (PARTITION BY query_id
