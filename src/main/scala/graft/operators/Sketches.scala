@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables.table
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-size mergeable frequency sketches — the aggregation shapes
+  * that stay O(1) in state however large the corpus grows (the HLL
+  * distinct sketch is declared as `q_approx_distinct`; this adds the
+  * point-frequency side). The count-min sketch here is 4×1024 counters
+  * built by ONE map-side-combinable groupBy: at 100 TB the sketch
+  * table is still 4096 rows, merging shards is elementwise addition,
+  * and a frequency point-query joins the tiny sketch instead of
+  * re-scanning the corpus.
+  *
+  * Hashes are the engine-portable md5-prefix trick
+  * (TextAnalysis.hash32 salted per row of the sketch), so any SQL
+  * engine reproduces every counter exactly — the oracle replays the
+  * sketch, not just the answers.
+  */
+object Sketches {
+
+  val Depth = 4
+  val Width = 1024
+
+  /** Row-j bucket of a token: 32-bit md5 prefix of "j:token" mod the
+    * sketch width. Independent-enough rows via the salt; exactly
+    * reproducible anywhere md5 exists.
+    */
+  def bucket(tok: Column, j: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"$j:"), tok)), 1, 8), 16, 10)
+      .cast("long"), lit(Width.toLong))
+
+  private def allBuckets(tok: Column): Column =
+    array((0 until Depth).map(j => bucket(tok, j)): _*)
+
+  /** The sketch itself: (j, bucket) → count over a one-column token
+    * frame. One shuffle of ≤ Depth×Width rows after map-side partials.
+    */
+  def countMin(toks: DataFrame): DataFrame = {
+    val t = toks.columns.head
+    toks
+      .select(posexplode(allBuckets(col(t))).as(Seq("j", "bucket")))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CMS point estimate for each row of `items` (one string column):
+    * min over the Depth rows of the sketch — ≥ the true count always,
+    * ≈ it when the item dominates its buckets.
+    */
+  def cmsEstimate(items: DataFrame, cms: DataFrame): DataFrame = {
+    val t = items.columns.head
+    val others = items.columns.drop(1).map(col)
+    items
+      .select(col(t) +: others :+
+        posexplode(allBuckets(col(t))).as(Seq("j", "bucket")): _*)
+      .join(cms, Seq("j", "bucket"))
+      .groupBy(col(t) +: others: _*)
+      .agg(min("cnt").as("n_cms"))
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+    // Exact top-20 tokens with their count-min estimates side by
+    // side. The oracle rebuilds all 4096 counters and the min-probe,
+    // so a drifted hash, width, or a lost counter anywhere
+    // hash-mismatches; the ≥-exact sketch invariant is additionally
+    // asserted in SketchesSpec.
+    "q_heavy_hitters" -> QueryDef(
+      (s, dir) => {
+        val toks = graft.functions.Functions.explodeOnce(
+          table(s, dir, "documents"), Seq.empty,
+          TextAnalysis.tokens(col("text")), "t")
+        val exact = toks.groupBy("t").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("t")).limit(20)
+        cmsEstimate(exact, countMin(toks))
+          .select(col("t").as("token"), col("n_exact"), col("n_cms"))
+          .orderBy(col("n_exact").desc, col("token"))
+      },
+      s"""WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+        |  FROM documents),
+        |js AS (SELECT unnest(range(0, $Depth)) AS j),
+        |cms AS (
+        |  SELECT j, CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || t), 1, 8))
+        |      AS UINT32) AS BIGINT) % $Width AS bucket,
+        |    count(*) AS cnt
+        |  FROM toks CROSS JOIN js
+        |  GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT t, count(*) AS n_exact FROM toks GROUP BY t
+        |  ORDER BY n_exact DESC, t LIMIT 20)
+        |SELECT e.t AS token, CAST(e.n_exact AS BIGINT) AS n_exact,
+        |  CAST(min(c.cnt) AS BIGINT) AS n_cms
+        |FROM exact e CROSS JOIN js
+        |JOIN cms c ON c.j = js.j AND c.bucket =
+        |  CAST(CAST(('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' || e.t), 1, 8))
+        |    AS UINT32) AS BIGINT) % $Width
+        |GROUP BY e.t, e.n_exact
+        |ORDER BY n_exact DESC, token""".stripMargin))
+}

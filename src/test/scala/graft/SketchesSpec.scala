@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch properties no single oracle hash pins: the
+  * ≥-exact estimate invariant over EVERY token (not just the top 20),
+  * and elementwise mergeability — the property that makes the sketch
+  * a 100 TB shape.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val toks = graft.functions.Functions.explodeOnce(
+    graft.sources.Tables.table(spark, sfDir, "documents"), Seq.empty,
+    graft.operators.TextAnalysis.tokens(col("text")), "t")
+
+  test("estimate >= exact for every token, tight for dominant ones") {
+    val exact = toks.groupBy("t").agg(count(lit(1)).as("n_exact"))
+    val est = Sketches.cmsEstimate(exact, Sketches.countMin(toks))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.nonEmpty)
+    for ((t, ex, cms) <- est)
+      assert(cms >= ex, s"CMS underestimated '$t': $cms < $ex")
+    // collisions only ADD noise ~N/Width per bucket; the top token
+    // towers over that, so its estimate should be exact or near it
+    val (_, topExact, topCms) = est.maxBy(_._2)
+    assert(topCms - topExact <= est.map(_._2).sum / Sketches.Width)
+  }
+
+  test("sketches merge elementwise: cms(a ++ b) = cms(a) + cms(b)") {
+    val (a, b) = (toks.filter(crc32(col("t")) % 2 === 0),
+      toks.filter(crc32(col("t")) % 2 =!= 0))
+    val merged = Sketches.countMin(a)
+      .unionByName(Sketches.countMin(b))
+      .groupBy("j", "bucket").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = Sketches.countMin(toks)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+}
