@@ -181,6 +181,47 @@ object AtomicIncrement {
     }
   }
 
+  /** Maintenance compaction: rewrite the committed snapshot into
+    * `numFiles` coalesced data files and publish THAT list as the next
+    * manifest version. Incremental appends accrete one small batch dir
+    * per run; at 100 TB the reader's cost is O(files), so periodic
+    * compaction is what keeps the manifest (and the footer-stats
+    * watermark sweep) from growing without bound.
+    *
+    * Row-preserving by construction (`readCommitted` before == after —
+    * spec-pinned) and snapshot-isolated like any commit: pre-compaction
+    * data files are never touched, so a reader pinned to an older
+    * manifest version is unaffected; only [[vacuumUncommitted]]
+    * (whose liveness root is the LATEST manifest) reclaims them, which
+    * is exactly Delta's VACUUM retention trade. Contends with
+    * appenders on the same optimistic-concurrency token: if anything
+    * commits between the snapshot read and the publish, the compaction
+    * loses, cleans its staged files, and throws — re-run.
+    *
+    * Returns (files before, files after).
+    */
+  def compact(spark: SparkSession, sink: String,
+      numFiles: Int = 1): (Int, Int) =
+    compactWithHook(spark, sink, numFiles, () => ())
+
+  private[graft] def compactWithHook(spark: SparkSession, sink: String,
+      numFiles: Int, beforePublish: () => Unit): (Int, Int) = {
+    val fs = fsOf(spark, sink)
+    val (version, prior) = snapshot(spark, sink)
+    require(prior.nonEmpty, s"nothing committed to compact at $sink")
+    val staged = stageBatch(
+      readCommitted(spark, sink).repartition(numFiles), spark, fs, sink)
+    try {
+      beforePublish()
+      publish(fs, sink, staged, version + 1)
+    } catch { case e: Throwable =>
+      staged.headOption.foreach(f =>
+        fs.delete(new Path(s"$sink/$f").getParent, true))
+      throw e
+    }
+    (prior.size, staged.size)
+  }
+
   /** GC staged-but-uncommitted batch directories (crashed or lost-race
     * writers). ONLY safe when no writer is actively staging — the
     * caller owns that scheduling, exactly like Delta's VACUUM.

@@ -329,6 +329,38 @@ object TextAnalysis {
         |    t -> greatest(CAST(ceil(length(t) / 6.0) AS BIGINT), 1))) AS BIGINT) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Subword-accurate token accounting: a GPT-2-style pre-tokenizer
+    // regex (contraction suffixes | space?+letter-run | space?+digit-
+    // run | space?+punct-run | whitespace-run) — RE2-portable (no
+    // lookahead, so Java regex and the oracle's RE2 split
+    // identically), counted per doc with the words-to-subwords
+    // fertility ratio a token-budget planner actually uses. Pure
+    // per-row column math, zero shuffles.
+    "q_token_count_bpe" -> QueryDef(
+      (s, dir) => {
+        val pat = "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+        table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            size(tokens(col("text"))).as("n_words"),
+            size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+              .as("n_bpe"))
+          .select(col("doc_id"), col("n_words"), col("n_bpe"),
+            round(col("n_bpe").cast(DoubleType) /
+              greatest(col("n_words"), lit(1)), 4).as("fertility"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+        |  len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))
+        |    AS n_bpe,
+        |  round(len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))
+        |    * 1.0 / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4)
+        |    AS fertility
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     // Quality scoring: length stats, punctuation ratio, stopword
     // ratio, mean token length — the standard pre-training filters.
     "q_text_quality" -> QueryDef(

@@ -91,4 +91,54 @@ class AtomicIncrementSpec extends SparkSpec {
     val old = evolved.filter(col("k") === 1L).head()
     assert(old.isNullAt(old.fieldIndex("score")))
   }
+
+  test("compaction preserves rows, shrinks the file list, keeps old snapshots readable") {
+    val sink = tmp()
+    for (i <- 1 to 3)
+      AtomicIncrement.appendIncrementAtomic(
+        Seq((i.toLong, s"v$i")).toDF("k", "v"), sink, "k")
+    val (vBefore, filesBefore) = AtomicIncrement.snapshot(spark, sink)
+    val rowsBefore = AtomicIncrement.readCommitted(spark, sink)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val (nBefore, nAfter) = AtomicIncrement.compact(spark, sink)
+    assert(nBefore == filesBefore.size && nAfter < nBefore)
+    val rowsAfter = AtomicIncrement.readCommitted(spark, sink)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rowsAfter == rowsBefore)
+    // a reader pinned to the pre-compaction version still resolves:
+    // its data files were never touched
+    val pinned = spark.read.parquet(filesBefore.map(f => s"$sink/$f"): _*)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(pinned == rowsBefore)
+    assert(AtomicIncrement.snapshot(spark, sink)._1 == vBefore + 1)
+    // the watermark survives the rewrite: replaying old rows appends 0
+    assert(AtomicIncrement.appendIncrementAtomic(
+      Seq((2L, "dup")).toDF("k", "v"), sink, "k") == 0)
+    // vacuum reclaims the now-orphaned pre-compaction batch dirs (the
+    // documented retention trade) without touching the live snapshot
+    assert(AtomicIncrement.vacuumUncommitted(spark, sink) == 3)
+    assert(AtomicIncrement.readCommitted(spark, sink)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      == rowsBefore)
+  }
+
+  test("compaction loses the commit race to an appender and cleans up") {
+    val sink = tmp()
+    AtomicIncrement.appendIncrementAtomic(
+      Seq((1L, "a")).toDF("k", "v"), sink, "k")
+    intercept[java.util.ConcurrentModificationException] {
+      AtomicIncrement.compactWithHook(spark, sink, 1, () => {
+        AtomicIncrement.appendIncrementAtomic(
+          Seq((2L, "raced")).toDF("k", "v"), sink, "k"); ()
+      })
+    }
+    // the interleaved append won; the loser's staged rewrite is gone
+    val keys = AtomicIncrement.readCommitted(spark, sink)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(keys == Seq(1L, 2L))
+    assert(AtomicIncrement.vacuumUncommitted(spark, sink) == 0)
+    // re-run converges
+    val (_, nAfter) = AtomicIncrement.compact(spark, sink)
+    assert(nAfter >= 1 && AtomicIncrement.readCommitted(spark, sink).count() == 2)
+  }
 }
