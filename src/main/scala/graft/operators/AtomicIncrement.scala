@@ -89,6 +89,26 @@ object AtomicIncrement {
       .parquet(files.map(f => s"$sink/$f"): _*)
   }
 
+  /** Time travel: the snapshot EXACTLY as manifest `version` committed
+    * it. Every manifest is immutable and lists its complete file set,
+    * so any version remains readable until [[vacuumUncommitted]]
+    * reclaims batch dirs the latest manifest no longer references —
+    * the same manifest-retention trade as Delta/Iceberg time travel.
+    */
+  def readVersion(spark: SparkSession, sink: String,
+      version: Long): DataFrame = {
+    val fs = fsOf(spark, sink)
+    val mf = new Path(new Path(sink, ManifestDir), f"$version%020d")
+    require(fs.exists(mf), s"no manifest version $version at $sink")
+    val in = fs.open(mf)
+    val files =
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$sink/$f"): _*)
+  }
+
   /** Append rows with `watermarkCol` strictly above the committed
     * snapshot's max, atomically. Returns the appended row count.
     * Idempotent on replay; safe under concurrent readers at every

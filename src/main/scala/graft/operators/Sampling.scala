@@ -38,6 +38,18 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, p: Double): DataFrame =
     df.filter(hashFraction(col(keyCol)) < p)
 
+  /** Deterministic EXACT-k uniform sample: the k rows with the
+    * smallest key-md5 — the fixed-size counterpart of [[hashSample]]
+    * (an eval panel, a labeling batch, k-shot exemplars). One
+    * TakeOrderedAndProject job: per-partition top-k, driver merge of
+    * k·P rows — no count() pre-pass, no full sort, no dense-id
+    * assumption; any engine replays it as ORDER BY md5(key) LIMIT k.
+    * (The same md5-rank trick seeds the ANN coarse quantizers.)
+    */
+  def hashSampleK(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.withColumn("__rk", md5(col(keyCol).cast("string")))
+      .orderBy("__rk").limit(k).drop("__rk")
+
   /** Weighted mixture sampling — the data-mixing primitive of a
     * training pipeline: each source keeps a deterministic
     * hash-fraction of its rows at that source's target rate
@@ -96,6 +108,19 @@ object Sampling {
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UINT32)
         |    / 4294967296.0 AS frac
         |  FROM documents)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Exact-k deterministic sample (k=50 of the documents table) —
+    // the oracle replays the md5 ranking, so the SAME 50 docs must
+    // surface in any engine; the plan is one TakeOrderedAndProject
+    // (plan-asserted in SamplingRangeSpec).
+    "q_sample_k" -> QueryDef(
+      (s, dir) => hashSampleK(table(s, dir, "documents"), "doc_id", 50)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 50)
+        |ORDER BY doc_id""".stripMargin)
   )
 }

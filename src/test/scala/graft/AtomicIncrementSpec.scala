@@ -122,6 +122,27 @@ class AtomicIncrementSpec extends SparkSpec {
       == rowsBefore)
   }
 
+  test("time travel: every committed version reads back exactly") {
+    val sink = tmp()
+    for (i <- 1 to 3)
+      AtomicIncrement.appendIncrementAtomic(
+        Seq((i.toLong, s"v$i")).toDF("k", "v"), sink, "k")
+    for (v <- 1L to 3L) {
+      val keys = AtomicIncrement.readVersion(spark, sink, v)
+        .select("k").as[Long].collect().sorted.toSeq
+      assert(keys == (1L to v).toSeq, s"version $v")
+    }
+    // compaction publishes v4 with the same rows; v3 still readable
+    AtomicIncrement.compact(spark, sink)
+    assert(AtomicIncrement.readVersion(spark, sink, 3L)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(AtomicIncrement.readVersion(spark, sink, 4L)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      AtomicIncrement.readVersion(spark, sink, 99L)
+    }
+  }
+
   test("compaction loses the commit race to an appender and cleans up") {
     val sink = tmp()
     AtomicIncrement.appendIncrementAtomic(

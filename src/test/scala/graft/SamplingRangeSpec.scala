@@ -84,4 +84,18 @@ class SamplingRangeSpec extends SparkSpec {
     assert(tags(leftOpen = true) == Set("at-end"))
     assert(tags(leftOpen = false) == Set("at-start", "at-end"))
   }
+
+  test("hashSampleK is an exact-k md5-rank prefix via TakeOrdered, no full sort") {
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val sampled = Sampling.hashSampleK(docs, "doc_id", 20)
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k, got:\n$plan")
+    val got = sampled.select("doc_id").as[Long].collect().toSet
+    assert(got.size == 20)
+    // the k-sample is a prefix of the md5 ranking: growing k only adds
+    val got30 = Sampling.hashSampleK(docs, "doc_id", 30)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.subsetOf(got30))
+  }
 }
