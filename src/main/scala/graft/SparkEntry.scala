@@ -18,7 +18,7 @@ object SparkEntry {
       operators.BloomJoin.defs ++ operators.Funnel.defs ++
       operators.Sampling.defs ++ operators.Hygiene.defs ++
       operators.QualityModel.defs ++ operators.Packing.defs ++
-      operators.Sketches.defs ++
+      operators.Sketches.defs ++ operators.Skew.defs ++
       streaming.EventsStream.defs ++ pipelines.Corpus.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

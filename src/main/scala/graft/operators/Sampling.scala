@@ -50,6 +50,45 @@ object Sampling {
     df.withColumn("__rk", md5(col(keyCol).cast("string")))
       .orderBy("__rk").limit(k).drop("__rk")
 
+  /** Deterministic EXACT-k sample PER GROUP (a balanced eval panel:
+    * k docs from every source/language regardless of how lopsided the
+    * corpus is). One shuffle on the group column, per-partition sort,
+    * row_number ≤ k — the same WindowGroupLimit pushdown as
+    * `q_topk_group` keeps each partition's sort bounded at k rows per
+    * group, so group cardinality (not corpus size) drives the cost.
+    */
+  def stratifiedSampleK(df: DataFrame, keyCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Deterministic weighted exact-k sample: rank by `hash/weight` so a
+    * row with twice the weight is (about) twice as likely to make the
+    * cut — the data-mixing counterpart of [[hashSampleK]] for "prefer
+    * long/curated documents" selection. The rank key is computed in
+    * INTEGER space, `(h * 1e6) div max(w,1)` with h the 32-bit md5
+    * prefix: A-ES exponential keys (`-ln(u)/w`) would give exact
+    * inclusion probabilities, but transcendental math is not
+    * bit-portable across engines — the integer formulation trades
+    * exactness of the inclusion distribution for a rank every engine
+    * reproduces bit-for-bit (ties broken by key). Same
+    * TakeOrderedAndProject shape as [[hashSampleK]]: per-partition
+    * top-k, k·P driver merge, no full sort.
+    */
+  def weightedSampleK(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int): DataFrame =
+    df.withColumn("__h",
+        conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("__wk",
+        expr(s"(__h * 1000000) div greatest($weightCol, 1)"))
+      .orderBy(col("__wk"), col(keyCol)).limit(k)
+      .drop("__h", "__wk")
+
   /** Weighted mixture sampling — the data-mixing primitive of a
     * training pipeline: each source keeps a deterministic
     * hash-fraction of its rows at that source's target rate
@@ -121,6 +160,38 @@ object Sampling {
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source FROM documents
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 50)
+        |ORDER BY doc_id""".stripMargin),
+
+    // Balanced panel: exactly 10 docs per source, chosen by the same
+    // md5 rank — the oracle replays the per-group row_number, so a
+    // drifted rank order or an off-by-one in the cut mismatches.
+    "q_sample_stratified" -> QueryDef(
+      (s, dir) => stratifiedSampleK(table(s, dir, "documents"),
+        "doc_id", "source", 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy("source", "doc_id"),
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin),
+
+    // Length-weighted 50-doc sample: long documents preferentially
+    // survive. The oracle recomputes the integer rank key per row —
+    // hash prefix, scale, integer division — so any drift in the
+    // weight column, the scale factor, or the tie-break mismatches.
+    "q_sample_weighted" -> QueryDef(
+      (s, dir) => weightedSampleK(table(s, dir, "documents"),
+        "doc_id", "n_chars", 50)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id"),
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |  ORDER BY (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS UINT32) AS BIGINT) * 1000000) // greatest(n_chars, 1),
+        |    doc_id
+        |  LIMIT 50)
         |ORDER BY doc_id""".stripMargin)
   )
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.QueryDef
+import graft.sources.Tables.table
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -28,4 +30,26 @@ object Skew {
       explode(array((0 until factor).map(i => lit(i.toLong)): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  def defs: Map[String, QueryDef] = Map(
+    // The salted join under the oracle gate: lineitem⋈orders on the
+    // (salted) order key, re-aggregated per priority. The oracle is
+    // the PLAIN equi-join — salting must be invisible in the result;
+    // the salt fan-out shape itself is locked in PlanShapeSpec.
+    "q_join_salted" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+        val ord = table(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        saltedEquiJoin(li, ord, "l_orderkey", factor = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(sum("l_quantity"), 2).as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 }

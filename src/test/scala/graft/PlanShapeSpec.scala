@@ -141,4 +141,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("RoundRobinPartitioning"),
       s"DP re-spread exchange missing from editdist_lsh plan:\n$plan")
   }
+
+  test("q_join_salted: salt fan-out present, join keyed on (key, salt)") {
+    val plan = SparkEntry.queries("q_join_salted")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the build side must replicate via explode (the salt fan-out) and
+    // the join key must include __salt — without both, one hot order
+    // key would land on a single reducer
+    assert(plan.contains("Generate explode"),
+      s"build-side salt replication missing:\n$plan")
+    assert(plan.contains("__salt"),
+      s"join not keyed on the salt:\n$plan")
+  }
+
+  test("weighted/exact-k samples plan as TakeOrderedAndProject, no full sort") {
+    for (q <- Seq("q_sample_k", "q_sample_weighted")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      // per-partition top-k with a k·P driver merge; a global Sort +
+      // Limit here would shuffle the whole corpus at 100 TB
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q lost the top-k shape:\n$plan")
+    }
+  }
 }

@@ -98,4 +98,40 @@ class SamplingRangeSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(got.subsetOf(got30))
   }
+
+  test("stratifiedSampleK: exactly k per group, growing k only adds") {
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val per5 = Sampling.stratifiedSampleK(docs, "doc_id", "source", 5)
+    val counts = per5.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nSources = docs.select("source").distinct().count()
+    assert(counts.size == nSources)
+    assert(counts.values.forall(_ == 5L),
+      s"not exactly 5 per source: $counts")
+    // per-group prefix property: the k=5 panel is inside the k=8 panel
+    val ids5 = per5.select("doc_id").as[Long].collect().toSet
+    val ids8 = Sampling.stratifiedSampleK(docs, "doc_id", "source", 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids5.subsetOf(ids8))
+  }
+
+  test("weightedSampleK favors heavy rows and replays deterministically") {
+    // equal-sized populations, weights 1000 vs 10: the heavy side must
+    // dominate the sample (md5 ranks are fixed, so this is exact, not
+    // flaky-statistical)
+    val rows = ((1L to 500L).map(i => (i, 1000L)) ++
+      (501L to 1000L).map(i => (i, 10L))).toDF("id", "w")
+    val picked = Sampling.weightedSampleK(rows, "id", "w", 100)
+      .select("id", "w").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(picked.length == 100)
+    val heavy = picked.count(_._2 == 1000L)
+    assert(heavy > 80, s"heavy side underrepresented: $heavy/100")
+    // bit-identical on rerun (no rand() anywhere)
+    val again = Sampling.weightedSampleK(rows, "id", "w", 100)
+      .select("id", "w").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(picked.sorted.sameElements(again.sorted))
+    // zero/negative weights are clamped, not divide-by-zero
+    val degenerate = Seq((1L, 0L), (2L, -5L)).toDF("id", "w")
+    assert(Sampling.weightedSampleK(degenerate, "id", "w", 2).count() == 2)
+  }
 }
