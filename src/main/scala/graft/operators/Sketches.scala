@@ -37,6 +37,12 @@ object Sketches {
 
   /** The sketch itself: (j, bucket) → count over a one-column token
     * frame. One shuffle of ≤ Depth×Width rows after map-side partials.
+    *
+    * Streaming-safe as-is: on an unbounded token stream this plans as
+    * a stateful streaming aggregation whose state is capped at
+    * Depth×Width rows forever — the frequency tracker that needs no
+    * watermark, no eviction, and no scale tuning (SketchesSpec pins
+    * micro-batch ≡ batch parity and the state bound).
     */
   def countMin(toks: DataFrame): DataFrame = {
     val t = toks.columns.head

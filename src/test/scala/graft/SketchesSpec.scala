@@ -1,7 +1,9 @@
 package graft
 
 import graft.operators.Sketches
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 /** Count-min sketch properties no single oracle hash pins: the
   * ≥-exact estimate invariant over EVERY token (not just the top 20),
@@ -38,5 +40,33 @@ class SketchesSpec extends SparkSpec {
     val whole = Sketches.countMin(toks)
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(merged == whole)
+  }
+
+  test("countMin over a token stream: micro-batches merge to the batch " +
+      "sketch, state capped at Depth×Width") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = toks.select("t").as[String].collect()
+    assert(all.length > 100)
+    val mem = MemoryStream[String]
+    val query = Sketches.countMin(mem.toDF().toDF("t"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // three micro-batches — the sketch must accumulate across them
+      for (slice <- all.grouped((all.length / 3).max(1)))
+        { mem.addData(slice.toSeq: _*); query.processAllAvailable() }
+      val streamed = spark.table("cms_stream").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = Sketches.countMin(toks.select("t")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+      // the 100 TB contract: state is the sketch, not the stream
+      val st = query.lastProgress.stateOperators
+      assert(st.nonEmpty)
+      assert(st.map(_.numRowsTotal).sum <= Sketches.Depth * Sketches.Width,
+        s"state exceeded the sketch size: ${st.map(_.numRowsTotal).sum}")
+    } finally query.stop()
   }
 }
