@@ -792,7 +792,89 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Per-label mean vector, flat (label, pos, c) rows — one map-side
+    * partial aggregate whose state is labels×dim cells however large
+    * the corpus grows (the Rocchio/class-prototype primitive).
+    * `pos` is 1-based to line up with the oracle's
+    * generate_subscripts.
+    */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("p", "x")))
+      .groupBy(col("label"), (col("p") + 1).as("pos"))
+      .agg(avg("x").as("c"))
+
+  private def ddot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest-centroid (Rocchio) classification: every vector scored
+    * against the broadcast label centroids — corpus side is map-only,
+    * the only shuffle is the labels×dim centroid aggregate, so the
+    * shape is linear in the corpus with a bounded (label-count)
+    * broadcast. Ranking compares the 6-dp-rounded cosine (ties → by
+    * label), which is what makes the argmax replayable across engines
+    * despite the centroid averages' last-ulp sum-order drift.
+    */
+  def nearestCentroid(emb: DataFrame): DataFrame = {
+    val cv = labelCentroids(emb)
+      .groupBy(col("label").as("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("c_v"))
+      .withColumn("c_norm", sqrt(ddot(col("c_v"), col("c_v"))))
+    val v = emb.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("v_norm", sqrt(ddot(col("v"), col("v"))))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("c_label"))
+    v.crossJoin(broadcast(cv))
+      .withColumn("cos",
+        round(ddot(col("v"), col("c_v")) / (col("v_norm") * col("c_norm")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("label"), col("c_label").as("pred_label"),
+        col("cos"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // Per-label mean embedding, emitted flat so the oracle replays
+    // every cell: a drifted dimension, a dropped label, or a
+    // wrong-order assembly all hash-mismatch.
+    "q_label_centroid" -> QueryDef(
+      (s, dir) => labelCentroids(table(s, dir, "embeddings"))
+        .select(col("label"), col("pos"), round(col("c"), 6).as("c"))
+        .orderBy("label", "pos"),
+      """SELECT label, pos, round(avg(x), 6) AS c
+        |FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |        generate_subscripts(embedding, 1) AS pos
+        |      FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin),
+
+    // Nearest-centroid classification of the whole corpus — the
+    // oracle rebuilds the centroids, the cosine scores, and the
+    // rounded-rank argmax end to end.
+    "q_nearest_centroid" -> QueryDef(
+      (s, dir) => nearestCentroid(table(s, dir, "embeddings"))
+        .orderBy("vec_id"),
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |flat AS (SELECT label, unnest(v) AS x,
+        |    generate_subscripts(v, 1) AS pos FROM e),
+        |cent AS (SELECT label AS c_label, pos, avg(x) AS c
+        |  FROM flat GROUP BY 1, 2),
+        |cv AS (SELECT c_label, list(c ORDER BY pos) AS c_v
+        |  FROM cent GROUP BY 1),
+        |scored AS (
+        |  SELECT e.vec_id, e.label, cv.c_label,
+        |    round(list_dot_product(e.v, cv.c_v) /
+        |      (sqrt(list_dot_product(e.v, e.v)) *
+        |       sqrt(list_dot_product(cv.c_v, cv.c_v))), 6) AS cos
+        |  FROM e CROSS JOIN cv)
+        |SELECT vec_id, label, c_label AS pred_label, cos
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY vec_id
+        |  ORDER BY cos DESC, c_label) = 1
+        |ORDER BY vec_id""".stripMargin),
 
     // IVF with k-means-refined centroids: md5-rank hash init (no
     // count() pre-pass), two SAMPLE-BASED Lloyd iterations

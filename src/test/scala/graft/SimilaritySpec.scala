@@ -314,4 +314,31 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
     assert(got == expected)
   }
+
+  test("nearestCentroid classifies separated clusters perfectly; " +
+      "centroids equal the hand-computed means") {
+    // 4 tight clusters labeled by cluster id: the class prototype is
+    // the cluster mean, so every member's nearest centroid is its own
+    // label (geometry-true fixture; the sf tables' labels are random)
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val centers = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = for { c <- centers.indices; i <- 0 until 12 } yield
+      (c * 12L + i, centers(c).map(v => v + 0.02f * rnd.nextGaussian().toFloat), c)
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val pred = nearestCentroid(emb)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2)))
+    assert(pred.length == 48)
+    assert(pred.forall { case (_, (lbl, p)) => p == lbl },
+      s"misclassified: ${pred.filter { case (_, (l, p)) => l != p }.toSeq}")
+    // centroid cells are the plain per-dimension means
+    val cent = labelCentroids(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(cent.size == 4 * dim)
+    val byLabel = rows.groupBy(_._3)
+    for (((lbl, pos), c) <- cent) {
+      val xs = byLabel(lbl).map(_._2(pos - 1).toDouble)
+      assert(math.abs(c - xs.sum / xs.length) < 1e-9)
+    }
+  }
 }
