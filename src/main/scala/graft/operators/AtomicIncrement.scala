@@ -226,20 +226,40 @@ object AtomicIncrement {
 
   private[graft] def compactWithHook(spark: SparkSession, sink: String,
       numFiles: Int, beforePublish: () => Unit): (Int, Int) = {
-    val fs = fsOf(spark, sink)
     val (version, prior) = snapshot(spark, sink)
     require(prior.nonEmpty, s"nothing committed to compact at $sink")
-    val staged = stageBatch(
-      readCommitted(spark, sink).repartition(numFiles), spark, fs, sink)
+    val staged = replaceWithHook(
+      readCommitted(spark, sink).repartition(numFiles),
+      sink, version, beforePublish)
+    (prior.size, staged.size)
+  }
+
+  /** Replace the committed snapshot with `df`'s contents as manifest
+    * version `expectVersion + 1` — the OCC primitive behind [[compact]]
+    * and `IncrementalAgg`'s state fold. Prior data files stay on disk
+    * for pinned readers until [[vacuumUncommitted]]; any commit that
+    * lands after the caller's snapshot read collides at publish and
+    * this replacement loses (staged files cleaned, exception thrown —
+    * re-run from a fresh snapshot).
+    */
+  def replaceSnapshot(df: DataFrame, sink: String,
+      expectVersion: Long): Unit =
+    { replaceWithHook(df, sink, expectVersion, () => ()); () }
+
+  private[graft] def replaceWithHook(df: DataFrame, sink: String,
+      expectVersion: Long, beforePublish: () => Unit): Seq[String] = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, sink)
+    val staged = stageBatch(df, spark, fs, sink)
     try {
       beforePublish()
-      publish(fs, sink, staged, version + 1)
+      publish(fs, sink, staged, expectVersion + 1)
     } catch { case e: Throwable =>
       staged.headOption.foreach(f =>
         fs.delete(new Path(s"$sink/$f").getParent, true))
       throw e
     }
-    (prior.size, staged.size)
+    staged
   }
 
   /** GC staged-but-uncommitted batch directories (crashed or lost-race
