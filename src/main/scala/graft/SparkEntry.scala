@@ -15,7 +15,7 @@ object SparkEntry {
       operators.Similarity.defs ++ operators.Multimodal.defs ++
       operators.ArrayOps.defs ++ operators.Incremental.defs ++
       operators.AsOf.defs ++ operators.RangeJoin.defs ++
-      operators.IncrementalAgg.defs ++
+      operators.IncrementalAgg.defs ++ operators.Cdc.defs ++
       operators.BloomJoin.defs ++ operators.Funnel.defs ++
       operators.Sampling.defs ++ operators.Hygiene.defs ++
       operators.QualityModel.defs ++ operators.Packing.defs ++

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables.table
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read CDC resolution: a change feed (inserts, updates,
+  * deletes — each row stamped with a per-key monotone version) folds
+  * to the current table state by keeping the LATEST version per key
+  * and dropping keys whose latest change is a delete. This is the
+  * read-side half of a lakehouse MERGE: the feed appends cheaply
+  * (e.g. through `AtomicIncrement`), and the view resolves at read
+  * time with ONE shuffle on the key and a rank-1 window —
+  * WindowGroupLimit keeps per-partition state at one row per key, so
+  * the resolve scales with the key count, not the change count.
+  * Version ties are broken by preferring the delete (a same-version
+  * upsert+delete resolves to deleted — the conservative read); the
+  * caller owns version monotonicity per key, as in any CDC log.
+  */
+object Cdc {
+
+  def latestView(changes: DataFrame, keyCols: Seq[String],
+      versionCol: String, deleteCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col(deleteCol).desc)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col(deleteCol))
+      .drop("__rn")
+  }
+
+  /** Type-2 (SCD2) history view of the same feed: each non-delete
+    * change becomes a validity interval `[version, next_version)` —
+    * `valid_to` null while current. A delete closes the prior
+    * interval (its version becomes that row's `valid_to`) and emits
+    * no row itself. Same single key-shuffle + window shape as
+    * [[latestView]]; versions must be distinct per key (ties make the
+    * interval chain ambiguous — the caller owns the CDC log's order).
+    */
+  def scd2History(changes: DataFrame, keyCols: Seq[String],
+      versionCol: String, deleteCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol))
+    changes.withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .filter(!col(deleteCol))
+      .withColumnRenamed(versionCol, "valid_from")
+      .drop(deleteCol)
+  }
+
+  private def asChange(df: DataFrame, v: Int, del: Boolean,
+      status: Column, price: Column): DataFrame =
+    df.select(col("o_orderkey"), status.as("o_orderstatus"),
+      price.as("o_totalprice"), lit(v).as("v"), lit(del).as("del"))
+
+  def defs: Map[String, QueryDef] = Map(
+    // The resolve under the oracle gate: orders as the base load,
+    // every 10th key re-stated by an update, every 100th deleted —
+    // the oracle replays the same feed and rank, so a wrong winner,
+    // a surviving deleted key, or a dropped never-changed key all
+    // hash-mismatch.
+    "q_cdc_upsert" -> QueryDef(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val feed = asChange(o, 0, del = false,
+            col("o_orderstatus"), col("o_totalprice"))
+          .unionByName(asChange(o.filter(col("o_orderkey") % 10 === 0),
+            1, del = false, lit("X"), col("o_totalprice") + 100))
+          .unionByName(asChange(o.filter(col("o_orderkey") % 100 === 0),
+            2, del = true, col("o_orderstatus"), col("o_totalprice")))
+        latestView(feed, Seq("o_orderkey"), "v", "del")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice"), 2).as("price"))
+          .orderBy("o_orderkey")
+      },
+      """WITH feed AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    0 AS v, FALSE AS del FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X', o_totalprice + 100, 1, FALSE
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 2, TRUE
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |latest AS (
+        |  SELECT * FROM feed
+        |  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY v DESC, del DESC) = 1)
+        |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        |FROM latest WHERE NOT del
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // The history view over the same feed: intervals chain per key,
+    // deletes close the last interval without emitting a row.
+    "q_cdc_history" -> QueryDef(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        def ch(df: DataFrame, v: Int, del: Boolean, status: Column) =
+          df.select(col("o_orderkey"), status.as("o_orderstatus"),
+            lit(v).as("v"), lit(del).as("del"))
+        val feed = ch(o, 0, del = false, col("o_orderstatus"))
+          .unionByName(ch(o.filter(col("o_orderkey") % 10 === 0),
+            1, del = false, lit("X")))
+          .unionByName(ch(o.filter(col("o_orderkey") % 100 === 0),
+            2, del = true, col("o_orderstatus")))
+        scd2History(feed, Seq("o_orderkey"), "v", "del")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("valid_from"), col("valid_to"))
+          .orderBy("o_orderkey", "valid_from")
+      },
+      """WITH feed AS (
+        |  SELECT o_orderkey, o_orderstatus, 0 AS v, FALSE AS del FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X', 1, FALSE FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, 2, TRUE
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT o_orderkey, o_orderstatus, v AS valid_from, valid_to FROM (
+        |  SELECT *, lead(v) OVER (PARTITION BY o_orderkey ORDER BY v) AS valid_to
+        |  FROM feed)
+        |WHERE NOT del ORDER BY o_orderkey, valid_from""".stripMargin))
+}
