@@ -119,6 +119,35 @@ object EventsStream {
   def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Watermarked stream-stream interval join — the streaming twin of
+    * the batch range-attribution (`q_range_attrib`): each click joins
+    * the same user's views in the preceding `windowMinutes`. Both
+    * sides carry watermarks and the join predicate bounds the time
+    * range, so the symmetric hash join EVICTS state older than
+    * watermark + window — state scales with the arrival horizon, not
+    * the stream length. `views`/`clicks` must be separate source
+    * streams (or branches the caller is confident Spark may re-read).
+    */
+  def attributeClicks(views: DataFrame, clicks: DataFrame,
+      windowMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    c.join(v,
+        col("c_user") === col("user_id") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") +
+            expr(s"INTERVAL $windowMinutes MINUTES"),
+        "inner")
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Watermarked tumbling-window counts per event type — the canonical
     * late-data-tolerant streaming aggregate. State is bounded by the
     * watermark horizon regardless of stream length.

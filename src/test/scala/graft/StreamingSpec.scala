@@ -44,6 +44,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join: clicks attach to prior views across " +
+      "micro-batches; result equals the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[(Long, Timestamp, Long)]
+    val cMem = MemoryStream[(Long, Timestamp, Long)]
+    val views = vMem.toDF().toDF("event_id", "ts", "user_id")
+    val clicks = cMem.toDF().toDF("event_id", "ts", "user_id")
+    val query = EventsStream.attributeClicks(views, clicks, windowMinutes = 30)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val allViews = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 1L),
+      (11L, ts("2024-01-01 11:00:00"), 1L),
+      (12L, ts("2024-01-01 10:00:00"), 2L))
+    val allClicks = Seq(
+      (20L, ts("2024-01-01 10:10:00"), 1L), // in-window, same batch
+      (21L, ts("2024-01-01 11:20:00"), 1L), // in-window of view 11, LATER batch
+      (22L, ts("2024-01-01 12:30:00"), 1L), // outside every window
+      (23L, ts("2024-01-01 10:29:00"), 2L), // in-window, other user
+      (24L, ts("2024-01-01 10:10:00"), 3L)) // user with no view
+    try {
+      vMem.addData(allViews: _*)
+      cMem.addData(allClicks.take(1): _*)
+      query.processAllAvailable()
+      // the cross-batch click joins a view whose state must have survived
+      cMem.addData(allClicks.drop(1): _*)
+      query.processAllAvailable()
+      val got = spark.table("attrib")
+        .select("view_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        (vid, vts, vu) <- allViews
+        (cid, cts, cu) <- allClicks
+        if cu == vu && cts.getTime >= vts.getTime &&
+          cts.getTime <= vts.getTime + 30 * 60 * 1000
+      } yield (vid, cid)).toSet
+      assert(got == expected && expected.nonEmpty, s"got=$got expected=$expected")
+    } finally query.stop()
+  }
+
   test("stream-static enrichment: broadcast dim joined per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
