@@ -296,6 +296,21 @@ object Relational {
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
 
+    // Full cube over the same two dims as q_rollup — all four
+    // grouping sets, null margins ordered identically in both engines
+    // (Spark ASC is NULLS FIRST, DuckDB's isn't: pinned explicitly).
+    "q_cube" -> QueryDef(
+      (s, dir) => table(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+
     // Top-k per group: rank window + filter. Catalyst's
     // InferWindowGroupLimit rewrites the rank<=k filter into a
     // WindowGroupLimit that keeps only k rows per key per partition

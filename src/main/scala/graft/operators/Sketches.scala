@@ -66,7 +66,64 @@ object Sketches {
       .agg(min("cnt").as("n_cms"))
   }
 
+  /** Mergeable integer-grid histogram quantiles — the fixed-state
+    * percentile shape for unbounded data (the quantile counterpart of
+    * [[countMin]]): values bucket to `floor(x)` (EXACT in any engine —
+    * no transcendental math, no rank nondeterminism), the sketch is a
+    * (key, bucket) → count table bounded by the value RANGE rather
+    * than the row count, shards merge by adding counters, and
+    * `quantile(p)` reads off as the smallest bucket whose cumulative
+    * count reaches `ceil(p·n)` — within one grid unit of the exact
+    * p-quantile (SketchesSpec pins both properties). An exact
+    * percentile sorts every group (`q_percentile`); at 100 TB the
+    * histogram is one map-side-combinable groupBy plus a window over
+    * the tiny bucket table.
+    */
+  def gridQuantiles(df: DataFrame, keyCol: String, valCol: String,
+      ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df
+      .groupBy(col(keyCol), floor(col(valCol)).cast("long").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(keyCol).orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+    val aggs = ps.map { p =>
+      min(when(col("cum") >= ceil(lit(p) * col("n")), col("b")))
+        .as(s"p${math.round(p * 100)}")
+    }
+    cum.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    // Histogram-sketch percentiles of lineitem prices per return
+    // flag: the oracle rebuilds the floor-grid histogram, both window
+    // sums, and the ceil(p·n) read-off — every counter and cut is
+    // integer-exact across engines.
+    "q_quantile_sketch" -> QueryDef(
+      (s, dir) => gridQuantiles(table(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", Seq(0.5, 0.95, 0.99))
+        .orderBy("l_returnflag"),
+      """WITH h AS (
+        |  SELECT l_returnflag, CAST(floor(l_extendedprice) AS BIGINT) AS b,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT *,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY b
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM h)
+        |SELECT l_returnflag,
+        |  CAST(min(CASE WHEN cum >= ceil(0.5 * n) THEN b END) AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN cum >= ceil(0.95 * n) THEN b END) AS BIGINT) AS p95,
+        |  CAST(min(CASE WHEN cum >= ceil(0.99 * n) THEN b END) AS BIGINT) AS p99
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
     // Exact top-20 tokens with their count-min estimates side by
     // side. The oracle rebuilds all 4096 counters and the min-probe,
     // so a drifted hash, width, or a lost counter anywhere

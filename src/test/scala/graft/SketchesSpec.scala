@@ -42,6 +42,30 @@ class SketchesSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("gridQuantiles lands within one grid unit of the exact quantile " +
+      "and merges across shards") {
+    val rows = (1 to 997).map(i => ("k", (i * 7 % 997) + 0.25)).toDF("g", "x")
+    val got = Sketches.gridQuantiles(rows, "g", "x", Seq(0.5, 0.95)).collect()
+    assert(got.length == 1)
+    val (p50, p95) = (got(0).getLong(1), got(0).getLong(2))
+    // exact p-quantile of the permutation 1..997 (+0.25)
+    val sorted = (1 to 997).map(i => (i * 7 % 997) + 0.25).sorted
+    def exact(p: Double) = sorted(math.ceil(p * sorted.length).toInt - 1)
+    assert(math.abs(p50 - exact(0.5)) <= 1, s"p50=$p50 exact=${exact(0.5)}")
+    assert(math.abs(p95 - exact(0.95)) <= 1, s"p95=$p95 exact=${exact(0.95)}")
+    // mergeability: histograms of disjoint shards add to the whole
+    val (a, b) = (rows.filter(col("x") < 500), rows.filter(col("x") >= 500))
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(floor(col("x")).cast("long").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+    val merged = hist(a).unionByName(hist(b))
+      .groupBy("b").agg(sum("cnt").as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = hist(rows)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == whole)
+  }
+
   test("countMin over a token stream: micro-batches merge to the batch " +
       "sketch, state capped at Depth×Width") {
     implicit val sqlCtx = spark.sqlContext
