@@ -247,6 +247,33 @@ object Relational {
     // §2.5 extension: exact interpolated percentiles (Spark
     // `percentile` ≡ DuckDB `quantile_cont` — same linear
     // interpolation definition).
+    // Per-group z-score outlier flagging: group stats are one
+    // bounded (|groups| rows) aggregate broadcast back over the fact
+    // scan — two passes, both map-side/map-only, no row-count-sized
+    // state. The 3σ cut and the 4-dp z both replay across engines
+    // (events.value has real >3σ mass; nearest row sits ~1e-2 from
+    // the cut, far beyond last-ulp stats drift).
+    "q_outliers" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        val stats = e.groupBy("event_type")
+          .agg(avg("value").as("mu"), stddev_pop("value").as("sd"))
+        e.join(broadcast(stats), "event_type")
+          .withColumn("z", (col("value") - col("mu")) / col("sd"))
+          .filter(abs(col("z")) > 3)
+          .select(col("event_id"), col("event_type"),
+            round(col("value"), 2).as("value"), round(col("z"), 4).as("z"))
+          .orderBy("event_id")
+      },
+      """WITH s AS (SELECT event_type, avg(value) AS mu,
+        |    stddev_pop(value) AS sd
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type, round(value, 2) AS value,
+        |  round((value - mu) / sd, 4) AS z
+        |FROM events JOIN s USING (event_type)
+        |WHERE abs((value - mu) / sd) > 3
+        |ORDER BY event_id""".stripMargin),
+
     "q_percentile" -> QueryDef(
       (s, dir) => table(s, dir, "lineitem")
         .groupBy("l_returnflag")
