@@ -66,6 +66,36 @@ class SketchesSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("the value histogram behind gridQuantiles streams with state " +
+      "bounded by the value range") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Double]
+    // histogram stage only: the quantile read-off is a tiny batch
+    // window over the published bucket table, not stream state
+    val query = mem.toDF().toDF("x")
+      .groupBy(floor(col("x")).cast("long").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream.format("memory").queryName("grid_stream")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      val vals = (1 to 900).map(i => (i % 90) + i / 900.0)
+      for (slice <- vals.grouped(300))
+        { mem.addData(slice: _*); query.processAllAvailable() }
+      val streamed = spark.table("grid_stream").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = vals.toDF("x")
+        .groupBy(floor(col("x")).cast("long").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+      val st = query.lastProgress.stateOperators
+      assert(st.nonEmpty && st.map(_.numRowsTotal).sum <= 90,
+        s"state exceeded the bucket range: ${st.map(_.numRowsTotal).sum}")
+    } finally query.stop()
+  }
+
   test("countMin over a token stream: micro-batches merge to the batch " +
       "sketch, state capped at Depth×Width") {
     implicit val sqlCtx = spark.sqlContext
