@@ -133,5 +133,18 @@ class SamplingRangeSpec extends SparkSpec {
     // zero/negative weights are clamped, not divide-by-zero
     val degenerate = Seq((1L, 0L), (2L, -5L)).toDF("id", "w")
     assert(Sampling.weightedSampleK(degenerate, "id", "w", 2).count() == 2)
+    // null weights clamp to 1 too (Spark's greatest SKIPS nulls) —
+    // NOT a null rank key, which would sort first and hijack the
+    // sample; pinned because engines differ on greatest(NULL, x)
+    val withNull = Seq((1L, Some(1000L)), (2L, None), (3L, Some(1000L)))
+      .toDF("id", "w")
+    val picked2 = Sampling.weightedSampleK(withNull, "id", "w", 2)
+      .select("id").as[Long].collect().toSet
+    val unweighted = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "w")
+    val nullAsOne = Sampling.weightedSampleK(
+      withNull.withColumn("w", coalesce(col("w"), lit(1L))), "id", "w", 2)
+      .select("id").as[Long].collect().toSet
+    assert(picked2 == nullAsOne)
+    assert(unweighted.count() == 3) // fixture sanity
   }
 }
