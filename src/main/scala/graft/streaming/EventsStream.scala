@@ -350,8 +350,8 @@ object EventsStream {
           if (useTimeout && state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(userId, new java.sql.Timestamp(s.sessionStart),
-              new java.sql.Timestamp(s.lastTs), s.nEvents, s.totalValue))
+            Iterator(Session(userId, microsToTs(s.sessionStart),
+              microsToTs(s.lastTs), s.nEvents, s.totalValue))
           } else {
             val sorted = events.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
             val (closed, cur) = foldSessions(userId, state.getOption, sorted, gapMs)
@@ -362,5 +362,95 @@ object EventsStream {
             closed.iterator
           }
       }
+  }
+
+  // ---- streaming z-score twin (batch: q_outliers) -----------------
+
+  /** Welford running moments for one group: count, mean, and M2 (sum
+    * of squared deviations). 3 scalars per group — state is O(groups)
+    * forever, never O(events); variance_pop = m2/n.
+    */
+  case class MomentState(n: Long, mean: Double, m2: Double) {
+    def add(x: Double): MomentState = {
+      val n1 = n + 1
+      val d = x - mean
+      val mean1 = mean + d / n1
+      MomentState(n1, mean1, m2 + d * (x - mean1))
+    }
+  }
+  case class GroupStats(event_type: String, n: Long, mu: Double, sd: Double)
+  case class Anomaly(event_id: Long, event_type: String, value: Double,
+      z: Double)
+
+  /** Streaming twin of the batch z-score stats (`q_outliers`'s
+    * aggregate side): per-group running mean/stddev via Welford's
+    * update — numerically stable where a naive sum-of-squares
+    * cancels catastrophically on large means. Update-mode output: one
+    * refreshed stats row per group per micro-batch. The parity spec
+    * pins the final state against batch avg/stddev_pop.
+    */
+  def runningStats(events: DataFrame): org.apache.spark.sql.Dataset[GroupStats] = {
+    import events.sparkSession.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[MomentState, GroupStats](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, es: Iterator[Event], state: GroupState[MomentState]) =>
+          val s = es.foldLeft(state.getOption.getOrElse(MomentState(0, 0, 0)))(
+            (acc, e) => acc.add(e.value))
+          state.update(s)
+          GroupStats(key, s.n,
+            s.mean, if (s.n > 0) math.sqrt(s.m2 / s.n) else 0.0)
+      }
+  }
+
+  /** In-stream anomaly detection: each event is scored against its
+    * group's stats AS OF the previous events (prefix semantics — the
+    * batch `q_outliers` scores against the full corpus instead, so
+    * the contract here is "flag against what was known when the event
+    * arrived", the only causal option on an unbounded stream). Events
+    * are folded in (ts, event_id) order within a batch; emission
+    * starts once the group has `minN` prior events. Pure fold in
+    * [[foldAnomalies]], unit-tested without Spark.
+    */
+  def anomalies(events: DataFrame, threshold: Double = 3.0,
+      minN: Long = 30): org.apache.spark.sql.Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[MomentState, Anomaly](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, es: Iterator[Event], state: GroupState[MomentState]) =>
+          val sorted = es.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+          val (out, s) = foldAnomalies(key,
+            state.getOption.getOrElse(MomentState(0, 0, 0)), sorted,
+            threshold, minN)
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Score-then-update fold: an event never influences the stats it
+    * is judged against.
+    */
+  def foldAnomalies(eventType: String, init: MomentState,
+      sorted: Seq[Event], threshold: Double,
+      minN: Long): (List[Anomaly], MomentState) = {
+    var s = init
+    var out = List.empty[Anomaly]
+    sorted.foreach { e =>
+      if (s.n >= minN) {
+        val sd = math.sqrt(s.m2 / s.n)
+        if (sd > 0) {
+          val z = (e.value - s.mean) / sd
+          if (math.abs(z) > threshold)
+            out ::= Anomaly(e.event_id, eventType, e.value, z)
+        }
+      }
+      s = s.add(e.value)
+    }
+    (out.reverse, s)
   }
 }
