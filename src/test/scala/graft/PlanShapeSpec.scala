@@ -167,4 +167,21 @@ class PlanShapeSpec extends SparkSpec {
         s"$q lost the top-k shape:\n$plan")
     }
   }
+
+  test("shuffleShard: one shard-hash exchange, per-shard local sorts, " +
+      "no global sort") {
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val plan = graft.operators.Sharding
+      .shuffleShard(docs, "doc_id", 8)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange [a-z]+partitioning".r
+      .findAllIn(plan).toSeq
+    // the training-export contract: the ONLY wide operation is the
+    // hash partition on shard; ordering is per-shard (window-local
+    // Sort, global=false), so 100 TB export never ranges-partitions
+    assert(exchanges.length == 1 && exchanges.head.contains("hashpartitioning"),
+      s"expected exactly one hash exchange:\n$plan")
+    assert("Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isEmpty,
+      s"global sort leaked into shuffleShard:\n$plan")
+  }
 }
