@@ -21,6 +21,7 @@ object SparkEntry {
       operators.QualityModel.defs ++ operators.Packing.defs ++
       operators.Sketches.defs ++ operators.Skew.defs ++
       operators.Sharding.defs ++ operators.Bpe.defs ++
+      operators.Audit.defs ++
       streaming.EventsStream.defs ++ pipelines.Corpus.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

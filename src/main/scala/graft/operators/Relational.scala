@@ -244,6 +244,33 @@ object Relational {
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY event_id""".stripMargin),
 
+    // §2.7 extension: event-time RANGE frame — the trailing-hour
+    // activity count/sum per user. A range frame bounds the window by
+    // ORDER-VALUE distance (epoch micros), not row count, so bursts
+    // and quiet stretches see the same one-hour horizon; both engines
+    // define peers identically (all rows within the interval), which
+    // the oracle replays on epoch_us. Never emits raw ts (micros vs
+    // nanos — see the Tables scaladoc).
+    "q_window_trailing" -> QueryDef(
+      (s, dir) => {
+        val hourUs = 3600L * 1000000
+        val w = Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(-hourUs, 0)
+        table(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("v_1h", round(sum("value").over(w), 2))
+          .select("event_id", "user_id", "n_1h", "v_1h")
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  round(sum(value) OVER w, 2) AS v_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin),
+
     // §2.5 extension: exact interpolated percentiles (Spark
     // `percentile` ≡ DuckDB `quantile_cont` — same linear
     // interpolation definition).

@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.Audit
+import org.apache.spark.sql.functions._
+
+/** Snapshot diff and FK-orphan audit semantics. */
+class AuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshotDiff classifies added/removed/changed and is " +
+      "null-safe on compared columns") {
+    val prev = Seq(
+      (1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, None: Option[String], 30.0), (4L, Some("d"), 40.0))
+      .toDF("k", "s", "v")
+    val next = Seq(
+      (2L, Some("b"), 20.0),               // unchanged -> silent
+      (3L, None: Option[String], 30.0),    // null == null -> silent
+      (4L, None: Option[String], 40.0),    // d -> null = changed
+      (5L, Some("e"), 50.0))               // added
+      .toDF("k", "s", "v")
+    val got = Audit.snapshotDiff(prev, next, "k", Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 4L -> "changed", 5L -> "added"))
+  }
+
+  test("fkOrphans counts unresolved non-null keys only") {
+    val fact = Seq(Some(1L), Some(2L), Some(9L), Some(9L), None)
+      .toDF("fk_key")
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val row = Audit.fkOrphans(fact, "fk_key", dim, "pk", "t.fk")
+      .collect().head
+    assert(row.getString(0) == "t.fk")
+    assert(row.getLong(1) == 2) // the two 9s; the null FK is not an orphan
+  }
+}
