@@ -17,6 +17,9 @@ object GraftSession {
       .builder()
       .master(master)
       .appName("graft")
+      // engine extensions: native SQL functions + the HOF-dot-product
+      // optimizer rewrite (graft.plans.RewriteHofDotProduct)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", defaultCpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
