@@ -226,6 +226,104 @@ object TextAnalysis {
         col("span_tokens"))
   }
 
+  /** Exact-substring scrub — the TRANSFORM stage of exact substring
+    * dedup (cf. the public train-data-dedup literature): where
+    * [[dupSpans]] localizes duplicated token ranges, this removes
+    * them and reassembles the surviving text. A token is cut iff it
+    * is covered by any duplicated k-gram (one occurring in ≥ 2 docs),
+    * i.e. some dup gram start p satisfies p ≤ pos < p + k.
+    *
+    * Scale shape: the gram doc-count reuses dupSpans' keyed shuffles
+    * (md5 gram keys, join not window); dup START positions then
+    * collapse to one array row per doc (bounded by doc length), and
+    * the cut itself is per-row HOF math over the materialized token
+    * array — no token-level explode, no per-token join. Docs with no
+    * duplicated grams pass through the left join unchanged.
+    */
+  def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k > 0, "k must be positive")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val tokFrame = docs
+      .repartition(par)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+    val pos = tokFrame
+      .select(col(idCol),
+        posexplode_outer(Dedup.wordNgrams(col("__t"), k))
+          .as(Seq("__p0", "__gram")))
+      .filter(col("__gram").isNotNull)
+      .select(col(idCol), (col("__p0") + 1).as("__pos"),
+        md5(col("__gram")).as("__fp"))
+      // one exchange on __fp feeding both the doc-count aggregate and
+      // the join back (ReusedExchange — the dupSpans lesson)
+      .repartition(col("__fp"))
+    val gramDocs = pos
+      .groupBy("__fp").agg(countDistinct(col(idCol)).as("__n_docs"))
+    val starts = pos.join(gramDocs, "__fp")
+      .filter(col("__n_docs") >= 2)
+      .groupBy(idCol)
+      .agg(collect_set(col("__pos")).as("__starts"))
+    val st = coalesce(col("__starts"), array().cast(ArrayType(IntegerType)))
+    tokFrame.join(starts, Seq(idCol), "left")
+      // barrier: keepIdx references __t and __starts through two HOF
+      // passes; the shuffle pins both as materialized columns first
+      .repartition(par)
+      .withColumn("__keep",
+        filter(sequence(lit(1), size(col("__t"))),
+          i => !exists(st, p => p <= i && i < p + k)))
+      .select(col(idCol),
+        size(col("__t")).as("n_tokens"),
+        size(col("__keep")).as("n_kept"),
+        concat_ws(" ",
+          transform(col("__keep"), i => element_at(col("__t"), i)))
+          .as("scrubbed_text"))
+  }
+
+  /** Cross-source overlap matrix — the corpus contamination report:
+    * for every source pair, how many distinct token k-grams the two
+    * share, plus the gram-set Jaccard. `dfCap` drops grams present in
+    * more than that many sources first (stop-phrase grams carry no
+    * contamination signal and would otherwise fan the self-join out
+    * m² per gram — the same df-cap rationale as the posting-list
+    * Jaccard in Dedup.jaccardScored).
+    *
+    * Scale shape: distinct (gram, source) is one keyed shuffle whose
+    * width is bounded by |sources| per gram; the pair fan-out after
+    * the cap is ≤ dfCap² per gram; per-source totals broadcast back.
+    * No step depends on corpus row count except the first distinct.
+    */
+  def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+      k: Int = 5, dfCap: Int = 16): DataFrame = {
+    require(k > 0 && dfCap >= 2, "k must be positive, dfCap >= 2")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val grams = graft.functions.Functions.explodeOnce(
+        docs.repartition(par)
+          .select(col(srcCol), tokens(col(textCol)).as("__t")),
+        Seq(col(srcCol)), Dedup.wordNgrams(col("__t"), k), "__gram")
+      .select(col(srcCol), md5(col("__gram")).as("__fp"))
+      .distinct()
+    val perSrc = grams.groupBy(srcCol).agg(count(lit(1)).as("__n"))
+    val capped = grams
+      .withColumn("__df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("__fp")))
+      .filter(col("__df") <= dfCap)
+    val a = capped.select(col(srcCol).as("src_a"), col("__fp"))
+    val b = capped.select(col(srcCol).as("src_b"), col("__fp"))
+    a.join(b, "__fp")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(perSrc.select(col(srcCol).as("src_a"), col("__n").as("__na")),
+        "src_a")
+      .join(perSrc.select(col(srcCol).as("src_b"), col("__n").as("__nb")),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        round(col("shared_grams").cast(DoubleType) /
+          (col("__na") + col("__nb") - col("shared_grams")), 6)
+          .as("jaccard"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // Sliding-window chunking at chunk=32/stride=24 (docs average ~54
     // tokens, so most emit 2-3 chunks). The oracle rebuilds every
@@ -305,6 +403,78 @@ object TextAnalysis {
         |  CAST(max(pos) - min(pos) + 5 AS INT) AS span_tokens
         |FROM isl GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin),
+
+    // Exact-substring scrub: cut every token covered by a duplicated
+    // 5-gram and reassemble. The oracle rebuilds gram positions, the
+    // cross-doc test, the covered-position predicate, and the
+    // reassembly, so an off-by-one at either span edge (p ≤ pos < p+k)
+    // hash-mismatches the scrubbed text.
+    "q_scrub_dup_spans" -> QueryDef(
+      (s, dir) => scrubDupSpans(table(s, dir, "documents"),
+        "doc_id", "text", k = 5).orderBy("doc_id"),
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(t) - 4)) AS pos, t
+        |  FROM toks WHERE len(t) >= 5),
+        |pg AS (
+        |  SELECT doc_id, pos,
+        |    t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2] || ' ' ||
+        |    t[pos+3] || ' ' || t[pos+4] AS gram
+        |  FROM pos),
+        |gd AS (
+        |  SELECT gram, count(DISTINCT doc_id) AS n_docs FROM pg GROUP BY 1),
+        |st AS (
+        |  SELECT doc_id, list(DISTINCT pos) AS starts
+        |  FROM pg JOIN gd USING (gram) WHERE n_docs >= 2 GROUP BY 1),
+        |kp AS (
+        |  SELECT toks.doc_id, t,
+        |    list_filter(generate_series(1, len(t)),
+        |      i -> len(list_filter(coalesce(starts, []),
+        |        p -> p <= i AND i < p + 5)) = 0) AS keep
+        |  FROM toks LEFT JOIN st USING (doc_id))
+        |SELECT doc_id,
+        |  CAST(len(t) AS INT) AS n_tokens,
+        |  CAST(len(keep) AS INT) AS n_kept,
+        |  coalesce(array_to_string(list_transform(keep, i -> t[i]), ' '), '')
+        |    AS scrubbed_text
+        |FROM kp ORDER BY doc_id""".stripMargin),
+
+    // Cross-source contamination matrix: distinct shared 5-grams and
+    // gram-set Jaccard per source pair, stop-phrase grams (df > 16
+    // sources) dropped before the pair fan-out. The oracle replays the
+    // distinct-gram sets, the df cap, and the Jaccard denominator.
+    "q_source_overlap" -> QueryDef(
+      (s, dir) => sourceOverlap(table(s, dir, "documents"),
+        "source", "text", k = 5, dfCap = 16)
+        .orderBy("src_a", "src_b"),
+      """WITH toks AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |pg AS (
+        |  SELECT DISTINCT source, md5(gram) AS fp FROM (
+        |    SELECT source, unnest(list_transform(
+        |      generate_series(1, len(t) - 4),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+        |           t[i+3] || ' ' || t[i+4])) AS gram
+        |    FROM toks WHERE len(t) >= 5)),
+        |ps AS (SELECT source, count(*) AS n FROM pg GROUP BY 1),
+        |df AS (SELECT fp, count(*) AS df FROM pg GROUP BY 1),
+        |cg AS (SELECT source, fp FROM pg JOIN df USING (fp) WHERE df <= 16),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*) AS shared_grams
+        |  FROM cg a JOIN cg b USING (fp)
+        |  WHERE a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared_grams,
+        |  round(shared_grams * 1.0 / (na.n + nb.n - shared_grams), 6)
+        |    AS jaccard
+        |FROM pairs
+        |JOIN ps na ON na.source = pairs.src_a
+        |JOIN ps nb ON nb.source = pairs.src_b
+        |ORDER BY src_a, src_b""".stripMargin),
 
     // Token counting: whitespace tokens, distinct tokens, subword
     // estimate — the unit economics of an LLM data pipeline. The token

@@ -144,4 +144,47 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 3 shares nothing; doc 5's repeats are within-doc only — the
     // cross-document definition excludes both
   }
+
+  test("scrubDupSpans: cuts tokens covered by cross-doc 5-grams, keeps the rest") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),                       // fully shared with doc 2
+      (2L, "z a b c d e f g"),                     // offset copy: 'z' survives
+      (3L, "p q r s t u v"),                       // nothing shared: untouched
+      (4L, "a b c d e x1 x2 x3 x4 x5 c d e f g"),  // middle survives two islands
+      (5L, "m n o p q r m n o p q r"),             // within-doc repeats: untouched
+      (6L, "s t")                                  // < k tokens: no grams, untouched
+    ).toDF("doc_id", "text")
+    val out = scrubDupSpans(docs, "doc_id", "text", k = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 7, 0, ""),
+      (2L, 8, 1, "z"),
+      (3L, 7, 7, "p q r s t u v"),
+      (4L, 15, 5, "x1 x2 x3 x4 x5"),
+      (5L, 12, 12, "m n o p q r m n o p q r"),
+      (6L, 2, 2, "s t")))
+  }
+
+  test("sourceOverlap: shared distinct 5-grams + Jaccard per source pair, df-capped") {
+    val docs = Seq(
+      ("A", "s t u v w"), ("A", "a b c d e f"),
+      ("B", "s t u v w"), ("B", "z a b c d e"),
+      ("C", "s t u v w")
+    ).toDF("source", "text")
+    // uncapped: A={stuvw,abcde,bcdef} B={stuvw,zabcd,abcde} C={stuvw}
+    val full = sourceOverlap(docs, "source", "text", k = 5, dfCap = 16)
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(full.toSeq == Seq(
+      ("A", "B", 2L, 0.5),        // 2 / (3 + 3 - 2)
+      ("A", "C", 1L, 0.333333),   // 1 / (3 + 1 - 1)
+      ("B", "C", 1L, 0.333333)))
+    // dfCap=2 drops "s t u v w" (df=3) BEFORE pairing; per-source totals
+    // stay uncapped by contract, and pairs sharing nothing disappear
+    val capped = sourceOverlap(docs, "source", "text", k = 5, dfCap = 2)
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(capped.toSeq == Seq(("A", "B", 1L, 0.2))) // 1 / (3 + 3 - 1)
+  }
 }
