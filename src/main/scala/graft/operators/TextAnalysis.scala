@@ -209,7 +209,11 @@ object TextAnalysis {
         md5(col("__gram")).as("__fp"))
       // ONE exchange on __fp that both consumers below hang off
       // (ReusedExchange) — without it the tokenize+gram+md5 stage runs
-      // once under the doc-count aggregate and again under the join
+      // once under the doc-count aggregate and again under the join.
+      // The explicit isnotnull mirrors the filter the join would infer
+      // on only its own branch; without it the two exchange subtrees
+      // canonicalize differently and reuse silently never happens
+      .filter(col("__fp").isNotNull)
       .repartition(col("__fp"))
     val gramDocs = pos
       .groupBy("__fp").agg(countDistinct(col(idCol)).as("__n_docs"))
@@ -255,7 +259,10 @@ object TextAnalysis {
       .select(col(idCol), (col("__p0") + 1).as("__pos"),
         md5(col("__gram")).as("__fp"))
       // one exchange on __fp feeding both the doc-count aggregate and
-      // the join back (ReusedExchange — the dupSpans lesson)
+      // the join back; explicit isnotnull keeps both subtrees
+      // canonical-equal so the exchange actually reuses (the dupSpans
+      // lesson — the join-side inferred filter otherwise breaks it)
+      .filter(col("__fp").isNotNull)
       .repartition(col("__fp"))
     val gramDocs = pos
       .groupBy("__fp").agg(countDistinct(col(idCol)).as("__n_docs"))

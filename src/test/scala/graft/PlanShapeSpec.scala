@@ -184,4 +184,49 @@ class PlanShapeSpec extends SparkSpec {
     assert("Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isEmpty,
       s"global sort leaked into shuffleShard:\n$plan")
   }
+
+  /** The tokenize→gram→md5 stage under the dup-gram family feeds two
+    * consumers (doc-count aggregate + join-back). Reuse only shows in
+    * the POST-execution adaptive plan, so these locks collect first.
+    */
+  private def executedAdaptive(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  test("q_dup_spans: gram pipeline computes ONCE — exchange reused, single scan") {
+    val ep = executedAdaptive("q_dup_spans")
+    // the explicit isnotnull(__fp) keeps both exchange subtrees
+    // canonical-equal; losing it silently doubles the whole
+    // tokenize+gram+md5 stage (regression this lock exists to catch)
+    assert(ep.contains("Reused"), s"no reused stage in:\n$ep")
+    assert("Scan parquet".r.findAllIn(ep).length == 1,
+      s"documents scanned more than once:\n$ep")
+  }
+
+  test("q_scrub_dup_spans: gram pipeline reused; no window; bounded scans") {
+    val ep = executedAdaptive("q_scrub_dup_spans")
+    assert(ep.contains("Reused"), s"no reused stage in:\n$ep")
+    // one scan for the gram pipeline + one for the token-array join
+    assert("Scan parquet".r.findAllIn(ep).length <= 2,
+      s"gram pipeline re-computed:\n$ep")
+    // covered-position cut is per-row HOF math — a Window here would
+    // mean a token-level fan-out crept in
+    assert(!ep.contains("Window"), s"window crept into scrub plan:\n$ep")
+  }
+
+  test("q_source_overlap: pair fan-out is an equi-join on the gram key") {
+    val plan = SparkEntry.queries("q_source_overlap")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // df-capped pair generation must stay keyed on __fp — a nested
+    // loop here is the m² failure mode the cap exists to prevent
+    assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cross product in source-overlap plan:\n$plan")
+  }
 }
