@@ -114,6 +114,58 @@ object Sampling {
     df.filter(hashFraction(concat(col(keyCol).cast("string"), lit("|" + salt))) < rate)
   }
 
+  /** Corpus mixing to a per-source COST budget — the token-budget
+    * counterpart of [[mixtureSample]]'s rate cut: each source
+    * contributes its docs in deterministic md5 order until that
+    * source's budget is exhausted ("give me 2B tokens of crawl, 500M
+    * of curated"). Keeps exactly the maximal prefix whose inclusive
+    * running cost fits (the first overflowing doc and everything after
+    * it drop — the cumulative sum is over ALL docs in rank order, so
+    * a later small doc can never jump a dropped big one; re-running
+    * with a RAISED budget strictly grows the kept set).
+    *
+    * Scale shape: a naive per-source window is ONE unsplittable
+    * partition per source (a crawl source at 100 TB = one task). The
+    * running cost instead computes as a two-level prefix sum: the md5
+    * rank key's leading 2 hex chars form 256 buckets that are
+    * ORDER-ALIGNED with the rank itself (a prefix of the sort key), so
+    * per-(source, bucket) local window sums + a tiny
+    * (sources × 256)-row bucket-offset window + a broadcast join
+    * reassemble the exact global running sum with bounded partitions.
+    * Bucket totals re-aggregate from the narrow scan (map-side
+    * partial) rather than self-joining the windowed frame — the
+    * second scan reads 3 pruned columns; the alternative shuffles the
+    * full corpus twice.
+    */
+  def tokenBudgetMix(df: DataFrame, keyCol: String, sourceCol: String,
+      costCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df
+      .withColumn("__rk", md5(col(keyCol).cast("string")))
+      .withColumn("__b", substring(col("__rk"), 1, 2))
+      .withColumn("__c", col(costCol).cast("long"))
+    val local = Window.partitionBy(sourceCol, "__b")
+      .orderBy(col("__rk"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = ranked
+      .groupBy(sourceCol, "__b").agg(sum("__c").as("__bt"))
+      .withColumn("__off",
+        coalesce(sum("__bt").over(Window.partitionBy(sourceCol)
+          .orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(sourceCol), col("__b"), col("__off"))
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (s, b)) => when(col(sourceCol) === s, lit(b)).otherwise(acc)
+    }
+    ranked
+      .withColumn("__lc", sum("__c").over(local))
+      .join(broadcast(offsets), Seq(sourceCol, "__b"))
+      .withColumn("cum_cost", col("__off") + col("__lc"))
+      .filter(col("cum_cost") <= budget)
+      .drop("__rk", "__b", "__c", "__lc", "__off")
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // Mixture sampling over the documents corpus: per-source target
     // rates (src0 kept whole, src1 half, src2 a quarter, the rest at
@@ -176,6 +228,30 @@ object Sampling {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin),
+
+    // Token-budget corpus mix: src0's budget keeps the whole source,
+    // src1's truncates mid-source, everyone else cuts at the 2000-char
+    // floor. The oracle replays the per-source running sum in md5 rank
+    // order as ONE window (the two-level bucket decomposition must be
+    // exactly invisible in the result — that IS the contract), so a
+    // bucket-boundary off-by-one or a drifted rank order mismatches.
+    "q_corpus_mix" -> QueryDef(
+      (s, dir) => tokenBudgetMix(table(s, dir, "documents"),
+        "doc_id", "source", "n_chars",
+        Map("src0" -> 100000L, "src1" -> 4000L), defaultBudget = 2000L)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("cum_cost"))
+        .orderBy("doc_id"),
+      """SELECT doc_id, source, n_chars, CAST(cum_cost AS BIGINT) AS cum_cost
+        |FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_cost
+        |  FROM documents)
+        |WHERE cum_cost <= CASE source
+        |  WHEN 'src0' THEN 100000 WHEN 'src1' THEN 4000 ELSE 2000 END
+        |ORDER BY doc_id""".stripMargin),
 
     // Length-weighted 50-doc sample: long documents preferentially
     // survive. The oracle recomputes the integer rank key per row —

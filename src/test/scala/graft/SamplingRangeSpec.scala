@@ -147,4 +147,39 @@ class SamplingRangeSpec extends SparkSpec {
     assert(picked2 == nullAsOne)
     assert(unweighted.count() == 3) // fixture sanity
   }
+
+  test("tokenBudgetMix: bucketed prefix sum ≡ one plain window; budget " +
+      "is a take-while prefix that only grows when raised") {
+    import org.apache.spark.sql.expressions.Window
+    // 400 docs over 3 sources, varied costs — enough ids to populate
+    // many of the 256 md5-prefix buckets so cross-bucket offsets are
+    // actually exercised
+    val docs = (1L to 400L)
+      .map(i => (i, s"src${i % 3}", 50L + i % 97)).toDF("id", "src", "cost")
+    val got = Sampling.tokenBudgetMix(docs, "id", "src", "cost",
+      Map("src0" -> 5000L, "src1" -> 3000L), defaultBudget = 1000L)
+      .select("id", "src", "cost", "cum_cost")
+    // reference: the contract, written as the naive single window
+    val ref = docs
+      .withColumn("cum_cost", sum("cost").over(
+        Window.partitionBy("src")
+          .orderBy(md5(col("id").cast("string")), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_cost") <= when(col("src") === "src0", 5000L)
+        .when(col("src") === "src1", 3000L).otherwise(1000L))
+      .select(col("id"), col("src"), col("cost"), col("cum_cost"))
+    assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
+    // take-while: within each source the kept set is a rank-order
+    // PREFIX — max kept cum ≤ budget and every kept row's cum is
+    // below every dropped row's cum (monotone cut, no jump-the-queue)
+    val keptMax = got.groupBy("src").agg(max("cum_cost").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptMax("src1") <= 3000L && keptMax.getOrElse("src2", 0L) <= 1000L)
+    // raising a budget strictly grows the kept set, never swaps it
+    val raised = Sampling.tokenBudgetMix(docs, "id", "src", "cost",
+      Map("src0" -> 5000L, "src1" -> 9000L), defaultBudget = 1000L)
+      .select("id", "src", "cost", "cum_cost")
+    assert(got.exceptAll(raised).count() == 0)
+    assert(raised.count() > got.count())
+  }
 }
