@@ -163,6 +163,56 @@ object Bpe {
         |  SELECT substr(word, length(word), 1), '</w>', freq FROM w
         |)
         |SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM p
-        |GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 20""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 20""".stripMargin),
+
+    // Segment the corpus vocabulary with a FIXED 8-merge table applied
+    // in learned order (chained merges: t+h → th+e → the+</w>), all as
+    // the declarative mergeOnce fold — no UDF in the declared path.
+    // Runs at VOCAB scale by construction (distinct words, the one
+    // corpus-sized shuffle is the vocab groupBy). The oracle replays
+    // greedy left-to-right application as repeated FIRST-occurrence
+    // space-delimited replaces (leftmost rescan ≡ the fold: a merge
+    // can never create a new match to its left, since a+b equals
+    // neither a nor b), so a drifted merge order, a missed chain, or
+    // an overlap bug mismatches the encoded string.
+    "q_bpe_encode" -> QueryDef(
+      (s, dir) => {
+        val merges = Seq("t" -> "h", "th" -> "e", "the" -> "</w>",
+          "e" -> "</w>", "a" -> "t", "at" -> "a", "r" -> "o", "ro" -> "w")
+        val enc = merges.foldLeft(initialSymbols(col("word"))) {
+          case (c, (a, b)) => mergeOnce(c, a, b)
+        }
+        vocab(table(s, dir, "documents"), "text")
+          .select(col("word"), enc.as("__e"))
+          .select(col("word"), concat_ws(" ", col("__e")).as("encoded"),
+            size(col("__e")).as("n_tokens"))
+          .orderBy("word")
+      },
+      """WITH RECURSIVE w AS (
+        |  SELECT DISTINCT word FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+        |    FROM documents) WHERE word <> ''),
+        |enc AS (
+        |  SELECT word, 1 AS mi,
+        |    ' ' || array_to_string(regexp_split_to_array(word, ''), ' ')
+        |      || ' </w> ' AS s
+        |  FROM w
+        |  UNION ALL
+        |  SELECT word, CASE WHEN s = r THEN mi + 1 ELSE mi END, r
+        |  FROM (
+        |    SELECT word, mi, s,
+        |      regexp_replace(s,
+        |        CASE mi WHEN 1 THEN ' t h ' WHEN 2 THEN ' th e '
+        |                WHEN 3 THEN ' the </w> ' WHEN 4 THEN ' e </w> '
+        |                WHEN 5 THEN ' a t ' WHEN 6 THEN ' at a '
+        |                WHEN 7 THEN ' r o ' WHEN 8 THEN ' ro w ' END,
+        |        CASE mi WHEN 1 THEN ' th ' WHEN 2 THEN ' the '
+        |                WHEN 3 THEN ' the</w> ' WHEN 4 THEN ' e</w> '
+        |                WHEN 5 THEN ' at ' WHEN 6 THEN ' ata '
+        |                WHEN 7 THEN ' ro ' WHEN 8 THEN ' row ' END) AS r
+        |    FROM enc WHERE mi <= 8))
+        |SELECT word, trim(s) AS encoded,
+        |  CAST(len(regexp_split_to_array(trim(s), ' ')) AS INT) AS n_tokens
+        |FROM enc WHERE mi = 9 ORDER BY word""".stripMargin)
   )
 }
