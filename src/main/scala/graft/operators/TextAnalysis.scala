@@ -294,37 +294,50 @@ object TextAnalysis {
     * m² per gram — the same df-cap rationale as the posting-list
     * Jaccard in Dedup.jaccardScored).
     *
-    * Scale shape: distinct (gram, source) is one keyed shuffle whose
-    * width is bounded by |sources| per gram; the pair fan-out after
-    * the cap is ≤ dfCap² per gram; per-source totals broadcast back.
-    * No step depends on corpus row count except the first distinct.
+    * Scale shape: ONE corpus-sized exchange. The gram stream hash-
+    * partitions on the md5 key; dedup and the per-gram source-set
+    * collect are both partition-local under that single partitioning
+    * (hash on `__fp` clusters every (gram, source) duplicate), so no
+    * window sort and — crucially — no gram self-join: pairs fan out
+    * ROW-LOCALLY from each gram's sorted source array (≤ dfCap²/2 per
+    * gram after the cap). Per-source totals re-derive from the same
+    * per-gram frame by exploding the source sets; the two tiny
+    * aggregates (|sources| and pair-count rows) and the broadcast
+    * joins are all that shuffles after the gram exchange. The
+    * self-join formulation this replaced paid a full window SORT over
+    * every distinct gram for the df cap plus a join shuffle of the
+    * capped stream — at sf0.1 the gram explode dominates either way,
+    * but at crawl scale the sort is the first thing to spill.
     */
   def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
       k: Int = 5, dfCap: Int = 16): DataFrame = {
     require(k > 0 && dfCap >= 2, "k must be positive, dfCap >= 2")
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val grams = graft.functions.Functions.explodeOnce(
+    val perGram = graft.functions.Functions.explodeOnce(
         docs.repartition(par)
           .select(col(srcCol), tokens(col(textCol)).as("__t")),
         Seq(col(srcCol)), Dedup.wordNgrams(col("__t"), k), "__gram")
       .select(col(srcCol), md5(col("__gram")).as("__fp"))
-      .distinct()
-    val perSrc = grams.groupBy(srcCol).agg(count(lit(1)).as("__n"))
-    val capped = grams
-      .withColumn("__df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("__fp")))
-      .filter(col("__df") <= dfCap)
-    val a = capped.select(col(srcCol).as("src_a"), col("__fp"))
-    val b = capped.select(col(srcCol).as("src_b"), col("__fp"))
-    a.join(b, "__fp")
-      .filter(col("src_a") < col("src_b"))
-      .groupBy("src_a", "src_b")
+      .filter(col("__fp").isNotNull)
+      .repartition(col("__fp"))
+      .dropDuplicates("__fp", srcCol)
+      .groupBy("__fp")
+      .agg(sort_array(collect_set(col(srcCol))).as("__srcs"))
+    val perSrc = perGram
+      .select(explode(col("__srcs")).as(srcCol))
+      .groupBy(srcCol).agg(count(lit(1)).as("__n"))
+    val pairsArr = flatten(transform(col("__srcs"), (a, i) =>
+      transform(slice(col("__srcs"), i + 2, size(col("__srcs"))),
+        b => struct(a.as("src_a"), b.as("src_b")))))
+    perGram
+      .filter(size(col("__srcs")).between(2, dfCap))
+      .select(explode(pairsArr).as("__p"))
+      .groupBy(col("__p.src_a").as("src_a"), col("__p.src_b").as("src_b"))
       .agg(count(lit(1)).as("shared_grams"))
-      .join(perSrc.select(col(srcCol).as("src_a"), col("__n").as("__na")),
-        "src_a")
-      .join(perSrc.select(col(srcCol).as("src_b"), col("__n").as("__nb")),
-        "src_b")
+      .join(broadcast(perSrc
+        .select(col(srcCol).as("src_a"), col("__n").as("__na"))), "src_a")
+      .join(broadcast(perSrc
+        .select(col(srcCol).as("src_b"), col("__n").as("__nb"))), "src_b")
       .select(col("src_a"), col("src_b"), col("shared_grams"),
         round(col("shared_grams").cast(DoubleType) /
           (col("__na") + col("__nb") - col("shared_grams")), 6)

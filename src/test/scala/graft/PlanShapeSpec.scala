@@ -220,13 +220,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!ep.contains("Window"), s"window crept into scrub plan:\n$ep")
   }
 
-  test("q_source_overlap: pair fan-out is an equi-join on the gram key") {
+  test("q_source_overlap: row-local pair fan-out — no window, no gram self-join") {
     val plan = SparkEntry.queries("q_source_overlap")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    // df-capped pair generation must stay keyed on __fp — a nested
-    // loop here is the m² failure mode the cap exists to prevent
+    // pairs explode from each gram's collected source array; a window
+    // (old df-cap shape) or a gram-keyed self-join would reintroduce
+    // the full-gram sort / m²-per-gram shuffle the cap exists to bound
+    assert(!plan.contains("Window"), s"window in source-overlap plan:\n$plan")
     assert(!plan.contains("CartesianProduct")
         && !plan.contains("BroadcastNestedLoopJoin"),
       s"cross product in source-overlap plan:\n$plan")
+    // joins remaining are the two broadcast total-attachments
+    assert("(SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(plan).isEmpty,
+      s"shuffled join crept into source-overlap plan:\n$plan")
   }
 }
