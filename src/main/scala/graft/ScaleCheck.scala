@@ -71,7 +71,15 @@ object ScaleCheck {
       .createTempDirectory("graft_scale").toString
     println(s"[scale] building ${factor}x corpus at $scaledDir")
     buildScaled(spark, srcDir, scaledDir, factor)
-    // warm the JIT/codegen paths once
+    // warm the JIT/codegen paths of every SELECTED query (untimed, at
+    // the small SF): without this the 1× leg absorbs first-run codegen
+    // and the printed ratio flatters the 10× side
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) queries.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmDir)
+        .write.mode(SaveMode.Overwrite).format("noop").save()
+      catch { case _: Throwable => () }
+    }
     SparkEntry.queries("q_max_scalar")(spark, srcDir).count()
     queries.foreach { name =>
       val t1 = timeOne(spark, name, srcDir)
