@@ -121,6 +121,66 @@ class CorpusEtlStreamSpec extends SparkSpec {
     }
   }
 
+  test("budget gate: strict-prefix per-source spend across batches, " +
+      "quality-dropped docs spend nothing, compaction replay holds") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cetl_bud")
+    val index = base.resolve("index").toString
+    val sink = base.resolve("sink").toString
+    // every doc costs exactly 12 tokens; texts all distinct
+    def doc(i: Int, src: String): (Long, String, String) =
+      (i.toLong, (0 until 12).map(t => s"u${i}v$t").mkString(" "), src)
+    val budgets = graft.streaming.CorpusEtlStream.SourceBudgets(
+      Map("a" -> 24L, "b" -> 100L, "c" -> 30L)) // default 0
+    def step(rows: Seq[(Long, String, String)], id: Long): Unit =
+      CorpusEtlStream.prepareBatchStep(
+        rows.toDF("doc_id", "text", "source"), id, index, sink,
+        chunkTokens = 8, stride = 6, compactEvery = 3,
+        budgets = Some(budgets))
+    def sinkDocIds: Set[Long] = spark.read.parquet(sink)
+      .select("doc_id").distinct().as[Long].collect().toSet
+
+    // batch 0: three "a" docs (36 > 24 budget → exactly the 2 lowest
+    // md5-rank ids survive), one "b" doc, one zero-budget "x" doc,
+    // and a "c" doc the QUALITY gate drops (must spend nothing)
+    val aIds = Seq(1L, 2L, 3L)
+    val aKept = aIds.sortBy(i =>
+      (graft.streaming.BudgetStream.rankKey(i), i)).take(2).toSet
+    step(Seq(doc(1, "a"), doc(2, "a"), doc(3, "a"), doc(4, "b"),
+      doc(5, "x"), (6L, "too short", "c")), 0L)
+    assert(sinkDocIds == aKept + 4L)
+    // batch 1: "a" is budget-closed even for later docs (strict
+    // prefix: prior spend 36); "c" admits both 12-token docs ONLY if
+    // batch 0's quality-dropped doc really spent nothing (24 ≤ 30)
+    step(Seq(doc(7, "a"), doc(8, "c"), doc(9, "c")), 1L)
+    assert(sinkDocIds == aKept + 4L + 8L + 9L)
+    // replay batch 1: same admission, no duplicate chunks
+    step(Seq(doc(7, "a"), doc(8, "c"), doc(9, "c")), 1L)
+    assert(sinkDocIds == aKept + 4L + 8L + 9L)
+    // "c" now holds spend 36 > 30: closed
+    step(Seq(doc(10, "c"), doc(11, "b")), 2L)
+    assert(sinkDocIds == aKept + 4L + 8L + 9L + 11L)
+    // batch 3 compacts the spend index (folds deltas, drops old dirs)
+    step(Seq(doc(12, "b")), 3L)
+    assert(sinkDocIds == aKept + 4L + 8L + 9L + 11L + 12L)
+    // REPLAY the compaction batch: the fold is now the only spend
+    // partition — prior must reconstruct as fold − delta, not zero
+    step(Seq(doc(12, "b")), 3L)
+    assert(sinkDocIds == aKept + 4L + 8L + 9L + 11L + 12L)
+    val chunks = spark.read.parquet(sink)
+    assert(chunks.count() == chunks.dropDuplicates("doc_id", "chunk_id").count())
+    // post-compaction: "a" and "c" stay closed (spend survived the fold)
+    step(Seq(doc(13, "a"), doc(14, "c"), doc(15, "b")), 4L)
+    assert(sinkDocIds == aKept + 4L + 8L + 9L + 11L + 12L + 15L)
+    // the spend index stays bounded
+    val spentDirs = {
+      val it = java.nio.file.Files.list(
+        java.nio.file.Paths.get(index, "spent")).iterator()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .map(_.getFileName.toString).filter(_.startsWith("batch=")).toSeq
+    }
+    assert(spentDirs.size <= 3, s"spend partitions unbounded: $spentDirs")
+  }
+
   test("benchmark gate drops exact benchmark copies, replays idempotently") {
     val base = java.nio.file.Files.createTempDirectory("graft_cetl_bm")
     val index = base.resolve("index").toString
