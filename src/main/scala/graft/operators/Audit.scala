@@ -53,6 +53,30 @@ object Audit {
       .join(dim, fact(fkCol) === dim(pkCol), "left_anti")
       .agg(lit(label).as("fk"), count(lit(1)).as("orphans"))
 
+  /** Declarative data-quality expectations evaluated in ONE aggregate
+    * pass (the Deequ/Great-Expectations shape): each check contributes
+    * an observed metric (aggregate Column, cast to double) and a
+    * passed predicate over the same aggregate row, and the single agg
+    * row is exploded into one (rule, observed, passed) report row per
+    * check. At 100 TB this is what makes an expectation suite
+    * runnable at all — N checks cost one scan with map-side partial
+    * aggregation, not N scans; a distinct-count check is the only
+    * two-phase aggregate in the plan.
+    *
+    * checks: (rule name, observed aggregate, passed aggregate).
+    */
+  def expectations(df: DataFrame,
+      checks: Seq[(String, Column, Column)]): DataFrame = {
+    val aggCols = checks.zipWithIndex.flatMap { case ((_, obs, pass), i) =>
+      Seq(obs.cast("double").as(s"__o$i"), pass.as(s"__p$i")) }
+    val report = checks.zipWithIndex.map { case ((n, _, _), i) =>
+      struct(lit(n).as("rule"), col(s"__o$i").as("observed"),
+        col(s"__p$i").as("passed")) }
+    df.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(report: _*)).as("e"))
+      .select("e.*")
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // Diff two derived snapshots of orders: "prev" drops keys
     // divisible by 97 (those read as added), "next" drops keys
@@ -132,6 +156,68 @@ object Audit {
         |  FROM customer WHERE c_nationkey IS NOT NULL
         |    AND NOT EXISTS (SELECT 1 FROM nation
         |      WHERE n_nationkey < 20 AND n_nationkey = c_nationkey))
-        |ORDER BY fk""".stripMargin)
+        |ORDER BY fk""".stripMargin),
+
+    // Expectation suite over lineitem: completeness, key uniqueness,
+    // range, set-membership, and sign checks — ONE aggregate pass. The
+    // observed metric is always a violation count (0 = healthy), so a
+    // failing rule reports how bad, not just that. The synthetic
+    // corpus genuinely violates pk_unique (duplicate (orderkey,
+    // linenumber) pairs), so the report proves the failure direction,
+    // not just the happy path. The oracle replays every metric AND
+    // every pass verdict from the same single-scan aggregate.
+    "q_expectations" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        // l_linenumber < 10 (max 7), so orderkey*10+linenumber is an
+        // injective encoding of the compound key — countDistinct over
+        // one long beats a struct distinct at any scale
+        val pk = col("l_orderkey") * 10 + col("l_linenumber")
+        expectations(li, Seq(
+          ("discount_in_range",
+            count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)),
+            count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)) === 0),
+          ("pk_unique",
+            count(lit(1)) - countDistinct(pk),
+            count(lit(1)) - countDistinct(pk) === 0),
+          ("price_nonnegative",
+            count(when(col("l_extendedprice") < 0, 1)),
+            count(when(col("l_extendedprice") < 0, 1)) === 0),
+          ("quantity_in_range",
+            count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)),
+            count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)) === 0),
+          ("returnflag_complete",
+            count(when(col("l_returnflag").isNull, 1)),
+            count(when(col("l_returnflag").isNull, 1)) === 0),
+          ("returnflag_in_set",
+            count(when(!col("l_returnflag").isin("A", "N", "R"), 1)),
+            count(when(!col("l_returnflag").isin("A", "N", "R"), 1)) === 0),
+          ("rows_nonempty", count(lit(1)), count(lit(1)) > 0),
+          ("tax_in_range",
+            count(when(col("l_tax") < 0 || col("l_tax") > 0.08, 1)),
+            count(when(col("l_tax") < 0 || col("l_tax") > 0.08, 1)) === 0)))
+          .orderBy("rule")
+      },
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |    count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END) AS disc_bad,
+        |    count(*) - count(DISTINCT l_orderkey * 10 + l_linenumber) AS pk_dups,
+        |    count(CASE WHEN l_extendedprice < 0 THEN 1 END) AS price_bad,
+        |    count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS qty_bad,
+        |    count(CASE WHEN l_returnflag IS NULL THEN 1 END) AS rf_nulls,
+        |    count(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 END) AS set_bad,
+        |    count(CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 END) AS tax_bad
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'discount_in_range' AS rule, CAST(disc_bad AS DOUBLE) AS observed,
+        |    disc_bad = 0 AS passed FROM m
+        |  UNION ALL SELECT 'pk_unique', CAST(pk_dups AS DOUBLE), pk_dups = 0 FROM m
+        |  UNION ALL SELECT 'price_nonnegative', CAST(price_bad AS DOUBLE), price_bad = 0 FROM m
+        |  UNION ALL SELECT 'quantity_in_range', CAST(qty_bad AS DOUBLE), qty_bad = 0 FROM m
+        |  UNION ALL SELECT 'returnflag_complete', CAST(rf_nulls AS DOUBLE), rf_nulls = 0 FROM m
+        |  UNION ALL SELECT 'returnflag_in_set', CAST(set_bad AS DOUBLE), set_bad = 0 FROM m
+        |  UNION ALL SELECT 'rows_nonempty', CAST(n AS DOUBLE), n > 0 FROM m
+        |  UNION ALL SELECT 'tax_in_range', CAST(tax_bad AS DOUBLE), tax_bad = 0 FROM m)
+        |ORDER BY rule""".stripMargin)
   )
 }
