@@ -41,21 +41,43 @@ object Bench {
     // poisons BOTH samples (the round-3 4-query noise window);
     // separating the two samples by the whole ~30 s sweep makes the
     // min robust to any spike shorter than a sweep.
-    def sweep(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val d = (System.nanoTime() - t0) / 1e9
-      dropCaches()
-      name -> d
-    }.toMap
-    val s1 = sweep()
-    val s2 = sweep()
-    val results = SparkEntry.queries.keys.map(k =>
-      k -> math.min(s1(k), s2(k))).toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // A query that throws records an ERROR, not a timing: round 7's
+    // 19 analysis-crashed queries showed up as 0.05-0.07 s "speedups"
+    // because elapsed-to-exception was written into the timing map.
+    // Failures now land in a separate errors map and force rc=1, so a
+    // broken query can never masquerade as a fast one.
+    def sweep(): (Map[String, Double], Map[String, String]) = {
+      val times = Map.newBuilder[String, Double]
+      val errs = Map.newBuilder[String, String]
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          times += name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errs += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(200)}"
+        }
+        dropCaches()
+      }
+      (times.result(), errs.result())
+    }
+    val (t1, e1) = sweep()
+    val (t2, e2) = sweep()
+    // a query succeeds only if BOTH sweeps succeeded; a one-sweep flake
+    // is still an error (its single sample is not best-of-2 comparable)
+    val results = SparkEntry.queries.keys
+      .filter(k => t1.contains(k) && t2.contains(k))
+      .map(k => k -> math.min(t1(k), t2(k))).toMap
+    val errors = (e1 ++ e2)
+    def jsonStr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v) => jsonStr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

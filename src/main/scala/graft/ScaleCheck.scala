@@ -24,7 +24,10 @@ object ScaleCheck {
   val DefaultQueries: Seq[String] = Seq(
     "q_dedup_clusters", "q_dedup_keep_best", "q_dedup_simhash",
     "q_dedup_minhash", "q_ngram_jaccard", "q_dedup_editdist",
-    "q_dedup_editdist_lsh", "q_ann_pq", "q_dup_passages")
+    "q_dedup_editdist_lsh", "q_ann_pq", "q_dup_passages",
+    // round 8: the state-∝ / churn-∝ claims get their own ratios —
+    // these read orders/lineitem, so buildScaled replicates those too
+    "q_incr_agg", "q_cdc_upsert", "q_snapshot_diff")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
@@ -48,6 +51,25 @@ object ScaleCheck {
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
     scaledEmb.repartition(8)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+    // orders/lineitem replicate with offset orderkeys — FK structure
+    // (l_orderkey→o_orderkey) and the %-based feed/churn derivations
+    // survive because offset % {10,100} == 0, so every replica carries
+    // the same per-shard update/delete mix the 1× leg has. That is the
+    // honest growth model for q_cdc_upsert (keys ×N), q_snapshot_diff
+    // (churn ×N) and q_incr_agg (increment volume ×N, state fixed at
+    // |group keys|).
+    val orders = sources.Tables.table(spark, srcDir, "orders")
+    val li = sources.Tables.table(spark, srcDir, "lineitem")
+    (0 until factor).map(r => orders.withColumn("o_orderkey",
+        col("o_orderkey") + lit(r * offset)))
+      .reduce(_.unionByName(_))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/orders.parquet")
+    (0 until factor).map(r => li.withColumn("l_orderkey",
+        col("l_orderkey") + lit(r * offset)))
+      .reduce(_.unionByName(_))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
   }
 
   private def timeOne(spark: SparkSession, name: String, dir: String): Double = {

@@ -18,20 +18,45 @@ object Tables {
 
   /** Load one harness table from an sf directory.
     *
-    * `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 has
-    * no native type for — read it as epoch-nanos long and surface it
-    * as a microsecond TimestampType (the sub-microsecond remainder is
-    * dropped; queries must not emit raw `ts` values to the oracle
-    * compare, only truncated/derived forms).
+    * `events.ts` has shipped in two parquet encodings across harness
+    * generations: INT64 TIMESTAMP(NANOS) (no native Spark 4 type —
+    * read as epoch-nanos long via nanosAsLong) and native
+    * timestamp[us] with isAdjustedToUTC=false (read as
+    * TIMESTAMP_NTZ). Both normalize to a session-TZ micros
+    * TimestampType here, branching on the READ dtype rather than
+    * assuming a format — see [[normalizeEventsTs]]. Queries must not
+    * emit raw `ts` values to the oracle compare, only
+    * truncated/derived forms.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventsTs(df) else df
+  }
+
+  /** Normalize an events frame's `ts` to micros TimestampType whatever
+    * encoding the file carried:
+    *   - LongType        → epoch-nanos (legacy harness data read under
+    *                       nanosAsLong); truncate to micros.
+    *   - TimestampNTZType→ timestamp[us] parquet with
+    *                       isAdjustedToUTC=false; the session TZ is
+    *                       pinned to UTC (GraftSession), so the cast
+    *                       preserves the instant and matches DuckDB's
+    *                       naive read of the same file.
+    *   - TimestampType   → already what we want.
+    * Anything else is a data contract break — fail loudly instead of
+    * letting 19 downstream queries die at analysis one by one.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts: expected INT64 nanos, TIMESTAMP_NTZ, or TIMESTAMP; got $other")
+    }
   }
 
   /** S1: CSV scan — header, schema inference, UTF-8 (BOM handled by the

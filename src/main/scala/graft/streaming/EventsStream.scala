@@ -72,24 +72,38 @@ object EventsStream {
         |ORDER BY user_id, session_id""".stripMargin))
   )
 
-  /** events.parquet carries INT64 TIMESTAMP(NANOS) — declared as long
-    * here (with nanosAsLong) and converted to a micros timestamp.
+  /** events.parquet has shipped as INT64 TIMESTAMP(NANOS) (read as
+    * long under nanosAsLong) and as native timestamp[us] (read as
+    * TIMESTAMP_NTZ) across harness generations. A file stream needs
+    * its schema up front, so build it around the ts dtype the files
+    * actually carry (see [[readEvents]]).
     */
-  val eventsFileSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def eventsFileSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet. */
+  /** Legacy-encoding schema kept for callers that stage their own
+    * nanos fixtures. */
+  val eventsFileSchemaNanos: StructType = eventsFileSchema(LongType)
+
+  /** File-source stream over a directory of events parquet.
+    *
+    * Sniffs the ts encoding from a one-off batch footer read of the
+    * directory (cheap: footers only), then declares the matching
+    * stream schema and normalizes with the same type-adaptive rule as
+    * the batch path (`Tables.normalizeEventsTs`) — so batch and
+    * stream agree whatever format the harness regenerates next.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsFileSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    graft.sources.Tables.normalizeEventsTs(
+      spark.readStream.schema(eventsFileSchema(tsType)).parquet(dir))
   }
 
   /** The 100 TB flavor of the K5 incremental sink (SURVEY §7.5 #7):

@@ -32,17 +32,37 @@ class PlanShapeSpec extends SparkSpec {
     // map-only corpus scan — linear in the corpus by design
     "q_nearest_centroid")
 
+  // One sweep, two distinct verdicts: "can't plan" (an ingest/analysis
+  // break — round 7's regenerated-testdata ts flip killed 19 queries
+  // this way) and "plans badly" (an unlisted n²). Conflating them made
+  // the round-7 failure read as a cross-product problem; keep each
+  // failure mode its own assertion with its own query names.
+  private lazy val planSweep: (Map[String, String], Map[String, String]) = {
+    val plans = Map.newBuilder[String, String]
+    val failures = Map.newBuilder[String, String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try plans += name -> fn(spark, sfDir).queryExecution.executedPlan.toString
+      catch { case e: Throwable =>
+        failures += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}" }
+    }
+    (plans.result(), failures.result())
+  }
+
+  test("every declared query analyzes and plans against the current testdata") {
+    val failures = planSweep._2
+    assert(failures.isEmpty,
+      s"${failures.size} queries fail to plan (ingest/analysis break, NOT a plan-shape problem):\n" +
+        failures.toSeq.sortBy(_._1).map { case (n, e) => s"  $n: $e" }.mkString("\n"))
+  }
+
   test("no declared query plans an unlisted cross product or nested loop") {
-    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-      val plan =
-        try fn(spark, sfDir).queryExecution.executedPlan.toString
-        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+    val offenders = planSweep._1.toSeq.flatMap { case (name, plan) =>
       val bad = plan.contains("BroadcastNestedLoopJoin") ||
         plan.contains("CartesianProduct")
       if (bad && !allowed.contains(name)) Some(name) else None
     }
     assert(offenders.isEmpty,
-      s"unlisted cross-product plans in: ${offenders.sorted.mkString(", ")}")
+      s"unlisted cross-product plans in: ${offenders.map(_.toString).sorted.mkString(", ")}")
   }
 
   // Plan-shape locks for specific wins: these queries regressed (or
