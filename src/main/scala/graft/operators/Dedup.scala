@@ -333,42 +333,54 @@ object Dedup {
     */
   def jaccardScored(sh: DataFrame, idCol: String,
       dfCap: Int = StopShingleDf): DataFrame = {
-    // NOT persisted, deliberately: the self-join sides share the
-    // df-window's exchange via ReusedExchange, and only the size
-    // aggregation re-runs the window — caching here was measured 5×
-    // SLOWER, because an InMemoryRelation hides runtime stats from
-    // AQE and the candidate self-join gets planned blind
-    val raw = graft.functions.Functions.explodeOnce(
-      sh, Seq(col(idCol)), col("sh"), "g")
-    // Both paths end in an exchange keyed on g — the df window's
-    // shuffle in the capped path, an explicit repartition in the
-    // uncapped one — so the self-join sides are canonically equal and
-    // share ONE exchange (ReusedExchange); without it the
-    // tokenize+shingle+explode stage re-runs per join side. An
-    // InMemoryRelation here instead was measured 5× SLOWER — the cache
-    // hides runtime stats from AQE and the candidate join gets planned
-    // blind.
-    val inv = if (dfCap == Int.MaxValue) raw.repartition(col("g"))
-      else raw
+    // NOT persisted, deliberately: the self-join sides share an
+    // exchange keyed on g via ReusedExchange (the df-window's shuffle
+    // in the capped path, an explicit repartition in the uncapped one
+    // — canonically equal subtrees), so the tokenize+shingle+explode
+    // stage runs once for both sides. An InMemoryRelation here instead
+    // was measured 5× SLOWER — the cache hides runtime stats from AQE
+    // and the candidate join gets planned blind.
+    if (dfCap == Int.MaxValue) {
+      // Uncapped (exact all-pairs): |set| is just size(sh) — shingle
+      // arrays are distinct by construction — and it RIDES the posting
+      // rows, computed in the same projection as the explode and
+      // recovered with min() after the counting aggregate (constant
+      // per id). The previous size-lookup joins rebuilt the shingle
+      // derivation once per join side — two extra corpus scans for
+      // two per-doc integers (round-8 plan review).
+      val raw = graft.functions.Functions.explodeOnce(
+        sh.withColumn("__n0", size(col("sh"))),
+        Seq(col(idCol), col("__n0")), col("sh"), "g")
+      val inv = raw.repartition(col("g"))
+      inv.select(col(idCol).as("id_a"), col("__n0").as("__a0"), col("g"))
+        .join(inv.select(col(idCol).as("id_b"), col("__n0").as("__b0"),
+          col("g")), "g")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("__inter"),
+          min("__a0").as("__na"), min("__b0").as("__nb"))
+    } else {
+      // Capped: with stop-shingles dropped the Jaccard must be
+      // computed consistently on the PRUNED shingle space (mixing a
+      // capped intersection with uncapped set sizes would
+      // underestimate J for every pair containing a viral shingle),
+      // so sizes count the pruned index — the aggregate consumes the
+      // same reused g-keyed exchange, and the two per-doc size frames
+      // are broadcast-sized.
+      val raw = graft.functions.Functions.explodeOnce(
+        sh, Seq(col(idCol)), col("sh"), "g")
+      val inv = raw
         .withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
         .filter(col("__df") <= dfCap)
         .drop("__df")
-    // Set sizes: with stop-shingles dropped the Jaccard must be
-    // computed consistently on the PRUNED shingle space (mixing a
-    // capped intersection with uncapped set sizes would underestimate
-    // J for every pair containing a viral shingle), so the capped path
-    // counts the pruned index. Uncapped, |set| is just size(sh) —
-    // shingle arrays are distinct by construction — which skips a
-    // third explode+shuffle branch entirely.
-    val sizes =
-      if (dfCap == Int.MaxValue) sh.select(col(idCol), size(col("sh")).as("n"))
-      else inv.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    inv.select(col(idCol).as("id_a"), col("g"))
-      .join(inv.select(col(idCol).as("id_b"), col("g")), "g")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
-      .join(sizes.select(col(idCol).as("id_a"), col("n").as("__na")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("n").as("__nb")), "id_b")
+      val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+      inv.select(col(idCol).as("id_a"), col("g"))
+        .join(inv.select(col(idCol).as("id_b"), col("g")), "g")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
+        .join(sizes.select(col(idCol).as("id_a"), col("n").as("__na")), "id_a")
+        .join(sizes.select(col(idCol).as("id_b"), col("n").as("__nb")), "id_b")
+    }
   }
 
   // ---------- pair graph → clusters ------------------------------------

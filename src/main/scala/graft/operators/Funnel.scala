@@ -55,7 +55,18 @@ object Funnel {
               // frame) — min() just carries it through the aggregate
               .agg(min("__ets").as("__t"), min("__t0").as("__t0"))
           }
-        acc :+ reached
+        // non-final stage frames persist (one short row per reached
+        // user): stage k's plan contains every prior stage's subtree,
+        // and the caller unions ALL prefixes — without the persist,
+        // stage 0's events scan re-ran once per downstream consumer
+        // (6 scans for a 3-stage funnel; round-8 plan review). With
+        // it, each stage reads the events table exactly once, filter
+        // pushed. The LAST frame has exactly one consumer, so caching
+        // it would be a pure materialization barrier.
+        acc :+ (if (k < stages.length - 1)
+          graft.InternalCaches.track(reached.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        else reached)
     }
   }
 

@@ -45,14 +45,19 @@ object IncrementalAgg {
       case Some(w) => batch.filter(col(watermarkCol) > lit(w))
       case None => batch
     }
-    fresh.cache()
+    // Aggregate FIRST, cache the aggregate: the fresh-row count is
+    // Σ __n over the partial, so the increment is scanned exactly once
+    // and the cache holds |keys| rows — not the batch. The previous
+    // shape cached the raw increment and scanned it twice (count, then
+    // groupBy); at 100 TB that cache is the whole arriving batch.
+    val partial = fresh.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("__n"),
+      sumCols.map(c => sum(col(c)).as(s"sum_$c")) :+
+        max(col(watermarkCol)).as("__wm"): _*)
+      .persist()
     try {
-      val n = fresh.count()
+      val n = partial.agg(coalesce(sum("__n"), lit(0L))).head().getLong(0)
       if (n > 0) {
-        val partial = fresh.groupBy(keys.map(col): _*).agg(
-          count(lit(1)).as("__n"),
-          sumCols.map(c => sum(col(c)).as(s"sum_$c")) :+
-            max(col(watermarkCol)).as("__wm"): _*)
         val merged =
           if (prior.isEmpty) partial
           else readState(spark, sink).unionByName(partial)
@@ -63,7 +68,7 @@ object IncrementalAgg {
         AtomicIncrement.replaceWithHook(merged, sink, version, beforePublish)
       }
       n
-    } finally { fresh.unpersist(); () }
+    } finally { partial.unpersist(); () }
   }
 
   /** The committed state: keys, `__n`, `sum_<col>`s, `__wm`. */

@@ -634,11 +634,15 @@ object TextAnalysis {
           table(s, dir, "documents")
             .repartition(s.sparkContext.defaultParallelism),
           Seq(col("doc_id")), tokens(lower(col("text"))), "term")
-        val tf = docs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        // df from the tf aggregate, not a second tokenize pass: tf
-        // already holds one row per (doc, term), so df(term) is a
-        // plain count — this halves the corpus scans and drops the
-        // expensive countDistinct re-aggregation
+        // df derives from the tf aggregate (one row per (doc, term) →
+        // df(term) is a plain count), and tf PERSISTS: tf feeds both
+        // the df aggregation and the final join, and without the
+        // persist Catalyst duplicates the whole tokenize+explode+agg
+        // subtree per consumer — the plan showed two full corpus scans,
+        // defeating the single-pass intent (round-8 plan review)
+        val tf = graft.InternalCaches.track(
+          docs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val n = table(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy("doc_id")
@@ -694,11 +698,24 @@ object TextAnalysis {
             .select(col("doc_id"), col("__bg.w1").as("w1"),
               col("__bg.w2").as("w2"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        // c12 persists: it feeds the c1 rollup, the vocab count, and
+        // the scoring join — three consumers that would each re-run
+        // the (w1,w2) aggregate over the cached bigram frame otherwise
+        val c12 = graft.InternalCaches.track(
+          bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // context counts derive from the bigram aggregate (c1 = Σ_w2
         // c12), not a second corpus pass
         val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
-        val vocab = toksF.select(explode(col("__t")).as("w"))
+        // vocabulary from the bigram vocabulary, not a second corpus
+        // tokenize: every token of a ≥2-token doc appears in some
+        // bigram (as w1 unless it is the last token, as w2 unless the
+        // first), so distinct(w1 ∪ w2) over c12 IS the filtered-corpus
+        // vocabulary — same value, corpus-scan-free (round-8 plan
+        // review: the old explode(toksF) branch re-scanned and
+        // re-tokenized the whole corpus for one scalar)
+        val vocab = c12.select(col("w1").as("w"))
+          .union(c12.select(col("w2").as("w")))
           .agg(countDistinct("w").as("vsz"))
         val lp = log((col("c12") + lit(0.5)) /
           (col("c1") + lit(0.5) * col("vsz")))

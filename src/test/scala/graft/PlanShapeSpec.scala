@@ -254,4 +254,41 @@ class PlanShapeSpec extends SparkSpec {
     assert("(SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(plan).isEmpty,
       s"shuffled join crept into source-overlap plan:\n$plan")
   }
+
+  /** Scan-count locks from the round-8 plan review. Formatted explain
+    * expands cached-relation BUILD plans, so these counts see through
+    * InMemoryRelations: a lost persist that silently duplicates a
+    * tokenize/stage subtree per consumer shows up as extra file scans
+    * here (q_tfidf planned TWO full tokenize passes and q_funnel SIX
+    * events scans before the review).
+    */
+  private def scanCount(name: String, tableFile: String): Int = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    val ep = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    InternalCaches.drain()
+    spark.catalog.clearCache()
+    ("InMemoryFileIndex \\[[^\\]]*" + tableFile + "\\.parquet").r
+      .findAllIn(ep).length
+  }
+
+  test("q_tfidf: one tokenize pass — the tf cache feeds df and the join") {
+    val n = scanCount("q_tfidf", "documents")
+    assert(n <= 2, s"documents scanned $n times (cache build + count is 2)")
+  }
+
+  test("q_funnel: one pushed-filter events scan per stage, prefixes cached") {
+    val n = scanCount("q_funnel", "events")
+    assert(n == 3, s"events scanned $n times for a 3-stage funnel")
+  }
+
+  test("q_ngram_jaccard: set sizes ride the posting rows — no size-lookup rescans") {
+    val n = scanCount("q_ngram_jaccard", "documents")
+    assert(n <= 2, s"documents scanned $n times (reused-exchange pair is 2)")
+  }
+
+  test("q_lm_score: vocabulary derives from the bigram aggregate, not a rescan") {
+    val n = scanCount("q_lm_score", "documents")
+    assert(n <= 1, s"documents scanned $n times (bigram cache build is 1)")
+  }
 }
