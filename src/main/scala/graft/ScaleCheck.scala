@@ -70,6 +70,21 @@ object ScaleCheck {
       .reduce(_.unionByName(_))
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
+    // events replicate with offset user_id/event_id and UNSHIFTED ts:
+    // each replica is a disjoint user population living on the same
+    // timeline, so per-user event density, session gaps, and funnel
+    // stage mixes are preserved while user count (the shuffle key
+    // cardinality of the whole family) grows ×N — how an event stream
+    // actually scales. ts must not shift: windows/sessions/as-of are
+    // time-local, and stretching time would thin the windows instead
+    // of multiplying them.
+    val ev = sources.Tables.table(spark, srcDir, "events")
+    (0 until factor).map(r => ev
+        .withColumn("event_id", col("event_id") + lit(r * offset))
+        .withColumn("user_id", col("user_id") + lit(r * offset)))
+      .reduce(_.unionByName(_))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
   }
 
   private def timeOne(spark: SparkSession, name: String, dir: String): Double = {
