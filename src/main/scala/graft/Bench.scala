@@ -70,7 +70,19 @@ object Bench {
       .filter(k => t1.contains(k) && t2.contains(k))
       .map(k => k -> math.min(t1(k), t2(k))).toMap
     val errors = (e1 ++ e2)
-    def jsonStr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full JSON string escape incl. control chars — exception messages
+    // carry tabs/newlines, and one unescaped control char would void
+    // the driver's json.load of the whole bench line (same rule as
+    // Verify's oracle_sql dump)
+    def jsonStr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }

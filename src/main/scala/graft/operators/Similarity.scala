@@ -688,11 +688,13 @@ object Similarity {
     s"list_dot_product(u.v[${m * 8 + 1} : ${m * 8 + 8}], " +
       s"c.cent[${m * 8 + 1} : ${m * 8 + 8}])").mkString(" + ")
 
-  /** q_ann_kmeans' oracle — shared verbatim by q_ann_kmeans_indexed:
-    * the persisted-index probe must reproduce the rebuild query
-    * bit-for-bit, and one SQL string makes that contract literal.
+  /** The CTE chain ending in `lists` — the full-corpus assignment
+    * against the sample-refined 2-iteration Lloyd centroids, with
+    * per-row norms. Shared as the common prefix of
+    * q_ann_kmeans{,_indexed} AND q_semdedup so all three provably
+    * replay the same quantizer.
     */
-  private lazy val kmeansOracleSql: String =
+  private lazy val kmeansListsSql: String =
     s"""WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |tr AS (SELECT * FROM u
         |  WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS UINT32)
@@ -710,7 +712,14 @@ object Similarity {
         |  FROM u CROSS JOIN c2 c),
         |lists AS (
         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, cid AS list_id
-        |  FROM af WHERE rn = 1),
+        |  FROM af WHERE rn = 1)""".stripMargin
+
+  /** q_ann_kmeans' oracle — shared verbatim by q_ann_kmeans_indexed:
+    * the persisted-index probe must reproduce the rebuild query
+    * bit-for-bit, and one SQL string makes that contract literal.
+    */
+  private lazy val kmeansOracleSql: String =
+    s"""$kmeansListsSql,
         |sims AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
@@ -721,6 +730,21 @@ object Similarity {
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY cos_raw DESC, neighbor_id) <= 3
         |ORDER BY query_id, neighbor_id""".stripMargin
+
+  /** q_semdedup's oracle: the shared quantizer replay, then the
+    * within-cluster keep-min-id ε-dedup — a dropped survivor, a
+    * surviving duplicate, or any drifted cluster id hash-mismatches.
+    */
+  private lazy val semdedupOracleSql: String =
+    s"""$kmeansListsSql,
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM lists a JOIN lists b USING (list_id)
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4)
+        |SELECT l.vec_id, l.list_id AS cid FROM lists l
+        |WHERE l.vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY l.vec_id""".stripMargin
 
   /** q_ann_pq's oracle — shared verbatim by q_ann_pq_indexed. */
   private lazy val pqOracleSql: String =
@@ -907,6 +931,46 @@ object Similarity {
           .orderBy("query_id", "neighbor_id")
       },
       kmeansOracleSql),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    // dedup = cluster the embedding space, then keep one exemplar per
+    // within-cluster epsilon-ball. Re-expressed Spark-first: the SAME
+    // sample-refined Lloyd quantizer as q_ann_kmeans assigns every
+    // vector a cluster id; candidate pairs are an EQUI-join on that
+    // id (Σ|cluster|² pairs, bounded by the quantizer's balance —
+    // never n², and at 100 TB the clusters are the IVF partition keys
+    // so the dedup runs list-local with AQE splitting any fat
+    // cluster); a vector drops when a lower-id cluster-mate clears
+    // the cosine bar. The paper leaves the per-ball exemplar choice
+    // free — keep-min-id makes it deterministic, so the WHOLE
+    // operator (quantizer, assignment, pairs, survivors) replays in
+    // the oracle. The assignment persists: it feeds both pair sides
+    // and the survivor anti-join.
+    "q_semdedup" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+        val cents = kmeansCentroids(e, 16, 2, sampleFrac = 0.5)
+        val assigned = graft.InternalCaches.track(
+          e.select(col("vec_id"), col("embedding"))
+            .withColumn("cid", nearestCentroid(col("embedding"), cents))
+            .withColumn("nrm", sqrt(fdot(col("embedding"), col("embedding"))))
+            .persist())
+        val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
+          col("embedding").as("v_a"), col("nrm").as("n_a"))
+        val b = assigned.select(col("cid"), col("vec_id").as("id_b"),
+          col("embedding").as("v_b"), col("nrm").as("n_b"))
+        val dropped = a.join(b, Seq("cid"))
+          .filter(col("id_a") < col("id_b"))
+          // threshold on the RAW double, same expression as the oracle
+          .filter(fdot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))
+            >= lit(0.4))
+          .select(col("id_b").as("vec_id")).distinct()
+        assigned.join(dropped, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("cid"))
+          .orderBy("vec_id")
+      },
+      semdedupOracleSql),
 
     // IVF-bucketed ANN. The index is fully deterministic (md5-rank
     // hash centroids — one TakeOrderedAndProject job, no count()

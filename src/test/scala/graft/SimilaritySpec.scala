@@ -341,4 +341,48 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(c - xs.sum / xs.length) < 1e-9)
     }
   }
+
+  test("q_semdedup survivors match an independent driver replay") {
+    // straight-line reference: collect the harness embeddings, assign
+    // each to its argmax-dot centroid (tie -> smaller cid, the same
+    // contract nearestCentroid implements in codegen), then drop any
+    // vector with a lower-id cluster-mate at cosine >= 0.4 — computed
+    // with plain Scala doubles, no Spark expressions shared with the
+    // operator under test.
+    val dir = sfDir
+    val got = SparkEntry.queries("q_semdedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = graft.sources.Tables.table(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val cents = kmeansCentroids(
+      graft.sources.Tables.table(spark, dir, "embeddings"), 16, 2,
+      sampleFrac = 0.5)
+    def dot(a: Array[Double], b: Seq[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    val assign = rows.map { case (id, v) =>
+      val best = cents.map { case (cid, c) => (-dot(v, c), cid) }.min._2
+      id -> best
+    }.toMap
+    val byCluster = rows.groupBy { case (id, _) => assign(id) }
+    def norm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    val dropped = byCluster.values.flatMap { members =>
+      val sorted = members.sortBy(_._1)
+      sorted.filter { case (idB, vB) =>
+        sorted.exists { case (idA, vA) =>
+          idA < idB && dot(vB, vA.toSeq) / (norm(vA) * norm(vB)) >= 0.4
+        }
+      }.map(_._1)
+    }.toSet
+    val expected = rows.collect {
+      case (id, _) if !dropped(id) => id -> assign(id)
+    }.toMap
+    assert(got == expected,
+      s"survivor sets differ: spark-only=${(got.keySet -- expected.keySet).toSeq.sorted.take(5)} " +
+        s"replay-only=${(expected.keySet -- got.keySet).toSeq.sorted.take(5)}")
+    assert(dropped.nonEmpty, "fixture never exercises the drop direction")
+    InternalCaches.drain()
+    spark.catalog.clearCache()
+  }
 }
