@@ -349,7 +349,8 @@ object Dedup {
       // derivation once per join side — two extra corpus scans for
       // two per-doc integers (round-8 plan review).
       val raw = graft.functions.Functions.explodeOnce(
-        sh.withColumn("__n0", size(col("sh"))),
+        // long, so both branches emit the same (__na, __nb) schema
+        sh.withColumn("__n0", size(col("sh")).cast(LongType)),
         Seq(col(idCol), col("__n0")), col("sh"), "g")
       val inv = raw.repartition(col("g"))
       inv.select(col(idCol).as("id_a"), col("__n0").as("__a0"), col("g"))

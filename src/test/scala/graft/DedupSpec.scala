@@ -170,4 +170,26 @@ class DedupSpec extends SparkSpec {
     } yield (ia, ib)).toSet
     assert(got == brute)
   }
+
+  test("jaccardScored: capped and uncapped paths agree when the cap does not bind") {
+    // The two branches compute set sizes differently (ride-along __n0
+    // vs pruned-index counts — round-8 restructure); with a cap above
+    // every shingle's df they must produce identical (pair, inter,
+    // na, nb) rows. A df above the harness corpus size makes the cap
+    // provably non-binding.
+    val corpus = graft.sources.Tables.table(spark, sfDir, "documents")
+      .limit(200)
+    val sh = shingled(corpus, "doc_id", "text")
+    def rows(dfCap: Int) = jaccardScored(sh, "doc_id", dfCap)
+      .select("id_a", "id_b", "__inter", "__na", "__nb")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val uncapped = rows(Int.MaxValue)
+    val cappedLoose = rows(1000000)
+    assert(uncapped == cappedLoose,
+      s"paths diverge: only-uncapped=${(uncapped -- cappedLoose).take(3)} " +
+        s"only-capped=${(cappedLoose -- uncapped).take(3)}")
+    assert(uncapped.nonEmpty, "fixture yields no overlapping pairs")
+  }
 }
