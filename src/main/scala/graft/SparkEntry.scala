@@ -41,6 +41,9 @@ object SparkEntry {
     * tools/check_oracle.py and is recorded in the round notes.
     */
   private val checkFirst: Seq[String] = Seq(
+    // never driver-checked at all: the round-8 additions
+    "q_semdedup", "q_dedup_winnow",
+    // unchecked for the whole of round 7 (events ingest break)
     "q_asof_join", "q_cohort_retention", "q_collect_set",
     "q_filter_rlike_ci", "q_funnel", "q_funnel_windowed",
     "q_join_trycast", "q_json_parse", "q_map_lookup", "q_outliers",

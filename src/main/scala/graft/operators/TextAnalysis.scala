@@ -772,42 +772,91 @@ object TextAnalysis {
     // array. Integer math end to end — the oracle reproduces it
     // bit-for-bit.
     "q_winnow_fp" -> QueryDef(
-      (s, dir) => {
-        val par = s.sparkContext.defaultParallelism
-        val gramFrame = table(s, dir, "documents")
-          .repartition(par)
-          .select(col("doc_id"), tokens(col("text")).as("__toks"))
-          // filter EARLY on the cheapest equivalent predicate
-          // (tokens ≥ 8 ⟺ grams ≥ 5): predicate pushdown substitutes
-          // projection chains into the predicate regardless of cost,
-          // and a filter on size(__g) would re-run the md5-per-token
-          // chain once per gram inside gramHashes' lambda (measured
-          // 100× — 50 s at sf0.1 for a 1 s pipeline)
-          .filter(size(col("__toks")) >= 8)
-          .select(col("doc_id"),
-            transform(col("__toks"), t => hash32(t)).as("__h"))
-          .select(col("doc_id"), gramHashes(col("__h")).as("__g"))
-          // barrier: winnow references __g ~w times; the shuffle pins
-          // the gram array to a materialized column first
-          .repartition(par)
-        graft.functions.Functions.explodeOnce(
-            gramFrame, Seq(col("doc_id")), winnow(col("__g")), "fp")
-          .orderBy("doc_id", "fp")
-      },
-      """WITH toks AS (
-        |  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'),
-        |    t -> CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UINT32) AS BIGINT)) AS h
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, list_transform(generate_series(1, len(h) - 3),
-        |    i -> ((((h[i] * 131 + h[i+1]) % 2147483647) * 131 + h[i+2])
-        |          % 2147483647 * 131 + h[i+3]) % 2147483647) AS g
-        |  FROM toks),
-        |winnowed AS (
-        |  SELECT doc_id, list_sort(list_distinct(list_transform(
-        |    generate_series(1, len(g) - 4), i -> list_min(g[i:i+4])))) AS fps
-        |  FROM grams WHERE len(g) >= 5)
+      (s, dir) => winnowFps(s, dir).orderBy("doc_id", "fp"),
+      s"""$winnowFpsSql
         |SELECT doc_id, unnest(fps) AS fp FROM winnowed
-        |ORDER BY doc_id, fp""".stripMargin)
+        |ORDER BY doc_id, fp""".stripMargin),
+
+    // Winnow-fingerprint near-dedup (the batch twin of the streaming
+    // WinnowGate): docs sharing ≥ 2 selected fingerprints are
+    // edit-drift near-dup candidates — winnowing guarantees any
+    // sufficiently long shared substring contributes a shared
+    // fingerprint (Schleimer et al. 2003, the MOSS scheme), so this
+    // catches copies that token-set and MinHash views blur. Same
+    // posting-list counting join as the Jaccard family: one
+    // fp-keyed exchange, df-capped to prune boilerplate fingerprints
+    // (a viral fp at 100 TB is a stop-gram, not a dup signal), pair
+    // count = |shared fp set| since fps are per-doc distinct.
+    "q_dedup_winnow" -> QueryDef(
+      (s, dir) => {
+        val fps = winnowFps(s, dir)
+        val inv = fps
+          .withColumn("__df", count(lit(1))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+          .filter(col("__df") <= 50)
+          .drop("__df")
+        inv.select(col("doc_id").as("id_a"), col("fp"))
+          .join(inv.select(col("doc_id").as("id_b"), col("fp")), "fp")
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 2)
+          .orderBy("id_a", "id_b")
+      },
+      s"""$winnowFpsSql,
+        |fps AS (SELECT doc_id, unnest(fps) AS fp FROM winnowed),
+        |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+        |inv AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared FROM pairs WHERE shared >= 2
+        |ORDER BY id_a, id_b""".stripMargin)
   )
+
+  /** The winnowing pipeline as a frame: (doc_id, fp) with per-doc
+    * distinct fingerprints — shared by q_winnow_fp and
+    * q_dedup_winnow, mirrored line-for-line by [[winnowFpsSql]].
+    */
+  private def winnowFps(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val gramFrame = table(s, dir, "documents")
+      .repartition(par)
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      // filter EARLY on the cheapest equivalent predicate
+      // (tokens ≥ 8 ⟺ grams ≥ 5): predicate pushdown substitutes
+      // projection chains into the predicate regardless of cost,
+      // and a filter on size(__g) would re-run the md5-per-token
+      // chain once per gram inside gramHashes' lambda (measured
+      // 100× — 50 s at sf0.1 for a 1 s pipeline)
+      .filter(size(col("__toks")) >= 8)
+      .select(col("doc_id"),
+        transform(col("__toks"), t => hash32(t)).as("__h"))
+      .select(col("doc_id"), gramHashes(col("__h")).as("__g"))
+      // barrier: winnow references __g ~w times; the shuffle pins
+      // the gram array to a materialized column first
+      .repartition(par)
+    graft.functions.Functions.explodeOnce(
+      gramFrame, Seq(col("doc_id")), winnow(col("__g")), "fp")
+  }
+
+  /** The winnowing pipeline as DuckDB CTEs ending in `winnowed`
+    * (doc_id, fps sorted-distinct list) — one string so both
+    * winnow-backed oracles provably replay the same scheme.
+    */
+  private val winnowFpsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'),
+      |    t -> CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UINT32) AS BIGINT)) AS h
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, list_transform(generate_series(1, len(h) - 3),
+      |    i -> ((((h[i] * 131 + h[i+1]) % 2147483647) * 131 + h[i+2])
+      |          % 2147483647 * 131 + h[i+3]) % 2147483647) AS g
+      |  FROM toks),
+      |winnowed AS (
+      |  SELECT doc_id, list_sort(list_distinct(list_transform(
+      |    generate_series(1, len(g) - 4), i -> list_min(g[i:i+4])))) AS fps
+      |  FROM grams WHERE len(g) >= 5)""".stripMargin
 }
