@@ -27,7 +27,12 @@ object ScaleCheck {
     "q_dedup_editdist_lsh", "q_ann_pq", "q_dup_passages",
     // round 8: the state-∝ / churn-∝ claims get their own ratios —
     // these read orders/lineitem, so buildScaled replicates those too
-    "q_incr_agg", "q_cdc_upsert", "q_snapshot_diff")
+    "q_incr_agg", "q_cdc_upsert", "q_snapshot_diff",
+    // round 8: the events family (replicated as disjoint user
+    // populations) and the new dedup flavors
+    "q_funnel", "q_sessionize_batch", "q_asof_join", "q_range_attrib",
+    "q_window_running", "q_cohort_retention",
+    "q_semdedup", "q_dedup_winnow")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
