@@ -10,6 +10,23 @@ import org.apache.spark.sql.types._
   */
 object Functions {
 
+  /** Spread a narrow frame to the session's parallelism ONLY when its
+    * scan under-parallelizes. The harness parquet is single-row-group
+    * (one split per file), so per-row-expensive stages (tokenize,
+    * shingle, hash) would otherwise run on one core — but baking an
+    * unconditional `repartition` into an operator puts a full-corpus
+    * round-robin shuffle in the plan at EVERY scale, including the
+    * 100 TB one where the scan already yields thousands of splits and
+    * the shuffle is pure waste. Branching on the planned partition
+    * count keeps the test-scale plan identical (1 split < P still
+    * repartitions) and makes the big-corpus plan shuffle-free.
+    * Costs one extra planning pass (`df.rdd` plans, runs nothing).
+    */
+  def spreadScan(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Exploded projection that computes the array expression exactly
     * once per row. A plain `explode` triggers InferFiltersFromGenerate,
     * which derives `size(arr) > 0 AND isnotnull(arr)` and pushes both

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.functions.Functions.spreadScan
 import graft.sources.Tables.table
 import org.apache.spark.sql.functions._
 
@@ -46,8 +47,7 @@ object ArrayOps {
     "q_array_ops" -> QueryDef(
       (s, dir) => {
         val stop = array(Seq("the", "and", "of", "data").map(lit): _*)
-        table(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
+        spreadScan(table(s, dir, "documents"))
           .select(col("doc_id"),
             array_distinct(split(trim(lower(col("text"))), "\\s+")).as("toks"))
           .select(

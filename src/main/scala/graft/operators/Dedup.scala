@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.functions.Functions.spreadScan
 import graft.operators.TextAnalysis.{fingerprint, hash32, tokens}
 import graft.sources.Tables.table
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -47,9 +48,7 @@ object Dedup {
     */
   def shingled(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    df.select(col(idCol), col(textCol))
-      .repartition(par)
+    spreadScan(df.select(col(idCol), col(textCol)))
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), array_distinct(wordNgrams(col("__toks"), n)).as("sh"))
   }
@@ -236,7 +235,7 @@ object Dedup {
       shiftleft(conv(substring(m, k * 4 + 1, 4), 16, 10).cast(LongType), k * 16))
       .reduce((a, b) => a.bitwiseOR(b))
     val toks = graft.functions.Functions.explodeOnce(
-        docs.select(col(idCol), col(textCol)).repartition(par),
+        spreadScan(docs.select(col(idCol), col(textCol))),
         Seq(col(idCol)), array_distinct(tokens(col(textCol))), "__t")
       .select(col(idCol), h64(md5(col("__t"))).as("__h"))
     val voteCols = (0 until 64).map(b =>
@@ -678,8 +677,7 @@ object Dedup {
     // Bag-of-words dedup: order-insensitive token-set fingerprint
     // (catches shuffled near-copies the exact key misses).
     "q_dedup_bow" -> QueryDef(
-      (s, dir) => table(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      (s, dir) => spreadScan(table(s, dir, "documents"))
         .groupBy(md5(array_join(array_sort(array_distinct(tokens(lower(col("text"))))), " "))
           .as("bow_fp"))
         .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
@@ -740,9 +738,8 @@ object Dedup {
     // Top-k closest with id tie-break keeps the result deterministic.
     "q_dedup_editdist" -> QueryDef(
       (s, dir) => {
-        val d = table(s, dir, "documents")
-          .filter(col("doc_id") % 10 === 0)
-          .repartition(s.sparkContext.defaultParallelism)
+        val d = spreadScan(table(s, dir, "documents")
+            .filter(col("doc_id") % 10 === 0))
           .select(col("doc_id"), col("text"), length(col("text")).as("len"),
             floor(length(col("text")) / lit(60)).as("bkt"))
         val a = d.select(col("doc_id").as("id_a"), col("text").as("t_a"),
@@ -789,8 +786,8 @@ object Dedup {
     "q_dedup_editdist_lsh" -> QueryDef(
       (s, dir) => {
         val par = s.sparkContext.defaultParallelism
-        val d = table(s, dir, "documents")
-          .repartition(par).select(col("doc_id"), col("text"))
+        val d = spreadScan(table(s, dir, "documents"))
+          .select(col("doc_id"), col("text"))
         bandCandidates(memoBands(s, dir))
           .join(d.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
           .join(d.select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")
@@ -952,8 +949,7 @@ object Dedup {
           val ps = for { i <- 0 until B; j <- i until B } yield (i, j)
           broadcast(ps.toDF("blk_a", "blk_b"))
         }
-        val e = table(s, dir, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism)
+        val e = spreadScan(table(s, dir, "embeddings"))
           .withColumn("norm", sqrt(fdot(col("embedding"), col("embedding"))))
           .withColumn("blk", pmod(col("vec_id"), lit(B)).cast(IntegerType))
         val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
@@ -995,8 +991,7 @@ object Dedup {
         import graft.functions.FloatDotProduct.fdot
         val planes = Similarity.hyperplanes(8, 64)
         val sig = Similarity.lshSignature(col("embedding"), planes)
-        val c = table(s, dir, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism)
+        val c = spreadScan(table(s, dir, "embeddings"))
           .select(col("vec_id"), col("embedding").as("v"), sig.as("sig"))
           .withColumn("nrm", sqrt(fdot(col("v"), col("v"))))
         val probes = array(lit(0L) +: (0 until 8).map(i => lit(1L << i)): _*)

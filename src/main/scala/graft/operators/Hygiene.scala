@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.functions.Functions.spreadScan
 import graft.operators.TextAnalysis.tokens
 import graft.sources.Tables.table
 import org.apache.spark.sql.{Column, DataFrame}
@@ -63,9 +64,7 @@ object Hygiene {
     * the work, so the plan is the same at 500 docs or 5 B.
     */
   def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val base = docs.select(col(idCol), col(textCol))
-      .repartition(par)
+    val base = spreadScan(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
     val uni = graft.functions.Functions.explodeOnce(
         base, Seq(col(idCol)), col("__toks"), "g")
@@ -165,7 +164,7 @@ object Hygiene {
   def winnowFingerprints(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    docs.repartition(par)
+    spreadScan(docs)
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= 8)
       .select(col(idCol),
@@ -233,8 +232,7 @@ object Hygiene {
           lit(" pay 4111 1111 "), d4,
           lit(" 1111 or 10.1."),
           pmod(col("doc_id"), lit(256)).cast(StringType), lit(".7"))
-        table(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
+        spreadScan(table(s, dir, "documents"))
           .select(col("doc_id"), aug.as("__aug"))
           .select(col("doc_id"),
             regexp_count(col("__aug"), lit(UrlRe)).cast(LongType).as("n_urls"),

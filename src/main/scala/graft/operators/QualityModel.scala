@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.functions.Functions.spreadScan
 import graft.sources.Tables.table
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -70,8 +71,7 @@ object QualityModel {
   /** doc_id + __x0..__x5 + __n_tokens, token array projected once. */
   def featureFrame(docs: DataFrame): DataFrame = {
     val xs = features(col("text"), col("__toks"))
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    spreadScan(docs)
       .select(col("doc_id"), col("text"),
         TextAnalysis.tokens(col("text")).as("__toks"))
       .select(col("doc_id") +: col("__toks") +:

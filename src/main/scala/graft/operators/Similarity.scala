@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.functions.Functions.spreadScan
 import graft.functions.FloatDotProduct.fdot
 import graft.sources.Tables.table
 import org.apache.spark.sql.{Column, DataFrame, SaveMode}
@@ -54,11 +55,9 @@ object Similarity {
     * product, not three.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
       .withColumn("q_norm", sqrt(fdot(col("q_v"), col("q_v"))))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_v"))
-      .repartition(par)
+    val c = spreadScan(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_v")))
       .withColumn("c_norm", sqrt(fdot(col("c_v"), col("c_v"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id"))
@@ -77,12 +76,10 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val planes = hyperplanes(numPlanes, dim)
     val sig = lshSignature(col("embedding"), planes)
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_v"), sig.as("bucket"))
-      .repartition(par)
+    val c = spreadScan(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_v"), sig.as("bucket")))
       .withColumn("c_norm", sqrt(fdot(col("c_v"), col("c_v"))))
     // multi-probe: each query probes its bucket and all Hamming-1 buckets
     val probes = array(lit(0L) +: (0 until numPlanes).map(i => lit(1L << i)): _*)
@@ -234,9 +231,8 @@ object Similarity {
 
   private def probeTopK(corpus: DataFrame, queries: DataFrame,
       cents: Seq[(Long, Seq[Double])], k: Int, nprobe: Int): DataFrame = {
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_v"))
-      .repartition(par)
+    val c = spreadScan(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_v")))
       .withColumn("list_id", nearestCentroid(col("c_v"), cents))
       .withColumn("c_norm", sqrt(fdot(col("c_v"), col("c_v"))))
     probeAssigned(c, queries, cents, k, nprobe)
@@ -350,11 +346,10 @@ object Similarity {
       numSubspaces: Int = 8, dim: Int = 64): DataFrame = {
     require(dim % numSubspaces == 0, "dim must divide into subspaces")
     val sub = dim / numSubspaces
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val books = pqBooks(cents, numSubspaces, dim)
     val withD = subDotArrays(col("c_v"), sub, books).zipWithIndex.foldLeft(
-      corpus.select(col("vec_id"), col("embedding").as("c_v"))
-        .repartition(par)) { case (df, (a, m)) => df.withColumn(s"__d$m", a) }
+      spreadScan(corpus.select(col("vec_id"), col("embedding").as("c_v")))
+    ) { case (df, (a, m)) => df.withColumn(s"__d$m", a) }
     (0 until numSubspaces).foldLeft(
       withD.withColumn("list_id", argmaxList("__d", cents, numSubspaces))) {
       (df, m) =>
@@ -552,11 +547,9 @@ object Similarity {
   def writeIvfIndex(corpus: DataFrame, dir: String, numLists: Int = 16,
       iters: Int = 2, sampleFrac: Double = 1.0): Unit = {
     val spark = corpus.sparkSession
-    val par = spark.sparkContext.defaultParallelism
     val v = pqLatestVersion(spark, dir).getOrElse(0L) + 1
     val cents = kmeansCentroids(corpus, numLists, iters, sampleFrac)
-    corpus.select(col("vec_id"), col("embedding").as("c_v"))
-      .repartition(par)
+    spreadScan(corpus.select(col("vec_id"), col("embedding").as("c_v")))
       .withColumn("list_id", nearestCentroid(col("c_v"), cents))
       .withColumn("c_norm", sqrt(fdot(col("c_v"), col("c_v"))))
       .write.mode(SaveMode.Overwrite).partitionBy("list_id")
@@ -599,8 +592,7 @@ object Similarity {
     val v = pqLatestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"no LATEST pointer under $dir"))
     val cents = readIvfCentroids(spark, dir, v)
-    newVecs.select(col("vec_id"), col("embedding").as("c_v"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    spreadScan(newVecs.select(col("vec_id"), col("embedding").as("c_v")))
       .withColumn("list_id", nearestCentroid(col("c_v"), cents))
       .withColumn("c_norm", sqrt(fdot(col("c_v"), col("c_v"))))
       .write.mode(SaveMode.Append).partitionBy("list_id")
@@ -948,8 +940,7 @@ object Similarity {
     // and the survivor anti-join.
     "q_semdedup" -> QueryDef(
       (s, dir) => {
-        val e = table(s, dir, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism)
+        val e = spreadScan(table(s, dir, "embeddings"))
         val cents = kmeansCentroids(e, 16, 2, sampleFrac = 0.5)
         val assigned = graft.InternalCaches.track(
           e.select(col("vec_id"), col("embedding"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.functions.Functions.spreadScan
 import graft.sources.Tables.table
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -127,7 +128,7 @@ object TextAnalysis {
     // repartition FIRST: a small single-file source scans as one
     // partition and the tokenize+slice work would run on one core
     // (the q_pii_scrub/repetitionMetrics lesson)
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    spreadScan(docs)
       .select(col(idCol), tokens(col(textCol)).as("__t"))
       .withColumn("__n", size(col("__t")))
       .filter(col("__n") > 0)
@@ -160,8 +161,7 @@ object TextAnalysis {
       k: Int = 5): DataFrame = {
     require(k > 0, "k must be positive")
     val pos = graft.functions.Functions.explodeOnce(
-        docs
-          .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        spreadScan(docs)
           .select(col(idCol), tokens(col(textCol)).as("__t")),
         Seq(col(idCol)), Dedup.wordNgrams(col("__t"), k), "__gram")
       .select(col(idCol), md5(col("__gram")).as("__fp"))
@@ -198,8 +198,7 @@ object TextAnalysis {
     require(k > 0, "k must be positive")
     // posexplode form of Functions.explodeOnce: the outer generator
     // infers no pushable filters, the null-stub drop stays above it
-    val pos = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val pos = spreadScan(docs)
       .select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol),
         posexplode_outer(Dedup.wordNgrams(col("__t"), k))
@@ -248,8 +247,7 @@ object TextAnalysis {
       k: Int = 5): DataFrame = {
     require(k > 0, "k must be positive")
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val tokFrame = docs
-      .repartition(par)
+    val tokFrame = spreadScan(docs)
       .select(col(idCol), tokens(col(textCol)).as("__t"))
     val pos = tokFrame
       .select(col(idCol),
@@ -314,7 +312,7 @@ object TextAnalysis {
     require(k > 0 && dfCap >= 2, "k must be positive, dfCap >= 2")
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val perGram = graft.functions.Functions.explodeOnce(
-        docs.repartition(par)
+        spreadScan(docs)
           .select(col(srcCol), tokens(col(textCol)).as("__t")),
         Seq(col(srcCol)), Dedup.wordNgrams(col("__t"), k), "__gram")
       .select(col(srcCol), md5(col("__gram")).as("__fp"))
@@ -501,8 +499,7 @@ object TextAnalysis {
     // array is projected once (multi-use non-cheap expressions stay
     // un-collapsed) so the text splits once per row.
     "q_token_count" -> QueryDef(
-      (s, dir) => table(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      (s, dir) => spreadScan(table(s, dir, "documents"))
         .select(col("doc_id"), tokens(col("text")).as("__toks"))
         .select(
           col("doc_id"),
@@ -529,8 +526,7 @@ object TextAnalysis {
     "q_token_count_bpe" -> QueryDef(
       (s, dir) => {
         val pat = "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
-        table(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
+        spreadScan(table(s, dir, "documents"))
           .select(col("doc_id"),
             size(tokens(col("text"))).as("n_words"),
             size(regexp_extract_all(col("text"), lit(pat), lit(0)))
@@ -556,8 +552,7 @@ object TextAnalysis {
     "q_text_quality" -> QueryDef(
       (s, dir) => {
         val toks = col("__toks")
-        table(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
+        spreadScan(table(s, dir, "documents"))
           .select(col("doc_id"), col("text"), tokens(col("text")).as("__toks"))
           .select(
             col("doc_id"),
@@ -631,8 +626,7 @@ object TextAnalysis {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = graft.functions.Functions.explodeOnce(
-          table(s, dir, "documents")
-            .repartition(s.sparkContext.defaultParallelism),
+          spreadScan(table(s, dir, "documents")),
           Seq(col("doc_id")), tokens(lower(col("text"))), "term")
         // df derives from the tf aggregate (one row per (doc, term) →
         // df(term) is a plain count), and tf PERSISTS: tf feeds both
@@ -684,8 +678,7 @@ object TextAnalysis {
     "q_lm_score" -> QueryDef(
       (s, dir) => {
         val Q = 1048576L
-        val toksF = table(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
+        val toksF = spreadScan(table(s, dir, "documents"))
           .select(col("doc_id"), tokens(lower(col("text"))).as("__t"))
           .filter(size(col("__t")) >= 2)
         val n = size(col("__t"))
@@ -821,8 +814,7 @@ object TextAnalysis {
   private def winnowFps(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val par = s.sparkContext.defaultParallelism
-    val gramFrame = table(s, dir, "documents")
-      .repartition(par)
+    val gramFrame = spreadScan(table(s, dir, "documents"))
       .select(col("doc_id"), tokens(col("text")).as("__toks"))
       // filter EARLY on the cheapest equivalent predicate
       // (tokens ≥ 8 ⟺ grams ≥ 5): predicate pushdown substitutes

@@ -1,6 +1,7 @@
 package graft.pipelines
 
 import graft.QueryDef
+import graft.functions.Functions.spreadScan
 import graft.operators.Dedup
 import graft.operators.TextAnalysis
 import graft.sources.Tables.table
@@ -112,12 +113,12 @@ object Corpus {
     // the filtered+exact-deduped corpus feeds three passes (LSH pair
     // generation, the anti join, the final projection) — persist it
     // once instead of recomputing the scan+filter+semi-join chain.
-    // Repartition FIRST: a small single-file source scans as one
+    // Spread FIRST: a small single-file source scans as one
     // partition, and the quality regexes + fingerprint md5 would run
     // on one core of the cluster (measured 3.8 s of the sf0.1 run).
-    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // spreadScan keeps this a no-op on a many-split corpus scan.
     val base = graft.InternalCaches.track(
-      exactDedup(qualityFilter(docs.repartition(par), cfg), idCol, textCol)
+      exactDedup(qualityFilter(spreadScan(docs), cfg), idCol, textCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cleaned = nearDedup(base, idCol, textCol, cfg.nearDupJaccard, cfg.pairStrategy)
     cleaned.withColumn("n_tokens", size(TextAnalysis.tokens(col(textCol))))
@@ -134,10 +135,9 @@ object Corpus {
       cfg: Config = Config()): DataFrame = {
     require(cfg.pairStrategy == MinhashLsh,
       "cached signatures exist for the MinHash strategy only")
-    val par = s.sparkContext.defaultParallelism
     val base = graft.InternalCaches.track(
       exactDedup(qualityFilter(
-          table(s, dir, "documents").repartition(par), cfg), "doc_id", "text")
+          spreadScan(table(s, dir, "documents")), cfg), "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pairs = Dedup.minhashNearDupsCached(
       s, dir, base, "doc_id", cfg.nearDupJaccard)
