@@ -38,7 +38,25 @@ object ScaleCheck {
       factor: Int): Unit = {
     val docs = sources.Tables.table(spark, srcDir, "documents")
     val emb = sources.Tables.table(spark, srcDir, "embeddings")
-    val offset = 100000000L
+    val orders = sources.Tables.table(spark, srcDir, "orders")
+    val li = sources.Tables.table(spark, srcDir, "lineitem")
+    val ev = sources.Tables.table(spark, srcDir, "events")
+    // the replica offset must clear every replicated key or replica
+    // ranges silently overlap (keys stop growing ×N and the printed
+    // ratios measure a different workload); grow by powers of ten so
+    // offset % {10, 100} == 0 keeps the %-derived CDC feed structure
+    val offset = {
+      val mx = Seq(
+        docs.agg(max("doc_id")).head().getLong(0),
+        emb.agg(max("vec_id")).head().getLong(0),
+        orders.agg(max("o_orderkey")).head().getLong(0),
+        li.agg(max("l_orderkey")).head().getLong(0),
+        ev.agg(greatest(max("event_id"), max("user_id"))).head().getLong(0)
+      ).max
+      var o = 100000000L
+      while (o <= mx) o *= 10
+      o
+    }
     val scaledDocs = (0 until factor).map { r =>
       docs.select(
         (col("doc_id") + lit(r * offset)).as("doc_id"),
@@ -63,8 +81,6 @@ object ScaleCheck {
     // honest growth model for q_cdc_upsert (keys ×N), q_snapshot_diff
     // (churn ×N) and q_incr_agg (increment volume ×N, state fixed at
     // |group keys|).
-    val orders = sources.Tables.table(spark, srcDir, "orders")
-    val li = sources.Tables.table(spark, srcDir, "lineitem")
     (0 until factor).map(r => orders.withColumn("o_orderkey",
         col("o_orderkey") + lit(r * offset)))
       .reduce(_.unionByName(_))
@@ -83,7 +99,6 @@ object ScaleCheck {
     // actually scales. ts must not shift: windows/sessions/as-of are
     // time-local, and stretching time would thin the windows instead
     // of multiplying them.
-    val ev = sources.Tables.table(spark, srcDir, "events")
     (0 until factor).map(r => ev
         .withColumn("event_id", col("event_id") + lit(r * offset))
         .withColumn("user_id", col("user_id") + lit(r * offset)))

@@ -53,8 +53,13 @@ object SparkEntry {
 
   private def orderedNames: Seq[String] = {
     val all = registry.keySet
-    checkFirst.filter(all.contains) ++
-      (all -- checkFirst).toSeq.sorted
+    // a silently-dropped stale entry would put its renamed query back
+    // in the truncation zone — the exact failure this ordering exists
+    // to prevent, so a mismatch fails loudly instead
+    val missing = checkFirst.filterNot(all.contains)
+    require(missing.isEmpty,
+      s"checkFirst names not in the registry (renamed?): ${missing.mkString(", ")}")
+    checkFirst ++ (all -- checkFirst).toSeq.sorted
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -20,11 +20,33 @@ object Functions {
     * the shuffle is pure waste. Branching on the planned partition
     * count keeps the test-scale plan identical (1 split < P still
     * repartitions) and makes the big-corpus plan shuffle-free.
-    * Costs one extra planning pass (`df.rdd` plans, runs nothing).
+    *
+    * The probe inspects the INITIAL physical plan, never `df.rdd`:
+    * under AQE, `.rdd` forces `getFinalPhysicalPlan`, which EXECUTES
+    * every upstream exchange just to report a partition count —
+    * doubling exactly the work this helper exists to avoid. A frame
+    * that already contains an exchange is shuffle-spread by
+    * construction (skip); a pure scan chain exposes its split count
+    * on the scan node (file listing only, no job). Non-file leaves
+    * (local fixtures, cached relations) are left unspread — they are
+    * either test-sized or already partitioned by their producer.
     */
   def spreadScan(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val hasExchange = plan.exists(_.isInstanceOf[Exchange])
+    val scanSplits = plan.collect {
+      case f: FileSourceScanExec => f.inputRDDs().map(_.getNumPartitions).sum
+    }
+    if (!hasExchange && scanSplits.nonEmpty && scanSplits.sum < par)
+      df.repartition(par)
+    else df
   }
 
   /** Exploded projection that computes the array expression exactly

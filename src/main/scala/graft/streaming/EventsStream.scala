@@ -87,21 +87,26 @@ object EventsStream {
       StructField("value", DoubleType),
       StructField("props", StringType)))
 
-  /** Legacy-encoding schema kept for callers that stage their own
-    * nanos fixtures. */
-  val eventsFileSchemaNanos: StructType = eventsFileSchema(LongType)
-
   /** File-source stream over a directory of events parquet.
     *
     * Sniffs the ts encoding from a one-off batch footer read of the
     * directory (cheap: footers only), then declares the matching
     * stream schema and normalizes with the same type-adaptive rule as
     * the batch path (`Tables.normalizeEventsTs`) — so batch and
-    * stream agree whatever format the harness regenerates next.
+    * stream agree whatever format the harness regenerates next. An
+    * EMPTY landing directory (stream started before the producer's
+    * first write — the canonical file-source pattern) can't be
+    * sniffed; it falls back to the current harness encoding
+    * (timestamp[us] → TIMESTAMP_NTZ) instead of crashing at stream
+    * definition time.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => TimestampNTZType
+      }
     graft.sources.Tables.normalizeEventsTs(
       spark.readStream.schema(eventsFileSchema(tsType)).parquet(dir))
   }

@@ -37,13 +37,23 @@ class PlanShapeSpec extends SparkSpec {
   // this way) and "plans badly" (an unlisted n²). Conflating them made
   // the round-7 failure read as a cross-product problem; keep each
   // failure mode its own assertion with its own query names.
+  // Formatted explain, NOT executedPlan.toString: toString renders a
+  // persisted subtree as an opaque InMemoryTableScan leaf, so a cross
+  // product hiding inside a cached stage (tf, funnel prefixes, the
+  // semdedup assignment) would be invisible to the sweep. Formatted
+  // mode expands cached-relation build plans. Caches drain between
+  // queries so one query's registered persist can never substitute an
+  // InMemoryRelation into a later query's swept plan.
   private lazy val planSweep: (Map[String, String], Map[String, String]) = {
     val plans = Map.newBuilder[String, String]
     val failures = Map.newBuilder[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try plans += name -> fn(spark, sfDir).queryExecution.executedPlan.toString
+      try plans += name -> fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       catch { case e: Throwable =>
         failures += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}" }
+      InternalCaches.drain()
+      spark.catalog.clearCache()
     }
     (plans.result(), failures.result())
   }
