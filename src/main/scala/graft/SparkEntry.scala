@@ -21,7 +21,7 @@ object SparkEntry {
       operators.QualityModel.defs ++ operators.Packing.defs ++
       operators.Sketches.defs ++ operators.Skew.defs ++
       operators.Sharding.defs ++ operators.Bpe.defs ++
-      operators.Audit.defs ++
+      operators.Audit.defs ++ operators.Selection.defs ++
       streaming.EventsStream.defs ++ pipelines.Corpus.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -42,6 +42,7 @@ object SparkEntry {
     */
   private val checkFirst: Seq[String] = Seq(
     // never driver-checked at all: the round-8 additions
+    "q_dsir_weights", "q_ppl_buckets", "q_mixture_alpha",
     "q_semdedup", "q_dedup_winnow",
     // unchecked for the whole of round 7 (events ingest break)
     "q_asof_join", "q_cohort_retention", "q_collect_set",

@@ -1,0 +1,250 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.Functions.spreadScan
+import graft.sources.Tables.table
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-selection operators for a training-data pipeline — deciding
+  * WHICH documents train, beyond [[Sampling]]'s uniform/weighted cuts:
+  *
+  *  - [[dsirWeights]]: hashed n-gram importance weights (the DSIR
+  *    recipe, Xie et al. 2023): fit bag-of-hashed-unigram models on a
+  *    target slice and on the raw rest, weight every doc by its
+  *    log-likelihood ratio — high weight = "looks like the curated
+  *    target", the resampling key for quality-directed selection.
+  *  - `q_ppl_buckets`: CCNet-style fluency tiers — per-language
+  *    head/middle/tail terciles over the corpus bigram-LM score
+  *    ([[TextAnalysis.lmScored]]), the standard "keep head+middle,
+  *    audit tail" curation gate.
+  *  - [[sqrtQuota]]: temperature-scaled source quotas (multinomial
+  *    sampling with α = 1/2) — the multilingual-corpus balancing move
+  *    that up-samples minority sources relative to proportional.
+  *
+  * Everything is deterministic (md5 ranks, integer-quantized logs) so
+  * the DuckDB oracle replays each decision bit-for-bit — the same
+  * properties [[Sampling]] pins: re-runs cannot migrate documents
+  * between kept and dropped.
+  */
+object Selection {
+
+  private val Q = 1048576L // 2^20 quantization grid, the house MeanQ trick
+
+  /** DSIR importance log-weights over hashed unigram features.
+    *
+    * Fit: two add-one-smoothed unigram bag models over `buckets`
+    * hashed term buckets — "target" (rows where `isTarget`) and "raw"
+    * (the rest). Score: per doc, Σ_tokens log p_t(b)/p_r(b) =
+    * Σ_b cnt·(ln(ct_b+1) − ln(cr_b+1)) + n·(ln(Cr+B) − ln(Ct+B)).
+    * Both log terms quantize to the 1/2^20 integer grid per BUCKET
+    * (≤ `buckets` values) before the per-doc integer sum, so the
+    * result is shuffle-order-stable and oracle-replayable.
+    *
+    * Scale shape: one corpus tokenize pass → per-(doc, bucket) counts
+    * (the only corpus-sized shuffle, keyed on doc_id so it is as
+    * splittable as the corpus itself); the bucket model is ≤ `buckets`
+    * rows — aggregated FROM the per-doc counts (map-side partial, no
+    * second pass), totals attached via a single-partition window over
+    * that tiny frame, and the scoring join broadcasts it back. At
+    * 100 TB the model frame is still 1024 rows; nothing grows but the
+    * doc-keyed aggregate. The hash is the 32-bit md5 prefix mod B
+    * (not xxhash64) so any engine reproduces the bucketing.
+    *
+    * Returns (idCol, n_tokens, dsir_logw) — dsir_logw is the TOTAL
+    * log-ratio (DSIR resamples on it directly; length-normalize
+    * downstream if comparing across lengths).
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 1024): DataFrame = {
+    val toks = graft.functions.Functions.explodeOnce(
+        docs, Seq(col(idCol), isTarget.as("__tgt")),
+        TextAnalysis.tokens(lower(col(textCol))), "__term")
+      .withColumn("__b",
+        conv(substring(md5(col("__term")), 1, 8), 16, 10)
+          .cast(LongType) % buckets)
+    // per-(doc, bucket) counts persist: they feed the bucket model AND
+    // the scoring join — without the persist Catalyst re-runs the
+    // whole tokenize+explode per consumer (the q_tfidf lesson)
+    val docb = graft.InternalCaches.track(
+      toks.groupBy(col(idCol), col("__tgt"), col("__b"))
+        .agg(count(lit(1)).as("__cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bk = docb.groupBy("__b").agg(
+      sum(when(col("__tgt"), col("__cnt")).otherwise(lit(0L))).as("__ct"),
+      sum(when(!col("__tgt"), col("__cnt")).otherwise(lit(0L))).as("__cr"))
+    // corpus totals attach via a single-partition window — the frame
+    // is ≤ `buckets` rows by construction, so "all data to one
+    // partition" is a ≤1024-row exchange, not a corpus collapse
+    val wAll = Window.partitionBy()
+    val model = bk
+      .withColumn("__ctt", sum("__ct").over(wAll))
+      .withColumn("__crt", sum("__cr").over(wAll))
+      .select(col("__b"),
+        (floor((log(col("__ct") + 1) - log(col("__cr") + 1)) * Q + lit(0.5))
+          .cast(LongType) +
+         floor((log(col("__crt") + buckets) - log(col("__ctt") + buckets))
+           * Q + lit(0.5)).cast(LongType)).as("__q"))
+    docb.join(broadcast(model), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum("__cnt").as("n_tokens"),
+        round(sum(col("__cnt") * col("__q")).cast(DoubleType) / Q.toDouble, 4)
+          .as("dsir_logw"))
+  }
+
+  /** Temperature-scaled source quotas: keep the top-`quota_s` docs of
+    * each source in md5 rank order, where quota_s ∝ n_s^α with α = 1/2
+    * and the total kept is `keepNum/keepDen` of the corpus — the
+    * standard multinomial-temperature balancing (minority sources keep
+    * a larger FRACTION than proportional, majority sources a smaller
+    * one). α is pinned at 1/2 because sqrt is IEEE correctly-rounded
+    * (bit-identical in any engine) while pow(n, α) is not; the quota
+    * arithmetic after the one sqrt is pure integers:
+    * qs = ⌊√n·2^20 + ½⌋, T = ⌈keepNum·N/keepDen⌉,
+    * quota_s = ⌈T·qs/Σqs⌉ — an oracle replays every division exactly.
+    *
+    * Scale shape: per-source counts are a map-side-combined aggregate
+    * (|sources| rows); quotas compute on that tiny frame (single-
+    * partition window) and broadcast back; the rank is the same
+    * per-group WindowGroupLimit shape as stratified-k — one shuffle on
+    * source, per-partition sort bounded by the group. Skewed sources
+    * are the known limit (one reducer per source), same as every
+    * per-source window here.
+    */
+  def sqrtQuota(df: DataFrame, keyCol: String, sourceCol: String,
+      keepNum: Long = 2L, keepDen: Long = 5L): DataFrame = {
+    require(keepNum > 0 && keepDen >= keepNum,
+      s"keep fraction must be in (0,1]: $keepNum/$keepDen")
+    val wAll = Window.partitionBy()
+    val quotas = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__qs", floor(sqrt(col("__n")) * Q + lit(0.5)))
+      .withColumn("__qt", sum("__qs").over(wAll))
+      .withColumn("__nn", sum("__n").over(wAll))
+      .withColumn("__t",
+        expr(s"(__nn * $keepNum + ${keepDen - 1}) div $keepDen"))
+      .withColumn("__quota", expr("(__t * __qs + __qt - 1) div __qt"))
+      .select(col(sourceCol), col("__quota"))
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(quotas), Seq(sourceCol))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+    // DSIR selection weights against the curated-proxy target
+    // (source = src0) — the oracle refits both hashed-unigram models
+    // and replays every quantized log term, so a drifted hash, bucket
+    // count, smoothing constant, or summation grid mismatches.
+    "q_dsir_weights" -> QueryDef(
+      (s, dir) => dsirWeights(spreadScan(table(s, dir, "documents")),
+          "doc_id", "text", col("source") === "src0")
+        .orderBy("doc_id"),
+      """WITH toks AS (
+        |  SELECT doc_id, source = 'src0' AS tgt,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |docb AS (
+        |  SELECT doc_id, tgt,
+        |    CAST(CAST(('0x' || substr(md5(term), 1, 8)) AS UINT32) AS BIGINT)
+        |      % 1024 AS b,
+        |    count(*) AS cnt
+        |  FROM toks GROUP BY 1, 2, 3),
+        |bk AS (
+        |  SELECT b,
+        |    sum(CASE WHEN tgt THEN cnt ELSE 0 END) AS ct,
+        |    sum(CASE WHEN NOT tgt THEN cnt ELSE 0 END) AS cr
+        |  FROM docb GROUP BY 1),
+        |tot AS (SELECT b, ct, cr,
+        |    sum(ct) OVER () AS ctt, sum(cr) OVER () AS crt FROM bk),
+        |ql AS (SELECT b,
+        |    CAST(floor((ln(ct + 1) - ln(cr + 1)) * 1048576 + 0.5) AS BIGINT)
+        |  + CAST(floor((ln(crt + 1024) - ln(ctt + 1024)) * 1048576 + 0.5)
+        |      AS BIGINT) AS q
+        |  FROM tot)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(cnt * q) AS DOUBLE) / 1048576.0, 4) AS dsir_logw
+        |FROM docb JOIN ql USING (b)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin),
+
+    // CCNet-style per-language fluency tiers: tercile the bigram-LM
+    // score within each language, best third = head. Exactness costs a
+    // per-language sort (ntile window — same contract as
+    // q_bin_equidepth); at 100 TB swap the window for broadcast
+    // cut-points from Sketches.gridQuantiles and assign tiers by
+    // comparison — narrow, no sort. Sub-2-token docs carry no bigram
+    // and drop, matching lmScored. The oracle refits the whole LM and
+    // replays the tercile tie-break (score desc, doc_id).
+    "q_ppl_buckets" -> QueryDef(
+      (s, dir) => {
+        val lang = table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"))
+        val w = Window.partitionBy("lang")
+          .orderBy(col("avg_logp").desc, col("doc_id"))
+        TextAnalysis.lmScored(s, dir)
+          .join(lang, "doc_id")
+          .withColumn("__t", ntile(3).over(w))
+          .select(col("doc_id"), col("lang"), col("avg_logp"),
+            when(col("__t") === 1, "head")
+              .when(col("__t") === 2, "middle")
+              .otherwise("tail").as("ppl_bucket"))
+          .orderBy("doc_id")
+      },
+      """WITH tf AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2),
+        |b2 AS (
+        |  SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> {'w1': t[i], 'w2': t[i+1]})) AS bg
+        |    FROM tf)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS vsz
+        |      FROM (SELECT unnest(t) AS w FROM tf)),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln((c12 + 0.5) / (c1 + 0.5 * vsz)) * 1048576 + 0.5)
+        |      AS BIGINT) AS qlp
+        |  FROM b2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+        |lm AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(qlp) AS DOUBLE) /
+        |      (CAST(count(*) AS DOUBLE) * 1048576.0), 4) AS avg_logp
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, lang, avg_logp,
+        |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS ppl_bucket
+        |FROM (
+        |  SELECT lm.doc_id, d.lang, lm.avg_logp, ntile(3) OVER (
+        |      PARTITION BY d.lang
+        |      ORDER BY lm.avg_logp DESC, lm.doc_id) AS tile
+        |  FROM lm JOIN documents d ON lm.doc_id = d.doc_id)
+        |ORDER BY doc_id""".stripMargin),
+
+    // Temperature-balanced 40%-of-corpus selection: per-source quotas
+    // ∝ √n_s, docs chosen in md5 rank order. The oracle recomputes the
+    // quantized sqrt, both ceil-divisions, and the per-source rank, so
+    // a drifted quota rounding or tie-break mismatches.
+    "q_mixture_alpha" -> QueryDef(
+      (s, dir) => sqrtQuota(table(s, dir, "documents"), "doc_id", "source")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |q AS (SELECT source, n,
+        |    CAST(floor(sqrt(n) * 1048576 + 0.5) AS BIGINT) AS qs FROM c),
+        |t AS (SELECT source, qs, sum(qs) OVER () AS qt,
+        |    sum(n) OVER () AS nn FROM q),
+        |k AS (SELECT source,
+        |    ((nn * 2 + 4) // 5 * qs + qt - 1) // qt AS quota FROM t),
+        |r AS (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r JOIN k USING (source)
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin)
+  )
+}

@@ -3,7 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.functions.Functions.spreadScan
 import graft.sources.Tables.table
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -342,6 +342,70 @@ object TextAnalysis {
           .as("jaccard"))
   }
 
+  /** Corpus bigram-LM scoring — shared by `q_lm_score` (raw scores)
+    * and `q_ppl_buckets` in [[Selection]] (per-language fluency
+    * tiers). Train an add-k-smoothed bigram model on the corpus
+    * itself (two keyed shuffles: bigram counts, then context counts
+    * FROM the bigram aggregate), score each doc by its mean bigram
+    * log-probability. Docs with fewer than 2 tokens carry no bigram
+    * and drop out. Per-position log-probs are quantized to the 1/2^20
+    * integer grid BEFORE the per-doc sum (the kmeans MeanQ trick):
+    * integer sums are associative, so the average is bit-stable under
+    * any shuffle order and the oracle replays it exactly — a raw
+    * double avg() would leak summation order into the low bits on
+    * BOTH engines. Returns (doc_id, n_bigrams, avg_logp) ordered by
+    * doc_id.
+    */
+  def lmScored(s: SparkSession, dir: String): DataFrame = {
+    val Q = 1048576L
+    val toksF = spreadScan(table(s, dir, "documents"))
+      .select(col("doc_id"), tokens(lower(col("text"))).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val n = size(col("__t"))
+    val bigrams = zip_with(
+      slice(col("__t"), lit(1), n - 1), slice(col("__t"), lit(2), n - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bi = graft.InternalCaches.track(
+      graft.functions.Functions.explodeOnce(
+          toksF, Seq(col("doc_id")), bigrams, "__bg")
+        .select(col("doc_id"), col("__bg.w1").as("w1"),
+          col("__bg.w2").as("w2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // c12 persists: it feeds the c1 rollup, the vocab count, and
+    // the scoring join — three consumers that would each re-run
+    // the (w1,w2) aggregate over the cached bigram frame otherwise
+    val c12 = graft.InternalCaches.track(
+      bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // context counts derive from the bigram aggregate (c1 = Σ_w2
+    // c12), not a second corpus pass
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    // vocabulary from the bigram vocabulary, not a second corpus
+    // tokenize: every token of a ≥2-token doc appears in some
+    // bigram (as w1 unless it is the last token, as w2 unless the
+    // first), so distinct(w1 ∪ w2) over c12 IS the filtered-corpus
+    // vocabulary — same value, corpus-scan-free (round-8 plan
+    // review: the old explode(toksF) branch re-scanned and
+    // re-tokenized the whole corpus for one scalar)
+    val vocab = c12.select(col("w1").as("w"))
+      .union(c12.select(col("w2").as("w")))
+      .agg(countDistinct("w").as("vsz"))
+    val lp = log((col("c12") + lit(0.5)) /
+      (col("c1") + lit(0.5) * col("vsz")))
+    bi.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(lp * Q + lit(0.5)).cast(LongType).as("__qlp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("__qlp").as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("__s").cast(DoubleType) /
+          (col("n_bigrams").cast(DoubleType) * lit(1048576.0)), 4)
+          .as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // Sliding-window chunking at chunk=32/stride=24 (docs average ~54
     // tokens, so most emit 2-3 chunks). The oracle rebuilds every
@@ -665,66 +729,11 @@ object TextAnalysis {
         |ORDER BY doc_id""".stripMargin),
 
     // Corpus bigram-LM quality score — the CCNet-style fluency signal
-    // beyond surface heuristics: train an add-k-smoothed bigram model
-    // on the corpus itself (two keyed shuffles: bigram counts, then
-    // context counts FROM the bigram aggregate), score each doc by its
-    // mean bigram log-probability. Repetitive/templated text scores
-    // high, token-soup scores low. Per-position log-probs are
-    // quantized to the 1/2^20 integer grid BEFORE the per-doc sum
-    // (the kmeans MeanQ trick): integer sums are associative, so the
-    // average is bit-stable under any shuffle order and the oracle
-    // replays it exactly — a raw double avg() would leak summation
-    // order into the low bits on BOTH engines.
+    // beyond surface heuristics (repetitive/templated text scores
+    // high, token-soup scores low). Full shape + the order-free
+    // quantized-sum contract: see [[lmScored]] above.
     "q_lm_score" -> QueryDef(
-      (s, dir) => {
-        val Q = 1048576L
-        val toksF = spreadScan(table(s, dir, "documents"))
-          .select(col("doc_id"), tokens(lower(col("text"))).as("__t"))
-          .filter(size(col("__t")) >= 2)
-        val n = size(col("__t"))
-        val bigrams = zip_with(
-          slice(col("__t"), lit(1), n - 1), slice(col("__t"), lit(2), n - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))
-        val bi = graft.InternalCaches.track(
-          graft.functions.Functions.explodeOnce(
-              toksF, Seq(col("doc_id")), bigrams, "__bg")
-            .select(col("doc_id"), col("__bg.w1").as("w1"),
-              col("__bg.w2").as("w2"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        // c12 persists: it feeds the c1 rollup, the vocab count, and
-        // the scoring join — three consumers that would each re-run
-        // the (w1,w2) aggregate over the cached bigram frame otherwise
-        val c12 = graft.InternalCaches.track(
-          bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        // context counts derive from the bigram aggregate (c1 = Σ_w2
-        // c12), not a second corpus pass
-        val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
-        // vocabulary from the bigram vocabulary, not a second corpus
-        // tokenize: every token of a ≥2-token doc appears in some
-        // bigram (as w1 unless it is the last token, as w2 unless the
-        // first), so distinct(w1 ∪ w2) over c12 IS the filtered-corpus
-        // vocabulary — same value, corpus-scan-free (round-8 plan
-        // review: the old explode(toksF) branch re-scanned and
-        // re-tokenized the whole corpus for one scalar)
-        val vocab = c12.select(col("w1").as("w"))
-          .union(c12.select(col("w2").as("w")))
-          .agg(countDistinct("w").as("vsz"))
-        val lp = log((col("c12") + lit(0.5)) /
-          (col("c1") + lit(0.5) * col("vsz")))
-        bi.join(c12, Seq("w1", "w2"))
-          .join(c1, Seq("w1"))
-          .crossJoin(broadcast(vocab))
-          .select(col("doc_id"),
-            floor(lp * Q + lit(0.5)).cast(LongType).as("__qlp"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), sum("__qlp").as("__s"))
-          .select(col("doc_id"), col("n_bigrams"),
-            round(col("__s").cast(DoubleType) /
-              (col("n_bigrams").cast(DoubleType) * lit(1048576.0)), 4)
-              .as("avg_logp"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => lmScored(s, dir),
       """WITH tf AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
         |  FROM documents WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2),

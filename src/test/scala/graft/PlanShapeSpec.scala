@@ -27,6 +27,7 @@ class PlanShapeSpec extends SparkSpec {
   private val allowed = Set(
     "q_ann_brute", "q_tfidf", "q_watermark_filter",
     "q_lm_score", // scalar (1-row) vocab-size broadcast factor
+    "q_ppl_buckets", // inherits lmScored's scalar vocab broadcast
     "q_knn_label", // bruteForceTopK baseline — q_ann_brute's shape
     // bounded (label-count) centroid side broadcast against a
     // map-only corpus scan — linear in the corpus by design
