@@ -32,7 +32,9 @@ object ScaleCheck {
     // populations) and the new dedup flavors
     "q_funnel", "q_sessionize_batch", "q_asof_join", "q_range_attrib",
     "q_window_running", "q_cohort_retention",
-    "q_semdedup", "q_dedup_winnow")
+    "q_semdedup", "q_dedup_winnow",
+    // round 8: the data-selection family
+    "q_dsir_weights", "q_ppl_buckets", "q_mixture_alpha")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {

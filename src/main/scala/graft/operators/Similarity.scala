@@ -1183,6 +1183,56 @@ object Similarity {
         |FROM votes
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY votes DESC, label) = 1
-        |ORDER BY vec_id""".stripMargin)
+        |ORDER BY vec_id""".stripMargin),
+
+    // Hard-negative mining for contrastive training: for each query
+    // vector, the 3 cosine-NEAREST corpus vectors carrying a DIFFERENT
+    // label — the examples a contrastive loss learns most from. Same
+    // broadcast-panel × streamed-corpus shape as q_knn_label (the
+    // label-mismatch predicate rides the join, so candidates filter
+    // before the top-k window); the IVF probe composes identically
+    // when the corpus outgrows brute force (q_knn_label_ivf's shape).
+    // The oracle replays scoring, the label filter, and the k-cut, so
+    // a rank flip or an own-label leak hash-mismatches.
+    "q_hard_negatives" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("q_v"), col("label").as("q_label"))
+          .withColumn("q_norm", sqrt(fdot(col("q_v"), col("q_v"))))
+        val c = spreadScan(e.filter(col("vec_id") % 5 =!= 0)
+            .select(col("vec_id").as("neighbor_id"),
+              col("embedding").as("c_v"), col("label").as("neg_label")))
+          .withColumn("c_norm", sqrt(fdot(col("c_v"), col("c_v"))))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos_raw").desc, col("neighbor_id"))
+        c.join(broadcast(q), col("q_label") =!= col("neg_label"))
+          .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+            (fdot(col("q_v"), col("c_v")) /
+              (col("q_norm") * col("c_norm"))).as("cos_raw"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+            round(col("cos_raw"), 4).as("cos"))
+          .orderBy("query_id", "neighbor_id")
+      },
+      """WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    c.label AS neg_label,
+        |    list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) *
+        |       sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+        |  FROM u q JOIN u c
+        |    ON q.vec_id % 5 = 0 AND c.vec_id % 5 != 0
+        |    AND q.label != c.label)
+        |SELECT query_id, neighbor_id, neg_label,
+        |  round(cos_raw, 4) AS cos
+        |FROM sims
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cos_raw DESC, neighbor_id) <= 3
+        |ORDER BY query_id, neighbor_id""".stripMargin)
   )
 }

@@ -29,6 +29,7 @@ class PlanShapeSpec extends SparkSpec {
     "q_lm_score", // scalar (1-row) vocab-size broadcast factor
     "q_ppl_buckets", // inherits lmScored's scalar vocab broadcast
     "q_knn_label", // bruteForceTopK baseline — q_ann_brute's shape
+    "q_hard_negatives", // same broadcast-panel shape, label-mismatch predicate
     // bounded (label-count) centroid side broadcast against a
     // map-only corpus scan — linear in the corpus by design
     "q_nearest_centroid")
@@ -301,5 +302,15 @@ class PlanShapeSpec extends SparkSpec {
   test("q_lm_score: vocabulary derives from the bigram aggregate, not a rescan") {
     val n = scanCount("q_lm_score", "documents")
     assert(n <= 1, s"documents scanned $n times (bigram cache build is 1)")
+  }
+
+  test("q_dsir_weights: one tokenize pass — doc-bucket cache feeds model and scoring") {
+    val n = scanCount("q_dsir_weights", "documents")
+    assert(n <= 1, s"documents scanned $n times (doc-bucket cache build is 1)")
+  }
+
+  test("q_ppl_buckets: lm pipeline cached once plus a lang projection") {
+    val n = scanCount("q_ppl_buckets", "documents")
+    assert(n <= 2, s"documents scanned $n times (bigram cache + lang projection is 2)")
   }
 }

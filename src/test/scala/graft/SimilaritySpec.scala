@@ -315,6 +315,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q_hard_negatives: nearest CROSS-label neighbors, driver replay agrees") {
+    val rows = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+        r.getAs[Int]("label")))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val corpus = rows.filter(_._1 % 5 != 0)
+    val expected = rows.filter(_._1 % 5 == 0).flatMap { case (qid, qv, ql) =>
+      corpus.filter(_._3 != ql)
+        .map { case (cid, cv, cl) =>
+          (qid, cid, cl,
+            dot(qv, cv) / (math.sqrt(dot(qv, qv)) * math.sqrt(dot(cv, cv))))
+        }
+        .sortBy { case (_, cid, _, cos) => (-cos, cid) }.take(3)
+        .map { case (q, c, l, cos) =>
+          (q, c, l, BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = SparkEntry.registry("q_hard_negatives").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSeq
+    assert(got == expected)
+    // structural guard the replay can't miss: no own-label leak
+    val labels = rows.map(t => t._1 -> t._3).toMap
+    assert(got.forall { case (q, _, nl, _) => labels(q) != nl })
+  }
+
   test("nearestCentroid classifies separated clusters perfectly; " +
       "centroids equal the hand-computed means") {
     // 4 tight clusters labeled by cluster id: the class prototype is
