@@ -57,36 +57,67 @@ object Selection {
     * log-ratio (DSIR resamples on it directly; length-normalize
     * downstream if comparing across lengths).
     */
-  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, buckets: Int = 1024): DataFrame = {
-    val toks = graft.functions.Functions.explodeOnce(
-        docs, Seq(col(idCol), isTarget.as("__tgt")),
+  /** Per-(row, hashed-bucket) token counts — the shared first stage of
+    * every DSIR path: tokenize once, hash each term to its md5-prefix
+    * bucket, count per (id, extra…, bucket).
+    */
+  def hashedBucketCounts(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int, keep: Seq[(String, Column)] = Nil): DataFrame =
+    graft.functions.Functions.explodeOnce(
+        docs, col(idCol) +: keep.map { case (n, c) => c.as(n) },
         TextAnalysis.tokens(lower(col(textCol))), "__term")
       .withColumn("__b",
         conv(substring(md5(col("__term")), 1, 8), 16, 10)
           .cast(LongType) % buckets)
-    // per-(doc, bucket) counts persist: they feed the bucket model AND
-    // the scoring join — without the persist Catalyst re-runs the
-    // whole tokenize+explode per consumer (the q_tfidf lesson)
-    val docb = graft.InternalCaches.track(
-      toks.groupBy(col(idCol), col("__tgt"), col("__b"))
-        .agg(count(lit(1)).as("__cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .groupBy(col(idCol) +: keep.map(t => col(t._1)) :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+
+  /** Fit the DSIR bucket model from per-(doc, tgt, bucket) counts:
+    * one row per bucket, `__q` = the quantized per-token log-ratio
+    * ln p_t(b) − ln p_r(b) under add-one smoothing. Corpus totals
+    * attach via a single-partition window — the frame is ≤ `buckets`
+    * rows by construction, so "all data to one partition" is a
+    * ≤1024-row exchange, not a corpus collapse.
+    */
+  def dsirModelFrom(docb: DataFrame, buckets: Int): DataFrame = {
     val bk = docb.groupBy("__b").agg(
       sum(when(col("__tgt"), col("__cnt")).otherwise(lit(0L))).as("__ct"),
       sum(when(!col("__tgt"), col("__cnt")).otherwise(lit(0L))).as("__cr"))
-    // corpus totals attach via a single-partition window — the frame
-    // is ≤ `buckets` rows by construction, so "all data to one
-    // partition" is a ≤1024-row exchange, not a corpus collapse
     val wAll = Window.partitionBy()
-    val model = bk
-      .withColumn("__ctt", sum("__ct").over(wAll))
+    bk.withColumn("__ctt", sum("__ct").over(wAll))
       .withColumn("__crt", sum("__cr").over(wAll))
       .select(col("__b"),
         (floor((log(col("__ct") + 1) - log(col("__cr") + 1)) * Q + lit(0.5))
           .cast(LongType) +
          floor((log(col("__crt") + buckets) - log(col("__ctt") + buckets))
            * Q + lit(0.5)).cast(LongType)).as("__q"))
+  }
+
+  /** Score docs against a FROZEN bucket model (`(__b, __q)` rows, e.g.
+    * from a prior [[dsirModelFrom]] fit) — the apply-side half used by
+    * the streaming [[graft.streaming.DsirGate]]: the model never
+    * refits, every micro-batch pays one tokenize pass and a broadcast
+    * join against the fixed ≤`buckets`-row frame.
+    */
+  def dsirScoreWith(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, buckets: Int = 1024): DataFrame =
+    hashedBucketCounts(docs, idCol, textCol, buckets)
+      .join(broadcast(model), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum("__cnt").as("n_tokens"),
+        round(sum(col("__cnt") * col("__q")).cast(DoubleType) / Q.toDouble, 4)
+          .as("dsir_logw"))
+
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 1024): DataFrame = {
+    // per-(doc, bucket) counts persist: they feed the bucket model AND
+    // the scoring join — without the persist Catalyst re-runs the
+    // whole tokenize+explode per consumer (the q_tfidf lesson)
+    val docb = graft.InternalCaches.track(
+      hashedBucketCounts(docs, idCol, textCol, buckets,
+        Seq("__tgt" -> isTarget))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val model = dsirModelFrom(docb, buckets)
     docb.join(broadcast(model), Seq("__b"))
       .groupBy(col(idCol))
       .agg(sum("__cnt").as("n_tokens"),

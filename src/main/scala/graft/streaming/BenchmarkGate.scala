@@ -29,6 +29,23 @@ trait DocGate extends Serializable {
     scrubDocs(docs, textCol, idCol)
 }
 
+object DocGate {
+  /** Compose gates left-to-right: a doc must pass EVERY gate (set
+    * intersection, so order only affects plan shape, not the result).
+    * Lets a stream run decontamination AND selection through the one
+    * `Option[DocGate]` slot — e.g. `DocGate.all(BenchmarkGate.fromDocs
+    * (bench), DsirGate.fromCorpus(...))`.
+    */
+  def all(gates: DocGate*): DocGate = new DocGate {
+    override def scrubDocs(docs: DataFrame, textCol: String,
+        idCol: String): DataFrame =
+      gates.foldLeft(docs)((d, g) => g.scrubDocs(d, textCol, idCol))
+    override def scrubWithFp(docs: DataFrame, fpCol: String,
+        textCol: String, idCol: String): DataFrame =
+      gates.foldLeft(docs)((d, g) => g.scrubWithFp(d, fpCol, textCol, idCol))
+  }
+}
+
 /** Exact-copy gate: docs whose exact-dup fingerprint (md5 of
   * normalized text) matches a benchmark doc are dropped. The Bloom
   * filter over the benchmark fingerprints is built ONCE at
@@ -105,5 +122,53 @@ object WinnowGate {
         "__bm_id", textCol)
       .select(explode(col("fps")).as("fp"))
     new WinnowGate(fps, minShared)
+  }
+}
+
+/** Selection gate — the streaming twin of `q_dsir_weights`: docs whose
+  * PER-TOKEN DSIR log-ratio (how much more likely under the target
+  * hashed-unigram model than under the raw one) falls below
+  * `minPerTokenLogw` are dropped. The ≤`buckets`-row model is fit ONCE
+  * at construction from a reference corpus and frozen; every
+  * micro-batch then pays one tokenize pass over ITS OWN docs plus a
+  * broadcast join against the fixed model frame — no state grows with
+  * the stream, and a replayed batch drops the same docs again (pure
+  * per-batch filter, the streams' idempotence contract).
+  *
+  * The threshold cuts the LENGTH-NORMALIZED weight: the raw total is
+  * ∝ n_tokens, so a fixed total cut would just be a length filter.
+  */
+final class DsirGate(model: DataFrame, minPerTokenLogw: Double,
+    buckets: Int = 1024) extends DocGate {
+  // materialize once (same rationale as WinnowGate.fps): without the
+  // persist every micro-batch re-runs the reference-corpus fit
+  private val frozen = {
+    val m = model.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    m.count()
+    m
+  }
+
+  override def scrubDocs(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val kept = graft.operators.Selection
+      .dsirScoreWith(docs, idCol, textCol, frozen, buckets)
+      .filter(col("dsir_logw") / col("n_tokens") >= minPerTokenLogw)
+      .select(idCol)
+    docs.join(kept, Seq(idCol), "left_semi")
+  }
+}
+
+object DsirGate {
+  /** Fit the gate's model from a reference corpus with a target
+    * predicate (e.g. `col("source") === "curated"`).
+    */
+  def fromCorpus(reference: DataFrame, isTarget: org.apache.spark.sql.Column,
+      minPerTokenLogw: Double, textCol: String = "text",
+      idCol: String = "doc_id", buckets: Int = 1024): DsirGate = {
+    val docb = graft.operators.Selection.hashedBucketCounts(
+      reference, idCol, textCol, buckets, Seq("__tgt" -> isTarget))
+    new DsirGate(
+      graft.operators.Selection.dsirModelFrom(docb, buckets),
+      minPerTokenLogw, buckets)
   }
 }
