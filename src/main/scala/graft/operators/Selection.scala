@@ -256,6 +256,85 @@ object Selection {
         |  FROM lm JOIN documents d ON lm.doc_id = d.doc_id)
         |ORDER BY doc_id""".stripMargin),
 
+    // The composed selection pipeline — quality heuristics → DSIR
+    // per-token cut → temperature quota, each stage feeding the next
+    // (the end-to-end "decide what trains" path a data team actually
+    // runs). Corpus scans stay pushed-filter parquet reads (2 total:
+    // the dsir doc-bucket cache build and the semi-join back); the
+    // post-selection stages run off a persisted (doc_id, source)
+    // keys-only frame, never a cached corpus. The oracle chains all
+    // three stages' CTEs, so a drift in ANY stage — heuristics
+    // thresholds, model arithmetic, cut, quota rounding — mismatches.
+    "q_select_corpus" -> QueryDef(
+      (s, dir) => {
+        val docs = spreadScan(table(s, dir, "documents"))
+        val quality = docs.filter(
+          size(TextAnalysis.tokens(col("text"))) >= 5 &&
+            length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+              .cast(DoubleType) / greatest(length(col("text")), lit(1))
+              <= 0.3)
+        val weighted = dsirWeights(quality, "doc_id", "text",
+          col("source") === "src0")
+        val selectedKeys = graft.InternalCaches.track(
+          quality.join(
+              weighted
+                .filter(col("dsir_logw") / col("n_tokens") >= lit(-0.47))
+                .select("doc_id"),
+              Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("source"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        sqrtQuota(selectedKeys, "doc_id", "source")
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      },
+      """WITH qd AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 5
+        |    AND length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+        |        / greatest(length(text), 1) <= 0.3),
+        |toks AS (
+        |  SELECT doc_id, source = 'src0' AS tgt,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM qd),
+        |docb AS (
+        |  SELECT doc_id, tgt,
+        |    CAST(CAST(('0x' || substr(md5(term), 1, 8)) AS UINT32) AS BIGINT)
+        |      % 1024 AS b,
+        |    count(*) AS cnt
+        |  FROM toks GROUP BY 1, 2, 3),
+        |bk AS (
+        |  SELECT b,
+        |    sum(CASE WHEN tgt THEN cnt ELSE 0 END) AS ct,
+        |    sum(CASE WHEN NOT tgt THEN cnt ELSE 0 END) AS cr
+        |  FROM docb GROUP BY 1),
+        |tot AS (SELECT b, ct, cr,
+        |    sum(ct) OVER () AS ctt, sum(cr) OVER () AS crt FROM bk),
+        |ql AS (SELECT b,
+        |    CAST(floor((ln(ct + 1) - ln(cr + 1)) * 1048576 + 0.5) AS BIGINT)
+        |  + CAST(floor((ln(crt + 1024) - ln(ctt + 1024)) * 1048576 + 0.5)
+        |      AS BIGINT) AS q
+        |  FROM tot),
+        |w AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    round(CAST(sum(cnt * q) AS DOUBLE) / 1048576.0, 4) AS lw
+        |  FROM docb JOIN ql USING (b) GROUP BY 1),
+        |sel AS (
+        |  SELECT qd.doc_id, qd.source FROM qd JOIN w USING (doc_id)
+        |  WHERE lw / n_tokens >= -0.47),
+        |cq AS (SELECT source, count(*) AS n FROM sel GROUP BY 1),
+        |qq AS (SELECT source, n,
+        |    CAST(floor(sqrt(n) * 1048576 + 0.5) AS BIGINT) AS qs FROM cq),
+        |tq AS (SELECT source, qs, sum(qs) OVER () AS qt,
+        |    sum(n) OVER () AS nn FROM qq),
+        |kq AS (SELECT source,
+        |    ((nn * 2 + 4) // 5 * qs + qt - 1) // qt AS quota FROM tq),
+        |rq AS (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM sel)
+        |SELECT doc_id, source FROM rq JOIN kq USING (source)
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin),
+
     // Temperature-balanced 40%-of-corpus selection: per-source quotas
     // ∝ √n_s, docs chosen in md5 rank order. The oracle recomputes the
     // quantized sqrt, both ceil-divisions, and the per-source rank, so

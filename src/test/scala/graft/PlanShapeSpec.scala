@@ -313,4 +313,10 @@ class PlanShapeSpec extends SparkSpec {
     val n = scanCount("q_ppl_buckets", "documents")
     assert(n <= 2, s"documents scanned $n times (bigram cache + lang projection is 2)")
   }
+
+  test("q_select_corpus: two pushed-filter corpus scans, keys-only cache after") {
+    val n = scanCount("q_select_corpus", "documents")
+    assert(n <= 2,
+      s"documents scanned $n times (dsir cache build + semi-join back is 2)")
+  }
 }
