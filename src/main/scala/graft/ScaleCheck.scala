@@ -34,7 +34,8 @@ object ScaleCheck {
     "q_window_running", "q_cohort_retention",
     "q_semdedup", "q_dedup_winnow",
     // round 8: the data-selection family
-    "q_dsir_weights", "q_ppl_buckets", "q_mixture_alpha")
+    "q_dsir_weights", "q_ppl_buckets", "q_mixture_alpha",
+    "q_select_corpus")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
