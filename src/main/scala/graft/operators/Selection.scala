@@ -144,6 +144,35 @@ object Selection {
     * are the known limit (one reducer per source), same as every
     * per-source window here.
     */
+  /** The 100 TB path of `q_ppl_buckets`: tier assignment by BROADCAST
+    * CUTPOINTS instead of a per-language total order. The 4-dp LM
+    * score scales by 10^4 onto [[Sketches.gridQuantiles]]' integer
+    * grid (exact — `round` yields an integral double, so the
+    * histogram's floor is a no-op), tercile cut values read off the
+    * bounded (lang, bucket) histogram, and every doc assigns its tier
+    * by two comparisons — narrow, no sort, the same swap
+    * `Sharding.equiDepthBins` documents. Differs from the exact ntile
+    * only at boundary TIES (equal scores land in one tier instead of
+    * splitting to balance counts); SelectionSpec pins ≥90% agreement
+    * and the within-language tier ordering.
+    */
+  def pplBucketsByCutpoints(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val lang = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val scored = graft.InternalCaches.track(
+      TextAnalysis.lmScored(s, dir).join(lang, "doc_id")
+        .withColumn("__q", round(col("avg_logp") * 10000).cast(LongType))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cuts = Sketches.gridQuantiles(scored, "lang", "__q",
+      Seq(1.0 / 3, 2.0 / 3))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("avg_logp"),
+        when(col("__q") <= col("p33"), "tail")
+          .when(col("__q") <= col("p67"), "middle")
+          .otherwise("head").as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
   def sqrtQuota(df: DataFrame, keyCol: String, sourceCol: String,
       keepNum: Long = 2L, keepDen: Long = 5L): DataFrame = {
     require(keepNum > 0 && keepDen >= keepNum,

@@ -406,6 +406,74 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Freeze the bigram LM of [[lmScored]] as an artifact: the
+    * `(w1, w2, __qlp)` scored-bigram table plus the quantized UNK
+    * log-prob (−ln vocabSize — the probability mass an unseen-context
+    * bigram gets under the same add-k smoothing). Feeds the streaming
+    * [[graft.streaming.LmGate]]: fit once on a bounded reference
+    * corpus, score any batch against the frozen table. Scoring the FIT
+    * corpus itself reproduces [[lmScored]]'s per-doc averages exactly
+    * (every bigram hits the table — LmGateSpec pins it), which is what
+    * makes the gate the stream twin of the batch score rather than an
+    * approximation of it. One driver scalar (the vocab size, for the
+    * UNK constant) collects at build time — same one-time cost class
+    * as WinnowGate's construction count.
+    */
+  def lmModel(docs: DataFrame, textCol: String = "text"): (DataFrame, Long) = {
+    val Q = 1048576L
+    val toksF = docs
+      .select(tokens(lower(col(textCol))).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val n = size(col("__t"))
+    val bigrams = zip_with(
+      slice(col("__t"), lit(1), n - 1), slice(col("__t"), lit(2), n - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bi = graft.functions.Functions.explodeOnce(
+        toksF, Seq.empty, bigrams, "__bg")
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val c12 = graft.InternalCaches.track(
+      bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val vsz = c12.select(col("w1").as("w"))
+      .union(c12.select(col("w2").as("w")))
+      .agg(countDistinct("w")).head().getLong(0)
+    val lp = log((col("c12") + lit(0.5)) / (col("c1") + lit(0.5) * vsz))
+    val model = c12.join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        floor(lp * Q + lit(0.5)).cast(LongType).as("__qlp"))
+    val qlpUnk = math.floor(math.log(1.0 / vsz) * Q + 0.5).toLong
+    (model, qlpUnk)
+  }
+
+  /** Score docs against a FROZEN bigram model from [[lmModel]]:
+    * per-doc mean quantized bigram log-prob, unseen bigrams at the UNK
+    * constant. Docs with fewer than 2 tokens carry no bigram and are
+    * ABSENT from the result (the caller decides their fate — the gate
+    * passes them, matching WinnowGate's under-floor contract).
+    */
+  def lmScoreWith(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, qlpUnk: Long): DataFrame = {
+    val toksF = docs
+      .select(col(idCol), tokens(lower(col(textCol))).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val n = size(col("__t"))
+    val bigrams = zip_with(
+      slice(col("__t"), lit(1), n - 1), slice(col("__t"), lit(2), n - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    graft.functions.Functions.explodeOnce(
+        toksF, Seq(col(idCol)), bigrams, "__bg")
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .join(model, Seq("w1", "w2"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("__qlp"), lit(qlpUnk))).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__s").cast(DoubleType) /
+          (col("n_bigrams").cast(DoubleType) * lit(1048576.0)), 4)
+          .as("avg_logp"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // Sliding-window chunking at chunk=32/stride=24 (docs average ~54
     // tokens, so most emit 2-3 chunks). The oracle rebuilds every

@@ -172,3 +172,44 @@ object DsirGate {
       minPerTokenLogw, buckets)
   }
 }
+
+/** Fluency gate — the streaming twin of the batch LM score
+  * (`q_lm_score` / `q_ppl_buckets`' tail cut, the CCNet recipe): docs
+  * whose mean bigram log-prob under a FROZEN reference LM falls below
+  * `minAvgLogp` are dropped. The model — `TextAnalysis.lmModel`'s
+  * scored-bigram table — fits once from a bounded reference corpus;
+  * each micro-batch explodes ITS OWN bigrams and joins the frozen
+  * table (auto-broadcast when the reference is small, shuffle join
+  * when it is not — either way no state grows with the stream).
+  * Unseen bigrams score at the UNK constant. Docs under 2 tokens
+  * carry no bigram and PASS (the WinnowGate under-floor contract);
+  * pure per-batch filter, so replays drop the same docs again.
+  */
+final class LmGate(model: DataFrame, qlpUnk: Long, minAvgLogp: Double)
+    extends DocGate {
+  private val frozen = {
+    val m = model.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    m.count()
+    m
+  }
+
+  override def scrubDocs(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val dropped = TextAnalysis
+      .lmScoreWith(docs, idCol, textCol, frozen, qlpUnk)
+      .filter(col("avg_logp") < minAvgLogp)
+      .select(idCol)
+    // anti-join on the DROPPED set so unscoreable (<2-token) docs,
+    // absent from the score frame, pass by construction
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+}
+
+object LmGate {
+  /** Fit the gate's LM from a reference corpus. */
+  def fromCorpus(reference: DataFrame, minAvgLogp: Double,
+      textCol: String = "text"): LmGate = {
+    val (model, qlpUnk) = TextAnalysis.lmModel(reference, textCol)
+    new LmGate(model, qlpUnk, minAvgLogp)
+  }
+}

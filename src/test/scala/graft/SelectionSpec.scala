@@ -95,6 +95,42 @@ class SelectionSpec extends SparkSpec {
     assert(at60.size > at40.size)
   }
 
+  test("pplBucketsByCutpoints: the no-sort scale path agrees ≥90% with ntile") {
+    val exact = SparkEntry.queries("q_ppl_buckets")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(3))).toMap
+    InternalCaches.drain(); spark.catalog.clearCache()
+    val cut = Selection.pplBucketsByCutpoints(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3)))
+    assert(cut.length == exact.size, "both paths must score the same docs")
+    // cutpoint assignment differs from ntile only where boundary ties
+    // force ntile to split equal scores across tiers
+    val agree = cut.count { case (id, _, _, b) => exact(id)._2 == b }
+    assert(agree.toDouble / cut.length >= 0.9,
+      s"only $agree/${cut.length} agree with the exact terciles")
+    // the cutpoint path's own contract: within a language, every head
+    // score ≥ every middle score ≥ every tail score (no count balance,
+    // but strict score ordering — ties never straddle tiers here)
+    cut.groupBy(_._2).foreach { case (lang, rs) =>
+      def scores(b: String) = rs.filter(_._4 == b).map(_._3)
+      for (Seq(hi, lo) <- Seq("head", "middle", "tail").sliding(2))
+        if (scores(hi).nonEmpty && scores(lo).nonEmpty)
+          assert(scores(hi).min >= scores(lo).max,
+            s"$lang: $hi min ${scores(hi).min} < $lo max ${scores(lo).max}")
+    }
+    InternalCaches.drain(); spark.catalog.clearCache()
+  }
+
+  test("dsirWeights: an empty target slice still yields finite weights") {
+    val docs = table(spark, sfDir, "documents")
+    val w = Selection.dsirWeights(docs, "doc_id", "text", lit(false))
+    // ct = 0 in every bucket: per-token terms are ln(1)-ln(cr+1) plus
+    // the total-count constant — all defined; nothing NaN/null
+    assert(w.count() == docs.count())
+    assert(w.filter(col("dsir_logw").isNull ||
+      isnan(col("dsir_logw"))).count() == 0)
+  }
+
   test("q_ppl_buckets: terciles balanced per language, scores ordered") {
     val out = SparkEntry.queries("q_ppl_buckets")(spark, sfDir)
     val rows = out.collect()
