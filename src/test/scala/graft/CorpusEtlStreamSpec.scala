@@ -121,6 +121,69 @@ class CorpusEtlStreamSpec extends SparkSpec {
     }
   }
 
+  test("composed DocGate.all rides the stream: decontam + DSIR + LM " +
+      "fluency each catch their own doc, replay idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cetl_sel")
+    val index = base.resolve("index").toString
+    val sink = base.resolve("sink").toString
+    // reference corpus: 4 fluent target docs sharing bigrams, 4 junk
+    // raw docs on a disjoint vocabulary, token counts balanced so the
+    // DSIR total-count constant is ~0 and per-token sign = which side
+    // the vocabulary came from
+    val tgt = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "the quick brown fox sleeps over the lazy dog again and again",
+      "the quick brown fox runs over the lazy dog again and again",
+      "the quick brown fox leaps over the lazy dog again and again")
+    val raw = Seq(
+      "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10 zz11 zz12",
+      "yy1 yy2 yy3 yy4 yy5 yy6 yy7 yy8 yy9 yy10 yy11 yy12",
+      "xx1 xx2 xx3 xx4 xx5 xx6 xx7 xx8 xx9 xx10 xx11 xx12",
+      "ww1 ww2 ww3 ww4 ww5 ww6 ww7 ww8 ww9 ww10 ww11 ww12")
+    val reference = (tgt.map((_, "tgt")) ++ raw.map((_, "raw")))
+      .zipWithIndex.map { case ((t, s), i) => (100L + i, t, s) }
+      .toDF("doc_id", "text", "source")
+    val gate = graft.streaming.DocGate.all(
+      // decontam: tgt(1) is the "benchmark" — its exact copy must drop
+      // even though it is fluent and on-target for the other two gates
+      graft.streaming.BenchmarkGate.fromDocs(Seq(Tuple1(tgt(1))).toDF("text")),
+      // selection: per-token log-ratio ≥ 0 — target vocab ≈ +1.6,
+      // junk vocab ≈ −1.6 under the balanced reference
+      graft.streaming.DsirGate.fromCorpus(reference,
+        col("source") === "tgt", 0.0),
+      // fluency: fit on the target docs; in-model bigrams average
+      // ≈ −1.4, all-UNK text ≈ −ln(14) ≈ −2.6 — cut between them
+      graft.streaming.LmGate.fromCorpus(
+        reference.filter(col("source") === "tgt"), -2.2))
+    def step(rows: Seq[(Long, String)], id: Long): Unit =
+      CorpusEtlStream.prepareBatchStep(rows.toDF("doc_id", "text"), id,
+        index, sink, chunkTokens = 8, stride = 6, compactEvery = 3,
+        benchmark = Some(gate))
+    def sinkDocIds: Set[Long] = spark.read.parquet(sink)
+      .select("doc_id").distinct().as[Long].collect().toSet
+
+    val b0 = Seq(
+      (1L, tgt.head), // fluent, on-target, not the benchmark → kept
+      (2L, tgt(1)), // exact benchmark copy → decontam gate drops
+      (3L, raw.head), // junk vocabulary → DSIR gate drops
+      // target VOCABULARY (DSIR passes) but scrambled so every bigram
+      // is out-of-model → LM gate drops: the doc only the fluency
+      // gate can catch
+      (4L, "dog lazy the fox brown quick over jumps and the again again"))
+    step(b0, 0L)
+    assert(sinkDocIds == Set(1L),
+      s"expected only doc 1 through the composed gates, got $sinkDocIds")
+    // replay: pure per-batch filters → same verdicts, no dup chunks
+    step(b0, 0L)
+    assert(sinkDocIds == Set(1L))
+    val chunks = spark.read.parquet(sink)
+    assert(chunks.count() == chunks.dropDuplicates("doc_id", "chunk_id").count())
+    // a later batch: the frozen models still gate (cross-batch), and a
+    // fresh fluent on-target doc still passes
+    step(Seq((11L, tgt(2)), (12L, raw(1))), 1L)
+    assert(sinkDocIds == Set(1L, 11L))
+  }
+
   test("budget gate: strict-prefix per-source spend across batches, " +
       "quality-dropped docs spend nothing, compaction replay holds") {
     val base = java.nio.file.Files.createTempDirectory("graft_cetl_bud")
