@@ -194,16 +194,32 @@ object Selection {
       .drop("__rn", "__quota")
   }
 
-  def defs: Map[String, QueryDef] = Map(
-    // DSIR selection weights against the curated-proxy target
-    // (source = src0) — the oracle refits both hashed-unigram models
-    // and replays every quantized log term, so a drifted hash, bucket
-    // count, smoothing constant, or summation grid mismatches.
-    "q_dsir_weights" -> QueryDef(
-      (s, dir) => dsirWeights(spreadScan(table(s, dir, "documents")),
-          "doc_id", "text", col("source") === "src0")
-        .orderBy("doc_id"),
-      """WITH toks AS (
+  /** Build-once persisted DSIR model for the harness corpus (target =
+    * src0), content-keyed on the documents file — the selection
+    * counterpart of the ANN `_indexed` twins: the first caller pays
+    * the fit, every later scoring run (this process or the next) reads
+    * the ≤`buckets`-row parquet straight into the broadcast join.
+    */
+  def ensureDsirModel(s: org.apache.spark.sql.SparkSession, sfDir: String,
+      buckets: Int = 1024): String = {
+    val dir = graft.sources.DerivedCache.dirFor(s,
+      s"$sfDir/documents.parquet", "dsir-model", s"b$buckets-src0")
+    if (!graft.sources.DerivedCache.isComplete(s, dir)) {
+      val docb = hashedBucketCounts(
+        spreadScan(table(s, sfDir, "documents")), "doc_id", "text",
+        buckets, Seq("__tgt" -> (col("source") === "src0")))
+      dsirModelFrom(docb, buckets)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /** Oracle for the DSIR weights — shared VERBATIM by the self-fit
+    * query and its persisted-model twin: the model was fit on the same
+    * corpus, so reuse must be invisible in the result (that identity
+    * IS the twin's contract, hash-checked every round).
+    */
+  private val dsirOracleSql = """WITH toks AS (
         |  SELECT doc_id, source = 'src0' AS tgt,
         |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
         |  FROM documents),
@@ -228,7 +244,28 @@ object Selection {
         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
         |  round(CAST(sum(cnt * q) AS DOUBLE) / 1048576.0, 4) AS dsir_logw
         |FROM docb JOIN ql USING (b)
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin),
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  def defs: Map[String, QueryDef] = Map(
+    // DSIR selection weights against the curated-proxy target
+    // (source = src0) — the oracle refits both hashed-unigram models
+    // and replays every quantized log term, so a drifted hash, bucket
+    // count, smoothing constant, or summation grid mismatches.
+    "q_dsir_weights" -> QueryDef(
+      (s, dir) => dsirWeights(spreadScan(table(s, dir, "documents")),
+          "doc_id", "text", col("source") === "src0")
+        .orderBy("doc_id"),
+      dsirOracleSql),
+
+    // The persisted-model twin: score against the build-once parquet
+    // model instead of refitting — SAME oracle string as
+    // q_dsir_weights, so the reuse is provably invisible (the ANN
+    // `_indexed` contract).
+    "q_dsir_weights_indexed" -> QueryDef(
+      (s, dir) => dsirScoreWith(spreadScan(table(s, dir, "documents")),
+          "doc_id", "text", s.read.parquet(ensureDsirModel(s, dir)))
+        .orderBy("doc_id"),
+      dsirOracleSql),
 
     // CCNet-style per-language fluency tiers: tercile the bigram-LM
     // score within each language, best third = head. Exactness costs a
