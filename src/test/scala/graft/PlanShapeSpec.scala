@@ -319,4 +319,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(n <= 2,
       s"documents scanned $n times (dsir cache build + semi-join back is 2)")
   }
+
+  test("q_dsir_weights_indexed: one corpus scan — the model loads from parquet") {
+    val n = scanCount("q_dsir_weights_indexed", "documents")
+    assert(n <= 1, s"documents scanned $n times (score pass is 1)")
+  }
+
+  test("q_mixture_alpha: two cheap projections — counts and the rank pass") {
+    val n = scanCount("q_mixture_alpha", "documents")
+    assert(n <= 2, s"documents scanned $n times (counts + rank is 2)")
+  }
+
+  test("q_hard_negatives: one scan per side of the broadcast panel join") {
+    val n = scanCount("q_hard_negatives", "embeddings")
+    assert(n <= 2, s"embeddings scanned $n times (query panel + corpus is 2)")
+  }
 }
