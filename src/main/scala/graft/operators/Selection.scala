@@ -322,6 +322,69 @@ object Selection {
         |  FROM lm JOIN documents d ON lm.doc_id = d.doc_id)
         |ORDER BY doc_id""".stripMargin),
 
+    // Curriculum export: staged training order — phase 1 = tail (the
+    // least fluent text trains first), phase 3 = head (anneal on the
+    // best last), per-language fluency terciles as in q_ppl_buckets.
+    // WITHIN a phase the replay order is the seeded md5 permutation in
+    // 4 shards (the q_shuffle_shard mechanics: partition on
+    // (phase, shard), per-shard rank — no global sort; reading phases
+    // in order, shards 0..3 each by pos, replays ONE fixed curriculum
+    // any engine reproduces). The oracle refits the LM and replays
+    // tiers, shards, and every rank.
+    "q_curriculum" -> QueryDef(
+      (s, dir) => {
+        val lang = table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"))
+        val wT = Window.partitionBy("lang")
+          .orderBy(col("avg_logp").desc, col("doc_id"))
+        val tiered = TextAnalysis.lmScored(s, dir)
+          .join(lang, "doc_id")
+          .withColumn("phase", lit(4) - ntile(3).over(wT))
+          .withColumn("__ord", md5(col("doc_id").cast("string")))
+          .withColumn("shard",
+            (conv(substring(col("__ord"), 1, 8), 16, 10)
+              .cast(LongType) % 4).cast("int"))
+        val wP = Window.partitionBy("phase", "shard")
+          .orderBy(col("__ord"), col("doc_id"))
+        tiered.withColumn("pos", row_number().over(wP))
+          .select(col("doc_id"), col("phase"), col("shard"), col("pos"))
+          .orderBy("doc_id")
+      },
+      """WITH tf AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2),
+        |b2 AS (
+        |  SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> {'w1': t[i], 'w2': t[i+1]})) AS bg
+        |    FROM tf)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS vsz
+        |      FROM (SELECT unnest(t) AS w FROM tf)),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln((c12 + 0.5) / (c1 + 0.5 * vsz)) * 1048576 + 0.5)
+        |      AS BIGINT) AS qlp
+        |  FROM b2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+        |lm AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(qlp) AS DOUBLE) /
+        |      (CAST(count(*) AS DOUBLE) * 1048576.0), 4) AS avg_logp
+        |  FROM sc GROUP BY 1),
+        |tiered AS (
+        |  SELECT lm.doc_id,
+        |    4 - ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY lm.avg_logp DESC, lm.doc_id) AS phase,
+        |    md5(CAST(lm.doc_id AS VARCHAR)) AS ord,
+        |    CAST(CAST(('0x' || substr(md5(CAST(lm.doc_id AS VARCHAR)), 1, 8))
+        |      AS UINT32) AS BIGINT) % 4 AS shard
+        |  FROM lm JOIN documents d ON lm.doc_id = d.doc_id)
+        |SELECT doc_id, phase, shard,
+        |  row_number() OVER (PARTITION BY phase, shard
+        |    ORDER BY ord, doc_id) AS pos
+        |FROM tiered ORDER BY doc_id""".stripMargin),
+
     // The composed selection pipeline — quality heuristics → DSIR
     // per-token cut → temperature quota, each stage feeding the next
     // (the end-to-end "decide what trains" path a data team actually

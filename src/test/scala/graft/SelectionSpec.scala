@@ -131,6 +131,23 @@ class SelectionSpec extends SparkSpec {
       isnan(col("dsir_logw"))).count() == 0)
   }
 
+  test("q_curriculum: phases partition the scored corpus, positions dense") {
+    val out = SparkEntry.queries("q_curriculum")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // every scored doc appears exactly once, phases limited to 1..3
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.forall(t => t._2 >= 1 && t._2 <= 3))
+    assert(out.forall(t => t._3 >= 0 && t._3 < 4))
+    // positions are dense 1..n within every (phase, shard) — the
+    // "read shards in pos order" replay contract
+    out.groupBy(t => (t._2, t._3)).foreach { case (ps, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length),
+        s"positions not dense in $ps")
+    }
+    InternalCaches.drain(blocking = true)
+    spark.catalog.clearCache()
+  }
+
   test("q_ppl_buckets: terciles balanced per language, scores ordered") {
     val out = SparkEntry.queries("q_ppl_buckets")(spark, sfDir)
     val rows = out.collect()
