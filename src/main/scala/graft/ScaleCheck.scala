@@ -35,7 +35,7 @@ object ScaleCheck {
     "q_semdedup", "q_dedup_winnow",
     // round 8: the data-selection family
     "q_dsir_weights", "q_ppl_buckets", "q_mixture_alpha",
-    "q_select_corpus")
+    "q_select_corpus", "q_curriculum")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {

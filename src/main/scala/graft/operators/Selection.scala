@@ -23,6 +23,13 @@ import org.apache.spark.sql.types._
   *  - [[sqrtQuota]]: temperature-scaled source quotas (multinomial
   *    sampling with α = 1/2) — the multilingual-corpus balancing move
   *    that up-samples minority sources relative to proportional.
+  *  - `q_select_corpus`: the three stages composed end-to-end
+  *    (quality heuristics → DSIR cut → quota), one chained oracle.
+  *  - `q_curriculum`: staged training-order export — fluency tiers
+  *    map to phases, shard-local md5 positions within each.
+  *  - [[ensureDsirModel]] / [[dsirScoreWith]]: build-once persisted
+  *    model + frozen-model scoring (the ANN `_indexed` pattern; the
+  *    streaming [[graft.streaming.DsirGate]] rides the same halves).
   *
   * Everything is deterministic (md5 ranks, integer-quantized logs) so
   * the DuckDB oracle replays each decision bit-for-bit — the same
@@ -33,30 +40,6 @@ object Selection {
 
   private val Q = 1048576L // 2^20 quantization grid, the house MeanQ trick
 
-  /** DSIR importance log-weights over hashed unigram features.
-    *
-    * Fit: two add-one-smoothed unigram bag models over `buckets`
-    * hashed term buckets — "target" (rows where `isTarget`) and "raw"
-    * (the rest). Score: per doc, Σ_tokens log p_t(b)/p_r(b) =
-    * Σ_b cnt·(ln(ct_b+1) − ln(cr_b+1)) + n·(ln(Cr+B) − ln(Ct+B)).
-    * Both log terms quantize to the 1/2^20 integer grid per BUCKET
-    * (≤ `buckets` values) before the per-doc integer sum, so the
-    * result is shuffle-order-stable and oracle-replayable.
-    *
-    * Scale shape: one corpus tokenize pass → per-(doc, bucket) counts
-    * (the only corpus-sized shuffle, keyed on doc_id so it is as
-    * splittable as the corpus itself); the bucket model is ≤ `buckets`
-    * rows — aggregated FROM the per-doc counts (map-side partial, no
-    * second pass), totals attached via a single-partition window over
-    * that tiny frame, and the scoring join broadcasts it back. At
-    * 100 TB the model frame is still 1024 rows; nothing grows but the
-    * doc-keyed aggregate. The hash is the 32-bit md5 prefix mod B
-    * (not xxhash64) so any engine reproduces the bucketing.
-    *
-    * Returns (idCol, n_tokens, dsir_logw) — dsir_logw is the TOTAL
-    * log-ratio (DSIR resamples on it directly; length-normalize
-    * downstream if comparing across lengths).
-    */
   /** Per-(row, hashed-bucket) token counts — the shared first stage of
     * every DSIR path: tokenize once, hash each term to its md5-prefix
     * bucket, count per (id, extra…, bucket).
@@ -108,6 +91,30 @@ object Selection {
         round(sum(col("__cnt") * col("__q")).cast(DoubleType) / Q.toDouble, 4)
           .as("dsir_logw"))
 
+  /** DSIR importance log-weights over hashed unigram features.
+    *
+    * Fit: two add-one-smoothed unigram bag models over `buckets`
+    * hashed term buckets — "target" (rows where `isTarget`) and "raw"
+    * (the rest). Score: per doc, Σ_tokens log p_t(b)/p_r(b) =
+    * Σ_b cnt·(ln(ct_b+1) − ln(cr_b+1)) + n·(ln(Cr+B) − ln(Ct+B)).
+    * Both log terms quantize to the 1/2^20 integer grid per BUCKET
+    * (≤ `buckets` values) before the per-doc integer sum, so the
+    * result is shuffle-order-stable and oracle-replayable.
+    *
+    * Scale shape: one corpus tokenize pass → per-(doc, bucket) counts
+    * (the only corpus-sized shuffle, keyed on doc_id so it is as
+    * splittable as the corpus itself); the bucket model is ≤ `buckets`
+    * rows — aggregated FROM the per-doc counts (map-side partial, no
+    * second pass), totals attached via a single-partition window over
+    * that tiny frame, and the scoring join broadcasts it back. At
+    * 100 TB the model frame is still 1024 rows; nothing grows but the
+    * doc-keyed aggregate. The hash is the 32-bit md5 prefix mod B
+    * (not xxhash64) so any engine reproduces the bucketing.
+    *
+    * Returns (idCol, n_tokens, dsir_logw) — dsir_logw is the TOTAL
+    * log-ratio (DSIR resamples on it directly; length-normalize
+    * downstream if comparing across lengths).
+    */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 1024): DataFrame = {
     // per-(doc, bucket) counts persist: they feed the bucket model AND

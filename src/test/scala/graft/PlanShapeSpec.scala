@@ -28,6 +28,7 @@ class PlanShapeSpec extends SparkSpec {
     "q_ann_brute", "q_tfidf", "q_watermark_filter",
     "q_lm_score", // scalar (1-row) vocab-size broadcast factor
     "q_ppl_buckets", // inherits lmScored's scalar vocab broadcast
+    "q_curriculum", // same lmScored scalar broadcast
     "q_knn_label", // bruteForceTopK baseline — q_ann_brute's shape
     "q_hard_negatives", // same broadcast-panel shape, label-mismatch predicate
     // bounded (label-count) centroid side broadcast against a
