@@ -44,7 +44,7 @@ object SparkEntry {
     // never driver-checked at all: the round-8 additions
     "q_dsir_weights", "q_ppl_buckets", "q_mixture_alpha",
     "q_hard_negatives", "q_select_corpus", "q_dsir_weights_indexed",
-    "q_curriculum",
+    "q_curriculum", "q_mmr_select",
     "q_semdedup", "q_dedup_winnow",
     // unchecked for the whole of round 7 (events ingest break)
     "q_asof_join", "q_cohort_retention", "q_collect_set",

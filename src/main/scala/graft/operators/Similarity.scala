@@ -851,6 +851,74 @@ object Similarity {
         col("cos"))
   }
 
+  /** Greedy maximal-marginal-relevance selection — the diverse-panel
+    * primitive (few-shot exemplars, eval panels, labeling batches):
+    * pick `k` vectors maximizing `lambda·rel − divWeight·max_{s∈S}
+    * cos(d, s)`, where relevance is cosine to a deterministic seed
+    * (the md5-min vector, the same 1-sample rule as the IVF coarse
+    * quantizer). Ties break on vec_id at every step.
+    *
+    * `lambda` and `divWeight` are SEPARATE parameters, not
+    * `1 − lambda`: the subtraction `1 − 0.7` produces a different
+    * double than the literal `0.3` an external engine parses, and the
+    * oracle replays scores bit-for-bit.
+    *
+    * Scale shape: the scored frame (id, embedding, norm, rel)
+    * persists once; each of the k greedy steps is one narrow pass
+    * over it — a filter, a per-row max over ≤k broadcast literal
+    * vectors, and a TakeOrdered(1). Driver state is k rows (the
+    * selected vectors), k is panel-sized by contract. O(k·corpus)
+    * total, embarrassingly parallel per step.
+    */
+  def mmrSelect(corpus: DataFrame, k: Int, lambda: Double = 0.7,
+      divWeight: Double = 0.3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def dotD(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val seedRow = corpus
+      .withColumn("__rk", md5(col("vec_id").cast("string")))
+      .orderBy(col("__rk"), col("vec_id")).limit(1)
+      .select("embedding").head()
+    val seed = seedRow.getAs[scala.collection.Seq[Float]](0)
+      .map(_.toDouble).toSeq
+    val seedNorm = math.sqrt(dotD(seed, seed))
+    val frame = graft.InternalCaches.track(
+      spreadScan(corpus.select(col("vec_id"), col("embedding")))
+        .withColumn("__nrm", sqrt(fdot(col("embedding"), col("embedding"))))
+        .withColumn("__rel",
+          fdot(col("embedding"), typedlit(seed)) /
+            (col("__nrm") * lit(seedNorm)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // (id, vector, norm, score-at-selection) — k rows of driver state
+    var selected = Vector.empty[(Long, Seq[Double], Double, Double)]
+    while (selected.size < k) {
+      val div =
+        if (selected.isEmpty) lit(0.0)
+        else selected.map { case (_, v, n, _) =>
+          fdot(col("embedding"), typedlit(v)) / (col("__nrm") * lit(n))
+        }.reduce(greatest(_, _))
+      val remaining =
+        if (selected.isEmpty) frame
+        else frame.filter(!col("vec_id").isin(selected.map(_._1): _*))
+      val best = remaining
+        .withColumn("__score",
+          lit(lambda) * col("__rel") - lit(divWeight) * div)
+        .orderBy(col("__score").desc, col("vec_id")).limit(1)
+        .select("vec_id", "embedding", "__nrm", "__score").head()
+      selected :+= ((best.getLong(0),
+        best.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toSeq,
+        best.getDouble(2), best.getDouble(3)))
+    }
+    selected.zipWithIndex.map { case ((id, _, _, sc), i) =>
+      (i + 1, id,
+        BigDecimal(sc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("rank", "vec_id", "mmr")
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // Per-label mean embedding, emitted flat so the oracle replays
@@ -1233,6 +1301,60 @@ object Similarity {
         |FROM sims
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY cos_raw DESC, neighbor_id) <= 3
-        |ORDER BY query_id, neighbor_id""".stripMargin)
+        |ORDER BY query_id, neighbor_id""".stripMargin),
+
+    // Greedy MMR panel (k=5, λ=0.7, diversity 0.3): the oracle unrolls
+    // all five greedy steps as chained argmax CTEs and replays every
+    // cosine, subtraction, and tie-break — a drifted seed, a wrong
+    // "max over selected", or a λ/weight rounding mismatch anywhere in
+    // the loop hash-mismatches the panel.
+    "q_mmr_select" -> QueryDef(
+      (s, dir) => mmrSelect(table(s, dir, "embeddings"), k = 5)
+        .orderBy("rank"),
+      """WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM u),
+        |q0 AS (SELECT v, nrm FROM n
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+        |r AS (SELECT n.vec_id, n.v, n.nrm,
+        |    list_dot_product(n.v, q0.v) / (n.nrm * q0.nrm) AS rel
+        |  FROM n, q0),
+        |s1 AS (SELECT vec_id, v, nrm, 0.7 * rel - 0.3 * 0.0 AS mmr
+        |  FROM r ORDER BY rel DESC, vec_id LIMIT 1),
+        |c2 AS (SELECT r.vec_id, r.v, r.nrm, r.rel,
+        |    list_dot_product(r.v, s1.v) / (r.nrm * s1.nrm) AS dv
+        |  FROM r, s1 WHERE r.vec_id != s1.vec_id),
+        |s2 AS (SELECT vec_id, v, nrm, 0.7 * rel - 0.3 * dv AS mmr
+        |  FROM c2 ORDER BY 0.7 * rel - 0.3 * dv DESC, vec_id LIMIT 1),
+        |c3 AS (SELECT r.vec_id, r.v, r.nrm, r.rel, greatest(
+        |    list_dot_product(r.v, s1.v) / (r.nrm * s1.nrm),
+        |    list_dot_product(r.v, s2.v) / (r.nrm * s2.nrm)) AS dv
+        |  FROM r, s1, s2 WHERE r.vec_id NOT IN (s1.vec_id, s2.vec_id)),
+        |s3 AS (SELECT vec_id, v, nrm, 0.7 * rel - 0.3 * dv AS mmr
+        |  FROM c3 ORDER BY 0.7 * rel - 0.3 * dv DESC, vec_id LIMIT 1),
+        |c4 AS (SELECT r.vec_id, r.v, r.nrm, r.rel, greatest(
+        |    list_dot_product(r.v, s1.v) / (r.nrm * s1.nrm),
+        |    list_dot_product(r.v, s2.v) / (r.nrm * s2.nrm),
+        |    list_dot_product(r.v, s3.v) / (r.nrm * s3.nrm)) AS dv
+        |  FROM r, s1, s2, s3
+        |  WHERE r.vec_id NOT IN (s1.vec_id, s2.vec_id, s3.vec_id)),
+        |s4 AS (SELECT vec_id, v, nrm, 0.7 * rel - 0.3 * dv AS mmr
+        |  FROM c4 ORDER BY 0.7 * rel - 0.3 * dv DESC, vec_id LIMIT 1),
+        |c5 AS (SELECT r.vec_id, r.v, r.nrm, r.rel, greatest(
+        |    list_dot_product(r.v, s1.v) / (r.nrm * s1.nrm),
+        |    list_dot_product(r.v, s2.v) / (r.nrm * s2.nrm),
+        |    list_dot_product(r.v, s3.v) / (r.nrm * s3.nrm),
+        |    list_dot_product(r.v, s4.v) / (r.nrm * s4.nrm)) AS dv
+        |  FROM r, s1, s2, s3, s4
+        |  WHERE r.vec_id NOT IN (s1.vec_id, s2.vec_id, s3.vec_id, s4.vec_id)),
+        |s5 AS (SELECT vec_id, v, nrm, 0.7 * rel - 0.3 * dv AS mmr
+        |  FROM c5 ORDER BY 0.7 * rel - 0.3 * dv DESC, vec_id LIMIT 1)
+        |SELECT rank, vec_id, round(mmr, 4) AS mmr FROM (
+        |  SELECT 1 AS rank, vec_id, mmr FROM s1
+        |  UNION ALL SELECT 2, vec_id, mmr FROM s2
+        |  UNION ALL SELECT 3, vec_id, mmr FROM s3
+        |  UNION ALL SELECT 4, vec_id, mmr FROM s4
+        |  UNION ALL SELECT 5, vec_id, mmr FROM s5)
+        |ORDER BY rank""".stripMargin)
   )
 }

@@ -345,6 +345,78 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall { case (q, _, nl, _) => labels(q) != nl })
   }
 
+  test("q_mmr_select: every greedy step matches a bitwise driver replay") {
+    val rows = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md5.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val seed = rows.minBy(t => (h(t._1), t._1))._2
+    val rel = rows.map { case (id, v) => id -> cos(v, seed) }.toMap
+    val byId = rows.toMap
+    // greedy replay, λ=0.7 / 0.3, ties by vec_id
+    var sel = Vector.empty[Long]
+    while (sel.size < 5) {
+      val cand = rows.filter(t => !sel.contains(t._1)).map { case (id, v) =>
+        val div = if (sel.isEmpty) 0.0
+          else sel.map(s => cos(v, byId(s))).max
+        (id, 0.7 * rel(id) - 0.3 * div)
+      }
+      sel :+= cand.minBy { case (id, sc) => (-sc, id) }._1
+    }
+    val got = SparkEntry.registry("q_mmr_select").fn(spark, sfDir)
+      .collect().map(_.getLong(1)).toSeq
+    assert(got == sel, s"spark $got vs replay $sel")
+    InternalCaches.drain()
+    spark.catalog.clearCache()
+  }
+
+  test("mmrSelect diversifies across clusters where pure relevance stays home") {
+    import spark.implicits._
+    // the harness embeddings are isotropic noise — the diversity term
+    // barely moves ranks there, so the property needs a clustered
+    // fixture: three orthogonal clusters, the md5-min id pinned into
+    // cluster A so the relevance seed lands there deterministically
+    val ids = (1L to 12L)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md5.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val sorted = ids.sortBy(id => (h(id), id))
+    def vec(cluster: Int, jitter: Float): Seq[Float] = cluster match {
+      case 0 => Seq(1f, jitter, 0f, 0f)
+      case 1 => Seq(0f, 1f, jitter, 0f)
+      case _ => Seq(jitter, 0f, 0f, 1f)
+    }
+    // seed id → pure cluster-A vector; then round-robin the rest
+    val rows = sorted.zipWithIndex.map { case (id, i) =>
+      if (i == 0) (id, vec(0, 0f))
+      else (id, vec(i % 3, 0.01f * (i + 1)))
+    }
+    val clusterOf = rows.map { case (id, v) =>
+      id -> v.zipWithIndex.maxBy(_._1)._2
+    }.toMap
+    val corpus = rows.toDF("vec_id", "embedding")
+    // diversity-heavy weights: after one cluster-A pick the in-cluster
+    // penalty (~0.7) swamps in-cluster relevance (~0.3) and the greedy
+    // walk must leave home; pure relevance (top-3 cosine) never does
+    val picked = graft.operators.Similarity
+      .mmrSelect(corpus, k = 3, lambda = 0.3, divWeight = 0.7)
+      .collect().map(_.getLong(1)).toSeq
+    assert(picked.map(clusterOf).distinct.length == 3,
+      s"MMR picked clusters ${picked.map(clusterOf)} — expected all three")
+    InternalCaches.drain()
+    spark.catalog.clearCache()
+  }
+
   test("nearestCentroid classifies separated clusters perfectly; " +
       "centroids equal the hand-computed means") {
     // 4 tight clusters labeled by cluster id: the class prototype is
