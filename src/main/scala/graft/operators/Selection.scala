@@ -63,9 +63,23 @@ object Selection {
     * ≤1024-row exchange, not a corpus collapse.
     */
   def dsirModelFrom(docb: DataFrame, buckets: Int): DataFrame = {
-    val bk = docb.groupBy("__b").agg(
+    val bk0 = docb.groupBy("__b").agg(
       sum(when(col("__tgt"), col("__cnt")).otherwise(lit(0L))).as("__ct"),
       sum(when(!col("__tgt"), col("__cnt")).otherwise(lit(0L))).as("__cr"))
+    // emit ALL `buckets` rows, absent ones at zero counts: an
+    // apply-side doc whose tokens hash into buckets the reference
+    // never populated must score them at the total-count constant
+    // (the correct add-one value for ct = cr = 0), not vanish from
+    // the scoring inner-join — a sparse model silently DROPPED
+    // fully-unseen docs from DsirGate and undercounted n_tokens for
+    // partially-unseen ones (round-8 review finding). Self-fit
+    // scoring is unchanged: its corpus only ever joins the buckets
+    // it populated.
+    val bk = docb.sparkSession.range(buckets).select(col("id").as("__b"))
+      .join(bk0, Seq("__b"), "left")
+      .select(col("__b"),
+        coalesce(col("__ct"), lit(0L)).as("__ct"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
     val wAll = Window.partitionBy()
     bk.withColumn("__ctt", sum("__ct").over(wAll))
       .withColumn("__crt", sum("__cr").over(wAll))
@@ -132,25 +146,6 @@ object Selection {
           .as("dsir_logw"))
   }
 
-  /** Temperature-scaled source quotas: keep the top-`quota_s` docs of
-    * each source in md5 rank order, where quota_s ∝ n_s^α with α = 1/2
-    * and the total kept is `keepNum/keepDen` of the corpus — the
-    * standard multinomial-temperature balancing (minority sources keep
-    * a larger FRACTION than proportional, majority sources a smaller
-    * one). α is pinned at 1/2 because sqrt is IEEE correctly-rounded
-    * (bit-identical in any engine) while pow(n, α) is not; the quota
-    * arithmetic after the one sqrt is pure integers:
-    * qs = ⌊√n·2^20 + ½⌋, T = ⌈keepNum·N/keepDen⌉,
-    * quota_s = ⌈T·qs/Σqs⌉ — an oracle replays every division exactly.
-    *
-    * Scale shape: per-source counts are a map-side-combined aggregate
-    * (|sources| rows); quotas compute on that tiny frame (single-
-    * partition window) and broadcast back; the rank is the same
-    * per-group WindowGroupLimit shape as stratified-k — one shuffle on
-    * source, per-partition sort bounded by the group. Skewed sources
-    * are the known limit (one reducer per source), same as every
-    * per-source window here.
-    */
   /** The 100 TB path of `q_ppl_buckets`: tier assignment by BROADCAST
     * CUTPOINTS instead of a per-language total order. The 4-dp LM
     * score scales by 10^4 onto [[Sketches.gridQuantiles]]' integer
@@ -180,6 +175,29 @@ object Selection {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled source quotas: keep the top-`quota_s` docs of
+    * each source in md5 rank order, where quota_s ∝ n_s^α with α = 1/2
+    * and the total kept is `keepNum/keepDen` of the corpus — the
+    * standard multinomial-temperature balancing (minority sources keep
+    * a larger FRACTION than proportional, majority sources a smaller
+    * one). α is pinned at 1/2 because sqrt is IEEE correctly-rounded
+    * (bit-identical in any engine) while pow(n, α) is not; the quota
+    * arithmetic after the one sqrt is pure integers:
+    * qs = ⌊√n·2^20 + ½⌋, T = ⌈keepNum·N/keepDen⌉,
+    * quota_s = ⌈T·qs/Σqs⌉ — an oracle replays every division exactly.
+    * The `T·qs` product widens to DECIMAL(38,0) before the division:
+    * at corpus sizes past ~10⁹ docs the long product wraps while
+    * DuckDB's HUGEINT does not — decimal keeps the arithmetic exact
+    * AND engine-identical at any N the docstring claims.
+    *
+    * Scale shape: per-source counts are a map-side-combined aggregate
+    * (|sources| rows); quotas compute on that tiny frame (single-
+    * partition window) and broadcast back; the rank is the same
+    * per-group WindowGroupLimit shape as stratified-k — one shuffle on
+    * source, per-partition sort bounded by the group. Skewed sources
+    * are the known limit (one reducer per source), same as every
+    * per-source window here.
+    */
   def sqrtQuota(df: DataFrame, keyCol: String, sourceCol: String,
       keepNum: Long = 2L, keepDen: Long = 5L): DataFrame = {
     require(keepNum > 0 && keepDen >= keepNum,
@@ -191,7 +209,8 @@ object Selection {
       .withColumn("__nn", sum("__n").over(wAll))
       .withColumn("__t",
         expr(s"(__nn * $keepNum + ${keepDen - 1}) div $keepDen"))
-      .withColumn("__quota", expr("(__t * __qs + __qt - 1) div __qt"))
+      .withColumn("__quota", expr(
+        "CAST((CAST(__t AS DECIMAL(38,0)) * __qs + __qt - 1) div __qt AS BIGINT)"))
       .select(col(sourceCol), col("__quota"))
     val w = Window.partitionBy(sourceCol)
       .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
@@ -209,8 +228,10 @@ object Selection {
     */
   def ensureDsirModel(s: org.apache.spark.sql.SparkSession, sfDir: String,
       buckets: Int = 1024): String = {
+    // v2: the model artifact changed shape (full-bucket rows) — a new
+    // params string keys past any sparse-model artifact on disk
     val dir = graft.sources.DerivedCache.dirFor(s,
-      s"$sfDir/documents.parquet", "dsir-model", s"b$buckets-src0")
+      s"$sfDir/documents.parquet", "dsir-model", s"b$buckets-src0-v2")
     if (!graft.sources.DerivedCache.isComplete(s, dir)) {
       val docb = hashedBucketCounts(
         spreadScan(table(s, sfDir, "documents")), "doc_id", "text",

@@ -53,21 +53,38 @@ object Similarity {
   /** Exact brute-force top-k: broadcast query set × streamed corpus.
     * Norms are precomputed per row — each pair then costs one dot
     * product, not three.
+    *
+    * The shape generalizes past self-exclusion: `carryQuery` /
+    * `carryCorpus` alias extra columns onto each side (corpus carries
+    * surface in the output), and `pair` overrides the join predicate —
+    * `q_hard_negatives` is this exact pipeline with labels carried and
+    * a label-mismatch predicate, so the scoring/rank/round contract
+    * lives in ONE place.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      carryQuery: Seq[(String, String)] = Nil,
+      carryCorpus: Seq[(String, String)] = Nil,
+      pair: Option[Column] = None): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id") +:
+        col("embedding").as("q_v") +:
+        carryQuery.map { case (s, d) => col(s).as(d) }: _*)
       .withColumn("q_norm", sqrt(fdot(col("q_v"), col("q_v"))))
-    val c = spreadScan(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_v")))
+    val c = spreadScan(corpus.select(col("vec_id").as("neighbor_id") +:
+        col("embedding").as("c_v") +:
+        carryCorpus.map { case (s, d) => col(s).as(d) }: _*))
       .withColumn("c_norm", sqrt(fdot(col("c_v"), col("c_v"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id"))
-    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (fdot(col("q_v"), col("c_v")) / (col("q_norm") * col("c_norm"))).as("cos_raw"))
+    val carried = carryCorpus.map(t => col(t._2))
+    c.join(broadcast(q),
+        pair.getOrElse(col("query_id") =!= col("neighbor_id")))
+      .select(Seq(col("query_id"), col("neighbor_id")) ++ carried :+
+        (fdot(col("q_v"), col("c_v")) /
+          (col("q_norm") * col("c_norm"))).as("cos_raw"): _*)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos_raw"), 4).as("cos"))
+      .select(Seq(col("query_id"), col("neighbor_id")) ++ carried :+
+        round(col("cos_raw"), 4).as("cos"): _*)
   }
 
   /** LSH-bucketed top-k: candidates limited to the query's signature
@@ -879,11 +896,15 @@ object Similarity {
       while (i < a.length) { s += a(i) * b(i); i += 1 }
       s
     }
-    val seedRow = corpus
+    // a panel from an empty corpus is an empty panel, not a crash at
+    // the seed fetch (round-8 review finding)
+    val seedRows = corpus
       .withColumn("__rk", md5(col("vec_id").cast("string")))
       .orderBy(col("__rk"), col("vec_id")).limit(1)
-      .select("embedding").head()
-    val seed = seedRow.getAs[scala.collection.Seq[Float]](0)
+      .select("embedding").collect()
+    if (seedRows.isEmpty)
+      return Seq.empty[(Int, Long, Double)].toDF("rank", "vec_id", "mmr")
+    val seed = seedRows(0).getAs[scala.collection.Seq[Float]](0)
       .map(_.toDouble).toSeq
     val seedNorm = math.sqrt(dotD(seed, seed))
     val frame = graft.InternalCaches.track(
@@ -895,7 +916,8 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // (id, vector, norm, score-at-selection) — k rows of driver state
     var selected = Vector.empty[(Long, Seq[Double], Double, Double)]
-    while (selected.size < k) {
+    var exhausted = false
+    while (selected.size < k && !exhausted) {
       val div =
         if (selected.isEmpty) lit(0.0)
         else selected.map { case (_, v, n, _) =>
@@ -904,14 +926,19 @@ object Similarity {
       val remaining =
         if (selected.isEmpty) frame
         else frame.filter(!col("vec_id").isin(selected.map(_._1): _*))
-      val best = remaining
+      // k past the corpus size returns the full corpus as the panel —
+      // not a mid-loop crash (round-8 review finding)
+      remaining
         .withColumn("__score",
           lit(lambda) * col("__rel") - lit(divWeight) * div)
         .orderBy(col("__score").desc, col("vec_id")).limit(1)
-        .select("vec_id", "embedding", "__nrm", "__score").head()
-      selected :+= ((best.getLong(0),
-        best.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toSeq,
-        best.getDouble(2), best.getDouble(3)))
+        .select("vec_id", "embedding", "__nrm", "__score")
+        .collect().headOption match {
+        case None => exhausted = true
+        case Some(best) => selected :+= ((best.getLong(0),
+          best.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toSeq,
+          best.getDouble(2), best.getDouble(3)))
+      }
     }
     selected.zipWithIndex.map { case ((id, _, _, sc), i) =>
       (i + 1, id,
@@ -1265,24 +1292,12 @@ object Similarity {
     "q_hard_negatives" -> QueryDef(
       (s, dir) => {
         val e = table(s, dir, "embeddings")
-        val q = e.filter(col("vec_id") % 5 === 0)
-          .select(col("vec_id").as("query_id"),
-            col("embedding").as("q_v"), col("label").as("q_label"))
-          .withColumn("q_norm", sqrt(fdot(col("q_v"), col("q_v"))))
-        val c = spreadScan(e.filter(col("vec_id") % 5 =!= 0)
-            .select(col("vec_id").as("neighbor_id"),
-              col("embedding").as("c_v"), col("label").as("neg_label")))
-          .withColumn("c_norm", sqrt(fdot(col("c_v"), col("c_v"))))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("cos_raw").desc, col("neighbor_id"))
-        c.join(broadcast(q), col("q_label") =!= col("neg_label"))
-          .select(col("query_id"), col("neighbor_id"), col("neg_label"),
-            (fdot(col("q_v"), col("c_v")) /
-              (col("q_norm") * col("c_norm"))).as("cos_raw"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("query_id"), col("neighbor_id"), col("neg_label"),
-            round(col("cos_raw"), 4).as("cos"))
+        bruteForceTopK(
+          e.filter(col("vec_id") % 5 =!= 0),
+          e.filter(col("vec_id") % 5 === 0), k = 3,
+          carryQuery = Seq("label" -> "q_label"),
+          carryCorpus = Seq("label" -> "neg_label"),
+          pair = Some(col("q_label") =!= col("neg_label")))
           .orderBy("query_id", "neighbor_id")
       },
       """WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label

@@ -47,6 +47,32 @@ class DsirGateSpec extends SparkSpec {
     assert(a.forall(_ % 2 == 0) && b.forall(_ % 2 != 0))
   }
 
+  test("unseen-vocabulary docs are scored at the constant, never " +
+      "silently dropped; n_tokens counts unseen tokens") {
+    import spark.implicits._
+    val docs = table(spark, sfDir, "documents")
+    // fully out-of-vocabulary text: every token hashes to buckets the
+    // reference corpus may never have populated
+    val novel = Seq((900001L, "qqxjz wvmpt hkkgd nnfrb qqxjz llsww"))
+      .toDF("doc_id", "text")
+    // a sparse model would drop this doc from the scoring inner join —
+    // with the full-bucket model it must survive a permissive gate
+    val permissive = DsirGate.fromCorpus(docs, col("source") === "src0",
+      Double.MinValue)
+    assert(permissive.scrubDocs(novel).count() == 1,
+      "unseen-vocab doc vanished instead of being scored")
+    // and its score must be the balanced-reference constant with the
+    // right token count, not a partial sum
+    val model = spark.read.parquet(
+      graft.operators.Selection.ensureDsirModel(spark, sfDir))
+    val scored = graft.operators.Selection
+      .dsirScoreWith(novel, "doc_id", "text", model).head()
+    assert(scored.getLong(1) == 6, s"n_tokens ${scored.getLong(1)} != 6")
+    assert(!scored.isNullAt(2) && !scored.getDouble(2).isNaN)
+    InternalCaches.drain()
+    spark.catalog.clearCache()
+  }
+
   test("DocGate.all composes to the intersection of its gates") {
     val docs = table(spark, sfDir, "documents")
     // benchmark gate: exact copies of 10 sampled docs; dsir gate as above
