@@ -31,6 +31,9 @@ class PlanShapeSpec extends SparkSpec {
     "q_curriculum", // same lmScored scalar broadcast
     "q_knn_label", // bruteForceTopK baseline — q_ann_brute's shape
     "q_hard_negatives", // same broadcast-panel shape, label-mismatch predicate
+    "q_recall_at_k", // grades the LSH index against the brute baseline — inherits both shapes
+    "q_bitext_margin", // broadcast label-panel × streamed other-label side (A×B score matrix)
+    "q_pagerank", // 1-row (N, base) scalar broadcast factor per iteration
     // bounded (label-count) centroid side broadcast against a
     // map-only corpus scan — linear in the corpus by design
     "q_nearest_centroid")
