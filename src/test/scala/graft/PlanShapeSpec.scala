@@ -34,6 +34,7 @@ class PlanShapeSpec extends SparkSpec {
     "q_recall_at_k", // grades the LSH index against the brute baseline — inherits both shapes
     "q_bitext_margin", // broadcast label-panel × streamed other-label side (A×B score matrix)
     "q_pagerank", // 1-row (N, base) scalar broadcast factor per iteration
+    "q_bm25", "q_rrf_fuse", // 1-row (N, avgdl) corpus-stats broadcast factor
     // bounded (label-count) centroid side broadcast against a
     // map-only corpus scan — linear in the corpus by design
     "q_nearest_centroid")
@@ -337,5 +338,26 @@ class PlanShapeSpec extends SparkSpec {
   test("q_hard_negatives: one scan per side of the broadcast panel join") {
     val n = scanCount("q_hard_negatives", "embeddings")
     assert(n <= 2, s"embeddings scanned $n times (query panel + corpus is 2)")
+  }
+
+  test("q_bm25: one tokenize pass — postings cache feeds df, dl, stats, and scoring") {
+    val n = scanCount("q_bm25", "documents")
+    assert(n <= 1, s"documents scanned $n times (postings cache build is 1)")
+  }
+
+  test("q_rrf_fuse: both rankers read the one postings cache") {
+    val n = scanCount("q_rrf_fuse", "documents")
+    assert(n <= 1, s"documents scanned $n times (postings cache build is 1)")
+  }
+
+  test("q_bitext_margin: one scan per label side") {
+    val n = scanCount("q_bitext_margin", "embeddings")
+    assert(n <= 2, s"embeddings scanned $n times (side A + side B is 2)")
+  }
+
+  test("q_recall_at_k: bounded panel/corpus scans across both pipelines") {
+    val n = scanCount("q_recall_at_k", "embeddings")
+    assert(n <= 5,
+      s"embeddings scanned $n times (brute 2 + lsh 2 + report panel 1 is 5)")
   }
 }
