@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{InternalCaches, QueryDef}
 import graft.sources.Tables.table
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative link-graph centrality (PageRank) over a relationship graph
@@ -69,6 +69,130 @@ object Graph {
     pr.orderBy(col("pr").desc, col("node"))
   }
 
+  /** Part co-order graph: an undirected edge (a < b) for every pair of
+    * parts sharing an order among high-quantity lines (l_quantity >
+    * 25 — half the lines, keeping the projection sparse: ~29 k edges
+    * over 2 k parts at sf0.01). Per-order fan-out is bounded by the
+    * order's line count (≤ 7), so the pair explosion is row-local; the
+    * only corpus-wide shuffle is the final distinct.
+    */
+  def partCoOrderEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val lp = table(s, dir, "lineitem").filter(col("l_quantity") > 25)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    lp.toDF("ok", "a").join(lp.toDF("ok", "b"), "ok")
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+  }
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected `(a, b), a < b` edge list — the community-structure
+    * signal of a co-occurrence graph.
+    *
+    * Degree-ordered orientation (the standard distributed-triangle
+    * trick): every edge points from its lower (deg, node) endpoint to
+    * the higher, making each triangle a unique wedge at its
+    * lowest-key vertex closed by one oriented edge. Max oriented
+    * out-degree is O(√m), so no hub ever fans a quadratic wedge set
+    * into one task — the plan shape that survives a power-law graph
+    * at 100 TB. The RESULT is orientation-invariant (each triangle
+    * counted exactly once at each of its 3 vertices), which is why
+    * the oracle can replay it with the simpler a<b-ordered join and
+    * still hash-match.
+    *
+    * `cc = 2·tri / (deg·(deg−1))` is one exact-integer IEEE division
+    * (both operands < 2^53) — bit-identical across engines, no
+    * quantization needed.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = InternalCaches.track(edges.persist())
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orientation key packed into one orderable long: deg ⋅ 2^31 + id
+    // (both < 2^31) — carried on the head so wedge endpoints compare
+    // without re-joining degrees
+    def key(d: Column, n: Column): Column = d * lit(2147483648L) + n
+    val ka = key(col("da"), col("a"))
+    val kb = key(col("db"), col("b"))
+    val oriented = InternalCaches.track(
+      und.join(deg.toDF("a", "da"), "a").join(deg.toDF("b", "db"), "b")
+        .select(
+          when(ka < kb, col("a")).otherwise(col("b")).as("u"),
+          when(ka < kb, col("b")).otherwise(col("a")).as("v"),
+          greatest(ka, kb).as("kv"))
+        .persist())
+    val wedges = oriented.select(col("u"), col("v"), col("kv"))
+      .join(oriented.select(col("u"), col("v").as("w"),
+        col("kv").as("kw")), "u")
+      .filter(col("kv") < col("kw"))
+      .select("u", "v", "w")
+    val closed = wedges.join(
+      oriented.select(col("u").as("v"), col("v").as("w")),
+      Seq("v", "w"), "left_semi")
+    val tri = graft.functions.Functions.explodeOnce(
+        closed, Seq.empty, array(col("u"), col("v"), col("w")), "node")
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    tri.join(deg, "node")
+      .select(col("node"), col("deg"), col("tri"),
+        round(lit(2.0) * col("tri") / (col("deg") * (col("deg") - 1)), 6)
+          .as("cc"))
+      .orderBy("node")
+  }
+
+  /** `rounds` peel iterations toward the k-core: each round drops
+    * every node with degree < k and keeps only edges between
+    * survivors. With enough rounds to reach the fixpoint (peeling is
+    * monotone — converged means a further round changes nothing) the
+    * survivors ARE the k-core. Per round: one node-keyed degree
+    * shuffle plus two semi-joins against the (nodes-sized, broadcast-
+    * able) keep set; `checkpointEvery` truncates the join-tree
+    * lineage exactly as in [[pageRank]]. Returns surviving (node,
+    * deg) with core-internal degrees, ordered by node.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+      checkpointEvery: Int = 1): DataFrame = {
+    // each round references the previous edge set THREE times (degree
+    // aggregate + both semi-joins), so an unpersisted chain triplicates
+    // the subtree per round — 3^rounds plan copies by round 8 (the
+    // exact blowup the oracle's MATERIALIZED hint prevents in DuckDB).
+    // Persist the input once and checkpoint every round by default:
+    // bounded lineage, one small job per peel, the clusterPairs shape.
+    var e = InternalCaches.track(edges.persist())
+    for (i <- 1 to rounds) {
+      val keep = e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("node")
+      e = e.join(keep.toDF("a"), Seq("a"), "left_semi")
+        .join(keep.toDF("b"), Seq("b"), "left_semi")
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < rounds) {
+        val (df, h) = InternalCaches.localCheckpointHandle(e)
+        InternalCaches.trackRdds(h)
+        e = df
+      }
+    }
+    e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .orderBy("node")
+  }
+
+  /** Shared oracle prelude: the part co-order edge list. MATERIALIZED
+    * is load-bearing — each peel/wedge CTE is referenced more than
+    * once, and letting the optimizer re-inline an 8-deep chain
+    * duplicates the base subtree exponentially (observed: the
+    * un-hinted 8-round peel never finished; materialized it runs in
+    * ~0.1 s).
+    */
+  private val coOrderEdgesSql: String =
+    """lp AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem WHERE l_quantity > 25),
+      |e AS MATERIALIZED (
+      |  SELECT DISTINCT a.pk AS a, b.pk AS b
+      |  FROM lp a JOIN lp b USING (ok) WHERE a.pk < b.pk)""".stripMargin
+
   /** The customer↔supplier trade graph: an undirected edge for every
     * distinct (customer, supplier) pair that shares an order line.
     */
@@ -122,5 +246,53 @@ object Graph {
     // not just the final ranking's plausibility.
     "q_pagerank" -> QueryDef(
       (s, dir) => pageRank(tradeEdges(s, dir), iters = 10, checkpointEvery = 5),
-      pageRankOracleSql))
+      pageRankOracleSql),
+
+    // Per-node triangles + clustering coefficient on the part
+    // co-order graph (~23.7 k triangles at sf0.01). The oracle's
+    // a<b-ordered wedge join provably emits the same triangle set as
+    // the engine's degree-ordered orientation (each triangle once),
+    // so the hash checks the count at every node AND the exact cc
+    // division.
+    "q_triangle_count" -> QueryDef(
+      (s, dir) => triangleCounts(partCoOrderEdges(s, dir)),
+      s"""WITH $coOrderEdgesSql,
+         |tri AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+         |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |deg AS MATERIALIZED (
+         |  SELECT node, count(*) AS deg
+         |  FROM (SELECT unnest([a, b]) AS node FROM e) t GROUP BY 1),
+         |tn AS (
+         |  SELECT node, count(*) AS tri
+         |  FROM (SELECT unnest([x, y, z]) AS node FROM tri) t GROUP BY 1)
+         |SELECT node, deg, tri,
+         |  round(2.0 * tri / (deg * (deg - 1)), 6) AS cc
+         |FROM tn JOIN deg USING (node) ORDER BY node""".stripMargin),
+
+    // 18-core of the part co-order graph by 8 peel rounds — measured
+    // to reach the fixpoint at round 5 on this data (round 6-8 are
+    // no-ops), so the output IS the 18-core, not an 8-round
+    // approximation. The oracle unrolls every round; a single node
+    // surviving one round too long hash-mismatches.
+    "q_kcore" -> QueryDef(
+      (s, dir) => kCore(partCoOrderEdges(s, dir), k = 18, rounds = 8),
+      {
+        val rounds = (1 to 8).map { i =>
+          val prev = if (i == 1) "e" else s"e${i - 1}"
+          s"""d$i AS MATERIALIZED (
+             |  SELECT node, count(*) AS deg
+             |  FROM (SELECT unnest([a, b]) AS node FROM $prev) t GROUP BY 1),
+             |e$i AS MATERIALIZED (
+             |  SELECT a, b FROM $prev
+             |  WHERE a IN (SELECT node FROM d$i WHERE deg >= 18)
+             |    AND b IN (SELECT node FROM d$i WHERE deg >= 18))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $coOrderEdgesSql,
+           |$rounds
+           |SELECT node, count(*) AS deg
+           |FROM (SELECT unnest([a, b]) AS node FROM e8) t
+           |GROUP BY 1 ORDER BY node""".stripMargin
+      }))
 }

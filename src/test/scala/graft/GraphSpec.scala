@@ -82,4 +82,77 @@ class GraphSpec extends SparkSpec {
     assert(prs.zip(prs.tail).forall { case (a, b) => a >= b })
     InternalCaches.drain(blocking = true)
   }
+
+  // ---- triangles / k-core ---------------------------------------------
+
+  private def undirected(pairs: (Int, Int)*) = {
+    import spark.implicits._
+    pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("a", "b")
+  }
+
+  test("triangleCounts: K4 — every node in 3 triangles, cc = 1") {
+    val k4 = undirected((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+    val got = Graph.triangleCounts(k4).collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      assert(r.getLong(1) == 3L && r.getLong(2) == 3L && r.getDouble(3) == 1.0)
+    }
+    InternalCaches.drain(blocking = true)
+  }
+
+  test("triangleCounts: a path closes into exactly one triangle") {
+    assert(Graph.triangleCounts(
+      undirected((1, 2), (2, 3), (3, 4))).count() == 0)
+    val got = Graph.triangleCounts(
+      undirected((1, 2), (2, 3), (3, 4), (1, 3)))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // node 4 has no triangle and drops out; cc(3) = 2·1/(3·2)
+    assert(got == Map(
+      1 -> ((2L, 1L, 1.0)), 2 -> ((2L, 1L, 1.0)),
+      3 -> ((3L, 1L, math.rint(2.0 / 6.0 * 1e6) / 1e6))))
+    InternalCaches.drain(blocking = true)
+  }
+
+  test("triangleCounts matches a brute-force driver replay on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = (for (a <- 0 until 25; b <- a + 1 until 25
+      if rnd.nextDouble() < 0.3) yield (a, b)).toSeq
+    val got = Graph.triangleCounts(undirected(edges: _*))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val eset = edges.toSet
+    def conn(x: Int, y: Int) =
+      eset.contains((math.min(x, y), math.max(x, y)))
+    val tri = for (x <- 0 until 25; y <- x + 1 until 25; z <- y + 1 until 25
+      if conn(x, y) && conn(x, z) && conn(y, z)) yield (x, y, z)
+    val perNode = tri.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    assert(got == perNode)
+    InternalCaches.drain(blocking = true)
+  }
+
+  test("kCore peels a tail off a triangle; converged rounds are no-ops") {
+    // triangle + pendant path: the 2-core is exactly the triangle
+    val g = Seq((1, 2), (2, 3), (1, 3), (3, 4), (4, 5))
+    val core = Graph.kCore(undirected(g: _*), k = 2, rounds = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(core == Map(1 -> 2L, 2 -> 2L, 3 -> 2L))
+    // more rounds past the fixpoint change nothing
+    val more = Graph.kCore(undirected(g: _*), k = 2, rounds = 8,
+      checkpointEvery = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(more == core)
+    // a k above the max degree empties the graph
+    assert(Graph.kCore(undirected(g: _*), k = 4, rounds = 3).count() == 0)
+    InternalCaches.drain(blocking = true)
+  }
+
+  test("q_kcore survivors all hold core degree ≥ 18 on harness data") {
+    val rows = SparkEntry.registry("q_kcore").fn(spark, sfDir).collect()
+    assert(rows.forall(_.getLong(1) >= 18L),
+      "a surviving node below k means the peel stopped before the fixpoint")
+    InternalCaches.drain(blocking = true)
+  }
 }

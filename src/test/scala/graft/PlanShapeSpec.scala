@@ -35,6 +35,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_bitext_margin", // broadcast label-panel × streamed other-label side (A×B score matrix)
     "q_pagerank", // 1-row (N, base) scalar broadcast factor per iteration
     "q_bm25", "q_rrf_fuse", // 1-row (N, avgdl) corpus-stats broadcast factor
+    "q_pmi_pairs", // 1-row total-bigram-count broadcast factor
+    "q_zorder_layout", // 1-row (pmax, smax) bucket-scale broadcast factor
     // bounded (label-count) centroid side broadcast against a
     // map-only corpus scan — linear in the corpus by design
     "q_nearest_centroid")
@@ -359,5 +361,26 @@ class PlanShapeSpec extends SparkSpec {
     val n = scanCount("q_recall_at_k", "embeddings")
     assert(n <= 5,
       s"embeddings scanned $n times (brute 2 + lsh 2 + report panel 1 is 5)")
+  }
+
+  test("q_pmi_pairs: one tokenize pass — marginals derive from the pair cache") {
+    val n = scanCount("q_pmi_pairs", "documents")
+    assert(n <= 1, s"documents scanned $n times (bigram cache build is 1)")
+  }
+
+  test("q_phrase_hits: one postings pass for every phrase arity") {
+    val n = scanCount("q_phrase_hits", "documents")
+    assert(n <= 1, s"documents scanned $n times (postings pass is 1)")
+  }
+
+  test("q_triangle_count: lineitem read only for the edge-list build") {
+    val n = scanCount("q_triangle_count", "lineitem")
+    assert(n <= 2,
+      s"lineitem scanned $n times (co-order self-join pair is 2)")
+  }
+
+  test("q_zorder_layout: maxima + stats in two scans, no per-bit rescans") {
+    val n = scanCount("q_zorder_layout", "lineitem")
+    assert(n <= 2, s"lineitem scanned $n times (maxima + interleave is 2)")
   }
 }
