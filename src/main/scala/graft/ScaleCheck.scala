@@ -35,7 +35,12 @@ object ScaleCheck {
     "q_semdedup", "q_dedup_winnow",
     // round 8: the data-selection family
     "q_dsir_weights", "q_ppl_buckets", "q_mixture_alpha",
-    "q_select_corpus", "q_curriculum")
+    "q_select_corpus", "q_curriculum",
+    // round 8 (late): retrieval, graph analytics, collocations, layout
+    "q_hard_negatives", "q_mmr_select", "q_recall_at_k",
+    "q_bitext_margin", "q_bm25", "q_rrf_fuse", "q_pagerank",
+    "q_triangle_count", "q_kcore", "q_pmi_pairs", "q_phrase_hits",
+    "q_zorder_layout")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
@@ -84,13 +89,24 @@ object ScaleCheck {
     // honest growth model for q_cdc_upsert (keys ×N), q_snapshot_diff
     // (churn ×N) and q_incr_agg (increment volume ×N, state fixed at
     // |group keys|).
-    (0 until factor).map(r => orders.withColumn("o_orderkey",
-        col("o_orderkey") + lit(r * offset)))
+    // ENTITY keys (custkey, partkey, suppkey) offset per replica too:
+    // the graph queries project lineitem/orders onto those entities,
+    // and without the offset N replicas would pile N× the edges onto
+    // the SAME nodes — a densifying graph (triangles ∝ N³ on shared
+    // vertices), not a growing one. Disjoint entity populations per
+    // replica is the honest growth model (a bigger catalog, more
+    // customers), and none of the CDC/incremental scale queries read
+    // these columns (they key on o_orderkey and its % feeds).
+    (0 until factor).map(r => orders
+        .withColumn("o_orderkey", col("o_orderkey") + lit(r * offset))
+        .withColumn("o_custkey", col("o_custkey") + lit(r * offset)))
       .reduce(_.unionByName(_))
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/orders.parquet")
-    (0 until factor).map(r => li.withColumn("l_orderkey",
-        col("l_orderkey") + lit(r * offset)))
+    (0 until factor).map(r => li
+        .withColumn("l_orderkey", col("l_orderkey") + lit(r * offset))
+        .withColumn("l_partkey", col("l_partkey") + lit(r * offset))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(r * offset)))
       .reduce(_.unionByName(_))
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")

@@ -24,7 +24,7 @@ object SparkEntry {
       operators.Audit.defs ++ operators.Selection.defs ++
       operators.Retrieval.defs ++ operators.Graph.defs ++
       operators.SparseRetrieval.defs ++ operators.Collocations.defs ++
-      operators.Zorder.defs ++
+      operators.Zorder.defs ++ operators.DedupIncremental.defs ++
       streaming.EventsStream.defs ++ pipelines.Corpus.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -46,7 +46,7 @@ object SparkEntry {
   private val checkFirst: Seq[String] = Seq(
     // never driver-checked at all: the round-8 additions
     "q_pmi_pairs", "q_phrase_hits", "q_triangle_count", "q_kcore",
-    "q_zorder_layout",
+    "q_zorder_layout", "q_dedup_incremental", "q_containment",
     "q_recall_at_k", "q_bitext_margin", "q_pagerank",
     "q_bm25", "q_rrf_fuse",
     "q_dsir_weights", "q_ppl_buckets", "q_mixture_alpha",

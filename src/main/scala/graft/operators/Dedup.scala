@@ -571,7 +571,7 @@ object Dedup {
     * round-trip). Operators over arbitrary frames (streaming batches)
     * keep the frame-based [[shingled]] path.
     */
-  private def memoShingles(s: org.apache.spark.sql.SparkSession,
+  private[operators] def memoShingles(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val cache = graft.sources.DerivedCache.dirFor(
       s, s"$dir/documents.parquet", "shingles")
@@ -585,7 +585,7 @@ object Dedup {
     * minhash and LSH-editdist declared queries (the 64-minhash
     * signature groupBy is their dominant stage).
     */
-  private def memoBands(s: org.apache.spark.sql.SparkSession,
+  private[operators] def memoBands(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val cache = graft.sources.DerivedCache.dirFor(
       s, s"$dir/documents.parquet", "bands")

@@ -52,10 +52,17 @@ object Graph {
       .selectExpr("n", s"(15 * $Mass) div (100 * n) as base"))
     var pr = nodes.crossJoin(sc).selectExpr("node", s"$Mass div n as pr")
     for (i <- 1 to iters) {
-      val sums = e.join(pr, e("src") === pr("node"))
+      // the rank frame is nodes-sized (≪ edges) — BROADCAST it, or
+      // every iteration re-exchanges the persisted edge frame into a
+      // sort-merge join and the big side shuffles `iters` times
+      // (measured 13.8 s → 4.3 s at sf0.1 for 10 rounds). At a node
+      // count past broadcast range the swap is pre-bucketing edges on
+      // src and shuffling only the rank frame into that partitioning —
+      // the edge side stays in place either way.
+      val sums = e.join(broadcast(pr), e("src") === pr("node"))
         .selectExpr("dst", "pr div outdeg as c")
         .groupBy("dst").agg(sum("c").as("contrib"))
-      pr = nodes.join(sums, nodes("node") === sums("dst"), "left")
+      pr = nodes.join(broadcast(sums), nodes("node") === sums("dst"), "left")
         .crossJoin(sc)
         .selectExpr("node", "base + (85 * coalesce(contrib, 0)) div 100 as pr")
       // truncate lineage mid-run; the final iteration stays lazy so
@@ -78,8 +85,9 @@ object Graph {
     */
   def partCoOrderEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
-    val lp = table(s, dir, "lineitem").filter(col("l_quantity") > 25)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val lp = graft.functions.Functions.spreadScan(
+      table(s, dir, "lineitem").filter(col("l_quantity") > 25)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
       .distinct()
     lp.toDF("ok", "a").join(lp.toDF("ok", "b"), "ok")
       .filter(col("a") < col("b")).select("a", "b").distinct()
@@ -159,7 +167,10 @@ object Graph {
     // Persist the input once and checkpoint every round by default:
     // bounded lineage, one small job per peel, the clusterPairs shape.
     var e = InternalCaches.track(edges.persist())
-    for (i <- 1 to rounds) {
+    var prevEdges = -1L
+    var i = 1
+    var converged = false
+    while (i <= rounds && !converged) {
       val keep = e.select(col("a").as("node"))
         .unionByName(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -170,7 +181,16 @@ object Graph {
         val (df, h) = InternalCaches.localCheckpointHandle(e)
         InternalCaches.trackRdds(h)
         e = df
+        // peeling is monotone: an unchanged edge count IS the fixpoint
+        // and every remaining round is a no-op — skip them. The count
+        // reads the just-materialized checkpoint, so this costs
+        // nothing extra; the result is identical to running all
+        // `rounds` (the oracle unrolls them all).
+        val n = e.count()
+        converged = n == prevEdges
+        prevEdges = n
       }
+      i += 1
     }
     e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
@@ -197,16 +217,30 @@ object Graph {
     * distinct (customer, supplier) pair that shares an order line.
     */
   def tradeEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // integer node encoding (customer k → 2k, supplier k → 2k+1):
+    // every shuffle, aggregate, and persist in the 10-round iteration
+    // keys on the node id, and long keys hash/compare/store several
+    // times cheaper than 'c…'/'s…' strings — the label is cosmetic and
+    // gets attached to the 16 k-row OUTPUT, not the edge list.
+    // spreadScan: the sf0.1 parquet files are single-split, so without
+    // it the join+project feeding the distinct runs on one core.
     val pairs = InternalCaches.track(
-      table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+      graft.functions.Functions.spreadScan(
+        table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
+        .join(graft.functions.Functions.spreadScan(
+          table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
+        .select((col("o_custkey").cast("long") * 2).as("a"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("b"))
         .distinct().persist())
     pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
   }
+
+  /** The 'c…'/'s…' display label for an integer trade-graph node. */
+  def tradeLabel(node: Column): Column =
+    when(node % 2 === 0, concat(lit("c"), (node / 2).cast("long")))
+      .otherwise(concat(lit("s"), ((node - 1) / 2).cast("long")))
 
   /** The 10-iteration replay, unrolled: standard recursive CTEs cannot
     * aggregate over the recursive reference, so each round is its own
@@ -245,7 +279,17 @@ object Graph {
     // any iteration, hash-mismatches — the iteration itself is checked,
     // not just the final ranking's plausibility.
     "q_pagerank" -> QueryDef(
-      (s, dir) => pageRank(tradeEdges(s, dir), iters = 10, checkpointEvery = 5),
+      // checkpoint EVERY round: pr is broadcast into each iteration's
+      // join, and a broadcast is an eager evaluation — with a 5-round
+      // checkpoint gap iteration i re-executed the whole i-deep chain
+      // (quadratic total work, measured 16 s at sf0.1); per-round
+      // materialization of the 16 k-row rank frame makes each round
+      // pay only its own join+agg (4.6 s)
+      (s, dir) => pageRank(tradeEdges(s, dir), iters = 10, checkpointEvery = 1)
+        .select(tradeLabel(col("node")).as("node"), col("pr"))
+        // re-rank on the DISPLAY label: 'c100' < 'c11' lexically, so a
+        // pr tie must break the same way the oracle's VARCHAR sort does
+        .orderBy(col("pr").desc, col("node")),
       pageRankOracleSql),
 
     // Per-node triangles + clustering coefficient on the part

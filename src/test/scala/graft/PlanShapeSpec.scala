@@ -383,4 +383,21 @@ class PlanShapeSpec extends SparkSpec {
     val n = scanCount("q_zorder_layout", "lineitem")
     assert(n <= 2, s"lineitem scanned $n times (maxima + interleave is 2)")
   }
+
+  test("q_dedup_incremental: only the arriving batch re-tokenizes — corpus from the index") {
+    val n = scanCount("q_dedup_incremental", "documents")
+    assert(n <= 2,
+      s"documents scanned $n times (batch banding ≤ 2; corpus side reads the persisted artifact)")
+  }
+
+  test("q_containment: four consumers, ONE executed gram exchange") {
+    // the capped counting join feeds 4 subtrees (both join sides +
+    // both size frames) — the formatted text shows 4 scans, but the
+    // window's g-keyed exchange must dedupe at execution so the
+    // tokenize+shingle stage runs once
+    val ep = executedAdaptive("q_containment")
+    assert(ep.contains("Reused"), s"no reused stage in:\n$ep")
+    assert("Scan parquet".r.findAllIn(ep).length <= 1,
+      s"executed plan scans documents more than once:\n$ep")
+  }
 }
