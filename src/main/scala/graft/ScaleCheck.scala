@@ -40,7 +40,8 @@ object ScaleCheck {
     "q_hard_negatives", "q_mmr_select", "q_recall_at_k",
     "q_bitext_margin", "q_bm25", "q_rrf_fuse", "q_pagerank",
     "q_triangle_count", "q_kcore", "q_pmi_pairs", "q_phrase_hits",
-    "q_zorder_layout")
+    "q_zorder_layout", "q_dedup_incremental", "q_containment",
+    "q_join_estimate", "q_hard_negatives_ivf")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {

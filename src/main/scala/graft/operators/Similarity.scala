@@ -226,8 +226,12 @@ object Similarity {
     * corpus.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      numLists: Int = 16, nprobe: Int = 1): DataFrame =
-    probeTopK(corpus, queries, hashCentroids(corpus, numLists), k, nprobe)
+      numLists: Int = 16, nprobe: Int = 1,
+      carryQuery: Seq[(String, String)] = Nil,
+      carryCorpus: Seq[(String, String)] = Nil,
+      pair: Option[Column] = None): DataFrame =
+    probeTopK(corpus, queries, hashCentroids(corpus, numLists), k, nprobe,
+      carryQuery, carryCorpus, pair)
 
   /** IVF with Lloyd-refined centroids (see kmeansCentroids) — same
     * probe, better-balanced lists than the raw hash quantizer.
@@ -247,12 +251,16 @@ object Similarity {
     probeTopK(corpus, queries, cents, k, nprobe)
 
   private def probeTopK(corpus: DataFrame, queries: DataFrame,
-      cents: Seq[(Long, Seq[Double])], k: Int, nprobe: Int): DataFrame = {
-    val c = spreadScan(corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_v")))
+      cents: Seq[(Long, Seq[Double])], k: Int, nprobe: Int,
+      carryQuery: Seq[(String, String)] = Nil,
+      carryCorpus: Seq[(String, String)] = Nil,
+      pair: Option[Column] = None): DataFrame = {
+    val c = spreadScan(corpus.select(col("vec_id").as("neighbor_id") +:
+        col("embedding").as("c_v") +:
+        carryCorpus.map { case (s, d) => col(s).as(d) }: _*))
       .withColumn("list_id", nearestCentroid(col("c_v"), cents))
       .withColumn("c_norm", sqrt(fdot(col("c_v"), col("c_v"))))
-    probeAssigned(c, queries, cents, k, nprobe)
+    probeAssigned(c, queries, cents, k, nprobe, carryQuery, carryCorpus, pair)
   }
 
   /** The probe half of IVF against an ALREADY-ASSIGNED corpus frame
@@ -261,21 +269,27 @@ object Similarity {
     * cost is already paid.
     */
   private def probeAssigned(c: DataFrame, queries: DataFrame,
-      cents: Seq[(Long, Seq[Double])], k: Int, nprobe: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
+      cents: Seq[(Long, Seq[Double])], k: Int, nprobe: Int,
+      carryQuery: Seq[(String, String)] = Nil,
+      carryCorpus: Seq[(String, String)] = Nil,
+      pair: Option[Column] = None): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id") +:
+        col("embedding").as("q_v") +:
+        carryQuery.map { case (s, d) => col(s).as(d) }: _*)
       .withColumn("list_id",
         explode(nearestCentroids(col("q_v"), cents, nprobe)))
       .withColumn("q_norm", sqrt(fdot(col("q_v"), col("q_v"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    val carried = carryCorpus.map(t => col(t._2))
     q.join(c, Seq("list_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (fdot(col("q_v"), col("c_v")) / (col("q_norm") * col("c_norm"))).as("cos_raw"))
+      .filter(pair.getOrElse(col("query_id") =!= col("neighbor_id")))
+      .select(Seq(col("query_id"), col("neighbor_id")) ++ carried :+
+        (fdot(col("q_v"), col("c_v")) / (col("q_norm") * col("c_norm"))).as("cos_raw"): _*)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos_raw"), 4).as("cos"))
+      .select(Seq(col("query_id"), col("neighbor_id")) ++ carried :+
+        round(col("cos_raw"), 4).as("cos"): _*)
   }
 
   // ---- IVF-PQ (product quantization, inner-product metric) ------------
@@ -1311,6 +1325,64 @@ object Similarity {
         |  FROM u q JOIN u c
         |    ON q.vec_id % 5 = 0 AND c.vec_id % 5 != 0
         |    AND q.label != c.label)
+        |SELECT query_id, neighbor_id, neg_label,
+        |  round(cos_raw, 4) AS cos
+        |FROM sims
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cos_raw DESC, neighbor_id) <= 3
+        |ORDER BY query_id, neighbor_id""".stripMargin),
+
+    // The SCALE PATH of q_hard_negatives (its brute twin measured
+    // 32.7× at the 10× checkpoint — quadratic BY SHAPE, the exact
+    // cross-label baseline): the identical label-filtered k-cut over
+    // the IVF probe, each query reading one inverted list instead of
+    // the whole corpus. Same composition contract as q_knn_label →
+    // q_knn_label_ivf; the oracle rebuilds the quantizer, both
+    // assignments, the label filter, and the k-cut.
+    "q_hard_negatives_ivf" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        ivfTopK(
+          e.filter(col("vec_id") % 5 =!= 0),
+          e.filter(col("vec_id") % 5 === 0), k = 3,
+          carryQuery = Seq("label" -> "q_label"),
+          carryCorpus = Seq("label" -> "neg_label"),
+          pair = Some(col("q_label") =!= col("neg_label")))
+          .orderBy("query_id", "neighbor_id")
+      },
+      """WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id, v, label FROM u WHERE vec_id % 5 != 0),
+        |cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+        |      AS BIGINT) AS centroid_id, v AS cent
+        |  FROM c0
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 16),
+        |lists AS (
+        |  SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm,
+        |    centroid_id AS list_id
+        |  FROM (
+        |    SELECT c0.vec_id, c0.v, c0.label, c.centroid_id,
+        |      row_number() OVER (PARTITION BY c0.vec_id
+        |        ORDER BY list_dot_product(c0.v, c.cent) DESC, c.centroid_id) AS rn
+        |    FROM c0 CROSS JOIN cents c)
+        |  WHERE rn = 1),
+        |qlists AS (
+        |  SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm,
+        |    centroid_id AS list_id
+        |  FROM (
+        |    SELECT q0.vec_id, q0.v, q0.label, c.centroid_id,
+        |      row_number() OVER (PARTITION BY q0.vec_id
+        |        ORDER BY list_dot_product(q0.v, c.cent) DESC, c.centroid_id) AS rn
+        |    FROM (SELECT vec_id, v, label FROM u WHERE vec_id % 5 = 0) q0
+        |    CROSS JOIN cents c)
+        |  WHERE rn = 1),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    c.label AS neg_label,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
+        |  FROM qlists q JOIN lists c USING (list_id)
+        |  WHERE q.label != c.label)
         |SELECT query_id, neighbor_id, neg_label,
         |  round(cos_raw, 4) AS cos
         |FROM sims

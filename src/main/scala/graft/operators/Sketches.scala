@@ -129,6 +129,59 @@ object Sketches {
     // so a drifted hash, width, or a lost counter anywhere
     // hash-mismatches; the ≥-exact sketch invariant is additionally
     // asserted in SketchesSpec.
+    // Sketch-based join-size estimation (the classic CMS/AMS inner
+    // product): |A ⋈ B| = Σ_k cA(k)·cB(k), and the per-row bucket
+    // inner product Σ_b cmsA(j,b)·cmsB(j,b) overestimates it by
+    // exactly the collision mass — min over the Depth rows is the
+    // estimate. This is the join the OPTIMIZER runs before the real
+    // join at 100 TB: two map-side-combinable groupBys into 4×1024
+    // counters each, one 4096-row sketch join — the actual join's
+    // cost is never paid to predict it. The oracle rebuilds both
+    // sketches counter-for-counter and replays the inner products,
+    // the min, the exact Σ cA·cB, and the relative error.
+    "q_join_estimate" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.Functions.spreadScan
+        val ek = spreadScan(table(s, dir, "events"))
+          .select(col("user_id").cast("string").as("k"))
+        val ok = spreadScan(table(s, dir, "orders"))
+          .select(col("o_custkey").cast("string").as("k"))
+        val ip = countMin(ek).toDF("j", "bucket", "ca")
+          .join(countMin(ok).toDF("j", "bucket", "cb"), Seq("j", "bucket"))
+          .groupBy("j").agg(sum(col("ca") * col("cb")).as("ip"))
+          .agg(min("ip").as("est"))
+        val exact = ek.groupBy("k").agg(count(lit(1)).as("ca"))
+          .join(ok.groupBy("k").agg(count(lit(1)).as("cb")), "k")
+          .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("n_exact"))
+        ip.crossJoin(exact) // two 1-row frames
+          .select(col("est"), col("n_exact"),
+            round((col("est") - col("n_exact")) * lit(1.0) / col("n_exact"), 4)
+              .as("rel_err"))
+      },
+      s"""WITH ek AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+        |ok AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+        |js AS (SELECT unnest(range(0, $Depth)) AS j),
+        |ca AS (
+        |  SELECT j, CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 8))
+        |      AS UINT32) AS BIGINT) % $Width AS bucket, count(*) AS cnt
+        |  FROM ek CROSS JOIN js GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT j, CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 8))
+        |      AS UINT32) AS BIGINT) % $Width AS bucket, count(*) AS cnt
+        |  FROM ok CROSS JOIN js GROUP BY 1, 2),
+        |ip AS (
+        |  SELECT ca.j, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS ip
+        |  FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
+        |  GROUP BY 1),
+        |est AS (SELECT CAST(min(ip) AS BIGINT) AS est FROM ip),
+        |ex AS (
+        |  SELECT CAST(coalesce(sum(a.ca * b.cb), 0) AS BIGINT) AS n_exact
+        |  FROM (SELECT k, count(*) AS ca FROM ek GROUP BY 1) a
+        |  JOIN (SELECT k, count(*) AS cb FROM ok GROUP BY 1) b USING (k))
+        |SELECT est, n_exact,
+        |  round((est - n_exact) * 1.0 / n_exact, 4) AS rel_err
+        |FROM est, ex""".stripMargin),
+
     "q_heavy_hitters" -> QueryDef(
       (s, dir) => {
         val toks = graft.functions.Functions.explodeOnce(

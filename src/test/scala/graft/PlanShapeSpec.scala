@@ -37,6 +37,7 @@ class PlanShapeSpec extends SparkSpec {
     "q_bm25", "q_rrf_fuse", // 1-row (N, avgdl) corpus-stats broadcast factor
     "q_pmi_pairs", // 1-row total-bigram-count broadcast factor
     "q_zorder_layout", // 1-row (pmax, smax) bucket-scale broadcast factor
+    "q_join_estimate", // two 1-row frames (sketch estimate × exact count)
     // bounded (label-count) centroid side broadcast against a
     // map-only corpus scan — linear in the corpus by design
     "q_nearest_centroid")

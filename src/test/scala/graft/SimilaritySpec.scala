@@ -345,6 +345,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall { case (q, _, nl, _) => labels(q) != nl })
   }
 
+  test("q_hard_negatives_ivf: probed subset of the brute pair space, no own-label leak") {
+    val labels = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val got = SparkEntry.registry("q_hard_negatives_ivf").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // label contract holds through the probe
+    assert(got.forall { case (q, _, nl, _) => labels(q) != nl })
+    // ≤ 3 negatives per query, scored identically to the brute twin
+    // wherever both emit the pair (same cosine arithmetic)
+    assert(got.groupBy(_._1).values.forall(_.length <= 3))
+    val brute = SparkEntry.registry("q_hard_negatives").fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    got.foreach { case (q, n, _, cos) =>
+      brute.get((q, n)).foreach(b => assert(b == cos,
+        s"pair ($q,$n) scored $cos via IVF but $b brute"))
+    }
+  }
+
   test("q_mmr_select: every greedy step matches a bitwise driver replay") {
     val rows = graft.sources.Tables.table(spark, sfDir, "embeddings")
       .collect().map(r => (r.getAs[Long]("vec_id"),

@@ -123,4 +123,25 @@ class SketchesSpec extends SparkSpec {
         s"state exceeded the sketch size: ${st.map(_.numRowsTotal).sum}")
     } finally query.stop()
   }
+
+  test("join-size estimate: >= exact always, exact when collision-free") {
+    import spark.implicits._
+    // tiny key sets: P(any md5-bucket collision among ≤6 distinct
+    // keys in 1024 buckets across a row) is effectively nil in all 4
+    // rows, so the inner product must land EXACTLY on Σ cA·cB
+    val a = Seq("x", "x", "x", "y", "y", "z", "w").toDF("k")
+    val b = Seq("x", "y", "y", "y", "z", "v").toDF("k")
+    val ip = Sketches.countMin(a).toDF("j", "bucket", "ca")
+      .join(Sketches.countMin(b).toDF("j", "bucket", "cb"), Seq("j", "bucket"))
+      .groupBy("j").agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("ca") *
+          org.apache.spark.sql.functions.col("cb")).as("ip"))
+      .agg(org.apache.spark.sql.functions.min("ip")).head().getLong(0)
+    assert(ip == 3 * 1 + 2 * 3 + 1 * 1) // x + y + z; w, v join nothing
+    // harness-scale: the declared query's estimate bounds exact from above
+    val r = SparkEntry.registry("q_join_estimate").fn(spark, sfDir).head()
+    assert(r.getLong(0) >= r.getLong(1) && r.getLong(1) > 0)
+    assert(r.getDouble(2) >= 0.0)
+    InternalCaches.drain(blocking = true)
+  }
 }
