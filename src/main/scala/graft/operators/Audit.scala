@@ -218,6 +218,48 @@ object Audit {
         |  UNION ALL SELECT 'returnflag_in_set', CAST(set_bad AS DOUBLE), set_bad = 0 FROM m
         |  UNION ALL SELECT 'rows_nonempty', CAST(n AS DOUBLE), n > 0 FROM m
         |  UNION ALL SELECT 'tax_in_range', CAST(tax_bad AS DOUBLE), tax_bad = 0 FROM m)
-        |ORDER BY rule""".stripMargin)
+        |ORDER BY rule""".stripMargin),
+
+    // Temporal train/eval split leakage audit: split events at the
+    // midpoint of the observed time range (exact integer-micros
+    // arithmetic — deterministic on any engine, unlike an interpolated
+    // median) and count entities active on BOTH sides. A per-user
+    // boolean pair rides ONE group-by; at 100 TB this is one key
+    // shuffle and a 4-cell answer. This harness's event stream has
+    // every user active across both halves — leak_frac 1.0 — which is
+    // precisely the answer that tells a pipeline author a TIME split
+    // leaks users and an entity-hash split (q_split_assign) is needed.
+    "q_split_leakage" -> QueryDef(
+      (s, dir) => {
+        val b = graft.functions.Functions.spreadScan(
+          table(s, dir, "events"))
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        // `div`, not `/`: the Column `/` is double division, and a
+        // fractional midpoint would compare differently than the
+        // oracle's integer `//`
+        val mid = broadcast(b.agg(
+          expr("min(us) + (max(us) - min(us)) div 2").as("m")))
+        b.crossJoin(mid)
+          .groupBy("user_id")
+          .agg(max(when(col("us") < col("m"), 1).otherwise(0)).as("tr"),
+            max(when(col("us") >= col("m"), 1).otherwise(0)).as("ev"))
+          .agg(sum("tr").cast("long").as("n_train_users"),
+            sum("ev").cast("long").as("n_eval_users"),
+            sum(col("tr") * col("ev")).cast("long").as("n_leaked"),
+            round(sum(col("tr") * col("ev")) * lit(1.0) / sum("ev"), 4)
+              .as("leak_frac"))
+      },
+      """WITH b AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |mid AS (SELECT min(us) + (max(us) - min(us)) // 2 AS m FROM b),
+        |pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN us < m THEN 1 ELSE 0 END) AS tr,
+        |    max(CASE WHEN us >= m THEN 1 ELSE 0 END) AS ev
+        |  FROM b, mid GROUP BY 1)
+        |SELECT CAST(sum(tr) AS BIGINT) AS n_train_users,
+        |  CAST(sum(ev) AS BIGINT) AS n_eval_users,
+        |  CAST(sum(tr * ev) AS BIGINT) AS n_leaked,
+        |  round(sum(tr * ev) * 1.0 / sum(ev), 4) AS leak_frac
+        |FROM pu""".stripMargin)
   )
 }

@@ -109,7 +109,61 @@ object Collocations {
       .orderBy("phrase_id", "doc_id")
   }
 
+  /** Distinct-n corpus diversity per source: the fraction of unique
+    * 1/2/3-grams among all gram positions — the standard repetition/
+    * diversity profile (distinct-n of generation eval, the corpus-level
+    * twin of q_repetition's per-doc Gopher signals). ONE tokenize pass
+    * explodes each position carrying its unigram, bigram, and trigram
+    * (tail positions carry nulls, which count-distinct and the
+    * position totals both ignore by construction); per-source
+    * count/count-distinct pairs ride a single aggregate.
+    */
+  def distinctNgrams(docs: DataFrame): DataFrame = {
+    val toksF = docs
+      .select(col("source"), tokens(lower(col("text"))).as("__t"))
+    val n = size(col("__t"))
+    val grams = transform(sequence(lit(1), n), i => struct(
+      element_at(col("__t"), i).as("w"),
+      when(i + 1 <= n, concat_ws(" ",
+        element_at(col("__t"), i), element_at(col("__t"), i + 1))).as("bg"),
+      when(i + 2 <= n, concat_ws(" ",
+        element_at(col("__t"), i), element_at(col("__t"), i + 1),
+        element_at(col("__t"), i + 2))).as("tg")))
+    explodeOnce(toksF, Seq(col("source")), grams, "__g")
+      .select(col("source"), col("__g.w").as("w"), col("__g.bg").as("bg"),
+        col("__g.tg").as("tg"))
+      .groupBy("source")
+      .agg(count("w").as("n1"), countDistinct("w").as("d1"),
+        round(countDistinct("w") * lit(1.0) / count("w"), 4).as("r1"),
+        round(countDistinct("bg") * lit(1.0) / count("bg"), 4).as("r2"),
+        round(countDistinct("tg") * lit(1.0) / count("tg"), 4).as("r3"))
+      .orderBy("source")
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    // Per-source distinct-1/2/3-gram diversity ratios. The oracle
+    // replays the position explode (null tails excluded from both
+    // numerator and denominator) and every ratio.
+    "q_distinct_ngrams" -> QueryDef(
+      (s, dir) => distinctNgrams(spreadScan(table(s, dir, "documents"))),
+      """WITH toks AS (
+        |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT source, t, unnest(generate_series(1, len(t))) AS i
+        |  FROM toks),
+        |g AS (
+        |  SELECT source, t[i] AS w,
+        |    CASE WHEN i + 1 <= len(t) THEN t[i] || ' ' || t[i+1] END AS bg,
+        |    CASE WHEN i + 2 <= len(t)
+        |      THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS tg
+        |  FROM pos)
+        |SELECT source, count(w) AS n1, count(DISTINCT w) AS d1,
+        |  round(count(DISTINCT w) * 1.0 / count(w), 4) AS r1,
+        |  round(count(DISTINCT bg) * 1.0 / count(bg), 4) AS r2,
+        |  round(count(DISTINCT tg) * 1.0 / count(tg), 4) AS r3
+        |FROM g GROUP BY 1 ORDER BY source""".stripMargin),
+
     // Top-30 adjacent-pair collocations by PMI (min pair count 5).
     // The oracle replays bigram counting, both marginals, the
     // quantized ln, the (s6, w1, w2) rank and the cut — a drift in

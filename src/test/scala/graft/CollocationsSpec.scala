@@ -71,6 +71,38 @@ class CollocationsSpec extends SparkSpec {
       (3L, 5L) -> 2L))
   }
 
+  test("distinctNgrams: hand ratios, null tails excluded both sides") {
+    import spark.implicits._
+    val d = Seq(("x", "a b a b"), ("y", "c c c c c"))
+      .toDF("source", "text")
+    val got = Collocations.distinctNgrams(d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    // x: 4 tokens {a,b}; bigrams "a b","b a","a b" → 2/3; trigrams
+    // "a b a","b a b" → 2/2
+    assert(got("x") == ((4L, 2L, 0.5, 0.6667, 1.0)))
+    // y is pure repetition: every ratio collapses toward 1/n
+    assert(got("y") == ((5L, 1L, 0.2, 0.25, 0.3333)))
+  }
+
+  test("q_split_leakage matches an exact driver replay") {
+    val ev = graft.sources.Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val us = ev.map(_._2)
+    val mid = us.min + (us.max - us.min) / 2
+    val byUser = ev.groupBy(_._1).view.mapValues(_.map(_._2))
+    val tr = byUser.count(_._2.exists(_ < mid))
+    val evl = byUser.count(_._2.exists(_ >= mid))
+    val leak = byUser.count(v => v._2.exists(_ < mid) && v._2.exists(_ >= mid))
+    val r = SparkEntry.registry("q_split_leakage").fn(spark, sfDir).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((tr.toLong, evl.toLong, leak.toLong)))
+    assert(r.getDouble(3) ==
+      math.rint(leak.toDouble / evl * 10000) / 10000)
+  }
+
   test("q_pmi_pairs / q_phrase_hits run on harness data") {
     val pmi = SparkEntry.registry("q_pmi_pairs").fn(spark, sfDir).collect()
     assert(pmi.nonEmpty && pmi.length <= 30)
