@@ -250,5 +250,54 @@ object QualityModel {
       s"""SELECT doc_id,
          |  round(1.0 / (1.0 + exp(-(${oracleScore()}))), 4) AS quality_score,
          |  (${oracleScore()}) >= 0.0 AS pred_keep
-         |FROM documents ORDER BY doc_id""".stripMargin))
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Calibration table: fixed-width probability buckets
+    // (floor(10·p), capped at 9) × (docs, weak-label positives,
+    // observed rate, mean predicted probability). A CALIBRATED model
+    // has obs_rate ≈ avg_pred per bucket — the reliability-diagram
+    // data an ML-ops pipeline monitors per corpus snapshot. The mean
+    // prediction quantizes each p to the 1e-6 grid BEFORE summing
+    // (order-free integer sum, the lmScored contract); fixed-width
+    // buckets, not ntile — no rank nondeterminism at any scale, and
+    // the whole query is one group-by over a 10-row output. The
+    // oracle recomputes every feature, the sigmoid, the weak label,
+    // the bucket cut, and both ratios.
+    "q_quality_calibration" -> QueryDef(
+      (s, dir) => {
+        val f = featureFrame(table(s, dir, "documents"))
+          .withColumn("__y", weakLabel)
+        val p = probability(
+          scoreFromFeatures((0 until NumFeatures).map(i => col(s"__x$i"))))
+        f.select(
+            least(floor(p * 10), lit(9L)).cast("long").as("bucket"),
+            col("__y"),
+            floor(p * lit(1000000.0) + lit(0.5)).cast("long").as("__p6"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("__y").cast("long").as("n_pos"),
+            round(sum("__y") / count(lit(1)), 4).as("obs_rate"),
+            round(sum("__p6") / (count(lit(1)) * lit(1000000.0)), 4)
+              .as("avg_pred"))
+          .orderBy("bucket")
+      },
+      {
+        val z = oracleScore()
+        val toks = "regexp_split_to_array(trim(text), '\\s+')"
+        val n = s"greatest(len($toks), 1)"
+        val stop = s"(len(list_filter($toks, t -> t IN ('the','a','and','of','to','is'))) * 1.0 / $n)"
+        val dratio = s"(len(list_distinct($toks)) * 1.0 / $n)"
+        s"""WITH sc AS (
+           |  SELECT 1.0 / (1.0 + exp(-($z))) AS p,
+           |    CASE WHEN len($toks) >= 30 AND $stop >= 0.02
+           |      AND $dratio >= 0.5 THEN 1.0 ELSE 0.0 END AS y
+           |  FROM documents)
+           |SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bucket,
+           |  count(*) AS n_docs,
+           |  CAST(sum(y) AS BIGINT) AS n_pos,
+           |  round(sum(y) / count(*), 4) AS obs_rate,
+           |  round(sum(CAST(floor(p * 1000000 + 0.5) AS BIGINT)) /
+           |    (count(*) * 1000000.0), 4) AS avg_pred
+           |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin
+      }))
 }

@@ -62,4 +62,23 @@ class QualityModelSpec extends SparkSpec {
     val expected = scored.filter(col("__z") >= 0.0).count()
     assert(kept == expected && kept > 0 && kept < docs.count())
   }
+
+  test("calibration buckets partition the corpus; counts reconcile") {
+    val rows = SparkEntry.registry("q_quality_calibration").fn(spark, sfDir)
+      .collect()
+    val total = graft.sources.Tables.table(spark, sfDir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == total, "buckets must partition")
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 9))
+    rows.foreach { r =>
+      val (n, pos, rate, pred) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(pos <= n)
+      assert(rate == math.rint(pos.toDouble / n * 10000) / 10000)
+      // the mean prediction must sit inside its own bucket's range
+      // (up to the 1e-4 display rounding at the edges)
+      val b = r.getLong(0)
+      assert(pred >= b / 10.0 - 1e-4)
+      assert(b == 9L || pred <= (b + 1) / 10.0 + 1e-4)
+    }
+  }
 }
