@@ -1072,6 +1072,51 @@ object Similarity {
       },
       semdedupOracleSql),
 
+    // Corpus composition map over the SHARED quantizer (the third
+    // consumer after q_ann_kmeans and q_semdedup — one oracle prefix
+    // proves all of them replay the same clustering): per cluster,
+    // the size, corpus share, majority label, and label purity — the
+    // domain-discovery table a mixture planner (DoReMi-style) reads
+    // before setting sampling weights. 16-row output at any corpus
+    // size; the label histogram is one map-side-combined groupBy.
+    "q_corpus_map" -> QueryDef(
+      (s, dir) => {
+        val e = spreadScan(table(s, dir, "embeddings"))
+        val cents = kmeansCentroids(e, 16, 2, sampleFrac = 0.5)
+        val lc = graft.InternalCaches.track(
+          e.select(col("vec_id"), col("label"), col("embedding"))
+            .withColumn("cid", nearestCentroid(col("embedding"), cents))
+            .groupBy("cid", "label").agg(count(lit(1)).as("c"))
+            .persist())
+        val cn = lc.groupBy("cid").agg(sum("c").cast("long").as("n"))
+        val w = Window.partitionBy("cid").orderBy(col("c").desc, col("label"))
+        val mj = lc.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("cid"), col("label").as("maj_label"),
+            col("c").as("n_maj"))
+        val tot = broadcast(lc.agg(sum("c").cast("long").as("t")))
+        cn.join(mj, "cid").crossJoin(tot)
+          .select(col("cid"), col("n"),
+            round(col("n") * lit(1.0) / col("t"), 4).as("share"),
+            col("maj_label"),
+            round(col("n_maj") * lit(1.0) / col("n"), 4).as("purity"))
+          .orderBy("cid")
+      },
+      s"""$kmeansListsSql,
+         |lab AS (
+         |  SELECT l.list_id AS cid, u2.label
+         |  FROM lists l JOIN embeddings u2 ON u2.vec_id = l.vec_id),
+         |lc AS (SELECT cid, label, count(*) AS c FROM lab GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM lc),
+         |cn AS (SELECT cid, CAST(sum(c) AS BIGINT) AS n FROM lc GROUP BY 1),
+         |mj AS (
+         |  SELECT cid, label AS maj_label, c AS n_maj FROM lc
+         |  QUALIFY row_number() OVER (PARTITION BY cid
+         |    ORDER BY c DESC, label) = 1)
+         |SELECT cn.cid, n, round(n * 1.0 / t, 4) AS share,
+         |  maj_label, round(n_maj * 1.0 / n, 4) AS purity
+         |FROM cn JOIN mj USING (cid), tot ORDER BY cid""".stripMargin),
+
     // IVF-bucketed ANN. The index is fully deterministic (md5-rank
     // hash centroids — one TakeOrderedAndProject job, no count()
     // pre-pass — then argmax-dot assignment), so the oracle rebuilds

@@ -50,6 +50,30 @@ class DedupIncrementalSpec extends SparkSpec {
     InternalCaches.drain(blocking = true)
   }
 
+  test("engineered fixture: cross-set pairs found, within-set pairs NOT reported") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val variant = ((1 to 29).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val other = (1 to 30).map(i => s"alt$i").mkString(" ")
+    val docs = Seq(
+      3L -> base, // old
+      13L -> base, // old, duplicate of 3 — within-set, must NOT appear
+      9L -> variant, // new, near-dup of the old 3 and 13
+      19L -> variant, // new, duplicate of 9 — within-set, must NOT appear
+      4L -> other, 7L -> other.replace("alt3", "altX"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_incfix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.registry("q_dedup_incremental").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the new variants pair with BOTH old copies of the base text,
+    // and only those cross-set pairs surface
+    assert(got.map(t => (t._1, t._2)).toSet ==
+      Set((9L, 3L), (9L, 13L), (19L, 3L), (19L, 13L)))
+    assert(got.forall(_._3 >= 0.25))
+    InternalCaches.drain(blocking = true)
+  }
+
   test("containment tie: identical shingle sets drop the larger id") {
     import spark.implicits._
     val t = (1 to 30).map(i => s"t$i").mkString(" ")

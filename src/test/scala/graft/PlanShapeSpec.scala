@@ -39,6 +39,7 @@ class PlanShapeSpec extends SparkSpec {
     "q_zorder_layout", // 1-row (pmax, smax) bucket-scale broadcast factor
     "q_join_estimate", // two 1-row frames (sketch estimate × exact count)
     "q_split_leakage", // 1-row midpoint-timestamp broadcast factor
+    "q_corpus_map", // 1-row corpus-total broadcast factor
     // bounded (label-count) centroid side broadcast against a
     // map-only corpus scan — linear in the corpus by design
     "q_nearest_centroid")

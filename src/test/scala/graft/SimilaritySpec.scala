@@ -365,6 +365,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q_corpus_map: clusters partition the corpus; ratios reconcile") {
+    val rows = SparkEntry.registry("q_corpus_map").fn(spark, sfDir).collect()
+    val total = graft.sources.Tables.table(spark, sfDir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == total, "cluster sizes must partition")
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 0.01)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < 16)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(2) ==
+        math.rint(r.getLong(1).toDouble / total * 10000) / 10000)
+    }
+    InternalCaches.drain(blocking = true)
+  }
+
   test("q_mmr_select: every greedy step matches a bitwise driver replay") {
     val rows = graft.sources.Tables.table(spark, sfDir, "embeddings")
       .collect().map(r => (r.getAs[Long]("vec_id"),
