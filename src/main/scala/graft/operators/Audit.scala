@@ -260,6 +260,72 @@ object Audit {
         |  CAST(sum(ev) AS BIGINT) AS n_eval_users,
         |  CAST(sum(tr * ev) AS BIGINT) AS n_leaked,
         |  round(sum(tr * ev) * 1.0 / sum(ev), 4) AS leak_frac
-        |FROM pu""".stripMargin)
+        |FROM pu""".stripMargin),
+
+    // Population-stability-index drift between two corpus snapshots
+    // (doc_id parity as the synthetic snapshot split): token-count
+    // distributions over 8 fixed-width buckets scaled by the GLOBAL
+    // max, Laplace-smoothed shares, per-bucket PSI terms quantized to
+    // the 1e-6 grid BEFORE the total (order-free integer sum — the
+    // lmScored contract), plus the headline total on every row. The
+    // standard ML-ops distribution monitor: PSI < 0.1 stable,
+    // > 0.25 drifted. One corpus pass + an 8-row aggregate at any
+    // volume; the oracle replays buckets, smoothing, every quantized
+    // term, and the windowed total.
+    "q_psi_drift" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.TextAnalysis.tokens
+        val b = graft.InternalCaches.track(
+          graft.functions.Functions.spreadScan(table(s, dir, "documents"))
+            .select((col("doc_id") % 2 === 0).as("ref"),
+              size(tokens(col("text"))).as("n"))
+            .persist())
+        val mx = broadcast(b.agg(max("n").as("mx"),
+          sum(when(col("ref"), 1L).otherwise(0L)).as("ta"),
+          sum(when(!col("ref"), 1L).otherwise(0L)).as("tb")))
+        val h = b.crossJoin(mx)
+          .select(expr("(n * 8) div (mx + 1)").cast("long").as("bucket"),
+            col("ref"))
+          .groupBy("bucket")
+          .agg(sum(when(col("ref"), 1L).otherwise(0L)).as("ca"),
+            sum(when(!col("ref"), 1L).otherwise(0L)).as("cb"))
+        val pa = (col("ca") + 1) * lit(1.0) / (col("ta") + 8)
+        val pb = (col("cb") + 1) * lit(1.0) / (col("tb") + 8)
+        val t6 = round(lit(1000000.0) * (pa - pb) * log(pa / pb)).cast("long")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy().orderBy().rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        h.crossJoin(mx)
+          .select(col("bucket"), col("ca"), col("cb"), t6.as("__t6"))
+          .select(col("bucket"), col("ca"), col("cb"),
+            round(col("__t6") / lit(1000000.0), 6).as("psi_term"),
+            round(sum("__t6").over(w) / lit(1000000.0), 4).as("psi_total"))
+          .orderBy("bucket")
+      },
+      """WITH d AS (
+        |  SELECT doc_id % 2 = 0 AS ref,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n
+        |  FROM documents),
+        |mx AS (SELECT max(n) AS mx,
+        |  CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+        |  CAST(sum(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT) AS tb
+        |  FROM d),
+        |h AS (
+        |  SELECT (n * 8) // (mx + 1) AS bucket,
+        |    CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM d, mx GROUP BY 1),
+        |t AS (
+        |  SELECT bucket, ca, cb,
+        |    CAST(round(1000000 *
+        |      (((ca + 1) * 1.0 / (ta + 8)) - ((cb + 1) * 1.0 / (tb + 8))) *
+        |      ln(((ca + 1) * 1.0 / (ta + 8)) / ((cb + 1) * 1.0 / (tb + 8))))
+        |      AS BIGINT) AS t6
+        |  FROM h, mx)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, ca, cb,
+        |  round(t6 / 1000000.0, 6) AS psi_term,
+        |  round(CAST(sum(t6) OVER () AS BIGINT) / 1000000.0, 4) AS psi_total
+        |FROM t ORDER BY bucket""".stripMargin)
   )
 }

@@ -83,6 +83,38 @@ object Sharding {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin),
 
+    // Shard integrity manifest: per shard, the row count and an
+    // ORDER-FREE content checksum (sum of 32-bit md5 prefixes of each
+    // row's canonical `doc_id:text-fingerprint` string — integer sum,
+    // so any partitioning/task order yields the same bits). This is
+    // the manifest a training job validates shards against after an
+    // export: a dropped, duplicated, or bit-flipped row moves count
+    // or checksum. One map-side-combined groupBy; 8 rows out at any
+    // corpus size.
+    "q_shard_manifest" -> QueryDef(
+      (s, dir) => {
+        // the same shard key as shuffleShard, WITHOUT its position
+        // window — a manifest needs membership, not order, and the
+        // per-shard sort would be pure waste here
+        val shard = (conv(substring(md5(concat(
+          col("doc_id").cast("string"), lit("|shard"))), 1, 8), 16, 10)
+          .cast("long") % 8).cast("int")
+        graft.functions.Functions.spreadScan(table(s, dir, "documents"))
+          .select(shard.as("shard"),
+            conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit(":"), md5(col("text")))), 1, 8), 16, 10)
+              .cast("long").as("__h"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n"), sum("__h").as("checksum"))
+          .orderBy("shard")
+      },
+      """SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|shard'), 1, 8))
+        |    AS UINT32) AS BIGINT) % 8 AS shard,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 8))
+        |    AS UINT32) AS BIGINT)) AS BIGINT) AS checksum
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin),
+
     // Decile binning of lineitem prices within each return flag,
     // summarized per bin — equal counts (±1) with deterministic
     // boundaries; the oracle replays the exact ntile tie-break.

@@ -33,4 +33,25 @@ class AuditSpec extends SparkSpec {
     assert(row.getString(0) == "t.fk")
     assert(row.getLong(1) == 2) // the two 9s; the null FK is not an orphan
   }
+  test("q_psi_drift: mirrored snapshots score zero; a shifted one drifts") {
+    import spark.implicits._
+    def run(shift: Boolean): (Double, Seq[Double]) = {
+      // even ids = reference, odd ids = current; each ref doc has a
+      // paired cur doc — identical lengths unless shifted
+      val docs = (0L until 30L).flatMap { i =>
+        val refLen = 5 + (i % 10).toInt
+        val curLen = if (shift) refLen + 10 else refLen
+        Seq((2 * i, ("w " * refLen).trim), (2 * i + 1, ("w " * curLen).trim))
+      }.toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("graft_psifix").toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = SparkEntry.registry("q_psi_drift").fn(spark, dir).collect()
+      (rows.head.getDouble(4), rows.map(_.getDouble(3)).toSeq)
+    }
+    val (same, terms) = run(shift = false)
+    assert(same == 0.0 && terms.forall(_ == 0.0),
+      "identical distributions must score exactly zero")
+    val (drifted, _) = run(shift = true)
+    assert(drifted > 0.25, s"shifted snapshot scored $drifted (stable < 0.1)")
+  }
 }

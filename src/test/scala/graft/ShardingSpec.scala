@@ -56,4 +56,24 @@ class ShardingSpec extends SparkSpec {
       }
     }
   }
+  test("q_shard_manifest: counts partition; a one-row change moves ONE shard's checksum") {
+    import spark.implicits._
+    def corpus(mutate: Boolean) = (0L until 40L).map { i =>
+      (i, if (mutate && i == 17L) "mutated text row" else s"doc $i body tokens")
+    }.toDF("doc_id", "text")
+    def manifest(mutate: Boolean): Map[Int, (Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_manifix").toString
+      corpus(mutate).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      SparkEntry.registry("q_shard_manifest").fn(spark, dir)
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    val a = manifest(mutate = false)
+    val b = manifest(mutate = true)
+    assert(a.values.map(_._1).sum == 40L)
+    // counts identical everywhere (membership unchanged) ...
+    assert(a.view.mapValues(_._1).toMap == b.view.mapValues(_._1).toMap)
+    // ... and exactly one shard's checksum moved: doc 17's shard
+    val moved = a.keySet.filter(k => a(k)._2 != b(k)._2)
+    assert(moved.size == 1, s"expected one moved shard, got $moved")
+  }
 }
