@@ -41,16 +41,25 @@ object SparseRetrieval {
   val K1 = 1.2
   val B = 0.75
 
-  /** One tokenize pass → persisted (doc_id, term, tf) postings. Three
-    * consumers (df, dl, panel join) — without the persist Catalyst
-    * re-plans the whole tokenize+explode+agg per consumer.
+  /** The (doc_id, term, tf) postings frame — a lexical INDEX, so it
+    * persists as a content-keyed artifact (the memoShingles pattern):
+    * built from one tokenize pass on first touch, read back by every
+    * later ranker in this or any process. Three in-plan consumers
+    * (df, dl, panel join) additionally share a session cache over the
+    * artifact read — without it Catalyst re-plans the read per
+    * consumer.
     */
-  private def postings(s: SparkSession, dir: String): DataFrame =
-    InternalCaches.track(
+  private def postings(s: SparkSession, dir: String): DataFrame = {
+    val cache = graft.sources.DerivedCache.dirFor(
+      s, s"$dir/documents.parquet", "postings")
+    if (!graft.sources.DerivedCache.isComplete(s, cache))
       explodeOnce(spreadScan(table(s, dir, "documents")),
         Seq(col("doc_id")), tokens(lower(col("text"))), "term")
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        .write.mode("overwrite").parquet(cache)
+    InternalCaches.track(
+      s.read.parquet(cache).persist(StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** (query_id, doc_id, s6) quantized per-document scores for the
     * panel under `termScore` (a 1e-6-grid integer per posting).
