@@ -69,7 +69,42 @@ object EventsStream {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM sess GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin))
+        |ORDER BY user_id, session_id""".stripMargin)),
+
+    // The NATIVE operator for the same semantics: Spark's
+    // session_window aggregation — one groupBy, no lag/running-sum
+    // window pair, and the identical plan runs on a stream (it is the
+    // streaming-native sessionizer). Boundary difference vs the lag
+    // form: windows merge while gap < 30 min STRICTLY (an exactly-
+    // 30-minute silence closes the session, where the lag form's `>`
+    // keeps it), and the emitted end is last-event + gap, not
+    // last-event — the oracle replays the `>=` rule and the +gap end.
+    "q_sessionize_window" -> graft.QueryDef(
+      (s, dir) => graft.sources.Tables.table(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH g AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin))
   )
 
   /** events.parquet has shipped as INT64 TIMESTAMP(NANOS) (read as

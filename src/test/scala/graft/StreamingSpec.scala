@@ -44,6 +44,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("native session_window: batch partition agrees with the lag form; " +
+      "the SAME aggregation runs on a stream") {
+    // batch: q_sessionize_window groups the identical sessions as the
+    // lag-window q_sessionize_batch wherever no inter-event gap is
+    // exactly 30:00.000000 (microsecond timestamps: none in harness
+    // data) — compare the per-user session-size multisets
+    val sw = SparkEntry.registry("q_sessionize_window").fn(spark, sfDir)
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val sb = SparkEntry.registry("q_sessionize_batch").fn(spark, sfDir)
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(sw == sb)
+    // streaming: the NATIVE operator's selling point — the same
+    // session_window aggregation over an unbounded source
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "click", 2.0), // same session
+      (3L, ts("2024-01-01 11:30:00"), 1L, "click", 4.0)) // new session
+    val query = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName("swq")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      assert(query.awaitTermination(120000), "stream did not finish in 120s")
+      val got = spark.table("swq").select("user_id", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == Seq((1L, 1L), (1L, 2L)))
+    } finally query.stop()
+  }
+
   test("stream-stream interval join: clicks attach to prior views across " +
       "micro-batches; result equals the batch join") {
     implicit val sqlCtx = spark.sqlContext
