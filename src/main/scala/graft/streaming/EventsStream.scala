@@ -459,6 +459,44 @@ object EventsStream {
       }
   }
 
+  /** The SAME running stats on Spark 4's `transformWithState` — the
+    * arbitrary-state API that supersedes mapGroupsWithState: named
+    * state cells with their own encoders and TTLs, timers, and the
+    * RocksDB state store (the provider the API requires; the parity
+    * spec sets it for its query). The per-event arithmetic is
+    * [[MomentState.add]] verbatim, so the two APIs provably compute
+    * one thing — this twin exists to keep the engine on Spark's
+    * current stateful-processing surface, not to change semantics.
+    */
+  class WelfordProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[String, Event, GroupStats] {
+    @transient private var moments:
+        org.apache.spark.sql.streaming.ValueState[MomentState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      moments = getHandle.getValueState[MomentState]("moments",
+        org.apache.spark.sql.Encoders.product[MomentState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[GroupStats] = {
+      val s0 = if (moments.exists()) moments.get() else MomentState(0, 0, 0)
+      val s = rows.foldLeft(s0)((acc, e) => acc.add(e.value))
+      moments.update(s)
+      Iterator.single(GroupStats(key, s.n, s.mean,
+        if (s.n > 0) math.sqrt(s.m2 / s.n) else 0.0))
+    }
+  }
+
+  def runningStatsTws(events: DataFrame): org.apache.spark.sql.Dataset[GroupStats] = {
+    import events.sparkSession.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .groupByKey(_.event_type)
+      .transformWithState(new WelfordProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** In-stream anomaly detection: each event is scored against its
     * group's stats AS OF the previous events (prefix semantics — the
     * batch `q_outliers` scores against the full corpus instead, so

@@ -60,6 +60,50 @@ class WelfordSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("transformWithState twin reproduces runningStats exactly " +
+      "(RocksDB store, micro-batched)") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.sources.Tables.table(spark, sfDir, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val query = EventsStream.runningStatsTws(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("welford_tws")
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      for (slice <- events.grouped((events.length / 3).max(1)))
+        { mem.addData(slice.toSeq: _*); query.processAllAvailable() }
+      val streamed = spark.table("welford_tws")
+        .groupBy("event_type")
+        .agg(max(struct(col("n"), col("mu"), col("sd"))).as("s"))
+        .select(col("event_type"), col("s.n"), col("s.mu"), col("s.sd"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      // bit-for-bit against a driver replay of the SAME fold in the
+      // same arrival order — the two APIs share MomentState.add
+      val expected = events.groupBy(_._4).view.mapValues { es =>
+        val s = es.foldLeft(MomentState(0, 0, 0))((a, e) => a.add(e._5))
+        (s.n, s.mean, math.sqrt(s.m2 / s.n))
+      }.toMap
+      assert(streamed == expected)
+    } finally {
+      query.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("Welford mean/M2 stay stable at a 1e9 offset where naive " +
       "sum-of-squares cancels") {
     val xs = (1 to 2000).map(i => 1e9 + (i % 7) - 3.0)
