@@ -84,9 +84,9 @@ object Graph {
     * only corpus-wide shuffle is the final distinct.
     */
   def partCoOrderEdges(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+      dir: String, minQty: Int = 25): DataFrame = {
     val lp = graft.functions.Functions.spreadScan(
-      table(s, dir, "lineitem").filter(col("l_quantity") > 25)
+      table(s, dir, "lineitem").filter(col("l_quantity") > minQty)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
       .distinct()
     lp.toDF("ok", "a").join(lp.toDF("ok", "b"), "ok")
@@ -352,6 +352,34 @@ object Graph {
          |SELECT node, deg, tri,
          |  round(2.0 * tri / (deg * (deg - 1)), 6) AS cc
          |FROM tn JOIN deg USING (node) ORDER BY node""".stripMargin),
+
+    // Connected components of the SPARSE co-order graph (quantity >
+    // 46: 789 edges over 983 nodes at sf0.01 — a forest with cycles,
+    // many components). Reuses the size-adaptive Dedup.clusterPairs
+    // engine (driver union-find under the pair ceiling, log-diameter
+    // label propagation with per-round localCheckpoint above it) —
+    // the same component machinery that canonicalizes near-dup
+    // clusters, exercised here on a general graph. The oracle is the
+    // recursive-CTE min-label walk.
+    "q_components" -> QueryDef(
+      (s, dir) => Dedup.clusterPairs(
+        partCoOrderEdges(s, dir, minQty = 46).toDF("id_a", "id_b"))
+        .withColumnRenamed("cluster_id", "component_id")
+        .orderBy("id"),
+      """WITH RECURSIVE lp AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity > 46),
+        |e0 AS (
+        |  SELECT DISTINCT a.pk AS a, b.pk AS b
+        |  FROM lp a JOIN lp b USING (ok) WHERE a.pk < b.pk),
+        |edges AS (SELECT a AS src, b AS dst FROM e0
+        |          UNION ALL SELECT b, a FROM e0),
+        |walk(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
+        |SELECT id, min(label) AS component_id FROM walk GROUP BY id
+        |ORDER BY id""".stripMargin),
 
     // 18-core of the part co-order graph by 8 peel rounds — measured
     // to reach the fixpoint at round 5 on this data (round 6-8 are
