@@ -735,6 +735,42 @@ object TextAnalysis {
         |    ELSE 'und' END AS pred_lang
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Language-ID EVALUATION against the labeled lang column (the
+    // harness corpus ships ground truth that no query used until
+    // now): the (label, prediction) confusion matrix with per-cell
+    // share of the label's row — per-language recall on the diagonal,
+    // the confusion structure off it. This is the accuracy gate a
+    // pipeline runs before trusting a classifier to route documents;
+    // one narrow groupBy + a label-partition window over ≤ |langs|²
+    // rows at any corpus size.
+    "q_langid_eval" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        table(s, dir, "documents")
+          .select(col("lang"), langId(col("text")).as("pred_lang"))
+          .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+          .withColumn("share", round(col("n") * lit(1.0) /
+            sum("n").over(Window.partitionBy("lang")), 4))
+          .orderBy("lang", "pred_lang")
+      },
+      """WITH p AS (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+        |      WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |      WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+        |      WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+        |      WHEN regexp_matches(lower(text), '(^|\s)(der|und|nicht)(\s|$)') THEN 'de'
+        |      WHEN regexp_matches(lower(text), '(^|\s)(el|los|las)(\s|$)') THEN 'es'
+        |      WHEN regexp_matches(lower(text), '(^|\s)(le|les|est)(\s|$)') THEN 'fr'
+        |      WHEN regexp_matches(lower(text), '(^|\s)(the|and|is)(\s|$)') THEN 'en'
+        |      ELSE 'und' END AS pred_lang
+        |  FROM documents),
+        |c AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT lang, pred_lang, n,
+        |  round(n * 1.0 / sum(n) OVER (PARTITION BY lang), 4) AS share
+        |FROM c ORDER BY lang, pred_lang""".stripMargin),
+
     // Corpus stats per labeled language.
     "q_lang_dist" -> QueryDef(
       (s, dir) => table(s, dir, "documents")
