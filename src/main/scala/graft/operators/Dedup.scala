@@ -891,6 +891,81 @@ object Dedup {
         |SELECT id_a, id_b, jac FROM scored WHERE jac >= 0.25
         |ORDER BY id_a, id_b""".stripMargin),
 
+    // MinHash-banding RECALL against exact Jaccard truth — the dedup
+    // index's q_recall_at_k: truth = every pair at J ≥ 0.25 on the
+    // df-capped posting space (the counting join — enumerating truth
+    // via all-pairs would be the quadratic this index exists to
+    // avoid), candidates = the LSH band buckets. The 32-band/2-row
+    // curve gives ~87% candidate probability AT the 0.25 threshold
+    // and →1 above it; this query turns that formula into a measured,
+    // hash-checked number per corpus — the recall CONTRACT of every
+    // minhash dedup downstream. The oracle replays both pair sets and
+    // the semi-join hit count.
+    "q_minhash_recall" -> QueryDef(
+      (s, dir) => {
+        val truth = graft.InternalCaches.track(
+          jaccardPairs(memoShingles(s, dir), "doc_id", minJaccard = 0.25)
+            .persist())
+        val cand = graft.InternalCaches.track(
+          bandCandidates(memoBands(s, dir)).persist())
+        val hits = broadcast(truth
+          .join(cand, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).cast("long").as("n_hit")))
+        val nt = broadcast(truth.agg(count(lit(1)).cast("long").as("n_true")))
+        val nc = broadcast(cand.agg(count(lit(1)).cast("long").as("n_cand")))
+        nt.crossJoin(nc).crossJoin(hits)
+          .select(col("n_true"), col("n_cand"), col("n_hit"),
+            round(col("n_hit") * lit(1.0) / col("n_true"), 4).as("recall"))
+      },
+      s"""WITH sh AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+        |    i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\\s+')[i+2])) AS g
+        |  FROM documents),
+        |inv AS (SELECT doc_id, unnest(g) AS s FROM sh),
+        |pruned AS MATERIALIZED (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM inv)
+        |  WHERE df <= ${StopShingleDf}),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE i >= (na.n + nb.n - i) * 0.25),
+        |h AS (
+        |  SELECT doc_id, list_transform(g,
+        |    s2 -> CAST(CAST(('0x' || substr(md5(s2), 1, 8)) AS UINT32) AS BIGINT)) AS hs
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, list_transform(${paramsLit},
+        |    p -> list_min(list_transform(hs,
+        |      x -> (x * p[1] + p[2]) % ${P}))) AS sig
+        |  FROM h WHERE len(hs) > 0),
+        |bands AS (
+        |  SELECT doc_id, k AS band,
+        |    CAST(sig[2*k+1] AS VARCHAR) || ':' || CAST(sig[2*k+2] AS VARCHAR) AS band_key
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, ${Bands})) AS k) ks),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |hit AS (
+        |  SELECT count(*) AS n_hit FROM truth t
+        |  WHERE EXISTS (SELECT 1 FROM cand c
+        |    WHERE c.id_a = t.id_a AND c.id_b = t.id_b))
+        |SELECT (SELECT count(*) FROM truth) AS n_true,
+        |  (SELECT count(*) FROM cand) AS n_cand,
+        |  n_hit,
+        |  round(n_hit * 1.0 / (SELECT count(*) FROM truth), 4) AS recall
+        |FROM hit""".stripMargin),
+
     // SimHash near-dup pairs (4 × 16-bit md5-sliced majority-vote
     // segments, segment blocking, hamming ≤ 3 — the radius the
     // 4-segment pigeonhole blocking makes exact). The md5-derived

@@ -74,6 +74,16 @@ class DedupIncrementalSpec extends SparkSpec {
     InternalCaches.drain(blocking = true)
   }
 
+  test("q_minhash_recall: a report row whose counts reconcile") {
+    val r = SparkEntry.registry("q_minhash_recall").fn(spark, sfDir).head()
+    val (nTrue, nCand, nHit, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(nHit <= math.min(nTrue, nCand))
+    assert(recall >= 0.0 && recall <= 1.0)
+    assert(recall == math.rint(nHit.toDouble / nTrue * 10000) / 10000)
+    InternalCaches.drain(blocking = true)
+  }
+
   test("containment tie: identical shingle sets drop the larger id") {
     import spark.implicits._
     val t = (1 to 30).map(i => s"t$i").mkString(" ")
