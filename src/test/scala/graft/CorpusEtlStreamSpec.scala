@@ -269,6 +269,37 @@ class CorpusEtlStreamSpec extends SparkSpec {
       chunks.dropDuplicates("doc_id", "chunk_id").count())
   }
 
+  test("minhash gate in the stream stack: near-dup of the EXISTING " +
+      "corpus drops where the exact gate passes it") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_cetl_mh")
+    val index = base.resolve("index").toString
+    val sink = base.resolve("sink").toString
+    val corpusText = (1 to 30).map(i => s"corp$i").mkString(" ")
+    val existing = Seq((100L, corpusText)).toDF("doc_id", "text")
+    val gate = graft.streaming.DocGate.all(
+      // exact gate over the corpus fingerprints ...
+      graft.streaming.BenchmarkGate.fromDocs(existing.select("text")),
+      // ... plus the near-dup gate over the SAME corpus's band index
+      graft.streaming.MinHashGate.fromCorpus(existing))
+    def step(rows: Seq[(Long, String)], id: Long): Unit =
+      CorpusEtlStream.prepareBatchStep(rows.toDF("doc_id", "text"), id,
+        index, sink, chunkTokens = 8, stride = 6, benchmark = Some(gate))
+    val nearDup = ((1 to 29).map(i => s"corp$i") :+ "drifted").mkString(" ")
+    val novel = (1 to 30).map(i => s"new$i").mkString(" ")
+    step(Seq((1L, corpusText), // exact corpus copy → exact gate
+      (2L, nearDup), // one token drifted → ONLY the minhash gate
+      (3L, novel)), 0L)
+    def sinkDocIds: Set[Long] = spark.read.parquet(sink)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(sinkDocIds == Set(3L),
+      s"expected only the novel doc through, got $sinkDocIds")
+    // replay idempotent — both gates are pure functions of (text, corpus)
+    step(Seq((1L, corpusText), (2L, nearDup), (3L, novel)), 0L)
+    assert(sinkDocIds == Set(3L))
+    assert(spark.read.parquet(sink).where(col("doc_id") === 3L).count() > 0)
+  }
+
   test("winnow gate drops an edit-drifted benchmark copy the exact " +
       "gate misses") {
     val base = java.nio.file.Files.createTempDirectory("graft_cetl_wg")
