@@ -220,6 +220,53 @@ object Audit {
         |  UNION ALL SELECT 'tax_in_range', CAST(tax_bad AS DOUBLE), tax_bad = 0 FROM m)
         |ORDER BY rule""".stripMargin),
 
+    // Expectation suite over the TEXT corpus — the data contract a
+    // training pipeline asserts before any batch is admitted: rows
+    // present, unique doc keys, no empty text, the n_chars metadata
+    // column actually equal to length(text) (a stale-metadata break
+    // silently skews every length-based quality gate), language codes
+    // in the routing set, source populated. Same one-pass aggregate +
+    // unpivot shape as q_expectations.
+    "q_corpus_expectations" -> QueryDef(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        expectations(d, Seq(
+          ("doc_id_unique",
+            count(lit(1)) - countDistinct(col("doc_id")),
+            count(lit(1)) - countDistinct(col("doc_id")) === 0),
+          ("lang_in_set",
+            count(when(!col("lang").isin("en", "de", "es", "fr", "ru", "zh"), 1)),
+            count(when(!col("lang").isin("en", "de", "es", "fr", "ru", "zh"), 1)) === 0),
+          ("n_chars_consistent",
+            count(when(col("n_chars") =!= length(col("text")), 1)),
+            count(when(col("n_chars") =!= length(col("text")), 1)) === 0),
+          ("rows_nonempty", count(lit(1)), count(lit(1)) > 0),
+          ("source_complete",
+            count(when(col("source").isNull || col("source") === "", 1)),
+            count(when(col("source").isNull || col("source") === "", 1)) === 0),
+          ("text_nonblank",
+            count(when(col("text").isNull || trim(col("text")) === "", 1)),
+            count(when(col("text").isNull || trim(col("text")) === "", 1)) === 0)))
+          .orderBy("rule")
+      },
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |    count(*) - count(DISTINCT doc_id) AS pk_dups,
+        |    count(CASE WHEN lang NOT IN ('en','de','es','fr','ru','zh') THEN 1 END) AS lang_bad,
+        |    count(CASE WHEN n_chars != length(text) THEN 1 END) AS nchars_bad,
+        |    count(CASE WHEN source IS NULL OR source = '' THEN 1 END) AS src_bad,
+        |    count(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 END) AS text_bad
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'doc_id_unique' AS rule, CAST(pk_dups AS DOUBLE) AS observed,
+        |    pk_dups = 0 AS passed FROM m
+        |  UNION ALL SELECT 'lang_in_set', CAST(lang_bad AS DOUBLE), lang_bad = 0 FROM m
+        |  UNION ALL SELECT 'n_chars_consistent', CAST(nchars_bad AS DOUBLE), nchars_bad = 0 FROM m
+        |  UNION ALL SELECT 'rows_nonempty', CAST(n AS DOUBLE), n > 0 FROM m
+        |  UNION ALL SELECT 'source_complete', CAST(src_bad AS DOUBLE), src_bad = 0 FROM m
+        |  UNION ALL SELECT 'text_nonblank', CAST(text_bad AS DOUBLE), text_bad = 0 FROM m)
+        |ORDER BY rule""".stripMargin),
+
     // Temporal train/eval split leakage audit: split events at the
     // midpoint of the observed time range (exact integer-micros
     // arithmetic — deterministic on any engine, unlike an interpolated

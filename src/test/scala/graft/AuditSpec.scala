@@ -54,4 +54,23 @@ class AuditSpec extends SparkSpec {
     val (drifted, _) = run(shift = true)
     assert(drifted > 0.25, s"shifted snapshot scored $drifted (stable < 0.1)")
   }
+  test("q_corpus_expectations: all rules pass on clean data; damage flips the right rule") {
+    import spark.implicits._
+    val clean = SparkEntry.registry("q_corpus_expectations").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(clean.values.forall(identity), s"clean harness data failed: $clean")
+    assert(clean.keySet == Set("doc_id_unique", "lang_in_set",
+      "n_chars_consistent", "rows_nonempty", "source_complete", "text_nonblank"))
+    // stale n_chars metadata must flip ONLY its own rule
+    val dir = java.nio.file.Files.createTempDirectory("graft_expfix").toString
+    graft.sources.Tables.table(spark, sfDir, "documents")
+      .withColumn("n_chars", org.apache.spark.sql.functions.col("n_chars") +
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("doc_id") === 7, 1).otherwise(0))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val damaged = SparkEntry.registry("q_corpus_expectations").fn(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(!damaged("n_chars_consistent"))
+    assert((damaged - "n_chars_consistent").values.forall(identity))
+  }
 }
