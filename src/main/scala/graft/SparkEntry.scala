@@ -50,7 +50,7 @@ object SparkEntry {
     "q_join_estimate", "q_hard_negatives_ivf", "q_split_leakage",
     "q_distinct_ngrams", "q_quality_calibration", "q_corpus_map",
     "q_shard_manifest", "q_psi_drift", "q_sessionize_window",
-    "q_components", "q_langid_eval", "q_minhash_recall",
+    "q_components", "q_langid_eval", "q_minhash_recall", "q_embedding_expectations",
     "q_corpus_expectations",
     "q_recall_at_k", "q_bitext_margin", "q_pagerank",
     "q_bm25", "q_rrf_fuse",

@@ -267,6 +267,55 @@ object Audit {
         |  UNION ALL SELECT 'text_nonblank', CAST(text_bad AS DOUBLE), text_bad = 0 FROM m)
         |ORDER BY rule""".stripMargin),
 
+    // The embedding-table contract: uniform dimensionality (a single
+    // short vector poisons every fdot in the ANN family with an
+    // index-out-of-bounds or a silently-wrong score), finite elements
+    // (one NaN propagates through any cosine into every ranking it
+    // touches), unique vector keys, labels present and in the routing
+    // range. Same aggregate+unpivot shape.
+    "q_embedding_expectations" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        // explicit isnan on BOTH engines: Spark and DuckDB each treat
+        // NaN = NaN as TRUE under their total orderings, so the IEEE
+        // x != x idiom detects nothing in either
+        val badElem = exists(col("embedding"), x => x.isNull || isnan(x))
+        expectations(e, Seq(
+          ("dim_uniform_64",
+            count(when(size(col("embedding")) =!= 64, 1)),
+            count(when(size(col("embedding")) =!= 64, 1)) === 0),
+          ("elements_finite",
+            count(when(badElem, 1)),
+            count(when(badElem, 1)) === 0),
+          ("label_in_range",
+            count(when(col("label").isNull ||
+              col("label") < 0 || col("label") > 9, 1)),
+            count(when(col("label").isNull ||
+              col("label") < 0 || col("label") > 9, 1)) === 0),
+          ("rows_nonempty", count(lit(1)), count(lit(1)) > 0),
+          ("vec_id_unique",
+            count(lit(1)) - countDistinct(col("vec_id")),
+            count(lit(1)) - countDistinct(col("vec_id")) === 0)))
+          .orderBy("rule")
+      },
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |    count(CASE WHEN len(embedding) != 64 THEN 1 END) AS dim_bad,
+        |    count(CASE WHEN len(list_filter(embedding,
+        |      x -> x IS NULL OR isnan(x))) > 0 THEN 1 END) AS elem_bad,
+        |    count(CASE WHEN label IS NULL OR label < 0 OR label > 9
+        |      THEN 1 END) AS label_bad,
+        |    count(*) - count(DISTINCT vec_id) AS pk_dups
+        |  FROM embeddings)
+        |SELECT * FROM (
+        |  SELECT 'dim_uniform_64' AS rule, CAST(dim_bad AS DOUBLE) AS observed,
+        |    dim_bad = 0 AS passed FROM m
+        |  UNION ALL SELECT 'elements_finite', CAST(elem_bad AS DOUBLE), elem_bad = 0 FROM m
+        |  UNION ALL SELECT 'label_in_range', CAST(label_bad AS DOUBLE), label_bad = 0 FROM m
+        |  UNION ALL SELECT 'rows_nonempty', CAST(n AS DOUBLE), n > 0 FROM m
+        |  UNION ALL SELECT 'vec_id_unique', CAST(pk_dups AS DOUBLE), pk_dups = 0 FROM m)
+        |ORDER BY rule""".stripMargin),
+
     // Temporal train/eval split leakage audit: split events at the
     // midpoint of the observed time range (exact integer-micros
     // arithmetic — deterministic on any engine, unlike an interpolated

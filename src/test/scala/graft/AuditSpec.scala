@@ -73,4 +73,23 @@ class AuditSpec extends SparkSpec {
     assert(!damaged("n_chars_consistent"))
     assert((damaged - "n_chars_consistent").values.forall(identity))
   }
+  test("q_embedding_expectations: clean corpus passes; a NaN flips only its rule") {
+    import spark.implicits._
+    val clean = SparkEntry.registry("q_embedding_expectations").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(clean.values.forall(identity), s"clean embeddings failed: $clean")
+    val dir = java.nio.file.Files.createTempDirectory("graft_embfix").toString
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .withColumn("embedding",
+        when(col("vec_id") === 5,
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, lit(Float.NaN)).otherwise(x)))
+          .otherwise(col("embedding")))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val damaged = SparkEntry.registry("q_embedding_expectations").fn(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(damaged("elements_finite") == ((1.0, false)))
+    assert((damaged - "elements_finite").values.forall(_._2))
+  }
 }
