@@ -395,6 +395,23 @@ class PlanShapeSpec extends SparkSpec {
       s"documents scanned $n times (batch banding ≤ 2; corpus side reads the persisted artifact)")
   }
 
+  test("single-pass reports: one corpus scan each") {
+    // the audit/report family's whole scale story is ONE pass over
+    // the fact table into a bounded aggregate — lock it per query
+    for ((q, t) <- Seq(
+      "q_shard_manifest" -> "documents",
+      "q_distinct_ngrams" -> "documents",
+      "q_psi_drift" -> "documents",
+      "q_corpus_expectations" -> "documents",
+      "q_langid_eval" -> "documents",
+      "q_quality_calibration" -> "documents",
+      "q_embedding_expectations" -> "embeddings",
+      "q_sessionize_window" -> "events")) {
+      val n = scanCount(q, t)
+      assert(n <= 1, s"$q scanned $t $n times (one pass expected)")
+    }
+  }
+
   test("q_containment: four consumers, ONE executed gram exchange") {
     // the capped counting join feeds 4 subtrees (both join sides +
     // both size frames) — the formatted text shows 4 scans, but the
