@@ -41,7 +41,13 @@ object ScaleCheck {
     "q_bitext_margin", "q_bm25", "q_rrf_fuse", "q_pagerank",
     "q_triangle_count", "q_kcore", "q_pmi_pairs", "q_phrase_hits",
     "q_zorder_layout", "q_dedup_incremental", "q_containment",
-    "q_join_estimate", "q_hard_negatives_ivf")
+    "q_join_estimate", "q_hard_negatives_ivf",
+    // round 8 (close): reports, contracts, graph components, native
+    // sessionization, the dedup-index recall metric
+    "q_quality_calibration", "q_corpus_map", "q_shard_manifest",
+    "q_psi_drift", "q_sessionize_window", "q_components",
+    "q_langid_eval", "q_minhash_recall", "q_corpus_expectations",
+    "q_embedding_expectations", "q_split_leakage", "q_distinct_ngrams")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
