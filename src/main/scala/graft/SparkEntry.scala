@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Retrieval.defs ++ operators.Graph.defs ++
       operators.SparseRetrieval.defs ++ operators.Collocations.defs ++
       operators.Zorder.defs ++ operators.DedupIncremental.defs ++
+      operators.TfidfDedup.defs ++
       streaming.EventsStream.defs ++ pipelines.Corpus.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -51,7 +52,7 @@ object SparkEntry {
     "q_distinct_ngrams", "q_quality_calibration", "q_corpus_map",
     "q_shard_manifest", "q_psi_drift", "q_sessionize_window",
     "q_components", "q_langid_eval", "q_minhash_recall", "q_embedding_expectations",
-    "q_corpus_expectations",
+    "q_corpus_expectations", "q_dedup_tfidf",
     "q_recall_at_k", "q_bitext_margin", "q_pagerank",
     "q_bm25", "q_rrf_fuse",
     "q_dsir_weights", "q_ppl_buckets", "q_mixture_alpha",

@@ -42,6 +42,7 @@ class PlanShapeSpec extends SparkSpec {
     "q_corpus_map", // 1-row corpus-total broadcast factor
     "q_psi_drift", // 1-row (max, totals) broadcast factor
     "q_minhash_recall", // three 1-row count frames crossed into the report row
+    "q_dedup_tfidf", // 1-row corpus-doc-count broadcast factor in the idf
     // bounded (label-count) centroid side broadcast against a
     // map-only corpus scan — linear in the corpus by design
     "q_nearest_centroid")
