@@ -165,10 +165,149 @@ object ScaleCheck {
     }
     SparkEntry.queries("q_max_scalar")(spark, srcDir).count()
     queries.foreach { name =>
-      val t1 = timeOne(spark, name, srcDir)
-      val tN = timeOne(spark, name, scaledDir)
-      println(f"[scale] $name%-22s 1x=$t1%7.2fs ${factor}x=$tN%7.2fs " +
-        f"ratio=${tN / t1}%5.2f")
+      if (WarmSecondRun(name)) {
+        // artifact-backed queries: the cold number includes the
+        // one-time index build, so vacuum the content-keyed cache
+        // first (a leftover artifact from a previous run would make
+        // "cold" silently warm), then time a SECOND run against the
+        // now-published artifact — the steady-state cost the
+        // "sublinear once built" claim is actually about.
+        sources.DerivedCache.vacuum(spark, Set.empty)
+        val c1 = timeOne(spark, name, srcDir)
+        val w1 = timeOne(spark, name, srcDir)
+        sources.DerivedCache.vacuum(spark, Set.empty)
+        val cN = timeOne(spark, name, scaledDir)
+        val wN = timeOne(spark, name, scaledDir)
+        println(f"[scale] $name%-22s 1x=$c1%7.2fs ${factor}x=$cN%7.2fs " +
+          f"ratio=${cN / c1}%5.2f (cold)")
+        println(f"[scale] $name%-22s 1x=$w1%7.2fs ${factor}x=$wN%7.2fs " +
+          f"ratio=${wN / w1}%5.2f (warm)")
+      } else {
+        val t1 = timeOne(spark, name, srcDir)
+        val tN = timeOne(spark, name, scaledDir)
+        println(f"[scale] $name%-22s 1x=$t1%7.2fs ${factor}x=$tN%7.2fs " +
+          f"ratio=${tN / t1}%5.2f")
+      }
     }
+  }
+
+  /** Queries whose 10× cold ratio is dominated by a one-time
+    * DerivedCache artifact build — each gets a cold AND a warm row.
+    */
+  val WarmSecondRun: Set[String] =
+    Set("q_dedup_incremental", "q_minhash_recall", "q_dsir_weights_indexed")
+}
+
+/** Skew stress for the hot-key join path (VERDICT r8 #1): the scaled
+  * replicas ScaleCheck builds are deliberately disjoint/uniform, so
+  * the skew machinery never engages there — `q_join_salted` equals the
+  * plain join on uniform keys by construction. This harness builds the
+  * OPPOSITE corpus: `factor`× lineitem/orders replicas where one order
+  * key holds `hotPct`% of all lineitem rows (the viral-entity shape),
+  * then measures the same join+agg three ways with the build side
+  * forced past broadcast range (at 100 TB the dim side isn't small):
+  *
+  *   plain/skew-off — sort-merge, AQE skew split disabled: the one hot
+  *     reducer serializes the stage (the failure mode);
+  *   plain/aqe-skew — AQE skew split on, thresholds scaled to the test
+  *     volume (the production defaults are sized for 256 MB cluster
+  *     partitions): the runtime mitigation;
+  *   salted — `Skew.saltedEquiJoin`, AQE skew split off: the
+  *     declarative mitigation, working even where AQE can't see the
+  *     skew (e.g. a skewed aggregation feeding the join).
+  *
+  * Prints one row per variant; the SCALING.md skew section records
+  * them. PlanShapeSpec separately locks that the AQE variant's final
+  * plan actually contains the skew-split marker.
+  */
+object SkewCheck {
+
+  /** `factor`× replicas with ONE hot order key: each lineitem row is
+    * remapped to the hot key with probability `hotPct`/100 by a
+    * deterministic row hash (task retries must pick the same rows).
+    * Orders replicate normally, so the hot key matches exactly one
+    * build row — pure probe-side skew, the shape AQE's split handles.
+    * Returns the hot key.
+    */
+  def buildSkewedJoin(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int, hotPct: Int): Long = {
+    val orders = sources.Tables.table(spark, srcDir, "orders")
+    val li = sources.Tables.table(spark, srcDir, "lineitem")
+    val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+    var offset = 100000000L
+    while (offset <= mx) offset *= 10
+    val hotKey = orders.agg(min("o_orderkey")).head().getLong(0)
+    (0 until factor).map(r => orders
+        .withColumn("o_orderkey", col("o_orderkey") + lit(r * offset)))
+      .reduce(_.unionByName(_))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/orders.parquet")
+    (0 until factor).map { r =>
+      val key = col("l_orderkey") + lit(r * offset)
+      li.withColumn("l_orderkey",
+        when(pmod(xxhash64(key, col("l_partkey"), col("l_linenumber")),
+          lit(100)) < hotPct, lit(hotKey)).otherwise(key))
+    }.reduce(_.unionByName(_))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
+    hotKey
+  }
+
+  /** The measured join+agg — q_join_salted's aggregate over the plain
+    * equi-join (or the salted one when `salt`).
+    */
+  def joinAgg(spark: SparkSession, dir: String, salt: Boolean): DataFrame = {
+    val li = sources.Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = sources.Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val joined =
+      if (salt) operators.Skew.saltedEquiJoin(li, ord, "l_orderkey")
+      else li.join(ord, Seq("l_orderkey"))
+    joined.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val hotPct = args.drop(2).headOption.map(_.toInt).getOrElse(30)
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    println(s"[skew] building ${factor}x corpus with a $hotPct%-hot key at $dir")
+    buildSkewedJoin(spark, srcDir, dir, factor, hotPct)
+    // force the sort-merge path: at the target scale the orders side is
+    // far past broadcast range, and a broadcast would hide the skew
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    def setSkewSplit(on: Boolean): Unit = {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", on.toString)
+      // production defaults target 256 MB cluster partitions; scale
+      // them to this corpus so "would the split fire" is testable at
+      // harness volume (the ratio, not the absolute, is the contract)
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    }
+    def time(label: String, salt: Boolean, skewSplit: Boolean): Double = {
+      setSkewSplit(skewSplit)
+      // best-of-2, interleaving handled by the caller ordering
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        joinAgg(spark, dir, salt)
+          .write.mode(SaveMode.Overwrite).format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val sec = samples.min
+      println(f"[skew] $label%-16s ${factor}x=$sec%7.2fs")
+      sec
+    }
+    val plainOff = time("plain/skew-off", salt = false, skewSplit = false)
+    val plainAqe = time("plain/aqe-skew", salt = false, skewSplit = true)
+    val salted = time("salted", salt = true, skewSplit = false)
+    println(f"[skew] degradation plain/skew-off vs salted = ${plainOff / salted}%5.2fx, " +
+      f"vs aqe-skew = ${plainOff / plainAqe}%5.2fx")
   }
 }

@@ -234,9 +234,13 @@ object Audit {
           ("doc_id_unique",
             count(lit(1)) - countDistinct(col("doc_id")),
             count(lit(1)) - countDistinct(col("doc_id")) === 0),
+          // explicit IS NULL arm: NULL NOT IN (...) is NULL, so without
+          // it a missing language silently PASSES the routability gate
           ("lang_in_set",
-            count(when(!col("lang").isin("en", "de", "es", "fr", "ru", "zh"), 1)),
-            count(when(!col("lang").isin("en", "de", "es", "fr", "ru", "zh"), 1)) === 0),
+            count(when(col("lang").isNull ||
+              !col("lang").isin("en", "de", "es", "fr", "ru", "zh"), 1)),
+            count(when(col("lang").isNull ||
+              !col("lang").isin("en", "de", "es", "fr", "ru", "zh"), 1)) === 0),
           ("n_chars_consistent",
             count(when(col("n_chars") =!= length(col("text")), 1)),
             count(when(col("n_chars") =!= length(col("text")), 1)) === 0),
@@ -252,7 +256,8 @@ object Audit {
       """WITH m AS (
         |  SELECT count(*) AS n,
         |    count(*) - count(DISTINCT doc_id) AS pk_dups,
-        |    count(CASE WHEN lang NOT IN ('en','de','es','fr','ru','zh') THEN 1 END) AS lang_bad,
+        |    count(CASE WHEN lang IS NULL
+        |      OR lang NOT IN ('en','de','es','fr','ru','zh') THEN 1 END) AS lang_bad,
         |    count(CASE WHEN n_chars != length(text) THEN 1 END) AS nchars_bad,
         |    count(CASE WHEN source IS NULL OR source = '' THEN 1 END) AS src_bad,
         |    count(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 END) AS text_bad

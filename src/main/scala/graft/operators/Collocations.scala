@@ -54,11 +54,14 @@ object Collocations {
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     val c2 = c12.groupBy("w2").agg(sum("c12").as("c2"))
     val nTot = broadcast(c12.agg(sum("c12").cast("long").as("n_bg")))
-    // single ln of an exact integer ratio (both products < 2^63, the
-    // division is one correctly-rounded IEEE op) — quantize to the
-    // 1e-6 grid BEFORE ranking so ties and order are engine-portable
-    val pmi = log((col("c12") * col("n_bg")).cast("double") /
-      (col("c1") * col("c2")).cast("double"))
+    // cast each count to double BEFORE multiplying: c1*c2 can reach
+    // n_bg² and overflow int64 on a web-scale corpus (ANSI throw),
+    // while the double products stay exact up to 2^53 and identically
+    // rounded beyond — still one correctly-rounded IEEE divide into a
+    // single ln, quantized to the 1e-6 grid BEFORE ranking so ties and
+    // order are engine-portable
+    val pmi = log((col("c12").cast("double") * col("n_bg").cast("double")) /
+      (col("c1").cast("double") * col("c2").cast("double")))
     c12.filter(col("c12") >= minCount)
       // marginal frames are vocabulary-sized; at web scale they exceed
       // a broadcast but the join keys are the filtered pair list
@@ -184,8 +187,9 @@ object Collocations {
         |n AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bg FROM c12),
         |sc AS (
         |  SELECT w1, w2, c12,
-        |    CAST(round(1000000 * ln(CAST(c12 * n_bg AS DOUBLE) /
-        |      CAST(c1 * c2 AS DOUBLE))) AS BIGINT) AS s6
+        |    CAST(round(1000000 * ln(
+        |      (CAST(c12 AS DOUBLE) * CAST(n_bg AS DOUBLE)) /
+        |      (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))) AS BIGINT) AS s6
         |  FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), n
         |  WHERE c12 >= 5),
         |top AS (SELECT * FROM sc ORDER BY s6 DESC, w1, w2 LIMIT 30)

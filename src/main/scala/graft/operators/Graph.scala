@@ -54,27 +54,38 @@ object Graph {
     * the per-run degree build entirely.
     */
   def pageRankPrepared(adjacency: DataFrame, nodeList: DataFrame,
-      iters: Int, checkpointEvery: Int): DataFrame = {
-    // reused every iteration: persist the degree-annotated edge list
-    val e = InternalCaches.track(adjacency.persist())
+      iters: Int, checkpointEvery: Int,
+      maxBroadcastNodes: Long = 4000000L): DataFrame = {
     val nodes = InternalCaches.track(nodeList.persist())
+    // the rank frame is nodes-sized (≪ edges) — BROADCAST it, or every
+    // iteration re-exchanges the persisted edge frame into a sort-merge
+    // join and the big side shuffles `iters` times (measured 13.8 s →
+    // 4.3 s at sf0.1 for 10 rounds). A broadcast is a hard driver/
+    // executor-memory ceiling though, so gate it on the MEASURED node
+    // count (one cheap action against the just-persisted node list):
+    // past `maxBroadcastNodes` (default 4 M ≈ a few hundred MB of
+    // (node, pr) rows) fall back to persisting edges PRE-PARTITIONED
+    // on the join keys, so each round's sort-merge join shuffles only
+    // the nodes-sized rank frame into that partitioning — the edge
+    // side stays in place either way.
+    val nNodes = nodes.count()
+    val bcastRanks = nNodes <= maxBroadcastNodes
+    def ranksSide(df: DataFrame): DataFrame =
+      if (bcastRanks) broadcast(df) else df
+    // reused every iteration: persist the degree-annotated edge list
+    val e = InternalCaches.track(
+      (if (bcastRanks) adjacency
+       else adjacency.repartition(col("src"))).persist())
     // 1-row broadcast scalar (N, base): the only non-equi join in the
     // loop, same shape as q_lm_score's vocab-size factor
     val sc = broadcast(nodes.agg(count(lit(1)).as("n"))
       .selectExpr("n", s"(15 * $Mass) div (100 * n) as base"))
     var pr = nodes.crossJoin(sc).selectExpr("node", s"$Mass div n as pr")
     for (i <- 1 to iters) {
-      // the rank frame is nodes-sized (≪ edges) — BROADCAST it, or
-      // every iteration re-exchanges the persisted edge frame into a
-      // sort-merge join and the big side shuffles `iters` times
-      // (measured 13.8 s → 4.3 s at sf0.1 for 10 rounds). At a node
-      // count past broadcast range the swap is pre-bucketing edges on
-      // src and shuffling only the rank frame into that partitioning —
-      // the edge side stays in place either way.
-      val sums = e.join(broadcast(pr), e("src") === pr("node"))
+      val sums = e.join(ranksSide(pr), e("src") === pr("node"))
         .selectExpr("dst", "pr div outdeg as c")
         .groupBy("dst").agg(sum("c").as("contrib"))
-      pr = nodes.join(broadcast(sums), nodes("node") === sums("dst"), "left")
+      pr = nodes.join(ranksSide(sums), nodes("node") === sums("dst"), "left")
         .crossJoin(sc)
         .selectExpr("node", "base + (85 * coalesce(contrib, 0)) div 100 as pr")
       // truncate lineage mid-run; the final iteration stays lazy so
@@ -363,12 +374,14 @@ object Graph {
     // any iteration, hash-mismatches — the iteration itself is checked,
     // not just the final ranking's plausibility.
     "q_pagerank" -> QueryDef(
-      // checkpoint EVERY round: pr is broadcast into each iteration's
-      // join, and a broadcast is an eager evaluation — with a 5-round
-      // checkpoint gap iteration i re-executed the whole i-deep chain
-      // (quadratic total work, measured 16 s at sf0.1); per-round
-      // materialization of the 16 k-row rank frame makes each round
-      // pay only its own join+agg (4.6 s)
+      // checkpoint every OTHER round: pr is broadcast into each
+      // iteration's join, and a broadcast is an eager evaluation —
+      // with a 5-round checkpoint gap iteration i re-executed the
+      // whole i-deep chain (quadratic total work, measured 16 s at
+      // sf0.1). checkpointEvery = 2 caps re-execution at a 2-deep
+      // chain per odd round while halving the materializations of the
+      // 16 k-row rank frame vs every-round (measured equal within
+      // noise at sf0.1, ~4 s)
       (s, dir) => {
         val (adj, nodes) = memoTradeGraph(s, dir)
         pageRankPrepared(adj, nodes, iters = 10, checkpointEvery = 2)

@@ -33,4 +33,28 @@ object DerivedCache {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** Evict every cache directory whose key is no longer current — the
+    * operational twin of `AtomicIncrement.vacuumUncommitted`. Content
+    * keys fold in the source's mtime/length, so a rewritten source
+    * STRANDS the old key's artifact forever unless someone sweeps;
+    * `keepCurrent` is the set of dirs the caller still derives (the
+    * result of re-calling `dirFor` for each live (source, kind,
+    * params) tuple), and everything else under the cache root goes.
+    * Returns the deleted dirs. Deleting a dir another process is
+    * re-deriving is safe: rebuilds are deterministic and _SUCCESS
+    * gates completeness, so the loser just rebuilds.
+    */
+  def vacuum(spark: SparkSession, keepCurrent: Set[String]): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(
+      s"${sys.props("java.io.tmpdir")}/graft_cache")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val keep = keepCurrent.map(d =>
+      fs.makeQualified(new org.apache.hadoop.fs.Path(d)).toString)
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        !keep.contains(fs.makeQualified(st.getPath).toString))
+      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+  }
 }

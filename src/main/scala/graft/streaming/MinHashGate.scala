@@ -49,7 +49,12 @@ final class MinHashGate(corpusBands: DataFrame, corpusShingles: DataFrame,
       .select("__b_id", "__c_id").distinct()
       .join(bsh, "__b_id")
       .join(sh, "__c_id")
-      .filter(Dedup.jaccard(col("__b_sh"), col("__c_sh")) >= minJaccard)
+      // same boundary rule as the batch twin q_dedup_incremental:
+      // quantize to the 1e-4 grid BEFORE the threshold compare so a
+      // pair with raw J in [minJ - 5e-5, minJ) lands on the same side
+      // in both paths (gate ≡ batch cut is pinned in MinHashGateSpec)
+      .filter(round(Dedup.jaccard(col("__b_sh"), col("__c_sh")), 4)
+        >= minJaccard)
       .select(col("__b_id").as(idCol)).distinct()
     docs.join(dropped, Seq(idCol), "left_anti")
   }

@@ -413,6 +413,56 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew split fires on a hot-key sort-merge join") {
+    // the SkewCheck contract in miniature: one key holds ~50% of the
+    // probe side, broadcast is fenced off (at 100 TB the build side
+    // isn't small), and the skew thresholds are scaled to the fixture
+    // volume the way SkewCheck scales them to the corpus. The lock is
+    // that the FINAL adaptive plan carries the skew-split marker —
+    // proof the runtime mitigation actually engages on skewed input,
+    // not just that the config is set.
+    import org.apache.spark.sql.functions._
+    // 90% of probe rows on one key; payload is a hash so the skewed
+    // shuffle partition's BYTE size (what the AQE thresholds compare)
+    // can't compress away under the fixture's row count
+    val probe = spark.range(0, 2000000).select(
+      when(col("id") % 10 < 9, lit(7L)).otherwise(col("id")).as("k"),
+      xxhash64(col("id")).as("payload"))
+    val build = spark.range(0, 1000).select(
+      col("id").as("k"), xxhash64(col("id") * 2).as("w"))
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "100k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      // coalescing first would merge the small partitions and can mask
+      // the split decision at fixture volume
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // the consumer is a partial-agg count (no required distribution):
+      // a downstream key-partitioned consumer would make AQE reject the
+      // split as "introduces an extra shuffle" — the same reason
+      // saltedEquiJoin exists as the declarative fallback
+      val df = probe.join(build, Seq("k"))
+        .agg(count(lit(1)).as("n"))
+      df.collect()
+      val ep = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(ep.contains("skew=true") || ep.contains("skewed"),
+        s"AQE skew split did not fire on a hot-key join:\n$ep")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q_containment: four consumers, ONE executed gram exchange") {
     // the capped counting join feeds 4 subtrees (both join sides +
     // both size frames) — the formatted text shows 4 scans, but the
