@@ -56,20 +56,23 @@ object Graph {
   def pageRankPrepared(adjacency: DataFrame, nodeList: DataFrame,
       iters: Int, checkpointEvery: Int,
       maxBroadcastNodes: Long = 4000000L): DataFrame = {
-    val nodes = InternalCaches.track(nodeList.persist())
     // the rank frame is nodes-sized (≪ edges) — BROADCAST it, or every
     // iteration re-exchanges the persisted edge frame into a sort-merge
     // join and the big side shuffles `iters` times (measured 13.8 s →
     // 4.3 s at sf0.1 for 10 rounds). A broadcast is a hard driver/
     // executor-memory ceiling though, so gate it on the MEASURED node
-    // count (one cheap action against the just-persisted node list):
+    // count (one cheap count action, paid before the persist below):
     // past `maxBroadcastNodes` (default 4 M ≈ a few hundred MB of
-    // (node, pr) rows) fall back to persisting edges PRE-PARTITIONED
-    // on the join keys, so each round's sort-merge join shuffles only
-    // the nodes-sized rank frame into that partitioning — the edge
-    // side stays in place either way.
-    val nNodes = nodes.count()
+    // (node, pr) rows) fall back to persisting BOTH loop-invariant
+    // frames PRE-PARTITIONED on their join keys — edges on src AND
+    // nodes on node — so each round's two sort-merge joins shuffle
+    // only the nodes-sized rank/contribution frames into those
+    // partitionings; the persisted sides stay in place either way.
+    val nNodes = nodeList.count()
     val bcastRanks = nNodes <= maxBroadcastNodes
+    val nodes = InternalCaches.track(
+      (if (bcastRanks) nodeList
+       else nodeList.repartition(col("node"))).persist())
     def ranksSide(df: DataFrame): DataFrame =
       if (bcastRanks) broadcast(df) else df
     // reused every iteration: persist the degree-annotated edge list

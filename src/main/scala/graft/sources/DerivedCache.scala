@@ -42,8 +42,11 @@ object DerivedCache {
     * result of re-calling `dirFor` for each live (source, kind,
     * params) tuple), and everything else under the cache root goes.
     * Returns the deleted dirs. Deleting a dir another process is
-    * re-deriving is safe: rebuilds are deterministic and _SUCCESS
-    * gates completeness, so the loser just rebuilds.
+    * still BUILDING is safe (no _SUCCESS yet, the loser rebuilds) —
+    * but deleting a COMPLETE artifact while another job is mid-read
+    * fails that reader's tasks with FileNotFoundException (Spark has
+    * already resolved the file listing). Vacuum therefore assumes no
+    * concurrent readers: single-harness / maintenance-window use.
     */
   def vacuum(spark: SparkSession, keepCurrent: Set[String]): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(
@@ -55,6 +58,28 @@ object DerivedCache {
     fs.listStatus(root).toSeq
       .filter(st => st.isDirectory &&
         !keep.contains(fs.makeQualified(st.getPath).toString))
+      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+  }
+
+  /** Evict only the cache dirs of the given `kinds` (every key, all
+    * sources) — the scoped eviction a cold-timing harness needs:
+    * ScaleCheck must delete exactly the artifact family the query
+    * under test builds (so its "cold" run is honestly cold) WITHOUT
+    * wiping unrelated kinds that other queries in the same pass, or
+    * another process on the host, still read. Dir names are
+    * `kind-<32-hex>`; the hex anchor keeps a kind from prefix-matching
+    * a longer kind name (`trade-edges` vs a hypothetical `trade`).
+    */
+  def vacuumKinds(spark: SparkSession, kinds: Set[String]): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(
+      s"${sys.props("java.io.tmpdir")}/graft_cache")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val pats = kinds.map(k =>
+      java.util.regex.Pattern.quote(k) + "-[0-9a-f]{32}")
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        pats.exists(st.getPath.getName.matches))
       .map { st => fs.delete(st.getPath, true); st.getPath.toString }
   }
 }

@@ -142,7 +142,12 @@ object CorpusStream {
           .select(col("doc_id"), col("idx_id")).distinct()
           .join(sh.select(col("doc_id"), col("sh").as("sh_new")), "doc_id")
           .join(idxSh, "idx_id")
-          .filter(Dedup.jaccard(col("sh_new"), col("sh_old")) >= minJaccard)
+          // quantize before comparing — the same 1e-4-grid boundary
+          // rule as MinHashGate and the batch paths (Dedup,
+          // DedupIncremental), so gate/batch/stream cuts agree on
+          // pairs whose raw Jaccard floats a ULP around the threshold
+          .filter(round(Dedup.jaccard(col("sh_new"), col("sh_old")), 4)
+            >= minJaccard)
           .select("doc_id").distinct()
       } else spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
     val survivors = gated.join(doomedByIndex, Seq("doc_id"), "left_anti")
