@@ -218,6 +218,55 @@ object ScaleCheck {
     "q_dsir_weights_indexed" -> Set("dsir-model"))
 }
 
+/** Checkpoint-cadence measurement for q_pagerank (VERDICT r9 #2): the
+  * in-code cadence claim ("every-other ≈ every-round within noise")
+  * was contradicted by the r9 bench (9.26 s vs the claimed ~4 s), so
+  * measure instead of assert. Times checkpointEvery ∈ {1, 2} × {cold,
+  * warm trade-graph artifact} at the given SF, best-of-`reps` per
+  * cell, interleaved so host drift hits every cell equally. The
+  * winning cadence gets pinned in the q_pagerank QueryDef with these
+  * numbers in the comment.
+  */
+object PageRankTune {
+  private val GraphKinds = Set("trade-adjacency", "trade-nodes", "trade-edges")
+
+  private def run(spark: SparkSession, dir: String, every: Int): Double = {
+    val t0 = System.nanoTime()
+    val (adj, nodes) = operators.Graph.memoTradeGraph(spark, dir)
+    operators.Graph.pageRankPrepared(adj, nodes, iters = 10,
+      checkpointEvery = every)
+      .write.mode(SaveMode.Overwrite).format("noop").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    InternalCaches.drain()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    sec
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // JIT/codegen warm at the small SF, untimed
+    run(spark, "/root/testdata/sf0.001", 1)
+    val cells = scala.collection.mutable.Map[(Int, String),
+      List[Double]]().withDefaultValue(Nil)
+    (1 to reps).foreach { _ =>
+      Seq(1, 2).foreach { every =>
+        sources.DerivedCache.vacuumKinds(spark, GraphKinds)
+        cells((every, "cold")) ::= run(spark, dir, every)
+        cells((every, "warm")) ::= run(spark, dir, every)
+      }
+    }
+    for (every <- Seq(1, 2); leg <- Seq("cold", "warm")) {
+      val xs = cells((every, leg))
+      println(f"[prtune] every=$every $leg%-4s best=${xs.min}%6.2fs " +
+        f"all=${xs.sorted.map(x => f"$x%.2f").mkString(",")}")
+    }
+  }
+}
+
 /** Skew stress for the hot-key join path (VERDICT r8 #1): the scaled
   * replicas ScaleCheck builds are deliberately disjoint/uniform, so
   * the skew machinery never engages there — `q_join_salted` equals the

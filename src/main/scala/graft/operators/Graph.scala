@@ -159,7 +159,7 @@ object Graph {
     * standard graph representation), so every pageRank run starts at
     * the iteration, not at the degree build.
     */
-  private def memoTradeGraph(s: org.apache.spark.sql.SparkSession,
+  private[graft] def memoTradeGraph(s: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/orders.parquet")
     val st = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -377,17 +377,18 @@ object Graph {
     // any iteration, hash-mismatches — the iteration itself is checked,
     // not just the final ranking's plausibility.
     "q_pagerank" -> QueryDef(
-      // checkpoint every OTHER round: pr is broadcast into each
-      // iteration's join, and a broadcast is an eager evaluation —
-      // with a 5-round checkpoint gap iteration i re-executed the
-      // whole i-deep chain (quadratic total work, measured 16 s at
-      // sf0.1). checkpointEvery = 2 caps re-execution at a 2-deep
-      // chain per odd round while halving the materializations of the
-      // 16 k-row rank frame vs every-round (measured equal within
-      // noise at sf0.1, ~4 s)
+      // checkpoint EVERY round: pr is broadcast into each iteration's
+      // join, and a broadcast is an eager evaluation — with a 5-round
+      // checkpoint gap iteration i re-executed the whole i-deep chain
+      // (quadratic total work, measured 16 s at sf0.1). Cadence
+      // measured by graft.PageRankTune (r10, sf0.1, best-of-3,
+      // interleaved): every=1 cold 4.93 s / warm 2.14 s; every=2 cold
+      // 5.61 s / warm 2.11 s — the 16 k-row rank frame materializes
+      // for pennies, so capping re-execution at depth 1 wins the cold
+      // leg and ties the warm one.
       (s, dir) => {
         val (adj, nodes) = memoTradeGraph(s, dir)
-        pageRankPrepared(adj, nodes, iters = 10, checkpointEvery = 2)
+        pageRankPrepared(adj, nodes, iters = 10, checkpointEvery = 1)
       }
         .select(tradeLabel(col("node")).as("node"), col("pr"))
         // re-rank on the DISPLAY label: 'c100' < 'c11' lexically, so a
