@@ -287,35 +287,94 @@ object Incremental {
   */
 object JdbcDdl {
 
-  def sqlType(dt: DataType): String = dt match {
-    case StringType => "TEXT"
-    case LongType => "BIGINT"
-    case IntegerType => "INTEGER"
-    case DoubleType => "DOUBLE PRECISION"
-    case FloatType => "REAL"
-    case BooleanType => "BOOLEAN"
-    case TimestampType => "TIMESTAMP"
-    case DateType => "DATE"
-    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
-    case _ => "TEXT"
+  /** Target-database type mapping and syntax capabilities. The engine
+    * emits dialect-correct DDL instead of one lowest-common
+    * denominator: the reference's sinks are PostgreSQL
+    * (extractors/fetch_pluginsdb_ad.py:23-28,
+    * create_projectsync_dataset.ipynb cell 17), the test database is
+    * embedded Derby — JdbcSpec runs the SAME generation path live on
+    * Derby that the goldens pin for Postgres.
+    */
+  sealed trait Dialect {
+    def sqlType(dt: DataType): String
+    /** Does the target support `IF NOT EXISTS` on CREATE TABLE /
+      * ADD COLUMN? Without it the caller treats "already exists"
+      * SQLExceptions as success (the reference's checkfirst). */
+    def ifNotExists: Boolean
+    protected final def guard: String = if (ifNotExists) "IF NOT EXISTS " else ""
+    private[JdbcDdl] def createPrefix(table: String): String =
+      s"CREATE TABLE $guard$table ("
+    private[JdbcDdl] def addColumn(table: String, col: String,
+        tpe: String): String =
+      s"""ALTER TABLE $table ADD COLUMN $guard"$col" $tpe"""
   }
+
+  /** The reference's production target. Spark's TimestampType is a
+    * session-zone-relative instant, so it maps to `timestamptz`
+    * (an instant), not `timestamp` (a wall clock) — pandas
+    * `to_sql` of tz-aware frames makes the same choice; the NTZ
+    * wall-clock type gets plain `timestamp`.
+    */
+  case object Postgres extends Dialect {
+    override val ifNotExists = true
+    override def sqlType(dt: DataType): String = dt match {
+      case StringType => "TEXT"
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case ShortType | ByteType => "SMALLINT"
+      case DoubleType => "DOUBLE PRECISION"
+      case FloatType => "REAL"
+      case BooleanType => "BOOLEAN"
+      case TimestampType => "TIMESTAMPTZ"
+      case TimestampNTZType => "TIMESTAMP"
+      case DateType => "DATE"
+      case BinaryType => "BYTEA"
+      case d: DecimalType => s"NUMERIC(${d.precision},${d.scale})"
+      case ArrayType(e, _) => s"${sqlType(e)}[]"
+      case _ => "TEXT"
+    }
+  }
+
+  /** The embedded test database: no unbounded TEXT (VARCHAR caps at
+    * 32672), no TIMESTAMPTZ, no IF NOT EXISTS guard.
+    */
+  case object Derby extends Dialect {
+    override val ifNotExists = false
+    override def sqlType(dt: DataType): String = dt match {
+      case StringType => "VARCHAR(32672)"
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case ShortType | ByteType => "SMALLINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "REAL"
+      case BooleanType => "BOOLEAN"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case DateType => "DATE"
+      case BinaryType => "BLOB"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case _ => "VARCHAR(32672)"
+    }
+  }
+
+  def sqlType(dt: DataType): String = Postgres.sqlType(dt)
 
   /** ALTER statements for columns present in `incoming` but not in
     * `existing` (name-matched case-insensitively, like PostgreSQL).
     */
   def alterStatements(existing: StructType, incoming: StructType,
-      table: String): Seq[String] = {
+      table: String, dialect: Dialect = Postgres): Seq[String] = {
     val have = existing.fields.map(_.name.toLowerCase).toSet
     incoming.fields.toSeq
       .filterNot(f => have.contains(f.name.toLowerCase))
-      .map(f => s"""ALTER TABLE $table ADD COLUMN IF NOT EXISTS "${f.name}" ${sqlType(f.dataType)}""")
+      .map(f => dialect.addColumn(table, f.name, dialect.sqlType(f.dataType)))
   }
 
   /** CREATE TABLE derived from a DataFrame schema — the reference's
     * `head(0).to_sql(if_exists='replace')` two-phase load.
     */
-  def createTable(schema: StructType, table: String): String =
+  def createTable(schema: StructType, table: String,
+      dialect: Dialect = Postgres): String =
     schema.fields
-      .map(f => s""""${f.name}" ${sqlType(f.dataType)}""")
-      .mkString(s"CREATE TABLE IF NOT EXISTS $table (", ", ", ")")
+      .map(f => s""""${f.name}" ${dialect.sqlType(f.dataType)}""")
+      .mkString(dialect.createPrefix(table), ", ", ")")
 }

@@ -180,7 +180,9 @@ class IncrementalSpec extends SparkSpec {
   test("JdbcDdl createTable derives DDL from the schema like head(0).to_sql") {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("name", StringType), StructField("ts", TimestampType)))
+    // instants (TimestampType) map to timestamptz on the Postgres
+    // default dialect — see JdbcSpec's dialect goldens
     assert(JdbcDdl.createTable(schema, "datalake.t") ==
-      """CREATE TABLE IF NOT EXISTS datalake.t ("id" BIGINT, "name" TEXT, "ts" TIMESTAMP)""")
+      """CREATE TABLE IF NOT EXISTS datalake.t ("id" BIGINT, "name" TEXT, "ts" TIMESTAMPTZ)""")
   }
 }

@@ -55,24 +55,64 @@ class JdbcSpec extends SparkSpec {
     val conn = DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
-      // Derby has no IF NOT EXISTS — strip it, as a real dialect adapter would
+      // the SAME generation path as production, through the Derby
+      // dialect — no string surgery
       val create = JdbcDdl.createTable(
-        Seq((1L, "x")).toDF("id", "name").schema, "t_evolve")
-        .replace("IF NOT EXISTS ", "")
-        .replace("TEXT", "VARCHAR(255)")
+        Seq((1L, "x")).toDF("id", "name").schema, "t_evolve", JdbcDdl.Derby)
       st.executeUpdate(create)
       val alters = JdbcDdl.alterStatements(
         Seq((1L, "x")).toDF("id", "name").schema,
         Seq((1L, "x", 9.5)).toDF("id", "name", "score").schema,
-        "t_evolve")
+        "t_evolve", JdbcDdl.Derby)
       assert(alters.length == 1)
-      st.executeUpdate(alters.head
-        .replace("IF NOT EXISTS ", "")
-        .replace("DOUBLE PRECISION", "DOUBLE"))
+      st.executeUpdate(alters.head)
       val rs = conn.getMetaData.getColumns(null, null, "T_EVOLVE", null)
       val cols = Iterator.continually(rs).takeWhile(_.next())
         .map(_.getString("COLUMN_NAME")).toList
       assert(cols.map(_.toLowerCase).sorted == List("id", "name", "score"))
     } finally conn.close()
+  }
+
+  test("K4/K5 Postgres dialect goldens: the reference target's exact DDL") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("score", DoubleType),
+      StructField("seen_at", TimestampType),
+      StructField("local_at", TimestampNTZType),
+      StructField("day", DateType),
+      StructField("ok", BooleanType),
+      StructField("amount", DecimalType(12, 2)),
+      StructField("blob", BinaryType),
+      StructField("tags", ArrayType(StringType))))
+    // text / timestamptz / double precision are what the reference's
+    // Postgres tables actually hold (create_projectsync_dataset.ipynb
+    // cell 17); instants map to timestamptz, wall clocks to timestamp
+    assert(JdbcDdl.createTable(schema, "plugins_ad") ==
+      """CREATE TABLE IF NOT EXISTS plugins_ad ("id" BIGINT, "name" TEXT, """ +
+      """"score" DOUBLE PRECISION, "seen_at" TIMESTAMPTZ, """ +
+      """"local_at" TIMESTAMP, "day" DATE, "ok" BOOLEAN, """ +
+      """"amount" NUMERIC(12,2), "blob" BYTEA, "tags" TEXT[])""")
+    val alters = JdbcDdl.alterStatements(
+      StructType(schema.fields.take(2)), schema, "plugins_ad")
+    assert(alters == Seq(
+      """ALTER TABLE plugins_ad ADD COLUMN IF NOT EXISTS "score" DOUBLE PRECISION""",
+      """ALTER TABLE plugins_ad ADD COLUMN IF NOT EXISTS "seen_at" TIMESTAMPTZ""",
+      """ALTER TABLE plugins_ad ADD COLUMN IF NOT EXISTS "local_at" TIMESTAMP""",
+      """ALTER TABLE plugins_ad ADD COLUMN IF NOT EXISTS "day" DATE""",
+      """ALTER TABLE plugins_ad ADD COLUMN IF NOT EXISTS "ok" BOOLEAN""",
+      """ALTER TABLE plugins_ad ADD COLUMN IF NOT EXISTS "amount" NUMERIC(12,2)""",
+      """ALTER TABLE plugins_ad ADD COLUMN IF NOT EXISTS "blob" BYTEA""",
+      """ALTER TABLE plugins_ad ADD COLUMN IF NOT EXISTS "tags" TEXT[]"""))
+    // case-insensitive name match (Postgres folds unquoted ids): a
+    // reordered/case-shifted existing schema adds nothing
+    assert(JdbcDdl.alterStatements(
+      StructType(schema.fields.map(f => f.copy(name = f.name.toUpperCase)).reverse),
+      schema, "plugins_ad").isEmpty)
+    // Derby golden: the same schema through the test-database dialect
+    assert(JdbcDdl.createTable(StructType(schema.fields.take(4)), "t", JdbcDdl.Derby) ==
+      """CREATE TABLE t ("id" BIGINT, "name" VARCHAR(32672), """ +
+      """"score" DOUBLE, "seen_at" TIMESTAMP)""")
   }
 }
