@@ -284,7 +284,101 @@ object Multimodal {
       }
   }
 
+  /** Deterministic PNG fixture: pattern `id % 8` rendered as 8×8
+    * blocks of gray value ((p·31 + bx·7 + by·13)·17) mod 256 at
+    * resolution (64·s)×(48·s), s = id/8 + 1 — so ids 8 apart carry
+    * the SAME pattern at DIFFERENT resolutions. Because the block
+    * value depends only on (p, bx, by) and both dims are multiples of
+    * 8, the nearest-neighbor 8×8 downsample inside [[aHash64]]
+    * recovers the identical block grid at every scale: resolution
+    * changes are hash-invariant BY CONSTRUCTION, which is the
+    * near-dup property the hash exists to detect. Encoded via
+    * ImageIO's PNG writer executor-side; the decode side never sees
+    * anything but a standards-compliant PNG byte stream.
+    */
+  def renderFixturePng(id: Long): Array[Byte] = {
+    val p = (id % 8).toInt
+    val s = ((id / 8) % 2).toInt + 1
+    val w = 64 * s
+    val h = 48 * s
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((p * 31 + (x * 8 / w) * 7 + (y * 8 / h) * 13) * 17) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** The fixture corpus as a DataFrame: one PNG per `doc_id < n` row
+    * of the documents table (the semi-join keeps the query
+    * data-dependent — a missing id drops its row), payloads rendered
+    * where the ids live instead of shipped from the driver.
+    */
+  def fixturePngs(s: org.apache.spark.sql.SparkSession, dir: String,
+      n: Int = 16): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < n)
+      .as[Long]
+      .mapPartitions(_.map(id => (id, renderFixturePng(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Pinned decode leaves for q_image_phash's oracle: the (doc_id,
+    * aHash64) of each fixture PNG after a REAL ImageIO decode.
+    * Deterministic across JVMs/platforms because the hash reads only
+    * decoded pixels (PNG is lossless; encoder variation cannot change
+    * the raster) and the raster is an exact integer function of
+    * doc_id. Regenerate with `runMain graft.operators.ImagePhashPinGen`
+    * after changing the fixture or the hash.
+    */
+  private[operators] val ImagePhashPins: String =
+    "(0, 6073854697500136788), (1, 5920732314590336342), " +
+    "(2, 5380300350179071322), (3, 3074458490942871146), " +
+    "(4, -6148911484327601494), (5, -6148920555298461014), " +
+    "(6, -6148621488135984470), (7, -6148023353826694486), " +
+    "(8, 6073854697500136788), (9, 5920732314590336342), " +
+    "(10, 5380300350179071322), (11, 3074458490942871146), " +
+    "(12, -6148911484327601494), (13, -6148920555298461014), " +
+    "(14, -6148621488135984470), (15, -6148023353826694486)"
+
   def defs: Map[String, QueryDef] = Map(
+
+    // VERDICT r9 #5: the REAL image path — ImageIO PNG decode →
+    // BT.601 luma raster → nearest-neighbor 8×8 → average hash →
+    // groupBy-dedup — under the oracle gate. DuckDB cannot inflate a
+    // PNG, so the decode leaves are PINNED (the fixture is
+    // deterministic: same pattern function, same decoded raster on
+    // any JVM) and the oracle REPLAYS the dedup arithmetic over them:
+    // ids 8 apart share a pattern at different resolutions and must
+    // land in one dup_group; distinct patterns must not.
+    "q_image_phash" -> QueryDef(
+      (s, dir) => {
+        val hashed = aHash64(
+          decodeImageBatch(fixturePngs(s, dir), "doc_id", "payload")).toDF()
+        val groups = hashed.groupBy("phash")
+          .agg(min("doc_id").as("dup_group"), count(lit(1)).as("n_dups"))
+        hashed.join(broadcast(groups), "phash")
+          .select(col("doc_id"), col("phash"), col("dup_group"), col("n_dups"))
+          .orderBy("doc_id")
+      },
+      s"""WITH px(doc_id, phash) AS (VALUES ${ImagePhashPins}),
+        |live AS (
+        |  SELECT p.doc_id, p.phash FROM px p
+        |  JOIN documents d ON d.doc_id = p.doc_id)
+        |SELECT doc_id, phash,
+        |  min(doc_id) OVER (PARTITION BY phash) AS dup_group,
+        |  count(*) OVER (PARTITION BY phash) AS n_dups
+        |FROM live ORDER BY doc_id""".stripMargin),
 
     // Binary payload + metadata struct extraction. The text column
     // stands in for the media payload (cast to binary); metadata comes
@@ -332,4 +426,19 @@ object Multimodal {
         |  ON s.g < d.n_frames AND s.g % 3 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin)
   )
+}
+
+/** Regenerates [[Multimodal.ImagePhashPins]]: prints the (doc_id,
+  * phash) VALUES row for every fixture PNG via the real decode path.
+  */
+object ImagePhashPinGen {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val rows = Multimodal.aHash64(Multimodal.decodeImageBatch(
+        Multimodal.fixturePngs(spark, dir), "doc_id", "payload"))
+      .orderBy("doc_id").collect()
+    println("[pins] " + rows.map(r => s"(${r.doc_id}, ${r.phash})").mkString(", "))
+  }
 }
