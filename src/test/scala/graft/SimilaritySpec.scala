@@ -414,6 +414,43 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("mmrSelectBatched ≡ mmrSelect: same panel, scores, ranks at every batch size") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    // k past the driver round-trip savings threshold, batch sizes
+    // spanning degenerate-sequential (1), partial rounds (3), one
+    // round (≥ k), and bound-never-fires (whole corpus collected)
+    val seq = Similarity.mmrSelect(emb, k = 9).collect().toSeq
+    for (b <- Seq(1, 3, 9, 16, 4096)) {
+      val bat = Similarity.mmrSelectBatched(emb, k = 9, batch = b)
+        .collect().toSeq
+      assert(bat == seq, s"batch=$b: $bat vs sequential $seq")
+      InternalCaches.drain()
+      spark.catalog.clearCache()
+    }
+    // diversity-heavy weights on a clustered fixture exercise the
+    // intra-round score updates (negative-cosine fold start included)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md5.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    import spark.implicits._
+    val rows = (1L to 12L).sortBy(id => (h(id), id)).zipWithIndex.map {
+      case (id, i) =>
+        // opposing vectors force negative cosines into the div fold
+        (id, Seq(0, 1, 2).map(d =>
+          (if (i % 2 == 0) 1f else -1f) * (if (d == i % 3) 1f else 0.01f * i)))
+    }.toDF("vec_id", "embedding")
+    val s2 = Similarity.mmrSelect(rows, k = 7, lambda = 0.3, divWeight = 0.7)
+      .collect().toSeq
+    for (b <- Seq(2, 5)) {
+      val b2 = Similarity.mmrSelectBatched(rows, k = 7, lambda = 0.3,
+        divWeight = 0.7, batch = b).collect().toSeq
+      assert(b2 == s2, s"clustered batch=$b: $b2 vs $s2")
+    }
+    InternalCaches.drain()
+    spark.catalog.clearCache()
+  }
+
   test("mmrSelect diversifies across clusters where pure relevance stays home") {
     import spark.implicits._
     // the harness embeddings are isotropic noise — the diversity term
