@@ -234,7 +234,22 @@ object PipelineMain {
         sink(designers, sinkDir, "logs_designers")))
     }
 
-    Seq(scriptsResult, gitlabResult, syncResult, yougileResult, logsResult)
+    // 6. maintenance — the operational home of the derived-artifact
+    // sweep (DerivedCache.vacuumStale): any memoized index/shingle/
+    // cluster artifact whose source file this run (or any earlier
+    // query in this process) rewrote is now stranded under a dead
+    // content key and would otherwise leak per rewrite, forever. The
+    // keep-set re-derives from live sources inside vacuumStale;
+    // running it after the sinks land mirrors the reference's
+    // end-of-run cleanup position and honors the sweep's
+    // no-concurrent-readers assumption (the stages above are done).
+    val maintenanceResult = stage("maintenance") {
+      val evicted = graft.sources.DerivedCache.vacuumStale(spark)
+      StageResult("maintenance", Map("evicted_artifacts" -> evicted.size.toLong))
+    }
+
+    Seq(scriptsResult, gitlabResult, syncResult, yougileResult, logsResult,
+      maintenanceResult)
   }
 
   /** CLI parity with run.py: `runMain graft.pipelines.PipelineMain

@@ -13,11 +13,23 @@ import org.apache.spark.sql.SparkSession
   */
 object DerivedCache {
 
+  /** Every (source, kind, params) tuple this process has derived —
+    * the live-derivation catalog [[vacuumStale]] re-keys to find what
+    * is current. Content keys fold in mtime/length, so the TUPLE is
+    * the stable identity of a derivation while the DIR changes with
+    * the source; recording tuples (not dirs) is what lets a sweep
+    * distinguish "this artifact's source was rewritten" from "this
+    * artifact belongs to a derivation I know nothing about".
+    */
+  private val catalog =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String, String)]()
+
   def dirFor(spark: SparkSession, srcFile: String, kind: String,
       params: String = ""): String = {
     val p = new org.apache.hadoop.fs.Path(srcFile)
     val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getFileStatus(p)
+    catalog.add((srcFile, kind, params))
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$srcFile:${st.getModificationTime}:${st.getLen}:$params"
         .getBytes("UTF-8"))
@@ -70,6 +82,40 @@ object DerivedCache {
     * `kind-<32-hex>`; the hex anchor keeps a kind from prefix-matching
     * a longer kind name (`trade-edges` vs a hypothetical `trade`).
     */
+  /** The OPERATIONAL sweep (run by PipelineMain's maintenance stage):
+    * evict every artifact whose derivation this process knows
+    * (same kind as a cataloged tuple) but whose key is no longer
+    * current — i.e. its source was rewritten (new mtime/length → new
+    * key) or deleted (no current key at all). The keep-set is derived
+    * by re-calling [[dirFor]] for every cataloged tuple against the
+    * source's CURRENT state; kinds absent from the catalog are not
+    * touched, so a process that derived nothing deletes nothing and
+    * other workloads' artifact families survive. Same no-concurrent-
+    * readers assumption as [[vacuum]].
+    */
+  def vacuumStale(spark: SparkSession): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val tuples = catalog.asScala.toSet
+    if (tuples.isEmpty) return Seq.empty
+    val keep = tuples.flatMap { case (src, kind, params) =>
+      try Some(dirFor(spark, src, kind, params))
+      catch { case _: java.io.IOException => None } // source gone → stranded
+    }
+    val root = new org.apache.hadoop.fs.Path(
+      s"${sys.props("java.io.tmpdir")}/graft_cache")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val keepQ = keep.map(d =>
+      fs.makeQualified(new org.apache.hadoop.fs.Path(d)).toString)
+    val pats = tuples.map(_._2).map(k =>
+      java.util.regex.Pattern.quote(k) + "-[0-9a-f]{32}")
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        pats.exists(st.getPath.getName.matches) &&
+        !keepQ.contains(fs.makeQualified(st.getPath).toString))
+      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+  }
+
   def vacuumKinds(spark: SparkSession, kinds: Set[String]): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(
       s"${sys.props("java.io.tmpdir")}/graft_cache")

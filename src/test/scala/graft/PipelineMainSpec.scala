@@ -77,7 +77,8 @@ class PipelineMainSpec extends SparkSpec {
 
     // reference notebook order (run.py:31)
     assert(results.map(_.stage) ==
-      Seq("scripts", "gitlab", "projectsync", "yougile", "logs"))
+      Seq("scripts", "gitlab", "projectsync", "yougile", "logs",
+        "maintenance"))
 
     // K6 happened BEFORE the enrichment re-read: the unmapped repo is
     // now in the bronze mapping, and the enriched output covers all repos
@@ -130,5 +131,39 @@ class PipelineMainSpec extends SparkSpec {
     // fail-fast: nothing downstream ran, the sink dir is untouched
     assert(new java.io.File(sinks).listFiles().forall(f =>
       f.getName.startsWith("_") || f.getName.startsWith(".")))
+  }
+
+  test("maintenance stage: a pipeline run evicts a stranded derived-cache key end-to-end") {
+    import graft.sources.DerivedCache
+    import java.nio.file.Paths
+    // a derivation this process knows (the catalog records the tuple)
+    val src = Files.createTempFile("graft_pm_src", ".parquet")
+    Files.write(src, "v1".getBytes)
+    val oldDir = DerivedCache.dirFor(spark, src.toString, "pm-kind", "p=1")
+    Files.createDirectories(Paths.get(oldDir))
+    Files.write(Paths.get(oldDir, "_SUCCESS"), Array.emptyByteArray)
+    // the source is rewritten (the exact event that strands a key) —
+    // the old artifact is now unreachable by any dirFor call
+    Files.write(src, "v2-rewritten".getBytes)
+    val curDir = DerivedCache.dirFor(spark, src.toString, "pm-kind", "p=1")
+    Files.createDirectories(Paths.get(curDir))
+    Files.write(Paths.get(curDir, "_SUCCESS"), Array.emptyByteArray)
+    // an artifact family this process never derived must survive the
+    // sweep untouched (another workload's cache)
+    val foreign = Paths.get(sys.props("java.io.tmpdir"), "graft_cache",
+      "foreign-kind-" + "ab" * 16)
+    Files.createDirectories(foreign)
+    Files.write(foreign.resolve("_SUCCESS"), Array.emptyByteArray)
+
+    val bronze = writeBronze()
+    val sinksDir = Files.createTempDirectory("graft_sinks_mx").toString
+    val results = PipelineMain.run(spark, bronze, sinksDir, Seq("Анна"), cfg)
+    val evicted = results.find(_.stage == "maintenance").get
+      .sinkRows("evicted_artifacts")
+    assert(evicted >= 1L, s"expected the stranded key evicted, got $evicted")
+    assert(!Files.exists(Paths.get(oldDir)), "stranded key must be gone")
+    assert(DerivedCache.isComplete(spark, curDir), "current key must survive")
+    assert(Files.exists(foreign), "uncataloged kinds must survive")
+    new scala.reflect.io.Directory(foreign.toFile).deleteRecursively()
   }
 }
