@@ -257,12 +257,58 @@ object Multimodal {
 
   final case class Embedded(doc_id: Long, embedding: Array[Float])
 
+  /** REAL image encoder — not a stub — over DECODED frames: the
+    * classic raw-pixel baseline (downsample to a g×g intensity grid
+    * with the [[resizeRaw8]] nearest-neighbor kernel, center by the
+    * frame mean, L2-normalize). Dot products of these vectors ARE
+    * normalized pixel correlation, so cosine-ANN over them clusters
+    * visually similar frames — the weakest member of the encoder
+    * family (no invariance beyond scale), but a true one: it reads
+    * pixels, not container bytes, and drops into every ANN/semdedup
+    * operator via the standard (id, Array[Float]) contract. A learned
+    * encoder replaces exactly this method body behind the same
+    * signature. Corrupt (0×0) frames are excluded, mirroring
+    * [[aHash64]]; an all-uniform frame (zero variance) embeds as the
+    * zero vector rather than dividing by a zero norm.
+    */
+  def embedFrames(frames: Dataset[DecodedFrame], grid: Int = 8): Dataset[Embedded] = {
+    require(grid > 0, "grid must be positive")
+    val spark = frames.sparkSession
+    import spark.implicits._
+    resizeRaw8(frames.toDF().filter(col("width") > 0 && col("height") > 0),
+        "doc_id", "payload", "width", "height", grid, grid)
+      .map { r =>
+        val n = grid * grid
+        val px = r.payload
+        var sum = 0.0
+        var i = 0
+        while (i < n) { sum += (px(i) & 0xff); i += 1 }
+        val mean = sum / n
+        val v = new Array[Float](n)
+        var ss = 0.0
+        i = 0
+        while (i < n) {
+          val c = (px(i) & 0xff) - mean
+          v(i) = c.toFloat
+          ss += c * c
+          i += 1
+        }
+        if (ss > 0) {
+          val inv = (1.0 / math.sqrt(ss)).toFloat
+          i = 0
+          while (i < n) { v(i) *= inv; i += 1 }
+        }
+        Embedded(r.doc_id, v)
+      }
+  }
+
   /** Feature-extraction plumbing: binary payload → fixed-dim float
     * embedding via mapPartitions, the "model loads once per partition,
     * then streams its batch" shape of real vision/audio encoders. The
     * STUB embedding is a strided byte histogram — deterministic and
     * content-sensitive, so the output is a REAL embedding column:
-    * MultimodalSpec pipes it straight into the ANN operators.
+    * MultimodalSpec pipes it straight into the ANN operators (for the
+    * pixel-reading encoder see [[embedFrames]]).
     */
   def embedBatch(df: DataFrame, idCol: String, payloadCol: String,
       dim: Int = 64): Dataset[Embedded] = {

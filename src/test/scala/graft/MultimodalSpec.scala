@@ -121,6 +121,40 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.forall(d => d.width == 0 && d.payload.isEmpty))
   }
 
+  test("embedFrames is a real pixel encoder: unit norm, scale-invariant on the " +
+      "fixture twins, ANN recovers the resolution twin as nearest neighbor") {
+    import graft.operators.Multimodal
+    // the q_image_phash fixture corpus: ids 8 apart = same pattern at
+    // 1× and 2× resolution; distinct patterns otherwise
+    val pngs = spark.createDataFrame(
+      (0L until 16L).map(id => (id, Multimodal.renderFixturePng(id))))
+      .toDF("doc_id", "payload")
+    val emb = Multimodal.embedFrames(
+      Multimodal.decodeImageBatch(pngs, "doc_id", "payload"))
+    val byId = emb.collect().map(e => e.doc_id -> e.embedding).toMap
+    assert(byId.size == 16 && byId.values.forall(_.length == 64))
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    // L2-normalized (patterns are non-uniform, so no zero vectors)
+    byId.values.foreach(v => assert(math.abs(dot(v, v) - 1.0) < 1e-5))
+    // scale invariance is EXACT by construction: the nearest-neighbor
+    // 8x8 grid of the 2x render equals the 1x render's grid
+    for (p <- 0L until 8L)
+      assert(byId(p).sameElements(byId(p + 8)),
+        s"pattern $p: 1x and 2x renders must embed identically")
+    // distinct patterns are not collinear
+    for (p <- 1L until 8L)
+      assert(dot(byId(0), byId(p)) < 0.999, s"pattern $p vs 0 too similar")
+    // end-to-end ANN handoff: each 1x image's nearest non-self
+    // neighbor is its 2x twin (cosine exactly 1)
+    val vecs = emb.toDF().withColumnRenamed("doc_id", "vec_id")
+    val topk = graft.operators.Similarity.bruteForceTopK(
+      vecs, vecs.filter(col("vec_id") < 8), k = 1)
+    val nn = topk.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (p <- 0L until 8L) assert(nn(p) == p + 8,
+      s"pattern $p nearest neighbor ${nn(p)}, expected ${p + 8}")
+  }
+
   test("resizeRaw8 is a real nearest-neighbor resampler: exact pixels on a " +
       "known image, downsample then upsample round-trips blocks") {
     import spark.implicits._
