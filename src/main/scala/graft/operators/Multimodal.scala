@@ -380,22 +380,23 @@ object Multimodal {
   }
 
   /** Pinned decode leaves for q_image_phash's oracle: the (doc_id,
-    * aHash64) of each fixture PNG after a REAL ImageIO decode.
-    * Deterministic across JVMs/platforms because the hash reads only
-    * decoded pixels (PNG is lossless; encoder variation cannot change
-    * the raster) and the raster is an exact integer function of
-    * doc_id. Regenerate with `runMain graft.operators.ImagePhashPinGen`
-    * after changing the fixture or the hash.
+    * width, height, aHash64) of each fixture PNG after a REAL ImageIO
+    * decode. Deterministic across JVMs/platforms because everything
+    * reads only decoded pixels (PNG is lossless; encoder variation
+    * cannot change the raster) and the raster is an exact integer
+    * function of doc_id. Regenerate with `runMain
+    * graft.operators.ImagePhashPinGen` after changing the fixture or
+    * the hash.
     */
   private[operators] val ImagePhashPins: String =
-    "(0, 6073854697500136788), (1, 5920732314590336342), " +
-    "(2, 5380300350179071322), (3, 3074458490942871146), " +
-    "(4, -6148911484327601494), (5, -6148920555298461014), " +
-    "(6, -6148621488135984470), (7, -6148023353826694486), " +
-    "(8, 6073854697500136788), (9, 5920732314590336342), " +
-    "(10, 5380300350179071322), (11, 3074458490942871146), " +
-    "(12, -6148911484327601494), (13, -6148920555298461014), " +
-    "(14, -6148621488135984470), (15, -6148023353826694486)"
+    "(0, 64, 48, 6073854697500136788), (1, 64, 48, 5920732314590336342), " +
+    "(2, 64, 48, 5380300350179071322), (3, 64, 48, 3074458490942871146), " +
+    "(4, 64, 48, -6148911484327601494), (5, 64, 48, -6148920555298461014), " +
+    "(6, 64, 48, -6148621488135984470), (7, 64, 48, -6148023353826694486), " +
+    "(8, 128, 96, 6073854697500136788), (9, 128, 96, 5920732314590336342), " +
+    "(10, 128, 96, 5380300350179071322), (11, 128, 96, 3074458490942871146), " +
+    "(12, 128, 96, -6148911484327601494), (13, 128, 96, -6148920555298461014), " +
+    "(14, 128, 96, -6148621488135984470), (15, 128, 96, -6148023353826694486)"
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -409,19 +410,26 @@ object Multimodal {
     // land in one dup_group; distinct patterns must not.
     "q_image_phash" -> QueryDef(
       (s, dir) => {
-        val hashed = aHash64(
-          decodeImageBatch(fixturePngs(s, dir), "doc_id", "payload")).toDF()
+        val frames = decodeImageBatch(fixturePngs(s, dir), "doc_id", "payload")
+        val hashed = aHash64(frames).toDF()
         val groups = hashed.groupBy("phash")
           .agg(min("doc_id").as("dup_group"), count(lit(1)).as("n_dups"))
-        hashed.join(broadcast(groups), "phash")
-          .select(col("doc_id"), col("phash"), col("dup_group"), col("n_dups"))
+        // dims come from the DECODED raster (ImageIO's reader), not
+        // the fixture formula — pinned alongside the hash so a decode
+        // that silently mis-sizes hash-mismatches here
+        hashed
+          .join(frames.toDF().select(col("doc_id"), col("width"), col("height")),
+            "doc_id")
+          .join(broadcast(groups), "phash")
+          .select(col("doc_id"), col("width"), col("height"), col("phash"),
+            col("dup_group"), col("n_dups"))
           .orderBy("doc_id")
       },
-      s"""WITH px(doc_id, phash) AS (VALUES ${ImagePhashPins}),
+      s"""WITH px(doc_id, width, height, phash) AS (VALUES ${ImagePhashPins}),
         |live AS (
-        |  SELECT p.doc_id, p.phash FROM px p
+        |  SELECT p.doc_id, p.width, p.height, p.phash FROM px p
         |  JOIN documents d ON d.doc_id = p.doc_id)
-        |SELECT doc_id, phash,
+        |SELECT doc_id, width, height, phash,
         |  min(doc_id) OVER (PARTITION BY phash) AS dup_group,
         |  count(*) OVER (PARTITION BY phash) AS n_dups
         |FROM live ORDER BY doc_id""".stripMargin),
@@ -482,9 +490,15 @@ object ImagePhashPinGen {
     val spark = graft.GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val rows = Multimodal.aHash64(Multimodal.decodeImageBatch(
-        Multimodal.fixturePngs(spark, dir), "doc_id", "payload"))
+    val frames = Multimodal.decodeImageBatch(
+      Multimodal.fixturePngs(spark, dir), "doc_id", "payload")
+    val rows = Multimodal.aHash64(frames).toDF()
+      .join(frames.toDF().select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("width"),
+        org.apache.spark.sql.functions.col("height")), "doc_id")
       .orderBy("doc_id").collect()
-    println("[pins] " + rows.map(r => s"(${r.doc_id}, ${r.phash})").mkString(", "))
+    println("[pins] " + rows.map(r => s"(${r.getLong(0)}, ${r.getInt(2)}, " +
+      s"${r.getInt(3)}, ${r.getLong(1)})").mkString(", "))
   }
 }

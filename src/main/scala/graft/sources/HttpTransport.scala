@@ -137,3 +137,29 @@ abstract class HttpRestTransport extends RestTransport {
   override def fetch(offset: Long, limit: Int): Rest.Page[String] =
     fetcher(offset, limit)
 }
+
+/** [[HttpRestTransport]] for endpoints whose envelope reports the
+  * feed's total row count (`totalField`, e.g. `"total"` or
+  * `"count"`): implements [[KnownPageCount]] by fetching ONE
+  * zero-offset page and reading the field, so the DSv2 scan plans its
+  * page-range partitions without a `pages` option. The probe runs on
+  * the driver once per scan planning (the KnownPageCount contract);
+  * a missing or non-numeric field fails planning loudly rather than
+  * silently planning zero pages.
+  */
+abstract class HttpCountedRestTransport extends HttpRestTransport
+    with KnownPageCount {
+  def totalField: String = "total"
+  override def pageCount(pageSize: Int): Long = {
+    val sep = if (config.baseUrl.contains("?")) "&" else "?"
+    val body = Http.get(s"${config.baseUrl}${sep}limit=1&offset=0",
+      config.headers, requestTimeoutSec = config.requestTimeoutSec)
+    val node = Option(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(body).get(totalField))
+      .filter(_.canConvertToLong)
+      .getOrElse(throw new IllegalStateException(
+        s"envelope field '$totalField' missing or non-numeric — " +
+          "pass option `pages` instead"))
+    (node.asLong() + pageSize - 1) / pageSize
+  }
+}
