@@ -255,6 +255,142 @@ object Multimodal {
       }
   }
 
+  final case class DecodedAudio(doc_id: Long, sample_rate: Int,
+      n_samples: Int, samples: Array[Short])
+
+  /** REAL audio decode — `javax.sound.sampled` (the JDK's WAV/AIFF/AU
+    * readers, java.desktop module, headless-safe like ImageIO):
+    * binary container → PCM16 sample array (channel 0 of however many
+    * the container carries, either endianness). The codec seam shape
+    * is identical to [[decodeImageBatch]]: mapPartitions keeps blobs
+    * partition-local, undecodable/non-PCM16 payloads degrade to
+    * (0, 0, empty) instead of killing the stage (NonFatal guard — the
+    * SPI readers throw unchecked on adversarial headers). Compressed
+    * codecs (MP3/AAC) don't ship in the JDK and stay behind this same
+    * seam.
+    */
+  def decodeAudioBatch(df: DataFrame, idCol: String, payloadCol: String): Dataset[DecodedAudio] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytesOrNull) =>
+          val decoded =
+            try {
+              if (bytesOrNull == null || bytesOrNull.isEmpty) None
+              else {
+                val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new java.io.ByteArrayInputStream(bytesOrNull))
+                val fmt = ais.getFormat
+                val ok = fmt.getEncoding ==
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                  fmt.getSampleSizeInBits == 16 &&
+                  ais.getFrameLength >= 0 &&
+                  ais.getFrameLength <= (Int.MaxValue - 8) / 4
+                if (!ok) None
+                else {
+                  val n = ais.getFrameLength.toInt
+                  val ch = fmt.getChannels
+                  val frameBytes = fmt.getFrameSize
+                  val raw = ais.readNBytes(n * frameBytes)
+                  val frames = raw.length / frameBytes
+                  val out = new Array[Short](frames)
+                  val big = fmt.isBigEndian
+                  var i = 0
+                  while (i < frames) {
+                    val o = i * frameBytes // channel 0 leads the frame
+                    out(i) =
+                      if (big) (((raw(o) & 0xff) << 8) | (raw(o + 1) & 0xff)).toShort
+                      else (((raw(o + 1) & 0xff) << 8) | (raw(o) & 0xff)).toShort
+                    i += 1
+                  }
+                  Some(DecodedAudio(id, fmt.getSampleRate.toInt, frames, out))
+                }
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+          decoded.getOrElse(DecodedAudio(id, 0, 0, Array.emptyShortArray))
+        }
+      }
+  }
+
+  final case class AudioFeatures(doc_id: Long, sample_rate: Int,
+      n_samples: Int, peak: Int, mean_square: Long, zcr: Int)
+
+  /** Integer-exact acoustic features of a decoded PCM16 stream — the
+    * audio analogue of [[aHash64]]'s "pixels in, platform-stable
+    * numbers out" contract: peak amplitude, mean square energy
+    * (Σ s² div n — Long arithmetic, no float in the loop), and
+    * zero-crossing count (strict sign flips, zeros pass through).
+    * Everything downstream (loudness gates, silence trims, tone
+    * classing) is plain column math over these.
+    */
+  def audioFeatures(decoded: Dataset[DecodedAudio]): Dataset[AudioFeatures] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { a =>
+      val s = a.samples
+      var ss = 0L
+      var peak = 0
+      var z = 0
+      var prev: Short = 0
+      var i = 0
+      while (i < s.length) {
+        val v = s(i)
+        ss += v.toLong * v
+        val av = if (v < 0) -v else v.toInt
+        if (av > peak) peak = av
+        if (prev * v < 0) z += 1
+        if (v != 0) prev = v
+        i += 1
+      }
+      AudioFeatures(a.doc_id, a.sample_rate, a.n_samples, peak,
+        if (s.length > 0) ss / s.length else 0L, z)
+    }
+  }
+
+  /** Deterministic WAV fixture: tone `id % 8` (freq 200·(p+1) Hz) at
+    * gain `id / 8 + 1` (×8000 amplitude), 2 000 samples of 16-bit
+    * PCM mono at 8 kHz, synthesized with StrictMath (bitwise
+    * identical on every JVM — Math.sin is only 1-ulp-accurate,
+    * StrictMath is exact by spec) and wrapped by the JDK's own WAV
+    * writer. Ids 8 apart share a tone at different gain — same
+    * zero-crossing count, 4× the mean-square energy.
+    */
+  def renderFixtureWav(id: Long): Array[Byte] = {
+    val p = (id % 8).toInt
+    val gain = (((id / 8) % 2).toInt + 1) * 8000.0
+    val sr = 8000
+    val n = 2000
+    val freq = 200.0 * (p + 1)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (gain * StrictMath.sin(2.0 * StrictMath.PI * freq * i / sr)).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** The WAV fixture corpus, shaped like [[fixturePngs]]. */
+  def fixtureWavs(s: org.apache.spark.sql.SparkSession, dir: String,
+      n: Int = 16): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < n)
+      .as[Long]
+      .mapPartitions(_.map(id => (id, renderFixtureWav(id))))
+      .toDF("doc_id", "payload")
+  }
+
   final case class Embedded(doc_id: Long, embedding: Array[Float])
 
   /** REAL image encoder — not a stub — over DECODED frames: the
@@ -398,7 +534,63 @@ object Multimodal {
     "(12, 128, 96, -6148911484327601494), (13, 128, 96, -6148920555298461014), " +
     "(14, 128, 96, -6148621488135984470), (15, 128, 96, -6148023353826694486)"
 
+  /** Pinned decode leaves for q_audio_features' oracle: (doc_id,
+    * sample_rate, n_samples, peak, mean_square, zcr) of each fixture
+    * WAV after a REAL javax.sound.sampled decode. Platform-stable:
+    * the synth uses StrictMath, WAV PCM is uncompressed, and every
+    * feature is integer arithmetic over decoded samples. Regenerate
+    * with `runMain graft.operators.AudioPinGen`.
+    */
+  private[operators] val AudioPins: String =
+    "(0, 8000, 2000, 8000, 31996171, 99), " +
+    "(1, 8000, 2000, 8000, 31997607, 199), " +
+    "(2, 8000, 2000, 8000, 31996171, 299), " +
+    "(3, 8000, 2000, 7608, 31996187, 399), " +
+    "(4, 8000, 2000, 8000, 31995168, 499), " +
+    "(5, 8000, 2000, 8000, 31997607, 599), " +
+    "(6, 8000, 2000, 8000, 31996171, 699), " +
+    "(7, 8000, 2000, 7608, 31996187, 799), " +
+    "(8, 8000, 2000, 16000, 127991563, 99), " +
+    "(9, 8000, 2000, 16000, 127990428, 199), " +
+    "(10, 8000, 2000, 16000, 127991563, 299), " +
+    "(11, 8000, 2000, 15216, 127984748, 399), " +
+    "(12, 8000, 2000, 16000, 127991984, 499), " +
+    "(13, 8000, 2000, 16000, 127990428, 599), " +
+    "(14, 8000, 2000, 16000, 127991563, 699), " +
+    "(15, 8000, 2000, 15216, 127984748, 799)"
+
   def defs: Map[String, QueryDef] = Map(
+
+    // The REAL audio path — JDK WAV decode → integer acoustic
+    // features — under the oracle gate, the second modality beside
+    // q_image_phash and the same pin-the-leaves / replay-the-
+    // arithmetic oracle design: DuckDB can't parse a WAV container,
+    // so the decoded feature rows are pinned and the loudness
+    // classification plus the tone grouping (ids 8 apart carry the
+    // same tone at 2x gain → equal zero-crossing counts, ~4x energy)
+    // are replayed in SQL over them.
+    "q_audio_features" -> QueryDef(
+      (s, dir) => {
+        val f = audioFeatures(
+          decodeAudioBatch(fixtureWavs(s, dir), "doc_id", "payload")).toDF()
+        val tones = f.groupBy("zcr").agg(min("doc_id").as("tone_group"))
+        f.join(broadcast(tones), "zcr")
+          .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+            col("peak"), col("mean_square"), col("zcr"),
+            when(col("mean_square") > 64000000L, "loud")
+              .otherwise("quiet").as("loudness"),
+            col("tone_group"))
+          .orderBy("doc_id")
+      },
+      s"""WITH aud(doc_id, sample_rate, n_samples, peak, mean_square, zcr)
+        |  AS (VALUES ${AudioPins}),
+        |live AS (
+        |  SELECT a.* FROM aud a JOIN documents d ON d.doc_id = a.doc_id)
+        |SELECT doc_id, sample_rate, n_samples, peak, mean_square, zcr,
+        |  CASE WHEN mean_square > 64000000 THEN 'loud' ELSE 'quiet' END
+        |    AS loudness,
+        |  min(doc_id) OVER (PARTITION BY zcr) AS tone_group
+        |FROM live ORDER BY doc_id""".stripMargin),
 
     // VERDICT r9 #5: the REAL image path — ImageIO PNG decode →
     // BT.601 luma raster → nearest-neighbor 8×8 → average hash →
@@ -500,5 +692,21 @@ object ImagePhashPinGen {
       .orderBy("doc_id").collect()
     println("[pins] " + rows.map(r => s"(${r.getLong(0)}, ${r.getInt(2)}, " +
       s"${r.getInt(3)}, ${r.getLong(1)})").mkString(", "))
+  }
+}
+
+/** Regenerates [[Multimodal.AudioPins]]: the decoded feature row of
+  * every fixture WAV through the real javax.sound.sampled path.
+  */
+object AudioPinGen {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val rows = Multimodal.audioFeatures(Multimodal.decodeAudioBatch(
+        Multimodal.fixtureWavs(spark, dir), "doc_id", "payload"))
+      .orderBy("doc_id").collect()
+    println("[pins] " + rows.map(a => s"(${a.doc_id}, ${a.sample_rate}, " +
+      s"${a.n_samples}, ${a.peak}, ${a.mean_square}, ${a.zcr})").mkString(", "))
   }
 }

@@ -155,6 +155,45 @@ class MultimodalSpec extends SparkSpec {
       s"pattern $p nearest neighbor ${nn(p)}, expected ${p + 8}")
   }
 
+  test("decodeAudioBatch decodes real containers via javax.sound.sampled: " +
+      "stereo big-endian AIFF channel 0, corrupt payloads degrade") {
+    import graft.operators.Multimodal
+    // a stereo BIG-endian AIFF whose channel 0 is a known ramp and
+    // channel 1 is junk — exercises the endianness branch and the
+    // channel-0 extraction the WAV fixture (mono little-endian) never
+    // touches
+    val n = 64
+    val ch0 = Array.tabulate(n)(i => (i * 131 - 4000).toShort)
+    val pcm = new Array[Byte](n * 4)
+    for (i <- 0 until n) {
+      val a = ch0(i); val b = (i * 7 + 1).toShort
+      pcm(4 * i) = ((a >> 8) & 0xff).toByte; pcm(4 * i + 1) = (a & 0xff).toByte
+      pcm(4 * i + 2) = ((b >> 8) & 0xff).toByte; pcm(4 * i + 3) = (b & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, true)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, baos)
+    val df = spark.createDataFrame(Seq(
+      (1L, baos.toByteArray),
+      (2L, Array[Byte](1, 2, 3)),                    // not a container
+      (3L, Array.emptyByteArray))).toDF("doc_id", "payload")
+    val dec = Multimodal.decodeAudioBatch(df, "doc_id", "payload")
+      .collect().map(a => a.doc_id -> a).toMap
+    assert(dec(1L).sample_rate == 8000 && dec(1L).n_samples == n)
+    assert(dec(1L).samples.sameElements(ch0), "channel 0 must round-trip")
+    assert(dec(2L).n_samples == 0 && dec(2L).samples.isEmpty)
+    assert(dec(3L).n_samples == 0 && dec(3L).samples.isEmpty)
+    // integer feature contract on a hand-checked sequence
+    import spark.implicits._
+    val tiny = Multimodal.audioFeatures(
+      Seq(Multimodal.DecodedAudio(9L, 8000, 4,
+        Array[Short](3, -4, 0, 5))).toDS()).collect().head
+    assert(tiny.peak == 5 && tiny.mean_square == 50L / 4 && tiny.zcr == 2)
+  }
+
   test("resizeRaw8 is a real nearest-neighbor resampler: exact pixels on a " +
       "known image, downsample then upsample round-trips blocks") {
     import spark.implicits._
