@@ -98,6 +98,12 @@ object Multimodal {
     df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // ImageIO's default stream path spills every payload to a
+        // temp CACHE FILE before the reader touches it — pure disk
+        // churn when the source is already an in-memory byte array.
+        // The flag is JVM-global and idempotent; memory-backed
+        // ImageInputStreams are what a blob-decoding executor wants.
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytesOrNull) =>
           val img =
             try {
