@@ -47,6 +47,68 @@ final class PHashGate(corpusHashes: DataFrame) extends Serializable {
   }
 }
 
+/** The wired image-ingest stream: binary payloads in, near-dup-free
+  * media corpus out, with the same replay-safe `batch=<id>` directory
+  * protocol as [[CorpusStream]]. Per micro-batch: decode + hash the
+  * batch's own payloads (partition-local, cost ∝ batch), canonical
+  * batch-internal dedup (min doc_id per hash), probe the persisted
+  * index of previously ADMITTED hashes — excluding rows a failed
+  * attempt of THIS batch already wrote (the anti-replay shield) —
+  * then write admitted rows to `sink/batch=<id>` and their hashes to
+  * `index/phashes/batch=<id>`, both with Overwrite so a replayed
+  * batch lands byte-identically. UNDECODABLE payloads are not
+  * evidence of duplication but must not pollute a media corpus
+  * either: they land in `sink/__corrupt/batch=<id>` for quarantine
+  * review instead of being admitted or silently dropped.
+  */
+object MediaStream {
+  import org.apache.spark.sql.{SaveMode, SparkSession}
+  import graft.streaming.BatchDirs.batchPartitions
+
+  def ingestBatchStep(batch: DataFrame, batchId: Long, indexDir: String,
+      sinkDir: String): Unit = {
+    val spark = batch.sparkSession
+    // lineage must not reach through the index files this batch
+    // overwrites below — checkpoint the decoded hashes first
+    val (hashed, ckpt) = graft.InternalCaches.localCheckpointHandle(
+      Multimodal.aHash64(
+        Multimodal.decodeImageBatch(batch, "doc_id", "payload")).toDF())
+    graft.InternalCaches.trackRdds(ckpt)
+    val phPath = s"$indexDir/phashes"
+    val prior =
+      if (batchPartitions(spark, phPath).nonEmpty)
+        spark.read.parquet(phPath)
+          .join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      else hashed.limit(0)
+    val doomed = hashed
+      .join(prior.select("phash"), Seq("phash"), "left_semi")
+      .select("doc_id")
+    val admittedIds = hashed.groupBy("phash").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+      .join(doomed, Seq("doc_id"), "left_anti")
+    batch.join(admittedIds, Seq("doc_id"), "left_semi")
+      .write.mode(SaveMode.Overwrite).parquet(s"$sinkDir/batch=$batchId")
+    hashed.join(admittedIds, Seq("doc_id"), "left_semi")
+      .write.mode(SaveMode.Overwrite).parquet(s"$phPath/batch=$batchId")
+    batch.join(hashed.select("doc_id"), Seq("doc_id"), "left_anti")
+      .write.mode(SaveMode.Overwrite).parquet(s"$sinkDir/__corrupt/batch=$batchId")
+  }
+
+  def ingestStream(payloads: DataFrame, indexDir: String, sinkDir: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    payloads.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        ingestBatchStep(b, id, indexDir, sinkDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+}
+
 object PHashGate {
   /** Build the frozen hash set by decoding the historical corpus. */
   def fromCorpus(corpus: DataFrame, idCol: String = "doc_id",

@@ -68,4 +68,57 @@ class MediaGateSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == kept)
     InternalCaches.drain(blocking = true)
   }
+
+  test("wired media stream: cross-batch dedup, batch-internal canonical keep, " +
+      "corrupt quarantine, exactly-once across restarts") {
+    import graft.streaming.MediaStream
+    val base = java.nio.file.Files.createTempDirectory("graft_media_q")
+    val in = base.resolve("in"); java.nio.file.Files.createDirectories(in)
+    val index = base.resolve("index").toString
+    val sink = base.resolve("sink").toString
+    val ckpt = base.resolve("ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+    def land(rows: Seq[(Long, Array[Byte])], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_media_b")
+      spark.createDataFrame(rows).toDF("doc_id", "payload").coalesce(1)
+        .write.parquet(tmp.resolve("d").toString)
+      val it = java.nio.file.Files.list(tmp.resolve("d")).iterator()
+      val f = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(f, in.resolve(name))
+    }
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(in.toString)
+      val q = MediaStream.ingestStream(src, index, sink, ckpt)
+      assert(q.awaitTermination(180000), "stream did not finish")
+      q.stop()
+    }
+    // batch 1: two distinct patterns, an exact in-batch dup of id 1
+    // (same bytes under a higher id → canonical min keeps 1), a
+    // corrupt payload
+    land(Seq(
+      1L -> Multimodal.renderFixturePng(1),
+      2L -> Multimodal.renderFixturePng(2),
+      3L -> Multimodal.renderFixturePng(1),
+      90L -> Array[Byte](9, 9, 9)), "b1.parquet")
+    runOnce()
+    // batch 2: a 2x render of pattern 1 (hash-equal near-dup of the
+    // ADMITTED id 1 → dropped by the index probe) and a novel image
+    land(Seq(
+      11L -> Multimodal.renderFixturePng(9),
+      12L -> novelPng(5)), "b2.parquet")
+    runOnce()
+    runOnce() // restart with nothing new: no reprocessing
+    val ids = spark.read.parquet(sink).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 12L), s"admitted $ids")
+    val corrupt = spark.read.parquet(s"$sink/__corrupt").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(corrupt == Set(90L))
+    InternalCaches.drain(blocking = true)
+  }
 }
