@@ -49,7 +49,7 @@ object SparseRetrieval {
     * artifact read — without it Catalyst re-plans the read per
     * consumer.
     */
-  private def postings(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def postings(s: SparkSession, dir: String): DataFrame = {
     val cache = graft.sources.DerivedCache.dirFor(
       s, s"$dir/documents.parquet", "postings")
     if (!graft.sources.DerivedCache.isComplete(s, cache))

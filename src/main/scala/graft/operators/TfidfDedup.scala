@@ -37,12 +37,23 @@ object TfidfDedup {
 
   /** (id, v) — the 64-dim signed-hashed tf·idf vector per doc. */
   def tfidfVectors(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val tf = InternalCaches.track(
+      textCol: String): DataFrame =
+    tfidfVectorsFromTf(InternalCaches.track(
       explodeOnce(docs.select(col(idCol), col(textCol)),
         Seq(col(idCol)), tokens(lower(col(textCol))), "t")
         .groupBy(idCol, "t").agg(count(lit(1)).as("tf"))
-        .persist())
+        .persist()), idCol)
+
+  /** The vector assembly over an EXISTING (id, t, tf) term-frequency
+    * frame — the seam that lets the declared query ride
+    * [[SparseRetrieval.postings]]' content-keyed artifact instead of
+    * re-tokenizing: the postings index and this dedup share one
+    * tokenize pass per corpus (the same lower+split tokenizer, so the
+    * frames are identical by construction and the shared oracle
+    * re-derives both from scratch). `tf` must arrive persisted; this
+    * method fans three aggregates out of it.
+    */
+  def tfidfVectorsFromTf(tf: DataFrame, idCol: String): DataFrame = {
     val dfq = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val nd = broadcast(tf.agg(countDistinct(idCol).as("n_docs")))
     val bucket = pmod(hash32(col("t")), lit(Dim.toLong))
@@ -69,11 +80,16 @@ object TfidfDedup {
     * q_dedup_embedding_ann pipeline on derived vectors.
     */
   def tfidfNearDups(docs: DataFrame, idCol: String, textCol: String,
+      minCos: Double): DataFrame =
+    tfidfNearDupsFromVectors(tfidfVectors(docs, idCol, textCol), idCol, minCos)
+
+  /** The bucket/verify stage over an already-assembled vector frame. */
+  def tfidfNearDupsFromVectors(vecs: DataFrame, idCol: String,
       minCos: Double): DataFrame = {
     val planes = Similarity.hyperplanes(8, Dim)
     val sig = Similarity.lshSignature(col("v"), planes)
     val c = InternalCaches.track(
-      tfidfVectors(docs, idCol, textCol)
+      vecs
         .select(col(idCol), col("v"), sig.as("sig"))
         .withColumn("nrm", sqrt(fdot(col("v"), col("v"))))
         .filter(col("nrm") > 0) // see the NaN note in the scaladoc
@@ -102,9 +118,17 @@ object TfidfDedup {
     // recall contract of the bucketing is itself hash-checked, the
     // q_dedup_embedding_ann discipline on derived vectors.
     "q_dedup_tfidf" -> QueryDef(
-      (s, dir) => tfidfNearDups(
-        spreadScan(table(s, dir, "documents")), "doc_id", "text",
-        minCos = 0.9),
+      // rides the postings artifact (SparseRetrieval's content-keyed
+      // index) instead of re-tokenizing: the BM25/RRF/phrase family
+      // and this dedup share ONE tokenize pass per corpus — the tf
+      // frames are identical by construction (same lower+split
+      // tokenizer, same groupBy), and the oracle re-derives the whole
+      // chain from raw text so the reuse is hash-checked invisible
+      (s, dir) => tfidfNearDupsFromVectors(
+        tfidfVectorsFromTf(
+          SparseRetrieval.postings(s, dir).withColumnRenamed("term", "t"),
+          "doc_id"),
+        "doc_id", minCos = 0.9),
       s"""WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
         |  FROM documents),
