@@ -793,18 +793,13 @@ object TextAnalysis {
     "q_tfidf" -> QueryDef(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = graft.functions.Functions.explodeOnce(
-          spreadScan(table(s, dir, "documents")),
-          Seq(col("doc_id")), tokens(lower(col("text"))), "term")
-        // df derives from the tf aggregate (one row per (doc, term) →
-        // df(term) is a plain count), and tf PERSISTS: tf feeds both
-        // the df aggregation and the final join, and without the
-        // persist Catalyst duplicates the whole tokenize+explode+agg
-        // subtree per consumer — the plan showed two full corpus scans,
-        // defeating the single-pass intent (round-8 plan review)
-        val tf = graft.InternalCaches.track(
-          docs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // tf IS the postings index — ride the content-keyed artifact
+        // the retrieval family and q_dedup_tfidf share (identical
+        // tokenizer and groupBy), already persisted for multi-consumer
+        // fan-out (df derives from it AND it feeds the final join —
+        // without a shared frame Catalyst duplicated the whole
+        // tokenize subtree per consumer, round-8 plan review)
+        val tf = graft.operators.SparseRetrieval.postings(s, dir)
         val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val n = table(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy("doc_id")
