@@ -218,6 +218,51 @@ object ScaleCheck {
     "q_dsir_weights_indexed" -> Set("dsir-model"))
 }
 
+/** Checkpoint-cadence measurement for q_kcore, the PageRankTune
+  * discipline applied to the peel loop: every-round checkpointing
+  * bounds lineage but costs one materialization job per peel; a
+  * 2-round gap halves the jobs at the price of one 3²-way subtree
+  * duplication per segment (each round references the previous edge
+  * set three times) and HALVES the fixpoint-detection granularity
+  * (converged is only checkable at a checkpoint). Cold/warm legs as
+  * in PageRankTune (the coorder-edges artifact).
+  */
+object KCoreTune {
+  private def run(spark: SparkSession, dir: String, every: Int): Double = {
+    val t0 = System.nanoTime()
+    operators.Graph.kCore(operators.Graph.memoCoOrderEdges(spark, dir),
+        k = 18, rounds = 8, checkpointEvery = every)
+      .write.mode(SaveMode.Overwrite).format("noop").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    InternalCaches.drain()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    sec
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    run(spark, "/root/testdata/sf0.001", 1) // JIT warm, untimed
+    val cells = scala.collection.mutable.Map[(Int, String),
+      List[Double]]().withDefaultValue(Nil)
+    (1 to reps).foreach { _ =>
+      Seq(1, 2).foreach { every =>
+        sources.DerivedCache.vacuumKinds(spark, Set("coorder-edges"))
+        cells((every, "cold")) ::= run(spark, dir, every)
+        cells((every, "warm")) ::= run(spark, dir, every)
+      }
+    }
+    for (every <- Seq(1, 2); leg <- Seq("cold", "warm")) {
+      val xs = cells((every, leg))
+      println(f"[kctune] every=$every $leg%-4s best=${xs.min}%6.2fs " +
+        f"all=${xs.sorted.map(x => f"$x%.2f").mkString(",")}")
+    }
+  }
+}
+
 /** Decode-throughput measurement for the multimodal operators: the
   * scale question for image/audio at 100 TB is per-payload codec cost
   * (the pipelines are mapPartitions — no shuffle, no driver state, so

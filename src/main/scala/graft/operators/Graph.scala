@@ -125,7 +125,7 @@ object Graph {
     * components …) should read it, not re-derive it from the fact
     * table. Build-once-analyze-many; a changed source misses the key.
     */
-  private def memoCoOrderEdges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def memoCoOrderEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val cache = graft.sources.DerivedCache.dirFor(
       s, s"$dir/lineitem.parquet", "coorder-edges")
