@@ -212,6 +212,114 @@ object Hygiene {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------- line-level cleaning (C4 / RefinedWeb line rules) ---------
+
+  /** Deterministic 12-token line synthesis: the harness corpus is
+    * single-line by construction, so the line-level operators and
+    * their oracles both derive lines from the SAME pure function of
+    * the text (same pattern as the planted PII suffixes and the
+    * `doc_id % k` benchmark slices) — the oracle then checks the rule
+    * engine, not the synthesis. A real multi-line corpus passes
+    * `split(col("text"), "\n")` instead.
+    */
+  def synthLines(text: Column, lineLen: Int = 12): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(0),
+        ceil(size(toks).cast(DoubleType) / lineLen).cast(IntegerType) - 1),
+      i => array_join(slice(toks, i * lineLen + 1, lit(lineLen)), " "))
+  }
+
+  /** C4-style intra-document line filtering (Raffel et al. 2020 §2.2,
+    * the RefinedWeb per-line rules): a line survives iff it has at
+    * least `minWords` words, contains no blacklisted word
+    * (case-insensitive whole-word match), and — when
+    * `requireTerminal` — ends in terminal punctuation. Emits per doc
+    * the line counts, kept fraction, and the md5 of the cleaned text
+    * so a rule that mis-fires on ANY line hash-mismatches.
+    *
+    * Scale: pure higher-order column expressions (`filter` over the
+    * line array) — zero shuffles, whole-stage codegen end to end,
+    * embarrassingly parallel at any corpus size.
+    */
+  def cleanLines(docs: DataFrame, idCol: String, lines: Column,
+      minWords: Int, blacklist: Seq[String],
+      requireTerminal: Boolean = false): DataFrame = {
+    val keep: Column => Column = l => {
+      val enough = size(split(trim(l), "\\s+")) >= minWords
+      val black =
+        if (blacklist.isEmpty) lit(false)
+        else lower(l).rlike(
+          s"(^|\\s)(${blacklist.map(_.toLowerCase).mkString("|")})(\\s|$$)")
+      val terminal =
+        if (requireTerminal) l.rlike("[.!?][\"')\\]]?\\s*$") else lit(true)
+      enough && !black && terminal
+    }
+    spreadScan(docs)
+      .select(col(idCol), lines.as("__lines"))
+      .select(col(idCol), size(col("__lines")).as("n_lines"),
+        filter(col("__lines"), keep).as("__kept"))
+      .select(col(idCol), col("n_lines"),
+        size(col("__kept")).as("n_kept"),
+        round(size(col("__kept")).cast(DoubleType) /
+          greatest(col("n_lines"), lit(1)), 4).as("kept_frac"),
+        md5(array_join(col("__kept"), "\n")).as("clean_fp"))
+  }
+
+  /** RefinedWeb-style cross-corpus exact line deduplication (Penedo
+    * et al. 2023 §3.3): any line occurring in more than `maxDocs`
+    * distinct documents is dropped from EVERY document (boilerplate —
+    * nav bars, footers, license blurbs — is exactly the text that
+    * repeats across pages). Emits per doc the kept/dropped counts and
+    * the md5 of the surviving text in original line order.
+    *
+    * Scale: one posexplode, one (doc, line)-distinct + line-keyed
+    * count (both map-side combinable), one shuffle anti-join on the
+    * line key, and a per-doc collect bounded by document length —
+    * never all-pairs, never a driver collect. The exploded frame
+    * feeds three branches (common-line build, anti-join, per-doc
+    * counts) so it persists once.
+    */
+  def dedupLinesAcross(docs: DataFrame, idCol: String, lines: Column,
+      maxDocs: Int = 1): DataFrame = {
+    val posed = graft.InternalCaches.track(
+      spreadScan(docs)
+        .select(col(idCol), lines.as("__lines"))
+        .select(col(idCol), size(col("__lines")).as("n_lines"),
+          posexplode(col("__lines")).as(Seq("pos", "line")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val common = posed.select(col(idCol), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select("line")
+    val keptAgg = posed.join(common, Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n")).as("clean_fp"))
+    posed.select(col(idCol), col("n_lines")).distinct()
+      .join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("__n_kept"), lit(0L)).cast(IntegerType).as("n_kept"),
+        (col("n_lines") - coalesce(col("__n_kept"), lit(0L)))
+          .cast(IntegerType).as("n_dropped"),
+        coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
+  }
+
+  /** The toks+lines CTE both line-level oracles share — the DuckDB
+    * replay of [[synthLines]] at lineLen 12.
+    */
+  private val SynthLinesSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id, list_transform(
+      |    generate_series(0, CAST(ceil(len(t) / 12.0) AS INT) - 1),
+      |    i -> array_to_string(t[i*12+1 : i*12+12], ' ')) AS ls
+      |  FROM toks)""".stripMargin
+
   // ---------- declared queries ------------------------------------------
 
   def defs: Map[String, QueryDef] = Map(
@@ -352,6 +460,58 @@ object Hygiene {
         table(s, dir, "documents"), "doc_id", "text",
         pmod(col("doc_id"), lit(11)) === 0, n = 8)
         .orderBy("doc_id"),
-      decontamSql(8, 11))
+      decontamSql(8, 11)),
+
+    // C4-style line filtering over synthesized 12-token lines:
+    // minWords=9 drops the short tail line most docs carry, and the
+    // blacklist word "dup" (the planted near-dup marker, 26 corpus
+    // occurrences) exercises the whole-word blacklist rule on real
+    // rows. The terminal-punctuation rule is spec-covered (the corpus
+    // carries no punctuation by construction).
+    "q_c4_lines" -> QueryDef(
+      (s, dir) => cleanLines(table(s, dir, "documents"), "doc_id",
+        synthLines(col("text")), minWords = 9, blacklist = Seq("dup"))
+        .orderBy("doc_id"),
+      s"""$SynthLinesSql,
+        |kept AS (
+        |  SELECT doc_id, len(ls) AS n_lines,
+        |    list_filter(ls, l ->
+        |      len(regexp_split_to_array(trim(l), '\\s+')) >= 9
+        |      AND NOT regexp_matches(lower(l), '(^|\\s)(dup)(\\s|$$)')) AS ks
+        |  FROM lines)
+        |SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+        |  CAST(len(ks) AS INT) AS n_kept,
+        |  round(len(ks) * 1.0 / greatest(n_lines, 1), 4) AS kept_frac,
+        |  md5(coalesce(array_to_string(ks, chr(10)), '')) AS clean_fp
+        |FROM kept ORDER BY doc_id""".stripMargin),
+
+    // Cross-corpus exact line dedup: at sf0.01 the synthesized corpus
+    // carries ~96 lines shared across ≥2 docs (the planted near-dup
+    // families align on 12-token boundaries), so the anti-join does
+    // real work; every doc is emitted, dropped-to-zero docs pin the
+    // md5('') branch.
+    "q_line_dedup" -> QueryDef(
+      (s, dir) => dedupLinesAcross(table(s, dir, "documents"), "doc_id",
+        synthLines(col("text"))).orderBy("doc_id"),
+      s"""$SynthLinesSql,
+        |posed AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos, ls
+        |  FROM lines),
+        |posed2 AS (SELECT doc_id, pos, ls[pos] AS line FROM posed),
+        |common AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS c FROM posed2 GROUP BY 1)
+        |  WHERE c > 1),
+        |kept AS (SELECT doc_id, pos, line FROM posed2 ANTI JOIN common USING (line)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_fp
+        |  FROM kept GROUP BY 1),
+        |base AS (SELECT doc_id, len(ls) AS n_lines FROM lines)
+        |SELECT b.doc_id, CAST(n_lines AS INT) AS n_lines,
+        |  CAST(coalesce(n_kept, 0) AS INT) AS n_kept,
+        |  CAST(n_lines - coalesce(n_kept, 0) AS INT) AS n_dropped,
+        |  coalesce(clean_fp, md5('')) AS clean_fp
+        |FROM base b LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin)
   )
 }

@@ -98,4 +98,72 @@ class HygieneSpec extends SparkSpec {
     assert(out(1).getInt(2) == 4)
     assert(out(1).getDouble(3) == 0.75)
   }
+
+  test("synthLines groups tokens into 12-token lines, short tail kept") {
+    val toks = (1 to 27).map(i => s"w$i").mkString(" ")
+    val lines = Seq(toks).toDF("text")
+      .select(Hygiene.synthLines(col("text")).as("ls"))
+      .as[Seq[String]].head()
+    assert(lines.length == 3)
+    assert(lines(0) == (1 to 12).map(i => s"w$i").mkString(" "))
+    assert(lines(1) == (13 to 24).map(i => s"w$i").mkString(" "))
+    assert(lines(2) == "w25 w26 w27")
+    // empty text degrades to one empty line, never a crash
+    val empty = Seq("").toDF("text")
+      .select(Hygiene.synthLines(col("text")).as("ls"))
+      .as[Seq[String]].head()
+    assert(empty == Seq(""))
+  }
+
+  test("cleanLines applies the C4 rules: min words, blacklist " +
+      "(case-insensitive whole word), terminal punctuation") {
+    val docs = Seq(
+      (1L, Seq(
+        "This sentence has exactly enough words to survive the filter.",
+        "too short.",
+        "Enable JavaScript and cookies to continue browsing this site now.",
+        "No terminal punctuation so this line dies under the rule here")),
+      (2L, Seq.empty[String])
+    ).toDF("doc_id", "lines")
+    val out = Hygiene.cleanLines(docs, "doc_id", col("lines"),
+      minWords = 5, blacklist = Seq("javascript", "cookies"),
+      requireTerminal = true).orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 4 && out(0).getInt(2) == 1)
+    assert(out(0).getDouble(3) == 0.25)
+    // blacklist must be whole-word: "cookie-cutter" is not "cookies"
+    val loose = Seq((1L, Seq("the cookie-cutter approach works well here")))
+      .toDF("doc_id", "lines")
+    val kept = Hygiene.cleanLines(loose, "doc_id", col("lines"),
+      minWords = 3, blacklist = Seq("cookie", "cookies")).collect()
+    assert(kept(0).getInt(2) == 1, "hyphenated compound must survive")
+    // empty doc: zero lines, kept_frac guarded to 0
+    assert(out(1).getInt(1) == 0 && out(1).getDouble(3) == 0.0)
+  }
+
+  test("dedupLinesAcross drops lines shared by >maxDocs docs from " +
+      "every doc, preserves order, keeps all docs in the output") {
+    val docs = Seq(
+      (1L, Seq("unique one", "shared footer", "unique two")),
+      (2L, Seq("shared footer", "only in two")),
+      (3L, Seq("shared footer"))   // every line dropped
+    ).toDF("doc_id", "lines")
+    val out = Hygiene.dedupLinesAcross(docs, "doc_id", col("lines"))
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getInt(2) == 2 && out(0).getInt(3) == 1)
+    val expectedFp = Seq("unique one\nunique two").toDF("t")
+      .select(md5(col("t"))).as[String].head()
+    assert(out(0).getString(4) == expectedFp, "order must survive the drop")
+    assert(out(2).getInt(2) == 0 && out(2).getInt(3) == 1)
+    val emptyFp = Seq("").toDF("t").select(md5(col("t"))).as[String].head()
+    assert(out(2).getString(4) == emptyFp)
+    // a line duplicated WITHIN one doc is not cross-doc boilerplate
+    val intra = Seq(
+      (1L, Seq("echo echo", "echo echo")),
+      (2L, Seq("other text"))).toDF("doc_id", "lines")
+    val kept = Hygiene.dedupLinesAcross(intra, "doc_id", col("lines"))
+      .orderBy("doc_id").collect()
+    assert(kept(0).getInt(2) == 2, "intra-doc repeats survive maxDocs=1")
+    InternalCaches.drain(blocking = true)
+  }
 }
