@@ -190,6 +190,37 @@ class PlanShapeSpec extends SparkSpec {
       s"DP re-spread exchange missing from editdist_lsh plan:\n$plan")
   }
 
+  test("q_c4_lines: map-only — the single exchange is the output sort") {
+    val plan = SparkEntry.queries("q_c4_lines")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the C4 rules are higher-order column expressions over the line
+    // array: no joins, no aggregates — a shuffle here means someone
+    // turned a per-row filter into a wide op
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"line filtering grew a wide operator:\n$plan")
+    // allowed: the output-sort range exchange + spreadScan's
+    // round-robin spread of the single-split smoke-scale scan
+    val nExchange = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+    assert(nExchange <= 2, s"non-sort exchange in a map-only plan:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"a key shuffle appeared in a map-only plan:\n$plan")
+  }
+
+  test("q_line_dedup: line-keyed anti-join, no pair-keyed blowup") {
+    val plan = SparkEntry.queries("q_line_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // common-line detection and removal must stay keyed on the line
+    // value: distinct + count + anti-join + per-doc reassembly. A
+    // cross product or a (doc_a, doc_b) pair key is the all-pairs
+    // failure the anti-join shape exists to avoid.
+    assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+      s"line dedup planned a cross product:\n$plan")
+    val nExchange = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+    assert(nExchange <= 8,
+      s"exchange count grew to $nExchange (re-computation?):\n$plan")
+  }
+
   test("q_join_salted: salt fan-out present, join keyed on (key, salt)") {
     val plan = SparkEntry.queries("q_join_salted")(spark, sfDir)
       .queryExecution.executedPlan.toString
