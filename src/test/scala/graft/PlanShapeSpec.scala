@@ -221,6 +221,36 @@ class PlanShapeSpec extends SparkSpec {
       s"exchange count grew to $nExchange (re-computation?):\n$plan")
   }
 
+  test("q_url_dedup: ONE canonical-key exchange serves both windows") {
+    val qe = SparkEntry.queries("q_url_dedup")(spark, sfDir).queryExecution
+    val plan = qe.executedPlan.toString
+    // canonicalization is per-row regex math; dedup is a window over
+    // the canonical key. Group count and keep-best rank share one
+    // partitioning, so a second hash exchange means the windows
+    // stopped riding the same shuffle.
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"url dedup grew a join/aggregate:\n$plan")
+    val nHash = "hashpartitioning".r.findAllIn(plan).length
+    assert(nHash == 1, s"expected 1 canonical-key exchange, got $nHash:\n$plan")
+    // column pruning reaches the scan: url synthesis needs only
+    // doc_id + the quality column
+    val scan = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("doc_id") && scan.contains("n_chars")
+        && !scan.contains("text"),
+      s"scan reads more than the two needed columns: $scan")
+  }
+
+  test("q_domain_stats: two-phase distinct aggregate, nothing wider") {
+    val plan = SparkEntry.queries("q_domain_stats")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // exact count(distinct canon_url) per domain costs exactly two
+    // hash exchanges ((domain, canon) partial then domain final);
+    // a third means the per-row canonicalization got re-planned wide
+    assert(!plan.contains("Join"), s"domain stats grew a join:\n$plan")
+    val nHash = "hashpartitioning".r.findAllIn(plan).length
+    assert(nHash <= 2, s"distinct-agg should need ≤2 hash exchanges, got $nHash:\n$plan")
+  }
+
   test("q_join_salted: salt fan-out present, join keyed on (key, salt)") {
     val plan = SparkEntry.queries("q_join_salted")(spark, sfDir)
       .queryExecution.executedPlan.toString
