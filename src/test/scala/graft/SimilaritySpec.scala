@@ -515,6 +515,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ensureKmeansQuantizer: fit-once artifact, bit-identical to a fresh fit") {
+    graft.sources.DerivedCache.vacuumKinds(spark, Set("kmeans-cents"))
+    val first = ensureKmeansQuantizer(spark, sfDir)
+    val cacheDir = graft.sources.DerivedCache.dirFor(spark,
+      s"$sfDir/embeddings.parquet", "kmeans-cents", "16-2-0.5")
+    val tsv = new java.io.File(s"$cacheDir/centroids.tsv")
+    assert(tsv.exists, "first call must publish the sidecar")
+    val mtime = tsv.lastModified
+    val second = ensureKmeansQuantizer(spark, sfDir)
+    // second call reads the artifact (no rewrite) and the tsv
+    // round-trip is bit-exact — Double.toString/toDouble is the
+    // shortest round-tripping representation
+    assert(tsv.lastModified == mtime, "second call must not rebuild")
+    assert(second == first)
+    val fresh = kmeansCentroids(
+      graft.sources.Tables.table(spark, sfDir, "embeddings"), 16, 2,
+      sampleFrac = 0.5)
+    assert(first == fresh, "artifact must be indistinguishable from a fresh fit")
+  }
+
   test("q_semdedup survivors match an independent driver replay") {
     // straight-line reference: collect the harness embeddings, assign
     // each to its argmax-dot centroid (tie -> smaller cid, the same
