@@ -36,6 +36,9 @@ object ScaleCheck {
     // round 8: the data-selection family
     "q_dsir_weights", "q_ppl_buckets", "q_mixture_alpha",
     "q_select_corpus", "q_curriculum",
+    // round 10: artifact-backed since ensureLmModel — warm/cold split
+    // (its family mates above get the same treatment via WarmSecondRun)
+    "q_lm_score",
     // round 8 (late): retrieval, graph analytics, collocations, layout
     "q_hard_negatives", "q_mmr_select", "q_recall_at_k",
     "q_bitext_margin", "q_bm25", "q_rrf_fuse", "q_pagerank",
@@ -204,7 +207,10 @@ object ScaleCheck {
     * DerivedCache artifact build — each gets a cold AND a warm row.
     */
   val WarmSecondRun: Set[String] =
-    Set("q_dedup_incremental", "q_minhash_recall", "q_dsir_weights_indexed")
+    Set("q_dedup_incremental", "q_minhash_recall", "q_dsir_weights_indexed",
+      // round 10: the bigram-LM family rides the ensureLmModel
+      // artifact, so its cold number now includes the one-time fit
+      "q_lm_score", "q_ppl_buckets", "q_curriculum")
 
   /** The DerivedCache kinds each WarmSecondRun query builds — the
     * scope of its pre-cold eviction. Queries sharing a kind (the
@@ -215,7 +221,10 @@ object ScaleCheck {
   val ArtifactKinds: Map[String, Set[String]] = Map(
     "q_dedup_incremental" -> Set("shingles", "bands"),
     "q_minhash_recall" -> Set("shingles", "bands"),
-    "q_dsir_weights_indexed" -> Set("dsir-model"))
+    "q_dsir_weights_indexed" -> Set("dsir-model"),
+    "q_lm_score" -> Set("bigram-lm"),
+    "q_ppl_buckets" -> Set("bigram-lm"),
+    "q_curriculum" -> Set("bigram-lm"))
 }
 
 /** Checkpoint-cadence measurement for q_kcore, the PageRankTune

@@ -357,53 +357,43 @@ object TextAnalysis {
     * doc_id.
     */
   def lmScored(s: SparkSession, dir: String): DataFrame = {
-    val Q = 1048576L
-    val toksF = spreadScan(table(s, dir, "documents"))
-      .select(col("doc_id"), tokens(lower(col("text"))).as("__t"))
-      .filter(size(col("__t")) >= 2)
-    val n = size(col("__t"))
-    val bigrams = zip_with(
-      slice(col("__t"), lit(1), n - 1), slice(col("__t"), lit(2), n - 1),
-      (a, b) => struct(a.as("w1"), b.as("w2")))
-    val bi = graft.InternalCaches.track(
-      graft.functions.Functions.explodeOnce(
-          toksF, Seq(col("doc_id")), bigrams, "__bg")
-        .select(col("doc_id"), col("__bg.w1").as("w1"),
-          col("__bg.w2").as("w2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // c12 persists: it feeds the c1 rollup, the vocab count, and
-    // the scoring join — three consumers that would each re-run
-    // the (w1,w2) aggregate over the cached bigram frame otherwise
-    val c12 = graft.InternalCaches.track(
-      bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // context counts derive from the bigram aggregate (c1 = Σ_w2
-    // c12), not a second corpus pass
-    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
-    // vocabulary from the bigram vocabulary, not a second corpus
-    // tokenize: every token of a ≥2-token doc appears in some
-    // bigram (as w1 unless it is the last token, as w2 unless the
-    // first), so distinct(w1 ∪ w2) over c12 IS the filtered-corpus
-    // vocabulary — same value, corpus-scan-free (round-8 plan
-    // review: the old explode(toksF) branch re-scanned and
-    // re-tokenized the whole corpus for one scalar)
-    val vocab = c12.select(col("w1").as("w"))
-      .union(c12.select(col("w2").as("w")))
-      .agg(countDistinct("w").as("vsz"))
-    val lp = log((col("c12") + lit(0.5)) /
-      (col("c1") + lit(0.5) * col("vsz")))
-    bi.join(c12, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
-      .crossJoin(broadcast(vocab))
-      .select(col("doc_id"),
-        floor(lp * Q + lit(0.5)).cast(LongType).as("__qlp"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("__qlp").as("__s"))
-      .select(col("doc_id"), col("n_bigrams"),
-        round(col("__s").cast(DoubleType) /
-          (col("n_bigrams").cast(DoubleType) * lit(1048576.0)), 4)
-          .as("avg_logp"))
+    val (model, qlpUnk) = ensureLmModel(s, dir)
+    lmScoreWith(spreadScan(table(s, dir, "documents")),
+      "doc_id", "text", model, qlpUnk)
       .orderBy("doc_id")
+  }
+
+  /** Build-once frozen bigram LM for a source dir — the third member
+    * of the artifact family (postings, Lloyd quantizer): q_lm_score,
+    * q_ppl_buckets and q_curriculum all score against the corpus LM,
+    * and each used to retrain it in-query. The model (the
+    * `(w1, w2, __qlp)` scored-bigram table) publishes as content-keyed
+    * parquet plus the quantized UNK constant in a sidecar; scoring the
+    * fit corpus against the frozen table reproduces the self-fit score
+    * bit-for-bit (every bigram hits the table — LmGateSpec pins the
+    * equality), so the swap is invisible in results and the oracles
+    * keep refitting from scratch. `_SUCCESS` marks completeness; a
+    * changed corpus re-keys and refits.
+    */
+  def ensureLmModel(s: SparkSession, dir: String): (DataFrame, Long) = {
+    val cacheDir = graft.sources.DerivedCache.dirFor(s,
+      s"$dir/documents.parquet", "bigram-lm")
+    val root = new org.apache.hadoop.fs.Path(cacheDir)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val unkPath = new org.apache.hadoop.fs.Path(s"$cacheDir/qlp_unk.txt")
+    if (!graft.sources.DerivedCache.isComplete(s, cacheDir)) {
+      val (model, qlpUnk) = lmModel(spreadScan(table(s, dir, "documents")))
+      model.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$cacheDir/model")
+      val out = fs.create(unkPath, true)
+      try out.write(qlpUnk.toString.getBytes("UTF-8")) finally out.close()
+      fs.create(new org.apache.hadoop.fs.Path(s"$cacheDir/_SUCCESS"), true)
+        .close()
+    }
+    val in = fs.open(unkPath)
+    val qlpUnk = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString.trim.toLong finally in.close()
+    (s.read.parquet(s"$cacheDir/model"), qlpUnk)
   }
 
   /** Freeze the bigram LM of [[lmScored]] as an artifact: the
