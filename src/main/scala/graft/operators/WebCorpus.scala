@@ -114,6 +114,52 @@ object WebCorpus {
       .withColumn("dup_factor",
         round(col("n_docs").cast(DoubleType) / col("n_pages"), 4))
 
+  // ---------- markup extraction ------------------------------------------
+
+  /** Script/style blocks drop WITH their content (code is not prose);
+    * `(?s)` + non-greedy so a block never swallows past its own close
+    * tag. Both Java regex (Spark) and RE2 (external engines) support
+    * the flag and the lazy quantifier.
+    */
+  val ScriptBlockRe = "(?s)<(script|style)[^>]*>.*?</(script|style)>"
+
+  /** Any remaining tag. Plain-text `<` without a closing `>` on the
+    * same tag is left alone (RE2 has no backtracking pathology here —
+    * the class excludes `>` so the scan is linear).
+    */
+  val TagRe = "<[^>]+>"
+
+  /** Markup-to-text extraction — the boilerplate-independent half of
+    * what an HTML text extractor does, as pure column regex math:
+    *   1. drop script/style blocks with their content;
+    *   2. strip remaining tags (each becomes a space so adjacent
+    *      words never fuse);
+    *   3. unescape the five predefined XML entities (amp last, so
+    *      `&amp;lt;` stays a literal `&lt;` — double-escaped text must
+    *      not un-escape twice);
+    *   4. collapse whitespace runs and trim.
+    * A DOM parser handles malformed nesting better; at 100 TB the
+    * regex path is the one that stays inside whole-stage codegen with
+    * zero per-row allocation beyond the result, which is why C4's own
+    * pipeline is regex/heuristic rather than DOM (Raffel et al. 2020
+    * §2.2). Swap a real parser behind the same column seam when
+    * fidelity beats throughput.
+    */
+  def stripMarkup(c: Column): Column = {
+    val noBlocks = regexp_replace(c, ScriptBlockRe, " ")
+    val noTags = regexp_replace(noBlocks, TagRe, " ")
+    val unescaped = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(noTags, "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&#39;", "'"),
+      "&amp;", "&")
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   // ---------- deterministic URL synthesis --------------------------------
 
   /** The harness corpus carries no URL column, so the URL operators
@@ -210,6 +256,64 @@ object WebCorpus {
         |  FROM canon)
         |SELECT doc_id, url, canon_url, n_dups, rn = 1 AS kept
         |FROM ranked ORDER BY doc_id""".stripMargin),
+
+    // Markup extraction over deterministically synthesized HTML: every
+    // doc wraps in a head/title, a script block (content must DROP),
+    // a nav div, and entity-escaped tail text — so block removal, tag
+    // stripping, the strip-before-unescape ordering (the tail's
+    // `&lt;end&gt;` must survive as literal `<end>` text, which it
+    // only does if tags strip first) and whitespace collapse all
+    // hash-check on every row. Map-only: the whole chain is chained
+    // regexp_replace, zero shuffles.
+    "q_html_extract" -> QueryDef(
+      (s, dir) => {
+        val idS = col("doc_id").cast(StringType)
+        val html = concat(
+          lit("<html><head><title>doc "), idS,
+          lit("</title><script>var id="), idS,
+          lit("; if (id &lt; 0) {}</script></head><body><div class=nav>"),
+          lit("home | about | contact</div><p>"), col("text"),
+          lit("</p><p>tail &amp; "), idS,
+          lit(" &lt;end&gt;</p></body></html>"))
+        spreadScan(table(s, dir, "documents"))
+          .select(col("doc_id"), html.as("__h"))
+          .select(col("doc_id"),
+            regexp_replace(col("__h"), ScriptBlockRe, " ").as("__nb"))
+          .select(col("doc_id"),
+            regexp_count(col("__nb"), lit(TagRe)).cast(LongType)
+              .as("n_tags"),
+            stripMarkup(col("__nb")).as("__clean"))
+          .select(col("doc_id"), col("n_tags"),
+            length(col("__clean")).cast(LongType).as("clean_len"),
+            md5(col("__clean")).as("clean_fp"))
+          .orderBy("doc_id")
+      },
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</title><script>var id=' || CAST(doc_id AS VARCHAR)
+        |    || '; if (id &lt; 0) {}</script></head><body><div class=nav>'
+        |    || 'home | about | contact</div><p>' || text
+        |    || '</p><p>tail &amp; ' || CAST(doc_id AS VARCHAR)
+        |    || ' &lt;end&gt;</p></body></html>' AS h
+        |  FROM documents),
+        |nb AS (
+        |  SELECT doc_id, regexp_replace(h,
+        |    '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS s
+        |  FROM raw),
+        |clean AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(s, '<[^>]+>')) AS BIGINT) AS n_tags,
+        |    trim(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(regexp_replace(s, '<[^>]+>', ' ', 'g'),
+        |        '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |        '&#39;', CHR(39), 'g'), '&amp;', '&', 'g'),
+        |      '\s+', ' ', 'g')) AS c
+        |  FROM nb)
+        |SELECT doc_id, n_tags, CAST(length(c) AS BIGINT) AS clean_len,
+        |  md5(c) AS clean_fp
+        |FROM clean ORDER BY doc_id""".stripMargin),
 
     // Per-domain composition table: 13 rows at any corpus size — the
     // crawl-scheduler / mixture-planner view of the same canonical

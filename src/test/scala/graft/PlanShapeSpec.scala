@@ -221,6 +221,15 @@ class PlanShapeSpec extends SparkSpec {
       s"exchange count grew to $nExchange (re-computation?):\n$plan")
   }
 
+  test("q_html_extract: map-only — chained regex never grows a wide op") {
+    val plan = SparkEntry.queries("q_html_extract")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"markup extraction grew a wide operator:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"a key shuffle appeared in a map-only plan:\n$plan")
+  }
+
   test("q_url_dedup: ONE canonical-key exchange serves both windows") {
     val qe = SparkEntry.queries("q_url_dedup")(spark, sfDir).queryExecution
     val plan = qe.executedPlan.toString

@@ -64,6 +64,27 @@ class WebCorpusSpec extends SparkSpec {
     assert(stats.forall(_.getAs[Double]("dup_factor") > 1.0))
   }
 
+  private def strip(s: String): String =
+    Seq(s).toDF("h").select(WebCorpus.stripMarkup(col("h")).as("c"))
+      .as[String].collect().head
+
+  test("stripMarkup: blocks drop with content, tags strip, entities unescape once") {
+    assert(strip("<p>a<br/>b</p>") == "a b")
+    // script content (incl. a '<' inside) is code, not prose
+    assert(strip("x<script>if (a &lt; b) {}</script>y") == "x y")
+    assert(strip("<style type=css>p { color: red }</style>text") == "text")
+    // two blocks: lazy quantifier must not swallow the text between
+    assert(strip("<script>a</script>MID<script>b</script>") == "MID")
+    // strip-before-unescape: &lt;end&gt; survives as literal <end>
+    // text — unescaping first would expose it to the tag stripper
+    assert(strip("<p>tail &amp; x &lt;end&gt;</p>") == "tail & x <end>")
+    // double-escaped text unescapes exactly once (amp runs last)
+    assert(strip("&amp;lt;") == "&lt;")
+    assert(strip("a &quot;q&quot; &#39;s&#39;") == "a \"q\" 's'")
+    // whitespace runs collapse; tag boundaries never fuse words
+    assert(strip("<div>a</div><div>b</div>") == "a b")
+  }
+
   test("q_url_dedup: exactly one kept row per canonical url; kept is argmax") {
     val out = SparkEntry.queries("q_url_dedup")(spark, sfDir)
     val perCanon = out.groupBy("canon_url")
