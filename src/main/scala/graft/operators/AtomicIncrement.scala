@@ -46,6 +46,61 @@ object AtomicIncrement {
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** One manifest line: a sink-relative data-file path, optionally
+    * carrying footer-derived (min, max) statistics for one column —
+    * the Delta-log data-skipping idea reduced to one tab-separated
+    * line, `path[\tcolumn\ttypeTag\tmin\tmax]`:
+    *  - the watermark resolves from the manifest alone (zero footer
+    *    round trips over a 100 k-file snapshot), and
+    *  - [[readCommittedAbove]] prunes files whose interval provably
+    *    cannot satisfy a `column > lower` consumer.
+    * Stats are RECORDED AT STAGE TIME from the just-written files'
+    * footers (batch-local, cheap) and ride every later manifest
+    * verbatim — data files are immutable, so the stats never go
+    * stale. Path-only lines (pre-stats manifests, or types footer
+    * stats can't answer exactly) parse fine and simply never prune.
+    * Batch dirs are UUID-named and Spark part-file names carry no
+    * tabs, so the separator is unambiguous.
+    */
+  private[graft] final case class ManifestEntry(path: String,
+      stats: Option[FileColumnStats]) {
+    def render: String = stats match {
+      case None => path
+      case Some(s) => s"$path\t${s.column}\t${s.tag}\t${s.min}\t${s.max}"
+    }
+  }
+
+  /** Stats in the footer's primitive domain: `tag` names the column
+    * type family the min/max strings decode under (`ts` = micros,
+    * `date` = unix days, integral by cast, `double`/`float` as IEEE).
+    */
+  private[graft] final case class FileColumnStats(column: String,
+      tag: String, min: String, max: String)
+
+  private[graft] def tagOf(dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => Some("long")
+      case IntegerType => Some("int")
+      case ShortType => Some("short")
+      case ByteType => Some("byte")
+      case TimestampType => Some("ts")
+      case DateType => Some("date")
+      case DoubleType => Some("double")
+      case FloatType => Some("float")
+      case _ => None
+    }
+  }
+
+  private def parseLine(line: String): ManifestEntry =
+    line.split("\t", -1) match {
+      case Array(p) => ManifestEntry(p, None)
+      case Array(p, c, t, mn, mx) =>
+        ManifestEntry(p, Some(FileColumnStats(c, t, mn, mx)))
+      // unknown future shape: keep the path, drop what we can't read
+      case parts => ManifestEntry(parts.head, None)
+    }
+
   /** (version, manifest path) of the latest commit, if any. */
   private def latestManifest(fs: FileSystem, sink: String): Option[(Long, Path)] = {
     val dir = new Path(sink, ManifestDir)
@@ -61,13 +116,20 @@ object AtomicIncrement {
     * publishes at version+1 and fails if that version exists.
     */
   def snapshot(spark: SparkSession, sink: String): (Long, Seq[String]) = {
+    val (v, entries) = snapshotEntries(spark, sink)
+    (v, entries.map(_.path))
+  }
+
+  /** [[snapshot]] with the per-file stats preserved. */
+  private[graft] def snapshotEntries(spark: SparkSession,
+      sink: String): (Long, Seq[ManifestEntry]) = {
     val fs = fsOf(spark, sink)
     latestManifest(fs, sink) match {
       case None => (0L, Seq.empty)
       case Some((v, mf)) =>
         val in = fs.open(mf)
         try (v, scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().filter(_.nonEmpty).toList)
+          .getLines().filter(_.nonEmpty).map(parseLine).toList)
         finally in.close()
     }
   }
@@ -103,7 +165,7 @@ object AtomicIncrement {
     val in = fs.open(mf)
     val files =
       try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toList
+        .getLines().filter(_.nonEmpty).map(parseLine(_).path).toList
       finally in.close()
     spark.read.option("mergeSchema", "true")
       .parquet(files.map(f => s"$sink/$f"): _*)
@@ -131,11 +193,16 @@ object AtomicIncrement {
       .find(_.name.equalsIgnoreCase(watermarkCol))
       .getOrElse(throw new IllegalArgumentException(
         s"watermark column '$watermarkCol' not in ${df.columns.mkString(",")}"))
-    val (version, prior) = snapshot(spark, sink)
+    val (version, priorEntries) = snapshotEntries(spark, sink)
+    val prior = priorEntries.map(_.path)
+    // watermark resolution, cheapest exact answer first: the manifest's
+    // recorded stats (zero I/O beyond the manifest itself), then the
+    // footer sweep (O(files) small reads), then the full scan
     val wmExpr =
       if (prior.isEmpty) None
-      else Incremental.footerMaxOfFiles(spark,
-          prior.map(f => new Path(s"$sink/$f")), resolved.name, resolved.dataType)
+      else manifestMaxLiteral(priorEntries, resolved.name, resolved.dataType)
+        .orElse(Incremental.footerMaxOfFiles(spark,
+          prior.map(f => new Path(s"$sink/$f")), resolved.name, resolved.dataType))
         .orElse(Option(readCommitted(spark, sink)
           .agg(max(watermarkCol)).head().get(0)).map(lit))
     val fresh = wmExpr match {
@@ -146,20 +213,42 @@ object AtomicIncrement {
     try {
       val n = fresh.count()
       if (n > 0) {
-        val staged = stageBatch(fresh, spark, fs, sink)
+        val staged = stageEntries(fresh, spark, fs, sink, Some(resolved))
         try {
           beforePublish()
-          publish(fs, sink, prior ++ staged, version + 1)
+          publish(fs, sink, (priorEntries ++ staged).map(_.render), version + 1)
         } catch { case e: Throwable =>
           // failed commit must not leak half-staged state into a GC
           // race with the winner's readers — drop the whole batch dir
-          staged.headOption.foreach(f =>
-            fs.delete(new Path(s"$sink/$f").getParent, true))
+          staged.headOption.foreach(e0 =>
+            fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
           throw e
         }
       }
       n
     } finally { fresh.unpersist(); () }
+  }
+
+  /** The committed snapshot's max of `column` from manifest stats
+    * alone — usable only when EVERY file carries matching stats (a
+    * path-only line might hold the true max, so a partial answer is
+    * no answer).
+    */
+  private def manifestMaxLiteral(entries: Seq[ManifestEntry],
+      column: String, dt: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.Column] = {
+    val expectTag = tagOf(dt).getOrElse(return None)
+    val stats = entries.map(_.stats)
+    if (stats.exists(s => !s.exists(fc =>
+        fc.column.equalsIgnoreCase(column) && fc.tag == expectTag))) None
+    else expectTag match {
+      case "double" | "float" =>
+        Incremental.statsMaxLiteral(dt, None,
+          Some(stats.flatten.map(_.max.toDouble).max))
+      case _ =>
+        Incremental.statsMaxLiteral(dt,
+          Some(stats.flatten.map(_.max.toLong).max), None)
+    }
   }
 
   /** Phase 1: write the increment under `_data/batch-<id>` and return
@@ -175,6 +264,67 @@ object AtomicIncrement {
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
       .sorted
       .map(n => s"$batch/$n")
+  }
+
+  /** [[stageBatch]] plus per-file footer stats for `statsField`, read
+    * from the just-written files (batch-local — the write that just
+    * produced them is the expensive part). Files whose footer cannot
+    * answer exactly (all-null chunks, suppressed float stats) stage as
+    * path-only lines: they disable the manifest watermark shortcut and
+    * are never pruned, both conservative.
+    */
+  private[graft] def stageEntries(fresh: DataFrame, spark: SparkSession,
+      fs: FileSystem, sink: String,
+      statsField: Option[org.apache.spark.sql.types.StructField])
+      : Seq[ManifestEntry] =
+    stageBatch(fresh, spark, fs, sink).map { rel =>
+      val stats = for {
+        f <- statsField
+        tag <- tagOf(f.dataType)
+        st <- Incremental.footerStatsOfFile(spark,
+          new Path(s"$sink/$rel"), f.name, f.dataType)
+        fc <- st match {
+          case Incremental.LongStats(mn, mx) =>
+            Some(FileColumnStats(f.name, tag, mn.toString, mx.toString))
+          case Incremental.DoubleStats(mn, mx) =>
+            Some(FileColumnStats(f.name, tag, mn.toString, mx.toString))
+          case Incremental.AllNullFile => None
+        }
+      } yield fc
+      ManifestEntry(rel, stats)
+    }
+
+  /** Data-skipping read for the incremental-consumer predicate
+    * `column > lower`: only files whose manifest-recorded max may
+    * exceed `lower` are handed to the reader — over a 100 k-file
+    * snapshot a consumer that wants the last hour's rows opens the
+    * handful of recent batch files instead of the whole table, and no
+    * footer is touched for the skipped ones. `lower` is given in the
+    * stats' primitive domain (micros for timestamps, unix days for
+    * dates, the raw value for the integral family; floating stats
+    * compare as doubles). Files without usable stats are kept —
+    * skipping is a MAY-CONTAIN superset, so
+    * `readCommittedAbove(...).filter(col > ...)` ≡
+    * `readCommitted(...).filter(col > ...)` always (spec-pinned), and
+    * row-level filtering remains the caller's job.
+    */
+  def readCommittedAbove(spark: SparkSession, sink: String,
+      column: String, lower: Long): DataFrame = {
+    val (_, entries) = snapshotEntries(spark, sink)
+    require(entries.nonEmpty, s"no committed snapshot at $sink")
+    val kept = entries.filter { e =>
+      e.stats match {
+        case Some(fc) if fc.column.equalsIgnoreCase(column) =>
+          fc.tag match {
+            case "double" | "float" => fc.max.toDouble > lower.toDouble
+            case _ => fc.max.toLong > lower
+          }
+        case _ => true // no usable stats: may contain
+      }
+    }
+    if (kept.isEmpty) readCommitted(spark, sink).limit(0)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(kept.map(e => s"$sink/${e.path}"): _*)
   }
 
   /** Phase 2: atomically publish a manifest listing `files` at
@@ -226,12 +376,20 @@ object AtomicIncrement {
 
   private[graft] def compactWithHook(spark: SparkSession, sink: String,
       numFiles: Int, beforePublish: () => Unit): (Int, Int) = {
-    val (version, prior) = snapshot(spark, sink)
-    require(prior.nonEmpty, s"nothing committed to compact at $sink")
-    val staged = replaceWithHook(
-      readCommitted(spark, sink).repartition(numFiles),
-      sink, version, beforePublish)
-    (prior.size, staged.size)
+    val (version, priorEntries) = snapshotEntries(spark, sink)
+    require(priorEntries.nonEmpty, s"nothing committed to compact at $sink")
+    val snap = readCommitted(spark, sink)
+    // preserve data skipping across compaction: when the prior
+    // manifest's stats all describe one column, recompute that
+    // column's stats for the rewritten files
+    val statsField = priorEntries.flatMap(_.stats.map(_.column))
+      .distinct match {
+        case Seq(c) => snap.schema.fields.find(_.name.equalsIgnoreCase(c))
+        case _ => None
+      }
+    val staged = replaceWithHook(snap.repartition(numFiles),
+      sink, version, beforePublish, statsField)
+    (priorEntries.size, staged.size)
   }
 
   /** Replace the committed snapshot with `df`'s contents as manifest
@@ -247,16 +405,18 @@ object AtomicIncrement {
     { replaceWithHook(df, sink, expectVersion, () => ()); () }
 
   private[graft] def replaceWithHook(df: DataFrame, sink: String,
-      expectVersion: Long, beforePublish: () => Unit): Seq[String] = {
+      expectVersion: Long, beforePublish: () => Unit,
+      statsField: Option[org.apache.spark.sql.types.StructField] = None)
+      : Seq[ManifestEntry] = {
     val spark = df.sparkSession
     val fs = fsOf(spark, sink)
-    val staged = stageBatch(df, spark, fs, sink)
+    val staged = stageEntries(df, spark, fs, sink, statsField)
     try {
       beforePublish()
-      publish(fs, sink, staged, expectVersion + 1)
+      publish(fs, sink, staged.map(_.render), expectVersion + 1)
     } catch { case e: Throwable =>
-      staged.headOption.foreach(f =>
-        fs.delete(new Path(s"$sink/$f").getParent, true))
+      staged.headOption.foreach(e0 =>
+        fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
       throw e
     }
     staged

@@ -73,13 +73,33 @@ object Incremental {
     footerMaxOfFiles(spark, files, column, dt)
   }
 
-  /** [[footerMax]] over an EXPLICIT file list — the entry point for
-    * manifest-committed sinks ([[AtomicIncrement]]), whose data files
-    * live under hidden directories a recursive listing must skip.
+  /** Exact per-file footer statistics for one column, in the stats'
+    * PRIMITIVE domain (the manifest-serializable form
+    * [[AtomicIncrement]] records for data skipping).
     */
-  private[graft] def footerMaxOfFiles(spark: SparkSession,
-      files: Seq[org.apache.hadoop.fs.Path], column: String,
-      dt: DataType): Option[org.apache.spark.sql.Column] = {
+  private[graft] sealed trait FooterStats
+  /** Every chunk of the file is provably all-null: no min/max exists,
+    * and the file contributes nothing to a fold (distinct from "stats
+    * unavailable", which must fail the whole fold).
+    */
+  private[graft] case object AllNullFile extends FooterStats
+  /** Long-backed family: Long/Int/Short/Byte, Timestamp normalized to
+    * MICROS, Date as unix days.
+    */
+  private[graft] final case class LongStats(min: Long, max: Long)
+      extends FooterStats
+  private[graft] final case class DoubleStats(min: Double, max: Double)
+      extends FooterStats
+
+  /** (min, max) of `column` in ONE parquet file, from footer metadata
+    * only. None when the footer cannot answer EXACTLY — missing stats,
+    * a NaN-suppressed float chunk (parquet-mr omits min/max there), an
+    * unsupported type — so callers fall back to scan-derived values
+    * rather than trust a partial answer.
+    */
+  private[graft] def footerStatsOfFile(spark: SparkSession,
+      file: org.apache.hadoop.fs.Path, column: String,
+      dt: DataType): Option[FooterStats] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
@@ -91,70 +111,115 @@ object Incremental {
     if (!supported) return None
     val conf = spark.sparkContext.hadoopConfiguration
     try {
-      var maxLong: Option[Long] = None // Long/Int/Timestamp/Date family
-      var maxDouble: Option[Double] = None // Double/Float family
-      files.foreach { f =>
-        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
-        try {
-          val footer = reader.getFooter
-          // timestamp unit from the column's logical type: stats are in
-          // the WRITER's unit (MILLIS under outputTimestampType=
-          // TIMESTAMP_MILLIS), and a micros assumption would build a
-          // 1000x-early watermark and silently re-append everything
-          val tsToMicros: Long => Long =
-            if (dt != TimestampType) identity
-            else {
-              import org.apache.parquet.schema.LogicalTypeAnnotation
-              import LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
-              val fld = footer.getFileMetaData.getSchema.getFields.asScala
-                .find(_.getName == column)
-                .getOrElse(throw new IllegalStateException("column absent"))
-              fld.getLogicalTypeAnnotation match {
-                case t: TimestampLogicalTypeAnnotation => t.getUnit match {
-                  case TimeUnit.MICROS => identity
-                  case TimeUnit.MILLIS => (v: Long) => math.multiplyExact(v, 1000L)
-                  case _ => throw new IllegalStateException("unsupported ts unit")
-                }
-                case _ => throw new IllegalStateException("untyped timestamp")
+      var longs: Option[(Long, Long)] = None
+      var doubles: Option[(Double, Double)] = None
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val footer = reader.getFooter
+        // timestamp unit from the column's logical type: stats are in
+        // the WRITER's unit (MILLIS under outputTimestampType=
+        // TIMESTAMP_MILLIS), and a micros assumption would build a
+        // 1000x-early watermark and silently re-append everything
+        val tsToMicros: Long => Long =
+          if (dt != TimestampType) identity
+          else {
+            import org.apache.parquet.schema.LogicalTypeAnnotation
+            import LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
+            val fld = footer.getFileMetaData.getSchema.getFields.asScala
+              .find(_.getName == column)
+              .getOrElse(throw new IllegalStateException("column absent"))
+            fld.getLogicalTypeAnnotation match {
+              case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+                case TimeUnit.MICROS => identity
+                case TimeUnit.MILLIS => (v: Long) => math.multiplyExact(v, 1000L)
+                case _ => throw new IllegalStateException("unsupported ts unit")
               }
+              case _ => throw new IllegalStateException("untyped timestamp")
             }
-          footer.getBlocks.forEach { b =>
-            b.getColumns.forEach { c =>
-              if (c.getPath.toDotString == column) {
-                val st = c.getStatistics
-                if (st == null) throw new IllegalStateException("no stats")
-                if (st.hasNonNullValue) {
-                  st.genericGetMax match {
-                    case n: java.lang.Long =>
-                      val v = if (dt == TimestampType) tsToMicros(n.longValue) else n.longValue
-                      maxLong = Some(maxLong.fold(v)(math.max(_, v)))
-                    case n: java.lang.Integer => maxLong = Some(maxLong.fold(n.longValue)(math.max(_, n.longValue)))
-                    case n: java.lang.Double => maxDouble = Some(maxDouble.fold(n.doubleValue)(math.max(_, n.doubleValue)))
-                    case n: java.lang.Float => maxDouble = Some(maxDouble.fold(n.doubleValue)(math.max(_, n.doubleValue)))
-                    case _ => throw new IllegalStateException("unsupported stats type")
-                  }
-                } else if (!(st.isNumNullsSet && st.getNumNulls == c.getValueCount)) {
-                  // hasNonNullValue=false can mean "stats not recorded"
-                  // (parquet-mr omits min/max for NaN-bearing float
-                  // chunks) — only a provably all-null chunk may be
-                  // skipped; anything else must fall back to the scan
-                  throw new IllegalStateException("stats not recorded")
+          }
+        def foldLong(mn: Long, mx: Long): Unit =
+          longs = Some(longs.fold((mn, mx)) { case (a, b) =>
+            (math.min(a, mn), math.max(b, mx)) })
+        def foldDouble(mn: Double, mx: Double): Unit =
+          doubles = Some(doubles.fold((mn, mx)) { case (a, b) =>
+            (math.min(a, mn), math.max(b, mx)) })
+        footer.getBlocks.forEach { b =>
+          b.getColumns.forEach { c =>
+            if (c.getPath.toDotString == column) {
+              val st = c.getStatistics
+              if (st == null) throw new IllegalStateException("no stats")
+              if (st.hasNonNullValue) {
+                (st.genericGetMin, st.genericGetMax) match {
+                  case (mn: java.lang.Long, mx: java.lang.Long) =>
+                    if (dt == TimestampType)
+                      foldLong(tsToMicros(mn.longValue), tsToMicros(mx.longValue))
+                    else foldLong(mn.longValue, mx.longValue)
+                  case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                    foldLong(mn.longValue, mx.longValue)
+                  case (mn: java.lang.Double, mx: java.lang.Double) =>
+                    foldDouble(mn.doubleValue, mx.doubleValue)
+                  case (mn: java.lang.Float, mx: java.lang.Float) =>
+                    foldDouble(mn.doubleValue, mx.doubleValue)
+                  case _ => throw new IllegalStateException("unsupported stats type")
                 }
+              } else if (!(st.isNumNullsSet && st.getNumNulls == c.getValueCount)) {
+                // hasNonNullValue=false can mean "stats not recorded" —
+                // only a provably all-null chunk may be skipped;
+                // anything else must fall back to the scan
+                throw new IllegalStateException("stats not recorded")
               }
             }
           }
-        } finally reader.close()
-      }
-      dt match {
-        case TimestampType => maxLong.map(v => timestamp_micros(lit(v)))
-        case DateType => maxLong.map(v => date_from_unix_date(lit(v.toInt)))
-        case LongType | IntegerType | ShortType | ByteType =>
-          maxLong.map(v => lit(v).cast(dt))
-        case _ => maxDouble.map(v => lit(v).cast(dt))
+        }
+      } finally reader.close()
+      (longs, doubles) match {
+        case (Some((mn, mx)), None) => Some(LongStats(mn, mx))
+        case (None, Some((mn, mx))) => Some(DoubleStats(mn, mx))
+        case (None, None) => Some(AllNullFile)
+        case _ => None // mixed primitive families: never for one column
       }
     } catch {
       case _: Exception => None // any surprise → exact fallback scan
     }
+  }
+
+  /** Render a primitive-domain max as a typed literal of `dt` (micros
+    * → timestamp, unix days → date, the integral family by cast).
+    */
+  private[graft] def statsMaxLiteral(dt: DataType,
+      maxLong: Option[Long], maxDouble: Option[Double])
+      : Option[org.apache.spark.sql.Column] = dt match {
+    case TimestampType => maxLong.map(v => timestamp_micros(lit(v)))
+    case DateType => maxLong.map(v => date_from_unix_date(lit(v.toInt)))
+    case LongType | IntegerType | ShortType | ByteType =>
+      maxLong.map(v => lit(v).cast(dt))
+    case _ => maxDouble.map(v => lit(v).cast(dt))
+  }
+
+  /** [[footerMax]] over an EXPLICIT file list — the entry point for
+    * manifest-committed sinks ([[AtomicIncrement]]), whose data files
+    * live under hidden directories a recursive listing must skip.
+    * Folds [[footerStatsOfFile]]: ANY file that cannot answer exactly
+    * fails the whole fold (scan fallback); all-null files contribute
+    * nothing.
+    */
+  private[graft] def footerMaxOfFiles(spark: SparkSession,
+      files: Seq[org.apache.hadoop.fs.Path], column: String,
+      dt: DataType): Option[org.apache.spark.sql.Column] = {
+    var maxLong: Option[Long] = None
+    var maxDouble: Option[Double] = None
+    val it = files.iterator
+    while (it.hasNext) {
+      footerStatsOfFile(spark, it.next(), column, dt) match {
+        case Some(LongStats(_, mx)) =>
+          maxLong = Some(maxLong.fold(mx)(math.max(_, mx)))
+        case Some(DoubleStats(_, mx)) =>
+          maxDouble = Some(maxDouble.fold(mx)(math.max(_, mx)))
+        case Some(AllNullFile) => ()
+        case None => return None // any file short of exact → scan fallback
+      }
+    }
+    statsMaxLiteral(dt, maxLong, maxDouble)
   }
 
   /** Append only rows with watermarkCol strictly above the sink's

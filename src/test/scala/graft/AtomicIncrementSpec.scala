@@ -31,6 +31,79 @@ class AtomicIncrementSpec extends SparkSpec {
     assert(keys == Seq(1L, 5L, 6L))
   }
 
+  test("manifest stats: recorded at stage, watermark answers from the manifest, pruned read ≡ full read") {
+    val sink = tmp()
+    // three disjoint watermark ranges → three batch dirs with
+    // non-overlapping [min, max] intervals
+    AtomicIncrement.appendIncrementAtomic(
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"), sink, "k")
+    AtomicIncrement.appendIncrementAtomic(
+      (11L to 20L).map(k => (k, s"v$k")).toDF("k", "v"), sink, "k")
+    AtomicIncrement.appendIncrementAtomic(
+      (21L to 30L).map(k => (k, s"v$k")).toDF("k", "v"), sink, "k")
+    val (_, entries) = AtomicIncrement.snapshotEntries(spark, sink)
+    assert(entries.nonEmpty && entries.forall(_.stats.exists(s =>
+      s.column == "k" && s.tag == "long")),
+      s"every file must carry k stats: $entries")
+    // the incremental consumer's shape: rows above a cut. Pruning is
+    // a may-contain superset, so pruned∘filter ≡ full∘filter — and
+    // here the intervals are disjoint, so files actually skip.
+    val pruned = AtomicIncrement.readCommittedAbove(spark, sink, "k", 20L)
+    val full = AtomicIncrement.readCommitted(spark, sink)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"no files skipped: ${pruned.inputFiles.length} of ${full.inputFiles.length}")
+    assert(pruned.filter(col("k") > 20).select("k").as[Long].collect().sorted.toSeq
+      == full.filter(col("k") > 20).select("k").as[Long].collect().sorted.toSeq)
+    // an impossible cut prunes everything but keeps the schema
+    assert(AtomicIncrement.readCommittedAbove(spark, sink, "k", 999L).count() == 0)
+    // replay idempotence rides the manifest-stats watermark (no
+    // footer sweep, no scan): still appends 0
+    assert(AtomicIncrement.appendIncrementAtomic(
+      (1L to 30L).map(k => (k, s"v$k")).toDF("k", "v"), sink, "k") == 0)
+  }
+
+  test("manifest stats: path-only manifests (pre-stats) read, never prune, and still append") {
+    val sink = tmp()
+    AtomicIncrement.appendIncrementAtomic(
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"), sink, "k")
+    // rewrite the latest manifest as v1 path-only lines
+    val f = fs(sink)
+    val dir = new org.apache.hadoop.fs.Path(sink, "_graft_manifest")
+    val mf = f.listStatus(dir).map(_.getPath).maxBy(_.getName)
+    val paths = AtomicIncrement.committedFiles(spark, sink)
+    f.delete(mf, false)
+    val out = f.create(mf, true)
+    try out.write(paths.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val (_, entries) = AtomicIncrement.snapshotEntries(spark, sink)
+    assert(entries.forall(_.stats.isEmpty))
+    // no stats → nothing prunes, everything still reads
+    assert(AtomicIncrement.readCommittedAbove(spark, sink, "k", 999L)
+      .inputFiles.length ==
+      AtomicIncrement.readCommitted(spark, sink).inputFiles.length)
+    // watermark falls back to the footer sweep: replay appends 0,
+    // fresh rows append and the NEW files carry stats again
+    assert(AtomicIncrement.appendIncrementAtomic(
+      (1L to 12L).map(k => (k, s"v$k")).toDF("k", "v"), sink, "k") == 2)
+    val (_, after) = AtomicIncrement.snapshotEntries(spark, sink)
+    assert(after.exists(_.stats.nonEmpty) && after.exists(_.stats.isEmpty))
+  }
+
+  test("compaction recomputes stats for the rewritten files") {
+    val sink = tmp()
+    AtomicIncrement.appendIncrementAtomic(
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"), sink, "k")
+    AtomicIncrement.appendIncrementAtomic(
+      (11L to 20L).map(k => (k, s"v$k")).toDF("k", "v"), sink, "k")
+    AtomicIncrement.compact(spark, sink, numFiles = 1)
+    val (_, entries) = AtomicIncrement.snapshotEntries(spark, sink)
+    assert(entries.forall(_.stats.exists(s =>
+      s.column == "k" && s.min.toLong == 1L && s.max.toLong == 20L)),
+      s"compacted file must carry the merged interval: $entries")
+    // the manifest watermark survives compaction: replay appends 0
+    assert(AtomicIncrement.appendIncrementAtomic(
+      (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v"), sink, "k") == 0)
+  }
+
   test("crash between stage and publish: readers see the old snapshot; re-run converges") {
     val sink = tmp()
     AtomicIncrement.appendIncrementAtomic(
