@@ -77,6 +77,47 @@ object IncrementalAgg {
     AtomicIncrement.readCommitted(spark, sink)
 
   def defs: Map[String, QueryDef] = Map(
+    // Data-skipping read under the oracle gate: lineitem lands in an
+    // atomic sink as three orderkey-range increments (disjoint
+    // per-file stats intervals by construction), then the
+    // incremental-consumer query — rows above the second cut — reads
+    // through readCommittedAbove. The manifest prunes the first two
+    // batches' files without touching them; the oracle aggregates the
+    // raw source directly, so the pruned read must be
+    // indistinguishable from a full scan + filter. `pruned` pins that
+    // skipping ENGAGED (strictly fewer files listed than committed) —
+    // a regression to read-everything flips it and hash-mismatches.
+    "q_read_pruned" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        val sink = java.nio.file.Files
+          .createTempDirectory("graft_skipread").toString
+        val mx = li.agg(max("l_orderkey")).head().getLong(0)
+        var lo = Long.MinValue
+        for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {
+          AtomicIncrement.appendIncrementAtomic(
+            li.filter(col("l_orderkey") > lo && col("l_orderkey") <= hi),
+            sink, "l_orderkey")
+          lo = hi
+        }
+        val cut = 2 * mx / 3
+        val pruned = AtomicIncrement.readCommittedAbove(s, sink,
+          "l_orderkey", cut)
+        val engaged = pruned.inputFiles.length <
+          AtomicIncrement.committedFiles(s, sink).size
+        pruned.filter(col("l_orderkey") > cut)
+          .agg(count(lit(1)).as("n"),
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_price"))
+          .withColumn("pruned", lit(engaged))
+      },
+      """SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price, TRUE AS pruned
+        |FROM lineitem
+        |WHERE l_orderkey > 2 * (SELECT max(l_orderkey) FROM lineitem) // 3
+        |""".stripMargin),
+
     // The fold under the oracle gate: lineitem arrives as three
     // orderkey-range increments, each merged into the state table;
     // the oracle aggregates the FULL history in one pass — so the

@@ -20,11 +20,13 @@ import org.apache.spark.sql.functions._
   * equals a set member — the WinnowGate under-floor contract: the
   * gate only asserts about rows it can actually key).
   *
-  * At 100 TB the frozen set is corpus-sized; the scale posture is
-  * BenchmarkGate's: put a bloom over the canonical keys on the scan
-  * side (`BloomJoin.bloomAntiJoinWith`) so only bloom-positive rows
-  * reach the exact anti-join. Composes with every other gate via
-  * `DocGate.all` — URL first, so later gates see only novel pages.
+  * At 100 TB the frozen set is corpus-sized, so membership is the
+  * BenchmarkGate shape, not a plain anti-join: a broadcast bloom over
+  * the canonical keys probes on the scan side (codegen), and only the
+  * rare bloom-positive rows reach the exact anti-join that restores
+  * exact semantics — a novel page never shuffles at all. Composes
+  * with every other gate via `DocGate.all` — URL first, so later
+  * gates see only novel pages.
   */
 final class UrlGate(corpusUrls: DataFrame, urlCol: String = "url")
     extends DocGate {
@@ -39,12 +41,22 @@ final class UrlGate(corpusUrls: DataFrame, urlCol: String = "url")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     s.count(); s
   }
+  private val bloom =
+    graft.operators.BloomJoin.buildBloom(seen, "__canon")
 
   override def scrubDocs(docs: DataFrame, textCol: String,
-      idCol: String): DataFrame =
-    docs.withColumn("__canon", WebCorpus.canonicalizeUrl(col(urlCol)))
-      .join(seen, Seq("__canon"), "left_anti")
+      idCol: String): DataFrame = {
+    // null canonical keys (no url) must ROUTE AROUND the probe:
+    // might_contain(null) is null, so both bloom branches would
+    // silently drop exactly the rows the contract says pass
+    val keyed = docs.withColumn("__canon",
+      WebCorpus.canonicalizeUrl(col(urlCol)))
+    graft.operators.BloomJoin.bloomAntiJoinWith(
+        keyed.filter(col("__canon").isNotNull),
+        "__canon", seen, "__canon", bloom)
+      .unionByName(keyed.filter(col("__canon").isNull))
       .drop("__canon")
+  }
 }
 
 object UrlGate {
