@@ -241,13 +241,17 @@ object AtomicIncrement {
     val stats = entries.map(_.stats)
     if (stats.exists(s => !s.exists(fc =>
         fc.column.equalsIgnoreCase(column) && fc.tag == expectTag))) None
-    else expectTag match {
+    else try expectTag match {
       case "double" | "float" =>
         Incremental.statsMaxLiteral(dt, None,
           Some(stats.flatten.map(_.max.toDouble).max))
       case _ =>
         Incremental.statsMaxLiteral(dt,
           Some(stats.flatten.map(_.max.toLong).max), None)
+    } catch {
+      // a hand-edited or damaged stats field must degrade to the
+      // footer sweep, not fail the append
+      case _: NumberFormatException => None
     }
   }
 

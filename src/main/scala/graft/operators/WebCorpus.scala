@@ -32,10 +32,11 @@ import org.apache.spark.sql.types._
 object WebCorpus {
 
   /** Query parameters that track campaigns, not content: drop them
-    * before comparing URLs. The `^(utm_[^=]*|fbclid|gclid)=` form
-    * anchors on the parameter NAME so `id=utm_x` survives.
+    * before comparing URLs. Anchored on the parameter NAME (so
+    * `id=utm_x` survives) and matching bare keys too (`?utm_campaign`
+    * with no `=` is still tracking).
     */
-  val TrackingParamRe = "^(utm_[^=]*|fbclid|gclid)="
+  val TrackingParamRe = "^(utm_[^=&]*|fbclid|gclid)(=|$)"
 
   /** Canonicalize an absolute URL for identity comparison:
     *   1. strip the fragment (`#…` — client-side only);
@@ -53,11 +54,14 @@ object WebCorpus {
   def canonicalizeUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val host = regexp_replace(
-      regexp_replace(
-        lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
-        ":(443|80)$", ""),
-      "^www\\.", "")
+    val hostPort =
+      lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    // a default port is default only for ITS scheme: http://x:443 is
+    // a different origin from http://x and must survive
+    val noPort = when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .otherwise(hostPort)
+    val host = regexp_replace(noPort, "^www\\.", "")
     val path = regexp_replace(
       regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
       "/+$", "")
@@ -123,11 +127,17 @@ object WebCorpus {
     */
   val ScriptBlockRe = "(?s)<(script|style)[^>]*>.*?</(script|style)>"
 
-  /** Any remaining tag. Plain-text `<` without a closing `>` on the
-    * same tag is left alone (RE2 has no backtracking pathology here —
-    * the class excludes `>` so the scan is linear).
+  /** HTML comments drop whole (their content is markup, not prose);
+    * lazy so one comment never swallows to the next one's close.
     */
-  val TagRe = "<[^>]+>"
+  val CommentRe = "(?s)<!--.*?-->"
+
+  /** Any remaining tag — the HTML tag GRAMMAR, not "anything in
+    * angle brackets": a tag starts `<letter`, `</letter` or `<!`
+    * (doctype), so plain-text math like `a < b and c > d` survives
+    * intact. Linear scan (the class excludes `>`).
+    */
+  val TagRe = "</?[A-Za-z][^>]*>|<![^>]*>"
 
   /** Markup-to-text extraction — the boilerplate-independent half of
     * what an HTML text extractor does, as pure column regex math:
@@ -146,7 +156,8 @@ object WebCorpus {
     * fidelity beats throughput.
     */
   def stripMarkup(c: Column): Column = {
-    val noBlocks = regexp_replace(c, ScriptBlockRe, " ")
+    val noBlocks = regexp_replace(
+      regexp_replace(c, ScriptBlockRe, " "), CommentRe, " ")
     val noTags = regexp_replace(noBlocks, TagRe, " ")
     val unescaped = regexp_replace(
       regexp_replace(
@@ -213,18 +224,21 @@ object WebCorpus {
       |    END AS url
       |  FROM syn),
       |parts AS (
-      |  SELECT doc_id, n_chars, url,
-      |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-      |    regexp_replace(regexp_replace(
-      |      lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
-      |      ':(443|80)$', ''), '^www\.', '') AS host,
+      |  SELECT doc_id, n_chars, url, scheme,
+      |    regexp_replace(
+      |      CASE WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '')
+      |           WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '')
+      |           ELSE hp END, '^www\.', '') AS host,
       |    regexp_replace(
       |      regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
       |      '/+$', '') AS path,
       |    array_to_string(list_sort(list_filter(string_split(
       |      regexp_extract(nf, '\?(.*)$', 1), '&'),
-      |      p -> len(p) > 0 AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)='))), '&') AS qs
-      |  FROM (SELECT *, regexp_replace(url, '#.*$', '') AS nf FROM raw)),
+      |      p -> len(p) > 0 AND NOT regexp_matches(p, '^(utm_[^=&]*|fbclid|gclid)(=|$)'))), '&') AS qs
+      |  FROM (SELECT *,
+      |      lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |      lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hp
+      |    FROM (SELECT *, regexp_replace(url, '#.*$', '') AS nf FROM raw))),
       |canon AS (
       |  SELECT doc_id, n_chars, url,
       |    scheme || '://' || host || path ||
@@ -303,10 +317,13 @@ object WebCorpus {
         |  FROM raw),
         |clean AS (
         |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(s, '<[^>]+>')) AS BIGINT) AS n_tags,
+        |    CAST(len(regexp_extract_all(s, '</?[A-Za-z][^>]*>|<![^>]*>'))
+        |      AS BIGINT) AS n_tags,
         |    trim(regexp_replace(
         |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |        regexp_replace(regexp_replace(s, '<[^>]+>', ' ', 'g'),
+        |        regexp_replace(regexp_replace(
+        |          regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g'),
+        |          '</?[A-Za-z][^>]*>|<![^>]*>', ' ', 'g'),
         |        '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
         |        '&#39;', CHR(39), 'g'), '&amp;', '&', 'g'),
         |      '\s+', ' ', 'g')) AS c

@@ -30,9 +30,16 @@ class WebCorpusSpec extends SparkSpec {
     assert(canon("http://ex.org/p") != canon("https://ex.org/p"))
     // http default port :80 also strips; bare query '?' drops
     assert(canon("http://WWW.Ex.Org:80/p?") == Seq("http://ex.org/p"))
-    // all-tracking query drops the '?' entirely; fragment-only too
+    // a default port is default only for ITS scheme: http://x:443 is
+    // a real non-default origin and must survive (and vice versa)
+    assert(canon("http://ex.org:443/p") == Seq("http://ex.org:443/p"))
+    assert(canon("https://ex.org:80/p") == Seq("https://ex.org:80/p"))
+    // all-tracking query drops the '?' entirely; fragment-only too;
+    // a BARE tracking key (no '=') is still tracking
     assert(canon("https://ex.org/p?utm_source=a&gclid=z#top") ==
       Seq("https://ex.org/p"))
+    assert(canon("https://ex.org/p?utm_campaign&id=1") ==
+      Seq("https://ex.org/p?id=1"))
   }
 
   test("urlDedup: group size and keep-best rank with tie to min id") {
@@ -83,6 +90,11 @@ class WebCorpusSpec extends SparkSpec {
     assert(strip("a &quot;q&quot; &#39;s&#39;") == "a \"q\" 's'")
     // whitespace runs collapse; tag boundaries never fuse words
     assert(strip("<div>a</div><div>b</div>") == "a b")
+    // the tag GRAMMAR, not "anything in angle brackets": plain-text
+    // comparisons survive; comments and doctype drop whole
+    assert(strip("if a < b and c > d then") == "if a < b and c > d then")
+    assert(strip("x<!-- hidden <b>markup</b> -->y") == "x y")
+    assert(strip("<!DOCTYPE html><p>t</p>") == "t")
   }
 
   test("q_url_dedup: exactly one kept row per canonical url; kept is argmax") {
