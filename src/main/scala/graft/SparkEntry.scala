@@ -55,6 +55,7 @@ object SparkEntry {
     "q_corpus_expectations", "q_dedup_tfidf", "q_image_phash",
     "q_audio_features", "q_c4_lines", "q_line_dedup",
     "q_url_dedup", "q_domain_stats", "q_html_extract", "q_read_pruned",
+    "q_centroid_drift",
     "q_recall_at_k", "q_bitext_margin", "q_pagerank",
     "q_bm25", "q_rrf_fuse",
     "q_dsir_weights", "q_ppl_buckets", "q_mixture_alpha",

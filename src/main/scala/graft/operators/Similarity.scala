@@ -910,6 +910,36 @@ object Similarity {
   private def ddot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Embedding-space drift between two snapshots — q_psi_drift's
+    * counterpart for the vector table: per label, the cosine between
+    * the label's centroid in the old slice and in the new one (1.0 =
+    * the class prototype did not move), plus both population counts.
+    * The audit a router/classifier owner reads before trusting last
+    * snapshot's model against this snapshot's space. Two labels×dim
+    * map-side aggregates and a label-count-sized join — output is
+    * |labels| rows at any corpus size.
+    */
+  def centroidDrift(emb: DataFrame, isNew: Column): DataFrame = {
+    val flat = spreadScan(emb)
+      .select(col("label"), isNew.as("__new"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("p", "x")))
+      .groupBy(col("label"), col("__new"), (col("p") + 1).as("pos"))
+      .agg(avg("x").as("c"), count(lit(1)).as("__n"))
+    val byv = flat.groupBy(col("label"), col("__new"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("c_v"),
+        max("__n").as("n"))
+    val a = byv.filter(!col("__new"))
+      .select(col("label"), col("c_v").as("v_a"), col("n").as("n_old"))
+    val b = byv.filter(col("__new"))
+      .select(col("label"), col("c_v").as("v_b"), col("n").as("n_new"))
+    a.join(b, Seq("label"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        round(ddot(col("v_a"), col("v_b")) /
+          (sqrt(ddot(col("v_a"), col("v_a"))) *
+            sqrt(ddot(col("v_b"), col("v_b")))), 6).as("drift_cos"))
+  }
+
   /** Nearest-centroid (Rocchio) classification: every vector scored
     * against the broadcast label centroids — corpus side is map-only,
     * the only shuffle is the labels×dim centroid aggregate, so the
@@ -1154,6 +1184,31 @@ object Similarity {
         |        generate_subscripts(embedding, 1) AS pos
         |      FROM embeddings)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin),
+
+    // Centroid drift between the vec_id-parity snapshot halves (the
+    // doc_id % k slice pattern): per label, the old/new prototype
+    // cosine plus both populations. On harness data every label's
+    // halves are same-distribution draws, so drift_cos sits near 1 —
+    // and the oracle replays the centroids, counts, and every cosine,
+    // so a slice leak or a flipped join mismatches regardless.
+    "q_centroid_drift" -> QueryDef(
+      (s, dir) => centroidDrift(table(s, dir, "embeddings"),
+        pmod(col("vec_id"), lit(2)) === 1)
+        .orderBy("label"),
+      """WITH e AS (SELECT vec_id, label, vec_id % 2 = 1 AS nw,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |flat AS (SELECT label, nw, unnest(v) AS x,
+        |    generate_subscripts(v, 1) AS pos FROM e),
+        |cent AS (SELECT label, nw, pos, avg(x) AS c, count(*) AS n
+        |  FROM flat GROUP BY 1, 2, 3),
+        |cv AS (SELECT label, nw, list(c ORDER BY pos) AS c_v, max(n) AS n
+        |  FROM cent GROUP BY 1, 2)
+        |SELECT a.label, a.n AS n_old, b.n AS n_new,
+        |  round(list_dot_product(a.c_v, b.c_v) /
+        |    (sqrt(list_dot_product(a.c_v, a.c_v)) *
+        |     sqrt(list_dot_product(b.c_v, b.c_v))), 6) AS drift_cos
+        |FROM cv a JOIN cv b ON a.label = b.label AND NOT a.nw AND b.nw
+        |ORDER BY a.label""".stripMargin),
 
     // Nearest-centroid classification of the whole corpus — the
     // oracle rebuilds the centroids, the cosine scores, and the

@@ -535,6 +535,37 @@ class SimilaritySpec extends SparkSpec {
     assert(first == fresh, "artifact must be indistinguishable from a fresh fit")
   }
 
+  test("centroidDrift: counts reconcile on harness data; clustered fixture separates stable from shifted") {
+    val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val rows = SparkEntry.queries("q_centroid_drift")(spark, sfDir).collect()
+    val total = rows.map(r =>
+      r.getAs[Long]("n_old") + r.getAs[Long]("n_new")).sum
+    assert(total == emb.count())
+    // harness labels are NOT clustered: both halves' prototypes are
+    // noise means, so |drift| stays far from ±1 — the audit reads
+    // "no stable prototype", which is itself the finding
+    assert(rows.forall(r => math.abs(r.getAs[Double]("drift_cos")) < 0.9))
+    // clustered fixture: label prototypes are real, so
+    // same-distribution halves sit near 1...
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(3)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val fix = (0 until 120).map { i =>
+      (i.toLong, i % 3,
+        centers(i % 3).map(v => v + 0.05f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val stable = centroidDrift(fix, pmod(col("vec_id"), lit(2)) === 1)
+      .collect()
+    assert(stable.length == 3 &&
+      stable.forall(_.getAs[Double]("drift_cos") > 0.99))
+    // ...and a genuinely shifted new half (negated vectors) flips the
+    // prototype: cosine −1
+    val shifted = fix.withColumn("embedding",
+      when(pmod(col("vec_id"), lit(2)) === 1,
+        transform(col("embedding"), x => -x)).otherwise(col("embedding")))
+    assert(centroidDrift(shifted, pmod(col("vec_id"), lit(2)) === 1)
+      .collect().forall(_.getAs[Double]("drift_cos") < -0.99))
+  }
+
   test("q_semdedup survivors match an independent driver replay") {
     // straight-line reference: collect the harness embeddings, assign
     // each to its argmax-dot centroid (tie -> smaller cid, the same
