@@ -71,6 +71,25 @@ class WebCorpusSpec extends SparkSpec {
     assert(stats.forall(_.getAs[Double]("dup_factor") > 1.0))
   }
 
+  test("canonicalizeUrl is idempotent over the messy-component grid") {
+    // canonical output must be a fixed point: re-canonicalizing a
+    // stored canonical URL (the common pipeline mistake) changes
+    // nothing. Grid covers every rule and their combinations.
+    val urls = for {
+      scheme <- Seq("https", "HTTPS", "http")
+      host <- Seq("Ex.Org", "www.ex.org", "ex.org:443", "ex.org:8443")
+      path <- Seq("/a", "/a/", "", "/a//")
+      q <- Seq("", "?b=2&a=1", "?utm_source=x&id=1", "?utm_campaign", "?")
+      frag <- Seq("", "#f")
+    } yield s"$scheme://$host$path$q$frag"
+    val once = urls.toDF("u")
+      .select(WebCorpus.canonicalizeUrl(col("u")).as("c")).as[String].collect()
+    val twice = once.toSeq.toDF("u")
+      .select(WebCorpus.canonicalizeUrl(col("u")).as("c")).as[String].collect()
+    assert(once.toSeq == twice.toSeq,
+      once.zip(twice).filter(p => p._1 != p._2).take(3).mkString("\n"))
+  }
+
   private def strip(s: String): String =
     Seq(s).toDF("h").select(WebCorpus.stripMarkup(col("h")).as("c"))
       .as[String].collect().head
