@@ -326,8 +326,18 @@ object AtomicIncrement {
         case _ => true // no usable stats: may contain
       }
     }
-    if (kept.isEmpty) readCommitted(spark, sink).limit(0)
-    else spark.read.option("mergeSchema", "true")
+    // The schema comes from the FULL committed file list, not the
+    // kept subset: the sink evolves schemas across batches, and if
+    // every file carrying an evolved column is pruned, a
+    // subset-merged schema would lack that column — breaking the
+    // pinned equivalence with readCommitted(...).filter via an
+    // AnalysisException instead of yielding the identical (possibly
+    // empty) projection. One extra footer pass over the snapshot's
+    // files resolves it; the pruned read itself still opens only
+    // `kept`.
+    val full = readCommitted(spark, sink)
+    if (kept.isEmpty) full.limit(0)
+    else spark.read.schema(full.schema)
       .parquet(kept.map(e => s"$sink/${e.path}"): _*)
   }
 

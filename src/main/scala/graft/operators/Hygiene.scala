@@ -247,10 +247,18 @@ object Hygiene {
       requireTerminal: Boolean = false): DataFrame = {
     val keep: Column => Column = l => {
       val enough = size(split(trim(l), "\\s+")) >= minWords
+      // Blacklist words are matched literally: each is regex-quoted
+      // before joining the alternation, so entries carrying
+      // metacharacters ("c++", "a.b") neither corrupt the pattern nor
+      // throw at compile. An oracle replaying this rule in SQL must
+      // escape the same way (the registry's lists are metachar-free
+      // literals, so its DuckDB patterns stay plain).
       val black =
         if (blacklist.isEmpty) lit(false)
         else lower(l).rlike(
-          s"(^|\\s)(${blacklist.map(_.toLowerCase).mkString("|")})(\\s|$$)")
+          s"(^|\\s)(${blacklist
+            .map(w => java.util.regex.Pattern.quote(w.toLowerCase))
+            .mkString("|")})(\\s|$$)")
       val terminal =
         if (requireTerminal) l.rlike("[.!?][\"')\\]]?\\s*$") else lit(true)
       enough && !black && terminal

@@ -76,6 +76,30 @@ object IncrementalAgg {
       sink: String): DataFrame =
     AtomicIncrement.readCommitted(spark, sink)
 
+  /** Run a query whose plumbing needs a scratch atomic sink, then
+    * reclaim the sink DETERMINISTICALLY: the output (small by
+    * construction — these queries end in an aggregate of at most a
+    * few rows) is materialized, the scratch directory deleted, and
+    * the rows re-wrapped as a local frame. Without this every
+    * bench/scale invocation stranded a fresh multi-copy temp sink on
+    * disk — unbounded accumulation across repeated runs.
+    */
+  private def withScratchSink(spark: org.apache.spark.sql.SparkSession,
+      prefix: String)(body: String => DataFrame): DataFrame = {
+    val sink = java.nio.file.Files.createTempDirectory(prefix).toString
+    try {
+      val out = body(sink)
+      val rows = out.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(sink)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      ()
+    }
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // Data-skipping read under the oracle gate: lineitem lands in an
     // atomic sink as three orderkey-range increments (disjoint
@@ -88,11 +112,9 @@ object IncrementalAgg {
     // skipping ENGAGED (strictly fewer files listed than committed) —
     // a regression to read-everything flips it and hash-mismatches.
     "q_read_pruned" -> QueryDef(
-      (s, dir) => {
+      (s, dir) => withScratchSink(s, "graft_skipread") { sink =>
         val li = table(s, dir, "lineitem").select(
           col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-        val sink = java.nio.file.Files
-          .createTempDirectory("graft_skipread").toString
         val mx = li.agg(max("l_orderkey")).head().getLong(0)
         var lo = Long.MinValue
         for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {
@@ -124,12 +146,10 @@ object IncrementalAgg {
     // merge algebra (counts add, sums add, avg derived from state)
     // must reproduce the rescan exactly.
     "q_incr_agg" -> QueryDef(
-      (s, dir) => {
+      (s, dir) => withScratchSink(s, "graft_incragg") { sink =>
         val li = table(s, dir, "lineitem").select(
           col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
           col("l_quantity"), col("l_extendedprice"))
-        val sink = java.nio.file.Files
-          .createTempDirectory("graft_incragg").toString
         val mx = li.agg(max("l_orderkey")).head().getLong(0)
         var lo = Long.MinValue
         for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {

@@ -47,8 +47,16 @@ object Resilient {
     * checksums at scan time); the probe is the cheap gate that
     * catches truncation, zero-byte writes, and non-parquet garbage.
     */
-  def corruptFiles(spark: SparkSession, dir: String): Seq[String] = {
-    val files = dataFiles(spark, dir)
+  def corruptFiles(spark: SparkSession, dir: String): Seq[String] =
+    corruptFiles(spark, dataFiles(spark, dir))
+
+  /** Probe exactly `files` — the overload `scanResilient` uses so the
+    * directory is listed ONCE per scan: on a ~100 k-file snapshot a
+    * second recursive listing doubles namenode/object-store round
+    * trips, and a file deleted between two listings would survive in
+    * the read set and fail the subsequent read on a missing path.
+    */
+  def corruptFiles(spark: SparkSession, files: Seq[String]): Seq[String] = {
     if (files.isEmpty) return Seq.empty
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -79,7 +87,7 @@ object Resilient {
   def scanResilient(spark: SparkSession, dir: String)
       : (DataFrame, Seq[String]) = {
     val all = dataFiles(spark, dir)
-    val bad = corruptFiles(spark, dir).toSet
+    val bad = corruptFiles(spark, all).toSet
     val good = all.filterNot(bad)
     require(good.nonEmpty,
       s"no readable parquet under $dir (${bad.size} quarantined)")

@@ -39,10 +39,18 @@ object AggStream {
       sink: String, keys: Seq[String], sumCols: Seq[String]): Long = {
     val spark = batch.sparkSession
     val (version, prior) = AtomicIncrement.snapshot(spark, sink)
-    val lastBatch =
-      if (prior.isEmpty) -1L
-      else AtomicIncrement.readCommitted(spark, sink)
-        .agg(max("__lastBatch")).head().getLong(0)
+    // ONE committed read serves both the replay gate and the merge:
+    // a second readCommitted for the union could straddle an external
+    // writer's publish and merge against a state the `__lastBatch`
+    // gate never saw (the OCC token protects the WRITE, not the
+    // consistency of two reads) — and it doubles per-batch state I/O.
+    val state =
+      if (prior.isEmpty) None
+      else Some(AtomicIncrement.readCommitted(spark, sink))
+    val lastBatch = state match {
+      case Some(st) => st.agg(max("__lastBatch")).head().getLong(0)
+      case None => -1L
+    }
     if (batchId <= lastBatch) return 0L // redelivery after a crash
     val partial = batch.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("__n"),
@@ -52,14 +60,14 @@ object AggStream {
     try {
       val n = partial.agg(coalesce(sum("__n"), lit(0L))).head().getLong(0)
       if (n > 0) {
-        val merged =
-          if (prior.isEmpty) partial
-          else AtomicIncrement.readCommitted(spark, sink)
-            .unionByName(partial)
+        val merged = state match {
+          case None => partial
+          case Some(st) => st.unionByName(partial)
             .groupBy(keys.map(col): _*).agg(
               sum("__n").as("__n"),
               sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")) :+
                 max("__lastBatch").as("__lastBatch"): _*)
+        }
         AtomicIncrement.replaceSnapshot(merged, sink, version)
       }
       n

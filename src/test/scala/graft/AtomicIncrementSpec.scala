@@ -165,6 +165,26 @@ class AtomicIncrementSpec extends SparkSpec {
     assert(old.isNullAt(old.fieldIndex("score")))
   }
 
+  test("pruned read keeps the evolved schema even when every evolved-column file is skipped") {
+    val sink = tmp()
+    // batch 1 carries the evolved column at LOW keys; batch 2 is
+    // pre-evolution at HIGH keys. A cut above batch 1's max prunes
+    // the only file carrying `score` — the pruned frame must still
+    // expose it (null-filled), so pruned∘filter ≡ full∘filter holds
+    // instead of dying with an unresolved-column AnalysisException.
+    AtomicIncrement.appendIncrementAtomic(
+      Seq((1L, "a", 9.5)).toDF("k", "v", "score"), sink, "k")
+    AtomicIncrement.appendIncrementAtomic(
+      Seq((10L, "b")).toDF("k", "v"), sink, "k")
+    val pruned = AtomicIncrement.readCommittedAbove(spark, sink, "k", 5L)
+    val full = AtomicIncrement.readCommitted(spark, sink)
+    assert(pruned.columns.toSet == full.columns.toSet)
+    assert(pruned.inputFiles.length < full.inputFiles.length)
+    assert(pruned.filter(col("score").isNotNull).count() == 0)
+    assert(pruned.filter(col("k") > 5).count() ==
+      full.filter(col("k") > 5).count())
+  }
+
   test("compaction preserves rows, shrinks the file list, keeps old snapshots readable") {
     val sink = tmp()
     for (i <- 1 to 3)

@@ -138,6 +138,20 @@ class HygieneSpec extends SparkSpec {
     assert(kept(0).getInt(2) == 1, "hyphenated compound must survive")
     // empty doc: zero lines, kept_frac guarded to 0
     assert(out(1).getInt(1) == 0 && out(1).getDouble(3) == 0.0)
+    // metacharacter blacklist entries are literals, not regex: "c++"
+    // matches the word c++ (not "c" via a crippled pattern) and
+    // "a.b" does not swallow "a5b"
+    val meta = Seq(
+      (1L, Seq("we write c++ at work every single day")),
+      (2L, Seq("token a5b appears here with words around it")),
+      (3L, Seq("literal a.b appears here with words around it")))
+      .toDF("doc_id", "lines")
+    val mOut = Hygiene.cleanLines(meta, "doc_id", col("lines"),
+      minWords = 3, blacklist = Seq("c++", "a.b"))
+      .orderBy("doc_id").collect()
+    assert(mOut(0).getInt(2) == 0, "c++ line must be blacklisted")
+    assert(mOut(1).getInt(2) == 1, "a5b must NOT match literal a.b")
+    assert(mOut(2).getInt(2) == 0, "a.b line must be blacklisted")
   }
 
   test("dedupLinesAcross drops lines shared by >maxDocs docs from " +
