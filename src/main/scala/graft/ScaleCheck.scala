@@ -369,6 +369,77 @@ object PageRankTune {
   }
 }
 
+/** Broadcast-vs-fallback timing for pageRankPrepared's node-count
+  * gate (VERDICT r10 #2): the past-ceiling sort-merge path
+  * (`Graph.scala` pageRankPrepared) was plan-locked but never timed —
+  * the declared 100 TB graph path had zero measured runs. This forces
+  * the gate BOTH ways on the same graph (ceiling=Long.MaxValue →
+  * broadcast ranks; ceiling=0 → pre-partitioned sort-merge) at 1× and
+  * `factor`× disjoint node-tagged replicas, best-of-`reps` with legs
+  * interleaved so host drift prices every cell equally. SCALING.md
+  * records the rows. The gate's default ceiling stays at 4 M nodes —
+  * the fallback exists for MEMORY (a broadcast of 4 M (node, pr)
+  * rows is a few hundred MB on every executor; past it the driver
+  * dies, latency is moot); these rows price the latency the fallback
+  * costs when it engages.
+  */
+object PageRankFallbackCheck {
+
+  private def replicateGraph(adj: DataFrame, nodes: DataFrame,
+      factor: Int): (DataFrame, DataFrame) = {
+    // disjoint replicas: tag both endpoints per replica — subgraph
+    // structure (degrees, ranks within a replica) is preserved, node
+    // count multiplies, no cross-replica edges appear
+    def tag(df: DataFrame, cols: Seq[String]): DataFrame =
+      (0 until factor).map { r =>
+        cols.foldLeft(df)((d, c) =>
+          d.withColumn(c, concat(lit(s"r$r#"), col(c))))
+      }.reduce(_.unionByName(_))
+    (tag(adj, Seq("src", "dst")), tag(nodes, Seq("node")))
+  }
+
+  private def run(spark: SparkSession, adj: DataFrame, nodes: DataFrame,
+      ceiling: Long): Double = {
+    val t0 = System.nanoTime()
+    operators.Graph.pageRankPrepared(adj, nodes, iters = 10,
+      checkpointEvery = 1, maxBroadcastNodes = ceiling)
+      .write.mode(SaveMode.Overwrite).format("noop").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    InternalCaches.drain()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    sec
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(8)
+    val reps = args.drop(2).headOption.map(_.toInt).getOrElse(3)
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val (adj1, nodes1) = operators.Graph.memoTradeGraph(spark, dir)
+    val (adjN, nodesN) = replicateGraph(adj1, nodes1, factor)
+    val n1 = nodes1.count(); val nN = n1 * factor
+    // JIT warm both code paths, untimed
+    run(spark, adj1, nodes1, Long.MaxValue)
+    run(spark, adj1, nodes1, 0L)
+    val cells = scala.collection.mutable.Map[(String, String),
+      List[Double]]().withDefaultValue(Nil)
+    (1 to reps).foreach { _ =>
+      cells(("1x", "broadcast")) ::= run(spark, adj1, nodes1, Long.MaxValue)
+      cells(("1x", "fallback")) ::= run(spark, adj1, nodes1, 0L)
+      cells((s"${factor}x", "broadcast")) ::= run(spark, adjN, nodesN, Long.MaxValue)
+      cells((s"${factor}x", "fallback")) ::= run(spark, adjN, nodesN, 0L)
+    }
+    for (scale <- Seq("1x", s"${factor}x"); leg <- Seq("broadcast", "fallback")) {
+      val xs = cells((scale, leg))
+      val nodes = if (scale == "1x") n1 else nN
+      println(f"[prfallback] $scale%-4s ($nodes%9d nodes) $leg%-9s " +
+        f"best=${xs.min}%6.2fs all=${xs.sorted.map(x => f"$x%.2f").mkString(",")}")
+    }
+  }
+}
+
 /** Skew stress for the hot-key join path (VERDICT r8 #1): the scaled
   * replicas ScaleCheck builds are deliberately disjoint/uniform, so
   * the skew machinery never engages there — `q_join_salted` equals the

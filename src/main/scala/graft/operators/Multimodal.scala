@@ -444,6 +444,104 @@ object Multimodal {
       }
   }
 
+  /** LEARNED projection encoder (VERDICT r10 #4 — past the byte
+    * histogram): raw decoded-pixel features (a 16×12 RAW8 grid from
+    * [[resizeRaw8]]) are MEAN-CENTERED against statistics FIT on the
+    * corpus, then projected to `outDim` by a seeded random matrix —
+    * the random-projection encoder (Johnson–Lindenstrauss: seeded
+    * Gaussian-ish rows preserve pairwise geometry in expectation),
+    * with the fit half (per-dimension pixel sums + corpus count)
+    * published ONCE as a DerivedCache artifact exactly like the
+    * k-means quantizer and the bigram LM: build-once, every consumer
+    * reads the frozen table, a changed corpus misses the key.
+    *
+    * All arithmetic is INTEGER-EXACT so the embed → ANN handoff can
+    * sit under a DuckDB oracle: centering avoids the mean's division
+    * by scaling through the corpus count (e_k = Σ_i (x_i·N − S_i)·R_ik
+    * — the same quantize-before-dividing discipline as PageRank), and
+    * the components stay ≤ ~6.3 M, exact in Float AND in double dot
+    * products, so cosine ranks identically in both engines down to
+    * the last bit.
+    */
+  final case class ProjStats(dim: Int, pix_sum: Long, n_docs: Long)
+
+  /** Seeded projection weight for (inputDim i, outputDim k): an
+    * integer in [-8, 8] from a splitmix-style bit mix — code-derived
+    * (the DATA-derived half of the model is the ProjStats artifact).
+    */
+  private[operators] def projWeight(i: Int, k: Int): Long = {
+    var z = i.toLong * 0x9e3779b97f4a7c15L + k.toLong * 0xbf58476d1ce4e5b9L + 0x94d049bb133111ebL
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)) % 9 // in (-9, 9) → effectively [-8, 8]
+  }
+
+  /** Fit-and-publish: per-dimension pixel sums over the decoded
+    * fixture corpus land as the projection's statistics artifact.
+    * Returns the artifact dir. The fit is one map-side-combinable
+    * aggregation over (dim, value) pairs — linear in corpus size, no
+    * driver materialization beyond the inDim-row result.
+    */
+  def ensureFrameProjection(s: org.apache.spark.sql.SparkSession,
+      dir: String, gridW: Int = 16, gridH: Int = 12): String = {
+    val cache = graft.sources.DerivedCache.dirFor(
+      s, s"$dir/documents.parquet", "frame-embed-proj", s"$gridW:$gridH")
+    if (!graft.sources.DerivedCache.isComplete(s, cache)) {
+      import s.implicits._
+      val frames = decodeImageBatch(fixturePngs(s, dir), "doc_id", "payload")
+      val raw = resizeRaw8(frames.toDF().filter(col("width") > 0),
+        "doc_id", "payload", "width", "height", gridW, gridH)
+      val n = raw.count()
+      raw.flatMap(r => r.payload.iterator.zipWithIndex.map {
+          case (b, i) => (i, (b & 0xff).toLong) })
+        .toDF("dim", "v")
+        .groupBy("dim").agg(sum("v").as("pix_sum"))
+        .select(col("dim").cast(IntegerType), col("pix_sum"),
+          lit(n).as("n_docs"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(cache)
+    }
+    cache
+  }
+
+  /** Apply the published projection: decoded frames → `outDim`
+    * integer-exact float embeddings ready for every ANN operator.
+    * The artifact is inDim rows — broadcast-sized by construction —
+    * and the per-row work is one dense inDim×outDim integer multiply.
+    */
+  def embedFramesLearned(s: org.apache.spark.sql.SparkSession,
+      frames: Dataset[DecodedFrame], projDir: String,
+      gridW: Int = 16, gridH: Int = 12, outDim: Int = 8): Dataset[Embedded] = {
+    import s.implicits._
+    val inDim = gridW * gridH
+    val stats = s.read.parquet(projDir)
+      .select("dim", "pix_sum", "n_docs").collect()
+    require(stats.length == inDim, s"projection artifact has " +
+      s"${stats.length} dims, expected $inDim")
+    val n = stats.head.getLong(2)
+    val sums = new Array[Long](inDim)
+    stats.foreach(r => sums(r.getInt(0)) = r.getLong(1))
+    val weights = Array.tabulate(inDim, outDim)((i, k) => projWeight(i, k))
+    resizeRaw8(frames.toDF().filter(col("width") > 0),
+        "doc_id", "payload", "width", "height", gridW, gridH)
+      .map { r =>
+        val px = r.payload
+        val v = new Array[Float](outDim)
+        var k = 0
+        while (k < outDim) {
+          var acc = 0L
+          var i = 0
+          while (i < inDim) {
+            acc += ((px(i) & 0xff).toLong * n - sums(i)) * weights(i)(k)
+            i += 1
+          }
+          v(k) = acc.toFloat
+          k += 1
+        }
+        Embedded(r.doc_id, v)
+      }
+  }
+
   /** Feature-extraction plumbing: binary payload → fixed-dim float
     * embedding via mapPartitions, the "model loads once per partition,
     * then streams its batch" shape of real vision/audio encoders. The
@@ -521,6 +619,142 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** Deterministic MULTI-FRAME fixture: an animated GIF of
+    * `(id % 5) + 2` frames at 32×24, frame `f` rendered as the same
+    * 8×8 block-gray pattern family as [[renderFixturePng]] with the
+    * frame phase `f % 3` folded into the block value — so frames 0
+    * and 3 of one GIF are IDENTICAL rasters, and docs with equal
+    * `id % 4` share frame patterns across GIFs (real key-frame-dedup
+    * structure). Pixels are written through a 256-level grayscale
+    * IndexColorModel, and GIF stores palette indices losslessly —
+    * every decoder returns gray value v for index v, so the decoded
+    * raster is an exact integer function of (id, f) on any JVM.
+    * Encoded with ImageIO's own GIF sequence writer
+    * (prepareWriteSequence/writeToSequence): the decode side sees a
+    * standards-compliant animated GIF byte stream.
+    */
+  def renderFixtureGif(id: Long): Array[Byte] = {
+    val p = (id % 4).toInt
+    val nFrames = (id % 5).toInt + 2
+    val w = 32
+    val h = 24
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((p * 31 + (x * 8 / w) * 7 + (y * 8 / h) * 13 +
+              (f % 3) * 41) * 17) % 256
+            raster.setSample(x, y, 0, v)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** One animated GIF per `doc_id < n` documents row — the
+    * [[fixturePngs]] contract for the multi-frame modality.
+    */
+  def fixtureGifs(s: org.apache.spark.sql.SparkSession, dir: String,
+      n: Int = 16): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < n)
+      .as[Long]
+      .mapPartitions(_.map(id => (id, renderFixtureGif(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  final case class GifFrame(doc_id: Long, n_frames: Int, frame_idx: Int,
+      width: Int, height: Int, payload: Array[Byte])
+
+  /** REAL multi-frame decode with IN-DECODER frame sampling: per
+    * container, `reader.getNumImages` counts the frames, then ONLY
+    * indices `i % step == 0` pay `ImageReader.read(i)` — the point of
+    * frame sampling at 100 TB is that skipped frames are never
+    * inflated, which a decode-all-then-filter plan cannot deliver.
+    * ImageIO's GIF reader is JDK-native (java.desktop) and reads each
+    * frame's raster independently. Frames convert to the RAW8 luma
+    * format the rest of the pipeline ([[resizeRaw8]] / [[aHash64]] /
+    * [[embedFrames]]) consumes; undecodable payloads degrade to zero
+    * rows (the corrupt-frame contract of [[aHash64]]: excluded, not
+    * poisoning dup groups). mapPartitions keeps blobs partition-local.
+    */
+  def decodeFramesBatch(df: DataFrame, idCol: String, payloadCol: String,
+      step: Int): Dataset[GifFrame] = {
+    require(step > 0, "step must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytesOrNull) =>
+          try {
+            if (bytesOrNull == null || bytesOrNull.isEmpty) Iterator.empty
+            else {
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(bytesOrNull))
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) { iis.close(); Iterator.empty }
+              else {
+                val reader = readers.next()
+                try {
+                  // seekForwardOnly=false: getNumImages(true) scans the
+                  // whole sequence, then read(i) seeks back per frame
+                  reader.setInput(iis, false, true)
+                  val n = reader.getNumImages(true)
+                  (0 until n).iterator.filter(_ % step == 0).map { i =>
+                    val img = reader.read(i) // the per-frame decode
+                    val w = img.getWidth
+                    val h = img.getHeight
+                    val out = new Array[Byte](w * h)
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) {
+                        val rgb = img.getRGB(x, y)
+                        val r = (rgb >> 16) & 0xff
+                        val g = (rgb >> 8) & 0xff
+                        val b = rgb & 0xff
+                        out(y * w + x) =
+                          ((r * 299 + g * 587 + b * 114) / 1000).toByte
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    GifFrame(id, n, i, w, h, out)
+                  }.toVector.iterator
+                } finally { reader.dispose(); iis.close() }
+              }
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => Iterator.empty
+          }
+        }
+      }
+  }
+
   /** Pinned decode leaves for q_image_phash's oracle: the (doc_id,
     * width, height, aHash64) of each fixture PNG after a REAL ImageIO
     * decode. Deterministic across JVMs/platforms because everything
@@ -564,6 +798,70 @@ object Multimodal {
     "(13, 8000, 2000, 16000, 127990428, 599), " +
     "(14, 8000, 2000, 16000, 127991563, 699), " +
     "(15, 8000, 2000, 15216, 127984748, 799)"
+
+  /** Pinned decode+embed leaves for q_embed_ann's oracle: the learned
+    * projection of every fixture PNG's decoded pixels — integer-exact
+    * (see [[embedFramesLearned]]), so the values replay identically
+    * in DuckDB double math and the ANN ranking is verified bit-for-
+    * bit. Regenerate with `runMain graft.operators.EmbedPinGen`.
+    */
+  private[operators] val EmbedPins: String =
+    "(0, [16984, 42808, 122880, 34440, -22752, 75776, 9136, -20880]), " +
+    "(1, [-9080, 40232, 73728, 25624, -15520, 43008, -15856, -3504]), " +
+    "(2, [46776, -11496, 86016, 61864, 24480, 2048, 12400, -76240]), " +
+    "(3, [-16152, -46840, 4096, -45256, 23520, -55296, -20784, -91632]), " +
+    "(4, [-79080, -37128, -40960, -152376, -18400, -30720, -17104, 11760]), " +
+    "(5, [-23224, 5352, -114688, 43608, -19360, 14336, 48016, 33232]), " +
+    "(6, [40824, -21800, -57344, 10216, -8032, -34816, -17936, 75184]), " +
+    "(7, [22952, 28872, -73728, 21880, 36064, -14336, 2128, 72080]), " +
+    "(8, [16984, 42808, 122880, 34440, -22752, 75776, 9136, -20880]), " +
+    "(9, [-9080, 40232, 73728, 25624, -15520, 43008, -15856, -3504]), " +
+    "(10, [46776, -11496, 86016, 61864, 24480, 2048, 12400, -76240]), " +
+    "(11, [-16152, -46840, 4096, -45256, 23520, -55296, -20784, -91632]), " +
+    "(12, [-79080, -37128, -40960, -152376, -18400, -30720, -17104, 11760]), " +
+    "(13, [-23224, 5352, -114688, 43608, -19360, 14336, 48016, 33232]), " +
+    "(14, [40824, -21800, -57344, 10216, -8032, -34816, -17936, 75184]), " +
+    "(15, [22952, 28872, -73728, 21880, 36064, -14336, 2128, 72080])"
+
+  /** Pinned decode leaves for q_frame_sample's oracle: one row per
+    * (doc_id, frame) over EVERY frame of every fixture GIF — the SQL
+    * side re-derives the `i % 2` sampling keep-set from these, so the
+    * sampling rule itself is replayed, not pinned. Deterministic per
+    * [[renderFixtureGif]]. Regenerate with `runMain
+    * graft.operators.FramePinGen`.
+    */
+  private[operators] val FramePins: String =
+    "(0, 2, 0, 32, 24, 6073854697500136788), (0, 2, 1, 32, 24, 6148915882374114773), " +
+    "(1, 3, 0, 32, 24, 5920732314590336342), (1, 3, 1, 32, 24, 6148911209449764181), " +
+    "(1, 3, 2, 32, 24, -6226977084830733653), (2, 4, 0, 32, 24, 5380300350179071322), " +
+    "(2, 4, 1, 32, 24, 6148621488135984469), (2, 4, 2, 32, 24, -6497193066893759831), " +
+    "(2, 4, 3, 32, 24, 5380300350179071322), (3, 5, 0, 32, 24, 3074458490942871146), " +
+    "(3, 5, 1, 32, 24, 6148023353826694485), (3, 5, 2, 32, 24, -5380300368432682331), " +
+    "(3, 5, 3, 32, 24, 3074458490942871146), (3, 5, 4, 32, 24, 6148023353826694485), " +
+    "(4, 6, 0, 32, 24, 6073854697500136788), (4, 6, 1, 32, 24, 6148915882374114773), " +
+    "(4, 6, 2, 32, 24, -6150415891129783638), (4, 6, 3, 32, 24, 6073854697500136788), " +
+    "(4, 6, 4, 32, 24, 6148915882374114773), (4, 6, 5, 32, 24, -6150415891129783638), " +
+    "(5, 2, 0, 32, 24, 5920732314590336342), (5, 2, 1, 32, 24, 6148911209449764181), " +
+    "(6, 3, 0, 32, 24, 5380300350179071322), (6, 3, 1, 32, 24, 6148621488135984469), " +
+    "(6, 3, 2, 32, 24, -6497193066893759831), (7, 4, 0, 32, 24, 3074458490942871146), " +
+    "(7, 4, 1, 32, 24, 6148023353826694485), (7, 4, 2, 32, 24, -5380300368432682331), " +
+    "(7, 4, 3, 32, 24, 3074458490942871146), (8, 5, 0, 32, 24, 6073854697500136788), " +
+    "(8, 5, 1, 32, 24, 6148915882374114773), (8, 5, 2, 32, 24, -6150415891129783638), " +
+    "(8, 5, 3, 32, 24, 6073854697500136788), (8, 5, 4, 32, 24, 6148915882374114773), " +
+    "(9, 6, 0, 32, 24, 5920732314590336342), (9, 6, 1, 32, 24, 6148911209449764181), " +
+    "(9, 6, 2, 32, 24, -6226977084830733653), (9, 6, 3, 32, 24, 5920732314590336342), " +
+    "(9, 6, 4, 32, 24, 6148911209449764181), (9, 6, 5, 32, 24, -6226977084830733653), " +
+    "(10, 2, 0, 32, 24, 5380300350179071322), (10, 2, 1, 32, 24, 6148621488135984469), " +
+    "(11, 3, 0, 32, 24, 3074458490942871146), (11, 3, 1, 32, 24, 6148023353826694485), " +
+    "(11, 3, 2, 32, 24, -5380300368432682331), (12, 4, 0, 32, 24, 6073854697500136788), " +
+    "(12, 4, 1, 32, 24, 6148915882374114773), (12, 4, 2, 32, 24, -6150415891129783638), " +
+    "(12, 4, 3, 32, 24, 6073854697500136788), (13, 5, 0, 32, 24, 5920732314590336342), " +
+    "(13, 5, 1, 32, 24, 6148911209449764181), (13, 5, 2, 32, 24, -6226977084830733653), " +
+    "(13, 5, 3, 32, 24, 5920732314590336342), (13, 5, 4, 32, 24, 6148911209449764181), " +
+    "(14, 6, 0, 32, 24, 5380300350179071322), (14, 6, 1, 32, 24, 6148621488135984469), " +
+    "(14, 6, 2, 32, 24, -6497193066893759831), (14, 6, 3, 32, 24, 5380300350179071322), " +
+    "(14, 6, 4, 32, 24, 6148621488135984469), (14, 6, 5, 32, 24, -6497193066893759831), " +
+    "(15, 2, 0, 32, 24, 3074458490942871146), (15, 2, 1, 32, 24, 6148023353826694485)"
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -655,28 +953,85 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin),
 
-    // Frame sampling: explode every 3rd frame index with byte offsets —
-    // the row-multiplying half of the multimodal path.
+    // VERDICT r10 #4: the embed → ANN handoff under the oracle gate —
+    // real ImageIO decode → corpus-FIT projection artifact
+    // (DerivedCache, the quantizer/LM pattern) → integer-exact
+    // embeddings → the standard brute-force cosine ANN operator.
+    // DuckDB can't decode the PNGs, so the embedding leaves are
+    // pinned and the oracle replays the FULL ANN ranking (cosine,
+    // top-3, tie rules) over them; equal-pattern ids (8 apart, per
+    // the fixture) must rank each other at cos=1.0 first.
+    "q_embed_ann" -> QueryDef(
+      (s, dir) => {
+        val proj = ensureFrameProjection(s, dir)
+        val frames = decodeImageBatch(fixturePngs(s, dir), "doc_id", "payload")
+        val emb = embedFramesLearned(s, frames, proj).toDF()
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+        Similarity.bruteForceTopK(emb, emb, k = 3)
+          .orderBy("query_id", "neighbor_id")
+      },
+      s"""WITH emb(vec_id, v) AS (VALUES ${EmbedPins}),
+        |live AS (
+        |  SELECT e.vec_id, CAST(e.v AS DOUBLE[]) AS v
+        |  FROM emb e JOIN documents d ON d.doc_id = e.vec_id),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) *
+        |       sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+        |  FROM live q JOIN live c ON c.vec_id != q.vec_id)
+        |SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos
+        |FROM sims
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cos_raw DESC, neighbor_id) <= 3
+        |ORDER BY query_id, neighbor_id""".stripMargin),
+
+    // VERDICT r10 #3: frame sampling over REAL multi-frame decode —
+    // animated-GIF fixtures, frame count from ImageReader
+    // .getNumImages, every 2nd frame paid through ImageReader.read(i)
+    // (skipped frames never inflate), each decoded frame luma'd,
+    // aHash64'd, and deduped ACROSS frames and docs (key-frame dedup:
+    // frames 0/3 of one GIF and same-pattern frames of id%4-sharing
+    // docs collapse into one dup group). DuckDB can't parse a GIF, so
+    // the per-frame decode leaves are PINNED (deterministic fixture:
+    // indexed-gray palette → exact integer rasters on any JVM) and
+    // the oracle replays the sampling arithmetic (pins carry ALL
+    // frame indices; SQL re-derives the i%2 keep set) plus the dup
+    // grouping over the sampled leaves.
     "q_frame_sample" -> QueryDef(
       (s, dir) => {
-        val d = table(s, dir, "documents")
-          .withColumn("n_bytes", octet_length(col("text").cast(BinaryType)))
-          .withColumn("n_frames", (col("n_bytes") % 24 + 1).cast(IntegerType))
-        d.select(col("doc_id"), col("n_frames"),
-          explode(sampleFrames(col("n_frames"), step = 3, frameBytes = 1024L))
-            .as("frame_idx"))
-          .select(col("doc_id"), col("frame_idx"),
-            (col("frame_idx").cast(LongType) * 1024L).as("byte_offset"))
+        import s.implicits._
+        val frames = decodeFramesBatch(fixtureGifs(s, dir),
+          "doc_id", "payload", step = 2)
+        // composite frame key for the shared hash kernel: n_frames ≤ 6
+        // so doc_id*8 + frame_idx is collision-free
+        val keyed = frames.toDF().select(
+          (col("doc_id") * 8 + col("frame_idx")).as("doc_id"),
+          col("width"), col("height"), col("payload"))
+        val hashed = aHash64(keyed.as[DecodedFrame]).toDF()
+          .select(col("doc_id").as("fk"), col("phash"))
+        val base = frames.toDF().select(
+          (col("doc_id") * 8 + col("frame_idx")).as("fk"),
+          col("doc_id"), col("n_frames"), col("frame_idx"),
+          col("width"), col("height"))
+        val joined = base.join(hashed, "fk")
+        val groups = joined.groupBy("phash").agg(
+          min(col("fk")).as("dup_group"), count(lit(1)).as("n_dups"))
+        joined.join(broadcast(groups), "phash")
+          .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+            col("width"), col("height"), col("phash"),
+            col("dup_group"), col("n_dups"))
           .orderBy("doc_id", "frame_idx")
       },
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames
-        |  FROM documents)
-        |SELECT doc_id, s.g AS frame_idx, s.g * 1024 AS byte_offset
-        |FROM d JOIN (SELECT unnest(generate_series(0, 1023)) AS g) s
-        |  ON s.g < d.n_frames AND s.g % 3 = 0
-        |ORDER BY doc_id, frame_idx""".stripMargin)
+      s"""WITH fr(doc_id, n_frames, frame_idx, width, height, phash)
+        |  AS (VALUES ${FramePins}),
+        |live AS (
+        |  SELECT f.* FROM fr f JOIN documents d ON d.doc_id = f.doc_id
+        |  WHERE f.frame_idx % 2 = 0)
+        |SELECT doc_id, n_frames, frame_idx, width, height, phash,
+        |  min(doc_id * 8 + frame_idx) OVER (PARTITION BY phash) AS dup_group,
+        |  count(*) OVER (PARTITION BY phash) AS n_dups
+        |FROM live ORDER BY doc_id, frame_idx""".stripMargin)
   )
 }
 
@@ -698,6 +1053,56 @@ object ImagePhashPinGen {
       .orderBy("doc_id").collect()
     println("[pins] " + rows.map(r => s"(${r.getLong(0)}, ${r.getInt(2)}, " +
       s"${r.getInt(3)}, ${r.getLong(1)})").mkString(", "))
+  }
+}
+
+/** Regenerates [[Multimodal.EmbedPins]]: the learned-projection
+  * embedding of every fixture PNG, printed as integer list literals
+  * (the components are integer-exact by construction).
+  */
+object EmbedPinGen {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val proj = Multimodal.ensureFrameProjection(spark, dir)
+    val frames = Multimodal.decodeImageBatch(
+      Multimodal.fixturePngs(spark, dir), "doc_id", "payload")
+    val rows = Multimodal.embedFramesLearned(spark, frames, proj)
+      .orderBy("doc_id").collect()
+    println("[pins] " + rows.map(e => s"(${e.doc_id}, [" +
+      e.embedding.map(_.toLong).mkString(", ") + "])").mkString(", "))
+  }
+}
+
+/** Regenerates [[Multimodal.FramePins]]: decodes EVERY frame of every
+  * fixture GIF (step=1 — the oracle re-derives the sampling keep-set
+  * in SQL) through the real ImageReader.read(i) path and prints the
+  * (doc_id, n_frames, frame_idx, width, height, phash) VALUES rows.
+  */
+object FramePinGen {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val frames = Multimodal.decodeFramesBatch(
+      Multimodal.fixtureGifs(spark, dir), "doc_id", "payload", step = 1)
+    val keyed = frames.toDF().select(
+      (col("doc_id") * 8 + col("frame_idx")).as("doc_id"),
+      col("width"), col("height"), col("payload"))
+    val hashed = Multimodal.aHash64(keyed.as[Multimodal.DecodedFrame]).toDF()
+      .select(col("doc_id").as("fk"), col("phash"))
+    val rows = frames.toDF()
+      .select((col("doc_id") * 8 + col("frame_idx")).as("fk"),
+        col("doc_id"), col("n_frames"), col("frame_idx"),
+        col("width"), col("height"))
+      .join(hashed, "fk")
+      .orderBy("doc_id", "frame_idx").collect()
+    println("[pins] " + rows.map(r => s"(${r.getLong(1)}, ${r.getInt(2)}, " +
+      s"${r.getInt(3)}, ${r.getInt(4)}, ${r.getInt(5)}, ${r.getLong(6)})")
+      .mkString(", "))
   }
 }
 

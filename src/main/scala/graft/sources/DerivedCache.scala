@@ -37,13 +37,29 @@ object DerivedCache {
     s"${sys.props("java.io.tmpdir")}/graft_cache/$kind-$key"
   }
 
+  /** Completeness-probe telemetry: every [[isComplete]] call counts
+    * as a hit (artifact present — the caller will probe, not build)
+    * or a miss (absent — the caller pays the build). A timing harness
+    * snapshots the counters around each measured query, so whether a
+    * number was paid cold or warm is RECORDED, not guessed — a 3×
+    * swing in an artifact-backed query is attributable from the bench
+    * output alone (the r10 q_ann_pq_indexed ambiguity).
+    */
+  private val probeHits = new java.util.concurrent.atomic.AtomicLong
+  private val probeMisses = new java.util.concurrent.atomic.AtomicLong
+
+  /** (hits, misses) since process start — snapshot and diff. */
+  def probeCounts: (Long, Long) = (probeHits.get, probeMisses.get)
+
   /** Has a complete artifact been published at `dir`? Spark's
     * _SUCCESS marker is the completeness witness — a crashed build
     * leaves no marker and the next caller rebuilds over it.
     */
   def isComplete(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val ok = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    (if (ok) probeHits else probeMisses).incrementAndGet()
+    ok
   }
 
   /** Evict every cache directory whose key is no longer current — the

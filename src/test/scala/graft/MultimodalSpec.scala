@@ -279,4 +279,74 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(groups == Map(1L -> 2L, 3L -> 1L))
   }
+
+  test("decodeFramesBatch: real per-frame GIF decode — frame counts " +
+      "match the fixture, sampling skips odd frames, rasters are the " +
+      "exact pattern, corrupt payloads yield zero rows") {
+    import spark.implicits._
+    val docs = Seq(3L, 7L).toDF("doc_id")
+      .select(col("doc_id"),
+        udf((id: Long) => Multimodal.renderFixtureGif(id))
+          .apply(col("doc_id")).as("payload"))
+    val all = Multimodal.decodeFramesBatch(docs, "doc_id", "payload", step = 1)
+      .collect()
+    // id 3 → 5 frames, id 7 → 4 frames, all 32×24
+    assert(all.count(_.doc_id == 3L) == 5)
+    assert(all.count(_.doc_id == 7L) == 4)
+    assert(all.forall(f => f.width == 32 && f.height == 24))
+    assert(all.forall(f => f.n_frames == (if (f.doc_id == 3L) 5 else 4)))
+    // the decoded raster is the exact integer pattern (indexed-gray
+    // palette → lossless round trip), frame phase f % 3
+    for (f <- all; y <- Seq(0, 11, 23); x <- Seq(0, 15, 31)) {
+      val p = (f.doc_id % 4).toInt
+      val want = ((p * 31 + (x * 8 / 32) * 7 + (y * 8 / 24) * 13 +
+        (f.frame_idx % 3) * 41) * 17) % 256
+      assert((f.payload(y * 32 + x) & 0xff) == want,
+        s"doc ${f.doc_id} frame ${f.frame_idx} ($x,$y)")
+    }
+    // frames 0 and 3 of one GIF are identical rasters (phase % 3)
+    val d3 = all.filter(_.doc_id == 3L).map(f => f.frame_idx -> f.payload.toSeq).toMap
+    assert(d3(0) == d3(3) && d3(0) != d3(1))
+    // sampling: step=2 decodes only even indices
+    val sampled = Multimodal.decodeFramesBatch(docs, "doc_id", "payload", step = 2)
+      .collect()
+    assert(sampled.map(_.frame_idx).forall(_ % 2 == 0))
+    assert(sampled.count(_.doc_id == 3L) == 3) // 0, 2, 4 of 5
+    // corrupt payload → zero rows, not a stage kill
+    val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    assert(Multimodal.decodeFramesBatch(bad, "doc_id", "payload", 1)
+      .collect().isEmpty)
+  }
+
+  test("embedFramesLearned: corpus-fit artifact publishes once, " +
+      "embeddings are integer-exact, equal patterns at different " +
+      "resolutions embed identically, and ANN accepts them") {
+    val dir = sfDir
+    graft.sources.DerivedCache.vacuumKinds(spark, Set("frame-embed-proj"))
+    val proj = Multimodal.ensureFrameProjection(spark, dir)
+    assert(graft.sources.DerivedCache.isComplete(spark, proj))
+    // second ensure is a no-op read of the same artifact
+    assert(Multimodal.ensureFrameProjection(spark, dir) == proj)
+    val frames = Multimodal.decodeImageBatch(
+      Multimodal.fixturePngs(spark, dir), "doc_id", "payload")
+    val emb = Multimodal.embedFramesLearned(spark, frames, proj).collect()
+    assert(emb.length == 16)
+    // integer-exact floats (the oracle replay contract)
+    assert(emb.forall(_.embedding.forall(v => v == math.rint(v))))
+    assert(emb.exists(_.embedding.exists(_ != 0f)))
+    // ids 8 apart share the pattern at 2× resolution → identical
+    // embeddings (nearest-neighbor grid recovery, like aHash)
+    val byId = emb.map(e => e.doc_id -> e.embedding.toSeq).toMap
+    for (id <- 0L to 7L)
+      assert(byId(id) == byId(id + 8), s"pattern pair $id/${id + 8} drifted")
+    assert(byId(0L) != byId(1L), "distinct patterns collided")
+    // the ANN handoff: brute top-1 of id 0 is its pattern twin at cos 1
+    import spark.implicits._
+    val embDf = emb.toSeq.toDF().select(
+      col("doc_id").as("vec_id"), col("embedding"))
+    val top = operators.Similarity.bruteForceTopK(
+        embDf, embDf.filter(col("vec_id") === 0L), k = 1)
+      .collect().head
+    assert(top.getLong(1) == 8L && top.getDouble(2) == 1.0)
+  }
 }
