@@ -52,13 +52,14 @@ object CorpusEtlStream {
       compactEvery: Int = 8,
       benchmark: Option[DocGate] = None,
       nearDupJaccard: Option[Double] = None,
-      budgets: Option[SourceBudgets] = None): Unit =
+      budgets: Option[SourceBudgets] = None,
+      afterWrite: String => Unit = _ => ()): Unit =
     graft.InternalCaches.scoped {
       val spark = batch.sparkSession
       if (!batch.isEmpty) {
         prepareBatchBody(batch, batchId, indexDir, sinkDir, cfg,
           chunkTokens, stride, compactEvery, benchmark, nearDupJaccard,
-          budgets, spark)
+          budgets, spark, afterWrite)
       }
     }
 
@@ -66,7 +67,12 @@ object CorpusEtlStream {
       indexDir: String, sinkDir: String, cfg: Corpus.Config,
       chunkTokens: Int, stride: Int, compactEvery: Int,
       benchmark: Option[DocGate], nearDupJaccard: Option[Double],
-      budgets: Option[SourceBudgets], spark: SparkSession): Unit = {
+      budgets: Option[SourceBudgets], spark: SparkSession,
+      // crash-matrix seam: invoked after each durable publish inside
+      // the batch ("spent", "neardup", "chunks", "fps") so a spec can
+      // simulate a process death at EVERY boundary by throwing from
+      // here — production callers leave it a no-op
+      afterWrite: String => Unit = _ => ()): Unit = {
     val fpPath = s"$indexDir/fps"
     val batchDocIds = batch.select("doc_id")
     // ONE filesystem listing per batch decides both the probe and the
@@ -103,9 +109,12 @@ object CorpusEtlStream {
     // later shadow a real admission). Strict-prefix semantics shared
     // with BudgetStream/tokenBudgetMix: every doc OFFERED at this
     // stage spends its cost, admitted or not.
-    val inBudget = budgets.fold(survivors)(b =>
-      applyBudgetGate(survivors, batchId, s"$indexDir/spent", b,
-        compactEvery, spark))
+    val inBudget = budgets.fold(survivors) { b =>
+      val kept = applyBudgetGate(survivors, batchId, s"$indexDir/spent", b,
+        compactEvery, spark)
+      afterWrite("spent")
+      kept
+    }
     // optional near-dup stage: the CorpusStream admission core over a
     // sibling band/shingle index — probe the admitted corpus, exact-
     // verify, batch-internal near-dedup, land the survivors' bands.
@@ -115,9 +124,11 @@ object CorpusEtlStream {
     // checkpoints here — either way the frame below is materialized.
     val (admitted, ckpt) = nearDupJaccard match {
       case Some(j) =>
-        (CorpusStream.admitNearDups(inBudget.select("doc_id", "text", "__fp"),
-          batchDocIds, batchId, s"$indexDir/neardup", j, compactEvery),
-          Seq.empty: graft.InternalCaches.Handle)
+        val a = CorpusStream.admitNearDups(
+          inBudget.select("doc_id", "text", "__fp"),
+          batchDocIds, batchId, s"$indexDir/neardup", j, compactEvery)
+        afterWrite("neardup")
+        (a, Seq.empty: graft.InternalCaches.Handle)
       case None =>
         graft.InternalCaches.localCheckpointHandle(
           inBudget.select("doc_id", "text", "__fp"))
@@ -125,6 +136,7 @@ object CorpusEtlStream {
     graft.InternalCaches.trackRdds(ckpt)
     TextAnalysis.chunkDocs(admitted, "doc_id", "text", chunkTokens, stride)
       .write.mode(SaveMode.Overwrite).parquet(s"$sinkDir/batch=$batchId")
+    afterWrite("chunks")
     val newFps = admitted.select(col("doc_id"), col("__fp").as("fp"))
     val compact = compactEvery > 0 && batchId % compactEvery == 0 && havePrior
     if (compact) {
@@ -139,6 +151,7 @@ object CorpusEtlStream {
       newFps.coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(s"$fpPath/batch=$batchId")
     }
+    afterWrite("fps")
   }
 
   /** Per-source cost budgets for the optional ingest budget gate. */

@@ -121,6 +121,90 @@ class CorpusEtlStreamSpec extends SparkSpec {
     }
   }
 
+  test("crash matrix over the composed url -> media -> decontam -> " +
+      "budget -> near-dup pipeline: a kill after EVERY publish " +
+      "boundary replays to the exactly-once end state") {
+    import graft.operators.Multimodal
+    // frozen corpus state the gates probe: a known canonical URL, a
+    // known image phash, a benchmark text
+    val knownUrl = Seq(Tuple1("https://example.com/known/page"))
+      .toDF("url")
+    val corpusHashes = Multimodal.aHash64(Multimodal.decodeImageBatch(
+        Seq((100L, Multimodal.renderFixturePng(2L)))
+          .toDF("doc_id", "payload"), "doc_id", "payload"))
+      .toDF().select("phash")
+    val benchText =
+      "bench mark corpus text that must never leak into training data here"
+    val phashGate = new graft.streaming.PHashGate(corpusHashes)
+    val media = new graft.streaming.DocGate {
+      override def scrubDocs(docs: org.apache.spark.sql.DataFrame,
+          textCol: String, idCol: String): org.apache.spark.sql.DataFrame =
+        phashGate.scrubImages(docs, idCol, "payload")
+    }
+    val composed = graft.streaming.DocGate.all(
+      new graft.streaming.UrlGate(knownUrl),
+      media,
+      graft.streaming.BenchmarkGate.fromDocs(Seq(Tuple1(benchText)).toDF("text")))
+    val budgets = CorpusEtlStream.SourceBudgets(
+      perSource = Map("cap" -> 5L), default = 1000L)
+    val baseA =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    def sent(tag: String): String =
+      (0 until 12).map(t => s"${tag}w$t").mkString(" ")
+    val b0: Seq[(Long, String, String, Array[Byte], String)] = Seq(
+      (1L, baseA, "https://example.com/seed", Multimodal.renderFixturePng(1L), "open"))
+    val b1: Seq[(Long, String, String, Array[Byte], String)] = Seq(
+      (10L, sent("good1"), null, null, "open"),           // admitted
+      (11L, baseA + " nu", null, null, "open"),           // near-dup of 1
+      (12L, baseA, null, null, "open"),                   // exact dup of 1
+      (13L, benchText, null, null, "open"),               // decontam
+      (14L, "too short", null, null, "open"),             // quality floor
+      (15L, sent("urldup"),                               // url-gate drop:
+        "HTTPS://EXAMPLE.COM/known/page?utm_source=x",    // canonical match
+        null, "open"),
+      (16L, sent("mediadup"), null,                       // media-gate drop:
+        Multimodal.renderFixturePng(2L), "open"),         // corpus phash
+      (17L, sent("capped"), null, null, "cap"),           // 12 tok > 5 budget
+      (18L, sent("good2"), "https://fresh.example.org/x",
+        Multimodal.renderFixturePng(3L), "open"))         // admitted
+    def run(base: java.nio.file.Path,
+        rows: Seq[(Long, String, String, Array[Byte], String)], id: Long,
+        hook: String => Unit = _ => ()): Unit =
+      CorpusEtlStream.prepareBatchStep(
+        rows.toDF("doc_id", "text", "url", "payload", "source"), id,
+        base.resolve("index").toString, base.resolve("sink").toString,
+        chunkTokens = 8, stride = 6, compactEvery = 3,
+        benchmark = Some(composed), nearDupJaccard = Some(0.8),
+        budgets = Some(budgets), afterWrite = hook)
+    def state(base: java.nio.file.Path): (Set[Long], Long, Set[Long]) = {
+      val chunks = spark.read.parquet(base.resolve("sink").toString)
+      (chunks.select("doc_id").distinct().as[Long].collect().toSet,
+        chunks.count(),
+        spark.read.parquet(base.resolve("index").toString + "/fps")
+          .select("doc_id").distinct().as[Long].collect().toSet)
+    }
+    // the reference: both batches, no crash — every gate catches its doc
+    val ref = java.nio.file.Files.createTempDirectory("graft_crashref")
+    run(ref, b0, 0L); run(ref, b1, 1L)
+    val refState = state(ref)
+    assert(refState._1 == Set(1L, 10L, 18L), s"gate wiring drifted: $refState")
+    // the matrix: die after each durable publish of batch 1, then
+    // replay batch 1 as a stream restart would — the end state must be
+    // byte-identical to the never-crashed run, for every kill point
+    for (kill <- Seq("spent", "neardup", "chunks", "fps")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_crash_$kill")
+      run(dir, b0, 0L)
+      val boom = intercept[RuntimeException] {
+        run(dir, b1, 1L,
+          hook = b => if (b == kill) throw new RuntimeException(s"die@$b"))
+      }
+      assert(boom.getMessage == s"die@$kill")
+      run(dir, b1, 1L) // the restart's replay
+      assert(state(dir) == refState,
+        s"kill after '$kill' broke exactly-once: ${state(dir)} vs $refState")
+    }
+  }
+
   test("composed DocGate.all rides the stream: decontam + DSIR + LM " +
       "fluency each catch their own doc, replay idempotent") {
     val base = java.nio.file.Files.createTempDirectory("graft_cetl_sel")
