@@ -12,12 +12,60 @@ class MultimodalSpec extends SparkSpec {
   test("decodeBatch (mapPartitions) matches the columnar stub decoder") {
     val d = Tables.table(spark, sfDir, "documents")
       .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_bytes", octet_length(col("payload")))
     val batch = Multimodal.decodeBatch(d, "doc_id", "payload")
       .collect().map(m => (m.doc_id, m.n_bytes, m.width, m.height, m.n_frames)).toSet
-    val columnar = SparkEntry.queries("q_multimodal_meta")(spark, sfDir)
+    val columnar = d
+      .withColumn("hdr", Multimodal.fakeDecodeHeader(col("payload"), col("n_bytes")))
+      .select(col("doc_id"), col("n_bytes"), col("hdr.width"),
+        col("hdr.height"), col("hdr.n_frames"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
         r.getInt(3), r.getInt(4))).toSet
     assert(batch == columnar)
+  }
+
+  test("mediaMetaBatch parses real container headers: format sniff, " +
+      "dims, frame counts, corrupt degrade") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Multimodal.renderFixtureGif(0L)),   // 2 frames, 32x24
+      (4L, Multimodal.renderFixtureGif(4L)),   // 6 frames
+      (9L, Multimodal.renderFixturePng(9L)),   // png 128x96, 1 frame
+      (20L, Array[Byte](1, 2, 3)))             // garbage
+      .toDF("doc_id", "payload")
+    val out = Multimodal.mediaMetaBatch(rows, "doc_id", "payload")
+      .collect().map(m => m.doc_id ->
+        (m.fmt, m.width, m.height, m.n_frames)).toMap
+    assert(out(0L) == ("gif", 32, 24, 2))
+    assert(out(4L) == ("gif", 32, 24, 6))
+    assert(out(9L) == ("png", 128, 96, 1))
+    assert(out(20L) == ("unknown", 0, 0, 0))
+  }
+
+  test("scene fixture: adjacent scenes always hash apart (the cut " +
+      "rule's premise) and static runs hash identical") {
+    import spark.implicits._
+    val docs = Seq(5L, 11L).toDF("doc_id")
+      .select(col("doc_id"),
+        udf((id: Long) => Multimodal.renderSceneGif(id))
+          .apply(col("doc_id")).as("payload"))
+    val frames = Multimodal.decodeFramesBatch(docs, "doc_id", "payload", 1)
+    val keyed = frames.toDF().select(
+      (col("doc_id") * 8 + col("frame_idx")).as("doc_id"),
+      col("width"), col("height"), col("payload"))
+    val hashes = Multimodal.aHash64(keyed.as[Multimodal.DecodedFrame])
+      .collect().map(p => (p.doc_id / 8, (p.doc_id % 8).toInt) -> p.phash)
+      .toMap
+    for ((id, runLen) <- Seq((5L, 3), (11L, 3)); // id%3+1
+         f <- 1 until (id % 4 + 3).toInt) {
+      val samePhase = (f / runLen) % 3 == ((f - 1) / runLen) % 3
+      if (samePhase)
+        assert(hashes((id, f)) == hashes((id, f - 1)),
+          s"static run broke at doc $id frame $f")
+      else
+        assert(hashes((id, f)) != hashes((id, f - 1)),
+          s"scene cut invisible to phash at doc $id frame $f")
+    }
   }
 
   test("sampleFrames keeps every step-th index below n_frames") {
