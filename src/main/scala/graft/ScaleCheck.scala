@@ -53,7 +53,11 @@ object ScaleCheck {
     "q_embedding_expectations", "q_split_leakage", "q_distinct_ngrams",
     // round 10: the third WarmSecondRun member actually runs by
     // default now (it was dead — only reachable via explicit args)
-    "q_dsir_weights_indexed")
+    "q_dsir_weights_indexed",
+    // round 11: incremental-IVF maintenance (cold = append-built
+    // index + probe, warm = probe-only; the append-vs-rebuild cost
+    // asymmetry itself is IvfMaintenanceCheck's row)
+    "q_ann_ivf_incremental", "q_ann_ivf_delete")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
@@ -210,7 +214,11 @@ object ScaleCheck {
     Set("q_dedup_incremental", "q_minhash_recall", "q_dsir_weights_indexed",
       // round 10: the bigram-LM family rides the ensureLmModel
       // artifact, so its cold number now includes the one-time fit
-      "q_lm_score", "q_ppl_buckets", "q_curriculum")
+      "q_lm_score", "q_ppl_buckets", "q_curriculum",
+      // round 11: the incremental indexes (shared kmeans-cents
+      // quantizer deliberately NOT evicted — it belongs to the
+      // cross-query family, same as postings)
+      "q_ann_ivf_incremental", "q_ann_ivf_delete")
 
   /** The DerivedCache kinds each WarmSecondRun query builds — the
     * scope of its pre-cold eviction. Queries sharing a kind (the
@@ -224,7 +232,77 @@ object ScaleCheck {
     "q_dsir_weights_indexed" -> Set("dsir-model"),
     "q_lm_score" -> Set("bigram-lm"),
     "q_ppl_buckets" -> Set("bigram-lm"),
-    "q_curriculum" -> Set("bigram-lm"))
+    "q_curriculum" -> Set("bigram-lm"),
+    "q_ann_ivf_incremental" -> Set("index-ivf-inc"),
+    "q_ann_ivf_delete" -> Set("index-ivf-del"))
+}
+
+/** Incremental-IVF maintenance cost measurement (round 11): the
+  * design claim behind `q_ann_ivf_incremental`/`q_ann_ivf_delete` is
+  * that an APPEND costs ∝ its batch regardless of index size (one
+  * map-only assign pass over the new vectors), while REBUILD and
+  * COMPACTION cost ∝ the whole corpus — that asymmetry is the entire
+  * reason a 100 TB index absorbs increments instead of rebuilding per
+  * ingest. Measures all three ops through the incremental API at 1×
+  * and `factor`× disjoint id-offset replicas, with the SAME
+  * fixed-size increment batch appended to both indexes: a flat append
+  * row across the scales is the claim, ≈factor rows for
+  * build/compact are the expected linear costs. Fresh index dir per
+  * rep; legs interleave so host drift prices every cell equally.
+  */
+object IvfMaintenanceCheck {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(8)
+    val reps = args.drop(2).headOption.map(_.toInt).getOrElse(3)
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val e1 = sources.Tables.table(spark, dir, "embeddings")
+    val mx = e1.agg(max("vec_id")).head().getLong(0)
+    var offset = 100000000L
+    while (offset <= mx) offset *= 10
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfmaint").toString
+    (0 until factor).map(r => e1.select(
+        (col("vec_id") + lit(r * offset)).as("vec_id"), col("embedding")))
+      .reduce(_.unionByName(_))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/embN.parquet")
+    val eN = spark.read.parquet(s"$tmp/embN.parquet")
+    // the fixed increment: 1/8 of the 1× corpus, ids past every replica
+    val inc = e1.filter(pmod(col("vec_id"), lit(8)) === 0)
+      .select((col("vec_id") + lit(factor * offset)).as("vec_id"),
+        col("embedding"))
+    val cents = operators.Similarity.ensureKmeansQuantizer(spark, dir)
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def cycle(corpus: org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+      val b = time(operators.Similarity
+        .appendIvfIncrement(spark, idx, corpus, cents, 0L))
+      val a = time(operators.Similarity
+        .appendIvfIncrement(spark, idx, inc, cents, 1L))
+      val c = time(operators.Similarity.compactIvfIncremental(spark, idx))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+      (b, a, c)
+    }
+    cycle(e1.limit(256)) // JIT/codegen warm, untimed
+    val cells = scala.collection.mutable.Map[(String, String),
+      List[Double]]().withDefaultValue(Nil)
+    (1 to reps).foreach { _ =>
+      val (b1, a1, c1) = cycle(e1)
+      val (bN, aN, cN) = cycle(eN)
+      cells(("build", "1x")) ::= b1; cells(("build", s"${factor}x")) ::= bN
+      cells(("append", "1x")) ::= a1; cells(("append", s"${factor}x")) ::= aN
+      cells(("compact", "1x")) ::= c1; cells(("compact", s"${factor}x")) ::= cN
+    }
+    for (op <- Seq("build", "append", "compact")) {
+      val x1 = cells((op, "1x")).min; val xN = cells((op, s"${factor}x")).min
+      println(f"[ivfmaint] $op%-8s 1x=$x1%6.2fs ${factor}x=$xN%6.2fs " +
+        f"ratio=${xN / x1}%5.2f")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
 }
 
 /** Checkpoint-cadence measurement for q_kcore, the PageRankTune

@@ -36,7 +36,7 @@ object SparkEntry {
     registry("q_join_snowflake").fn(spark, "/root/testdata/sf0.001")
 
   /** The driver's correctness artifact caps at ~100 rows while the
-    * registry declares 119 oracles — whatever the driver truncates
+    * registry declares 160+ oracles — whatever the driver truncates
     * rides unchecked that round. Surface the maps in a deliberate
     * order: the events-backed queries first (they went unchecked for a
     * whole round when the r7 testdata regeneration broke their ingest),
@@ -55,6 +55,7 @@ object SparkEntry {
     "q_corpus_expectations", "q_dedup_tfidf", "q_image_phash",
     "q_audio_features", "q_c4_lines", "q_line_dedup",
     "q_frame_sample", "q_embed_ann", "q_scene_cuts", "q_multimodal_meta",
+    "q_ann_ivf_incremental", "q_ann_ivf_delete",
     "q_url_dedup", "q_domain_stats", "q_html_extract", "q_read_pruned",
     "q_centroid_drift",
     "q_recall_at_k", "q_bitext_margin", "q_pagerank",

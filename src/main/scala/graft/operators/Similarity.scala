@@ -691,6 +691,229 @@ object Similarity {
     dir
   }
 
+  /** INCREMENTAL index maintenance — the missing half of
+    * build-once-probe-many at 100 TB: a production IVF index is not
+    * rebuilt per ingest, it ABSORBS increments against a frozen
+    * quantizer (retrain is a rare, monitored event — `q_centroid_drift`
+    * is the monitor), masks deletes with tombstones, and compacts
+    * occasionally. Layout: `LATEST` names the current GENERATION
+    * `g<G>/`, inside which every increment lands whole under
+    * `batch=<id>/list_id=<l>/` and every delete under
+    * `_tombstones/batch=<id>/`; compaction folds live postings into
+    * `g<G+1>` and flips the pointer (the [[writePqIndex]] publication
+    * discipline — a crash mid-compaction leaves readers on the
+    * complete previous generation).
+    *
+    * Each increment is one map-only pass over the NEW vectors (assign
+    * to the frozen centroids, norm, write) — cost ∝ batch, the
+    * existing postings are never touched. `batch=<id>` is overwritten
+    * whole on replay (the CorpusStream shield), and a batch id at or
+    * below the generation's `_FOLDED` horizon no-ops — a redelivery
+    * straddling a compaction cannot re-insert rows the fold already
+    * carried forward. Probes read the union of batches; `list_id`
+    * stays a PARTITION column, so the per-list directory pruning that
+    * makes an IVF probe cheap holds across every increment (and
+    * dynamic partition pruning covers the join path on a cluster).
+    * Single-writer maintenance contract (appends/deletes/compactions
+    * serialized), like any snapshot-pointer table; probes are
+    * lock-free.
+    */
+  def appendIvfIncrement(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, vecs: DataFrame,
+      cents: Seq[(Long, Seq[Double])], batchId: Long): Unit = {
+    val g = ivfIncGeneration(spark, indexDir)
+    if (batchId <= ivfIncFoldedThrough(spark, indexDir, g)) return
+    spreadScan(vecs.select(col("vec_id"), col("embedding").as("c_v")))
+      .withColumn("list_id", nearestCentroid(col("c_v"), cents))
+      .withColumn("c_norm", sqrt(fdot(col("c_v"), col("c_v"))))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("list_id")
+      .parquet(s"$indexDir/g$g/batch=$batchId")
+  }
+
+  /** Tombstone delete: the ids land whole under the current
+    * generation's `_tombstones/batch=<id>/` (underscore-prefixed, so
+    * postings reads never see them as data) and every probe anti-joins
+    * them out until a compaction removes the rows physically — the
+    * append-only answer to retention/right-to-be-forgotten at 100 TB,
+    * where rewriting the postings per delete would dwarf the delete.
+    * Replay-idempotent twice over: the batch dir overwrites whole, and
+    * a redelivery past a compaction (`batchId <= _FOLDED`) no-ops —
+    * by then the masked rows are physically gone.
+    */
+  def deleteIvfIncrement(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: DataFrame, batchId: Long): Unit = {
+    val g = ivfIncGeneration(spark, indexDir)
+    if (batchId <= ivfIncFoldedThrough(spark, indexDir, g)) return
+    ids.select(col("vec_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexDir/g$g/_tombstones/batch=$batchId")
+  }
+
+  /** The live postings of the current generation: the union of its
+    * increment batches minus its tombstones (broadcast anti-join — the
+    * tombstone set is churn-sized, never corpus-sized). The explicit
+    * schema pins both partition columns to LONG (inference would guess
+    * INT and the cast would defeat the probe join's partition pruning).
+    */
+  private def ivfIncLive(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, g: Long): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("c_v", ArrayType(FloatType)),
+      StructField("c_norm", DoubleType),
+      StructField("batch", LongType),
+      StructField("list_id", LongType)))
+    val codes = spark.read.schema(schema).parquet(s"$indexDir/g$g")
+      .select(col("vec_id").as("neighbor_id"), col("c_v"),
+        col("c_norm"), col("list_id"))
+    val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/g$g/_tombstones")
+    if (!hadoopFs(spark, indexDir).exists(tombPath)) codes
+    else {
+      val tombs = spark.read
+        .schema(StructType(Seq(StructField("vec_id", LongType),
+          StructField("batch", LongType))))
+        .parquet(s"$indexDir/g$g/_tombstones")
+        .select(col("vec_id").as("neighbor_id")).distinct()
+      codes.join(broadcast(tombs), Seq("neighbor_id"), "left_anti")
+    }
+  }
+
+  /** Probe the incrementally-grown postings: identical semantics (and
+    * identical results — the declared queries share their oracle
+    * strings with the batch-built twins) to [[probeIvfIndex]], over
+    * however many increments, deletes and compactions have landed.
+    */
+  def probeIvfIncremental(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, cents: Seq[(Long, Seq[Double])],
+      queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    val g = pqLatestVersion(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no LATEST pointer under $indexDir"))
+    probeAssigned(ivfIncLive(spark, indexDir, g), queries, cents, k, nprobe)
+  }
+
+  /** Fold the current generation's live postings (tombstones applied)
+    * into a single-batch next generation and flip `LATEST` — the
+    * publication point. The old generation is retained for readers
+    * that pinned it mid-probe; generations before it are pruned. The
+    * new generation's `_FOLDED` horizon records the largest batch id
+    * the fold consumed, so replayed increments/deletes at or below it
+    * no-op instead of re-inserting folded rows.
+    */
+  def compactIvfIncremental(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val g = pqLatestVersion(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no LATEST pointer under $indexDir"))
+    val fs = hadoopFs(spark, indexDir)
+    val folded = fs.listStatus(new org.apache.hadoop.fs.Path(s"$indexDir/g$g"))
+      .toSeq.map(_.getPath.getName)
+      .flatMap {
+        case s if s.startsWith("batch=") => Some(s.stripPrefix("batch=").toLong)
+        case "_tombstones" =>
+          fs.listStatus(
+              new org.apache.hadoop.fs.Path(s"$indexDir/g$g/_tombstones"))
+            .toSeq.map(_.getPath.getName)
+            .collect { case t if t.startsWith("batch=") =>
+              t.stripPrefix("batch=").toLong }
+        case _ => None
+      }
+    val horizon = (folded :+ ivfIncFoldedThrough(spark, indexDir, g)).max
+    ivfIncLive(spark, indexDir, g)
+      .select(col("neighbor_id").as("vec_id"), col("c_v"),
+        col("c_norm"), col("list_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("list_id")
+      .parquet(s"$indexDir/g${g + 1}/batch=0")
+    writeSmallFile(spark, s"$indexDir/g${g + 1}/_FOLDED", horizon.toString)
+    writeSmallFile(spark, s"$indexDir/LATEST", (g + 1).toString)
+    for (old <- 1L until g)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/g$old"), true)
+  }
+
+  /** Current generation, initializing `LATEST` to 1 on first touch —
+    * concurrent first writers race benignly (identical bytes).
+    */
+  private def ivfIncGeneration(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Long =
+    pqLatestVersion(spark, indexDir).getOrElse {
+      writeSmallFile(spark, s"$indexDir/LATEST", "1"); 1L
+    }
+
+  /** The generation's folded-batch horizon: compaction folded every
+    * batch id at or below it (−1 for a never-compacted generation).
+    */
+  private def ivfIncFoldedThrough(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, g: Long): Long = {
+    val fs = hadoopFs(spark, indexDir)
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/g$g/_FOLDED")
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.trim.toLong
+    }
+  }
+
+  private def writeSmallFile(spark: org.apache.spark.sql.SparkSession,
+      path: String, content: String): Unit = {
+    val out = hadoopFs(spark, path)
+      .create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Build the incremental index for the declared query iff absent:
+    * the corpus arrives as two disjoint increments (even then odd
+    * vec_ids). The root `_SUCCESS` lands only after the last
+    * increment — a crash mid-build leaves no marker and the next
+    * caller re-runs both appends over their own Overwrite shields.
+    */
+  private[graft] def ensureIvfIncremental(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
+    val dir = indexCacheDir(spark, sfDir, "ivf-inc")
+    // a complete marker without a generation pointer is a stale
+    // pre-generation layout — rebuild rather than fail the probe
+    if (!graft.sources.DerivedCache.isComplete(spark, dir) ||
+        pqLatestVersion(spark, dir).isEmpty) {
+      val cents = ensureKmeansQuantizer(spark, sfDir)
+      val e = table(spark, sfDir, "embeddings")
+      appendIvfIncrement(spark, dir,
+        e.filter(pmod(col("vec_id"), lit(2)) === 0), cents, 0L)
+      appendIvfIncrement(spark, dir,
+        e.filter(pmod(col("vec_id"), lit(2)) === 1), cents, 1L)
+      val fs = hadoopFs(spark, dir)
+      fs.create(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), true).close()
+    }
+    dir
+  }
+
+  /** The full maintenance lifecycle for the declared delete query:
+    * two increments, a tombstone delete of every `vec_id % 7 == 3`
+    * row, then a compaction — so the ORACLE (the batch replay over the
+    * corpus minus the deleted ids) grades the physically-compacted
+    * index, not just the tombstone mask. The mask path is spec-pinned
+    * equal to this one.
+    */
+  private[graft] def ensureIvfDeleted(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
+    val dir = indexCacheDir(spark, sfDir, "ivf-del")
+    if (!graft.sources.DerivedCache.isComplete(spark, dir) ||
+        pqLatestVersion(spark, dir).isEmpty) {
+      val cents = ensureKmeansQuantizer(spark, sfDir)
+      val e = table(spark, sfDir, "embeddings")
+      appendIvfIncrement(spark, dir,
+        e.filter(pmod(col("vec_id"), lit(2)) === 0), cents, 0L)
+      appendIvfIncrement(spark, dir,
+        e.filter(pmod(col("vec_id"), lit(2)) === 1), cents, 1L)
+      deleteIvfIncrement(spark, dir,
+        e.filter(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"), 2L)
+      compactIvfIncremental(spark, dir)
+      val fs = hadoopFs(spark, dir)
+      fs.create(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), true).close()
+    }
+    dir
+  }
+
   /** Fit-once FROZEN quantizer: the sample-refined Lloyd centroids
     * that q_ann_kmeans_indexed's IVF build, q_semdedup's cluster
     * assignment and q_corpus_map's composition map all consume — at
@@ -804,6 +1027,26 @@ object Similarity {
         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
         |  FROM lists q JOIN lists c USING (list_id)
         |  WHERE q.vec_id < 32 AND c.vec_id != q.vec_id)
+        |SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos
+        |FROM sims
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cos_raw DESC, neighbor_id) <= 3
+        |ORDER BY query_id, neighbor_id""".stripMargin
+
+  /** q_ann_ivf_delete's oracle: the kmeans probe replay with the
+    * tombstoned ids (`vec_id % 7 == 3`) excluded from the CORPUS side
+    * only — deleted vectors stop being findable but remain valid
+    * queries, exactly what the tombstone mask and the compacted index
+    * must both produce.
+    */
+  private lazy val kmeansDeleteOracleSql: String =
+    s"""$kmeansListsSql,
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
+        |  FROM lists q JOIN lists c USING (list_id)
+        |  WHERE q.vec_id < 32 AND c.vec_id != q.vec_id
+        |    AND c.vec_id % 7 != 3)
         |SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos
         |FROM sims
         |QUALIFY row_number() OVER (PARTITION BY query_id
@@ -1267,6 +1510,40 @@ object Similarity {
           .orderBy("query_id", "neighbor_id")
       },
       kmeansOracleSql),
+
+    // Incremental index MAINTENANCE (round 11): the corpus lands as
+    // two disjoint increments appended against the frozen quantizer —
+    // no rebuild, postings grow batch by batch, probes read the
+    // union. SAME oracle string as q_ann_kmeans{,_indexed}: an
+    // incrementally-grown index must answer bit-for-bit like the
+    // batch-built one, which is the entire contract of append-only
+    // maintenance.
+    "q_ann_ivf_incremental" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        probeIvfIncremental(s, ensureIvfIncremental(s, dir),
+            ensureKmeansQuantizer(s, dir),
+            e.filter(col("vec_id") < 32), k = 3)
+          .orderBy("query_id", "neighbor_id")
+      },
+      kmeansOracleSql),
+
+    // Index DELETION + COMPACTION (round 11): tombstone every
+    // `vec_id % 7 == 3` vector, compact, probe — the oracle replays
+    // the batch build over the corpus MINUS the deleted ids, so it
+    // grades the physically-rewritten postings (the
+    // right-to-be-forgotten path: after compaction the bytes are
+    // gone, not just masked). The pre-compaction tombstone mask is
+    // spec-pinned equal to this result.
+    "q_ann_ivf_delete" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        probeIvfIncremental(s, ensureIvfDeleted(s, dir),
+            ensureKmeansQuantizer(s, dir),
+            e.filter(col("vec_id") < 32), k = 3)
+          .orderBy("query_id", "neighbor_id")
+      },
+      kmeansDeleteOracleSql),
 
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     // dedup = cluster the embedding space, then keep one exemplar per

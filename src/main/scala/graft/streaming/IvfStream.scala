@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+
+/** Streaming vector ingest into the incremental IVF index — the
+  * wired twin of `q_ann_ivf_incremental`: each micro-batch of
+  * `(vec_id, embedding)` rows is ONE [[Similarity.appendIvfIncrement]]
+  * keyed on the foreachBatch batch id (a map-only assign pass against
+  * the frozen quantizer, cost ∝ batch), so a 100 TB ANN index absorbs
+  * an embedding stream without ever rebuilding. Probes
+  * ([[Similarity.probeIvfIncremental]]) run concurrently against
+  * whatever has landed — they read the committed generation, lock-free.
+  *
+  * Exactly-once across replays is structural, twice over: the
+  * `batch=<id>` directory overwrites WHOLE on redelivery (a crashed
+  * batch's partial files are replaced byte-identically), and the
+  * generation's `_FOLDED` horizon no-ops any id an intervening
+  * compaction already folded — the one replay shape a plain overwrite
+  * shield cannot survive, because the folded generation no longer has
+  * the batch directory to overwrite.
+  *
+  * `compactEvery > 0` folds tombstone-free single-batch generations on
+  * a cadence, bounding the directory count a probe must list (the
+  * small-files problem of any append-only index); the fold itself is
+  * the crash-safe `LATEST`-flip publication, so a kill mid-compaction
+  * replays cleanly. Single maintenance writer (the streaming query),
+  * like every snapshot-pointer sink here.
+  */
+object IvfStream {
+
+  def ingestBatchStep(batch: DataFrame, batchId: Long, indexDir: String,
+      cents: Seq[(Long, Seq[Double])], compactEvery: Long = 0L): Unit = {
+    val spark = batch.sparkSession
+    Similarity.appendIvfIncrement(spark, indexDir, batch, cents, batchId)
+    if (compactEvery > 0L && batchId % compactEvery == compactEvery - 1L)
+      Similarity.compactIvfIncremental(spark, indexDir)
+  }
+
+  def ingestStream(vecs: DataFrame, indexDir: String,
+      cents: Seq[(Long, Seq[Double])], checkpointDir: String,
+      compactEvery: Long = 0L,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        ingestBatchStep(b, id, indexDir, cents, compactEvery)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.Similarity
+import graft.streaming.IvfStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The streaming half of the incremental-IVF contract: a vector
+  * stream folds into the same index `q_ann_ivf_incremental` probes,
+  * and the result is indistinguishable from a batch build — including
+  * under replays, with and without in-stream compaction.
+  */
+class IvfStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus() =
+    graft.sources.Tables.table(spark, sfDir, "embeddings")
+
+  private def probeSorted(dir: String, cents: Seq[(Long, Seq[Double])]) =
+    Similarity.probeIvfIncremental(spark, dir, cents,
+        corpus().filter(col("vec_id") < 32), k = 3)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  private def batchReference(cents: Seq[(Long, Seq[Double])]) =
+    Similarity.ivfTopKWithCentroids(corpus(),
+        corpus().filter(col("vec_id") < 32), cents, k = 3)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  private def latestGen(dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/LATEST")
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+    finally in.close()
+  }
+
+  private def feed(): Seq[Seq[(Long, Seq[Float])]] = {
+    val rows = corpus().select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    rows.grouped((rows.size + 2) / 3).toSeq // three micro-batches
+  }
+
+  test("streamed ingest ≡ batch build; in-stream compaction is invisible " +
+      "to probes and bounds the batch-dir count") {
+    implicit val sqlCtx = spark.sqlContext
+    val cents = Similarity.ensureKmeansQuantizer(spark, sfDir)
+    val expect = batchReference(cents)
+    for (compactEvery <- Seq(0L, 2L)) {
+      val base = java.nio.file.Files.createTempDirectory("graft_ivfstream")
+      val dir = base.resolve("index").toString
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = IvfStream.ingestStream(
+        mem.toDF().toDF("vec_id", "embedding"), dir, cents,
+        base.resolve("ckpt").toString, compactEvery,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+      try {
+        feed().foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      } finally q.stop()
+      assert(probeSorted(dir, cents) == expect,
+        s"streamed index (compactEvery=$compactEvery) diverged from batch build")
+      if (compactEvery == 2L) {
+        // batches 0..2 → one fold after batch 1; the folded generation
+        // carries batches {0(fold), 2} — strictly fewer dirs than landed
+        val dirs = spark.read.parquet(s"$dir/g${latestGen(dir)}")
+          .select("batch").distinct().count()
+        assert(dirs <= 2, s"compaction did not bound batch dirs: $dirs")
+      }
+    }
+  }
+
+  test("batch-step replays are idempotent, including straddling an " +
+      "in-stream compaction") {
+    val cents = Similarity.ensureKmeansQuantizer(spark, sfDir)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfreplay").resolve("index").toString
+    val chunks = feed().map(rows =>
+      rows.toDF("vec_id", "embedding"))
+    // land 0, 1 with a compaction after 1 (compactEvery=2), then a
+    // REPLAY of batch 1 (post-fold redelivery) and batch 2
+    IvfStream.ingestBatchStep(chunks(0), 0L, dir, cents, compactEvery = 2L)
+    IvfStream.ingestBatchStep(chunks(1), 1L, dir, cents, compactEvery = 2L)
+    IvfStream.ingestBatchStep(chunks(1), 1L, dir, cents, compactEvery = 2L)
+    IvfStream.ingestBatchStep(chunks(2), 2L, dir, cents, compactEvery = 2L)
+    assert(probeSorted(dir, cents) == batchReference(cents),
+      "replayed ingest diverged from batch build")
+    val n = spark.read.parquet(s"$dir/g${latestGen(dir)}").count()
+    assert(n == corpus().count(), s"replay duplicated postings: $n")
+  }
+}

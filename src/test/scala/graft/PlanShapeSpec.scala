@@ -30,6 +30,7 @@ class PlanShapeSpec extends SparkSpec {
     "q_ppl_buckets", // inherits lmScored's scalar vocab broadcast
     "q_curriculum", // same lmScored scalar broadcast
     "q_knn_label", // bruteForceTopK baseline — q_ann_brute's shape
+    "q_embed_ann", // bruteForceTopK over the 16 learned frame embeddings — same shape
     "q_hard_negatives", // same broadcast-panel shape, label-mismatch predicate
     "q_recall_at_k", // grades the LSH index against the brute baseline — inherits both shapes
     "q_bitext_margin", // broadcast label-panel × streamed other-label side (A×B score matrix)
@@ -531,6 +532,30 @@ class PlanShapeSpec extends SparkSpec {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
+  }
+
+  test("incremental IVF probe: the tombstone mask is a broadcast " +
+      "anti-join — the corpus-sized postings never shuffle for a delete") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val cents = operators.Similarity.ensureKmeansQuantizer(spark, sfDir)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfplan").toString
+    operators.Similarity.appendIvfIncrement(spark, dir, e, cents, 0L)
+    operators.Similarity.deleteIvfIncrement(spark, dir,
+      e.filter(col("vec_id") < 4).select("vec_id"), 1L)
+    val plan = operators.Similarity.probeIvfIncremental(spark, dir, cents,
+        e.filter(col("vec_id") < 32), k = 3)
+      .queryExecution.executedPlan.toString
+    val anti = plan.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(anti.nonEmpty, s"tombstone anti-join missing from plan:\n$plan")
+    assert(anti.forall(_.contains("BroadcastHashJoin")),
+      s"tombstone mask shuffles the postings instead of broadcasting " +
+        s"the churn-sized delete set:\n$plan")
+    // the probe itself stays a hash equi-join — no cross product ever
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+        && !plan.contains("CartesianProduct"),
+      s"incremental probe degenerated to a cross product:\n$plan")
   }
 
   test("q_containment: four consumers, ONE executed gram exchange") {

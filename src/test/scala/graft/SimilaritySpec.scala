@@ -535,6 +535,92 @@ class SimilaritySpec extends SparkSpec {
     assert(first == fresh, "artifact must be indistinguishable from a fresh fit")
   }
 
+  test("incremental IVF: appended index answers identically to the " +
+      "batch probe, increments replay idempotently, a crashed build " +
+      "re-runs to the same index") {
+    graft.sources.DerivedCache.vacuumKinds(spark, Set("index-ivf-inc"))
+    val e = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val panel = e.filter(col("vec_id") < 32)
+    val cents = ensureKmeansQuantizer(spark, sfDir)
+    def probe(dir: String) =
+      probeIvfIncremental(spark, dir, cents, panel, k = 3)
+        .orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val dir = ensureIvfIncremental(spark, sfDir)
+    val inc = probe(dir)
+    // equivalence: the batch-assigned probe over the same frozen
+    // centroids ranks identically — incremental growth is invisible
+    val batch = ivfTopKWithCentroids(e, panel, cents, k = 3)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(inc == batch, "incremental index diverged from batch build")
+    // replay shield: redeliver increment 1 — batch dir overwrites
+    // whole, postings don't duplicate, answers unchanged
+    appendIvfIncrement(spark, dir,
+      e.filter(pmod(col("vec_id"), lit(2)) === 1), cents, 1L)
+    assert(probe(dir) == inc)
+    val n = spark.read.parquet(s"$dir/g1").count()
+    assert(n == e.count(), s"postings duplicated: $n")
+    // crash shield: no root marker → ensure re-runs both appends over
+    // their Overwrite shields and converges to the same index
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), false)
+    assert(ensureIvfIncremental(spark, sfDir) == dir)
+    assert(probe(dir) == inc)
+  }
+
+  test("incremental IVF deletes + compaction: tombstone mask ≡ " +
+      "compacted rewrite ≡ batch probe minus deleted; replays across " +
+      "the compaction no-op; new increments still land") {
+    val e = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val panel = e.filter(col("vec_id") < 32)
+    val cents = ensureKmeansQuantizer(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfdel").toString
+    def probe() = probeIvfIncremental(spark, dir, cents, panel, k = 3)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    appendIvfIncrement(spark, dir,
+      e.filter(pmod(col("vec_id"), lit(2)) === 0), cents, 0L)
+    appendIvfIncrement(spark, dir,
+      e.filter(pmod(col("vec_id"), lit(2)) === 1), cents, 1L)
+    deleteIvfIncrement(spark, dir,
+      e.filter(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"), 2L)
+    val masked = probe()
+    // reference: the batch probe over the corpus minus the deleted ids
+    val expect = ivfTopKWithCentroids(
+        e.filter(pmod(col("vec_id"), lit(7)) =!= 3), panel, cents, k = 3)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(masked == expect, "tombstone mask diverged from batch probe")
+    // deleted vectors stay valid queries but are never neighbors
+    assert(masked.exists(t => t._1 % 7 == 3))
+    assert(!masked.exists(t => t._2 % 7 == 3))
+    compactIvfIncremental(spark, dir)
+    assert(probe() == expect, "compacted index diverged from the mask")
+    // physical removal: gen 2 holds exactly the live rows, no tombstones
+    val liveN = spark.read.parquet(s"$dir/g2").count()
+    assert(liveN == e.filter(pmod(col("vec_id"), lit(7)) =!= 3).count())
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/g2/_tombstones")))
+    // replays straddling the compaction no-op: the _FOLDED horizon
+    // covers both the folded increments and the folded tombstones
+    appendIvfIncrement(spark, dir,
+      e.filter(pmod(col("vec_id"), lit(2)) === 1), cents, 1L)
+    deleteIvfIncrement(spark, dir,
+      e.filter(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"), 2L)
+    assert(spark.read.parquet(s"$dir/g2").count() == liveN,
+      "replayed increment re-inserted folded rows")
+    assert(probe() == expect)
+    // a genuinely NEW increment past the horizon still lands
+    appendIvfIncrement(spark, dir,
+      e.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+      cents, 3L)
+    assert(spark.read.parquet(s"$dir/g2").count() == liveN + 8)
+  }
+
   test("centroidDrift: counts reconcile on harness data; clustered fixture separates stable from shifted") {
     val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
     val rows = SparkEntry.queries("q_centroid_drift")(spark, sfDir).collect()
