@@ -57,7 +57,8 @@ object ScaleCheck {
     // round 11: incremental-IVF maintenance (cold = append-built
     // index + probe, warm = probe-only; the append-vs-rebuild cost
     // asymmetry itself is IvfMaintenanceCheck's row)
-    "q_ann_ivf_incremental", "q_ann_ivf_delete")
+    "q_ann_ivf_incremental", "q_ann_ivf_delete", "q_ann_ivf_upsert",
+    "q_ann_pq_delete")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
@@ -218,7 +219,8 @@ object ScaleCheck {
       // round 11: the incremental indexes (shared kmeans-cents
       // quantizer deliberately NOT evicted — it belongs to the
       // cross-query family, same as postings)
-      "q_ann_ivf_incremental", "q_ann_ivf_delete")
+      "q_ann_ivf_incremental", "q_ann_ivf_delete", "q_ann_ivf_upsert",
+      "q_ann_pq_delete")
 
   /** The DerivedCache kinds each WarmSecondRun query builds — the
     * scope of its pre-cold eviction. Queries sharing a kind (the
@@ -234,7 +236,9 @@ object ScaleCheck {
     "q_ppl_buckets" -> Set("bigram-lm"),
     "q_curriculum" -> Set("bigram-lm"),
     "q_ann_ivf_incremental" -> Set("index-ivf-inc"),
-    "q_ann_ivf_delete" -> Set("index-ivf-del"))
+    "q_ann_ivf_delete" -> Set("index-ivf-del"),
+    "q_ann_ivf_upsert" -> Set("index-ivf-ups"),
+    "q_ann_pq_delete" -> Set("index-pq-del"))
 }
 
 /** Incremental-IVF maintenance cost measurement (round 11): the

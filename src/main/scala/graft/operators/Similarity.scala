@@ -552,17 +552,90 @@ object Similarity {
     * columns as nulls and rank garbage silently); the explicit schema
     * pins `list_id` to LONG (partition-dir inference would guess INT
     * and the cast would defeat partition pruning on the probe join).
+    * Tombstoned ids ([[deleteFromPqIndex]]) anti-join out broadcast —
+    * the delete set is churn-sized, never corpus-sized.
     */
   def probePqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
     val (cents, numSubspaces, dim) = readPqSidecar(spark, dir)
     val v = pqLatestVersion(spark, dir).get
+    val codes = readPqCodes(spark, dir, v, numSubspaces)
+    val live = pqTombstones(spark, dir, v)
+      .map(t => codes.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(codes)
+    pqProbe(live, queries, cents, k, numSubspaces, dim, nprobe)
+  }
+
+  private def readPqCodes(spark: org.apache.spark.sql.SparkSession,
+      dir: String, v: Long, numSubspaces: Int): DataFrame = {
     val schema = StructType(
       StructField("vec_id", LongType) +:
         (0 until numSubspaces).map(m => StructField(s"code$m", IntegerType)) :+
         StructField("list_id", LongType))
-    val codes = spark.read.schema(schema).parquet(s"$dir/v$v/codes")
-    pqProbe(codes, queries, cents, k, numSubspaces, dim, nprobe)
+    spark.read.schema(schema).parquet(s"$dir/v$v/codes")
+  }
+
+  private def pqTombstones(spark: org.apache.spark.sql.SparkSession,
+      dir: String, v: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/v$v/_tombstones")
+    if (!hadoopFs(spark, dir).exists(p)) None
+    else Some(spark.read
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("batch", LongType))))
+      .parquet(s"$dir/v$v/_tombstones")
+      .select("vec_id").distinct())
+  }
+
+  /** Tombstone delete for the persisted PQ index — the
+    * [[deleteIvfIncrement]] contract on the versioned layout: ids land
+    * whole under the CURRENT version's `_tombstones/batch=<id>`
+    * (underscore-prefixed, invisible to the codes read), every probe
+    * masks them until [[compactPqIndex]] drops the code rows
+    * physically. Batch-dir Overwrite makes redelivery idempotent; a
+    * replay against an already-compacted version re-masks ids whose
+    * rows are gone — a no-op by construction, so no horizon is needed
+    * on this layout (each version starts tombstone-free).
+    */
+  def deleteFromPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame, batchId: Long): Unit = {
+    val v = pqLatestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no LATEST pointer under $dir"))
+    ids.select(col("vec_id"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/v$v/_tombstones/batch=$batchId")
+  }
+
+  /** Fold the current version's live codes (tombstones applied) into
+    * `v<V+1>`, carry the immutable centroid sidecar forward, flip
+    * `LATEST` — the [[writePqIndex]] publication discipline, so a
+    * crash mid-compaction leaves readers on the previous complete
+    * version. The version before the new one is retained for pinned
+    * readers; older ones are pruned.
+    */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val v = pqLatestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no LATEST pointer under $dir"))
+    val (_, numSubspaces, _) = readPqSidecar(spark, dir)
+    val codes = readPqCodes(spark, dir, v, numSubspaces)
+    val live = pqTombstones(spark, dir, v)
+      .map(t => codes.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(codes)
+    live.write.mode(SaveMode.Overwrite).partitionBy("list_id")
+      .parquet(s"$dir/v${v + 1}/codes")
+    writeSmallFile(spark, s"$dir/v${v + 1}/centroids.tsv",
+      readTextFile(spark, s"$dir/v$v/centroids.tsv"))
+    writeSmallFile(spark, s"$dir/LATEST", (v + 1).toString)
+    val fs = hadoopFs(spark, dir)
+    for (old <- 1L until v)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$old"), true)
+  }
+
+  private def readTextFile(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val in = hadoopFs(spark, path).open(new org.apache.hadoop.fs.Path(path))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
   }
 
   // ---- persisted IVF (full-vector) index ------------------------------
@@ -681,6 +754,63 @@ object Similarity {
     dir
   }
 
+  /** The CDC lifecycle for the declared upsert query: the full corpus
+    * lands as batch 0, then ONE change batch — every `vec_id % 5 == 1`
+    * document "re-embedded" (deterministically: it takes `vec_id + 1`'s
+    * vector, so the oracle can replay the mutation in SQL) and every
+    * `vec_id % 7 == 3` document deleted. Probes must rank the
+    * re-embedded docs by their NEW vectors and never surface the
+    * deleted ones. Ids that are both (re-embed ∩ takedown) are
+    * takedowns — the upsert set excludes them, keeping the semantics
+    * deterministic.
+    */
+  private[graft] def ensureIvfUpserted(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
+    val dir = indexCacheDir(spark, sfDir, "ivf-ups")
+    if (!graft.sources.DerivedCache.isComplete(spark, dir) ||
+        pqLatestVersion(spark, dir).isEmpty) {
+      val cents = ensureKmeansQuantizer(spark, sfDir)
+      val e = table(spark, sfDir, "embeddings")
+      appendIvfIncrement(spark, dir, e, cents, 0L)
+      val next = e.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("__new_emb"))
+      val ups = e.select("vec_id").join(next, "vec_id")
+        .filter(pmod(col("vec_id"), lit(5)) === 1 &&
+          pmod(col("vec_id"), lit(7)) =!= 3)
+        .select(col("vec_id"), col("__new_emb").as("embedding"),
+          lit("upsert").as("op"))
+      val dels = e.filter(pmod(col("vec_id"), lit(7)) === 3)
+        .select(col("vec_id"), col("embedding"), lit("delete").as("op"))
+      upsertIvfIncrement(spark, dir, ups.unionByName(dels), cents, 1L)
+      hadoopFs(spark, dir)
+        .create(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), true).close()
+    }
+    dir
+  }
+
+  /** Build + delete + compact lifecycle for the declared PQ delete
+    * query — the [[ensureIvfDeleted]] pattern on the versioned PQ
+    * layout, so the oracle grades the physically-compacted codes.
+    * Crash anywhere before the `_SUCCESS` witness → the rerun builds a
+    * fresh version through `writePqIndex`'s own publication and
+    * converges (stale versions are pruned by the next flip).
+    */
+  private[graft] def ensurePqDeleted(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): String = {
+    val dir = indexCacheDir(spark, sfDir, "pq-del")
+    if (!graft.sources.DerivedCache.isComplete(spark, dir) ||
+        pqLatestVersion(spark, dir).isEmpty) {
+      val e = table(spark, sfDir, "embeddings")
+      writePqIndex(e, dir)
+      deleteFromPqIndex(spark, dir,
+        e.filter(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"), 0L)
+      compactPqIndex(spark, dir)
+      hadoopFs(spark, dir)
+        .create(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), true).close()
+    }
+    dir
+  }
+
   private[graft] def ensureIvfIndex(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): String = {
     val dir = indexCacheDir(spark, sfDir, "ivf")
@@ -737,9 +867,12 @@ object Similarity {
     * them out until a compaction removes the rows physically — the
     * append-only answer to retention/right-to-be-forgotten at 100 TB,
     * where rewriting the postings per delete would dwarf the delete.
-    * Replay-idempotent twice over: the batch dir overwrites whole, and
-    * a redelivery past a compaction (`batchId <= _FOLDED`) no-ops —
-    * by then the masked rows are physically gone.
+    * A tombstone at batch `b` masks postings from batches STRICTLY
+    * BEFORE `b` — log ordering, so [[upsertIvfIncrement]]'s same-batch
+    * re-append survives its own tombstone. Replay-idempotent twice
+    * over: the batch dir overwrites whole, and a redelivery past a
+    * compaction (`batchId <= _FOLDED`) no-ops — by then the masked
+    * rows are physically gone.
     */
   def deleteIvfIncrement(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, ids: DataFrame, batchId: Long): Unit = {
@@ -750,11 +883,38 @@ object Similarity {
       .parquet(s"$indexDir/g$g/_tombstones/batch=$batchId")
   }
 
+  /** CDC upsert batch: every incoming id is tombstoned at this batch
+    * (killing all earlier postings for it) and the non-delete rows
+    * re-append in the SAME batch with their new vectors — re-embedded
+    * documents land under the fresh assignment, takedowns (`op` =
+    * "delete") just vanish. This is how a 100 TB ANN index tracks an
+    * encoder refresh or a document edit stream without rebuilds: per
+    * batch, cost ∝ churn. Both writes ride the same replay shields as
+    * their building blocks; a crash between them leaves the index
+    * temporarily missing the re-appends, and the batch replay rewrites
+    * both sides to the converged state.
+    */
+  def upsertIvfIncrement(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame,
+      cents: Seq[(Long, Seq[Double])], batchId: Long,
+      opCol: String = "op"): Unit = {
+    deleteIvfIncrement(spark, indexDir, batch.select(col("vec_id")), batchId)
+    appendIvfIncrement(spark, indexDir,
+      batch.filter(col(opCol) =!= "delete").select("vec_id", "embedding"),
+      cents, batchId)
+  }
+
   /** The live postings of the current generation: the union of its
     * increment batches minus its tombstones (broadcast anti-join — the
-    * tombstone set is churn-sized, never corpus-sized). The explicit
-    * schema pins both partition columns to LONG (inference would guess
-    * INT and the cast would defeat the probe join's partition pruning).
+    * tombstone set is churn-sized, never corpus-sized). A tombstone
+    * masks postings from STRICTLY EARLIER batches only: that log
+    * ordering is what makes UPSERT expressible as tombstone + re-append
+    * in one batch (the re-embedded vector survives its own tombstone;
+    * every older posting for the id dies), while a pure delete — a
+    * tombstone with no re-append — removes the id entirely. The
+    * explicit schema pins both partition columns to LONG (inference
+    * would guess INT and the cast would defeat the probe join's
+    * partition pruning).
     */
   private def ivfIncLive(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, g: Long): DataFrame = {
@@ -766,17 +926,24 @@ object Similarity {
       StructField("list_id", LongType)))
     val codes = spark.read.schema(schema).parquet(s"$indexDir/g$g")
       .select(col("vec_id").as("neighbor_id"), col("c_v"),
-        col("c_norm"), col("list_id"))
+        col("c_norm"), col("list_id"), col("batch"))
     val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/g$g/_tombstones")
-    if (!hadoopFs(spark, indexDir).exists(tombPath)) codes
-    else {
-      val tombs = spark.read
-        .schema(StructType(Seq(StructField("vec_id", LongType),
-          StructField("batch", LongType))))
-        .parquet(s"$indexDir/g$g/_tombstones")
-        .select(col("vec_id").as("neighbor_id")).distinct()
-      codes.join(broadcast(tombs), Seq("neighbor_id"), "left_anti")
-    }
+    val live =
+      if (!hadoopFs(spark, indexDir).exists(tombPath)) codes
+      else {
+        // one row per id, at its LATEST tombstone batch: a posting
+        // survives iff it landed at or after every tombstone for its id
+        val tombs = spark.read
+          .schema(StructType(Seq(StructField("vec_id", LongType),
+            StructField("batch", LongType))))
+          .parquet(s"$indexDir/g$g/_tombstones")
+          .select(col("vec_id").as("__t_id"), col("batch"))
+          .groupBy("__t_id").agg(max("batch").as("__t_batch"))
+        codes.join(broadcast(tombs),
+          codes("neighbor_id") === tombs("__t_id") &&
+            codes("batch") < tombs("__t_batch"), "left_anti")
+      }
+    live.drop("batch")
   }
 
   /** Probe the incrementally-grown postings: identical semantics (and
@@ -1053,6 +1220,41 @@ object Similarity {
         |  ORDER BY cos_raw DESC, neighbor_id) <= 3
         |ORDER BY query_id, neighbor_id""".stripMargin
 
+  /** q_ann_ivf_upsert's oracle: the quantizer fit and the QUERY-side
+    * assignment replay over the ORIGINAL corpus (the frozen-quantizer
+    * contract — increments never refit), while the CANDIDATE side is
+    * the MUTATED corpus: `vec_id % 5 == 1` rows carry `vec_id + 1`'s
+    * vector (re-assigned against the same centroids, exactly what the
+    * upsert's re-append does) and `vec_id % 7 == 3` rows are gone.
+    */
+  private lazy val kmeansUpsertOracleSql: String =
+    s"""$kmeansListsSql,
+        |um AS (
+        |  SELECT a.vec_id,
+        |    CASE WHEN a.vec_id % 5 = 1 AND a.vec_id % 7 != 3
+        |              AND b.vec_id IS NOT NULL
+        |         THEN CAST(b.embedding AS DOUBLE[])
+        |         ELSE CAST(a.embedding AS DOUBLE[]) END AS v
+        |  FROM embeddings a LEFT JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |  WHERE a.vec_id % 7 != 3),
+        |afm AS (SELECT um.vec_id, um.v, c.cid,
+        |    row_number() OVER (PARTITION BY um.vec_id
+        |      ORDER BY list_dot_product(um.v, c.cent) DESC, c.cid) AS rn
+        |  FROM um CROSS JOIN c2 c),
+        |listsm AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, cid AS list_id
+        |  FROM afm WHERE rn = 1),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
+        |  FROM lists q JOIN listsm c ON q.list_id = c.list_id
+        |  WHERE q.vec_id < 32 AND c.vec_id != q.vec_id)
+        |SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos
+        |FROM sims
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cos_raw DESC, neighbor_id) <= 3
+        |ORDER BY query_id, neighbor_id""".stripMargin
+
   /** q_semdedup's oracle: the shared quantizer replay, then the
     * within-cluster keep-min-id ε-dedup — a dropped survivor, a
     * surviving duplicate, or any drifted cluster id hash-mismatches.
@@ -1116,6 +1318,20 @@ object Similarity {
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY s DESC, neighbor_id) <= 3
         |ORDER BY query_id, neighbor_id""".stripMargin
+
+  /** q_ann_pq_delete's oracle: the PQ probe replay with the
+    * tombstoned ids (`vec_id % 7 == 3`) excluded from the CANDIDATE
+    * side only — deleted vectors remain valid queries but stop being
+    * findable, the same contract as `q_ann_ivf_delete` on the
+    * compressed-code index.
+    */
+  private lazy val pqDeleteOracleSql: String = {
+    val marker = "WHERE l.vec_id != q.query_id)"
+    val patched = pqOracleSql.replace(marker,
+      "WHERE l.vec_id != q.query_id AND l.vec_id % 7 != 3)")
+    require(patched != pqOracleSql, "pq oracle candidate filter drifted")
+    patched
+  }
 
   /** Majority vote over a (query_id, neighbor_id, …) top-k frame
     * against the labeled corpus: each query takes the most frequent
@@ -1545,6 +1761,22 @@ object Similarity {
       },
       kmeansDeleteOracleSql),
 
+    // CDC UPSERT through the index (round 11): one change batch
+    // re-embeds every vec_id % 5 == 1 document (tombstone + same-batch
+    // re-append with the new vector) and takes down every
+    // vec_id % 7 == 3. The oracle replays the mutation in SQL against
+    // the FROZEN quantizer — probes must rank re-embedded docs by
+    // their new vectors and never surface a takedown.
+    "q_ann_ivf_upsert" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        probeIvfIncremental(s, ensureIvfUpserted(s, dir),
+            ensureKmeansQuantizer(s, dir),
+            e.filter(col("vec_id") < 32), k = 3)
+          .orderBy("query_id", "neighbor_id")
+      },
+      kmeansUpsertOracleSql),
+
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     // dedup = cluster the embedding space, then keep one exemplar per
     // within-cluster epsilon-ball. Re-expressed Spark-first: the SAME
@@ -1695,6 +1927,20 @@ object Similarity {
           .orderBy("query_id", "neighbor_id")
       },
       pqOracleSql),
+
+    // PQ-index DELETION + COMPACTION (round 11): the q_ann_ivf_delete
+    // lifecycle on the versioned compressed-code index — tombstone
+    // every vec_id % 7 == 3 row, compact into v2, probe. The oracle
+    // replays the PQ pipeline minus the deleted ids against the
+    // physically-rewritten codes.
+    "q_ann_pq_delete" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        probePqIndex(s, ensurePqDeleted(s, dir),
+            e.filter(col("vec_id") < 32), k = 3)
+          .orderBy("query_id", "neighbor_id")
+      },
+      pqDeleteOracleSql),
 
     // Brute-force cosine top-3 for a fixed 32-query panel — exact,
     // oracle-checked.

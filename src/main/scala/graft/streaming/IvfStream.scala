@@ -37,6 +37,38 @@ object IvfStream {
       Similarity.compactIvfIncremental(spark, indexDir)
   }
 
+  /** CDC variant: each micro-batch carries `(vec_id, embedding, op)`
+    * rows — `op` = "delete" takes the document down, anything else
+    * re-embeds it ([[Similarity.upsertIvfIncrement]]: tombstone every
+    * incoming id, re-append the non-deletes in the same batch). This
+    * is the encoder-refresh / document-edit stream a production ANN
+    * index actually receives; per batch the cost is ∝ churn.
+    */
+  def upsertBatchStep(batch: DataFrame, batchId: Long, indexDir: String,
+      cents: Seq[(Long, Seq[Double])], compactEvery: Long = 0L,
+      opCol: String = "op"): Unit = {
+    val spark = batch.sparkSession
+    Similarity.upsertIvfIncrement(spark, indexDir, batch, cents, batchId,
+      opCol)
+    if (compactEvery > 0L && batchId % compactEvery == compactEvery - 1L)
+      Similarity.compactIvfIncremental(spark, indexDir)
+  }
+
+  def upsertStream(changes: DataFrame, indexDir: String,
+      cents: Seq[(Long, Seq[Double])], checkpointDir: String,
+      compactEvery: Long = 0L, opCol: String = "op",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        upsertBatchStep(b, id, indexDir, cents, compactEvery, opCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   def ingestStream(vecs: DataFrame, indexDir: String,
       cents: Seq[(Long, Seq[Double])], checkpointDir: String,
       compactEvery: Long = 0L,

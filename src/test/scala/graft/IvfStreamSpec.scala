@@ -69,6 +69,45 @@ class IvfStreamSpec extends SparkSpec {
     }
   }
 
+  test("CDC upsert: a re-embedded id ranks by its NEW vector (surviving " +
+      "its own same-batch tombstone), a takedown vanishes, and both " +
+      "survive replay and compaction unchanged") {
+    val cents = Similarity.ensureKmeansQuantizer(spark, sfDir)
+    val e = corpus()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfups").resolve("index").toString
+    IvfStream.ingestBatchStep(e, 0L, dir, cents)
+    // the change batch: doc 1 re-embedded AS doc 2's vector; doc 3 down
+    val ups = e.filter(col("vec_id") === 2)
+      .select(lit(1L).as("vec_id"), col("embedding"), lit("upsert").as("op"))
+    val dels = e.filter(col("vec_id") === 3)
+      .select(col("vec_id"), col("embedding"), lit("delete").as("op"))
+    IvfStream.upsertBatchStep(ups.unionByName(dels), 1L, dir, cents)
+    def probeFor(queryId: Long) =
+      Similarity.probeIvfIncremental(spark, dir, cents,
+          e.filter(col("vec_id") === queryId), k = 3)
+        .orderBy("neighbor_id").collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val got = probeFor(2L)
+    // doc 1 now carries doc 2's exact vector → cosine 1.0 for query 2
+    assert(got.contains((1L, 1.0)),
+      s"re-embedded doc did not rank by its new vector: $got")
+    // the takedown never surfaces, for any probe of the panel
+    val all = Similarity.probeIvfIncremental(spark, dir, cents,
+        e.filter(col("vec_id") < 32), k = 3).collect()
+      .map(_.getLong(1)).toSet
+    assert(!all.contains(3L), "deleted doc surfaced as a neighbor")
+    // replay the change batch, then compact: answers frozen
+    IvfStream.upsertBatchStep(ups.unionByName(dels), 1L, dir, cents)
+    assert(probeFor(2L) == got)
+    Similarity.compactIvfIncremental(spark, dir)
+    assert(probeFor(2L) == got, "compaction changed upsert results")
+    val live = spark.read.parquet(s"$dir/g${latestGen(dir)}")
+    assert(live.count() == e.count() - 1, "takedown not removed physically")
+    assert(live.filter(col("vec_id") === 1).count() == 1,
+      "upserted id must keep exactly one posting")
+  }
+
   test("batch-step replays are idempotent, including straddling an " +
       "in-stream compaction") {
     val cents = Similarity.ensureKmeansQuantizer(spark, sfDir)

@@ -621,6 +621,70 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/g2").count() == liveN + 8)
   }
 
+  test("incremental IVF compaction crash: a written-but-unpublished " +
+      "next generation is invisible to probes until LATEST flips, and " +
+      "the re-run compaction overwrites it cleanly") {
+    val e = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val panel = e.filter(col("vec_id") < 32)
+    val cents = ensureKmeansQuantizer(spark, sfDir)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfcrash").toString
+    appendIvfIncrement(spark, dir, e, cents, 0L)
+    deleteIvfIncrement(spark, dir,
+      e.filter(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"), 1L)
+    def probe() = probeIvfIncremental(spark, dir, cents, panel, k = 3)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val before = probe()
+    // a compaction that died after writing data but BEFORE the pointer
+    // flip: garbage (wrong rows, wrong schema) sits at g2, LATEST
+    // still names g1
+    e.limit(5).select(col("vec_id"), col("embedding"))
+      .write.parquet(s"$dir/g2/batch=0")
+    assert(probe() == before,
+      "an unpublished generation leaked into a probe")
+    // the re-run fold Overwrites the partial g2 and publishes
+    compactIvfIncremental(spark, dir)
+    assert(probe() == before, "re-run compaction diverged")
+    assert(spark.read.parquet(s"$dir/g2").count() ==
+      e.count() - e.filter(pmod(col("vec_id"), lit(7)) === 3).count())
+  }
+
+  test("PQ index deletes + compaction: tombstone mask ≡ compacted " +
+      "codes; sidecar carried forward; physical removal; tombstone " +
+      "replay idempotent") {
+    val e = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val panel = e.filter(col("vec_id") < 32)
+    val doomed = e.filter(pmod(col("vec_id"), lit(7)) === 3).select("vec_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqdel").toString
+    writePqIndex(e, dir)
+    deleteFromPqIndex(spark, dir, doomed, 0L)
+    def probe() = probePqIndex(spark, dir, panel, k = 3)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val masked = probe()
+    // deleted vectors stay valid queries but are never neighbors
+    assert(masked.exists(t => t._1 % 7 == 3))
+    assert(!masked.exists(t => t._2 % 7 == 3))
+    // replayed tombstone batch overwrites whole — answers unchanged
+    deleteFromPqIndex(spark, dir, doomed, 0L)
+    assert(probe() == masked)
+    val sidecarBefore = readPqSidecar(spark, dir)
+    compactPqIndex(spark, dir)
+    assert(probe() == masked, "compacted codes diverged from the mask")
+    assert(readPqSidecar(spark, dir) == sidecarBefore,
+      "compaction must carry the frozen codebook sidecar forward")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v2/_tombstones")))
+    val liveN = spark.read.parquet(s"$dir/v2/codes").count()
+    assert(liveN == e.count() - doomed.count(),
+      s"compaction did not remove tombstoned codes: $liveN")
+    // a post-compaction re-mask of already-gone ids is a no-op
+    deleteFromPqIndex(spark, dir, doomed, 1L)
+    assert(probe() == masked)
+  }
+
   test("centroidDrift: counts reconcile on harness data; clustered fixture separates stable from shifted") {
     val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
     val rows = SparkEntry.queries("q_centroid_drift")(spark, sfDir).collect()
