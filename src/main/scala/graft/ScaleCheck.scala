@@ -58,7 +58,7 @@ object ScaleCheck {
     // index + probe, warm = probe-only; the append-vs-rebuild cost
     // asymmetry itself is IvfMaintenanceCheck's row)
     "q_ann_ivf_incremental", "q_ann_ivf_delete", "q_ann_ivf_upsert",
-    "q_ann_pq_delete")
+    "q_ann_pq_delete", "q_ann_pq_incremental", "q_ann_pq_upsert")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
@@ -220,7 +220,7 @@ object ScaleCheck {
       // quantizer deliberately NOT evicted — it belongs to the
       // cross-query family, same as postings)
       "q_ann_ivf_incremental", "q_ann_ivf_delete", "q_ann_ivf_upsert",
-      "q_ann_pq_delete")
+      "q_ann_pq_delete", "q_ann_pq_incremental", "q_ann_pq_upsert")
 
   /** The DerivedCache kinds each WarmSecondRun query builds — the
     * scope of its pre-cold eviction. Queries sharing a kind (the
@@ -238,7 +238,9 @@ object ScaleCheck {
     "q_ann_ivf_incremental" -> Set("index-ivf-inc"),
     "q_ann_ivf_delete" -> Set("index-ivf-del"),
     "q_ann_ivf_upsert" -> Set("index-ivf-ups"),
-    "q_ann_pq_delete" -> Set("index-pq-del"))
+    "q_ann_pq_delete" -> Set("index-pq-del"),
+    "q_ann_pq_incremental" -> Set("index-pq-inc"),
+    "q_ann_pq_upsert" -> Set("index-pq-ups"))
 }
 
 /** Incremental-IVF maintenance cost measurement (round 11): the

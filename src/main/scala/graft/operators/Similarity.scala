@@ -495,9 +495,7 @@ object Similarity {
       try out.write(content.getBytes("UTF-8")) finally out.close()
     }
     writeFile(s"$dir/v$v/centroids.tsv",
-      (s"#pq numLists=$numLists numSubspaces=$numSubspaces dim=$dim" +:
-        cents.map { case (id, c) => s"$id\t${c.mkString(",")}" })
-        .mkString("\n"))
+      pqSidecarText(cents, numSubspaces, dim))
     writeFile(s"$dir/LATEST", v.toString) // the publication point
     for (old <- 1L until v - 1)
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$old"), true)
@@ -510,10 +508,11 @@ object Similarity {
       : (Seq[(Long, Seq[Double])], Int, Int) = {
     val v = pqLatestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"no LATEST pointer under $dir"))
-    val path = new org.apache.hadoop.fs.Path(s"$dir/v$v/centroids.tsv")
-    val in = hadoopFs(spark, dir).open(path)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    parsePqSidecar(readTextFile(spark, s"$dir/v$v/centroids.tsv"))
+  }
+
+  private def parsePqSidecar(text: String)
+      : (Seq[(Long, Seq[Double])], Int, Int) = {
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
     val params = lines.head.stripPrefix("#pq ").split(" ")
       .map { kv => val Array(k, n) = kv.split("="); k -> n.toInt }.toMap
@@ -526,6 +525,12 @@ object Similarity {
       s"sidecar centroids disagree with dim=$dim")
     (cents, params("numSubspaces"), dim)
   }
+
+  private def pqSidecarText(cents: Seq[(Long, Seq[Double])],
+      numSubspaces: Int, dim: Int): String =
+    (s"#pq numLists=${cents.size} numSubspaces=$numSubspaces dim=$dim" +:
+      cents.map { case (id, c) => s"$id\t${c.mkString(",")}" })
+      .mkString("\n")
 
   /** Append new vectors to the CURRENT version of a persisted index:
     * they are encoded against the FROZEN sidecar centroids (codebooks
@@ -925,25 +930,33 @@ object Similarity {
       StructField("batch", LongType),
       StructField("list_id", LongType)))
     val codes = spark.read.schema(schema).parquet(s"$indexDir/g$g")
+    maskIncTombstones(spark, indexDir, g, codes)
       .select(col("vec_id").as("neighbor_id"), col("c_v"),
-        col("c_norm"), col("list_id"), col("batch"))
+        col("c_norm"), col("list_id"))
+  }
+
+  /** The log-ordered tombstone mask shared by both incremental
+    * layouts (full-vector postings and PQ codes): one row per id at
+    * its LATEST tombstone batch, broadcast (churn-sized, never
+    * corpus-sized); a row survives iff it landed at or after every
+    * tombstone for its id — the ordering that makes upsert
+    * expressible as tombstone + same-batch re-append.
+    */
+  private def maskIncTombstones(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, g: Long, rows: DataFrame): DataFrame = {
     val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/g$g/_tombstones")
-    val live =
-      if (!hadoopFs(spark, indexDir).exists(tombPath)) codes
-      else {
-        // one row per id, at its LATEST tombstone batch: a posting
-        // survives iff it landed at or after every tombstone for its id
-        val tombs = spark.read
-          .schema(StructType(Seq(StructField("vec_id", LongType),
-            StructField("batch", LongType))))
-          .parquet(s"$indexDir/g$g/_tombstones")
-          .select(col("vec_id").as("__t_id"), col("batch"))
-          .groupBy("__t_id").agg(max("batch").as("__t_batch"))
-        codes.join(broadcast(tombs),
-          codes("neighbor_id") === tombs("__t_id") &&
-            codes("batch") < tombs("__t_batch"), "left_anti")
-      }
-    live.drop("batch")
+    if (!hadoopFs(spark, indexDir).exists(tombPath)) rows
+    else {
+      val tombs = spark.read
+        .schema(StructType(Seq(StructField("vec_id", LongType),
+          StructField("batch", LongType))))
+        .parquet(s"$indexDir/g$g/_tombstones")
+        .select(col("vec_id").as("__t_id"), col("batch"))
+        .groupBy("__t_id").agg(max("batch").as("__t_batch"))
+      rows.join(broadcast(tombs),
+        rows("vec_id") === tombs("__t_id") &&
+          rows("batch") < tombs("__t_batch"), "left_anti")
+    }
   }
 
   /** Probe the incrementally-grown postings: identical semantics (and
@@ -968,7 +981,22 @@ object Similarity {
     * no-op instead of re-inserting folded rows.
     */
   def compactIvfIncremental(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit = {
+      indexDir: String): Unit =
+    foldGeneration(spark, indexDir, g =>
+      ivfIncLive(spark, indexDir, g)
+        .select(col("neighbor_id").as("vec_id"), col("c_v"),
+          col("c_norm"), col("list_id")))
+
+  /** The shared compaction step of both incremental layouts: fold the
+    * current generation's live rows (whatever frame `live` derives for
+    * it — full-vector postings or PQ codes, tombstones already
+    * applied) into `g<G+1>/batch=0`, record the `_FOLDED` horizon (the
+    * largest batch id consumed, so replays at or below it no-op), flip
+    * `LATEST`, prune generations older than the one retained for
+    * pinned readers.
+    */
+  private def foldGeneration(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, live: Long => DataFrame): Unit = {
     val g = pqLatestVersion(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no LATEST pointer under $indexDir"))
     val fs = hadoopFs(spark, indexDir)
@@ -985,9 +1013,7 @@ object Similarity {
         case _ => None
       }
     val horizon = (folded :+ ivfIncFoldedThrough(spark, indexDir, g)).max
-    ivfIncLive(spark, indexDir, g)
-      .select(col("neighbor_id").as("vec_id"), col("c_v"),
-        col("c_norm"), col("list_id"))
+    live(g)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("list_id")
       .parquet(s"$indexDir/g${g + 1}/batch=0")
@@ -1027,6 +1053,154 @@ object Similarity {
     val out = hadoopFs(spark, path)
       .create(new org.apache.hadoop.fs.Path(path), true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  // ---- incremental PQ (compressed-code) index maintenance -------------
+
+  /** The [[appendIvfIncrement]] lifecycle on the COMPRESSED index —
+    * the layout a 100 TB ANN deployment actually ships, because the
+    * codes are M bytes per vector where the postings are 4·dim. Same
+    * generation/batch/tombstone discipline, but each increment is one
+    * map-only ENCODE pass against the frozen codebook (pqEncode — the
+    * full embedding is dropped after encoding, so an increment's
+    * storage cost is its code rows, nothing else). The codebook
+    * publishes once at the index root on first touch: it is frozen
+    * across generations by the incremental contract (codebook drift is
+    * what full [[writePqIndex]] rebuilds are for, and
+    * `q_centroid_drift` is the monitor that triggers them), so probes
+    * never refit and never need the caller to re-supply it.
+    */
+  def appendPqIncrement(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, vecs: DataFrame,
+      cents: Seq[(Long, Seq[Double])], batchId: Long,
+      numSubspaces: Int = 8, dim: Int = 64): Unit = {
+    val g = ivfIncGeneration(spark, indexDir)
+    val sidecar = new org.apache.hadoop.fs.Path(s"$indexDir/centroids.tsv")
+    if (!hadoopFs(spark, indexDir).exists(sidecar))
+      writeSmallFile(spark, s"$indexDir/centroids.tsv",
+        pqSidecarText(cents, numSubspaces, dim))
+    if (batchId <= ivfIncFoldedThrough(spark, indexDir, g)) return
+    pqEncode(vecs.select("vec_id", "embedding"), cents, numSubspaces, dim)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("list_id")
+      .parquet(s"$indexDir/g$g/batch=$batchId")
+  }
+
+  /** CDC upsert on the compressed index — [[upsertIvfIncrement]]'s
+    * contract (tombstone every incoming id at this batch, re-encode
+    * the non-deletes in the same batch; log ordering lets the fresh
+    * codes survive their own tombstone). [[deleteIvfIncrement]] is
+    * layout-agnostic (it only writes ids under the generation's
+    * `_tombstones/`), so both layouts share it verbatim.
+    */
+  def upsertPqIncrement(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame,
+      cents: Seq[(Long, Seq[Double])], batchId: Long,
+      numSubspaces: Int = 8, dim: Int = 64, opCol: String = "op"): Unit = {
+    deleteIvfIncrement(spark, indexDir, batch.select(col("vec_id")), batchId)
+    appendPqIncrement(spark, indexDir,
+      batch.filter(col(opCol) =!= "delete").select("vec_id", "embedding"),
+      cents, batchId, numSubspaces, dim)
+  }
+
+  /** Live codes of the current generation: batch union minus the
+    * log-ordered tombstone mask ([[maskIncTombstones]] — shared with
+    * the full-vector layout). Explicit schema pins `batch` and
+    * `list_id` to LONG for the same partition-pruning reason as
+    * everywhere else.
+    */
+  private def pqIncLive(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, g: Long, numSubspaces: Int): DataFrame = {
+    val schema = StructType(
+      StructField("vec_id", LongType) +:
+        (0 until numSubspaces).map(m =>
+          StructField(s"code$m", IntegerType)) :+
+        StructField("batch", LongType) :+
+        StructField("list_id", LongType))
+    val codes = spark.read.schema(schema).parquet(s"$indexDir/g$g")
+    maskIncTombstones(spark, indexDir, g, codes).drop("batch")
+  }
+
+  /** Probe the incrementally-grown compressed index: the sidecar at
+    * the index root supplies codebook and params, [[pqProbe]] does the
+    * rest — identical semantics (and, for the declared query, an
+    * identical oracle string) to a fresh full encode.
+    */
+  def probePqIncremental(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    val (cents, numSubspaces, dim) =
+      parsePqSidecar(readTextFile(spark, s"$indexDir/centroids.tsv"))
+    val g = pqLatestVersion(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no LATEST pointer under $indexDir"))
+    pqProbe(pqIncLive(spark, indexDir, g, numSubspaces), queries, cents, k,
+      numSubspaces, dim, nprobe)
+  }
+
+  /** Fold the live codes into the next generation —
+    * [[foldGeneration]], with the root sidecar untouched (the codebook
+    * is generation-invariant on this layout).
+    */
+  def compactPqIncremental(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val (_, numSubspaces, _) =
+      parsePqSidecar(readTextFile(spark, s"$indexDir/centroids.tsv"))
+    foldGeneration(spark, indexDir, g =>
+      pqIncLive(spark, indexDir, g, numSubspaces))
+  }
+
+  /** Build the incremental compressed index for the declared query iff
+    * absent: codebook fit once on the full corpus (the same
+    * deterministic md5-rank sample [[writePqIndex]] uses, so the
+    * q_ann_pq oracle replays it), then the corpus arrives as two
+    * disjoint increments. `_SUCCESS` lands last — a crashed build
+    * re-runs both appends over their Overwrite shields.
+    */
+  private[graft] def ensurePqIncremental(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
+    val dir = indexCacheDir(spark, sfDir, "pq-inc")
+    if (!graft.sources.DerivedCache.isComplete(spark, dir) ||
+        pqLatestVersion(spark, dir).isEmpty) {
+      val e = table(spark, sfDir, "embeddings")
+      val cents = hashCentroids(e, 16)
+      appendPqIncrement(spark, dir,
+        e.filter(pmod(col("vec_id"), lit(2)) === 0), cents, 0L)
+      appendPqIncrement(spark, dir,
+        e.filter(pmod(col("vec_id"), lit(2)) === 1), cents, 1L)
+      hadoopFs(spark, dir)
+        .create(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), true).close()
+    }
+    dir
+  }
+
+  /** [[ensureIvfUpserted]]'s CDC lifecycle on the compressed index:
+    * full corpus at batch 0, then one change batch re-embedding every
+    * `vec_id % 5 == 1` doc (as `vec_id + 1`'s vector) and taking down
+    * every `vec_id % 7 == 3` — through [[upsertPqIncrement]], so the
+    * fresh CODES survive their own tombstone by log ordering.
+    */
+  private[graft] def ensurePqUpserted(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
+    val dir = indexCacheDir(spark, sfDir, "pq-ups")
+    if (!graft.sources.DerivedCache.isComplete(spark, dir) ||
+        pqLatestVersion(spark, dir).isEmpty) {
+      val e = table(spark, sfDir, "embeddings")
+      val cents = hashCentroids(e, 16)
+      appendPqIncrement(spark, dir, e, cents, 0L)
+      val next = e.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("__new_emb"))
+      val ups = e.select("vec_id").join(next, "vec_id")
+        .filter(pmod(col("vec_id"), lit(5)) === 1 &&
+          pmod(col("vec_id"), lit(7)) =!= 3)
+        .select(col("vec_id"), col("__new_emb").as("embedding"),
+          lit("upsert").as("op"))
+      val dels = e.filter(pmod(col("vec_id"), lit(7)) === 3)
+        .select(col("vec_id"), col("embedding"), lit("delete").as("op"))
+      upsertPqIncrement(spark, dir, ups.unionByName(dels), cents, 1L)
+      hadoopFs(spark, dir)
+        .create(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), true).close()
+    }
+    dir
   }
 
   /** Build the incremental index for the declared query iff absent:
@@ -1153,8 +1327,10 @@ object Similarity {
   /** The coarse score of q_ann_pq's oracle: the 8 subspace dots summed
     * left to right — term-for-term the association `sumScore` builds.
     */
-  private def pqCoarseSumSql: String = (0 until 8).map(m =>
-    s"list_dot_product(u.v[${m * 8 + 1} : ${m * 8 + 8}], " +
+  private def pqCoarseSumSql: String = pqCoarseSumSqlFor("u")
+
+  private def pqCoarseSumSqlFor(alias: String): String = (0 until 8).map(m =>
+    s"list_dot_product($alias.v[${m * 8 + 1} : ${m * 8 + 8}], " +
       s"c.cent[${m * 8 + 1} : ${m * 8 + 8}])").mkString(" + ")
 
   /** The CTE chain ending in `lists` — the full-corpus assignment
@@ -1332,6 +1508,77 @@ object Similarity {
     require(patched != pqOracleSql, "pq oracle candidate filter drifted")
     patched
   }
+
+  /** q_ann_pq_upsert's oracle: the q_ann_ivf_upsert mutation replayed
+    * through the FULL PQ pipeline — codebook sampled from the ORIGINAL
+    * corpus (frozen across increments by contract), query side
+    * assigned and LUT-built from the original vectors, while the
+    * CANDIDATE side (coarse assignment AND subspace codes) re-derives
+    * from the MUTATED corpus: `vec_id % 5 == 1` rows carry
+    * `vec_id + 1`'s vector, `vec_id % 7 == 3` rows are gone. The
+    * compression is re-checked end to end on the churned rows.
+    */
+  private lazy val pqUpsertOracleSql: String =
+    s"""WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+        |      AS BIGINT) AS cid, v AS cent
+        |  FROM u
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 16),
+        |assign AS (
+        |  SELECT u.vec_id, u.v, c.cid,
+        |    row_number() OVER (PARTITION BY u.vec_id
+        |      ORDER BY (${pqCoarseSumSql}) DESC, c.cid) AS rn
+        |  FROM u CROSS JOIN cb c),
+        |lists AS (SELECT vec_id, v, cid AS list_id FROM assign WHERE rn = 1),
+        |um AS (
+        |  SELECT a.vec_id,
+        |    CASE WHEN a.vec_id % 5 = 1 AND a.vec_id % 7 != 3
+        |              AND b.vec_id IS NOT NULL
+        |         THEN CAST(b.embedding AS DOUBLE[])
+        |         ELSE CAST(a.embedding AS DOUBLE[]) END AS v
+        |  FROM embeddings a LEFT JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |  WHERE a.vec_id % 7 != 3),
+        |assignm AS (
+        |  SELECT um.vec_id, um.v, c.cid,
+        |    row_number() OVER (PARTITION BY um.vec_id
+        |      ORDER BY (${pqCoarseSumSqlFor("um")}) DESC, c.cid) AS rn
+        |  FROM um CROSS JOIN cb c),
+        |listsm AS (SELECT vec_id, v, cid AS list_id FROM assignm WHERE rn = 1),
+        |ms AS (SELECT unnest(range(0, 8)) AS m),
+        |subdot AS (
+        |  SELECT l.vec_id, ms.m, c.cid AS j,
+        |    list_dot_product(l.v[ms.m*8+1 : ms.m*8+8],
+        |                     c.cent[ms.m*8+1 : ms.m*8+8]) AS d
+        |  FROM listsm l CROSS JOIN ms CROSS JOIN cb c),
+        |codes AS (
+        |  SELECT vec_id, m, j AS code FROM (
+        |    SELECT vec_id, m, j,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d DESC, j) AS rn
+        |    FROM subdot) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv, list_id
+        |  FROM lists WHERE vec_id < 32),
+        |lut AS (
+        |  SELECT q.query_id, ms.m, c.cid AS j,
+        |    CAST(floor(list_dot_product(q.qv[ms.m*8+1 : ms.m*8+8],
+        |      c.cent[ms.m*8+1 : ms.m*8+8]) * ${LutQ} + 0.5) AS BIGINT) AS dq
+        |  FROM q CROSS JOIN ms CROSS JOIN cb c),
+        |cand AS (
+        |  SELECT q.query_id, l.vec_id AS neighbor_id, c.m, c.code
+        |  FROM q JOIN listsm l USING (list_id)
+        |  JOIN codes c ON c.vec_id = l.vec_id
+        |  WHERE l.vec_id != q.query_id),
+        |adc AS (
+        |  SELECT c.query_id, c.neighbor_id, CAST(sum(l.dq) AS BIGINT) AS s
+        |  FROM cand c JOIN lut l
+        |    ON l.query_id = c.query_id AND l.m = c.m AND l.j = c.code
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id,
+        |  round(CAST(s AS DOUBLE) / ${LutQ}, 4) AS adot
+        |FROM adc
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY s DESC, neighbor_id) <= 3
+        |ORDER BY query_id, neighbor_id""".stripMargin
 
   /** Majority vote over a (query_id, neighbor_id, …) top-k frame
     * against the labeled corpus: each query takes the most frequent
@@ -1941,6 +2188,36 @@ object Similarity {
           .orderBy("query_id", "neighbor_id")
       },
       pqDeleteOracleSql),
+
+    // Incremental PQ ingest (round 11): the COMPRESSED index grows by
+    // frozen-codebook increments — each one map-only encode pass, cost
+    // ∝ batch, existing codes untouched. SAME oracle string as
+    // q_ann_pq: however many increments landed, probes must rank
+    // identically to a fresh full encode.
+    "q_ann_pq_incremental" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        probePqIncremental(s, ensurePqIncremental(s, dir),
+            e.filter(col("vec_id") < 32), k = 3)
+          .orderBy("query_id", "neighbor_id")
+      },
+      pqOracleSql),
+
+    // CDC UPSERT on the compressed index (round 11): the
+    // q_ann_ivf_upsert change batch applied through tombstone +
+    // same-batch re-ENCODE. The oracle replays the mutation through
+    // the full PQ pipeline — codebook and query side frozen on the
+    // original corpus, candidate assignment AND subspace codes
+    // re-derived from the mutated one — so the compression itself is
+    // re-checked on the churned rows.
+    "q_ann_pq_upsert" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        probePqIncremental(s, ensurePqUpserted(s, dir),
+            e.filter(col("vec_id") < 32), k = 3)
+          .orderBy("query_id", "neighbor_id")
+      },
+      pqUpsertOracleSql),
 
     // Brute-force cosine top-3 for a fixed 32-query panel — exact,
     // oracle-checked.

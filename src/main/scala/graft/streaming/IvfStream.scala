@@ -83,4 +83,36 @@ object IvfStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+
+  /** The compressed-index twin: each micro-batch is ONE
+    * [[Similarity.appendPqIncrement]] — a map-only ENCODE pass against
+    * the frozen codebook, so what streams into long-term storage is M
+    * bytes per vector, not the full embedding. Same replay shields
+    * (whole-batch overwrite + `_FOLDED` horizon), same fold cadence.
+    */
+  def pqIngestBatchStep(batch: DataFrame, batchId: Long, indexDir: String,
+      cents: Seq[(Long, Seq[Double])], compactEvery: Long = 0L,
+      numSubspaces: Int = 8, dim: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    Similarity.appendPqIncrement(spark, indexDir, batch, cents, batchId,
+      numSubspaces, dim)
+    if (compactEvery > 0L && batchId % compactEvery == compactEvery - 1L)
+      Similarity.compactPqIncremental(spark, indexDir)
+  }
+
+  def pqIngestStream(vecs: DataFrame, indexDir: String,
+      cents: Seq[(Long, Seq[Double])], checkpointDir: String,
+      compactEvery: Long = 0L, numSubspaces: Int = 8, dim: Int = 64,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        pqIngestBatchStep(b, id, indexDir, cents, compactEvery,
+          numSubspaces, dim)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
 }

@@ -108,6 +108,39 @@ class IvfStreamSpec extends SparkSpec {
       "upserted id must keep exactly one posting")
   }
 
+  test("streamed PQ ingest ≡ fresh full encode; replays and in-stream " +
+      "compaction leave the compressed index unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = corpus()
+    val cents = Similarity.hashCentroids(e, 16)
+    val expect = Similarity.pqTopK(e, e.filter(col("vec_id") < 32), k = 3)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def probe(dir: String) =
+      Similarity.probePqIncremental(spark, dir,
+          e.filter(col("vec_id") < 32), k = 3)
+        .orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft_pqstream")
+    val dir = base.resolve("index").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = IvfStream.pqIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), dir, cents,
+      base.resolve("ckpt").toString, compactEvery = 2L,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+    try {
+      feed().foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    assert(probe(dir) == expect,
+      "streamed compressed index diverged from full encode")
+    // post-fold redelivery of a folded batch no-ops
+    val replay = feed()(1).toDF("vec_id", "embedding")
+    IvfStream.pqIngestBatchStep(replay, 1L, dir, cents, compactEvery = 2L)
+    assert(probe(dir) == expect, "replayed PQ batch changed probes")
+    assert(spark.read.parquet(s"$dir/g${latestGen(dir)}").count() ==
+      e.count(), "replay duplicated codes")
+  }
+
   test("batch-step replays are idempotent, including straddling an " +
       "in-stream compaction") {
     val cents = Similarity.ensureKmeansQuantizer(spark, sfDir)

@@ -685,6 +685,97 @@ class SimilaritySpec extends SparkSpec {
     assert(probe() == masked)
   }
 
+  test("incremental PQ ingest: frozen-codebook increments probe " +
+      "identically to a fresh full encode; replays idempotent; a " +
+      "crashed build converges") {
+    graft.sources.DerivedCache.vacuumKinds(spark, Set("index-pq-inc"))
+    val e = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val panel = e.filter(col("vec_id") < 32)
+    def probe(dir: String) = probePqIncremental(spark, dir, panel, k = 3)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val dir = ensurePqIncremental(spark, sfDir)
+    val inc = probe(dir)
+    // pqTopK fits the same md5-rank codebook on the full corpus, so a
+    // fresh full encode must rank identically — incremental growth of
+    // the compressed index is invisible to probes
+    val batch = pqTopK(e, panel, k = 3)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(inc == batch, "incremental PQ index diverged from full encode")
+    // replay shield: redelivered increment overwrites whole
+    val cents = hashCentroids(e, 16)
+    appendPqIncrement(spark, dir,
+      e.filter(pmod(col("vec_id"), lit(2)) === 1), cents, 1L)
+    assert(probe(dir) == inc)
+    assert(spark.read.parquet(s"$dir/g1").count() == e.count(),
+      "replayed increment duplicated codes")
+    // crash shield: no root marker → ensure re-runs both appends
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), false)
+    assert(ensurePqIncremental(spark, sfDir) == dir)
+    assert(probe(dir) == inc)
+  }
+
+  test("incremental PQ CDC: upsert ranks by the new codes, takedowns " +
+      "vanish, compaction is physical, folded replays no-op") {
+    val e = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val panel = e.filter(col("vec_id") < 32)
+    val cents = hashCentroids(e, 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqups").toString
+    def probe() = probePqIncremental(spark, dir, panel, k = 3)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    appendPqIncrement(spark, dir,
+      e.filter(pmod(col("vec_id"), lit(2)) === 0), cents, 0L)
+    appendPqIncrement(spark, dir,
+      e.filter(pmod(col("vec_id"), lit(2)) === 1), cents, 1L)
+    // the q_ann_ivf_upsert mutation on the compressed index: re-embed
+    // every vec_id % 5 == 1 doc with vec_id+1's vector, take down
+    // every vec_id % 7 == 3
+    val next = e.select((col("vec_id") - 1).as("vec_id"),
+      col("embedding").as("__new_emb"))
+    val ups = e.select("vec_id").join(next, "vec_id")
+      .filter(pmod(col("vec_id"), lit(5)) === 1 &&
+        pmod(col("vec_id"), lit(7)) =!= 3)
+      .select(col("vec_id"), col("__new_emb").as("embedding"),
+        lit("upsert").as("op"))
+    val dels = e.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select(col("vec_id"), col("embedding"), lit("delete").as("op"))
+    upsertPqIncrement(spark, dir, ups.unionByName(dels), cents, 2L)
+    val got = probe()
+    // reference: a fresh full encode of the MUTATED corpus under the
+    // same frozen codebook (queries keep their original vectors)
+    val mutated = e.join(next, Seq("vec_id"), "left")
+      .filter(pmod(col("vec_id"), lit(7)) =!= 3)
+      .select(col("vec_id"),
+        when(pmod(col("vec_id"), lit(5)) === 1 && col("__new_emb").isNotNull,
+          col("__new_emb")).otherwise(col("embedding")).as("embedding"))
+    val expect = pqProbe(pqEncode(mutated, cents), panel, cents, k = 3)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect, "upserted PQ index diverged from mutated encode")
+    assert(!got.exists(_._2 % 7 == 3), "a takedown surfaced as a neighbor")
+    // compaction: physical removal, probe unchanged
+    compactPqIncremental(spark, dir)
+    assert(probe() == expect, "compacted codes diverged")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/g2/_tombstones")))
+    val liveN = spark.read.parquet(s"$dir/g2").count()
+    assert(liveN == mutated.count(), s"stale codes survived the fold: $liveN")
+    // folded replay no-ops; a genuinely new increment still lands
+    upsertPqIncrement(spark, dir, ups.unionByName(dels), cents, 2L)
+    assert(spark.read.parquet(s"$dir/g2").count() == liveN)
+    assert(probe() == expect)
+    appendPqIncrement(spark, dir,
+      e.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+      cents, 3L)
+    assert(spark.read.parquet(s"$dir/g2").count() == liveN + 8)
+  }
+
   test("centroidDrift: counts reconcile on harness data; clustered fixture separates stable from shifted") {
     val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
     val rows = SparkEntry.queries("q_centroid_drift")(spark, sfDir).collect()
