@@ -58,7 +58,10 @@ object ScaleCheck {
     // index + probe, warm = probe-only; the append-vs-rebuild cost
     // asymmetry itself is IvfMaintenanceCheck's row)
     "q_ann_ivf_incremental", "q_ann_ivf_delete", "q_ann_ivf_upsert",
-    "q_ann_pq_delete", "q_ann_pq_incremental", "q_ann_pq_upsert")
+    "q_ann_pq_delete", "q_ann_pq_incremental", "q_ann_pq_upsert",
+    // round 11 (late): embedding-space decontamination — broadcast
+    // eval panel, map-side tau filter, churn-sized argmax shuffle
+    "q_decontaminate_semantic")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
@@ -261,6 +264,9 @@ object IvfMaintenanceCheck {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.drop(1).headOption.map(_.toInt).getOrElse(8)
     val reps = args.drop(2).headOption.map(_.toInt).getOrElse(3)
+    // 4th arg "pq" measures the same lifecycle on the compressed-code
+    // layout (appendPqIncrement / compactPqIncremental)
+    val layout = args.drop(3).headOption.getOrElse("ivf")
     val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val e1 = sources.Tables.table(spark, dir, "embeddings")
@@ -284,11 +290,19 @@ object IvfMaintenanceCheck {
     }
     def cycle(corpus: org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
       val idx = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
-      val b = time(operators.Similarity
-        .appendIvfIncrement(spark, idx, corpus, cents, 0L))
-      val a = time(operators.Similarity
-        .appendIvfIncrement(spark, idx, inc, cents, 1L))
-      val c = time(operators.Similarity.compactIvfIncremental(spark, idx))
+      val (b, a, c) =
+        if (layout == "pq") (
+          time(operators.Similarity
+            .appendPqIncrement(spark, idx, corpus, cents, 0L)),
+          time(operators.Similarity
+            .appendPqIncrement(spark, idx, inc, cents, 1L)),
+          time(operators.Similarity.compactPqIncremental(spark, idx)))
+        else (
+          time(operators.Similarity
+            .appendIvfIncrement(spark, idx, corpus, cents, 0L)),
+          time(operators.Similarity
+            .appendIvfIncrement(spark, idx, inc, cents, 1L)),
+          time(operators.Similarity.compactIvfIncremental(spark, idx)))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
       (b, a, c)
     }
@@ -304,7 +318,7 @@ object IvfMaintenanceCheck {
     }
     for (op <- Seq("build", "append", "compact")) {
       val x1 = cells((op, "1x")).min; val xN = cells((op, s"${factor}x")).min
-      println(f"[ivfmaint] $op%-8s 1x=$x1%6.2fs ${factor}x=$xN%6.2fs " +
+      println(f"[ivfmaint:$layout] $op%-8s 1x=$x1%6.2fs ${factor}x=$xN%6.2fs " +
         f"ratio=${xN / x1}%5.2f")
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.functions.Functions.spreadScan
+import graft.functions.FloatDotProduct.fdot
 import graft.operators.TextAnalysis.tokens
 import graft.sources.Tables.table
 import org.apache.spark.sql.{Column, DataFrame}
@@ -128,6 +129,46 @@ object Hygiene {
       .select(col(idCol), col("n_overlap"), col("n_grams"),
         round(col("n_overlap").cast(DoubleType) /
           greatest(col("n_grams"), lit(1)), 4).as("contam_frac"))
+  }
+
+  /** EMBEDDING-space decontamination — the paraphrase-robust sibling
+    * of `decontaminate`: a benchmark item that was reworded, translated
+    * or re-templated shares no n-grams and few winnow fingerprints with
+    * its corpus twin, but its embedding still sits within a cosine ball
+    * of it. Flag every train vector whose cosine against ANY eval
+    * vector clears `tau`, reporting the closest eval item (tie → the
+    * smaller eval_id) and how many eval items it hits — the audit
+    * table a contamination review reads before deciding what to drop.
+    *
+    * Scale shape: the eval side is eval-suite-sized by construction
+    * (10³–10⁴ rows even when the corpus is 100 TB), so it BROADCASTS
+    * and the corpus side is one map-only scoring pass — the `tau`
+    * filter runs map-side, so only the contaminated sliver (churn-
+    * sized) ever shuffles into the per-doc argmax. Exact by
+    * construction; when the eval suite outgrows broadcast, the IVF
+    * list-join (`probeAssigned`) is the drop-in approximate path.
+    */
+  def decontaminateSemantic(emb: DataFrame, evalPred: Column,
+      tau: Double): DataFrame = {
+    val e = spreadScan(emb).select(col("vec_id"), col("embedding"),
+      evalPred.as("__ev"))
+    val ev = e.filter(col("__ev"))
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev_v"))
+    val cos = fdot(col("embedding"), col("ev_v")) /
+      (sqrt(fdot(col("embedding"), col("embedding"))) *
+        sqrt(fdot(col("ev_v"), col("ev_v"))))
+    e.filter(!col("__ev")).select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(ev))
+      .withColumn("cos_raw", cos)
+      .filter(col("cos_raw") >= lit(tau))
+      .groupBy("vec_id")
+      // argmax on the RAW double; ties break to the SMALLER eval_id
+      // (larger negated id wins the struct max)
+      .agg(max(struct(col("cos_raw"),
+          (lit(0L) - col("eval_id")).as("neg"))).as("m"),
+        count(lit(1)).as("n_eval_hits"))
+      .select(col("vec_id"), (lit(0L) - col("m.neg")).as("eval_id"),
+        round(col("m.cos_raw"), 4).as("cos"), col("n_eval_hits"))
   }
 
   /** Winnow-fingerprint decontamination — the edit-robust sibling of
@@ -469,6 +510,40 @@ object Hygiene {
         pmod(col("doc_id"), lit(11)) === 0, n = 8)
         .orderBy("doc_id"),
       decontamSql(8, 11)),
+
+    // Embedding-space decontamination vs a FROZEN eval suite (the
+    // vec_id % 13 slice bounded to the un-replicated id range — an
+    // eval registry does not grow with the crawl, so the harness's
+    // scale replicas land on the TRAIN side where their cos-1.0 eval
+    // twins are exactly the contamination the op exists to catch) at
+    // cosine ≥ 0.3 — the paraphrase-robust third member of the
+    // decontamination family (n-grams catch copies, fingerprints catch
+    // edits, embeddings catch rewordings). The oracle replays every
+    // cosine, the threshold, the per-doc argmax and the hit count.
+    "q_decontaminate_semantic" -> QueryDef(
+      (s, dir) => decontaminateSemantic(
+        table(s, dir, "embeddings"),
+        pmod(col("vec_id"), lit(13)) === 5 && col("vec_id") < 100000L,
+        tau = 0.3)
+        .orderBy("vec_id"),
+      """WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ev AS (SELECT vec_id AS eval_id, v AS ev_v FROM u
+        |  WHERE vec_id % 13 = 5 AND vec_id < 100000),
+        |tr AS (SELECT vec_id, v FROM u
+        |  WHERE NOT (vec_id % 13 = 5 AND vec_id < 100000)),
+        |sims AS (
+        |  SELECT tr.vec_id, ev.eval_id,
+        |    list_dot_product(tr.v, ev.ev_v) /
+        |      (sqrt(list_dot_product(tr.v, tr.v)) *
+        |       sqrt(list_dot_product(ev.ev_v, ev.ev_v))) AS cos_raw
+        |  FROM tr CROSS JOIN ev),
+        |hits AS (SELECT * FROM sims WHERE cos_raw >= 0.3)
+        |SELECT vec_id, eval_id, round(cos_raw, 4) AS cos,
+        |  CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_eval_hits
+        |FROM hits
+        |QUALIFY row_number() OVER (PARTITION BY vec_id
+        |  ORDER BY cos_raw DESC, eval_id) = 1
+        |ORDER BY vec_id""".stripMargin),
 
     // C4-style line filtering over synthesized 12-token lines:
     // minWords=9 drops the short tail line most docs carry, and the

@@ -80,6 +80,35 @@ class HygieneSpec extends SparkSpec {
     InternalCaches.drain(blocking = true)
   }
 
+  test("decontaminateSemantic flags a planted paraphrase, ignores an " +
+      "orthogonal doc, ties break to the smaller eval_id, hit counts " +
+      "add up") {
+    // eval ids ≡ 5 (mod 13): 5 and 18 carry the SAME direction, so a
+    // train vector near it must hit BOTH and argmax must pick 5; 31 is
+    // orthogonal to everything else
+    val ex = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val ey = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val rows = Seq(
+      (5L, ex), (18L, ex), (31L, ey),                   // eval slice
+      (1L, Array(0.99f, 0.141f, 0.0f, 0.0f)),           // ~x: contaminated
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),              // orthogonal: clean
+      (3L, Array(0.7f, 0.7f, 0.0f, 0.0f))               // 45°: hits all three? x pair + y
+    ).toDF("vec_id", "embedding")
+    val got = Hygiene.decontaminateSemantic(rows,
+        pmod(col("vec_id"), lit(13)) === 5, tau = 0.5)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // doc 1: cos(x-ish, x) ≈ 0.99 against eval 5 AND 18 (tie → 5)
+    // doc 2: no eval above 0.5
+    // doc 3: cos 0.7071 against 5, 18, 31 — three hits, argmax tie → 5
+    assert(got.map(_._1).toSeq == Seq(1L, 3L), got.mkString(", "))
+    val d1 = got(0); val d3 = got(1)
+    assert(d1._2 == 5L && d1._4 == 2L, s"doc1: $d1")
+    assert(d1._3 > 0.98 && d1._3 < 1.0)
+    assert(d3._2 == 5L && d3._4 == 3L, s"doc3: $d3")
+    assert(math.abs(d3._3 - 0.7071) < 1e-9)
+  }
+
   test("decontaminate counts benchmark 3-gram overlap per corpus doc") {
     val docs = Seq(
       (0L, "the quick brown fox jumps high"),   // benchmark (id % 97 == 0)

@@ -32,6 +32,9 @@ class PlanShapeSpec extends SparkSpec {
     "q_knn_label", // bruteForceTopK baseline — q_ann_brute's shape
     "q_embed_ann", // bruteForceTopK over the 16 learned frame embeddings — same shape
     "q_hard_negatives", // same broadcast-panel shape, label-mismatch predicate
+    // broadcast eval-suite panel × streamed corpus, tau filter
+    // map-side — only the contaminated sliver shuffles
+    "q_decontaminate_semantic",
     "q_recall_at_k", // grades the LSH index against the brute baseline — inherits both shapes
     "q_bitext_margin", // broadcast label-panel × streamed other-label side (A×B score matrix)
     "q_pagerank", // 1-row (N, base) scalar broadcast factor per iteration

@@ -765,6 +765,11 @@ class SimilaritySpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/g2/_tombstones")))
     val liveN = spark.read.parquet(s"$dir/g2").count()
     assert(liveN == mutated.count(), s"stale codes survived the fold: $liveN")
+    // the pre-compaction generation is RETAINED for readers that
+    // pinned it mid-probe (the documented publication contract):
+    // its batch dirs are still physically readable after the fold
+    assert(spark.read.parquet(s"$dir/g1/batch=0").count() ==
+      e.filter(pmod(col("vec_id"), lit(2)) === 0).count())
     // folded replay no-ops; a genuinely new increment still lands
     upsertPqIncrement(spark, dir, ups.unionByName(dels), cents, 2L)
     assert(spark.read.parquet(s"$dir/g2").count() == liveN)
