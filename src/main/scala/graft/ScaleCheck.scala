@@ -61,7 +61,9 @@ object ScaleCheck {
     "q_ann_pq_delete", "q_ann_pq_incremental", "q_ann_pq_upsert",
     // round 11 (late): embedding-space decontamination — broadcast
     // eval panel, map-side tau filter, churn-sized argmax shuffle
-    "q_decontaminate_semantic")
+    "q_decontaminate_semantic",
+    // round 11 (late): index-health monitors over the maintained index
+    "q_index_stats", "q_recall_churn")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
@@ -223,7 +225,8 @@ object ScaleCheck {
       // quantizer deliberately NOT evicted — it belongs to the
       // cross-query family, same as postings)
       "q_ann_ivf_incremental", "q_ann_ivf_delete", "q_ann_ivf_upsert",
-      "q_ann_pq_delete", "q_ann_pq_incremental", "q_ann_pq_upsert")
+      "q_ann_pq_delete", "q_ann_pq_incremental", "q_ann_pq_upsert",
+      "q_index_stats", "q_recall_churn")
 
   /** The DerivedCache kinds each WarmSecondRun query builds — the
     * scope of its pre-cold eviction. Queries sharing a kind (the
@@ -243,7 +246,9 @@ object ScaleCheck {
     "q_ann_ivf_upsert" -> Set("index-ivf-ups"),
     "q_ann_pq_delete" -> Set("index-pq-del"),
     "q_ann_pq_incremental" -> Set("index-pq-inc"),
-    "q_ann_pq_upsert" -> Set("index-pq-ups"))
+    "q_ann_pq_upsert" -> Set("index-pq-ups"),
+    "q_index_stats" -> Set("index-ivf-inc"),
+    "q_recall_churn" -> Set("index-ivf-ups"))
 }
 
 /** Incremental-IVF maintenance cost measurement (round 11): the

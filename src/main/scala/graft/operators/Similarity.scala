@@ -1137,6 +1137,31 @@ object Similarity {
       numSubspaces, dim, nprobe)
   }
 
+  /** Per-list balance of the incrementally-maintained index — the
+    * probe-latency monitor: a probe opens nprobe lists, so one hot
+    * list IS the tail latency, and list skew is what a quantizer
+    * retrain (the `q_centroid_drift` trigger) actually fixes. One
+    * map-side-combined count over the live postings, |lists|-row
+    * output at any corpus size; `imbalance` = max/mean (1.0 =
+    * perfectly balanced; a probe of the hottest list costs
+    * `imbalance ×` the average probe).
+    */
+  def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val g = pqLatestVersion(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no LATEST pointer under $indexDir"))
+    val lc = ivfIncLive(spark, indexDir, g)
+      .groupBy("list_id").agg(count(lit(1)).as("n_postings"))
+    val t = broadcast(lc.agg(
+      sum("n_postings").cast(LongType).as("total"),
+      max("n_postings").as("mx"),
+      count(lit(1)).as("k")))
+    lc.crossJoin(t).select(col("list_id"), col("n_postings"),
+      round(col("n_postings") * lit(1.0) / col("total"), 4).as("share"),
+      round(col("mx") * col("k") * lit(1.0) / col("total"), 4)
+        .as("imbalance"))
+  }
+
   /** Fold the live codes into the next generation —
     * [[foldGeneration]], with the root sidecar untouched (the codebook
     * is generation-invariant on this layout).
@@ -1403,7 +1428,11 @@ object Similarity {
     * vector (re-assigned against the same centroids, exactly what the
     * upsert's re-append does) and `vec_id % 7 == 3` rows are gone.
     */
-  private lazy val kmeansUpsertOracleSql: String =
+  /** `kmeansListsSql` extended with the mutated-corpus assignment —
+    * the common prefix of q_ann_ivf_upsert AND q_recall_churn, so the
+    * monitor provably grades the same churn the upsert query declares.
+    */
+  private lazy val kmeansMutatedListsSql: String =
     s"""$kmeansListsSql,
         |um AS (
         |  SELECT a.vec_id,
@@ -1419,7 +1448,10 @@ object Similarity {
         |  FROM um CROSS JOIN c2 c),
         |listsm AS (
         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, cid AS list_id
-        |  FROM afm WHERE rn = 1),
+        |  FROM afm WHERE rn = 1)""".stripMargin
+
+  private lazy val kmeansUpsertOracleSql: String =
+    s"""$kmeansMutatedListsSql,
         |sims AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
@@ -1430,6 +1462,43 @@ object Similarity {
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY cos_raw DESC, neighbor_id) <= 3
         |ORDER BY query_id, neighbor_id""".stripMargin
+
+  /** q_recall_churn's oracle: recall@3 of the maintained (upserted)
+    * index's nprobe=1 probe against an exhaustive brute-force ranking
+    * over the SAME mutated corpus — both pipelines replayed end to
+    * end, so a recall drift in the index and a bookkeeping bug in the
+    * monitor both hash-mismatch (the q_recall_at_k contract, on the
+    * index that absorbs churn).
+    */
+  private lazy val recallChurnOracleSql: String =
+    s"""$kmeansMutatedListsSql,
+        |isims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
+        |  FROM lists q JOIN listsm c ON q.list_id = c.list_id
+        |  WHERE q.vec_id < 32 AND c.vec_id != q.vec_id),
+        |approx AS (
+        |  SELECT query_id, neighbor_id FROM isims
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_raw DESC, neighbor_id) <= 3),
+        |bsims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
+        |  FROM lists q CROSS JOIN listsm c
+        |  WHERE q.vec_id < 32 AND c.vec_id != q.vec_id),
+        |truth AS (
+        |  SELECT query_id, neighbor_id FROM bsims
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_raw DESC, neighbor_id) <= 3),
+        |hits AS (
+        |  SELECT t.query_id, count(*) AS hits
+        |  FROM truth t JOIN approx a USING (query_id, neighbor_id)
+        |  GROUP BY t.query_id)
+        |SELECT p.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |  round(coalesce(h.hits, 0) / 3.0, 4) AS recall
+        |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 32) p
+        |LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id""".stripMargin
 
   /** q_semdedup's oracle: the shared quantizer replay, then the
     * within-cluster keep-min-id ε-dedup — a dropped survivor, a
@@ -2023,6 +2092,60 @@ object Similarity {
           .orderBy("query_id", "neighbor_id")
       },
       kmeansUpsertOracleSql),
+
+    // Index-health monitor #1 (round 11): per-list posting counts and
+    // the max/mean imbalance of the maintained index — a probe opens
+    // nprobe lists, so one hot list IS the tail latency, and growing
+    // imbalance is the quantizer-retrain signal alongside
+    // q_centroid_drift. |lists| rows at any corpus size.
+    "q_index_stats" -> QueryDef(
+      (s, dir) =>
+        ivfIndexStats(s, ensureIvfIncremental(s, dir))
+          .orderBy("list_id"),
+      s"""$kmeansListsSql,
+          |lc AS (SELECT list_id, CAST(count(*) AS BIGINT) AS n_postings
+          |  FROM lists GROUP BY 1),
+          |t AS (SELECT CAST(sum(n_postings) AS BIGINT) AS total,
+          |  max(n_postings) AS mx, count(*) AS k FROM lc)
+          |SELECT list_id, n_postings,
+          |  round(n_postings * 1.0 / total, 4) AS share,
+          |  round(mx * k * 1.0 / total, 4) AS imbalance
+          |FROM lc, t ORDER BY list_id""".stripMargin),
+
+    // Index-health monitor #2 (round 11): recall@3 of the CHURNED
+    // (upserted+deleted) index's probe against an exhaustive brute
+    // ranking over the same mutated corpus — "did churn silently
+    // degrade my index" is THE production question an incremental ANN
+    // deployment asks, and this is its scheduled answer. Per-query
+    // rows; the panel is fixed, the brute side is the deliberate
+    // eval-sized exhaustive pass (32 queries, not the corpus²).
+    "q_recall_churn" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val panel = e.filter(col("vec_id") < 32)
+        val got = probeIvfIncremental(s, ensureIvfUpserted(s, dir),
+            ensureKmeansQuantizer(s, dir), panel, k = 3)
+          .select(col("query_id"), col("neighbor_id"))
+        val next = e.select((col("vec_id") - 1).as("vec_id"),
+          col("embedding").as("__new_emb"))
+        val mutated = e.join(next, Seq("vec_id"), "left")
+          .filter(pmod(col("vec_id"), lit(7)) =!= 3)
+          .select(col("vec_id"),
+            when(pmod(col("vec_id"), lit(5)) === 1 &&
+                col("__new_emb").isNotNull,
+              col("__new_emb")).otherwise(col("embedding")).as("embedding"))
+        val truth = bruteForceTopK(mutated, panel, k = 3)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = truth.join(got, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        panel.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            round(coalesce(col("hits"), lit(0L)) / lit(3.0), 4).as("recall"))
+          .orderBy("query_id")
+      },
+      recallChurnOracleSql),
 
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     // dedup = cluster the embedding space, then keep one exemplar per
