@@ -63,7 +63,7 @@ object ScaleCheck {
     // eval panel, map-side tau filter, churn-sized argmax shuffle
     "q_decontaminate_semantic",
     // round 11 (late): index-health monitors over the maintained index
-    "q_index_stats", "q_recall_churn")
+    "q_index_stats", "q_recall_churn", "q_recall_pq")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
@@ -226,7 +226,7 @@ object ScaleCheck {
       // cross-query family, same as postings)
       "q_ann_ivf_incremental", "q_ann_ivf_delete", "q_ann_ivf_upsert",
       "q_ann_pq_delete", "q_ann_pq_incremental", "q_ann_pq_upsert",
-      "q_index_stats", "q_recall_churn")
+      "q_index_stats", "q_recall_churn", "q_recall_pq")
 
   /** The DerivedCache kinds each WarmSecondRun query builds — the
     * scope of its pre-cold eviction. Queries sharing a kind (the
@@ -248,7 +248,8 @@ object ScaleCheck {
     "q_ann_pq_incremental" -> Set("index-pq-inc"),
     "q_ann_pq_upsert" -> Set("index-pq-ups"),
     "q_index_stats" -> Set("index-ivf-inc"),
-    "q_recall_churn" -> Set("index-ivf-ups"))
+    "q_recall_churn" -> Set("index-ivf-ups"),
+    "q_recall_pq" -> Set("index-pq"))
 }
 
 /** Incremental-IVF maintenance cost measurement (round 11): the

@@ -58,6 +58,7 @@ object SparkEntry {
     "q_ann_ivf_incremental", "q_ann_ivf_delete", "q_ann_pq_delete",
     "q_ann_ivf_upsert", "q_ann_pq_incremental", "q_ann_pq_upsert",
     "q_decontaminate_semantic", "q_index_stats", "q_recall_churn",
+    "q_recall_pq",
     "q_url_dedup", "q_domain_stats", "q_html_extract", "q_read_pruned",
     "q_centroid_drift",
     "q_recall_at_k", "q_bitext_margin", "q_pagerank",

@@ -1517,6 +1517,18 @@ object Similarity {
 
   /** q_ann_pq's oracle — shared verbatim by q_ann_pq_indexed. */
   private lazy val pqOracleSql: String =
+    s"""$pqAdcSql
+        |SELECT query_id, neighbor_id,
+        |  round(CAST(s AS DOUBLE) / ${LutQ}, 4) AS adot
+        |FROM adc
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY s DESC, neighbor_id) <= 3
+        |ORDER BY query_id, neighbor_id""".stripMargin
+
+  /** The PQ pipeline replay up to the integer ADC scores — the shared
+    * prefix of q_ann_pq{,_indexed,_delete} and q_recall_pq.
+    */
+  private lazy val pqAdcSql: String =
     s"""WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cb AS (
         |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
@@ -1556,13 +1568,39 @@ object Similarity {
         |  SELECT c.query_id, c.neighbor_id, CAST(sum(l.dq) AS BIGINT) AS s
         |  FROM cand c JOIN lut l
         |    ON l.query_id = c.query_id AND l.m = c.m AND l.j = c.code
-        |  GROUP BY 1, 2)
-        |SELECT query_id, neighbor_id,
-        |  round(CAST(s AS DOUBLE) / ${LutQ}, 4) AS adot
-        |FROM adc
-        |QUALIFY row_number() OVER (PARTITION BY query_id
-        |  ORDER BY s DESC, neighbor_id) <= 3
-        |ORDER BY query_id, neighbor_id""".stripMargin
+        |  GROUP BY 1, 2)""".stripMargin
+
+  /** q_recall_pq's oracle: recall@3 of the compressed (ADC-ranked)
+    * probe against the exact brute ranking on the same corpus — the
+    * price of M-byte compression in recall, measured on a schedule.
+    * Both pipelines replay end to end (the q_recall_at_k contract on
+    * the compressed index).
+    */
+  private lazy val recallPqOracleSql: String =
+    s"""$pqAdcSql,
+        |approx AS (
+        |  SELECT query_id, neighbor_id FROM adc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY s DESC, neighbor_id) <= 3),
+        |bsims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) *
+        |       sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+        |  FROM u q JOIN u c ON q.vec_id < 32 AND c.vec_id != q.vec_id),
+        |truth AS (
+        |  SELECT query_id, neighbor_id FROM bsims
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_raw DESC, neighbor_id) <= 3),
+        |hits AS (
+        |  SELECT t.query_id, count(*) AS hits
+        |  FROM truth t JOIN approx a USING (query_id, neighbor_id)
+        |  GROUP BY t.query_id)
+        |SELECT p.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |  round(coalesce(h.hits, 0) / 3.0, 4) AS recall
+        |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 32) p
+        |LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id""".stripMargin
 
   /** q_ann_pq_delete's oracle: the PQ probe replay with the
     * tombstoned ids (`vec_id % 7 == 3`) excluded from the CANDIDATE
@@ -2341,6 +2379,31 @@ object Similarity {
           .orderBy("query_id", "neighbor_id")
       },
       pqUpsertOracleSql),
+
+    // Index-health monitor #3 (round 11): recall@3 of the PERSISTED
+    // compressed index's ADC ranking against the exact brute ranking —
+    // what M-byte-per-vector compression costs in recall, measured on
+    // a schedule over the production artifact. Completes the monitor
+    // trio: balance (q_index_stats), churn (q_recall_churn),
+    // compression (this).
+    "q_recall_pq" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val panel = e.filter(col("vec_id") < 32)
+        val got = probePqIndex(s, ensurePqIndex(s, dir), panel, k = 3)
+          .select(col("query_id"), col("neighbor_id"))
+        val truth = bruteForceTopK(e, panel, k = 3)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = truth.join(got, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        panel.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            round(coalesce(col("hits"), lit(0L)) / lit(3.0), 4).as("recall"))
+          .orderBy("query_id")
+      },
+      recallPqOracleSql),
 
     // Brute-force cosine top-3 for a fixed 32-query panel — exact,
     // oracle-checked.

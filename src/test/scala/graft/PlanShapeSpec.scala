@@ -38,7 +38,7 @@ class PlanShapeSpec extends SparkSpec {
     "q_index_stats", // 1-row (total, max, k) scalar broadcast factor
     // bruteForceTopK truth side — q_ann_brute's deliberate shape over
     // the fixed 32-query panel
-    "q_recall_churn",
+    "q_recall_churn", "q_recall_pq",
     "q_recall_at_k", // grades the LSH index against the brute baseline — inherits both shapes
     "q_bitext_margin", // broadcast label-panel × streamed other-label side (A×B score matrix)
     "q_pagerank", // 1-row (N, base) scalar broadcast factor per iteration
