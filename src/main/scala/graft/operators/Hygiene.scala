@@ -171,6 +171,30 @@ object Hygiene {
         round(col("m.cos_raw"), 4).as("cos"), col("n_eval_hits"))
   }
 
+  /** The streaming-gate form of [[decontaminateSemantic]]: given a
+    * micro-batch of `(vec_id, embedding)` rows and the frozen eval
+    * panel, return only the rows NO eval vector matches at `tau` — the
+    * admission filter a vector-ingest stream runs so contaminated
+    * vectors never reach the index. Same plan shape (broadcast panel,
+    * map-side threshold) as the batch audit; the anti-join keeps
+    * clean rows, so a row with a null/empty embedding passes (nothing
+    * can prove it contaminated) — the null-row convention every gate
+    * here follows.
+    */
+  def semanticGate(batch: DataFrame, evalVecs: DataFrame,
+      tau: Double): DataFrame = {
+    val ev = broadcast(spreadScan(evalVecs)
+      .select(col("vec_id").as("__e_id"), col("embedding").as("__e_v")))
+    val cos = fdot(col("embedding"), col("__e_v")) /
+      (sqrt(fdot(col("embedding"), col("embedding"))) *
+        sqrt(fdot(col("__e_v"), col("__e_v"))))
+    val dirty = batch.select(col("vec_id"), col("embedding"))
+      .crossJoin(ev)
+      .filter(cos >= lit(tau))
+      .select(col("vec_id")).distinct()
+    batch.join(broadcast(dirty), Seq("vec_id"), "left_anti")
+  }
+
   /** Winnow-fingerprint decontamination — the edit-robust sibling of
     * `decontaminate`: a benchmark doc that differs from a corpus doc
     * by whitespace or a few token edits shares most winnowing

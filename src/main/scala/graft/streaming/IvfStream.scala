@@ -84,6 +84,40 @@ object IvfStream {
       .trigger(trigger)
       .start()
 
+  /** Ingest with a semantic-decontamination admission gate
+    * ([[graft.operators.Hygiene.semanticGate]]): rows within `tau`
+    * cosine of any frozen eval-panel vector are dropped BEFORE the
+    * assign pass, so a contaminated vector never reaches the index —
+    * cheaper and safer than indexing it and masking later, because a
+    * tombstone can be forgotten but an un-indexed row cannot leak
+    * into a probe. The gate is a pure per-batch filter (broadcast
+    * panel, map-side threshold), so every replay shield of the
+    * underlying append applies unchanged.
+    */
+  def gatedIngestBatchStep(batch: DataFrame, batchId: Long,
+      indexDir: String, cents: Seq[(Long, Seq[Double])],
+      evalVecs: DataFrame, tau: Double,
+      compactEvery: Long = 0L): Unit =
+    ingestBatchStep(
+      graft.operators.Hygiene.semanticGate(batch, evalVecs, tau),
+      batchId, indexDir, cents, compactEvery)
+
+  def gatedIngestStream(vecs: DataFrame, indexDir: String,
+      cents: Seq[(Long, Seq[Double])], evalVecs: DataFrame, tau: Double,
+      checkpointDir: String, compactEvery: Long = 0L,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        gatedIngestBatchStep(b, id, indexDir, cents, evalVecs, tau,
+          compactEvery)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** The compressed-index twin: each micro-batch is ONE
     * [[Similarity.appendPqIncrement]] — a map-only ENCODE pass against
     * the frozen codebook, so what streams into long-term storage is M

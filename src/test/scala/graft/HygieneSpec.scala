@@ -109,6 +109,22 @@ class HygieneSpec extends SparkSpec {
     assert(math.abs(d3._3 - 0.7071) < 1e-9)
   }
 
+  test("semanticGate admits exactly the complement of the audit's " +
+      "flagged set on harness data") {
+    val e = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val isEval = pmod(col("vec_id"), lit(13)) === 5
+    val train = e.filter(!isEval)
+    val kept = Hygiene.semanticGate(train, e.filter(isEval), tau = 0.3)
+      .select("vec_id").as[Long].collect().toSet
+    val flagged = Hygiene.decontaminateSemantic(e, isEval, tau = 0.3)
+      .select("vec_id").as[Long].collect().toSet
+    val all = train.select("vec_id").as[Long].collect().toSet
+    assert(flagged.nonEmpty && kept.nonEmpty)
+    assert(kept == all -- flagged,
+      s"gate/audit disagree: ${(kept -- (all -- flagged)).take(5)} / " +
+        s"${((all -- flagged) -- kept).take(5)}")
+  }
+
   test("decontaminate counts benchmark 3-gram overlap per corpus doc") {
     val docs = Seq(
       (0L, "the quick brown fox jumps high"),   // benchmark (id % 97 == 0)

@@ -108,6 +108,51 @@ class IvfStreamSpec extends SparkSpec {
       "upserted id must keep exactly one posting")
   }
 
+  test("gated ingest never indexes an eval-contaminated vector — " +
+      "stream ≡ batch gate, independent driver replay agrees, replays " +
+      "no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = corpus()
+    val cents = Similarity.ensureKmeansQuantizer(spark, sfDir)
+    val ev = e.filter(pmod(col("vec_id"), lit(13)) === 5)
+    val tau = 0.3
+    val base = java.nio.file.Files.createTempDirectory("graft_gatedivf")
+    val dir = base.resolve("index").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = IvfStream.gatedIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), dir, cents, ev, tau,
+      base.resolve("ckpt").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+    try {
+      feed().foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    val indexed = spark.read.parquet(s"$dir/g1")
+      .select("vec_id").as[Long].collect().toSet
+    // stream ≡ batch gate over the same corpus
+    val kept = graft.operators.Hygiene.semanticGate(e, ev, tau)
+      .select("vec_id").as[Long].collect().toSet
+    assert(indexed == kept, "streamed gate diverged from the batch gate")
+    // independent driver replay: NO indexed vector sits within tau of
+    // ANY eval vector (straight-line Scala cosines, no Spark involved)
+    val evV = ev.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val idxV = spark.read.parquet(s"$dir/g1")
+      .select(col("vec_id"), col("c_v"))
+      .as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    assert(idxV.forall { case (_, v) => evV.forall { case (_, w) =>
+      cos(v, w) < tau } }, "a contaminated vector reached the index")
+    assert(evV.forall { case (id, _) => !indexed.contains(id) })
+    // redelivery through the gate overwrites whole — no duplication
+    IvfStream.gatedIngestBatchStep(
+      feed()(1).toDF("vec_id", "embedding"), 1L, dir, cents, ev, tau)
+    assert(spark.read.parquet(s"$dir/g1").count() == kept.size)
+  }
+
   test("streamed PQ ingest ≡ fresh full encode; replays and in-stream " +
       "compaction leave the compressed index unchanged") {
     implicit val sqlCtx = spark.sqlContext
