@@ -149,4 +149,38 @@ object IvfStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+
+  /** CDC on the compressed index — [[upsertBatchStep]]'s contract
+    * through [[Similarity.upsertPqIncrement]], so re-embedded
+    * documents re-ENCODE against the frozen codebook in the same
+    * batch that tombstones their old codes. Completes the
+    * {full-vector, compressed} × {ingest, upsert} × {batch, stream}
+    * matrix.
+    */
+  def pqUpsertBatchStep(batch: DataFrame, batchId: Long, indexDir: String,
+      cents: Seq[(Long, Seq[Double])], compactEvery: Long = 0L,
+      numSubspaces: Int = 8, dim: Int = 64, opCol: String = "op"): Unit = {
+    val spark = batch.sparkSession
+    Similarity.upsertPqIncrement(spark, indexDir, batch, cents, batchId,
+      numSubspaces, dim, opCol)
+    if (compactEvery > 0L && batchId % compactEvery == compactEvery - 1L)
+      Similarity.compactPqIncremental(spark, indexDir)
+  }
+
+  def pqUpsertStream(changes: DataFrame, indexDir: String,
+      cents: Seq[(Long, Seq[Double])], checkpointDir: String,
+      compactEvery: Long = 0L, numSubspaces: Int = 8, dim: Int = 64,
+      opCol: String = "op",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        pqUpsertBatchStep(b, id, indexDir, cents, compactEvery,
+          numSubspaces, dim, opCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
 }

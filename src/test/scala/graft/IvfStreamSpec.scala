@@ -186,6 +186,60 @@ class IvfStreamSpec extends SparkSpec {
       e.count(), "replay duplicated codes")
   }
 
+  test("streamed PQ CDC upsert ≡ fresh encode of the mutated corpus; " +
+      "replay no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = corpus()
+    val cents = Similarity.hashCentroids(e, 16)
+    val panel = e.filter(col("vec_id") < 32)
+    val base = java.nio.file.Files.createTempDirectory("graft_pqupsstream")
+    val dir = base.resolve("index").toString
+    // batch 0: the full corpus as upserts; batch 1: the declared
+    // mutation (re-embed vec_id%5==1 as vec_id+1's vector, take down
+    // vec_id%7==3)
+    val next = e.select((col("vec_id") - 1).as("vec_id"),
+      col("embedding").as("__new_emb"))
+    val ups = e.select("vec_id").join(next, "vec_id")
+      .filter(pmod(col("vec_id"), lit(5)) === 1 &&
+        pmod(col("vec_id"), lit(7)) =!= 3)
+      .select(col("vec_id"), col("__new_emb").as("embedding"),
+        lit("upsert").as("op"))
+    val dels = e.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select(col("vec_id"), col("embedding"), lit("delete").as("op"))
+    val b0 = e.select(col("vec_id"), col("embedding"),
+      lit("upsert").as("op")).as[(Long, Seq[Float], String)].collect()
+    val b1 = ups.unionByName(dels)
+      .as[(Long, Seq[Float], String)].collect()
+    val mem = MemoryStream[(Long, Seq[Float], String)]
+    val q = IvfStream.pqUpsertStream(
+      mem.toDF().toDF("vec_id", "embedding", "op"), dir, cents,
+      base.resolve("ckpt").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+    try {
+      Seq(b0, b1).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def probe() = Similarity.probePqIncremental(spark, dir, panel, k = 3)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got = probe()
+    val mutated = e.join(next, Seq("vec_id"), "left")
+      .filter(pmod(col("vec_id"), lit(7)) =!= 3)
+      .select(col("vec_id"),
+        when(pmod(col("vec_id"), lit(5)) === 1 && col("__new_emb").isNotNull,
+          col("__new_emb")).otherwise(col("embedding")).as("embedding"))
+    val expect = Similarity.pqProbe(
+        Similarity.pqEncode(mutated, cents), panel, cents, k = 3)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect, "streamed PQ CDC diverged from mutated encode")
+    assert(!got.exists(_._2 % 7 == 3), "a takedown surfaced")
+    // redelivery of the change batch no-ops
+    IvfStream.pqUpsertBatchStep(ups.unionByName(dels), 1L, dir, cents)
+    assert(probe() == got)
+  }
+
   test("batch-step replays are idempotent, including straddling an " +
       "in-stream compaction") {
     val cents = Similarity.ensureKmeansQuantizer(spark, sfDir)
