@@ -486,7 +486,10 @@ object Similarity {
     val spark = corpus.sparkSession
     val v = pqLatestVersion(spark, dir).getOrElse(0L) + 1
     val cents = hashCentroids(corpus, numLists)
+    // base rows sit at −1 in the version's maintenance log: any
+    // tombstone masks them, any append outranks them
     pqEncode(corpus, cents, numSubspaces, dim)
+      .withColumn("batch", lit(-1L))
       .write.mode(SaveMode.Overwrite).partitionBy("list_id")
       .parquet(s"$dir/v$v/codes")
     val fs = hadoopFs(spark, dir)
@@ -542,12 +545,25 @@ object Similarity {
     * is not idempotent — a streaming caller wanting replay safety
     * lands each batch under its own subdirectory (the `BatchDirs`
     * pattern) or rebuilds periodically.
+    *
+    * `batchId` stamps the new code rows' position in the version's
+    * maintenance log (base rows from a build or compaction sit at −1):
+    * a tombstone at batch `b` masks only code rows from STRICTLY
+    * EARLIER batches, so a delete-then-re-append of the same id —
+    * [[deleteFromPqIndex]] at `b` plus an append at `b` — is an
+    * upsert whose fresh codes survive their own tombstone, instead of
+    * being silently hidden (and then physically dropped by
+    * [[compactPqIndex]]) the way an orderless mask would.
     */
-  def appendToPqIndex(newVecs: DataFrame, dir: String): Unit = {
+  def appendToPqIndex(newVecs: DataFrame, dir: String,
+      batchId: Long = 0L): Unit = {
+    require(batchId >= 0L,
+      s"append batch ids start at 0 (base code rows sit at -1): $batchId")
     val spark = newVecs.sparkSession
     val (cents, numSubspaces, dim) = readPqSidecar(spark, dir)
     val v = pqLatestVersion(spark, dir).get
     pqEncode(newVecs, cents, numSubspaces, dim)
+      .withColumn("batch", lit(batchId))
       .write.mode(SaveMode.Append).partitionBy("list_id")
       .parquet(s"$dir/v$v/codes")
   }
@@ -557,38 +573,37 @@ object Similarity {
     * columns as nulls and rank garbage silently); the explicit schema
     * pins `list_id` to LONG (partition-dir inference would guess INT
     * and the cast would defeat partition pruning on the probe join).
-    * Tombstoned ids ([[deleteFromPqIndex]]) anti-join out broadcast —
-    * the delete set is churn-sized, never corpus-sized.
+    * Tombstoned ids ([[deleteFromPqIndex]]) mask out under the shared
+    * log-ordered broadcast anti-join ([[maskTombstonesAt]]) — the
+    * delete set is churn-sized, never corpus-sized, and only code rows
+    * from batches STRICTLY BEFORE an id's latest tombstone die, so a
+    * re-appended id keeps its fresh codes.
     */
   def probePqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
     val (cents, numSubspaces, dim) = readPqSidecar(spark, dir)
     val v = pqLatestVersion(spark, dir).get
     val codes = readPqCodes(spark, dir, v, numSubspaces)
-    val live = pqTombstones(spark, dir, v)
-      .map(t => codes.join(broadcast(t), Seq("vec_id"), "left_anti"))
-      .getOrElse(codes)
+    val live = maskTombstonesAt(spark, s"$dir/v$v/_tombstones", codes)
+      .drop("batch")
     pqProbe(live, queries, cents, k, numSubspaces, dim, nprobe)
   }
 
+  /** Code rows of one version, batch-stamped. `coalesce(batch, −1)`
+    * self-heals layouts written before the log-ordered mask existed:
+    * their files lack the column, the explicit schema reads it as
+    * null, and −1 (the base-row position) restores the exact orderless
+    * semantics those layouts were written under.
+    */
   private def readPqCodes(spark: org.apache.spark.sql.SparkSession,
       dir: String, v: Long, numSubspaces: Int): DataFrame = {
     val schema = StructType(
       StructField("vec_id", LongType) +:
         (0 until numSubspaces).map(m => StructField(s"code$m", IntegerType)) :+
+        StructField("batch", LongType) :+
         StructField("list_id", LongType))
     spark.read.schema(schema).parquet(s"$dir/v$v/codes")
-  }
-
-  private def pqTombstones(spark: org.apache.spark.sql.SparkSession,
-      dir: String, v: Long): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/v$v/_tombstones")
-    if (!hadoopFs(spark, dir).exists(p)) None
-    else Some(spark.read
-      .schema(StructType(Seq(StructField("vec_id", LongType),
-        StructField("batch", LongType))))
-      .parquet(s"$dir/v$v/_tombstones")
-      .select("vec_id").distinct())
+      .withColumn("batch", coalesce(col("batch"), lit(-1L)))
   }
 
   /** Tombstone delete for the persisted PQ index — the
@@ -596,10 +611,15 @@ object Similarity {
     * whole under the CURRENT version's `_tombstones/batch=<id>`
     * (underscore-prefixed, invisible to the codes read), every probe
     * masks them until [[compactPqIndex]] drops the code rows
-    * physically. Batch-dir Overwrite makes redelivery idempotent; a
-    * replay against an already-compacted version re-masks ids whose
-    * rows are gone — a no-op by construction, so no horizon is needed
-    * on this layout (each version starts tombstone-free).
+    * physically. The mask is LOG-ORDERED (shared [[maskTombstonesAt]]):
+    * a tombstone at batch `b` kills code rows from batches strictly
+    * before `b` only — base rows sit at −1, so any delete masks them,
+    * while an [[appendToPqIndex]] at `b` survives its own tombstone
+    * (the upsert shape) and only dies under a LATER delete. Batch-dir
+    * Overwrite makes redelivery idempotent; a replay against an
+    * already-compacted version re-masks ids whose rows are gone — a
+    * no-op by construction, so no horizon is needed on this layout
+    * (each version starts tombstone-free).
     */
   def deleteFromPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, ids: DataFrame, batchId: Long): Unit = {
@@ -623,9 +643,13 @@ object Similarity {
       throw new IllegalStateException(s"no LATEST pointer under $dir"))
     val (_, numSubspaces, _) = readPqSidecar(spark, dir)
     val codes = readPqCodes(spark, dir, v, numSubspaces)
-    val live = pqTombstones(spark, dir, v)
-      .map(t => codes.join(broadcast(t), Seq("vec_id"), "left_anti"))
-      .getOrElse(codes)
+    // same log-ordered mask the probes apply, so the physical fold
+    // keeps exactly the rows a probe would have seen — including a
+    // re-appended id whose older codes a tombstone masked. Survivors
+    // restart at the base batch position: the new version opens
+    // tombstone-free, its log empty.
+    val live = maskTombstonesAt(spark, s"$dir/v$v/_tombstones", codes)
+      .withColumn("batch", lit(-1L))
     live.write.mode(SaveMode.Overwrite).partitionBy("list_id")
       .parquet(s"$dir/v${v + 1}/codes")
     writeSmallFile(spark, s"$dir/v${v + 1}/centroids.tsv",
@@ -922,35 +946,49 @@ object Similarity {
     * partition pruning).
     */
   private def ivfIncLive(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, g: Long): DataFrame = {
+      indexDir: String, g: Long,
+      exclude: Set[Long] = Set.empty): DataFrame = {
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("c_v", ArrayType(FloatType)),
       StructField("c_norm", DoubleType),
       StructField("batch", LongType),
       StructField("list_id", LongType)))
-    val codes = spark.read.schema(schema).parquet(s"$indexDir/g$g")
-    maskIncTombstones(spark, indexDir, g, codes)
+    val all = spark.read.schema(schema).parquet(s"$indexDir/g$g")
+    // `batch` is a partition column, so the torn-batch exclusion a
+    // compaction passes prunes whole directories at planning time
+    val codes =
+      if (exclude.isEmpty) all
+      else all.filter(!col("batch").isin(exclude.toSeq: _*))
+    maskIncTombstones(spark, indexDir, g, codes, exclude)
       .select(col("vec_id").as("neighbor_id"), col("c_v"),
         col("c_norm"), col("list_id"))
   }
 
-  /** The log-ordered tombstone mask shared by both incremental
-    * layouts (full-vector postings and PQ codes): one row per id at
-    * its LATEST tombstone batch, broadcast (churn-sized, never
-    * corpus-sized); a row survives iff it landed at or after every
-    * tombstone for its id — the ordering that makes upsert
-    * expressible as tombstone + same-batch re-append.
+  /** The log-ordered tombstone mask shared by every maintained layout
+    * (incremental full-vector postings, incremental PQ codes, and the
+    * versioned PQ index): one row per id at its LATEST tombstone
+    * batch, broadcast (churn-sized, never corpus-sized); a row
+    * survives iff it landed at or after every tombstone for its id —
+    * the ordering that makes upsert expressible as tombstone +
+    * same-batch re-append. `exclude` drops named tombstone batches
+    * (compaction passes the torn set, so a half-written delete is
+    * never baked into a fold it could not survive replaying).
     */
-  private def maskIncTombstones(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, g: Long, rows: DataFrame): DataFrame = {
-    val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/g$g/_tombstones")
-    if (!hadoopFs(spark, indexDir).exists(tombPath)) rows
+  private def maskTombstonesAt(spark: org.apache.spark.sql.SparkSession,
+      tombDir: String, rows: DataFrame,
+      exclude: Set[Long] = Set.empty): DataFrame = {
+    val tombPath = new org.apache.hadoop.fs.Path(tombDir)
+    if (!hadoopFs(spark, tombDir).exists(tombPath)) rows
     else {
-      val tombs = spark.read
+      val all = spark.read
         .schema(StructType(Seq(StructField("vec_id", LongType),
           StructField("batch", LongType))))
-        .parquet(s"$indexDir/g$g/_tombstones")
+        .parquet(tombDir)
+      val kept =
+        if (exclude.isEmpty) all
+        else all.filter(!col("batch").isin(exclude.toSeq: _*))
+      val tombs = kept
         .select(col("vec_id").as("__t_id"), col("batch"))
         .groupBy("__t_id").agg(max("batch").as("__t_batch"))
       rows.join(broadcast(tombs),
@@ -958,6 +996,11 @@ object Similarity {
           rows("batch") < tombs("__t_batch"), "left_anti")
     }
   }
+
+  private def maskIncTombstones(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, g: Long, rows: DataFrame,
+      exclude: Set[Long] = Set.empty): DataFrame =
+    maskTombstonesAt(spark, s"$indexDir/g$g/_tombstones", rows, exclude)
 
   /** Probe the incrementally-grown postings: identical semantics (and
     * identical results — the declared queries share their oracle
@@ -982,8 +1025,8 @@ object Similarity {
     */
   def compactIvfIncremental(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit =
-    foldGeneration(spark, indexDir, g =>
-      ivfIncLive(spark, indexDir, g)
+    foldGeneration(spark, indexDir, (g, torn) =>
+      ivfIncLive(spark, indexDir, g, torn)
         .select(col("neighbor_id").as("vec_id"), col("c_v"),
           col("c_norm"), col("list_id")))
 
@@ -994,26 +1037,42 @@ object Similarity {
     * largest batch id consumed, so replays at or below it no-op), flip
     * `LATEST`, prune generations older than the one retained for
     * pinned readers.
+    *
+    * TORN batches — directories missing Spark's `_SUCCESS` witness,
+    * i.e. a crashed append or delete that has not replayed yet — are
+    * excluded twice over: their ids stay OUT of the horizon (so the
+    * replay still fires against the new generation instead of
+    * no-opping) and their partial rows stay out of the fold input (so
+    * half a batch is never frozen into a generation as if it were the
+    * whole). Without this a compaction racing a crashed write would
+    * make the torn batch permanent: the horizon would swallow its id,
+    * the replay would no-op, and the partial rows would be the
+    * batch forever. A batch id is torn if ANY directory bearing it
+    * (data or tombstone) lacks the witness — an upsert is one
+    * tombstone write plus one data write, and a crash between them
+    * must keep the WHOLE batch replayable, not fold the delete half
+    * while dropping the re-append.
     */
   private def foldGeneration(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, live: Long => DataFrame): Unit = {
+      indexDir: String, live: (Long, Set[Long]) => DataFrame): Unit = {
     val g = pqLatestVersion(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no LATEST pointer under $indexDir"))
     val fs = hadoopFs(spark, indexDir)
-    val folded = fs.listStatus(new org.apache.hadoop.fs.Path(s"$indexDir/g$g"))
-      .toSeq.map(_.getPath.getName)
-      .flatMap {
-        case s if s.startsWith("batch=") => Some(s.stripPrefix("batch=").toLong)
-        case "_tombstones" =>
-          fs.listStatus(
-              new org.apache.hadoop.fs.Path(s"$indexDir/g$g/_tombstones"))
-            .toSeq.map(_.getPath.getName)
-            .collect { case t if t.startsWith("batch=") =>
-              t.stripPrefix("batch=").toLong }
-        case _ => None
-      }
-    val horizon = (folded :+ ivfIncFoldedThrough(spark, indexDir, g)).max
-    live(g)
+    def batchDirs(parent: org.apache.hadoop.fs.Path): Seq[(Long, Boolean)] =
+      fs.listStatus(parent).toSeq
+        .filter(_.getPath.getName.startsWith("batch="))
+        .map { s =>
+          (s.getPath.getName.stripPrefix("batch=").toLong,
+            fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+        }
+    val gPath = new org.apache.hadoop.fs.Path(s"$indexDir/g$g")
+    val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/g$g/_tombstones")
+    val seen = batchDirs(gPath) ++
+      (if (fs.exists(tombPath)) batchDirs(tombPath) else Nil)
+    val torn = seen.collect { case (id, false) => id }.toSet
+    val horizon = (seen.map(_._1).filterNot(torn) :+
+      ivfIncFoldedThrough(spark, indexDir, g)).max
+    live(g, torn)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("list_id")
       .parquet(s"$indexDir/g${g + 1}/batch=0")
@@ -1031,6 +1090,20 @@ object Similarity {
     pqLatestVersion(spark, indexDir).getOrElse {
       writeSmallFile(spark, s"$indexDir/LATEST", "1"); 1L
     }
+
+  /** The current generation's folded-batch horizon (−1 if the index
+    * does not exist yet or was never compacted). The streaming batch
+    * steps consult this to skip their compaction leg on a
+    * post-compaction redelivery: the append already no-ops
+    * (`batchId <= horizon`), and without the same guard the fold
+    * would re-run anyway — a full corpus-sized rewrite plus a garbage
+    * generation per redelivered batch, for zero state change.
+    */
+  def incFoldedThrough(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Long =
+    pqLatestVersion(spark, indexDir)
+      .map(g => ivfIncFoldedThrough(spark, indexDir, g))
+      .getOrElse(-1L)
 
   /** The generation's folded-batch horizon: compaction folded every
     * batch id at or below it (−1 for a never-compacted generation).
@@ -1110,15 +1183,19 @@ object Similarity {
     * everywhere else.
     */
   private def pqIncLive(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, g: Long, numSubspaces: Int): DataFrame = {
+      indexDir: String, g: Long, numSubspaces: Int,
+      exclude: Set[Long] = Set.empty): DataFrame = {
     val schema = StructType(
       StructField("vec_id", LongType) +:
         (0 until numSubspaces).map(m =>
           StructField(s"code$m", IntegerType)) :+
         StructField("batch", LongType) :+
         StructField("list_id", LongType))
-    val codes = spark.read.schema(schema).parquet(s"$indexDir/g$g")
-    maskIncTombstones(spark, indexDir, g, codes).drop("batch")
+    val all = spark.read.schema(schema).parquet(s"$indexDir/g$g")
+    val codes =
+      if (exclude.isEmpty) all
+      else all.filter(!col("batch").isin(exclude.toSeq: _*))
+    maskIncTombstones(spark, indexDir, g, codes, exclude).drop("batch")
   }
 
   /** Probe the incrementally-grown compressed index: the sidecar at
@@ -1170,8 +1247,8 @@ object Similarity {
       indexDir: String): Unit = {
     val (_, numSubspaces, _) =
       parsePqSidecar(readTextFile(spark, s"$indexDir/centroids.tsv"))
-    foldGeneration(spark, indexDir, g =>
-      pqIncLive(spark, indexDir, g, numSubspaces))
+    foldGeneration(spark, indexDir, (g, torn) =>
+      pqIncLive(spark, indexDir, g, numSubspaces, torn))
   }
 
   /** Build the incremental compressed index for the declared query iff

@@ -24,8 +24,13 @@ import org.apache.spark.sql.DataFrame
   * a cadence, bounding the directory count a probe must list (the
   * small-files problem of any append-only index); the fold itself is
   * the crash-safe `LATEST`-flip publication, so a kill mid-compaction
-  * replays cleanly. Single maintenance writer (the streaming query),
-  * like every snapshot-pointer sink here.
+  * replays cleanly. The fold leg is horizon-guarded
+  * ([[Similarity.incFoldedThrough]]): a redelivery of a compacting
+  * batch AFTER its compaction landed no-ops entirely — without the
+  * guard the append would no-op but the fold would re-run, paying a
+  * corpus-sized rewrite and minting a garbage generation per
+  * redelivery. Single maintenance writer (the streaming query), like
+  * every snapshot-pointer sink here.
   */
 object IvfStream {
 
@@ -33,7 +38,8 @@ object IvfStream {
       cents: Seq[(Long, Seq[Double])], compactEvery: Long = 0L): Unit = {
     val spark = batch.sparkSession
     Similarity.appendIvfIncrement(spark, indexDir, batch, cents, batchId)
-    if (compactEvery > 0L && batchId % compactEvery == compactEvery - 1L)
+    if (compactEvery > 0L && batchId % compactEvery == compactEvery - 1L &&
+        batchId > Similarity.incFoldedThrough(spark, indexDir))
       Similarity.compactIvfIncremental(spark, indexDir)
   }
 
@@ -50,7 +56,8 @@ object IvfStream {
     val spark = batch.sparkSession
     Similarity.upsertIvfIncrement(spark, indexDir, batch, cents, batchId,
       opCol)
-    if (compactEvery > 0L && batchId % compactEvery == compactEvery - 1L)
+    if (compactEvery > 0L && batchId % compactEvery == compactEvery - 1L &&
+        batchId > Similarity.incFoldedThrough(spark, indexDir))
       Similarity.compactIvfIncremental(spark, indexDir)
   }
 
@@ -130,7 +137,8 @@ object IvfStream {
     val spark = batch.sparkSession
     Similarity.appendPqIncrement(spark, indexDir, batch, cents, batchId,
       numSubspaces, dim)
-    if (compactEvery > 0L && batchId % compactEvery == compactEvery - 1L)
+    if (compactEvery > 0L && batchId % compactEvery == compactEvery - 1L &&
+        batchId > Similarity.incFoldedThrough(spark, indexDir))
       Similarity.compactPqIncremental(spark, indexDir)
   }
 
@@ -163,7 +171,8 @@ object IvfStream {
     val spark = batch.sparkSession
     Similarity.upsertPqIncrement(spark, indexDir, batch, cents, batchId,
       numSubspaces, dim, opCol)
-    if (compactEvery > 0L && batchId % compactEvery == compactEvery - 1L)
+    if (compactEvery > 0L && batchId % compactEvery == compactEvery - 1L &&
+        batchId > Similarity.incFoldedThrough(spark, indexDir))
       Similarity.compactPqIncremental(spark, indexDir)
   }
 

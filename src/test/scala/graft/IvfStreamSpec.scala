@@ -251,7 +251,14 @@ class IvfStreamSpec extends SparkSpec {
     // REPLAY of batch 1 (post-fold redelivery) and batch 2
     IvfStream.ingestBatchStep(chunks(0), 0L, dir, cents, compactEvery = 2L)
     IvfStream.ingestBatchStep(chunks(1), 1L, dir, cents, compactEvery = 2L)
+    val genAfterFold = latestGen(dir)
     IvfStream.ingestBatchStep(chunks(1), 1L, dir, cents, compactEvery = 2L)
+    // the redelivered compacting batch no-ops on BOTH legs: its append
+    // sits below the horizon AND its compaction is skipped — re-running
+    // the fold would pay a corpus-sized rewrite and mint a garbage
+    // generation per redelivery, for zero state change
+    assert(latestGen(dir) == genAfterFold,
+      "post-fold redelivery re-ran the compaction")
     IvfStream.ingestBatchStep(chunks(2), 2L, dir, cents, compactEvery = 2L)
     assert(probeSorted(dir, cents) == batchReference(cents),
       "replayed ingest diverged from batch build")

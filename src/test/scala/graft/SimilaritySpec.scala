@@ -855,4 +855,153 @@ class SimilaritySpec extends SparkSpec {
     InternalCaches.drain()
     spark.catalog.clearCache()
   }
+
+  test("versioned PQ index: delete-then-re-append of the same id is an " +
+      "upsert — the fresh codes survive the tombstone mask, survive " +
+      "compaction PHYSICALLY, and only a LATER tombstone removes them") {
+    val e = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val panel = e.filter(col("vec_id") < 32)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqups").toString
+    writePqIndex(e, dir)
+    val (cents, m, d) = readPqSidecar(spark, dir)
+    def probe() = probePqIndex(spark, dir, panel, k = 3)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def expectOver(corpus: org.apache.spark.sql.DataFrame) =
+      pqProbe(pqEncode(corpus, cents, m, d), panel, cents, k = 3, m, d)
+        .orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // upsert doc 5 with doc 6's embedding: tombstone at batch 0 + a
+    // SAME-batch re-append. An orderless mask (the pre-fix behavior)
+    // would hide the fresh codes behind their own tombstone.
+    val mutated = e.filter(col("vec_id") === 6L)
+      .select(lit(5L).as("vec_id"), col("embedding"))
+    val mutCorpus = e.filter(col("vec_id") =!= 5L)
+      .select("vec_id", "embedding").unionByName(mutated)
+    deleteFromPqIndex(spark, dir, mutated.select("vec_id"), 0L)
+    appendToPqIndex(mutated, dir, 0L)
+    val upserted = expectOver(mutCorpus)
+    assert(probe() == upserted,
+      "re-appended codes did not survive their own tombstone")
+    // the mutation is visible, not a silent no-op
+    assert(upserted != expectOver(e.select("vec_id", "embedding")))
+    // compaction must carry the re-appended codes into the new version
+    // physically — the ADVICE failure mode was dropping them forever
+    compactPqIndex(spark, dir)
+    assert(probe() == upserted, "compaction dropped the upserted codes")
+    val v = spark.read.textFile(s"$dir/LATEST").collect().head.trim
+    val rows5 = spark.read.parquet(s"$dir/v$v/codes")
+      .filter(col("vec_id") === 5L).count()
+    assert(rows5 == 1L, s"expected exactly one live code row for id 5: $rows5")
+    // a LATER tombstone still deletes the id outright
+    deleteFromPqIndex(spark, dir, mutated.select("vec_id"), 1L)
+    assert(probe() == expectOver(e.filter(col("vec_id") =!= 5L)
+      .select("vec_id", "embedding")))
+  }
+
+  test("versioned PQ index self-heals pre-batch-column layouts: codes " +
+      "written without the log column read as base rows") {
+    val e = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val panel = e.filter(col("vec_id") < 32)
+    val dirA = java.nio.file.Files.createTempDirectory("graft_pqnew").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_pqold").toString
+    writePqIndex(e, dirA)
+    // replicate dirA as a legacy layout: same codes minus the batch
+    // column, same sidecar, same pointer
+    spark.read.parquet(s"$dirA/v1/codes").drop("batch")
+      .write.partitionBy("list_id").parquet(s"$dirB/v1/codes")
+    val fs = new org.apache.hadoop.fs.Path(dirB)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (f <- Seq("v1/centroids.tsv", "LATEST")) {
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$dirA/$f"), fs,
+        new org.apache.hadoop.fs.Path(s"$dirB/$f"), false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    def probe(dir: String) = probePqIndex(spark, dir, panel, k = 3)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(probe(dirB) == probe(dirA),
+      "legacy codes (no batch column) diverged from the current layout")
+    // legacy rows coalesce to the base position −1, so any tombstone
+    // masks them — the exact semantics they were written under
+    val doomed = e.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select("vec_id")
+    deleteFromPqIndex(spark, dirA, doomed, 0L)
+    deleteFromPqIndex(spark, dirB, doomed, 0L)
+    assert(probe(dirB) == probe(dirA))
+    assert(!probe(dirB).exists(t => t._2 % 7 == 3))
+  }
+
+  test("compaction skips TORN batches (no _SUCCESS witness): partial " +
+      "rows stay out of the fold, the horizon leaves them replayable, " +
+      "and the replay converges in the new generation") {
+    val e = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val panel = e.filter(col("vec_id") < 32)
+    val cents = ensureKmeansQuantizer(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_torn").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def probe() = probeIvfIncremental(spark, dir, cents, panel, k = 3)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def reference(corpus: org.apache.spark.sql.DataFrame) =
+      ivfTopKWithCentroids(corpus, panel, cents, k = 3)
+        .orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val even = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val odd = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+    appendIvfIncrement(spark, dir, even, cents, 0L)
+    appendIvfIncrement(spark, dir, odd, cents, 1L)
+    // simulate the crash: batch 1 landed its rows but died before the
+    // _SUCCESS witness — indistinguishable from a half-written batch
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/g1/batch=1/_SUCCESS"),
+      false)
+    compactIvfIncremental(spark, dir)
+    // the fold froze ONLY the complete batch…
+    assert(spark.read.parquet(s"$dir/g2").count() == even.count(),
+      "torn batch was folded into the new generation")
+    assert(probe() == reference(even))
+    // …and left the torn id BELOW the horizon, so its replay fires
+    // instead of no-opping — the pre-fix behavior lost it forever
+    appendIvfIncrement(spark, dir, odd, cents, 1L)
+    assert(probe() == reference(e), "torn batch replay did not converge")
+    assert(spark.read.parquet(s"$dir/g2").count() == e.count())
+  }
+
+  test("compaction skips a torn UPSERT batch on BOTH sides: a complete " +
+      "tombstone whose same-id data half tore is not applied, so the " +
+      "replayed upsert restores the re-append") {
+    val e = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val panel = e.filter(col("vec_id") < 32)
+    val cents = ensureKmeansQuantizer(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tornup").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def probe() = probeIvfIncremental(spark, dir, cents, panel, k = 3)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    appendIvfIncrement(spark, dir, e, cents, 0L)
+    val before = probe()
+    // upsert batch 1: re-embed doc 1 as doc 2's vector. The tombstone
+    // write completed; the data write tore (witness gone).
+    val change = e.filter(col("vec_id") === 2L)
+      .select(lit(1L).as("vec_id"), col("embedding"))
+    upsertIvfIncrement(spark, dir,
+      change.withColumn("op", lit("upsert")), cents, 1L)
+    val upserted = probe()
+    assert(upserted != before, "fixture upsert must change the ranking")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/g1/batch=1/_SUCCESS"),
+      false)
+    compactIvfIncremental(spark, dir)
+    // folding the delete half alone would vanish doc 1 with no replay
+    // able to bring it back; skipping the whole batch keeps the
+    // pre-upsert state — converged, not corrupted
+    assert(probe() == before,
+      "torn upsert was half-applied by the compaction")
+    // the replayed upsert lands in the new generation and converges
+    upsertIvfIncrement(spark, dir,
+      change.withColumn("op", lit("upsert")), cents, 1L)
+    assert(probe() == upserted, "replayed torn upsert did not converge")
+  }
 }
