@@ -45,6 +45,8 @@ object SparkEntry {
     * tools/check_oracle.py and is recorded in the round notes.
     */
   private val checkFirst: Seq[String] = Seq(
+    // the round-12 additions: newest first, never driver-checked yet
+    "q_merge_upsert", "q_incr_agg_cdc",
     // never driver-checked at all: the round-8 additions
     "q_pmi_pairs", "q_phrase_hits", "q_triangle_count", "q_kcore",
     "q_zorder_layout", "q_dedup_incremental", "q_containment",

@@ -436,6 +436,120 @@ object AtomicIncrement {
     staged
   }
 
+  /** What a [[mergeAtomic]] did, plus the change-derived frames a
+    * downstream incremental consumer (e.g. a maintained rollup) folds:
+    * `upserts` are the after-images the merge wrote, `beforeImages`
+    * the pre-merge rows of every churned key — both lazy reads over
+    * IMMUTABLE pre-merge data files, so they stay valid after the
+    * commit (until [[vacuumUncommitted]] reclaims superseded batches).
+    */
+  final case class MergeResult(version: Long, carried: Int,
+      rewritten: Int, staged: Int, upserts: DataFrame,
+      beforeImages: DataFrame)
+
+  /** Copy-on-write MERGE — the keyed upsert/delete a CDC feed applies
+    * to a 100 TB table, priced by the CHURN, not the table: `changes`
+    * carries full-width rows plus a boolean `deleteCol`, every
+    * incoming key replaces (or removes) its current row, and ONLY the
+    * data files whose manifest-recorded `[min, max]` interval on
+    * `keyCol` can contain a churned key are rewritten. Every other
+    * file rides into the new manifest verbatim — zero bytes moved.
+    * On a key-clustered table (range-partitioned load, or the z-order
+    * layout) a churn batch touching one key region rewrites that
+    * region's files and carries the rest, which is exactly how a
+    * lakehouse MERGE stays affordable when the table is 10⁵ files.
+    *
+    * Contract: ≤1 row per key in `changes` (a CDC log resolves its
+    * own within-batch order first — [[Cdc.latestView]] is that
+    * resolve); the committed table holds ≤1 row per key (it was
+    * loaded or previously merged that way); `keyCol` is integral (the
+    * surrogate-key case — wider key types fall back to rewrite-all
+    * below). Files without usable `keyCol` stats are rewritten — a
+    * MAY-CONTAIN superset, conservative like every skipping decision
+    * here. The churned key set is collected to the driver to test
+    * file intervals (churn-sized by contract, like the tombstone
+    * masks — `maxChurnKeys` fences the contract violation loudly).
+    *
+    * Publication, concurrency, and crash behavior are [[publish]]'s:
+    * the new manifest (carried + rewritten lists) lands at
+    * `version + 1` or the merge loses the OCC race, cleans its staged
+    * files, and throws; a crash before the rename leaves readers on
+    * the pre-merge snapshot; pre-merge files stay readable for pinned
+    * readers and time travel until vacuum.
+    */
+  def mergeAtomic(changes: DataFrame, sink: String, keyCol: String,
+      deleteCol: String, maxChurnKeys: Int = 10000000): MergeResult =
+    mergeWithHook(changes, sink, keyCol, deleteCol, maxChurnKeys, () => ())
+
+  private[graft] def mergeWithHook(changes: DataFrame, sink: String,
+      keyCol: String, deleteCol: String, maxChurnKeys: Int,
+      beforePublish: () => Unit): MergeResult = {
+    val spark = changes.sparkSession
+    val fs = fsOf(spark, sink)
+    val (version, priorEntries) = snapshotEntries(spark, sink)
+    require(priorEntries.nonEmpty, s"nothing committed to merge into at $sink")
+    val integralTags = Set("long", "int", "short", "byte")
+    // the churned key set: churn-sized by the CDC contract, so the
+    // driver-side interval test is bounded the same way the broadcast
+    // tombstone masks are
+    val churn = changes.select(col(keyCol).cast(
+        org.apache.spark.sql.types.LongType))
+      .na.drop().distinct()
+      .orderBy(keyCol)
+      .collect().map(_.getLong(0))
+    require(churn.length <= maxChurnKeys,
+      s"merge batch carries ${churn.length} distinct keys " +
+        s"(> $maxChurnKeys): that is a reload, not a churn batch — " +
+        "raise maxChurnKeys deliberately or rebuild the table")
+    def intervalHasChurn(mn: Long, mx: Long): Boolean = {
+      var lo = 0
+      var hi = churn.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (churn(mid) < mn) lo = mid + 1 else hi = mid
+      }
+      lo < churn.length && churn(lo) <= mx
+    }
+    val (carried, touched) = priorEntries.partition { e =>
+      e.stats match {
+        case Some(fc) if fc.column.equalsIgnoreCase(keyCol) &&
+            integralTags.contains(fc.tag) =>
+          try !intervalHasChurn(fc.min.toLong, fc.max.toLong)
+          catch { case _: NumberFormatException => false }
+        case _ => false // no usable key stats: may contain, rewrite
+      }
+    }
+    // full-snapshot schema (the readCommittedAbove evolution guard):
+    // a touched subset must not lose columns only carried files have
+    val fullSchema = readCommitted(spark, sink).schema
+    val oldTouched =
+      if (touched.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
+      else spark.read.schema(fullSchema)
+        .parquet(touched.map(e => s"$sink/${e.path}"): _*)
+    val churnDf = broadcast(
+      spark.createDataset(churn.toSeq)(
+        org.apache.spark.sql.Encoders.scalaLong).toDF(keyCol))
+    val survivors = oldTouched.join(churnDf, Seq(keyCol), "left_anti")
+    val upserts = changes.filter(!col(deleteCol)).drop(deleteCol)
+    val merged = survivors.unionByName(upserts, allowMissingColumns = true)
+    val statsField = merged.schema.fields
+      .find(_.name.equalsIgnoreCase(keyCol))
+    val stagedEntries = stageEntries(merged, spark, fs, sink, statsField)
+    try {
+      beforePublish()
+      publish(fs, sink,
+        (carried ++ stagedEntries).map(_.render), version + 1)
+    } catch { case e: Throwable =>
+      stagedEntries.headOption.foreach(e0 =>
+        fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
+      throw e
+    }
+    MergeResult(version + 1, carried.size, touched.size,
+      stagedEntries.size, upserts,
+      oldTouched.join(churnDf, Seq(keyCol), "left_semi"))
+  }
+
   /** GC staged-but-uncommitted batch directories (crashed or lost-race
     * writers). ONLY safe when no writer is actively staging — the
     * caller owns that scheduling, exactly like Delta's VACUUM.

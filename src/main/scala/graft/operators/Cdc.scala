@@ -90,6 +90,56 @@ object Cdc {
         |FROM latest WHERE NOT del
         |ORDER BY o_orderkey""".stripMargin),
 
+    // The MATERIALIZED half of the CDC story: where q_cdc_upsert
+    // resolves the feed at read time, this folds it into the table
+    // with AtomicIncrement.mergeAtomic — a copy-on-write MERGE that
+    // rewrites ONLY the files whose key interval intersects the churn.
+    // The base loads as three orderkey-range increments (disjoint
+    // per-file key stats by construction); the change batch touches
+    // only keys above the second cut, so the first two batches' files
+    // must carry into the new manifest verbatim — `pruned` pins that
+    // (a regression to rewrite-everything flips it and the oracle
+    // hash-mismatches). The oracle replays the merge in SQL: base
+    // minus churned keys, union the after-images.
+    "q_merge_upsert" -> QueryDef(
+      (s, dir) => IncrementalAgg.withScratchSink(s, "graft_merge") { sink =>
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val mx = o.agg(max("o_orderkey")).head().getLong(0)
+        var lo = Long.MinValue
+        for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {
+          AtomicIncrement.appendIncrementAtomic(
+            o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+            sink, "o_orderkey")
+          lo = hi
+        }
+        val cut = 2 * mx / 3
+        val hot = o.filter(col("o_orderkey") > cut)
+        val changes = hot.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+            (col("o_totalprice") + 100).as("o_totalprice"),
+            lit(false).as("del"))
+          .unionByName(hot.filter(col("o_orderkey") % 10 === 7)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"), lit(true).as("del")))
+        val res = AtomicIncrement.mergeAtomic(changes, sink,
+          "o_orderkey", "del")
+        AtomicIncrement.readCommitted(s, sink)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice"), 2).as("price"),
+            lit(res.carried > 0).as("pruned"))
+          .orderBy("o_orderkey")
+      },
+      """WITH cut AS (SELECT 2 * max(o_orderkey) // 3 AS c FROM orders)
+        |SELECT o_orderkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS price, TRUE AS pruned
+        |FROM orders, cut
+        |WHERE NOT (o_orderkey > c AND o_orderkey % 10 IN (0, 7))
+        |UNION ALL
+        |SELECT o_orderkey, 'X', round(o_totalprice + 100, 2), TRUE
+        |FROM orders, cut WHERE o_orderkey > c AND o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin),
+
     // The history view over the same feed: intervals chain per key,
     // deletes close the last interval without emitting a row.
     "q_cdc_history" -> QueryDef(

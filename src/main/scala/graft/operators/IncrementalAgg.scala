@@ -76,6 +76,53 @@ object IncrementalAgg {
       sink: String): DataFrame =
     AtomicIncrement.readCommitted(spark, sink)
 
+  /** Retraction fold — the CDC face of the maintained rollup, for
+    * feeds that UPDATE and DELETE instead of only appending (where
+    * [[mergeBatch]]'s high-watermark contract applies): `plus` holds a
+    * change batch's after-images, `minus` the before-images of every
+    * churned key (exactly what [[AtomicIncrement.MergeResult]] hands
+    * back from a table merge), and the state moves by
+    * `Σ(plus) − Σ(minus)` per group — count and sums are abelian, so
+    * the fold costs one churn-sized aggregate plus a |keys|-row merge,
+    * never a rescan of the table the rollup summarizes. A group whose
+    * count retracts to zero leaves the state (matching what a fresh
+    * rescan would produce); retracting rows that were never added is
+    * the caller's contract violation (counts would go negative — such
+    * groups are dropped rather than published as nonsense).
+    *
+    * Exactly-once on replay is keyed on `batchId` (the [[graft.streaming.AggStream]]
+    * discipline — monotone per sink, NOT a data watermark: CDC batches
+    * routinely carry old keys): a batch at or below the state's
+    * `__b` high-water no-ops. Publication is the same OCC snapshot
+    * replace as every state fold here. Returns whether the batch
+    * applied (false = replay).
+    */
+  def mergeCdcBatch(plus: DataFrame, minus: DataFrame, sink: String,
+      keys: Seq[String], sumCols: Seq[String], batchId: Long): Boolean = {
+    val spark = plus.sparkSession
+    val (version, priorFiles) = AtomicIncrement.snapshot(spark, sink)
+    val prior =
+      if (priorFiles.isEmpty) None else Some(readState(spark, sink))
+    val last = prior.map(st =>
+      st.agg(max("__b")).head().getLong(0)).getOrElse(-1L)
+    if (batchId <= last) return false
+    def signed(df: DataFrame, sign: Int) =
+      df.groupBy(keys.map(col): _*).agg(
+        (count(lit(1)) * sign).as("__n"),
+        sumCols.map(c =>
+          (coalesce(sum(col(c)), lit(0.0)) * sign).as(s"sum_$c")): _*)
+    val delta = signed(plus, 1).unionByName(signed(minus, -1))
+    val merged = prior.map(_.drop("__b").unionByName(delta))
+      .getOrElse(delta)
+      .groupBy(keys.map(col): _*).agg(
+        sum("__n").as("__n"),
+        sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")): _*)
+      .filter(col("__n") > 0)
+      .withColumn("__b", lit(batchId))
+    AtomicIncrement.replaceSnapshot(merged, sink, version)
+    true
+  }
+
   /** Run a query whose plumbing needs a scratch atomic sink, then
     * reclaim the sink DETERMINISTICALLY: the output (small by
     * construction — these queries end in an aggregate of at most a
@@ -84,7 +131,8 @@ object IncrementalAgg {
     * bench/scale invocation stranded a fresh multi-copy temp sink on
     * disk — unbounded accumulation across repeated runs.
     */
-  private def withScratchSink(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def withScratchSink(
+      spark: org.apache.spark.sql.SparkSession,
       prefix: String)(body: String => DataFrame): DataFrame = {
     val sink = java.nio.file.Files.createTempDirectory(prefix).toString
     try {
@@ -169,5 +217,49 @@ object IncrementalAgg {
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice) / count(*), 6) AS avg_price
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // The RETRACTION fold under the oracle gate: the rollup
+    // initializes from the base load, then the q_merge_upsert change
+    // feed moves it by Σ(after-images) − Σ(before-images) — one
+    // churn-sized aggregate, never a rescan. The oracle aggregates the
+    // SQL-resolved final table in one pass, so a wrong sign, a
+    // double-counted update (its before-image not retracted), or a
+    // surviving deleted row's contribution all hash-mismatch. The 'X'
+    // group exists ONLY through the delta — a fold that ignores new
+    // groups drops it.
+    "q_incr_agg_cdc" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_cdcagg") { sink =>
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        mergeCdcBatch(o, o.limit(0), sink,
+          Seq("o_orderstatus"), Seq("o_totalprice"), 0L)
+        val mx = o.agg(max("o_orderkey")).head().getLong(0)
+        val cut = 2 * mx / 3
+        val hot = o.filter(col("o_orderkey") > cut)
+        val plus = hot.filter(col("o_orderkey") % 10 === 0)
+          .select(lit("X").as("o_orderstatus"),
+            (col("o_totalprice") + 100).as("o_totalprice"))
+        val minus = hot.filter(
+          col("o_orderkey") % 10 === 0 || col("o_orderkey") % 10 === 7)
+        mergeCdcBatch(plus, minus, sink,
+          Seq("o_orderstatus"), Seq("o_totalprice"), 1L)
+        readState(s, sink)
+          .select(col("o_orderstatus"), col("__n").as("n"),
+            round(col("sum_o_totalprice"), 2).as("sum_price"),
+            round(col("sum_o_totalprice") / col("__n"), 6).as("avg_price"))
+          .orderBy("o_orderstatus")
+      },
+      """WITH cut AS (SELECT 2 * max(o_orderkey) // 3 AS c FROM orders),
+        |final AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders, cut
+        |  WHERE NOT (o_orderkey > c AND o_orderkey % 10 IN (0, 7))
+        |  UNION ALL
+        |  SELECT 'X', o_totalprice + 100 FROM orders, cut
+        |  WHERE o_orderkey > c AND o_orderkey % 10 = 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  round(sum(o_totalprice) / count(*), 6) AS avg_price
+        |FROM final GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin))
 }

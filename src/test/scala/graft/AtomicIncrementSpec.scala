@@ -255,4 +255,122 @@ class AtomicIncrementSpec extends SparkSpec {
     val (_, nAfter) = AtomicIncrement.compact(spark, sink)
     assert(nAfter >= 1 && AtomicIncrement.readCommitted(spark, sink).count() == 2)
   }
+
+  private def loadRanged(sink: String): Unit = {
+    // one file per range batch (repartition(1)) so the carried /
+    // rewritten counts below are exact; multi-file batches prune the
+    // same way, just at file granularity
+    for (r <- Seq(1L to 10L, 11L to 20L, 21L to 30L))
+      AtomicIncrement.appendIncrementAtomic(
+        r.map(k => (k, s"v$k", 1.0 * k)).toDF("k", "v", "x")
+          .repartition(1), sink, "k")
+  }
+
+  test("merge rewrites ONLY churn-intersecting files: untouched files " +
+      "carry into the new manifest verbatim, rows resolve to the " +
+      "after-images, and the delta frames replay the change") {
+    val sink = tmp()
+    loadRanged(sink)
+    val before = AtomicIncrement.snapshotEntries(spark, sink)._2
+    // churn confined to the third batch's key interval: update 25,
+    // insert 31 (brand-new key), delete 27
+    val changes = Seq(
+      (25L, "UPD", 250.0, false),
+      (31L, "NEW", 310.0, false),
+      (27L, "", 0.0, true)).toDF("k", "v", "x", "del")
+    val res = AtomicIncrement.mergeAtomic(changes, sink, "k", "del")
+    assert(res.carried == 2 && res.rewritten == 1,
+      s"expected 2 carried + 1 rewritten: $res")
+    // carried lines ride verbatim — same path, same stats, no rewrite
+    val after = AtomicIncrement.snapshotEntries(spark, sink)._2
+    val beforeByPath = before.map(e => e.path -> e).toMap
+    val carriedLines = after.filter(e => beforeByPath.contains(e.path))
+    assert(carriedLines.size == 2 &&
+      carriedLines.forall(e => beforeByPath(e.path) == e),
+      "carried manifest lines changed")
+    val got = AtomicIncrement.readCommitted(spark, sink)
+      .select("k", "v").as[(Long, String)].collect().toMap
+    val expect = ((1L to 30L).filterNot(Set(25L, 27L))
+      .map(k => k -> s"v$k") ++ Seq(25L -> "UPD", 31L -> "NEW")).toMap
+    assert(got == expect, s"merged rows wrong: ${got.toSeq.sorted.take(8)}")
+    // the delta frames: after-images = the non-delete changes,
+    // before-images = the PRE-merge rows of every churned key (the
+    // rollup retraction input) — still readable after the commit
+    // because pre-merge files are immutable
+    assert(res.upserts.select("k", "v").as[(Long, String)]
+      .collect().toSet == Set((25L, "UPD"), (31L, "NEW")))
+    assert(res.beforeImages.select("k", "v").as[(Long, String)]
+      .collect().toSet == Set((25L, "v25"), (27L, "v27")))
+    // time travel: the pre-merge version still reads the old rows
+    val old = AtomicIncrement.readVersion(spark, sink, res.version - 1)
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(old == (1L to 30L).map(k => k -> s"v$k").toMap)
+  }
+
+  test("merge without usable key stats degrades to rewrite-all — a " +
+      "may-contain superset, never a wrong answer") {
+    val sink = tmp()
+    // the sink's stats column is the watermark ts, NOT the merge key:
+    // no file interval can prove key-absence, so every file rewrites
+    AtomicIncrement.appendIncrementAtomic(
+      (1L to 10L).map(k => (100L + k, k, s"v$k")).toDF("ts", "k", "v"),
+      sink, "ts")
+    AtomicIncrement.appendIncrementAtomic(
+      (11L to 20L).map(k => (100L + k, k, s"v$k")).toDF("ts", "k", "v"),
+      sink, "ts")
+    val changes = Seq((200L, 5L, "UPD", false), (201L, 15L, "", true))
+      .toDF("ts", "k", "v", "del")
+    val res = AtomicIncrement.mergeAtomic(changes, sink, "k", "del")
+    assert(res.carried == 0, s"carried files without key stats: $res")
+    val got = AtomicIncrement.readCommitted(spark, sink)
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(got == ((1L to 20L).filterNot(Set(5L, 15L))
+      .map(k => k -> s"v$k") :+ (5L -> "UPD")).toMap)
+  }
+
+  test("merge loses the commit race: staged files cleaned, winner's " +
+      "snapshot intact, re-run converges") {
+    val sink = tmp()
+    loadRanged(sink)
+    val changes = Seq((25L, "UPD", 250.0, false)).toDF("k", "v", "x", "del")
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      AtomicIncrement.mergeWithHook(changes, sink, "k", "del", 1000000,
+        () => { // a competing appender commits between stage and publish
+          AtomicIncrement.appendIncrementAtomic(
+            Seq((31L, "w", 31.0)).toDF("k", "v", "x").repartition(1),
+            sink, "k")
+          ()
+        })
+    }
+    assert(ex.getMessage.contains("already committed"))
+    // loser left nothing staged beyond the winner's files
+    val live = AtomicIncrement.committedFiles(spark, sink).toSet
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$sink/_data")
+    val batchDirs = fs(sink).listStatus(dataRoot).map(_.getPath.getName).toSet
+    assert(batchDirs == live.map(_.split("/")(1)),
+      s"staged orphans survived the lost race: $batchDirs vs $live")
+    // the winner's row is visible; re-running the merge converges
+    val res = AtomicIncrement.mergeAtomic(changes, sink, "k", "del")
+    val got = AtomicIncrement.readCommitted(spark, sink)
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(got(25L) == "UPD" && got(31L) == "w" && got.size == 31)
+    // the winner's [31,31] file and the first two ranged batches all
+    // miss the churn interval — only [21,30] rewrites
+    assert(res.carried == 3 && res.rewritten == 1,
+      s"re-run merge lost pruning: $res")
+  }
+
+  test("merge fences a churn set past maxChurnKeys loudly") {
+    val sink = tmp()
+    loadRanged(sink)
+    val changes = (1L to 9L).map(k => (k, "u", 0.0, false))
+      .toDF("k", "v", "x", "del")
+    val ex = intercept[IllegalArgumentException] {
+      AtomicIncrement.mergeAtomic(changes, sink, "k", "del",
+        maxChurnKeys = 8)
+    }
+    assert(ex.getMessage.contains("churn"))
+    // nothing was staged or published
+    assert(AtomicIncrement.readCommitted(spark, sink).count() == 30)
+  }
 }

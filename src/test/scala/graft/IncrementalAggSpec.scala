@@ -75,4 +75,76 @@ class IncrementalAggSpec extends SparkSpec {
       .agg(sum("__n")).head().getLong(0)
     assert(total == 80)
   }
+
+  test("CDC retraction fold: updates move a group by the before/after " +
+      "delta, a fully-retracted group vanishes (matching a rescan), a " +
+      "replayed batch no-ops") {
+    val sink = tmp()
+    // init: batch 0 adds everything (the minus side is empty)
+    assert(IncrementalAgg.mergeCdcBatch(rows(1 to 30), rows(1 to 0),
+      sink, keys, sums, 0L))
+    // change batch 1: re-state rows 1..6 with x doubled (retract the
+    // before-images, add the after-images) and DELETE the g2 rows NOT
+    // being re-stated — each standing row retracts exactly once (the
+    // mergeCdcBatch contract; a CDC resolve guarantees it upstream)
+    val before = rows(1 to 6)
+    val after = rows(1 to 6).withColumn("x", col("x") * 2)
+    val g2Del = rows(1 to 30).filter(col("g") === "g2" && col("ts") > 6)
+    assert(IncrementalAgg.mergeCdcBatch(after,
+      before.unionByName(g2Del), sink, keys, sums, 1L))
+    // reference: a one-pass rescan of the mutated table — rows 2 and 5
+    // are g2 AND re-stated, so g2 survives with exactly those two rows
+    val mutated = rows(1 to 30)
+      .join(rows(1 to 6).select(col("ts").as("__u")),
+        col("ts") === col("__u"), "left_anti")
+      .filter(!(col("g") === "g2" && col("ts") > 6))
+      .unionByName(after)
+    val direct = mutated.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(state(sink) == direct, s"retraction fold diverged: " +
+      s"${state(sink)} vs $direct")
+    // replay of batch 1 must not re-apply
+    assert(!IncrementalAgg.mergeCdcBatch(after,
+      before.unionByName(g2Del), sink, keys, sums, 1L))
+    assert(state(sink) == direct)
+    // batch 2 retracts EVERYTHING still standing in g1: the group
+    // leaves the state, exactly as a rescan of the remnant would show
+    val g1Now = mutated.filter(col("g") === "g1")
+    assert(IncrementalAgg.mergeCdcBatch(rows(1 to 0), g1Now,
+      sink, keys, sums, 2L))
+    assert(!state(sink).exists(_._1 == "g1"),
+      "fully-retracted group survived in the state")
+  }
+
+  test("CDC fold composes with mergeAtomic's delta frames: maintaining " +
+      "the rollup from a table merge equals re-aggregating the table") {
+    import graft.operators.AtomicIncrement
+    val tableSink = tmp()
+    val stateSink = tmp()
+    // the table loads range-clustered on ts; the rollup initializes
+    // from the same load
+    AtomicIncrement.appendIncrementAtomic(
+      rows(1 to 15).repartition(1), tableSink, "ts")
+    AtomicIncrement.appendIncrementAtomic(
+      rows(16 to 30).repartition(1), tableSink, "ts")
+    IncrementalAgg.mergeCdcBatch(rows(1 to 30), rows(1 to 0),
+      stateSink, keys, sums, 0L)
+    // one change batch through the table: update 20, delete 25
+    val changes = Seq((20L, "gX", 999.0, false), (25L, "", 0.0, true))
+      .toDF("ts", "g", "x", "del")
+    val res = AtomicIncrement.mergeAtomic(changes, tableSink, "ts", "del")
+    assert(res.carried == 1 && res.rewritten == 1, s"pruning broke: $res")
+    // fold EXACTLY the frames the merge handed back
+    IncrementalAgg.mergeCdcBatch(res.upserts, res.beforeImages,
+      stateSink, keys, sums, 1L)
+    val direct = AtomicIncrement.readCommitted(spark, tableSink)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(state(stateSink) == direct,
+      s"maintained rollup diverged from the merged table: " +
+        s"${state(stateSink)} vs $direct")
+  }
 }
