@@ -63,7 +63,11 @@ object ScaleCheck {
     // eval panel, map-side tau filter, churn-sized argmax shuffle
     "q_decontaminate_semantic",
     // round 11 (late): index-health monitors over the maintained index
-    "q_index_stats", "q_recall_churn", "q_recall_pq")
+    "q_index_stats", "q_recall_churn", "q_recall_pq",
+    // round 12: lakehouse maintenance — copy-on-write merge (rewrite ∝
+    // churn-touched files), retractable rollup (fold ∝ churn), bloom
+    // point lookup (opens ~1 file however many the snapshot holds)
+    "q_merge_upsert", "q_incr_agg_cdc", "q_read_bloom")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {

@@ -16,6 +16,7 @@ object SparkEntry {
       operators.ArrayOps.defs ++ operators.Incremental.defs ++
       operators.AsOf.defs ++ operators.RangeJoin.defs ++
       operators.IncrementalAgg.defs ++ operators.Cdc.defs ++
+      operators.BloomSkip.defs ++
       operators.BloomJoin.defs ++ operators.Funnel.defs ++
       operators.Sampling.defs ++ operators.Hygiene.defs ++
       operators.QualityModel.defs ++ operators.Packing.defs ++
@@ -46,7 +47,7 @@ object SparkEntry {
     */
   private val checkFirst: Seq[String] = Seq(
     // the round-12 additions: newest first, never driver-checked yet
-    "q_merge_upsert", "q_incr_agg_cdc",
+    "q_merge_upsert", "q_incr_agg_cdc", "q_read_bloom",
     // never driver-checked at all: the round-8 additions
     "q_pmi_pairs", "q_phrase_hits", "q_triangle_count", "q_kcore",
     "q_zorder_layout", "q_dedup_incremental", "q_containment",
