@@ -661,3 +661,104 @@ object SkewCheck {
       f"vs aqe-skew = ${plainOff / plainAqe}%5.2fx")
   }
 }
+
+/** Copy-on-write merge cost measurement (round 12): the design claim
+  * behind `q_merge_upsert` is that a MERGE rewrites ∝ churn-TOUCHED
+  * files, never ∝ table size — on a key-clustered table, a change
+  * batch confined to one key region must cost the same whether the
+  * table is 1× or `factor`×, while the SAME-SIZED batch spread across
+  * every region is the honest linear contrast (every file intersects
+  * the churn, so every file rewrites — the workload where clustering,
+  * not the merge, is what's missing). Tables load as fixed-width
+  * orderkey ranges (one file each), so file count grows ×factor with
+  * the data; churn row counts are equal across all four cells. Fresh
+  * sink per measurement (a merge mutates its table); legs interleave
+  * inside each rep so host drift prices every cell equally.
+  */
+object MergeScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(8)
+    val reps = args.drop(2).headOption.map(_.toInt).getOrElse(2)
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import operators.AtomicIncrement
+    val o1 = sources.Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val mx = o1.agg(max("o_orderkey")).head().getLong(0)
+    var offset = 100000000L
+    while (offset <= mx) offset *= 10
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mscale").toString
+    (0 until factor).map(r => o1.withColumn("o_orderkey",
+        col("o_orderkey") + lit(r * offset)))
+      .reduce(_.unionByName(_))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/ordersN.parquet")
+    val oN = spark.read.parquet(s"$tmp/ordersN.parquet")
+    // one file per quarter-replica range: 4 files at 1×, 4·factor at
+    // N× — cuts are replica-aware (r·offset + q·mx/4) because replica
+    // key islands are sparse in the offset space and uniform global
+    // cuts would collapse each replica into one file
+    def load(o: org.apache.spark.sql.DataFrame, replicas: Int): String = {
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_msink").resolve("t").toString
+      val cuts = for (r <- 0 until replicas; q <- 1 to 4)
+        yield r * offset + (if (q == 4) mx else q * (mx / 4))
+      var lo = Long.MinValue
+      for (hi <- cuts) {
+        AtomicIncrement.appendIncrementAtomic(
+          o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+            .repartition(1), sink, "o_orderkey")
+        lo = hi
+      }
+      sink
+    }
+    // CONFINED churn: the first quarter-replica's keys, %10 == 0 —
+    // identical batch for both scales (replica 0 exists in both).
+    // SPREAD churn: the same ROW COUNT scattered over every region
+    // (k % (10·factor) == 0 at N× ≡ k % 10 == 0 per tenth replica).
+    def confined(o: org.apache.spark.sql.DataFrame) =
+      o.filter(col("o_orderkey") <= mx / 4 &&
+        col("o_orderkey") % 10 === 0)
+    def spread(o: org.apache.spark.sql.DataFrame, m: Int) =
+      o.filter(col("o_orderkey") % m === 0)
+    def asChanges(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+        (col("o_totalprice") + 1).as("o_totalprice"),
+        lit(false).as("del"))
+    def timeMerge(o: org.apache.spark.sql.DataFrame, replicas: Int,
+        ch: org.apache.spark.sql.DataFrame)
+        : (Double, Int, Int) = {
+      val sink = load(o, replicas)
+      val t0 = System.nanoTime()
+      val res = AtomicIncrement.mergeAtomic(asChanges(ch), sink,
+        "o_orderkey", "del")
+      val sec = (System.nanoTime() - t0) / 1e9
+      InternalCaches.drain(); spark.catalog.clearCache()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(new java.io.File(sink).getParent))
+      (sec, res.rewritten, res.carried)
+    }
+    timeMerge(o1.limit(4000), 1, confined(o1).limit(50)) // JIT warm
+    val cells = scala.collection.mutable.Map[(String, String),
+      List[(Double, Int, Int)]]().withDefaultValue(Nil)
+    (1 to reps).foreach { _ =>
+      cells(("confined", "1x")) ::= timeMerge(o1, 1, confined(o1))
+      cells(("confined", s"${factor}x")) ::=
+        timeMerge(oN, factor, confined(oN))
+      cells(("spread", "1x")) ::= timeMerge(o1, 1, spread(o1, 10))
+      cells(("spread", s"${factor}x")) ::=
+        timeMerge(oN, factor, spread(oN, 10 * factor))
+    }
+    for (kind <- Seq("confined", "spread")) {
+      val c1 = cells((kind, "1x")); val cN = cells((kind, s"${factor}x"))
+      val t1 = c1.map(_._1).min; val tN = cN.map(_._1).min
+      println(f"[mergescale] $kind%-9s 1x=$t1%6.2fs " +
+        f"(rw=${c1.head._2}/${c1.head._2 + c1.head._3}) " +
+        f"${factor}x=$tN%6.2fs " +
+        f"(rw=${cN.head._2}/${cN.head._2 + cN.head._3}) " +
+        f"ratio=${tN / t1}%5.2f")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+}

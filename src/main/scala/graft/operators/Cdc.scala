@@ -22,11 +22,22 @@ import org.apache.spark.sql.functions._
 object Cdc {
 
   def latestView(changes: DataFrame, keyCols: Seq[String],
+      versionCol: String, deleteCol: String): DataFrame =
+    latestViewWithDeletes(changes, keyCols, versionCol, deleteCol)
+      .filter(!col(deleteCol))
+
+  /** [[latestView]] keeping the winning DELETE rows (`deleteCol`
+    * intact): one surviving change per key, delete wins version ties.
+    * This is the within-batch resolve a MERGE consumes — it must see
+    * the winning deletes to take rows down, where the read-side view
+    * above only wants the survivors.
+    */
+  def latestViewWithDeletes(changes: DataFrame, keyCols: Seq[String],
       versionCol: String, deleteCol: String): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(versionCol).desc, col(deleteCol).desc)
     changes.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && !col(deleteCol))
+      .filter(col("__rn") === 1)
       .drop("__rn")
   }
 

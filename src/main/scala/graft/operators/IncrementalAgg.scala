@@ -103,9 +103,12 @@ object IncrementalAgg {
     val (version, priorFiles) = AtomicIncrement.snapshot(spark, sink)
     val prior =
       if (priorFiles.isEmpty) None else Some(readState(spark, sink))
+    // the bootstrap fold (no committed state yet) always applies — a
+    // bootstrap conventionally sits at batchId −1 so the stream's own
+    // ids can start at 0 without colliding with it
     val last = prior.map(st =>
-      st.agg(max("__b")).head().getLong(0)).getOrElse(-1L)
-    if (batchId <= last) return false
+      st.agg(max("__b")).head().getLong(0)).getOrElse(Long.MinValue)
+    if (prior.nonEmpty && batchId <= last) return false
     def signed(df: DataFrame, sign: Int) =
       df.groupBy(keys.map(col): _*).agg(
         (count(lit(1)) * sign).as("__n"),

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.operators.{AtomicIncrement, Cdc, IncrementalAgg}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming CDC apply: each micro-batch of keyed changes (full-width
+  * rows + a boolean delete column) drives BOTH halves of the
+  * lakehouse-maintenance story in one step — the copy-on-write table
+  * merge ([[AtomicIncrement.mergeAtomic]]: rewrite ∝ churn-touched
+  * files) and, optionally, the retractable rollup fold
+  * ([[IncrementalAgg.mergeCdcBatch]]: state moves by Σafter − Σbefore
+  * per group). Within-batch conflicts resolve first through
+  * [[Cdc.latestView]] (latest version per key, delete wins ties), so
+  * the merge sees ≤1 row per key — its contract.
+  *
+  * Crash-safety is ORDER, not locks — the fold runs BEFORE the table
+  * merge, and each half carries its own replay shield:
+  *
+  *  - the fold is keyed on the micro-batch id (a replayed batch
+  *    no-ops), and its before-images come from the COMMITTED pre-merge
+  *    snapshot — correct exactly because the table has not moved yet;
+  *  - the table merge is semantically idempotent (re-upserting the
+  *    same after-images and re-deleting the same keys reproduce the
+  *    same table), so replaying it is waste, never corruption.
+  *
+  * The other order is UNSAFE, which is why this step exists at all: a
+  * crash after the table merge but before the fold would leave the
+  * replay reading before-images from the POST-merge snapshot — a zero
+  * delta, and the rollup misses the change forever. Kill points:
+  * before the fold → both replay; between fold and merge → the fold
+  * no-ops, the merge applies; after the merge → both no-op (the merge
+  * re-applies idempotently). An OCC loss inside the merge throws and
+  * the stream retries the batch through the same shields.
+  */
+object MergeStream {
+
+  def applyBatchStep(changes: DataFrame, batchId: Long, tableSink: String,
+      keyCol: String, versionCol: String, deleteCol: String,
+      stateSink: Option[String] = None, stateKeys: Seq[String] = Nil,
+      stateSums: Seq[String] = Nil,
+      afterFold: () => Unit = () => ()): Unit = {
+    val spark = changes.sparkSession
+    val resolved = Cdc.latestViewWithDeletes(changes, Seq(keyCol),
+      versionCol, deleteCol).drop(versionCol)
+    stateSink.foreach { st =>
+      // before-images from the committed PRE-merge table, restricted
+      // to the churned keys (broadcast — churn-sized by contract)
+      val churn = broadcast(resolved.select(keyCol).distinct())
+      val before = AtomicIncrement.readCommitted(spark, tableSink)
+        .join(churn, Seq(keyCol), "left_semi")
+      val plus = resolved.filter(!col(deleteCol)).drop(deleteCol)
+      IncrementalAgg.mergeCdcBatch(plus, before, st,
+        stateKeys, stateSums, batchId)
+    }
+    afterFold()
+    AtomicIncrement.mergeAtomic(resolved, tableSink, keyCol, deleteCol)
+    ()
+  }
+
+  def applyStream(changes: DataFrame, tableSink: String, keyCol: String,
+      versionCol: String, deleteCol: String, checkpointDir: String,
+      stateSink: Option[String] = None, stateKeys: Seq[String] = Nil,
+      stateSums: Seq[String] = Nil,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatchStep(b, id, tableSink, keyCol, versionCol, deleteCol,
+          stateSink, stateKeys, stateSums)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+}

@@ -1,0 +1,143 @@
+package graft
+
+import graft.operators.{AtomicIncrement, Cdc, IncrementalAgg}
+import graft.streaming.MergeStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Streaming CDC apply: a change stream keeps the copy-on-write table
+  * AND its retractable rollup consistent — final table ≡ the
+  * read-side CDC resolve of the whole feed, rollup ≡ re-aggregating
+  * the final table — across within-batch conflicts, replays, and a
+  * crash at the one dangerous boundary (between the rollup fold and
+  * the table merge).
+  */
+class MergeStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String): String =
+    Files.createTempDirectory(p).resolve("d").toString
+
+  private def base = (1L to 40L).map(k => (k, s"g${k % 3}", k * 2.0))
+    .toDF("k", "g", "x")
+
+  private def tableRows(sink: String) =
+    AtomicIncrement.readCommitted(spark, sink)
+      .select("k", "g", "x").as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+
+  private def stateRows(sink: String) =
+    IncrementalAgg.readState(spark, sink)
+      .select("g", "__n", "sum_x")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+
+  private def loadBase(tableSink: String, stateSink: String): Unit = {
+    for (r <- Seq(1L to 20L, 21L to 40L))
+      AtomicIncrement.appendIncrementAtomic(
+        base.filter(col("k").between(r.head, r.last)).repartition(1),
+        tableSink, "k")
+    // bootstrap at −1: the stream's own micro-batch ids start at 0
+    IncrementalAgg.mergeCdcBatch(base, base.limit(0), stateSink,
+      Seq("g"), Seq("x"), -1L)
+  }
+
+  // the change feed, three micro-batches with within-batch conflicts:
+  //  b1: k=5 updated twice (v2 wins), k=30 deleted
+  //  b2: k=5 updated AND deleted at the same version (delete wins),
+  //      k=41 inserted
+  //  b3: k=30 re-inserted (revival after delete), k=12 updated
+  private def feed: Seq[Seq[(Long, String, Double, Long, Boolean)]] = Seq(
+    Seq((5L, "g9", 100.0, 1L, false), (5L, "g9", 200.0, 2L, false),
+      (30L, "", 0.0, 1L, true)),
+    Seq((5L, "g9", 300.0, 3L, false), (5L, "", 0.0, 3L, true),
+      (41L, "gN", 500.0, 1L, false)),
+    Seq((30L, "g9", 700.0, 5L, false), (12L, "g9", 800.0, 5L, false)))
+
+  // reference: the read-side resolve of base-as-version-0 + the feed
+  private def expectedFinal = {
+    val changes = feed.flatten
+      .toDF("k", "g", "x", "v", "del")
+    val all = base.select(col("k"), col("g"), col("x"),
+        lit(0L).as("v"), lit(false).as("del"))
+      .unionByName(changes)
+    Cdc.latestView(all, Seq("k"), "v", "del")
+      .select("k", "g", "x").as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+  }
+
+  test("streamed CDC apply: table ≡ read-side resolve of the feed, " +
+      "rollup ≡ re-aggregating the final table, within-batch " +
+      "conflicts resolved, deletes and revivals land") {
+    implicit val sqlCtx = spark.sqlContext
+    val tableSink = tmp("graft_mstream_t")
+    val stateSink = tmp("graft_mstream_s")
+    loadBase(tableSink, stateSink)
+    val mem = MemoryStream[(Long, String, Double, Long, Boolean)]
+    val q = MergeStream.applyStream(
+      mem.toDF().toDF("k", "g", "x", "v", "del"),
+      tableSink, "k", "v", "del", tmp("graft_mstream_c"),
+      stateSink = Some(stateSink), stateKeys = Seq("g"),
+      stateSums = Seq("x"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+    try {
+      feed.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = tableRows(tableSink)
+    assert(got == expectedFinal, s"table diverged: ${got.take(6)}…")
+    // the fixture exercised what it claims
+    val byK = got.map { case (k, g, x) => k -> (g, x) }.toMap
+    assert(!byK.contains(5L), "same-version delete must win the tie")
+    assert(byK(30L) == ("g9", 700.0), "revival after delete lost")
+    assert(byK(41L) == ("gN", 500.0), "insert lost")
+    // rollup ≡ one-pass aggregate of the final table
+    val direct = AtomicIncrement.readCommitted(spark, tableSink)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(stateRows(stateSink) == direct,
+      s"rollup diverged: ${stateRows(stateSink)} vs $direct")
+  }
+
+  test("crash between the rollup fold and the table merge: the retry " +
+      "folds nothing twice and the merge still applies — the order " +
+      "that makes the composition crash-safe") {
+    val tableSink = tmp("graft_mcrash_t")
+    val stateSink = tmp("graft_mcrash_s")
+    loadBase(tableSink, stateSink)
+    val changes = Seq((5L, "g9", 100.0, 1L, false),
+      (30L, "", 0.0, 1L, true)).toDF("k", "g", "x", "v", "del")
+    val preTable = tableRows(tableSink)
+    val boom = new RuntimeException("crash between fold and merge")
+    val thrown = intercept[RuntimeException] {
+      MergeStream.applyBatchStep(changes, 1L, tableSink, "k", "v", "del",
+        Some(stateSink), Seq("g"), Seq("x"),
+        afterFold = () => throw boom)
+    }
+    assert(thrown eq boom)
+    // fold landed, table did not — the transiently-inconsistent state
+    // the replay must repair
+    assert(tableRows(tableSink) == preTable)
+    // the replayed batch: fold no-ops on its batch id (folding again
+    // would double the delta), the merge applies
+    MergeStream.applyBatchStep(changes, 1L, tableSink, "k", "v", "del",
+      Some(stateSink), Seq("g"), Seq("x"))
+    val direct = AtomicIncrement.readCommitted(spark, tableSink)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(stateRows(stateSink) == direct,
+      "retry double-folded or under-folded the rollup")
+    val byK = tableRows(tableSink).map {
+      case (k, g, x) => k -> (g, x) }.toMap
+    assert(byK(5L) == ("g9", 100.0) && !byK.contains(30L))
+    // a FULL replay after success: fold no-ops, merge re-applies
+    // idempotently — nothing moves
+    val t = tableRows(tableSink)
+    val s = stateRows(stateSink)
+    MergeStream.applyBatchStep(changes, 1L, tableSink, "k", "v", "del",
+      Some(stateSink), Seq("g"), Seq("x"))
+    assert(tableRows(tableSink) == t && stateRows(stateSink) == s)
+  }
+}
