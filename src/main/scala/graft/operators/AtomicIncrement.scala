@@ -47,27 +47,35 @@ object AtomicIncrement {
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** One manifest line: a sink-relative data-file path, optionally
-    * carrying footer-derived (min, max) statistics for one column —
-    * the Delta-log data-skipping idea reduced to one tab-separated
-    * line, `path[\tcolumn\ttypeTag\tmin\tmax]`:
+    * carrying footer-derived (min, max) statistics for ANY NUMBER of
+    * columns — the Delta-log data-skipping idea reduced to one
+    * tab-separated line of repeating groups,
+    * `path[\tcolumn\ttypeTag\tmin\tmax]*`:
     *  - the watermark resolves from the manifest alone (zero footer
-    *    round trips over a 100 k-file snapshot), and
+    *    round trips over a 100 k-file snapshot),
     *  - [[readCommittedAbove]] prunes files whose interval provably
-    *    cannot satisfy a `column > lower` consumer.
+    *    cannot satisfy a `column > lower` consumer, and
+    *  - [[mergeAtomic]] prunes its rewrite set on the MERGE KEY's
+    *    interval — which multi-column lines decouple from the
+    *    watermark: a table watermarked by event time and merged by id
+    *    records both.
     * Stats are RECORDED AT STAGE TIME from the just-written files'
     * footers (batch-local, cheap) and ride every later manifest
     * verbatim — data files are immutable, so the stats never go
     * stale. Path-only lines (pre-stats manifests, or types footer
-    * stats can't answer exactly) parse fine and simply never prune.
+    * stats can't answer exactly) parse fine and simply never prune;
+    * single-group lines from older manifests parse identically.
     * Batch dirs are UUID-named and Spark part-file names carry no
     * tabs, so the separator is unambiguous.
     */
   private[graft] final case class ManifestEntry(path: String,
-      stats: Option[FileColumnStats]) {
-    def render: String = stats match {
-      case None => path
-      case Some(s) => s"$path\t${s.column}\t${s.tag}\t${s.min}\t${s.max}"
-    }
+      allStats: Seq[FileColumnStats]) {
+    def render: String =
+      (path +: allStats.flatMap(s =>
+        Seq(s.column, s.tag, s.min, s.max))).mkString("\t")
+    /** The entry's stats for `column`, if recorded. */
+    def statsFor(column: String): Option[FileColumnStats] =
+      allStats.find(_.column.equalsIgnoreCase(column))
   }
 
   /** Stats in the footer's primitive domain: `tag` names the column
@@ -92,14 +100,15 @@ object AtomicIncrement {
     }
   }
 
-  private def parseLine(line: String): ManifestEntry =
-    line.split("\t", -1) match {
-      case Array(p) => ManifestEntry(p, None)
-      case Array(p, c, t, mn, mx) =>
-        ManifestEntry(p, Some(FileColumnStats(c, t, mn, mx)))
-      // unknown future shape: keep the path, drop what we can't read
-      case parts => ManifestEntry(parts.head, None)
-    }
+  private def parseLine(line: String): ManifestEntry = {
+    val parts = line.split("\t", -1)
+    val groups = parts.tail.grouped(4).toSeq
+    // a ragged tail (unknown future shape) keeps the path and every
+    // complete group, dropping only what can't be read
+    ManifestEntry(parts.head, groups.collect {
+      case Array(c, t, mn, mx) => FileColumnStats(c, t, mn, mx)
+    })
+  }
 
   /** (version, manifest path) of the latest commit, if any. */
   private def latestManifest(fs: FileSystem, sink: String): Option[(Long, Path)] = {
@@ -181,18 +190,33 @@ object AtomicIncrement {
       watermarkCol: String): Long =
     appendWithHook(df, sink, watermarkCol, () => ())
 
+  /** [[appendIncrementAtomic]] recording interval stats for extra
+    * columns beyond the watermark — the multi-stats manifest shape
+    * that lets a table watermarked by event time also prune a
+    * [[mergeAtomic]] on its id, or a [[readCommittedAbove]] on any
+    * recorded column.
+    */
+  def appendIncrementAtomic(df: DataFrame, sink: String,
+      watermarkCol: String, extraStatsCols: Seq[String]): Long =
+    appendWithHook(df, sink, watermarkCol, () => (), extraStatsCols)
+
   /** [[appendIncrementAtomic]] with a seam between stage and publish —
     * the spec injects a competing commit there to exercise the
     * optimistic-concurrency loss path deterministically.
     */
   private[graft] def appendWithHook(df: DataFrame, sink: String,
-      watermarkCol: String, beforePublish: () => Unit): Long = {
+      watermarkCol: String, beforePublish: () => Unit,
+      extraStatsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val fs = fsOf(spark, sink)
     val resolved = df.schema.fields
       .find(_.name.equalsIgnoreCase(watermarkCol))
       .getOrElse(throw new IllegalArgumentException(
         s"watermark column '$watermarkCol' not in ${df.columns.mkString(",")}"))
+    val extraFields = extraStatsCols.map(c => df.schema.fields
+      .find(_.name.equalsIgnoreCase(c))
+      .getOrElse(throw new IllegalArgumentException(
+        s"stats column '$c' not in ${df.columns.mkString(",")}")))
     val (version, priorEntries) = snapshotEntries(spark, sink)
     val prior = priorEntries.map(_.path)
     // watermark resolution, cheapest exact answer first: the manifest's
@@ -213,7 +237,8 @@ object AtomicIncrement {
     try {
       val n = fresh.count()
       if (n > 0) {
-        val staged = stageEntries(fresh, spark, fs, sink, Some(resolved))
+        val staged = stageEntries(fresh, spark, fs, sink,
+          resolved +: extraFields)
         try {
           beforePublish()
           publish(fs, sink, (priorEntries ++ staged).map(_.render), version + 1)
@@ -238,9 +263,8 @@ object AtomicIncrement {
       column: String, dt: org.apache.spark.sql.types.DataType)
       : Option[org.apache.spark.sql.Column] = {
     val expectTag = tagOf(dt).getOrElse(return None)
-    val stats = entries.map(_.stats)
-    if (stats.exists(s => !s.exists(fc =>
-        fc.column.equalsIgnoreCase(column) && fc.tag == expectTag))) None
+    val stats = entries.map(_.statsFor(column))
+    if (stats.exists(s => !s.exists(_.tag == expectTag))) None
     else try expectTag match {
       case "double" | "float" =>
         Incremental.statsMaxLiteral(dt, None,
@@ -270,31 +294,33 @@ object AtomicIncrement {
       .map(n => s"$batch/$n")
   }
 
-  /** [[stageBatch]] plus per-file footer stats for `statsField`, read
-    * from the just-written files (batch-local — the write that just
-    * produced them is the expensive part). Files whose footer cannot
-    * answer exactly (all-null chunks, suppressed float stats) stage as
-    * path-only lines: they disable the manifest watermark shortcut and
-    * are never pruned, both conservative.
+  /** [[stageBatch]] plus per-file footer stats for each of
+    * `statsFields`, read from the just-written files (batch-local —
+    * the write that just produced them is the expensive part). A
+    * column whose footer cannot answer exactly (all-null chunks,
+    * suppressed float stats) stages without that group: it disables
+    * the manifest watermark shortcut and is never pruned on, both
+    * conservative.
     */
   private[graft] def stageEntries(fresh: DataFrame, spark: SparkSession,
       fs: FileSystem, sink: String,
-      statsField: Option[org.apache.spark.sql.types.StructField])
+      statsFields: Seq[org.apache.spark.sql.types.StructField])
       : Seq[ManifestEntry] =
     stageBatch(fresh, spark, fs, sink).map { rel =>
-      val stats = for {
-        f <- statsField
-        tag <- tagOf(f.dataType)
-        st <- Incremental.footerStatsOfFile(spark,
-          new Path(s"$sink/$rel"), f.name, f.dataType)
-        fc <- st match {
-          case Incremental.LongStats(mn, mx) =>
-            Some(FileColumnStats(f.name, tag, mn.toString, mx.toString))
-          case Incremental.DoubleStats(mn, mx) =>
-            Some(FileColumnStats(f.name, tag, mn.toString, mx.toString))
-          case Incremental.AllNullFile => None
-        }
-      } yield fc
+      val stats = statsFields.flatMap { f =>
+        for {
+          tag <- tagOf(f.dataType)
+          st <- Incremental.footerStatsOfFile(spark,
+            new Path(s"$sink/$rel"), f.name, f.dataType)
+          fc <- st match {
+            case Incremental.LongStats(mn, mx) =>
+              Some(FileColumnStats(f.name, tag, mn.toString, mx.toString))
+            case Incremental.DoubleStats(mn, mx) =>
+              Some(FileColumnStats(f.name, tag, mn.toString, mx.toString))
+            case Incremental.AllNullFile => None
+          }
+        } yield fc
+      }
       ManifestEntry(rel, stats)
     }
 
@@ -317,8 +343,8 @@ object AtomicIncrement {
     val (_, entries) = snapshotEntries(spark, sink)
     require(entries.nonEmpty, s"no committed snapshot at $sink")
     val kept = entries.filter { e =>
-      e.stats match {
-        case Some(fc) if fc.column.equalsIgnoreCase(column) =>
+      e.statsFor(column) match {
+        case Some(fc) =>
           fc.tag match {
             case "double" | "float" => fc.max.toDouble > lower.toDouble
             case _ => fc.max.toLong > lower
@@ -393,16 +419,15 @@ object AtomicIncrement {
     val (version, priorEntries) = snapshotEntries(spark, sink)
     require(priorEntries.nonEmpty, s"nothing committed to compact at $sink")
     val snap = readCommitted(spark, sink)
-    // preserve data skipping across compaction: when the prior
-    // manifest's stats all describe one column, recompute that
-    // column's stats for the rewritten files
-    val statsField = priorEntries.flatMap(_.stats.map(_.column))
-      .distinct match {
-        case Seq(c) => snap.schema.fields.find(_.name.equalsIgnoreCase(c))
-        case _ => None
-      }
+    // preserve data skipping across compaction: recompute stats for
+    // every column the prior manifest covers on ALL its files (a
+    // partially-covered column never pruned anyway)
+    val statsFields = priorEntries.flatMap(_.allStats.map(_.column))
+      .distinct
+      .filter(c => priorEntries.forall(_.statsFor(c).nonEmpty))
+      .flatMap(c => snap.schema.fields.find(_.name.equalsIgnoreCase(c)))
     val staged = replaceWithHook(snap.repartition(numFiles),
-      sink, version, beforePublish, statsField)
+      sink, version, beforePublish, statsFields)
     (priorEntries.size, staged.size)
   }
 
@@ -420,11 +445,11 @@ object AtomicIncrement {
 
   private[graft] def replaceWithHook(df: DataFrame, sink: String,
       expectVersion: Long, beforePublish: () => Unit,
-      statsField: Option[org.apache.spark.sql.types.StructField] = None)
+      statsFields: Seq[org.apache.spark.sql.types.StructField] = Nil)
       : Seq[ManifestEntry] = {
     val spark = df.sparkSession
     val fs = fsOf(spark, sink)
-    val staged = stageEntries(df, spark, fs, sink, statsField)
+    val staged = stageEntries(df, spark, fs, sink, statsFields)
     try {
       beforePublish()
       publish(fs, sink, staged.map(_.render), expectVersion + 1)
@@ -511,9 +536,8 @@ object AtomicIncrement {
       lo < churn.length && churn(lo) <= mx
     }
     val (carried, touched) = priorEntries.partition { e =>
-      e.stats match {
-        case Some(fc) if fc.column.equalsIgnoreCase(keyCol) &&
-            integralTags.contains(fc.tag) =>
+      e.statsFor(keyCol) match {
+        case Some(fc) if integralTags.contains(fc.tag) =>
           try !intervalHasChurn(fc.min.toLong, fc.max.toLong)
           catch { case _: NumberFormatException => false }
         case _ => false // no usable key stats: may contain, rewrite
@@ -533,9 +557,15 @@ object AtomicIncrement {
     val survivors = oldTouched.join(churnDf, Seq(keyCol), "left_anti")
     val upserts = changes.filter(!col(deleteCol)).drop(deleteCol)
     val merged = survivors.unionByName(upserts, allowMissingColumns = true)
-    val statsField = merged.schema.fields
-      .find(_.name.equalsIgnoreCase(keyCol))
-    val stagedEntries = stageEntries(merged, spark, fs, sink, statsField)
+    // rewritten files re-record the merge key AND every column the
+    // prior manifest fully covers (so the watermark shortcut and any
+    // other pruning survive the merge)
+    val statsFields = (keyCol +: priorEntries
+        .flatMap(_.allStats.map(_.column)).distinct
+        .filter(c => priorEntries.forall(_.statsFor(c).nonEmpty)))
+      .distinct
+      .flatMap(c => merged.schema.fields.find(_.name.equalsIgnoreCase(c)))
+    val stagedEntries = stageEntries(merged, spark, fs, sink, statsFields)
     try {
       beforePublish()
       publish(fs, sink,

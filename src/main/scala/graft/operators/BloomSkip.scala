@@ -148,8 +148,8 @@ object BloomSkip {
     val h = spark.range(1).select(xxhash64(value)).head().getLong(0)
     val lit = spark.range(1).select(value).head().get(0)
     val kept = entries.filter { e =>
-      val intervalMay = e.stats match {
-        case Some(fc) if fc.column.equalsIgnoreCase(column) =>
+      val intervalMay = e.statsFor(column) match {
+        case Some(fc) =>
           (fc.tag, lit) match {
             case (("long" | "int" | "short" | "byte"), v: Number) =>
               fc.min.toLong <= v.longValue() &&

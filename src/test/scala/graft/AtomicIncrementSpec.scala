@@ -42,8 +42,7 @@ class AtomicIncrementSpec extends SparkSpec {
     AtomicIncrement.appendIncrementAtomic(
       (21L to 30L).map(k => (k, s"v$k")).toDF("k", "v"), sink, "k")
     val (_, entries) = AtomicIncrement.snapshotEntries(spark, sink)
-    assert(entries.nonEmpty && entries.forall(_.stats.exists(s =>
-      s.column == "k" && s.tag == "long")),
+    assert(entries.nonEmpty && entries.forall(_.statsFor("k").exists(_.tag == "long")),
       s"every file must carry k stats: $entries")
     // the incremental consumer's shape: rows above a cut. Pruning is
     // a may-contain superset, so pruned∘filter ≡ full∘filter — and
@@ -75,7 +74,7 @@ class AtomicIncrementSpec extends SparkSpec {
     val out = f.create(mf, true)
     try out.write(paths.mkString("\n").getBytes("UTF-8")) finally out.close()
     val (_, entries) = AtomicIncrement.snapshotEntries(spark, sink)
-    assert(entries.forall(_.stats.isEmpty))
+    assert(entries.forall(_.allStats.isEmpty))
     // no stats → nothing prunes, everything still reads
     assert(AtomicIncrement.readCommittedAbove(spark, sink, "k", 999L)
       .inputFiles.length ==
@@ -85,7 +84,7 @@ class AtomicIncrementSpec extends SparkSpec {
     assert(AtomicIncrement.appendIncrementAtomic(
       (1L to 12L).map(k => (k, s"v$k")).toDF("k", "v"), sink, "k") == 2)
     val (_, after) = AtomicIncrement.snapshotEntries(spark, sink)
-    assert(after.exists(_.stats.nonEmpty) && after.exists(_.stats.isEmpty))
+    assert(after.exists(_.allStats.nonEmpty) && after.exists(_.allStats.isEmpty))
   }
 
   test("compaction recomputes stats for the rewritten files") {
@@ -96,8 +95,8 @@ class AtomicIncrementSpec extends SparkSpec {
       (11L to 20L).map(k => (k, s"v$k")).toDF("k", "v"), sink, "k")
     AtomicIncrement.compact(spark, sink, numFiles = 1)
     val (_, entries) = AtomicIncrement.snapshotEntries(spark, sink)
-    assert(entries.forall(_.stats.exists(s =>
-      s.column == "k" && s.min.toLong == 1L && s.max.toLong == 20L)),
+    assert(entries.forall(_.statsFor("k").exists(s =>
+      s.min.toLong == 1L && s.max.toLong == 20L)),
       s"compacted file must carry the merged interval: $entries")
     // the manifest watermark survives compaction: replay appends 0
     assert(AtomicIncrement.appendIncrementAtomic(
@@ -358,6 +357,63 @@ class AtomicIncrementSpec extends SparkSpec {
     // miss the churn interval — only [21,30] rewrites
     assert(res.carried == 3 && res.rewritten == 1,
       s"re-run merge lost pruning: $res")
+  }
+
+  test("multi-column stats: one manifest line carries both the ts " +
+      "watermark and the id key — the watermark shortcut, pruned " +
+      "range reads on EITHER column, and merge pruning on the " +
+      "non-watermark key all engage, and compaction keeps both") {
+    val sink = tmp()
+    // ts-watermarked increments whose id ranges are ALSO disjoint —
+    // the time-clustered table whose surrogate key correlates with
+    // arrival (the common CDC shape)
+    for (r <- Seq(1L to 10L, 11L to 20L, 21L to 30L))
+      AtomicIncrement.appendIncrementAtomic(
+        r.map(k => (1000L + k, k, s"v$k")).toDF("ts", "id", "v")
+          .repartition(1),
+        sink, "ts", extraStatsCols = Seq("id"))
+    val (_, entries) = AtomicIncrement.snapshotEntries(spark, sink)
+    assert(entries.forall(e => e.statsFor("ts").nonEmpty &&
+      e.statsFor("id").nonEmpty), s"missing a stats group: $entries")
+    // the watermark still answers from the manifest: replay appends 0
+    assert(AtomicIncrement.appendIncrementAtomic(
+      (1L to 30L).map(k => (1000L + k, k, s"v$k")).toDF("ts", "id", "v"),
+      sink, "ts", extraStatsCols = Seq("id")) == 0)
+    // pruned range reads engage on BOTH columns
+    for ((c, cut) <- Seq(("ts", 1020L), ("id", 20L))) {
+      val pruned = AtomicIncrement.readCommittedAbove(spark, sink, c, cut)
+      assert(pruned.inputFiles.length < 3, s"no pruning on $c")
+      assert(pruned.filter(col(c) > cut).count() == 10)
+    }
+    // the merge prunes on the NON-watermark key
+    val changes = Seq((2000L, 25L, "UPD", false))
+      .toDF("ts", "id", "v", "del")
+    val res = AtomicIncrement.mergeAtomic(changes, sink, "id", "del")
+    assert(res.carried == 2 && res.rewritten == 1,
+      s"merge did not prune on the extra stats column: $res")
+    // rewritten files re-record BOTH columns (merge key + covered
+    // prior columns), so a second merge and the watermark both still
+    // prune
+    val (_, after) = AtomicIncrement.snapshotEntries(spark, sink)
+    assert(after.forall(e => e.statsFor("ts").nonEmpty &&
+      e.statsFor("id").nonEmpty), s"merge dropped a stats group: $after")
+    // (the first merge may stage >1 file — partition count of
+    // survivors ∪ upserts — so assert structurally: exactly the one
+    // file whose id interval holds 5 rewrites, everything else carries)
+    val res2 = AtomicIncrement.mergeAtomic(
+      Seq((2001L, 5L, "UPD2", false)).toDF("ts", "id", "v", "del"),
+      sink, "id", "del")
+    assert(res2.rewritten == 1 && res2.carried == after.size - 1,
+      s"second merge: $res2")
+    // compaction keeps every fully-covered column's stats
+    AtomicIncrement.compact(spark, sink, numFiles = 1)
+    val (_, compacted) = AtomicIncrement.snapshotEntries(spark, sink)
+    assert(compacted.forall(e => e.statsFor("ts").nonEmpty &&
+      e.statsFor("id").nonEmpty),
+      s"compaction dropped a stats group: $compacted")
+    val got = AtomicIncrement.readCommitted(spark, sink)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(got(25L) == "UPD" && got(5L) == "UPD2" && got.size == 30)
   }
 
   test("merge fences a churn set past maxChurnKeys loudly") {
