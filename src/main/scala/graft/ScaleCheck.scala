@@ -215,6 +215,10 @@ object ScaleCheck {
           f"ratio=${tN / t1}%5.2f")
       }
     }
+    // the scaled corpus is gigabytes at high factors: reclaim it (a
+    // session that ran several checks used to strand one per run)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(scaledDir))
   }
 
   /** Queries whose 10× cold ratio is dominated by a one-time

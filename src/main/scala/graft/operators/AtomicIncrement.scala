@@ -431,6 +431,39 @@ object AtomicIncrement {
     (priorEntries.size, staged.size)
   }
 
+  /** OPTIMIZE-style compaction: rewrite the snapshot CLUSTERED on
+    * `byCols` — range-partitioned into `numFiles` files, sorted within
+    * each — and record those columns' interval stats, so the
+    * stats-pruned reads ([[readCommittedAbove]]) and merges
+    * ([[mergeAtomic]]) engage again on a table whose appends
+    * interleaved keys. Plain [[compact]] preserves whatever intervals
+    * the data arrived with; this one RESTORES tight intervals — the
+    * Delta `OPTIMIZE ZORDER`/cluster-by maintenance move, scheduled
+    * exactly like compaction (every file interval spanning the whole
+    * key domain is the trigger, and after enough random-key churn
+    * that is where a merged table drifts). Same OCC/crash/pinned-
+    * reader semantics as every snapshot replace. Returns (files
+    * before, files after).
+    */
+  def compactClustered(spark: SparkSession, sink: String,
+      byCols: Seq[String], numFiles: Int = 8): (Int, Int) = {
+    require(byCols.nonEmpty, "cluster columns required")
+    val (version, priorEntries) = snapshotEntries(spark, sink)
+    require(priorEntries.nonEmpty, s"nothing committed to cluster at $sink")
+    val snap = readCommitted(spark, sink)
+    val statsFields = (byCols ++ priorEntries
+        .flatMap(_.allStats.map(_.column)).distinct
+        .filter(c => priorEntries.forall(_.statsFor(c).nonEmpty)))
+      .distinct
+      .flatMap(c => snap.schema.fields.find(_.name.equalsIgnoreCase(c)))
+    val clustered = snap
+      .repartitionByRange(numFiles, byCols.map(col): _*)
+      .sortWithinPartitions(byCols.map(col): _*)
+    val staged = replaceWithHook(clustered, sink, version, () => (),
+      statsFields)
+    (priorEntries.size, staged.size)
+  }
+
   /** Replace the committed snapshot with `df`'s contents as manifest
     * version `expectVersion + 1` — the OCC primitive behind [[compact]]
     * and `IncrementalAgg`'s state fold. Prior data files stay on disk

@@ -135,21 +135,32 @@ object Cdc {
               col("o_totalprice"), lit(true).as("del")))
         val res = AtomicIncrement.mergeAtomic(changes, sink,
           "o_orderkey", "del")
+        // the output must end in a SMALL aggregate (the scratch-sink
+        // pattern materializes it on the driver): per-status count,
+        // key checksum and price sum over the merged table still
+        // discriminate a wrong winner, a surviving delete, or a
+        // dropped untouched row — each moves some group's triple
         AtomicIncrement.readCommitted(s, sink)
-          .select(col("o_orderkey"), col("o_orderstatus"),
-            round(col("o_totalprice"), 2).as("price"),
-            lit(res.carried > 0).as("pruned"))
-          .orderBy("o_orderkey")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum("o_orderkey").as("key_sum"),
+            round(sum("o_totalprice"), 2).as("price_sum"))
+          .withColumn("pruned", lit(res.carried > 0))
+          .orderBy("o_orderstatus")
       },
-      """WITH cut AS (SELECT 2 * max(o_orderkey) // 3 AS c FROM orders)
-        |SELECT o_orderkey, o_orderstatus,
-        |  round(o_totalprice, 2) AS price, TRUE AS pruned
-        |FROM orders, cut
-        |WHERE NOT (o_orderkey > c AND o_orderkey % 10 IN (0, 7))
-        |UNION ALL
-        |SELECT o_orderkey, 'X', round(o_totalprice + 100, 2), TRUE
-        |FROM orders, cut WHERE o_orderkey > c AND o_orderkey % 10 = 0
-        |ORDER BY o_orderkey""".stripMargin),
+      """WITH cut AS (SELECT 2 * max(o_orderkey) // 3 AS c FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders, cut
+        |  WHERE NOT (o_orderkey > c AND o_orderkey % 10 IN (0, 7))
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X', o_totalprice + 100
+        |  FROM orders, cut WHERE o_orderkey > c AND o_orderkey % 10 = 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  round(sum(o_totalprice), 2) AS price_sum, TRUE AS pruned
+        |FROM merged GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
 
     // The history view over the same feed: intervals chain per key,
     // deletes close the last interval without emitting a row.

@@ -416,6 +416,45 @@ class AtomicIncrementSpec extends SparkSpec {
     assert(got(25L) == "UPD" && got(5L) == "UPD2" && got.size == 30)
   }
 
+  test("compactClustered restores key locality: interleaved appends " +
+      "defeat merge pruning (every interval spans the domain), the " +
+      "clustered rewrite brings it back") {
+    val sink = tmp()
+    // three appends whose key sets INTERLEAVE (k % 3 == r), the shape
+    // a table drifts into after random-key churn: every file's id
+    // interval spans ~the whole domain
+    for (r <- 0L to 2L)
+      AtomicIncrement.appendIncrementAtomic(
+        (1L to 30L).filter(_ % 3 == r)
+          .map(k => (100L * (r + 1) + k, k, s"v$k"))
+          .toDF("ts", "id", "v").repartition(1),
+        sink, "ts", extraStatsCols = Seq("id"))
+    val changes = Seq((200L, 25L, "UPD", false)).toDF("ts", "id", "v", "del")
+    val res0 = AtomicIncrement.mergeAtomic(changes, sink, "id", "del")
+    assert(res0.carried == 0,
+      s"interleaved intervals cannot carry anything: $res0")
+    // OPTIMIZE: re-cluster on id into 3 range files
+    val (_, nAfter) = AtomicIncrement.compactClustered(
+      spark, sink, Seq("id"), numFiles = 3)
+    assert(nAfter == 3)
+    val (_, entries) = AtomicIncrement.snapshotEntries(spark, sink)
+    assert(entries.forall(e => e.statsFor("id").nonEmpty &&
+      e.statsFor("ts").nonEmpty), s"clustered rewrite lost stats: $entries")
+    // rows preserved, update included
+    val got = AtomicIncrement.readCommitted(spark, sink)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(got.size == 30 && got(25L) == "UPD")
+    // the same confined churn now rewrites ONE file and carries the rest
+    val res1 = AtomicIncrement.mergeAtomic(
+      Seq((201L, 26L, "UPD2", false)).toDF("ts", "id", "v", "del"),
+      sink, "id", "del")
+    assert(res1.rewritten == 1 && res1.carried == 2,
+      s"clustering did not restore pruning: $res1")
+    // and a pruned range read engages on the clustered column
+    val pruned = AtomicIncrement.readCommittedAbove(spark, sink, "id", 20L)
+    assert(pruned.inputFiles.length < 3, "no range pruning after cluster")
+  }
+
   test("merge fences a churn set past maxChurnKeys loudly") {
     val sink = tmp()
     loadRanged(sink)
