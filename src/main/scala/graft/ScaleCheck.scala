@@ -67,7 +67,8 @@ object ScaleCheck {
     // round 12: lakehouse maintenance — copy-on-write merge (rewrite ∝
     // churn-touched files), retractable rollup (fold ∝ churn), bloom
     // point lookup (opens ~1 file however many the snapshot holds)
-    "q_merge_upsert", "q_incr_agg_cdc", "q_read_bloom")
+    "q_merge_upsert", "q_incr_agg_cdc", "q_read_bloom",
+    "q_optimize_cluster")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {

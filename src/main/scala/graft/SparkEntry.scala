@@ -48,6 +48,7 @@ object SparkEntry {
   private val checkFirst: Seq[String] = Seq(
     // the round-12 additions: newest first, never driver-checked yet
     "q_merge_upsert", "q_incr_agg_cdc", "q_read_bloom",
+    "q_optimize_cluster",
     // never driver-checked at all: the round-8 additions
     "q_pmi_pairs", "q_phrase_hits", "q_triangle_count", "q_kcore",
     "q_zorder_layout", "q_dedup_incremental", "q_containment",

@@ -222,6 +222,50 @@ object IncrementalAgg {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
 
+    // The OPTIMIZE path under the oracle gate: three loads whose key
+    // sets INTERLEAVE (k % 3 == batch), so every file's key interval
+    // spans the whole domain and nothing can prune — then
+    // compactClustered re-ranges the table on the key and the same
+    // above-the-cut read must skip files again. `clustered` pins both
+    // halves: pruning was impossible before (a fixture regression to
+    // accidentally-clustered loads would flip it) and engaged after.
+    // The oracle is the plain aggregate — clustering must be invisible
+    // to content.
+    "q_optimize_cluster" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_optcluster") { sink =>
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_totalprice"))
+        for (r <- 0L to 2L)
+          AtomicIncrement.appendIncrementAtomic(
+            o.filter(col("o_orderkey") % 3 === r)
+              .withColumn("b", lit(r)),
+            sink, "b", extraStatsCols = Seq("o_orderkey"))
+        val mx = o.agg(max("o_orderkey")).head().getLong(0)
+        val cut = 2 * mx / 3
+        def files(df: org.apache.spark.sql.DataFrame) =
+          df.inputFiles.length
+        val total = AtomicIncrement.committedFiles(s, sink).size
+        val beforePruned = files(AtomicIncrement.readCommittedAbove(
+          s, sink, "o_orderkey", cut)) < total
+        AtomicIncrement.compactClustered(s, sink, Seq("o_orderkey"),
+          numFiles = 6)
+        val prunedRead = AtomicIncrement.readCommittedAbove(
+          s, sink, "o_orderkey", cut)
+        val engaged = !beforePruned && files(prunedRead) <
+          AtomicIncrement.committedFiles(s, sink).size
+        prunedRead.filter(col("o_orderkey") > cut)
+          .agg(count(lit(1)).as("n"),
+            sum("o_orderkey").as("key_sum"),
+            round(sum("o_totalprice"), 2).as("price_sum"))
+          .withColumn("clustered", lit(engaged))
+      },
+      """SELECT count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  round(sum(o_totalprice), 2) AS price_sum, TRUE AS clustered
+        |FROM orders
+        |WHERE o_orderkey > 2 * (SELECT max(o_orderkey) FROM orders) // 3
+        |""".stripMargin),
+
     // The RETRACTION fold under the oracle gate: the rollup
     // initializes from the base load, then the q_merge_upsert change
     // feed moves it by Σ(after-images) − Σ(before-images) — one
