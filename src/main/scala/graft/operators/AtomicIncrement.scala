@@ -547,35 +547,32 @@ object AtomicIncrement {
     val (version, priorEntries) = snapshotEntries(spark, sink)
     require(priorEntries.nonEmpty, s"nothing committed to merge into at $sink")
     val integralTags = Set("long", "int", "short", "byte")
+    // the key must be integral and non-null, enforced LOUDLY: a wider
+    // type would cast to null below and an all-null churn set reads as
+    // "no file intersects" — old rows would survive beside their
+    // upserts, a silently wrong table rather than a missed optimization
+    val keyField = changes.schema.fields
+      .find(_.name.equalsIgnoreCase(keyCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"merge key '$keyCol' not in ${changes.columns.mkString(",")}"))
+    require(tagOf(keyField.dataType).exists(integralTags.contains),
+      s"merge keys must be integral (surrogate-key contract): " +
+        s"'$keyCol' is ${keyField.dataType.simpleString}")
     // the churned key set: churn-sized by the CDC contract, so the
     // driver-side interval test is bounded the same way the broadcast
     // tombstone masks are
-    val churn = changes.select(col(keyCol).cast(
+    val churnRows = changes.select(col(keyCol).cast(
         org.apache.spark.sql.types.LongType))
-      .na.drop().distinct()
-      .orderBy(keyCol)
-      .collect().map(_.getLong(0))
+      .distinct().orderBy(keyCol).collect()
+    require(!churnRows.exists(_.isNullAt(0)),
+      s"merge batch carries a NULL '$keyCol' — a null key has no row " +
+        "identity to upsert or delete")
+    val churn = churnRows.map(_.getLong(0))
     require(churn.length <= maxChurnKeys,
       s"merge batch carries ${churn.length} distinct keys " +
         s"(> $maxChurnKeys): that is a reload, not a churn batch — " +
         "raise maxChurnKeys deliberately or rebuild the table")
-    def intervalHasChurn(mn: Long, mx: Long): Boolean = {
-      var lo = 0
-      var hi = churn.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (churn(mid) < mn) lo = mid + 1 else hi = mid
-      }
-      lo < churn.length && churn(lo) <= mx
-    }
-    val (carried, touched) = priorEntries.partition { e =>
-      e.statsFor(keyCol) match {
-        case Some(fc) if integralTags.contains(fc.tag) =>
-          try !intervalHasChurn(fc.min.toLong, fc.max.toLong)
-          catch { case _: NumberFormatException => false }
-        case _ => false // no usable key stats: may contain, rewrite
-      }
-    }
+    val (carried, touched) = splitByKeyIntervals(priorEntries, keyCol, churn)
     // full-snapshot schema (the readCommittedAbove evolution guard):
     // a touched subset must not lose columns only carried files have
     val fullSchema = readCommitted(spark, sink).schema
@@ -611,6 +608,56 @@ object AtomicIncrement {
     MergeResult(version + 1, carried.size, touched.size,
       stagedEntries.size, upserts,
       oldTouched.join(churnDf, Seq(keyCol), "left_semi"))
+  }
+
+  /** Split manifest entries into (provably churn-free, may-contain)
+    * by their `keyCol` interval against a SORTED key array — the
+    * pruning core shared by [[mergeAtomic]] (its rewrite set) and
+    * [[readKeyedMayContain]]. Entries without usable integral stats
+    * land on the may-contain side, conservatively.
+    */
+  private def splitByKeyIntervals(entries: Seq[ManifestEntry],
+      keyCol: String, sortedKeys: Array[Long])
+      : (Seq[ManifestEntry], Seq[ManifestEntry]) = {
+    val integralTags = Set("long", "int", "short", "byte")
+    def intervalHasKey(mn: Long, mx: Long): Boolean = {
+      var lo = 0
+      var hi = sortedKeys.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (sortedKeys(mid) < mn) lo = mid + 1 else hi = mid
+      }
+      lo < sortedKeys.length && sortedKeys(lo) <= mx
+    }
+    entries.partition { e =>
+      e.statsFor(keyCol) match {
+        case Some(fc) if integralTags.contains(fc.tag) =>
+          try !intervalHasKey(fc.min.toLong, fc.max.toLong)
+          catch { case _: NumberFormatException => false }
+        case _ => false // no usable key stats: may contain
+      }
+    }
+  }
+
+  /** The committed snapshot restricted to files whose `keyCol`
+    * interval MAY contain one of `keys` — how an incremental consumer
+    * fetches a churn set's rows (e.g. before-images for a rollup
+    * retraction) without scanning the table: on a key-clustered
+    * snapshot this opens the churn's locality, not the 10⁵ files
+    * around it. May-contain superset — the caller still applies the
+    * exact key filter/join, and the composed read ≡ the full scan
+    * under it whatever the stats coverage.
+    */
+  def readKeyedMayContain(spark: SparkSession, sink: String,
+      keyCol: String, keys: Seq[Long]): DataFrame = {
+    val (_, entries) = snapshotEntries(spark, sink)
+    require(entries.nonEmpty, s"no committed snapshot at $sink")
+    val (_, touched) = splitByKeyIntervals(entries, keyCol,
+      keys.distinct.sorted.toArray)
+    val full = readCommitted(spark, sink)
+    if (touched.isEmpty) full.limit(0)
+    else spark.read.schema(full.schema)
+      .parquet(touched.map(e => s"$sink/${e.path}"): _*)
   }
 
   /** GC staged-but-uncommitted batch directories (crashed or lost-race

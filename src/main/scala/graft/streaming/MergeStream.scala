@@ -44,10 +44,17 @@ object MergeStream {
     val resolved = Cdc.latestViewWithDeletes(changes, Seq(keyCol),
       versionCol, deleteCol).drop(versionCol)
     stateSink.foreach { st =>
-      // before-images from the committed PRE-merge table, restricted
-      // to the churned keys (broadcast — churn-sized by contract)
+      // before-images from the committed PRE-merge table: the
+      // stats-pruned keyed read opens the churn's file locality, not
+      // the whole table (a full readCommitted here would be a
+      // table-sized scan per micro-batch at 100 TB), then the exact
+      // semi-join against the churn set (broadcast — churn-sized)
+      val churnKeys = resolved
+        .select(col(keyCol).cast(org.apache.spark.sql.types.LongType))
+        .distinct().collect().map(_.getLong(0)).toSeq
       val churn = broadcast(resolved.select(keyCol).distinct())
-      val before = AtomicIncrement.readCommitted(spark, tableSink)
+      val before = AtomicIncrement.readKeyedMayContain(spark, tableSink,
+          keyCol, churnKeys)
         .join(churn, Seq(keyCol), "left_semi")
       val plus = resolved.filter(!col(deleteCol)).drop(deleteCol)
       IncrementalAgg.mergeCdcBatch(plus, before, st,

@@ -455,6 +455,43 @@ class AtomicIncrementSpec extends SparkSpec {
     assert(pruned.inputFiles.length < 3, "no range pruning after cluster")
   }
 
+  test("readKeyedMayContain opens the churn's locality only, and the " +
+      "composed keyed read ≡ full scan under the exact filter") {
+    val sink = tmp()
+    loadRanged(sink)
+    val keyed = AtomicIncrement.readKeyedMayContain(spark, sink, "k",
+      Seq(25L, 27L))
+    assert(keyed.inputFiles.length == 1,
+      s"keyed read opened ${keyed.inputFiles.length} of 3 files")
+    assert(keyed.filter(col("k").isin(25L, 27L))
+      .select("k", "v").as[(Long, String)].collect().toSet ==
+      Set((25L, "v25"), (27L, "v27")))
+    // keys nowhere in the table: zero files, schema intact
+    val none = AtomicIncrement.readKeyedMayContain(spark, sink, "k",
+      Seq(999L))
+    assert(none.inputFiles.isEmpty && none.columns.toSeq ==
+      Seq("k", "v", "x"))
+  }
+
+  test("merge fails LOUDLY on a non-integral key and on null keys — " +
+      "never the silent wrong table a nulled cast would produce") {
+    val sink = tmp()
+    loadRanged(sink)
+    val strKeyed = Seq(("25", "UPD", false)).toDF("s", "v", "del")
+    val e1 = intercept[IllegalArgumentException] {
+      AtomicIncrement.mergeAtomic(strKeyed, sink, "s", "del")
+    }
+    assert(e1.getMessage.contains("integral"))
+    val withNull = Seq((Some(25L), "UPD", false), (None, "X", false))
+      .toDF("k", "v", "del")
+    val e2 = intercept[IllegalArgumentException] {
+      AtomicIncrement.mergeAtomic(withNull, sink, "k", "del")
+    }
+    assert(e2.getMessage.contains("NULL"))
+    // neither attempt moved the table
+    assert(AtomicIncrement.readCommitted(spark, sink).count() == 30)
+  }
+
   test("merge fences a churn set past maxChurnKeys loudly") {
     val sink = tmp()
     loadRanged(sink)
