@@ -660,6 +660,49 @@ object AtomicIncrement {
       .parquet(touched.map(e => s"$sink/${e.path}"): _*)
   }
 
+  /** GC data files a MERGE superseded inside still-live batch
+    * directories: [[vacuumUncommitted]] reclaims whole dirs no
+    * manifest references, but a partial rewrite (some of a batch's
+    * files carried, some replaced) leaves the replaced files in a dir
+    * that stays live through its carried siblings — with ongoing CDC
+    * merges those dead files accumulate without bound, since no other
+    * path ever deletes an individual file. Deletes exactly the
+    * `.parquet` files (and their Bloom sidecars) that the LATEST
+    * manifest no longer lists, restricted to dirs with at least one
+    * live file — a dir with none is either a staging orphan or fully
+    * superseded, both [[vacuumUncommitted]]'s to reclaim whole, and
+    * the restriction keeps this GC from racing an in-flight stage.
+    * Same retention trade as every vacuum here: time travel to
+    * versions that needed the removed files ends. Returns the number
+    * of data files removed.
+    */
+  def vacuumSuperseded(spark: SparkSession, sink: String): Int = {
+    val fs = fsOf(spark, sink)
+    val dataRoot = new Path(sink, DataDir)
+    if (!fs.exists(dataRoot)) return 0
+    val live = committedFiles(spark, sink).toSet
+    var removed = 0
+    for (dir <- fs.listStatus(dataRoot).toSeq.map(_.getPath)
+        if dir.getName.startsWith("batch-")) {
+      val files = fs.listStatus(dir).toSeq.map(_.getPath)
+      val dataFiles = files.filter { p =>
+        val n = p.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      def rel(p: Path) = s"$DataDir/${dir.getName}/${p.getName}"
+      if (dataFiles.exists(p => live.contains(rel(p)))) {
+        for (p <- dataFiles if !live.contains(rel(p))) {
+          fs.delete(p, false)
+          // the dead file's Bloom sidecars go with it
+          files.filter(_.getName.startsWith(s"${p.getName}.bloom-"))
+            .foreach(fs.delete(_, false))
+          removed += 1
+        }
+      }
+    }
+    removed
+  }
+
   /** GC staged-but-uncommitted batch directories (crashed or lost-race
     * writers). ONLY safe when no writer is actively staging — the
     * caller owns that scheduling, exactly like Delta's VACUUM.

@@ -492,6 +492,48 @@ class AtomicIncrementSpec extends SparkSpec {
     assert(AtomicIncrement.readCommitted(spark, sink).count() == 30)
   }
 
+  test("vacuumSuperseded reclaims exactly the files a partial-rewrite " +
+      "merge replaced (with their bloom sidecars), leaves live files " +
+      "and staging orphans alone, and never moves the snapshot") {
+    val sink = tmp()
+    // ONE batch holding TWO range-disjoint files: a merge touching one
+    // range supersedes one file while its sibling keeps the dir live
+    AtomicIncrement.appendIncrementAtomic(
+      (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(2, col("k")), sink, "k")
+    graft.operators.BloomSkip.ensureSidecars(spark, sink, "k")
+    val before = AtomicIncrement.committedFiles(spark, sink)
+    assert(before.size == 2, s"fixture wants 2 files: $before")
+    val res = AtomicIncrement.mergeAtomic(
+      Seq((3L, "UPD", false)).toDF("k", "v", "del"), sink, "k", "del")
+    assert(res.carried == 1 && res.rewritten == 1, s"$res")
+    val superseded = before.filterNot(
+      AtomicIncrement.committedFiles(spark, sink).toSet)
+    assert(superseded.size == 1)
+    val f = fs(sink)
+    def exists(relPath: String) =
+      f.exists(new org.apache.hadoop.fs.Path(s"$sink/$relPath"))
+    assert(exists(superseded.head) &&
+      exists(s"${superseded.head}.bloom-k"),
+      "fixture must leave a superseded file + sidecar behind")
+    // also leave a staging ORPHAN (a crashed writer): file-level GC
+    // must not touch it — that is vacuumUncommitted's job
+    val orphan = AtomicIncrement.stageBatch(
+      Seq((99L, "orphan")).toDF("k", "v"), spark, f, sink)
+    assert(AtomicIncrement.vacuumSuperseded(spark, sink) == 1)
+    assert(!exists(superseded.head), "superseded file survived")
+    assert(!exists(s"${superseded.head}.bloom-k"),
+      "dead file's sidecar survived")
+    assert(orphan.forall(exists), "file GC touched a staging orphan")
+    // live data unchanged; re-run removes nothing
+    val got = AtomicIncrement.readCommitted(spark, sink)
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(got.size == 20 && got(3L) == "UPD")
+    assert(AtomicIncrement.vacuumSuperseded(spark, sink) == 0)
+    // the whole-dir GC still reclaims the orphan afterwards
+    assert(AtomicIncrement.vacuumUncommitted(spark, sink) == 1)
+  }
+
   test("merge fences a churn set past maxChurnKeys loudly") {
     val sink = tmp()
     loadRanged(sink)
