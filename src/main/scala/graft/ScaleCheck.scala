@@ -68,7 +68,10 @@ object ScaleCheck {
     // churn-touched files), retractable rollup (fold ∝ churn), bloom
     // point lookup (opens ~1 file however many the snapshot holds)
     "q_merge_upsert", "q_incr_agg_cdc", "q_read_bloom",
-    "q_optimize_cluster")
+    "q_optimize_cluster",
+    // round 13: the string/UUID-keyed merge (guid derives from the
+    // replicated orderkey, so churn structure survives scaling)
+    "q_merge_upsert_str")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {

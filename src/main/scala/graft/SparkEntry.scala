@@ -46,7 +46,9 @@ object SparkEntry {
     * tools/check_oracle.py and is recorded in the round notes.
     */
   private val checkFirst: Seq[String] = Seq(
-    // the round-12 additions: newest first, never driver-checked yet
+    // the round-13 addition: string/UUID-keyed merge, never checked yet
+    "q_merge_upsert_str",
+    // the round-12 additions: newest first
     "q_merge_upsert", "q_incr_agg_cdc", "q_read_bloom",
     "q_optimize_cluster",
     // never driver-checked at all: the round-8 additions

@@ -80,10 +80,15 @@ object AtomicIncrement {
 
   /** Stats in the footer's primitive domain: `tag` names the column
     * type family the min/max strings decode under (`ts` = micros,
-    * `date` = unix days, integral by cast, `double`/`float` as IEEE).
+    * `date` = unix days, integral by cast, `double`/`float` as IEEE,
+    * `string` = base64 of the bound's UTF-8 bytes — raw bounds could
+    * carry the manifest's own tab/newline separators, and byte-space
+    * is the order parquet's UNSIGNED UTF8 comparator ranked them in).
     */
   private[graft] final case class FileColumnStats(column: String,
       tag: String, min: String, max: String)
+
+  private[graft] val integralTags = Set("long", "int", "short", "byte")
 
   private[graft] def tagOf(dt: org.apache.spark.sql.types.DataType): Option[String] = {
     import org.apache.spark.sql.types._
@@ -96,6 +101,7 @@ object AtomicIncrement {
       case DateType => Some("date")
       case DoubleType => Some("double")
       case FloatType => Some("float")
+      case StringType => Some("string")
       case _ => None
     }
   }
@@ -266,6 +272,9 @@ object AtomicIncrement {
     val stats = entries.map(_.statsFor(column))
     if (stats.exists(s => !s.exists(_.tag == expectTag))) None
     else try expectTag match {
+      // string bounds have no primitive-literal rendering here — the
+      // watermark falls back to the footer sweep / scan, conservative
+      case "string" => None
       case "double" | "float" =>
         Incremental.statsMaxLiteral(dt, None,
           Some(stats.flatten.map(_.max.toDouble).max))
@@ -317,6 +326,10 @@ object AtomicIncrement {
               Some(FileColumnStats(f.name, tag, mn.toString, mx.toString))
             case Incremental.DoubleStats(mn, mx) =>
               Some(FileColumnStats(f.name, tag, mn.toString, mx.toString))
+            case Incremental.BinaryStats(mn, mx) =>
+              val b64 = java.util.Base64.getEncoder
+              Some(FileColumnStats(f.name, tag,
+                b64.encodeToString(mn), b64.encodeToString(mx)))
             case Incremental.AllNullFile => None
           }
         } yield fc
@@ -345,10 +358,15 @@ object AtomicIncrement {
     val kept = entries.filter { e =>
       e.statsFor(column) match {
         case Some(fc) =>
-          fc.tag match {
+          // damaged or foreign stats (hand-edited manifests, a future
+          // tag whose bounds don't parse here) degrade to a full read
+          // of that file — the same may-contain fallback
+          // splitByKeyIntervals applies, never an exception
+          try fc.tag match {
+            case "string" => true // no numeric order: may contain
             case "double" | "float" => fc.max.toDouble > lower.toDouble
             case _ => fc.max.toLong > lower
-          }
+          } catch { case _: NumberFormatException => true }
         case _ => true // no usable stats: may contain
       }
     }
@@ -409,13 +427,21 @@ object AtomicIncrement {
     * loses, cleans its staged files, and throws — re-run.
     *
     * Returns (files before, files after).
+    *
+    * `bloomCols`: compaction writes NEW data files, which are
+    * bloom-uncovered until the next [[BloomSkip.ensureSidecars]] —
+    * correct (absent sidecar = may-contain) but un-pruned. Naming the
+    * table's point-lookup columns here re-ensures their sidecars in
+    * the same maintenance step, so lookups prune again immediately
+    * after the rewrite.
     */
   def compact(spark: SparkSession, sink: String,
-      numFiles: Int = 1): (Int, Int) =
-    compactWithHook(spark, sink, numFiles, () => ())
+      numFiles: Int = 1, bloomCols: Seq[String] = Nil): (Int, Int) =
+    compactWithHook(spark, sink, numFiles, () => (), bloomCols)
 
   private[graft] def compactWithHook(spark: SparkSession, sink: String,
-      numFiles: Int, beforePublish: () => Unit): (Int, Int) = {
+      numFiles: Int, beforePublish: () => Unit,
+      bloomCols: Seq[String] = Nil): (Int, Int) = {
     val (version, priorEntries) = snapshotEntries(spark, sink)
     require(priorEntries.nonEmpty, s"nothing committed to compact at $sink")
     val snap = readCommitted(spark, sink)
@@ -428,6 +454,7 @@ object AtomicIncrement {
       .flatMap(c => snap.schema.fields.find(_.name.equalsIgnoreCase(c)))
     val staged = replaceWithHook(snap.repartition(numFiles),
       sink, version, beforePublish, statsFields)
+    bloomCols.foreach(c => BloomSkip.ensureSidecars(spark, sink, c))
     (priorEntries.size, staged.size)
   }
 
@@ -443,10 +470,13 @@ object AtomicIncrement {
     * key domain is the trigger, and after enough random-key churn
     * that is where a merged table drifts). Same OCC/crash/pinned-
     * reader semantics as every snapshot replace. Returns (files
-    * before, files after).
+    * before, files after). `bloomCols` re-ensures point-lookup
+    * sidecars over the rewritten files in the same step (see
+    * [[compact]]).
     */
   def compactClustered(spark: SparkSession, sink: String,
-      byCols: Seq[String], numFiles: Int = 8): (Int, Int) = {
+      byCols: Seq[String], numFiles: Int = 8,
+      bloomCols: Seq[String] = Nil): (Int, Int) = {
     require(byCols.nonEmpty, "cluster columns required")
     val (version, priorEntries) = snapshotEntries(spark, sink)
     require(priorEntries.nonEmpty, s"nothing committed to cluster at $sink")
@@ -461,6 +491,7 @@ object AtomicIncrement {
       .sortWithinPartitions(byCols.map(col): _*)
     val staged = replaceWithHook(clustered, sink, version, () => (),
       statsFields)
+    bloomCols.foreach(c => BloomSkip.ensureSidecars(spark, sink, c))
     (priorEntries.size, staged.size)
   }
 
@@ -494,6 +525,101 @@ object AtomicIncrement {
     staged
   }
 
+  /** A merge batch's distinct, non-null churn keys, collected once and
+    * held in the key family's native sort order so the manifest's
+    * interval stats can be binary-searched against it. Two families:
+    * integral surrogate keys (numeric order) and string/UUID keys
+    * (UTF-8 bytes, unsigned — the SAME order parquet's UTF8 comparator
+    * ranked the footer bounds in, so the interval test and the stats
+    * always agree; Java String order differs on supplementary
+    * characters, which is why the bytes are the comparison domain
+    * everywhere). Driver-resident by contract: churn-sized, fenced by
+    * `maxChurnKeys`, like the tombstone masks.
+    */
+  private[graft] sealed trait ChurnKeys {
+    def size: Int
+    /** The churn as a broadcastable one-column frame named `name`,
+      * typed in the key's own family so the join coerces exactly. */
+    def toDf(spark: SparkSession, name: String): DataFrame
+  }
+  private[graft] final case class LongChurn(sorted: Array[Long])
+      extends ChurnKeys {
+    def size: Int = sorted.length
+    def toDf(spark: SparkSession, name: String): DataFrame =
+      spark.createDataset(sorted.toSeq)(
+        org.apache.spark.sql.Encoders.scalaLong).toDF(name)
+  }
+  private[graft] final case class StringChurn(sorted: Array[String])
+      extends ChurnKeys {
+    private[graft] val sortedBytes: Array[Array[Byte]] = sorted.map(
+      _.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def size: Int = sorted.length
+    def toDf(spark: SparkSession, name: String): DataFrame =
+      spark.createDataset(sorted.toSeq)(
+        org.apache.spark.sql.Encoders.STRING).toDF(name)
+  }
+
+  /** Sort strings by their UTF-8 bytes, unsigned — [[StringChurn]]'s
+    * required order. */
+  private def sortUtf8(values: Array[String]): Array[String] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    values.map(v => (v.getBytes(utf8), v))
+      .sortWith((a, b) => java.util.Arrays.compareUnsigned(a._1, b._1) < 0)
+      .map(_._2)
+  }
+
+  /** How many churn key sets merge paths have collected — a test
+    * probe pinning the one-collect-per-micro-batch contract (the
+    * streaming CDC apply collects once and threads the set through
+    * [[mergeAtomic]]'s precollected overload instead of re-collecting
+    * inside the merge).
+    */
+  private[graft] val churnCollects =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Collect `changes`' distinct churn keys, enforcing the merge-key
+    * contract LOUDLY up front: the key column exists, its type is
+    * integral or string (the two families the manifest records
+    * intervals for — a float/timestamp "key" has no row identity
+    * here), no key is null, and the set is churn-sized. Shared with
+    * [[graft.streaming.MergeStream]], which validates BEFORE its
+    * rollup fold consumes the batch — a merge-side rejection after the
+    * fold committed its batch id would strand a state the table never
+    * applied.
+    */
+  private[graft] def collectChurn(changes: DataFrame, keyCol: String,
+      maxChurnKeys: Int): ChurnKeys = {
+    churnCollects.incrementAndGet()
+    val keyField = changes.schema.fields
+      .find(_.name.equalsIgnoreCase(keyCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"merge key '$keyCol' not in ${changes.columns.mkString(",")}"))
+    val tag = tagOf(keyField.dataType)
+    require(tag.exists(t => integralTags.contains(t) || t == "string"),
+      s"merge keys must be integral or string (row-identity contract): " +
+        s"'$keyCol' is ${keyField.dataType.simpleString}")
+    def validated(rows: Array[org.apache.spark.sql.Row])
+        : Array[org.apache.spark.sql.Row] = {
+      require(!rows.exists(_.isNullAt(0)),
+        s"merge batch carries a NULL '$keyCol' — a null key has no row " +
+          "identity to upsert or delete")
+      require(rows.length <= maxChurnKeys,
+        s"merge batch carries ${rows.length} distinct keys " +
+          s"(> $maxChurnKeys): that is a reload, not a churn batch — " +
+          "raise maxChurnKeys deliberately or rebuild the table")
+      rows
+    }
+    if (tag.contains("string"))
+      StringChurn(sortUtf8(validated(
+        changes.select(col(keyCol)).distinct().collect())
+        .map(_.getString(0))))
+    else
+      LongChurn(validated(
+        changes.select(col(keyCol)
+          .cast(org.apache.spark.sql.types.LongType)).distinct().collect())
+        .map(_.getLong(0)).sorted)
+  }
+
   /** What a [[mergeAtomic]] did, plus the change-derived frames a
     * downstream incremental consumer (e.g. a maintained rollup) folds:
     * `upserts` are the after-images the merge wrote, `beforeImages`
@@ -520,13 +646,15 @@ object AtomicIncrement {
     * Contract: ≤1 row per key in `changes` (a CDC log resolves its
     * own within-batch order first — [[Cdc.latestView]] is that
     * resolve); the committed table holds ≤1 row per key (it was
-    * loaded or previously merged that way); `keyCol` is integral (the
-    * surrogate-key case — wider key types fall back to rewrite-all
-    * below). Files without usable `keyCol` stats are rewritten — a
-    * MAY-CONTAIN superset, conservative like every skipping decision
-    * here. The churned key set is collected to the driver to test
-    * file intervals (churn-sized by contract, like the tombstone
-    * masks — `maxChurnKeys` fences the contract violation loudly).
+    * loaded or previously merged that way); `keyCol` is integral or
+    * string — the surrogate-key and UUID/natural-key cases; string
+    * intervals prune in UTF-8 byte space against the manifest's
+    * base64 bounds. Files without usable `keyCol` stats are
+    * rewritten — a MAY-CONTAIN superset, conservative like every
+    * skipping decision here. The churned key set is collected to the
+    * driver to test file intervals (churn-sized by contract, like the
+    * tombstone masks — `maxChurnKeys` fences the contract violation
+    * loudly).
     *
     * Publication, concurrency, and crash behavior are [[publish]]'s:
     * the new manifest (carried + rewritten lists) lands at
@@ -539,51 +667,58 @@ object AtomicIncrement {
       deleteCol: String, maxChurnKeys: Int = 10000000): MergeResult =
     mergeWithHook(changes, sink, keyCol, deleteCol, maxChurnKeys, () => ())
 
+  /** [[mergeAtomic]] with the churn key set already collected — the
+    * streaming CDC apply computes it once per micro-batch (its rollup
+    * fold reads the same set) and threads it through, so each batch
+    * costs ONE distinct+collect of the resolved changes, not two.
+    */
+  private[graft] def mergeAtomic(changes: DataFrame, sink: String,
+      keyCol: String, deleteCol: String, maxChurnKeys: Int,
+      churn: ChurnKeys): MergeResult =
+    mergeWithHook(changes, sink, keyCol, deleteCol, maxChurnKeys,
+      () => (), Some(churn))
+
   private[graft] def mergeWithHook(changes: DataFrame, sink: String,
       keyCol: String, deleteCol: String, maxChurnKeys: Int,
-      beforePublish: () => Unit): MergeResult = {
+      beforePublish: () => Unit,
+      precollected: Option[ChurnKeys] = None): MergeResult = {
     val spark = changes.sparkSession
     val fs = fsOf(spark, sink)
     val (version, priorEntries) = snapshotEntries(spark, sink)
     require(priorEntries.nonEmpty, s"nothing committed to merge into at $sink")
-    val integralTags = Set("long", "int", "short", "byte")
-    // the key must be integral and non-null, enforced LOUDLY: a wider
-    // type would cast to null below and an all-null churn set reads as
-    // "no file intersects" — old rows would survive beside their
-    // upserts, a silently wrong table rather than a missed optimization
-    val keyField = changes.schema.fields
-      .find(_.name.equalsIgnoreCase(keyCol))
-      .getOrElse(throw new IllegalArgumentException(
-        s"merge key '$keyCol' not in ${changes.columns.mkString(",")}"))
-    require(tagOf(keyField.dataType).exists(integralTags.contains),
-      s"merge keys must be integral (surrogate-key contract): " +
-        s"'$keyCol' is ${keyField.dataType.simpleString}")
-    // the churned key set: churn-sized by the CDC contract, so the
-    // driver-side interval test is bounded the same way the broadcast
-    // tombstone masks are
-    val churnRows = changes.select(col(keyCol).cast(
-        org.apache.spark.sql.types.LongType))
-      .distinct().orderBy(keyCol).collect()
-    require(!churnRows.exists(_.isNullAt(0)),
-      s"merge batch carries a NULL '$keyCol' — a null key has no row " +
-        "identity to upsert or delete")
-    val churn = churnRows.map(_.getLong(0))
-    require(churn.length <= maxChurnKeys,
-      s"merge batch carries ${churn.length} distinct keys " +
-        s"(> $maxChurnKeys): that is a reload, not a churn batch — " +
-        "raise maxChurnKeys deliberately or rebuild the table")
+    // key-contract enforcement (type family, nulls, churn fence) lives
+    // in collectChurn — LOUD, because a silently nulled cast would
+    // read as "no file intersects" and old rows would survive beside
+    // their upserts: a wrong table, not a missed optimization
+    val churn = precollected.getOrElse(
+      collectChurn(changes, keyCol, maxChurnKeys))
+    require(churn.size <= maxChurnKeys,
+      s"precollected churn carries ${churn.size} keys (> $maxChurnKeys)")
     val (carried, touched) = splitByKeyIntervals(priorEntries, keyCol, churn)
     // full-snapshot schema (the readCommittedAbove evolution guard):
     // a touched subset must not lose columns only carried files have
     val fullSchema = readCommitted(spark, sink).schema
+    // the table's own key column must sit in the churn's type family,
+    // or the anti-join below would coerce (long vs string casts) and
+    // silently miss rows it should replace
+    fullSchema.fields.find(_.name.equalsIgnoreCase(keyCol)).foreach { tf =>
+      val tTag = tagOf(tf.dataType)
+      val sameFamily = churn match {
+        case _: LongChurn => tTag.exists(integralTags.contains)
+        case _: StringChurn => tTag.contains("string")
+      }
+      require(sameFamily,
+        s"merge key family mismatch: table '$keyCol' is " +
+          s"${tf.dataType.simpleString}, the change batch's is " +
+          s"${changes.schema.fields.find(_.name.equalsIgnoreCase(keyCol))
+            .map(_.dataType.simpleString).getOrElse("absent")}")
+    }
     val oldTouched =
       if (touched.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
       else spark.read.schema(fullSchema)
         .parquet(touched.map(e => s"$sink/${e.path}"): _*)
-    val churnDf = broadcast(
-      spark.createDataset(churn.toSeq)(
-        org.apache.spark.sql.Encoders.scalaLong).toDF(keyCol))
+    val churnDf = broadcast(churn.toDf(spark, keyCol))
     val survivors = oldTouched.join(churnDf, Seq(keyCol), "left_anti")
     val upserts = changes.filter(!col(deleteCol)).drop(deleteCol)
     val merged = survivors.unionByName(upserts, allowMissingColumns = true)
@@ -611,30 +746,55 @@ object AtomicIncrement {
   }
 
   /** Split manifest entries into (provably churn-free, may-contain)
-    * by their `keyCol` interval against a SORTED key array — the
+    * by their `keyCol` interval against the sorted churn — the
     * pruning core shared by [[mergeAtomic]] (its rewrite set) and
-    * [[readKeyedMayContain]]. Entries without usable integral stats
-    * land on the may-contain side, conservatively.
+    * [[readKeyedMayContain]]. Integral intervals compare numerically;
+    * string intervals compare in UTF-8 byte space (both sides of the
+    * comparison — churn sort and footer bounds — use the same
+    * unsigned order). Entries without usable same-family stats land
+    * on the may-contain side, conservatively; so do damaged bounds
+    * that fail to parse.
     */
   private def splitByKeyIntervals(entries: Seq[ManifestEntry],
-      keyCol: String, sortedKeys: Array[Long])
+      keyCol: String, churn: ChurnKeys)
       : (Seq[ManifestEntry], Seq[ManifestEntry]) = {
-    val integralTags = Set("long", "int", "short", "byte")
-    def intervalHasKey(mn: Long, mx: Long): Boolean = {
+    def longHas(sorted: Array[Long], mn: Long, mx: Long): Boolean = {
       var lo = 0
-      var hi = sortedKeys.length
+      var hi = sorted.length
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
-        if (sortedKeys(mid) < mn) lo = mid + 1 else hi = mid
+        if (sorted(mid) < mn) lo = mid + 1 else hi = mid
       }
-      lo < sortedKeys.length && sortedKeys(lo) <= mx
+      lo < sorted.length && sorted(lo) <= mx
+    }
+    def bytesHas(sorted: Array[Array[Byte]], mn: Array[Byte],
+        mx: Array[Byte]): Boolean = {
+      var lo = 0
+      var hi = sorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (java.util.Arrays.compareUnsigned(sorted(mid), mn) < 0)
+          lo = mid + 1
+        else hi = mid
+      }
+      lo < sorted.length &&
+        java.util.Arrays.compareUnsigned(sorted(lo), mx) <= 0
     }
     entries.partition { e =>
       e.statsFor(keyCol) match {
-        case Some(fc) if integralTags.contains(fc.tag) =>
-          try !intervalHasKey(fc.min.toLong, fc.max.toLong)
-          catch { case _: NumberFormatException => false }
-        case _ => false // no usable key stats: may contain
+        case Some(fc) => (churn, fc.tag) match {
+          case (LongChurn(sorted), t) if integralTags.contains(t) =>
+            try !longHas(sorted, fc.min.toLong, fc.max.toLong)
+            catch { case _: NumberFormatException => false }
+          case (sc: StringChurn, "string") =>
+            try {
+              val dec = java.util.Base64.getDecoder
+              !bytesHas(sc.sortedBytes,
+                dec.decode(fc.min), dec.decode(fc.max))
+            } catch { case _: IllegalArgumentException => false }
+          case _ => false // family mismatch / unusable stats: may contain
+        }
+        case _ => false // no key stats: may contain
       }
     }
   }
@@ -649,11 +809,22 @@ object AtomicIncrement {
     * under it whatever the stats coverage.
     */
   def readKeyedMayContain(spark: SparkSession, sink: String,
-      keyCol: String, keys: Seq[Long]): DataFrame = {
+      keyCol: String, keys: Seq[Long]): DataFrame =
+    readKeyedChurn(spark, sink, keyCol,
+      LongChurn(keys.distinct.sorted.toArray))
+
+  /** [[readKeyedMayContain]] for string/UUID keys — the same
+    * may-contain superset, intervals tested in UTF-8 byte space. */
+  def readKeyedMayContainStr(spark: SparkSession, sink: String,
+      keyCol: String, keys: Seq[String]): DataFrame =
+    readKeyedChurn(spark, sink, keyCol,
+      StringChurn(sortUtf8(keys.distinct.toArray)))
+
+  private[graft] def readKeyedChurn(spark: SparkSession, sink: String,
+      keyCol: String, churn: ChurnKeys): DataFrame = {
     val (_, entries) = snapshotEntries(spark, sink)
     require(entries.nonEmpty, s"no committed snapshot at $sink")
-    val (_, touched) = splitByKeyIntervals(entries, keyCol,
-      keys.distinct.sorted.toArray)
+    val (_, touched) = splitByKeyIntervals(entries, keyCol, churn)
     val full = readCommitted(spark, sink)
     if (touched.isEmpty) full.limit(0)
     else spark.read.schema(full.schema)

@@ -65,15 +65,54 @@ object BloomSkip {
     Array.tabulate(k)(i => (((h + i * h2) % m + m) % m).toInt)
   }
 
+  /** Build one sidecar's bitset from its file's distinct hashes and
+    * write it beside the data file. Runs on EXECUTORS during
+    * [[ensureSidecars]]' distributed build (and on the driver only for
+    * the zero-row fallback): the bitset, the sizing, and the write all
+    * stay where the hashes are — no row-scale driver materialization.
+    * `fs.create(overwrite = true)` + identical deterministic content
+    * make task retries idempotent. The filter size is computed in
+    * LONG (`bitsPerKey · |hashes|` overflows Int near 2³¹ bits) and
+    * over-cardinality files fail LOUDLY instead of silently wrapping
+    * into a corrupt undersized filter.
+    */
+  private def writeSidecarFor(dataFile: Path, column: String,
+      hashes: Array[Long], bitsPerKey: Int, k: Int,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val mL = math.max(64L, bitsPerKey.toLong * hashes.length)
+    require(mL <= (Int.MaxValue - 8).toLong,
+      s"bloom sidecar for $dataFile needs $mL bits " +
+        s"($bitsPerKey bits/key × ${hashes.length} keys) — past the " +
+        "2³¹-bit filter ceiling; compact the table into smaller files " +
+        "or lower bitsPerKey")
+    val m = mL.toInt
+    val bits = new Array[Byte]((m + 7) / 8)
+    for (h <- hashes; p <- positions(h, k, m))
+      bits(p >>> 3) = (bits(p >>> 3) | (1 << (p & 7))).toByte
+    val body = s"$m $k\n" +
+      java.util.Base64.getEncoder.encodeToString(bits)
+    val sc = new Path(dataFile.getParent,
+      s"${dataFile.getName}.bloom-$column")
+    val fs = sc.getFileSystem(conf)
+    val out = fs.create(sc, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Build the missing `column` sidecars for the committed snapshot.
     * Returns how many were built (0 = fully covered already — the
-    * idempotence a maintenance scheduler relies on). Each new file
-    * costs one scan of THAT file (distinct hashes, one xxhash64
-    * column); files from earlier increments keep their sidecars, so
-    * steady-state cost per increment is the increment. `bitsPerKey`
-    * sizes the filter off the file's distinct-key count (10 bits/key +
-    * k=4 ≈ 1% false-positive rate — a 1-in-100 wasted file open,
-    * against a 100× read saving when the table is 100 files).
+    * idempotence a maintenance scheduler relies on). ONE distributed
+    * job covers every missing file, however many there are: a
+    * single-column snapshot-typed scan over the missing set,
+    * `input_file_name` + `xxhash64` distinct, then the per-file hash
+    * groups build and WRITE their bitsets executor-side — the driver
+    * never sees a hash, and 10⁵ new files cost one job, not 10⁵
+    * sequential ones. Coverage discovery is one directory listing per
+    * batch dir (not one existence probe per file). Files from earlier
+    * increments keep their sidecars, so steady-state cost per
+    * increment is the increment. `bitsPerKey` sizes each filter off
+    * its file's distinct-key count (10 bits/key + k=4 ≈ 1%
+    * false-positive rate — a 1-in-100 wasted file open, against a
+    * 100× read saving when the table is 100 files).
     *
     * Production note: a writer that owns the data format would emit
     * these during the original write (parquet's own column bloom
@@ -85,25 +124,51 @@ object BloomSkip {
       bitsPerKey: Int = 10, k: Int = 4): Int = {
     require(bitsPerKey > 0 && k > 0, "bloom parameters must be positive")
     val fs = fsOf(spark, sink)
-    var built = 0
-    for (rel <- AtomicIncrement.committedFiles(spark, sink)) {
-      val sc = sidecar(sink, rel, column)
-      if (!fs.exists(sc)) {
-        val hashes = spark.read.parquet(s"$sink/$rel")
-          .select(xxhash64(col(column)).as("h")).distinct()
-          .collect().map(_.getLong(0))
-        val m = math.max(64, bitsPerKey * math.max(1, hashes.length))
-        val bits = new Array[Byte]((m + 7) / 8)
-        for (h <- hashes; p <- positions(h, k, m))
-          bits(p >>> 3) = (bits(p >>> 3) | (1 << (p & 7))).toByte
-        val body = s"$m $k\n" +
-          java.util.Base64.getEncoder.encodeToString(bits)
-        val out = fs.create(sc, true)
-        try out.write(body.getBytes("UTF-8")) finally out.close()
-        built += 1
+    val committed = AtomicIncrement.committedFiles(spark, sink)
+    val missing = committed.groupBy(_.split("/").dropRight(1).mkString("/"))
+      .toSeq.flatMap { case (dir, rels) =>
+        val present = fs.listStatus(new Path(s"$sink/$dir"))
+          .map(_.getPath.getName).toSet
+        rels.filterNot(rel =>
+          present.contains(s"${rel.split("/").last}.bloom-$column"))
       }
-    }
-    built
+    if (missing.isEmpty) return 0
+    // the snapshot type is the hash domain on BOTH paths (build here,
+    // literal probe in pointLookup); an evolved file missing the
+    // column contributes one null-hash bit — a may-contain nit, never
+    // a false negative
+    val field = AtomicIncrement.readCommitted(spark, sink).schema.fields
+      .find(_.name.equalsIgnoreCase(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"bloom column '$column' not in the committed schema"))
+    val confSer = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val (bpk, kk, colName) = (bitsPerKey, k, column)
+    import spark.implicits._
+    val builtNames = spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(field)))
+      .parquet(missing.map(rel => s"$sink/$rel"): _*)
+      .select(input_file_name().as("f"),
+        xxhash64(col(column)).as("h"))
+      .distinct()
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val dataPath = new Path(new java.net.URI(f))
+        writeSidecarFor(dataPath, colName, it.map(_._2).toArray,
+          bpk, kk, confSer.value)
+        s"${dataPath.getParent.getName}/${dataPath.getName}"
+      }
+      .collect().toSet
+    // a zero-row file yields no hash group: its always-reject sidecar
+    // (empty bitset — the true verdict for a rowless file) is written
+    // here, driver-side, at zero scan cost
+    for (rel <- missing
+        if !builtNames.contains(rel.split("/").takeRight(2).mkString("/")))
+      writeSidecarFor(new Path(s"$sink/$rel"), column,
+        Array.empty[Long], bitsPerKey, k,
+        spark.sparkContext.hadoopConfiguration)
+    missing.size
   }
 
   /** MAY-CONTAIN verdict of one sidecar for a row hash; an absent or
@@ -147,19 +212,47 @@ object BloomSkip {
     // build used — one driver-local 1-row job, no replication risk
     val h = spark.range(1).select(xxhash64(value)).head().getLong(0)
     val lit = spark.range(1).select(value).head().get(0)
-    val kept = entries.filter { e =>
-      val intervalMay = e.statsFor(column) match {
+    val intervalKept = entries.filter { e =>
+      e.statsFor(column) match {
         case Some(fc) =>
-          (fc.tag, lit) match {
+          // damaged/foreign bounds degrade to may-contain, like every
+          // stats decision here — never an exception on a lookup
+          try (fc.tag, lit) match {
             case (("long" | "int" | "short" | "byte"), v: Number) =>
               fc.min.toLong <= v.longValue() &&
                 v.longValue() <= fc.max.toLong
+            case ("string", v: String) =>
+              val dec = java.util.Base64.getDecoder
+              val vb = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              java.util.Arrays.compareUnsigned(dec.decode(fc.min), vb) <= 0 &&
+                java.util.Arrays.compareUnsigned(vb, dec.decode(fc.max)) <= 0
             case _ => true
+          } catch {
+            case _: NumberFormatException | _: IllegalArgumentException =>
+              true
           }
         case _ => true
       }
-      intervalMay && mayContain(spark, sink, e.path, column, h)
     }
+    // sidecar probes run in PARALLEL: each is one small read, and a
+    // serial loop would make the lookup O(surviving files) FS round
+    // trips — painful on object storage when interval stats can't
+    // prune. An absent/unreadable sidecar stays may-contain.
+    val kept =
+      if (intervalKept.isEmpty) Seq.empty[AtomicIncrement.ManifestEntry]
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(32, intervalKept.size))
+        try {
+          val verdicts = intervalKept.map { e =>
+            pool.submit(new java.util.concurrent.Callable[Boolean] {
+              def call(): Boolean =
+                mayContain(spark, sink, e.path, column, h)
+            })
+          }
+          intervalKept.zip(verdicts).filter(_._2.get()).map(_._1)
+        } finally { pool.shutdown(); () }
+      }
     val full = AtomicIncrement.readCommitted(spark, sink)
     if (kept.isEmpty) full.limit(0)
     else spark.read.schema(full.schema)

@@ -162,6 +162,72 @@ object Cdc {
         |FROM merged GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin),
 
+    // The string-keyed MERGE under the oracle gate — the reference's
+    // conformed keys are UUID strings (tim_guid,
+    // datasets/create_yougile_dataset.ipynb cell 9; plugin_id,
+    // create_logs_dataset.ipynb cell 5), so the copy-on-write path
+    // must prune and rewrite on a STRING key, not just surrogate
+    // longs. The base loads as three orderkey-range increments whose
+    // UUID-shaped guid (fixed prefix + zero-padded numeric tail —
+    // byte order ≡ key order) is recorded as string interval stats;
+    // the change batch churns only guids above the second cut, so the
+    // first two batches' files must carry verbatim — `pruned` pins
+    // that string-interval pruning ENGAGED. The oracle derives the
+    // same guid in SQL and replays the merge; `guid_min` surfaces the
+    // string key itself in the compared output.
+    "q_merge_upsert_str" -> QueryDef(
+      (s, dir) => IncrementalAgg.withScratchSink(s, "graft_mergestr") { sink =>
+        val o = table(s, dir, "orders").select(
+          concat(lit("00000000-0000-4000-8000-"),
+            lpad(col("o_orderkey").cast("string"), 12, "0")).as("o_guid"),
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val mx = o.agg(max("o_orderkey")).head().getLong(0)
+        var lo = Long.MinValue
+        for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {
+          AtomicIncrement.appendIncrementAtomic(
+            o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+            sink, "o_orderkey", extraStatsCols = Seq("o_guid"))
+          lo = hi
+        }
+        val cut = 2 * mx / 3
+        val hot = o.filter(col("o_orderkey") > cut)
+        val changes = hot.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_guid"), col("o_orderkey"),
+            lit("X").as("o_orderstatus"),
+            (col("o_totalprice") + 100).as("o_totalprice"),
+            lit(false).as("del"))
+          .unionByName(hot.filter(col("o_orderkey") % 10 === 7)
+            .select(col("o_guid"), col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"), lit(true).as("del")))
+        val res = AtomicIncrement.mergeAtomic(changes, sink, "o_guid", "del")
+        AtomicIncrement.readCommitted(s, sink)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum("o_orderkey").as("key_sum"),
+            min("o_guid").as("guid_min"),
+            round(sum("o_totalprice"), 2).as("price_sum"))
+          .withColumn("pruned", lit(res.carried > 0))
+          .orderBy("o_orderstatus")
+      },
+      """WITH cut AS (SELECT 2 * max(o_orderkey) // 3 AS c FROM orders),
+        |base AS (
+        |  SELECT '00000000-0000-4000-8000-' ||
+        |      lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS o_guid,
+        |    o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |merged AS (
+        |  SELECT o_guid, o_orderkey, o_orderstatus, o_totalprice
+        |  FROM base, cut
+        |  WHERE NOT (o_orderkey > c AND o_orderkey % 10 IN (0, 7))
+        |  UNION ALL
+        |  SELECT o_guid, o_orderkey, 'X', o_totalprice + 100
+        |  FROM base, cut WHERE o_orderkey > c AND o_orderkey % 10 = 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  min(o_guid) AS guid_min,
+        |  round(sum(o_totalprice), 2) AS price_sum, TRUE AS pruned
+        |FROM merged GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
     // The history view over the same feed: intervals chain per key,
     // deletes close the last interval without emitting a row.
     "q_cdc_history" -> QueryDef(

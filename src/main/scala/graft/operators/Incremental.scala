@@ -90,6 +90,18 @@ object Incremental {
       extends FooterStats
   private[graft] final case class DoubleStats(min: Double, max: Double)
       extends FooterStats
+  /** String/binary family: the bounds are the UTF-8 bytes exactly as
+    * parquet ordered them (unsigned lexicographic — PARQUET-686's
+    * UNSIGNED sort order, which modern writers use for UTF8). Kept as
+    * bytes so every later comparison happens in the SAME order the
+    * footer computed; the manifest serializes them base64 (raw string
+    * bounds could carry the manifest's own tab/newline separators).
+    * Parquet truncation (if a writer enables it) keeps min a lower
+    * bound and max an upper bound, so the interval stays a may-contain
+    * superset — pruning on it is conservative either way.
+    */
+  private[graft] final case class BinaryStats(min: Array[Byte],
+      max: Array[Byte]) extends FooterStats
 
   /** (min, max) of `column` in ONE parquet file, from footer metadata
     * only. None when the footer cannot answer EXACTLY — missing stats,
@@ -105,7 +117,8 @@ object Incremental {
     import scala.jdk.CollectionConverters._
     val supported = dt match {
       case LongType | IntegerType | ShortType | ByteType |
-           DoubleType | FloatType | TimestampType | DateType => true
+           DoubleType | FloatType | TimestampType | DateType |
+           StringType => true
       case _ => false
     }
     if (!supported) return None
@@ -113,6 +126,7 @@ object Incremental {
     try {
       var longs: Option[(Long, Long)] = None
       var doubles: Option[(Double, Double)] = None
+      var binaries: Option[(Array[Byte], Array[Byte])] = None
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       try {
         val footer = reader.getFooter
@@ -143,6 +157,11 @@ object Incremental {
         def foldDouble(mn: Double, mx: Double): Unit =
           doubles = Some(doubles.fold((mn, mx)) { case (a, b) =>
             (math.min(a, mn), math.max(b, mx)) })
+        def foldBinary(mn: Array[Byte], mx: Array[Byte]): Unit =
+          binaries = Some(binaries.fold((mn, mx)) { case (a, b) =>
+            (if (java.util.Arrays.compareUnsigned(mn, a) < 0) mn else a,
+              if (java.util.Arrays.compareUnsigned(mx, b) > 0) mx else b)
+          })
         footer.getBlocks.forEach { b =>
           b.getColumns.forEach { c =>
             if (c.getPath.toDotString == column) {
@@ -160,6 +179,9 @@ object Incremental {
                     foldDouble(mn.doubleValue, mx.doubleValue)
                   case (mn: java.lang.Float, mx: java.lang.Float) =>
                     foldDouble(mn.doubleValue, mx.doubleValue)
+                  case (mn: org.apache.parquet.io.api.Binary,
+                        mx: org.apache.parquet.io.api.Binary) =>
+                    foldBinary(mn.getBytes, mx.getBytes)
                   case _ => throw new IllegalStateException("unsupported stats type")
                 }
               } else if (!(st.isNumNullsSet && st.getNumNulls == c.getValueCount)) {
@@ -172,10 +194,11 @@ object Incremental {
           }
         }
       } finally reader.close()
-      (longs, doubles) match {
-        case (Some((mn, mx)), None) => Some(LongStats(mn, mx))
-        case (None, Some((mn, mx))) => Some(DoubleStats(mn, mx))
-        case (None, None) => Some(AllNullFile)
+      (longs, doubles, binaries) match {
+        case (Some((mn, mx)), None, None) => Some(LongStats(mn, mx))
+        case (None, Some((mn, mx)), None) => Some(DoubleStats(mn, mx))
+        case (None, None, Some((mn, mx))) => Some(BinaryStats(mn, mx))
+        case (None, None, None) => Some(AllNullFile)
         case _ => None // mixed primitive families: never for one column
       }
     } catch {
@@ -216,6 +239,9 @@ object Incremental {
         case Some(DoubleStats(_, mx)) =>
           maxDouble = Some(maxDouble.fold(mx)(math.max(_, mx)))
         case Some(AllNullFile) => ()
+        // a string watermark has no primitive-literal rendering here —
+        // conservative scan fallback, same as stats-less files
+        case Some(BinaryStats(_, _)) => return None
         case None => return None // any file short of exact → scan fallback
       }
     }

@@ -96,6 +96,24 @@ object IncrementalAgg {
     * `__b` high-water no-ops. Publication is the same OCC snapshot
     * replace as every state fold here. Returns whether the batch
     * applied (false = replay).
+    *
+    * Sums accumulate in the column's NATIVE family — integral sums
+    * stay LongType exactly like [[mergeBatch]]'s (a long count rolled
+    * up in floating point would drift past 2⁵³), doubles stay double,
+    * decimals keep their widened decimal type.
+    *
+    * CONTRACT BOUNDARY — abelian measures only. Count and sum form a
+    * group (every retraction has an inverse), so the fold never needs
+    * the table. min/max/distinct do NOT: retracting the current
+    * minimum leaves "second-smallest" unanswerable from state alone,
+    * so a retractable min/max/distinct needs either a rescan of the
+    * churned groups against the merged table (cost ∝ those groups'
+    * rows — the caller can compute it from
+    * [[AtomicIncrement.MergeResult.upserts]] + the post-merge
+    * [[AtomicIncrement.readKeyedMayContain]] locality read) or sketch
+    * state with deletion support (a counting HLL for distinct). This
+    * fold deliberately refuses to fake them; ask only for count/sum
+    * here and derive ratios at read time.
     */
   def mergeCdcBatch(plus: DataFrame, minus: DataFrame, sink: String,
       keys: Seq[String], sumCols: Seq[String], batchId: Long): Boolean = {
@@ -109,11 +127,24 @@ object IncrementalAgg {
     val last = prior.map(st =>
       st.agg(max("__b")).head().getLong(0)).getOrElse(Long.MinValue)
     if (prior.nonEmpty && batchId <= last) return false
-    def signed(df: DataFrame, sign: Int) =
+    def signed(df: DataFrame, sign: Int) = {
+      // the all-null-group coalesce zero in the column's NATIVE sum
+      // family, so an integer sum stays integral through the fold
+      // (parity with mergeBatch) instead of silently widening to
+      // double and drifting at 2⁵³-scale totals
+      import org.apache.spark.sql.types._
+      def zeroOf(c: String) = df.schema.fields
+        .find(_.name.equalsIgnoreCase(c)).map(_.dataType) match {
+          case Some(ByteType | ShortType | IntegerType | LongType) => lit(0L)
+          case Some(d: DecimalType) =>
+            lit(java.math.BigDecimal.ZERO).cast(d)
+          case _ => lit(0.0)
+        }
       df.groupBy(keys.map(col): _*).agg(
         (count(lit(1)) * sign).as("__n"),
         sumCols.map(c =>
-          (coalesce(sum(col(c)), lit(0.0)) * sign).as(s"sum_$c")): _*)
+          (coalesce(sum(col(c)), zeroOf(c)) * sign).as(s"sum_$c")): _*)
+    }
     val delta = signed(plus, 1).unionByName(signed(minus, -1))
     val merged = prior.map(_.drop("__b").unionByName(delta))
       .getOrElse(delta)

@@ -1070,8 +1070,25 @@ object Similarity {
     val seen = batchDirs(gPath) ++
       (if (fs.exists(tombPath)) batchDirs(tombPath) else Nil)
     val torn = seen.collect { case (id, false) => id }.toSet
-    val horizon = (seen.map(_._1).filterNot(torn) :+
-      ivfIncFoldedThrough(spark, indexDir, g)).max
+    val folded = ivfIncFoldedThrough(spark, indexDir, g)
+    val horizon = (seen.map(_._1).filterNot(torn) :+ folded).max
+    // the torn-batch exclusion assumes ONE sequential writer: a crash
+    // always leaves the torn batch as the highest id, so excluding it
+    // from the horizon keeps its replay live. A torn id BELOW a
+    // completed non-torn id (and above the already-folded horizon —
+    // redelivery debris at or below it was applied long ago and is
+    // harmless) means that assumption broke: folding would swallow
+    // the id into the horizon's max and the partial batch would be
+    // lost silently. Fail loudly instead — replay or remove the torn
+    // dirs, then compact.
+    val swallowed = torn.filter(t => t > folded && t < horizon)
+    require(swallowed.isEmpty,
+      s"torn batch id(s) ${swallowed.toSeq.sorted.mkString(",")} sit " +
+        s"below the fold horizon $horizon under $indexDir/g$g: a " +
+        "non-torn batch committed after a crashed write, violating " +
+        "the single-sequential-writer contract — folding now would " +
+        "permanently discard the torn batch's replay. Replay or " +
+        "remove those batch dirs first.")
     live(g, torn)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("list_id")

@@ -39,29 +39,34 @@ object MergeStream {
       keyCol: String, versionCol: String, deleteCol: String,
       stateSink: Option[String] = None, stateKeys: Seq[String] = Nil,
       stateSums: Seq[String] = Nil,
-      afterFold: () => Unit = () => ()): Unit = {
+      afterFold: () => Unit = () => (),
+      maxChurnKeys: Int = 10000000): Unit = {
     val spark = changes.sparkSession
     val resolved = Cdc.latestViewWithDeletes(changes, Seq(keyCol),
       versionCol, deleteCol).drop(versionCol)
+    // ONE churn collect per micro-batch, validated up front with the
+    // merge's own key contract (integral-or-string type, no nulls,
+    // churn fence): a key the merge would later reject must fail HERE,
+    // before the rollup fold commits a batch id the table never
+    // applies — and the fold and the merge then share the set instead
+    // of each running its own distinct+collect job.
+    val churn = AtomicIncrement.collectChurn(resolved, keyCol, maxChurnKeys)
     stateSink.foreach { st =>
       // before-images from the committed PRE-merge table: the
       // stats-pruned keyed read opens the churn's file locality, not
       // the whole table (a full readCommitted here would be a
       // table-sized scan per micro-batch at 100 TB), then the exact
       // semi-join against the churn set (broadcast — churn-sized)
-      val churnKeys = resolved
-        .select(col(keyCol).cast(org.apache.spark.sql.types.LongType))
-        .distinct().collect().map(_.getLong(0)).toSeq
-      val churn = broadcast(resolved.select(keyCol).distinct())
-      val before = AtomicIncrement.readKeyedMayContain(spark, tableSink,
-          keyCol, churnKeys)
-        .join(churn, Seq(keyCol), "left_semi")
+      val before = AtomicIncrement.readKeyedChurn(spark, tableSink,
+          keyCol, churn)
+        .join(broadcast(churn.toDf(spark, keyCol)), Seq(keyCol), "left_semi")
       val plus = resolved.filter(!col(deleteCol)).drop(deleteCol)
       IncrementalAgg.mergeCdcBatch(plus, before, st,
         stateKeys, stateSums, batchId)
     }
     afterFold()
-    AtomicIncrement.mergeAtomic(resolved, tableSink, keyCol, deleteCol)
+    AtomicIncrement.mergeAtomic(resolved, tableSink, keyCol, deleteCol,
+      maxChurnKeys, churn)
     ()
   }
 

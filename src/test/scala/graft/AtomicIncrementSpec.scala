@@ -473,23 +473,133 @@ class AtomicIncrementSpec extends SparkSpec {
       Seq("k", "v", "x"))
   }
 
-  test("merge fails LOUDLY on a non-integral key and on null keys — " +
-      "never the silent wrong table a nulled cast would produce") {
+  test("merge fails LOUDLY on an out-of-family key (float), on null " +
+      "keys, and on a string churn against an integral table — never " +
+      "the silent wrong table a coerced join would produce") {
     val sink = tmp()
     loadRanged(sink)
-    val strKeyed = Seq(("25", "UPD", false)).toDF("s", "v", "del")
+    // float/double "keys" have no row identity in either family
+    val dblKeyed = Seq((25.0, "UPD", false)).toDF("d", "v", "del")
     val e1 = intercept[IllegalArgumentException] {
-      AtomicIncrement.mergeAtomic(strKeyed, sink, "s", "del")
+      AtomicIncrement.mergeAtomic(dblKeyed, sink, "d", "del")
     }
-    assert(e1.getMessage.contains("integral"))
+    assert(e1.getMessage.contains("integral or string"))
     val withNull = Seq((Some(25L), "UPD", false), (None, "X", false))
       .toDF("k", "v", "del")
     val e2 = intercept[IllegalArgumentException] {
       AtomicIncrement.mergeAtomic(withNull, sink, "k", "del")
     }
     assert(e2.getMessage.contains("NULL"))
-    // neither attempt moved the table
+    // a string-keyed change batch against the LONG-keyed table: legal
+    // key family on its own, but joining it against the table would
+    // coerce — the family mismatch must fail loudly instead
+    val strKeyed = Seq(("25", "UPD", false)).toDF("k", "v", "del")
+    val e3 = intercept[IllegalArgumentException] {
+      AtomicIncrement.mergeAtomic(strKeyed, sink, "k", "del")
+    }
+    assert(e3.getMessage.contains("family mismatch"))
+    // no attempt moved the table
     assert(AtomicIncrement.readCommitted(spark, sink).count() == 30)
+  }
+
+  private def loadRangedStr(sink: String): Unit = {
+    // UUID-shaped keys whose byte order tracks the numeric tail; one
+    // file per range batch so carried/rewritten counts are exact
+    for (r <- Seq(1L to 10L, 11L to 20L, 21L to 30L))
+      AtomicIncrement.appendIncrementAtomic(
+        r.map(k => (1000L + k, f"ab-4000-$k%012d", s"v$k"))
+          .toDF("ts", "guid", "v").repartition(1),
+        sink, "ts", extraStatsCols = Seq("guid"))
+  }
+
+  test("string-keyed merge: manifest records string interval stats, " +
+      "churn-free files carry verbatim, rows resolve to after-images, " +
+      "null/mismatch guards hold") {
+    val sink = tmp()
+    loadRangedStr(sink)
+    val before = AtomicIncrement.snapshotEntries(spark, sink)._2
+    assert(before.forall(_.statsFor("guid").exists(_.tag == "string")),
+      s"string stats missing: $before")
+    def guid(k: Long) = f"ab-4000-$k%012d"
+    // churn confined to the third batch's guid interval: update 25,
+    // insert 31, delete 27 — all on the STRING key
+    val changes = Seq(
+      (2000L, guid(25), "UPD", false),
+      (2001L, guid(31), "NEW", false),
+      (2002L, guid(27), "", true)).toDF("ts", "guid", "v", "del")
+    val res = AtomicIncrement.mergeAtomic(changes, sink, "guid", "del")
+    assert(res.carried == 2 && res.rewritten == 1,
+      s"string-interval pruning failed: $res")
+    // carried lines ride verbatim — same path, same stats bytes
+    val after = AtomicIncrement.snapshotEntries(spark, sink)._2
+    val beforeByPath = before.map(e => e.path -> e).toMap
+    val carriedLines = after.filter(e => beforeByPath.contains(e.path))
+    assert(carriedLines.size == 2 &&
+      carriedLines.forall(e => beforeByPath(e.path) == e),
+      "carried manifest lines changed")
+    val got = AtomicIncrement.readCommitted(spark, sink)
+      .select("guid", "v").as[(String, String)].collect().toMap
+    val expect = ((1L to 30L).filterNot(Set(25L, 27L))
+      .map(k => guid(k) -> s"v$k") ++
+      Seq(guid(25) -> "UPD", guid(31) -> "NEW")).toMap
+    assert(got == expect, s"merged rows wrong: ${got.toSeq.sorted.take(8)}")
+    // before/after delta frames replay the change on the string key
+    assert(res.upserts.select("guid", "v").as[(String, String)]
+      .collect().toSet == Set((guid(25), "UPD"), (guid(31), "NEW")))
+    assert(res.beforeImages.select("guid", "v").as[(String, String)]
+      .collect().toSet == Set((guid(25), "v25"), (guid(27), "v27")))
+    // rewritten files re-record the string key's stats: a SECOND
+    // confined merge still prunes
+    val res2 = AtomicIncrement.mergeAtomic(
+      Seq((3000L, guid(5), "UPD2", false)).toDF("ts", "guid", "v", "del"),
+      sink, "guid", "del")
+    assert(res2.rewritten == 1 && res2.carried == after.size - 1,
+      s"second string merge lost pruning: $res2")
+    // null string key fails loudly, table unmoved
+    val withNull = Seq((Some(guid(5)), "X", false), (None, "Y", false))
+      .map { case (g, v, d) => (g.orNull, v, d) }
+      .toDF("guid", "v", "del")
+    val e = intercept[IllegalArgumentException] {
+      AtomicIncrement.mergeAtomic(withNull, sink, "guid", "del")
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
+  test("string-keyed reads: readKeyedMayContainStr opens the churn's " +
+      "locality; compactClustered range-partitions on the string key " +
+      "and restores pruning") {
+    val sink = tmp()
+    loadRangedStr(sink)
+    def guid(k: Long) = f"ab-4000-$k%012d"
+    val keyed = AtomicIncrement.readKeyedMayContainStr(spark, sink,
+      "guid", Seq(guid(25), guid(27)))
+    assert(keyed.inputFiles.length == 1,
+      s"keyed read opened ${keyed.inputFiles.length} of 3 files")
+    assert(keyed.filter(col("guid").isin(guid(25), guid(27)))
+      .select("guid", "v").as[(String, String)].collect().toSet ==
+      Set((guid(25), "v25"), (guid(27), "v27")))
+    val none = AtomicIncrement.readKeyedMayContainStr(spark, sink,
+      "guid", Seq("zz-nowhere"))
+    assert(none.inputFiles.isEmpty)
+    // interleave the key space (a merge-churned table's drift), then
+    // OPTIMIZE on the STRING column: intervals tighten, pruning returns
+    AtomicIncrement.mergeAtomic(
+      Seq((5000L, guid(2), "U2", false), (5001L, guid(22), "U22", false))
+        .toDF("ts", "guid", "v", "del"), sink, "guid", "del")
+    AtomicIncrement.compactClustered(spark, sink, Seq("guid"),
+      numFiles = 3)
+    val (_, entries) = AtomicIncrement.snapshotEntries(spark, sink)
+    assert(entries.size == 3 &&
+      entries.forall(_.statsFor("guid").exists(_.tag == "string")),
+      s"clustered rewrite lost string stats: $entries")
+    val res = AtomicIncrement.mergeAtomic(
+      Seq((6000L, guid(26), "U26", false)).toDF("ts", "guid", "v", "del"),
+      sink, "guid", "del")
+    assert(res.rewritten == 1 && res.carried == 2,
+      s"string clustering did not restore pruning: $res")
+    val got = AtomicIncrement.readCommitted(spark, sink)
+      .select("guid", "v").as[(String, String)].collect().toMap
+    assert(got.size == 30 && got(guid(26)) == "U26" && got(guid(2)) == "U2")
   }
 
   test("vacuumSuperseded reclaims exactly the files a partial-rewrite " +

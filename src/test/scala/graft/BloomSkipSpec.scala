@@ -105,4 +105,76 @@ class BloomSkipSpec extends SparkSpec {
       "re-ensured sidecars never pruned the absent key")
     assert(lookupRows(sink, id) == fullRows(sink, id))
   }
+
+  test("compact(bloomCols=...) re-covers the rewritten files in the " +
+      "same maintenance step: lookups prune again IMMEDIATELY") {
+    val sink = tmp()
+    load(sink)
+    BloomSkip.ensureSidecars(spark, sink, "id")
+    AtomicIncrement.compactClustered(spark, sink, Seq("ts"),
+      numFiles = 3, bloomCols = Seq("id"))
+    // full coverage with zero further builds...
+    assert(BloomSkip.ensureSidecars(spark, sink, "id") == 0,
+      "compaction left files uncovered despite bloomCols")
+    // ...and an absent-key lookup prunes right away
+    assert(BloomSkip.pointLookup(spark, sink, "id", lit(999999L))
+      .inputFiles.length <
+      AtomicIncrement.committedFiles(spark, sink).size)
+    val id = 7919L % 3000L
+    assert(lookupRows(sink, id) == fullRows(sink, id))
+  }
+
+  test("string-column sidecars: lookups on a UUID-shaped key hash the " +
+      "native string, prune, and stay ≡ full scan + filter") {
+    val sink = tmp()
+    for (r <- Seq(1L to 500L, 501L to 1000L, 1001L to 1500L))
+      AtomicIncrement.appendIncrementAtomic(
+        r.map(ts => (ts, f"u-${ts * 7919 % 1500}%08d", s"v$ts"))
+          .toDF("ts", "guid", "v").repartition(1), sink, "ts")
+    assert(BloomSkip.ensureSidecars(spark, sink, "guid") == 3)
+    def look(g: String) =
+      BloomSkip.pointLookup(spark, sink, "guid", lit(g))
+        .filter(col("guid") === g)
+        .select("ts", "v").as[(Long, String)].collect().sorted.toSeq
+    def full(g: String) =
+      AtomicIncrement.readCommitted(spark, sink)
+        .filter(col("guid") === g)
+        .select("ts", "v").as[(Long, String)].collect().sorted.toSeq
+    for (k <- 0L until 1500L by 61L) {
+      val g = f"u-$k%08d"
+      assert(look(g) == full(g), s"string lookup diverged for $g")
+    }
+    assert(BloomSkip.pointLookup(spark, sink, "guid", lit(f"u-${7919L % 1500}%08d"))
+      .inputFiles.length < 3, "string bloom never pruned")
+    assert(look("u-nowhere").isEmpty)
+  }
+
+  test("a zero-row committed file gets an always-reject sidecar (the " +
+      "true verdict), not an eternal rebuild") {
+    val sink = tmp()
+    val data = (1L to 100L).map(ts => (ts, ts % 10, s"v$ts"))
+      .toDF("ts", "id", "v")
+    AtomicIncrement.appendIncrementAtomic(data.repartition(1), sink, "ts")
+    // hand-commit a ZERO-ROW data file (a defensive shape: no normal
+    // append produces one, but a foreign writer might) — stage an
+    // empty frame and publish it alongside the prior snapshot
+    val f = fs(sink)
+    val staged = AtomicIncrement.stageBatch(data.limit(0), spark, f, sink)
+    assert(staged.nonEmpty, "fixture needs an empty part file")
+    val (v, prior) = AtomicIncrement.snapshot(spark, sink)
+    AtomicIncrement.publish(f, sink, prior ++ staged, v + 1)
+    val files = AtomicIncrement.committedFiles(spark, sink)
+    assert(files.size == 1 + staged.size)
+    assert(BloomSkip.ensureSidecars(spark, sink, "id") == files.size)
+    assert(BloomSkip.ensureSidecars(spark, sink, "id") == 0,
+      "the zero-row file must not rebuild forever")
+    // the empty file's sidecar REJECTS every probe; answers unchanged
+    for (id <- 0L until 10L)
+      assert(BloomSkip.pointLookup(spark, sink, "id", lit(id))
+        .filter(col("id") === id).count() ==
+        AtomicIncrement.readCommitted(spark, sink)
+          .filter(col("id") === id).count())
+    assert(BloomSkip.pointLookup(spark, sink, "id", lit(3L))
+      .inputFiles.length == 1, "the zero-row file was not rejected")
+  }
 }

@@ -147,4 +147,34 @@ class IncrementalAggSpec extends SparkSpec {
       s"maintained rollup diverged from the merged table: " +
         s"${state(stateSink)} vs $direct")
   }
+
+  test("CDC fold keeps integer sums INTEGRAL (LongType, exact) — " +
+      "parity with mergeBatch's native long sums, no float drift") {
+    val sink = tmp()
+    def intRows(r: Range) = r.map(i => (i.toLong, s"g${i % 2}", i.toLong))
+      .toDF("ts", "g", "cnt")
+    assert(IncrementalAgg.mergeCdcBatch(intRows(1 to 20), intRows(1 to 0),
+      sink, keys, Seq("cnt"), 0L))
+    val st0 = IncrementalAgg.readState(spark, sink)
+    assert(st0.schema("sum_cnt").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"integer sum widened: ${st0.schema("sum_cnt").dataType}")
+    // retract 1..4, re-state with cnt+1000 — both signed halves run
+    // the long algebra; the result is exact long arithmetic
+    assert(IncrementalAgg.mergeCdcBatch(
+      intRows(1 to 4).withColumn("cnt", col("cnt") + 1000L),
+      intRows(1 to 4), sink, keys, Seq("cnt"), 1L))
+    val got = IncrementalAgg.readState(spark, sink)
+      .select("g", "__n", "sum_cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val direct = intRows(1 to 20)
+      .join(intRows(1 to 4).select(col("ts").as("__u")),
+        col("ts") === col("__u"), "left_anti")
+      .unionByName(intRows(1 to 4).withColumn("cnt", col("cnt") + 1000L))
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("cnt").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == direct, s"long CDC fold diverged: $got vs $direct")
+  }
 }

@@ -140,4 +140,43 @@ class MergeStreamSpec extends SparkSpec {
       Some(stateSink), Seq("g"), Seq("x"))
     assert(tableRows(tableSink) == t && stateRows(stateSink) == s)
   }
+
+  test("one churn collect per micro-batch: the fold and the merge " +
+      "share the precollected key set (probe-counted)") {
+    val tableSink = tmp("graft_monce_t")
+    val stateSink = tmp("graft_monce_s")
+    loadBase(tableSink, stateSink)
+    val changes = Seq((5L, "g9", 100.0, 1L, false),
+      (30L, "", 0.0, 1L, true)).toDF("k", "g", "x", "v", "del")
+    val before = AtomicIncrement.churnCollects.get()
+    MergeStream.applyBatchStep(changes, 1L, tableSink, "k", "v", "del",
+      Some(stateSink), Seq("g"), Seq("x"))
+    assert(AtomicIncrement.churnCollects.get() - before == 1,
+      "a merge-stream batch must collect its churn exactly once")
+  }
+
+  test("key-contract violations fail BEFORE the rollup fold consumes " +
+      "the batch: a null key never strands a folded batch id the " +
+      "table did not apply") {
+    val tableSink = tmp("graft_mval_t")
+    val stateSink = tmp("graft_mval_s")
+    loadBase(tableSink, stateSink)
+    val nullKeyed = Seq((Some(5L), "g9", 100.0, 1L, false),
+      (Option.empty[Long], "gB", 1.0, 1L, false))
+      .toDF("k", "g", "x", "v", "del")
+    val preState = stateRows(stateSink)
+    val preB = IncrementalAgg.readState(spark, stateSink)
+      .agg(max("__b")).head().getLong(0)
+    val e = intercept[IllegalArgumentException] {
+      MergeStream.applyBatchStep(nullKeyed, 7L, tableSink, "k", "v", "del",
+        Some(stateSink), Seq("g"), Seq("x"))
+    }
+    assert(e.getMessage.contains("NULL"))
+    // neither half moved: state identical, batch id NOT recorded — a
+    // later corrected batch 7 still applies
+    assert(stateRows(stateSink) == preState)
+    assert(IncrementalAgg.readState(spark, stateSink)
+      .agg(max("__b")).head().getLong(0) == preB,
+      "the fold recorded a batch the table never applied")
+  }
 }

@@ -1004,4 +1004,35 @@ class SimilaritySpec extends SparkSpec {
       change.withColumn("op", lit("upsert")), cents, 1L)
     assert(probe() == upserted, "replayed torn upsert did not converge")
   }
+
+  test("compaction REFUSES a torn batch sitting BELOW a completed " +
+      "one: the single-sequential-writer contract broke, and folding " +
+      "would swallow the replay — fail loudly, replay heals, then fold") {
+    val e = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val cents = ensureKmeansQuantizer(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tornlow").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val third = (r: Int) => e.filter(pmod(col("vec_id"), lit(3)) === r)
+    appendIvfIncrement(spark, dir, third(0), cents, 0L)
+    appendIvfIncrement(spark, dir, third(1), cents, 1L)
+    appendIvfIncrement(spark, dir, third(2), cents, 2L)
+    // the contract violation: batch 1 tore, yet batch 2 committed
+    // after it (two writers, or an out-of-order retry)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/g1/batch=1/_SUCCESS"),
+      false)
+    val ex = intercept[IllegalArgumentException] {
+      compactIvfIncremental(spark, dir)
+    }
+    assert(ex.getMessage.contains("torn"), ex.getMessage)
+    // nothing moved: no new generation was published
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/g2")),
+      "refused compaction still published a generation")
+    // the replay overwrites the torn dir whole (witness restored) and
+    // compaction then proceeds with every batch intact
+    appendIvfIncrement(spark, dir, third(1), cents, 1L)
+    compactIvfIncremental(spark, dir)
+    assert(spark.read.parquet(s"$dir/g2").count() == e.count(),
+      "healed fold lost rows")
+  }
 }
