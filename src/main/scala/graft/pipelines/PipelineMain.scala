@@ -127,7 +127,9 @@ object PipelineMain {
     */
   def run(spark: SparkSession, bronzeDir: String, sinkDir: String,
       bimUsers: Seq[String],
-      syncCfg: ProjectSync.Config): Seq[StageResult] = {
+      syncCfg: ProjectSync.Config,
+      maintainTargets: Seq[graft.operators.Maintenance.Target] = Nil)
+      : Seq[StageResult] = {
 
     // shared dims, read once before any stage (run.py's extractors
     // phase has already landed them in bronze)
@@ -243,9 +245,21 @@ object PipelineMain {
     // running it after the sinks land mirrors the reference's
     // end-of-run cleanup position and honors the sweep's
     // no-concurrent-readers assumption (the stages above are done).
+    // ... and the lakehouse half of the same stage: every atomic sink
+    // the run maintains gets one OPTIMIZE → bloom re-cover → vacuum
+    // pass (graft.operators.Maintenance) — the sinks above were just
+    // written, so the no-concurrent-writers contract holds here too.
     val maintenanceResult = stage("maintenance") {
       val evicted = graft.sources.DerivedCache.vacuumStale(spark)
-      StageResult("maintenance", Map("evicted_artifacts" -> evicted.size.toLong))
+      val maintained = maintainTargets.flatMap { t =>
+        val r = graft.operators.Maintenance.maintainAtomic(spark, t)
+        val name = t.sink.split("/").last
+        Seq(s"${name}_files" -> r.filesAfter.toLong,
+          s"${name}_reclaimed" ->
+            (r.supersededRemoved + r.orphanDirsRemoved).toLong)
+      }
+      StageResult("maintenance",
+        Map("evicted_artifacts" -> evicted.size.toLong) ++ maintained)
     }
 
     Seq(scriptsResult, gitlabResult, syncResult, yougileResult, logsResult,

@@ -1,0 +1,140 @@
+package graft
+
+import graft.operators.{AtomicIncrement, BloomSkip, Cdc, IncrementalAgg, Maintenance}
+import graft.streaming.MergeStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The full steady-state loop under ONE spec: N CDC micro-batches
+  * stream through the copy-on-write merge + retractable rollup, with
+  * OPTIMIZE → bloom re-cover → vacuum maintenance passes interleaved —
+  * and at every checkpoint the table equals the read-side resolve of
+  * the whole feed, the rollup equals re-aggregating the table, point
+  * lookups stay no-false-negative AND prune again after each rewrite,
+  * and the on-disk file set is exactly the committed snapshot (churn
+  * debris reclaimed, nothing live touched). This is the composition
+  * the pieces' own specs can't see: merge → maintain → merge again.
+  */
+class MaintenanceLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String): String =
+    Files.createTempDirectory(p).resolve("d").toString
+
+  private def base = (1L to 60L).map(k => (k, s"g${k % 3}", k * 2.0))
+    .toDF("k", "g", "x")
+
+  private def tableRows(sink: String) =
+    AtomicIncrement.readCommitted(spark, sink)
+      .select("k", "g", "x").as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+
+  private def stateRows(sink: String) =
+    IncrementalAgg.readState(spark, sink)
+      .select("g", "__n", "sum_x")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+
+  /** On-disk data files under _data vs the committed manifest. */
+  private def diskVsCommitted(sink: String): (Set[String], Set[String]) = {
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$sink/_data")
+    val onDisk = fs.listStatus(dataRoot).flatMap(d =>
+      fs.listStatus(d.getPath).map(_.getPath))
+      .filter(p => p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .map(p => s"_data/${p.getParent.getName}/${p.getName}").toSet
+    (onDisk, AtomicIncrement.committedFiles(spark, sink).toSet)
+  }
+
+  test("merge-stream → optimize → bloom re-cover → vacuum, twice over: " +
+      "table ≡ feed resolve, rollup ≡ re-agg, lookups exact and " +
+      "pruning, disk ≡ committed snapshot") {
+    val tableSink = tmp("graft_life_t")
+    val stateSink = tmp("graft_life_s")
+    // key-clustered load (3 range files) + rollup bootstrap at −1
+    for (r <- Seq(1L to 20L, 21L to 40L, 41L to 60L))
+      AtomicIncrement.appendIncrementAtomic(
+        base.filter(col("k").between(r.head, r.last)).repartition(1),
+        tableSink, "k")
+    IncrementalAgg.mergeCdcBatch(base, base.limit(0), stateSink,
+      Seq("g"), Seq("x"), -1L)
+    BloomSkip.ensureSidecars(spark, tableSink, "k")
+
+    // the CDC feed, four micro-batches: updates, deletes, inserts,
+    // a revival — churn scattered enough that merges interleave the
+    // key space and OPTIMIZE has real work to do
+    val feed: Seq[Seq[(Long, String, Double, Long, Boolean)]] = Seq(
+      Seq((5L, "g9", 100.0, 1L, false), (45L, "", 0.0, 1L, true)),
+      Seq((61L, "gN", 500.0, 1L, false), (22L, "g9", 200.0, 1L, false)),
+      Seq((45L, "g9", 700.0, 2L, false), (8L, "", 0.0, 1L, true)),
+      Seq((30L, "g9", 900.0, 1L, false), (61L, "", 0.0, 2L, true)))
+    def applyBatch(i: Int): Unit = {
+      val changes = feed(i).toDF("k", "g", "x", "v", "del")
+      MergeStream.applyBatchStep(changes, i.toLong, tableSink,
+        "k", "v", "del", Some(stateSink), Seq("g"), Seq("x"))
+    }
+    def expectedAfter(n: Int) = {
+      val changes = feed.take(n).zipWithIndex.flatMap { case (b, i) =>
+        b.map { case (k, g, x, v, del) =>
+          // per-key version must be globally monotone across batches
+          // for the reference resolve: scale by batch index
+          (k, g, x, (i + 1) * 10L + v, del) }
+      }.toDF("k", "g", "x", "v", "del")
+      val all = base.select(col("k"), col("g"), col("x"),
+        lit(0L).as("v"), lit(false).as("del")).unionByName(changes)
+      Cdc.latestView(all, Seq("k"), "v", "del")
+        .select("k", "g", "x").as[(Long, String, Double)]
+        .collect().sortBy(_._1).toSeq
+    }
+    val target = Maintenance.Target(tableSink, clusterCols = Seq("k"),
+      bloomCols = Seq("k"), targetFiles = 3)
+
+    def checkpoint(nBatches: Int, label: String): Unit = {
+      assert(tableRows(tableSink) == expectedAfter(nBatches),
+        s"$label: table diverged from the feed resolve")
+      val direct = AtomicIncrement.readCommitted(spark, tableSink)
+        .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      assert(stateRows(stateSink) == direct,
+        s"$label: rollup diverged from re-aggregation")
+      // point lookups: exact everywhere, pruning engaged
+      val live = tableRows(tableSink).map(_._1)
+      for (k <- live.take(3) ++ live.takeRight(3) :+ 99999L)
+        assert(BloomSkip.pointLookup(spark, tableSink, "k", lit(k))
+          .filter(col("k") === k).count() ==
+          (if (live.contains(k)) 1L else 0L),
+          s"$label: lookup wrong for k=$k")
+      assert(BloomSkip.pointLookup(spark, tableSink, "k", lit(live.head))
+        .inputFiles.length <
+        AtomicIncrement.committedFiles(spark, tableSink).size,
+        s"$label: bloom pruning dead")
+      // disk bounded: data files on disk == the committed snapshot
+      val (disk, committed) = diskVsCommitted(tableSink)
+      assert(disk == committed,
+        s"$label: disk drifted from the snapshot — " +
+          s"extra=${disk -- committed}, missing=${committed -- disk}")
+    }
+
+    applyBatch(0); applyBatch(1)
+    val r1 = Maintenance.maintainAtomic(spark, target)
+    assert(r1.filesAfter == 3 && r1.sidecarsBuilt == 3,
+      s"first maintenance pass: $r1")
+    checkpoint(2, "after first maintain")
+    // maintenance must not break the fold's replay shield: batch ids
+    // continue past it
+    applyBatch(2); applyBatch(3)
+    val r2 = Maintenance.maintainAtomic(spark, target)
+    checkpoint(4, "after second maintain")
+    assert(r2.supersededRemoved + r2.orphanDirsRemoved > 0,
+      s"churn left nothing to reclaim — fixture too tame: $r2")
+    // a further confined merge after maintenance still prunes: the
+    // clustered rewrite restored the intervals
+    val res = AtomicIncrement.mergeAtomic(
+      Seq((2L, "g9", 1.0, false)).toDF("k", "g", "x", "del"),
+      tableSink, "k", "del")
+    assert(res.carried > 0, s"post-maintenance merge lost pruning: $res")
+  }
+}

@@ -166,4 +166,35 @@ class PipelineMainSpec extends SparkSpec {
     assert(Files.exists(foreign), "uncataloged kinds must survive")
     new scala.reflect.io.Directory(foreign.toFile).deleteRecursively()
   }
+
+  test("maintenance stage runs the lakehouse pass over declared atomic " +
+      "sinks: OPTIMIZE + vacuum counts land in the stage report and " +
+      "the sink's file count actually drops") {
+    import graft.operators.{AtomicIncrement, Maintenance}
+    import spark.implicits._
+    // an atomic sink that accreted 6 one-file increments — the shape a
+    // season of incremental runs leaves behind
+    val table = Files.createTempDirectory("graft_pm_atomic")
+      .resolve("t").toString
+    for (r <- 0L to 5L)
+      AtomicIncrement.appendIncrementAtomic(
+        (1L to 10L).map(k => (r * 10 + k, s"v$k")).toDF("k", "v")
+          .repartition(1), table, "k")
+    assert(AtomicIncrement.committedFiles(spark, table).size == 6)
+    val rowsBefore = AtomicIncrement.readCommitted(spark, table)
+      .select("k").as[Long].collect().sorted.toSeq
+
+    val bronze = writeBronze()
+    val sinksDir = Files.createTempDirectory("graft_sinks_mt").toString
+    val results = PipelineMain.run(spark, bronze, sinksDir, Seq("Анна"), cfg,
+      maintainTargets = Seq(Maintenance.Target(table,
+        clusterCols = Seq("k"), targetFiles = 2)))
+    val stage = results.find(_.stage == "maintenance").get.sinkRows
+    assert(stage("t_files") == 2L, s"stage report: $stage")
+    assert(stage("t_reclaimed") >= 6L, s"old batch dirs not reclaimed: $stage")
+    assert(AtomicIncrement.committedFiles(spark, table).size == 2)
+    assert(AtomicIncrement.readCommitted(spark, table)
+      .select("k").as[Long].collect().sorted.toSeq == rowsBefore,
+      "maintenance moved the table's content")
+  }
 }
