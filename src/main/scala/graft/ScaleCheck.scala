@@ -670,6 +670,77 @@ object SkewCheck {
   }
 }
 
+/** Bloom sidecar cost measurement (round 13): the design claims behind
+  * the distributed `ensureSidecars` are (a) the BUILD is one job whose
+  * cost tracks DATA VOLUME, ≈flat in file count at fixed volume — the
+  * r12 shape was one sequential job per file with a driver collect of
+  * its hashes, O(files) wall-clock; and (b) the point LOOKUP's sidecar
+  * probes run in parallel, so a fine-sliced table doesn't pay
+  * O(files) serial FS round trips. Same events rows load once as
+  * `filesLo` and once as `filesHi` range files; build and lookup time
+  * at both counts, interleaved per rep; ratios ≈1 confirm both claims
+  * (the lookup also pays a schema pass over the manifest's file list —
+  * included honestly in the number).
+  */
+object BloomBuildCheck {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val filesLo = args.drop(1).headOption.map(_.toInt).getOrElse(4)
+    val filesHi = args.drop(2).headOption.map(_.toInt).getOrElse(32)
+    val reps = args.drop(3).headOption.map(_.toInt).getOrElse(3)
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import operators.{AtomicIncrement, BloomSkip}
+    val ev = sources.Tables.table(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+        col("user_id"))
+    val target = ev.agg(max("event_id")).head().getLong(0)
+    def load(files: Int): String = {
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_bloomscale").resolve("t").toString
+      AtomicIncrement.appendIncrementAtomic(
+        ev.repartitionByRange(files, col("tsu")), sink, "tsu")
+      sink
+    }
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    // JIT/codegen warm
+    { val s = load(2); BloomSkip.ensureSidecars(spark, s, "event_id")
+      BloomSkip.pointLookup(spark, s, "event_id", lit(target)).count()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(new java.io.File(s).getParent)) }
+    val cells = scala.collection.mutable.Map[(Int, String), List[Double]]()
+      .withDefaultValue(Nil)
+    (1 to reps).foreach { _ =>
+      for (files <- Seq(filesLo, filesHi)) {
+        val sink = load(files)
+        val nFiles = AtomicIncrement.committedFiles(spark, sink).size
+        cells((files, "build")) ::= timed {
+          val built = BloomSkip.ensureSidecars(spark, sink, "event_id")
+          require(built == nFiles, s"expected $nFiles built, got $built")
+        }
+        cells((files, "lookup")) ::= timed {
+          val narrowed = BloomSkip.pointLookup(spark, sink, "event_id",
+            lit(target))
+          require(narrowed.inputFiles.length < nFiles, "never pruned")
+          require(narrowed.filter(col("event_id") === target).count() >= 1)
+        }
+        InternalCaches.drain(); spark.catalog.clearCache()
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(new java.io.File(sink).getParent))
+      }
+    }
+    for (kind <- Seq("build", "lookup")) {
+      val lo = cells((filesLo, kind)).min
+      val hi = cells((filesHi, kind)).min
+      println(f"[bloomscale] $kind%-7s ${filesLo}f=$lo%6.2fs " +
+        f"${filesHi}f=$hi%6.2fs ratio=${hi / lo}%5.2f " +
+        f"(files x${filesHi.toDouble / filesLo}%.0f at fixed volume)")
+    }
+  }
+}
+
 /** Copy-on-write merge cost measurement (round 12): the design claim
   * behind `q_merge_upsert` is that a MERGE rewrites ∝ churn-TOUCHED
   * files, never ∝ table size — on a key-clustered table, a change
