@@ -46,6 +46,27 @@ object AtomicIncrement {
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Driver-side FS fan-out with a bounded pool — the vacuum walks
+    * (one listing per batch dir, one delete per dead file) are pure
+    * metadata round trips, and a serial loop over 10⁵ dirs is minutes
+    * of wall-clock on object storage that a few dozen concurrent
+    * requests collapse. Hadoop FileSystem instances are thread-safe
+    * for list/delete.
+    */
+  private def inParallel[A, B](items: Seq[A], maxThreads: Int = 32)(
+      f: A => B): Seq[B] = {
+    if (items.isEmpty) Nil
+    else if (items.size == 1) Seq(f(items.head))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(maxThreads, items.size))
+      try items.map(a => pool.submit(
+          new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
+        .map(_.get())
+      finally { pool.shutdown(); () }
+    }
+  }
+
   /** One manifest line: a sink-relative data-file path, optionally
     * carrying footer-derived (min, max) statistics for ANY NUMBER of
     * columns — the Delta-log data-skipping idea reduced to one
@@ -272,9 +293,17 @@ object AtomicIncrement {
     val stats = entries.map(_.statsFor(column))
     if (stats.exists(s => !s.exists(_.tag == expectTag))) None
     else try expectTag match {
-      // string bounds have no primitive-literal rendering here — the
-      // watermark falls back to the footer sweep / scan, conservative
-      case "string" => None
+      // string max decodes from the byte-ordered bounds — exact for
+      // the files this sink staged (Spark writes untruncated binary
+      // chunk stats; >4 KB bounds are OMITTED by parquet-mr, which
+      // lands the conservative no-stats line, never a truncated one),
+      // and Spark's string `>` is the same UTF-8 binary order, so an
+      // ISO-string-keyed table watermarks from the manifest too
+      case "string" =>
+        val dec = java.util.Base64.getDecoder
+        val mx = stats.flatten.map(s => dec.decode(s.max)).reduceLeft(
+          (a, b) => if (java.util.Arrays.compareUnsigned(a, b) >= 0) a else b)
+        Some(lit(new String(mx, java.nio.charset.StandardCharsets.UTF_8)))
       case "double" | "float" =>
         Incremental.statsMaxLiteral(dt, None,
           Some(stats.flatten.map(_.max.toDouble).max))
@@ -282,9 +311,9 @@ object AtomicIncrement {
         Incremental.statsMaxLiteral(dt,
           Some(stats.flatten.map(_.max.toLong).max), None)
     } catch {
-      // a hand-edited or damaged stats field must degrade to the
-      // footer sweep, not fail the append
-      case _: NumberFormatException => None
+      // a hand-edited or damaged stats field (numeric or base64) must
+      // degrade to the footer sweep, not fail the append
+      case _: IllegalArgumentException => None
     }
   }
 
@@ -379,6 +408,37 @@ object AtomicIncrement {
     // empty) projection. One extra footer pass over the snapshot's
     // files resolves it; the pruned read itself still opens only
     // `kept`.
+    readKept(spark, sink, kept)
+  }
+
+  /** [[readCommittedAbove]] for a STRING consumer predicate
+    * `column > lower` — intervals compare in UTF-8 byte space (the
+    * same binary order Spark's string `>` filters under), so an
+    * ISO-date-string or UUID-prefixed log prunes files exactly like a
+    * numeric watermark. Same may-contain contract: files without
+    * matching string stats are kept, and
+    * `readCommittedAboveStr(...).filter(col > lit(lower))` ≡
+    * `readCommitted(...).filter(...)` always.
+    */
+  def readCommittedAboveStr(spark: SparkSession, sink: String,
+      column: String, lower: String): DataFrame = {
+    val (_, entries) = snapshotEntries(spark, sink)
+    require(entries.nonEmpty, s"no committed snapshot at $sink")
+    val lowerB = lower.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val kept = entries.filter { e =>
+      e.statsFor(column) match {
+        case Some(fc) if fc.tag == "string" =>
+          try java.util.Arrays.compareUnsigned(
+            java.util.Base64.getDecoder.decode(fc.max), lowerB) > 0
+          catch { case _: IllegalArgumentException => true }
+        case _ => true // no usable string stats: may contain
+      }
+    }
+    readKept(spark, sink, kept)
+  }
+
+  private def readKept(spark: SparkSession, sink: String,
+      kept: Seq[ManifestEntry]): DataFrame = {
     val full = readCommitted(spark, sink)
     if (kept.isEmpty) full.limit(0)
     else spark.read.schema(full.schema)
@@ -852,16 +912,20 @@ object AtomicIncrement {
     val dataRoot = new Path(sink, DataDir)
     if (!fs.exists(dataRoot)) return 0
     val live = committedFiles(spark, sink).toSet
-    var removed = 0
-    for (dir <- fs.listStatus(dataRoot).toSeq.map(_.getPath)
-        if dir.getName.startsWith("batch-")) {
+    val dirs = fs.listStatus(dataRoot).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("batch-"))
+    // one listing + the dead-file deletes per dir, fanned out — a
+    // serial walk is O(dirs) FS round trips
+    inParallel(dirs) { dir =>
       val files = fs.listStatus(dir).toSeq.map(_.getPath)
       val dataFiles = files.filter { p =>
         val n = p.getName
         n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
       }
       def rel(p: Path) = s"$DataDir/${dir.getName}/${p.getName}"
-      if (dataFiles.exists(p => live.contains(rel(p)))) {
+      if (!dataFiles.exists(p => live.contains(rel(p)))) 0
+      else {
+        var removed = 0
         for (p <- dataFiles if !live.contains(rel(p))) {
           fs.delete(p, false)
           // the dead file's Bloom sidecars go with it
@@ -869,9 +933,9 @@ object AtomicIncrement {
             .foreach(fs.delete(_, false))
           removed += 1
         }
+        removed
       }
-    }
-    removed
+    }.sum
   }
 
   /** GC staged-but-uncommitted batch directories (crashed or lost-race
@@ -887,7 +951,7 @@ object AtomicIncrement {
     val orphans = fs.listStatus(dataRoot).toSeq
       .map(_.getPath)
       .filter(p => p.getName.startsWith("batch-") && !live.contains(p.getName))
-    orphans.foreach(fs.delete(_, true))
+    inParallel(orphans)(fs.delete(_, true))
     orphans.size
   }
 }

@@ -231,6 +231,7 @@ object Incremental {
       dt: DataType): Option[org.apache.spark.sql.Column] = {
     var maxLong: Option[Long] = None
     var maxDouble: Option[Double] = None
+    var maxBytes: Option[Array[Byte]] = None
     val it = files.iterator
     while (it.hasNext) {
       footerStatsOfFile(spark, it.next(), column, dt) match {
@@ -239,13 +240,22 @@ object Incremental {
         case Some(DoubleStats(_, mx)) =>
           maxDouble = Some(maxDouble.fold(mx)(math.max(_, mx)))
         case Some(AllNullFile) => ()
-        // a string watermark has no primitive-literal rendering here —
-        // conservative scan fallback, same as stats-less files
+        // string watermark: fold the byte-ordered max (exact for the
+        // files this engine writes — parquet-mr OMITS >4 KB binary
+        // bounds rather than truncating, and omission already routes
+        // through the scan fallback); Spark's string comparison is
+        // the same UTF-8 binary order the literal will filter under
+        case Some(BinaryStats(_, mx)) if dt == StringType =>
+          maxBytes = Some(maxBytes.fold(mx)(a =>
+            if (java.util.Arrays.compareUnsigned(a, mx) >= 0) a else mx))
         case Some(BinaryStats(_, _)) => return None
         case None => return None // any file short of exact → scan fallback
       }
     }
-    statsMaxLiteral(dt, maxLong, maxDouble)
+    if (dt == StringType)
+      maxBytes.map(b =>
+        lit(new String(b, java.nio.charset.StandardCharsets.UTF_8)))
+    else statsMaxLiteral(dt, maxLong, maxDouble)
   }
 
   /** Append only rows with watermarkCol strictly above the sink's

@@ -35,13 +35,27 @@ import org.apache.spark.sql.SparkSession
   */
 object Maintenance {
 
-  /** What one pass did — the numbers a maintenance log would record. */
+  /** What one pass did — the numbers a maintenance log would record.
+    * `rewrote = false` means the fragmentation trigger skipped the
+    * table rewrite (the pass was metadata/increment-sized).
+    */
   final case class Report(filesBefore: Int, filesAfter: Int,
-      sidecarsBuilt: Int, supersededRemoved: Int, orphanDirsRemoved: Int)
+      rewrote: Boolean, sidecarsBuilt: Int, supersededRemoved: Int,
+      orphanDirsRemoved: Int)
 
-  /** One maintenance target: an atomic sink plus its layout policy. */
+  /** One maintenance target: an atomic sink plus its layout policy.
+    * `triggerFiles` is the fragmentation trigger: the OPTIMIZE rewrite
+    * runs only when the committed file count EXCEEDS
+    * `max(targetFiles, triggerFiles)` — without it a scheduled pass
+    * would rewrite the WHOLE table every run, i.e. a daily pipeline
+    * would pay 100 TB of writes daily for zero layout change. A
+    * skipped rewrite still re-covers sidecars (increment-sized) and
+    * vacuums (metadata-sized), so the pass stays cheap when the table
+    * is healthy and table-sized only when fragmentation warrants it.
+    */
   final case class Target(sink: String, clusterCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil, targetFiles: Int = 8)
+      bloomCols: Seq[String] = Nil, targetFiles: Int = 8,
+      triggerFiles: Int = 0)
 
   /** One full pass over one sink. OCC applies to the compaction like
     * any snapshot replace: if a live writer commits concurrently the
@@ -49,8 +63,12 @@ object Maintenance {
     * vacuums never ran, so nothing was reclaimed under the winner).
     */
   def maintainAtomic(spark: SparkSession, target: Target): Report = {
+    val committed = AtomicIncrement.committedFiles(spark, target.sink).size
+    val rewrite = committed > math.max(target.targetFiles,
+      target.triggerFiles)
     val (before, after) =
-      if (target.clusterCols.nonEmpty)
+      if (!rewrite) (committed, committed)
+      else if (target.clusterCols.nonEmpty)
         AtomicIncrement.compactClustered(spark, target.sink,
           target.clusterCols, target.targetFiles)
       else
@@ -59,6 +77,6 @@ object Maintenance {
       BloomSkip.ensureSidecars(spark, target.sink, c)).sum
     val superseded = AtomicIncrement.vacuumSuperseded(spark, target.sink)
     val orphans = AtomicIncrement.vacuumUncommitted(spark, target.sink)
-    Report(before, after, built, superseded, orphans)
+    Report(before, after, rewrite, built, superseded, orphans)
   }
 }

@@ -644,6 +644,62 @@ class AtomicIncrementSpec extends SparkSpec {
     assert(AtomicIncrement.vacuumUncommitted(spark, sink) == 1)
   }
 
+  test("STRING watermark: increments keyed by ISO-like strings append " +
+      "idempotently off the manifest's byte-ordered max, and the " +
+      "string range read prunes ≡ full scan") {
+    val sink = tmp()
+    def day(d: Int) = f"2026-01-$d%02d"
+    def rows(r: Range) = r.map(d => (day(d), s"v$d")).toDF("dt", "v")
+    assert(AtomicIncrement.appendIncrementAtomic(
+      rows(1 to 10).repartition(1), sink, "dt") == 10)
+    assert(AtomicIncrement.appendIncrementAtomic(
+      rows(11 to 20).repartition(1), sink, "dt") == 10)
+    // stats recorded with the string tag on every file
+    val (_, entries) = AtomicIncrement.snapshotEntries(spark, sink)
+    assert(entries.forall(_.statsFor("dt").exists(_.tag == "string")),
+      s"string watermark stats missing: $entries")
+    // replay appends 0 (the manifest shortcut must answer the string
+    // max — a wrong byte-order max here re-appends or drops rows)
+    assert(AtomicIncrement.appendIncrementAtomic(
+      rows(1 to 20), sink, "dt") == 0)
+    // a late row below the max is dropped; a fresh one lands
+    assert(AtomicIncrement.appendIncrementAtomic(
+      rows(15 to 21), sink, "dt") == 1)
+    assert(AtomicIncrement.readCommitted(spark, sink).count() == 21)
+    // the string range-pruned read: above day 10 opens fewer files,
+    // composed read ≡ full scan under the exact filter
+    val pruned = AtomicIncrement.readCommittedAboveStr(spark, sink,
+      "dt", day(10))
+    val full = AtomicIncrement.readCommitted(spark, sink)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      "string range read never pruned")
+    assert(pruned.filter(col("dt") > day(10)).select("v")
+      .as[String].collect().sorted.toSeq ==
+      full.filter(col("dt") > day(10)).select("v")
+        .as[String].collect().sorted.toSeq)
+    // an impossible cut prunes everything, schema intact
+    assert(AtomicIncrement.readCommittedAboveStr(spark, sink,
+      "dt", "9999").count() == 0)
+  }
+
+  test("STRING watermark with >4KB values: parquet omits the oversized " +
+      "binary bounds, the shortcut degrades to the scan — idempotence " +
+      "holds with zero pruning, never a wrong watermark") {
+    val sink = tmp()
+    // 5000-char keys: parquet-mr drops binary chunk stats past its
+    // 4096-byte cap rather than truncating, so the manifest line is
+    // path-only for dt and every read/append takes the conservative
+    // path
+    def big(d: Int) = f"2026-01-$d%02d" + ("x" * 5000)
+    def rows(r: Range) = r.map(d => (big(d), s"v$d")).toDF("dt", "v")
+    assert(AtomicIncrement.appendIncrementAtomic(
+      rows(1 to 5).repartition(1), sink, "dt") == 5)
+    assert(AtomicIncrement.appendIncrementAtomic(
+      rows(1 to 8).repartition(1), sink, "dt") == 3)
+    assert(AtomicIncrement.appendIncrementAtomic(rows(1 to 8), sink, "dt") == 0)
+    assert(AtomicIncrement.readCommitted(spark, sink).count() == 8)
+  }
+
   test("merge fences a churn set past maxChurnKeys loudly") {
     val sink = tmp()
     loadRanged(sink)

@@ -106,8 +106,8 @@ class IncrementalSpec extends SparkSpec {
     assert(Incremental.appendIncrementPartitioned(next, path, "ts") == 1)
   }
 
-  test("footerMax answers from parquet statistics for numeric/temporal, " +
-      "declines for strings") {
+  test("footerMax answers from parquet statistics for numeric/temporal " +
+      "and (since r13) strings, declines for absent columns") {
     val path = tmp()
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     Seq((1L, 1.5, t("2024-01-01 10:00:00"), "a"),
@@ -125,8 +125,11 @@ class IncrementalSpec extends SparkSpec {
     Incremental.footerMax(spark, path, "ts", TimestampType).foreach { c =>
       assert(evalExpr(c) == t("2024-03-05 08:30:00"))
     }
-    // string statistics may be truncated bounds — must decline
-    assert(Incremental.footerMax(spark, path, "s", StringType).isEmpty)
+    // strings answer from the byte-ordered binary bounds (r13 — the
+    // ISO-string watermark path; parquet-mr OMITS oversized bounds
+    // rather than truncating, and omission declines below)
+    val sMax = Incremental.footerMax(spark, path, "s", StringType)
+    assert(sMax.isDefined && evalExpr(sMax.get) == "z")
     // absent column: no stats anywhere -> None, caller scans
     assert(Incremental.footerMax(spark, path, "nope", LongType).isEmpty)
   }

@@ -88,8 +88,11 @@ class MaintenanceLifecycleSpec extends SparkSpec {
         .select("k", "g", "x").as[(Long, String, Double)]
         .collect().sortBy(_._1).toSeq
     }
+    // targetFiles BELOW the base file count so the fragmentation
+    // trigger always fires in this fixture (merge churn keeps the
+    // committed count above it) — the trigger itself has its own test
     val target = Maintenance.Target(tableSink, clusterCols = Seq("k"),
-      bloomCols = Seq("k"), targetFiles = 3)
+      bloomCols = Seq("k"), targetFiles = 2)
 
     def checkpoint(nBatches: Int, label: String): Unit = {
       assert(tableRows(tableSink) == expectedAfter(nBatches),
@@ -120,7 +123,7 @@ class MaintenanceLifecycleSpec extends SparkSpec {
 
     applyBatch(0); applyBatch(1)
     val r1 = Maintenance.maintainAtomic(spark, target)
-    assert(r1.filesAfter == 3 && r1.sidecarsBuilt == 3,
+    assert(r1.rewrote && r1.filesAfter == 2 && r1.sidecarsBuilt == 2,
       s"first maintenance pass: $r1")
     checkpoint(2, "after first maintain")
     // maintenance must not break the fold's replay shield: batch ids
@@ -136,5 +139,34 @@ class MaintenanceLifecycleSpec extends SparkSpec {
       Seq((2L, "g9", 1.0, false)).toDF("k", "g", "x", "del"),
       tableSink, "k", "del")
     assert(res.carried > 0, s"post-maintenance merge lost pruning: $res")
+  }
+
+  test("fragmentation trigger: a healthy table's maintenance pass " +
+      "skips the rewrite (no new version, no byte movement) while " +
+      "sidecar cover and vacuums still run") {
+    val sink = tmp("graft_trig")
+    for (r <- Seq(1L to 30L, 31L to 60L))
+      AtomicIncrement.appendIncrementAtomic(
+        base.filter(col("k").between(r.head, r.last)).repartition(1),
+        sink, "k")
+    val target = Maintenance.Target(sink, clusterCols = Seq("k"),
+      bloomCols = Seq("k"), targetFiles = 8)
+    val vBefore = AtomicIncrement.snapshot(spark, sink)._1
+    val r = Maintenance.maintainAtomic(spark, target)
+    assert(!r.rewrote && r.filesBefore == 2 && r.filesAfter == 2,
+      s"healthy table was rewritten: $r")
+    assert(AtomicIncrement.snapshot(spark, sink)._1 == vBefore,
+      "a skipped rewrite must not publish a version")
+    // the cheap halves still ran: full sidecar coverage, clean disk
+    assert(r.sidecarsBuilt == 2)
+    assert(Maintenance.maintainAtomic(spark, target).sidecarsBuilt == 0)
+    // ...and once fragmentation crosses the trigger, the rewrite runs
+    for (i <- 1 to 7)
+      AtomicIncrement.appendIncrementAtomic(
+        Seq((60L + i, "gZ", 1.0)).toDF("k", "g", "x").repartition(1),
+        sink, "k")
+    val r2 = Maintenance.maintainAtomic(spark, target)
+    assert(r2.rewrote && r2.filesBefore == 9 && r2.filesAfter <= 8,
+      s"fragmented table was not rewritten: $r2")
   }
 }
