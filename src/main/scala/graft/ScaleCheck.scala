@@ -70,8 +70,9 @@ object ScaleCheck {
     "q_merge_upsert", "q_incr_agg_cdc", "q_read_bloom",
     "q_optimize_cluster",
     // round 13: the string/UUID-keyed merge (guid derives from the
-    // replicated orderkey, so churn structure survives scaling)
-    "q_merge_upsert_str")
+    // replicated orderkey, so churn structure survives scaling) and
+    // the composed maintenance loop
+    "q_merge_upsert_str", "q_maintain_cdc")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {

@@ -16,7 +16,7 @@ object SparkEntry {
       operators.ArrayOps.defs ++ operators.Incremental.defs ++
       operators.AsOf.defs ++ operators.RangeJoin.defs ++
       operators.IncrementalAgg.defs ++ operators.Cdc.defs ++
-      operators.BloomSkip.defs ++
+      operators.BloomSkip.defs ++ operators.Maintenance.defs ++
       operators.BloomJoin.defs ++ operators.Funnel.defs ++
       operators.Sampling.defs ++ operators.Hygiene.defs ++
       operators.QualityModel.defs ++ operators.Packing.defs ++
@@ -46,8 +46,9 @@ object SparkEntry {
     * tools/check_oracle.py and is recorded in the round notes.
     */
   private val checkFirst: Seq[String] = Seq(
-    // the round-13 addition: string/UUID-keyed merge, never checked yet
-    "q_merge_upsert_str",
+    // the round-13 additions: string/UUID-keyed merge + the composed
+    // maintenance loop, never driver-checked yet
+    "q_merge_upsert_str", "q_maintain_cdc",
     // the round-12 additions: newest first
     "q_merge_upsert", "q_incr_agg_cdc", "q_read_bloom",
     "q_optimize_cluster",

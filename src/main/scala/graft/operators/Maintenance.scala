@@ -1,6 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import graft.QueryDef
+import graft.sources.Tables.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** The steady-state maintenance loop of a manifest-committed table —
   * the operational composition of the pieces that exist separately
@@ -79,4 +82,94 @@ object Maintenance {
     val orphans = AtomicIncrement.vacuumUncommitted(spark, target.sink)
     Report(before, after, rewrite, built, superseded, orphans)
   }
+
+  def defs: Map[String, QueryDef] = Map(
+    // The WHOLE loop under the oracle gate: a range-clustered load, a
+    // CDC micro-batch through the streaming apply (table merge + the
+    // retractable rollup fold), a full maintenance pass (clustered
+    // OPTIMIZE + bloom re-cover + both vacuums), then a SECOND CDC
+    // batch through the maintained table. The output reads the
+    // ROLLUP; the oracle re-aggregates the SQL-replayed final table —
+    // so a fold broken by the maintenance pass (double-applied batch,
+    // lost retraction, rewrite changing content), a merge that lost
+    // rows across the rewrite, or a batch-id shield broken by the
+    // snapshot replace all hash-mismatch. `maintained` pins that the
+    // OPTIMIZE rewrite actually engaged (trigger crossed, file count
+    // at target); `pruned` pins that a post-maintenance point lookup
+    // still skips files (interval stats + sidecar coverage survived
+    // the composition).
+    "q_maintain_cdc" -> QueryDef(
+      (s, dir) => IncrementalAgg.withScratchSink(s, "graft_maint_t") {
+        tableSink =>
+        IncrementalAgg.withScratchSink(s, "graft_maint_s") { stateSink =>
+          // a third of orders (mod 3 and the feed's mod-10 classes are
+          // independent, so every update/delete class stays populated):
+          // the composition is what's under test, not the volume — the
+          // full-size load shapes are q_merge_upsert's fixture
+          val o = table(s, dir, "orders")
+            .filter(col("o_orderkey") % 3 === 1)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"))
+          val mx = o.agg(max("o_orderkey")).head().getLong(0)
+          var lo = Long.MinValue
+          for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {
+            AtomicIncrement.appendIncrementAtomic(
+              o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+              tableSink, "o_orderkey")
+            lo = hi
+          }
+          IncrementalAgg.mergeCdcBatch(o, o.limit(0), stateSink,
+            Seq("o_orderstatus"), Seq("o_totalprice"), -1L)
+          val cut = 2 * mx / 3
+          val hot = o.filter(col("o_orderkey") > cut)
+          def ch(df: DataFrame, status: Column, price: Column,
+              del: Boolean) =
+            df.select(col("o_orderkey"), status.as("o_orderstatus"),
+              price.as("o_totalprice"), lit(0L).as("v"),
+              lit(del).as("del"))
+          val b0 = ch(hot.filter(col("o_orderkey") % 10 === 0), lit("X"),
+              col("o_totalprice") + 100, del = false)
+            .unionByName(ch(hot.filter(col("o_orderkey") % 10 === 7),
+              col("o_orderstatus"), col("o_totalprice"), del = true))
+          graft.streaming.MergeStream.applyBatchStep(b0, 0L, tableSink,
+            "o_orderkey", "v", "del", Some(stateSink),
+            Seq("o_orderstatus"), Seq("o_totalprice"))
+          val report = maintainAtomic(s, Target(tableSink,
+            clusterCols = Seq("o_orderkey"),
+            bloomCols = Seq("o_orderkey"), targetFiles = 2))
+          val b1 = ch(hot.filter(col("o_orderkey") % 10 === 3),
+            col("o_orderstatus"), col("o_totalprice") + 50, del = false)
+          graft.streaming.MergeStream.applyBatchStep(b1, 1L, tableSink,
+            "o_orderkey", "v", "del", Some(stateSink),
+            Seq("o_orderstatus"), Seq("o_totalprice"))
+          val narrowed = BloomSkip.pointLookup(s, tableSink,
+            "o_orderkey", lit(cut / 2))
+          val engaged = narrowed.inputFiles.length <
+            AtomicIncrement.committedFiles(s, tableSink).size
+          IncrementalAgg.readState(s, stateSink)
+            .select(col("o_orderstatus"), col("__n").as("n"),
+              round(col("sum_o_totalprice"), 2).as("sum_price"))
+            .withColumn("maintained",
+              lit(report.rewrote && report.filesAfter == 2))
+            .withColumn("pruned", lit(engaged))
+            .orderBy("o_orderstatus")
+        }
+      },
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |              FROM orders WHERE o_orderkey % 3 = 1),
+        |cut AS (SELECT 2 * max(o_orderkey) // 3 AS c FROM base),
+        |final AS (
+        |  SELECT o_orderstatus, o_totalprice FROM base, cut
+        |  WHERE NOT (o_orderkey > c AND o_orderkey % 10 IN (0, 3, 7))
+        |  UNION ALL
+        |  SELECT 'X', o_totalprice + 100 FROM base, cut
+        |  WHERE o_orderkey > c AND o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice + 50 FROM base, cut
+        |  WHERE o_orderkey > c AND o_orderkey % 10 = 3)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  TRUE AS maintained, TRUE AS pruned
+        |FROM final GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin))
 }
