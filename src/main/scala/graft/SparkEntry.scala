@@ -48,7 +48,7 @@ object SparkEntry {
   private val checkFirst: Seq[String] = Seq(
     // the round-13 additions: string/UUID-keyed merge + the composed
     // maintenance loop, never driver-checked yet
-    "q_merge_upsert_str", "q_maintain_cdc",
+    "q_merge_upsert_str", "q_maintain_cdc", "q_read_pruned_str",
     // the round-12 additions: newest first
     "q_merge_upsert", "q_incr_agg_cdc", "q_read_bloom",
     "q_optimize_cluster",

@@ -222,6 +222,49 @@ object IncrementalAgg {
         |WHERE l_orderkey > 2 * (SELECT max(l_orderkey) FROM lineitem) // 3
         |""".stripMargin),
 
+    // The STRING-watermark twin of q_read_pruned (round 13): the sink
+    // is watermarked by a monotone string key (the reference's
+    // GUID/ISO-string incremental pulls), so BOTH new string paths
+    // carry the oracle row — the replay must append 0 THROUGH the
+    // manifest's byte-ordered string max (a wrong byte-order max
+    // re-appends rows and the count hash-mismatches), and the
+    // consumer read is readCommittedAboveStr, whose `pruned` flag
+    // pins that string-interval skipping ENGAGED. Fixed-width zero
+    // padding makes byte order ≡ key order, so the oracle can derive
+    // the same strings in SQL.
+    "q_read_pruned_str" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_skipstr") { sink =>
+        val o = table(s, dir, "orders").select(
+          concat(lit("o-"),
+            lpad(col("o_orderkey").cast("string"), 12, "0")).as("okey"),
+          col("o_totalprice"))
+        val mxk = table(s, dir, "orders")
+          .agg(max("o_orderkey")).head().getLong(0)
+        def k(v: Long) = "o-" + "%012d".format(v)
+        var lo = ""
+        for (hi <- Seq(k(mxk / 3), k(2 * mxk / 3), k(mxk))) {
+          AtomicIncrement.appendIncrementAtomic(
+            o.filter(col("okey") > lo && col("okey") <= hi), sink, "okey")
+          lo = hi
+        }
+        // replay rides the manifest's string watermark: 0 fresh rows
+        val replay = AtomicIncrement.appendIncrementAtomic(o, sink, "okey")
+        val cutS = k(2 * mxk / 3)
+        val pruned = AtomicIncrement.readCommittedAboveStr(
+          s, sink, "okey", cutS)
+        val engaged = replay == 0 && pruned.inputFiles.length <
+          AtomicIncrement.committedFiles(s, sink).size
+        pruned.filter(col("okey") > cutS)
+          .agg(count(lit(1)).as("n"), min("okey").as("k_min"),
+            round(sum("o_totalprice"), 2).as("sum_price"))
+          .withColumn("pruned", lit(engaged))
+      },
+      """WITH cut AS (SELECT 2 * max(o_orderkey) // 3 AS c FROM orders)
+        |SELECT count(*) AS n,
+        |  'o-' || lpad(CAST(min(o_orderkey) AS VARCHAR), 12, '0') AS k_min,
+        |  round(sum(o_totalprice), 2) AS sum_price, TRUE AS pruned
+        |FROM orders, cut WHERE o_orderkey > c""".stripMargin),
+
     // The fold under the oracle gate: lineitem arrives as three
     // orderkey-range increments, each merged into the state table;
     // the oracle aggregates the FULL history in one pass — so the
