@@ -53,7 +53,7 @@ object AtomicIncrement {
     * requests collapse. Hadoop FileSystem instances are thread-safe
     * for list/delete.
     */
-  private def inParallel[A, B](items: Seq[A], maxThreads: Int = 32)(
+  private[graft] def inParallel[A, B](items: Seq[A], maxThreads: Int = 32)(
       f: A => B): Seq[B] = {
     if (items.isEmpty) Nil
     else if (items.size == 1) Seq(f(items.head))

@@ -125,13 +125,14 @@ object BloomSkip {
     require(bitsPerKey > 0 && k > 0, "bloom parameters must be positive")
     val fs = fsOf(spark, sink)
     val committed = AtomicIncrement.committedFiles(spark, sink)
-    val missing = committed.groupBy(_.split("/").dropRight(1).mkString("/"))
-      .toSeq.flatMap { case (dir, rels) =>
-        val present = fs.listStatus(new Path(s"$sink/$dir"))
-          .map(_.getPath.getName).toSet
-        rels.filterNot(rel =>
-          present.contains(s"${rel.split("/").last}.bloom-$column"))
-      }
+    val missing = AtomicIncrement.inParallel(
+      committed.groupBy(_.split("/").dropRight(1).mkString("/")).toSeq) {
+        case (dir, rels) =>
+          val present = fs.listStatus(new Path(s"$sink/$dir"))
+            .map(_.getPath.getName).toSet
+          rels.filterNot(rel =>
+            present.contains(s"${rel.split("/").last}.bloom-$column"))
+      }.flatten
     if (missing.isEmpty) return 0
     // the snapshot type is the hash domain on BOTH paths (build here,
     // literal probe in pointLookup); an evolved file missing the
@@ -238,21 +239,9 @@ object BloomSkip {
     // serial loop would make the lookup O(surviving files) FS round
     // trips — painful on object storage when interval stats can't
     // prune. An absent/unreadable sidecar stays may-contain.
-    val kept =
-      if (intervalKept.isEmpty) Seq.empty[AtomicIncrement.ManifestEntry]
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(32, intervalKept.size))
-        try {
-          val verdicts = intervalKept.map { e =>
-            pool.submit(new java.util.concurrent.Callable[Boolean] {
-              def call(): Boolean =
-                mayContain(spark, sink, e.path, column, h)
-            })
-          }
-          intervalKept.zip(verdicts).filter(_._2.get()).map(_._1)
-        } finally { pool.shutdown(); () }
-      }
+    val kept = intervalKept.zip(AtomicIncrement.inParallel(intervalKept)(
+        e => mayContain(spark, sink, e.path, column, h)))
+      .filter(_._2).map(_._1)
     val full = AtomicIncrement.readCommitted(spark, sink)
     if (kept.isEmpty) full.limit(0)
     else spark.read.schema(full.schema)

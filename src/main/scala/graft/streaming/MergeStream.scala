@@ -70,18 +70,34 @@ object MergeStream {
     ()
   }
 
+  /** `maintainEvery` > 0 runs one [[graft.operators.Maintenance]] pass
+    * over `maintainTarget` after every Nth micro-batch — the
+    * steady-state loop wired INTO the stream (the `IvfStream
+    * .compactEvery` cadence discipline), so a long-running CDC apply
+    * never accretes unbounded small files between external
+    * maintenance windows. Safe inside foreachBatch: the stream is the
+    * sink's only writer, so the pass cannot lose an OCC race to
+    * itself; a redelivered batch re-running the pass is waste bounded
+    * by the fragmentation trigger (a just-maintained table skips the
+    * rewrite), never corruption.
+    */
   def applyStream(changes: DataFrame, tableSink: String, keyCol: String,
       versionCol: String, deleteCol: String, checkpointDir: String,
       stateSink: Option[String] = None, stateKeys: Seq[String] = Nil,
       stateSums: Seq[String] = Nil,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maintainEvery: Int = 0,
+      maintainTarget: Option[graft.operators.Maintenance.Target] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
       .foreachBatch { (b: DataFrame, id: Long) =>
         applyBatchStep(b, id, tableSink, keyCol, versionCol, deleteCol,
           stateSink, stateKeys, stateSums)
+        if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
+          maintainTarget.foreach(t =>
+            graft.operators.Maintenance.maintainAtomic(b.sparkSession, t))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

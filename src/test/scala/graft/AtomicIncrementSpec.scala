@@ -700,6 +700,32 @@ class AtomicIncrementSpec extends SparkSpec {
     assert(AtomicIncrement.readCommitted(spark, sink).count() == 8)
   }
 
+  test("merge schema evolution: a change batch carrying a NEW column " +
+      "lands it (null-filled on survivors and carried files), and the " +
+      "evolved table still reads/merges") {
+    val sink = tmp()
+    loadRanged(sink)
+    // the change batch has an extra column the table never saw
+    val changes = Seq((25L, "UPD", 250.0, "extra25", false))
+      .toDF("k", "v", "x", "note", "del")
+    val res = AtomicIncrement.mergeAtomic(changes, sink, "k", "del")
+    assert(res.carried == 2 && res.rewritten == 1, s"$res")
+    val evolved = AtomicIncrement.readCommitted(spark, sink)
+    assert(evolved.columns.toSet == Set("k", "v", "x", "note"))
+    val byK = evolved.select("k", "note").as[(Long, Option[String])]
+      .collect().toMap
+    assert(byK(25L).contains("extra25"), "evolved column lost its value")
+    assert(byK(1L).isEmpty && byK(26L).isEmpty,
+      "carried/survivor rows must read the evolved column as null")
+    // and a second merge over the evolved table works
+    val res2 = AtomicIncrement.mergeAtomic(
+      Seq((26L, "U2", 1.0, "n26", false)).toDF("k", "v", "x", "note", "del"),
+      sink, "k", "del")
+    assert(AtomicIncrement.readCommitted(spark, sink)
+      .filter(col("k") === 26L).select("note").as[String].head() == "n26")
+    assert(res2.staged > 0)
+  }
+
   test("merge fences a churn set past maxChurnKeys loudly") {
     val sink = tmp()
     loadRanged(sink)

@@ -141,6 +141,55 @@ class MergeStreamSpec extends SparkSpec {
     assert(tableRows(tableSink) == t && stateRows(stateSink) == s)
   }
 
+  test("in-stream maintenance cadence: maintainEvery runs the full " +
+      "pass inside the stream — content invariants hold and the file " +
+      "count is bounded at the cadence points") {
+    implicit val sqlCtx = spark.sqlContext
+    val tableSink = tmp("graft_mmaint_t")
+    val stateSink = tmp("graft_mmaint_s")
+    loadBase(tableSink, stateSink)
+    val mem = MemoryStream[(Long, String, Double, Long, Boolean)]
+    val q = MergeStream.applyStream(
+      mem.toDF().toDF("k", "g", "x", "v", "del"),
+      tableSink, "k", "v", "del", tmp("graft_mmaint_c"),
+      stateSink = Some(stateSink), stateKeys = Seq("g"),
+      stateSums = Seq("x"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50),
+      maintainEvery = 2,
+      maintainTarget = Some(graft.operators.Maintenance.Target(
+        tableSink, clusterCols = Seq("k"), bloomCols = Seq("k"),
+        targetFiles = 2)))
+    try {
+      feed.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // 3 batches: maintenance fired after batch id 1 (the 2nd) only —
+    // content must equal the plain-stream test's resolve regardless
+    assert(tableRows(tableSink) == expectedFinal,
+      "in-stream maintenance changed the table's content")
+    val direct = AtomicIncrement.readCommitted(spark, tableSink)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(stateRows(stateSink) == direct,
+      "in-stream maintenance broke the rollup")
+    // one more batch lands the second cadence point: files re-bound
+    mem.addData(Seq((13L, "g9", 111.0, 9L, false)))
+    val q2 = MergeStream.applyStream(
+      mem.toDF().toDF("k", "g", "x", "v", "del"),
+      tableSink, "k", "v", "del", tmp("graft_mmaint_c2"),
+      stateSink = None,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maintainEvery = 1,
+      maintainTarget = Some(graft.operators.Maintenance.Target(
+        tableSink, clusterCols = Seq("k"), bloomCols = Seq("k"),
+        targetFiles = 2)))
+    q2.awaitTermination()
+    assert(AtomicIncrement.committedFiles(spark, tableSink).size == 2,
+      "cadence-point maintenance did not bound the file count")
+    val byK = tableRows(tableSink).map { case (k, g, x) => k -> (g, x) }.toMap
+    assert(byK(13L) == ("g9", 111.0))
+  }
+
   test("one churn collect per micro-batch: the fold and the merge " +
       "share the precollected key set (probe-counted)") {
     val tableSink = tmp("graft_monce_t")
