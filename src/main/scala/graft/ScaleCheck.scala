@@ -72,7 +72,8 @@ object ScaleCheck {
     // round 13: the string/UUID-keyed merge (guid derives from the
     // replicated orderkey, so churn structure survives scaling) and
     // the composed maintenance loop
-    "q_merge_upsert_str", "q_maintain_cdc", "q_read_pruned_str")
+    "q_merge_upsert_str", "q_maintain_cdc", "q_read_pruned_str",
+    "q_merge_scd2")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {

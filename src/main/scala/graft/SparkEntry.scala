@@ -49,6 +49,7 @@ object SparkEntry {
     // the round-13 additions: string/UUID-keyed merge + the composed
     // maintenance loop, never driver-checked yet
     "q_merge_upsert_str", "q_maintain_cdc", "q_read_pruned_str",
+    "q_merge_scd2",
     // the round-12 additions: newest first
     "q_merge_upsert", "q_incr_agg_cdc", "q_read_bloom",
     "q_optimize_cluster",

@@ -758,21 +758,7 @@ object AtomicIncrement {
     // full-snapshot schema (the readCommittedAbove evolution guard):
     // a touched subset must not lose columns only carried files have
     val fullSchema = readCommitted(spark, sink).schema
-    // the table's own key column must sit in the churn's type family,
-    // or the anti-join below would coerce (long vs string casts) and
-    // silently miss rows it should replace
-    fullSchema.fields.find(_.name.equalsIgnoreCase(keyCol)).foreach { tf =>
-      val tTag = tagOf(tf.dataType)
-      val sameFamily = churn match {
-        case _: LongChurn => tTag.exists(integralTags.contains)
-        case _: StringChurn => tTag.contains("string")
-      }
-      require(sameFamily,
-        s"merge key family mismatch: table '$keyCol' is " +
-          s"${tf.dataType.simpleString}, the change batch's is " +
-          s"${changes.schema.fields.find(_.name.equalsIgnoreCase(keyCol))
-            .map(_.dataType.simpleString).getOrElse("absent")}")
-    }
+    requireKeyFamily(fullSchema, keyCol, churn, changes)
     val oldTouched =
       if (touched.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
@@ -803,6 +789,118 @@ object AtomicIncrement {
     MergeResult(version + 1, carried.size, touched.size,
       stagedEntries.size, upserts,
       oldTouched.join(churnDf, Seq(keyCol), "left_semi"))
+  }
+
+  /** The table's own key column must sit in the churn's type family,
+    * or the churn joins would coerce (long vs string casts) and
+    * silently miss rows they should replace.
+    */
+  private def requireKeyFamily(
+      fullSchema: org.apache.spark.sql.types.StructType, keyCol: String,
+      churn: ChurnKeys, changes: DataFrame): Unit =
+    fullSchema.fields.find(_.name.equalsIgnoreCase(keyCol)).foreach { tf =>
+      val tTag = tagOf(tf.dataType)
+      val sameFamily = churn match {
+        case _: LongChurn => tTag.exists(integralTags.contains)
+        case _: StringChurn => tTag.contains("string")
+      }
+      require(sameFamily,
+        s"merge key family mismatch: table '$keyCol' is " +
+          s"${tf.dataType.simpleString}, the change batch's is " +
+          s"${changes.schema.fields.find(_.name.equalsIgnoreCase(keyCol))
+            .map(_.dataType.simpleString).getOrElse("absent")}")
+    }
+
+  /** Copy-on-write SCD2 (type-2 history) MERGE — the MATERIALIZED twin
+    * of [[Cdc.scd2History]]'s read-side view: the committed table
+    * holds one row per (key, version interval) with `valid_from` /
+    * `valid_to` columns (`valid_to` NULL while current), and a change
+    * batch (full-width rows + `versionCol` + boolean `deleteCol`,
+    * ≤1 row per key — CDC-resolved upstream) folds in as:
+    *
+    *  - each churned key's OPEN row closes (`valid_to` := the
+    *    incoming version); its closed history rows ride unchanged;
+    *  - each non-delete change appends a new open row
+    *    (`valid_from` := version, `valid_to` := NULL);
+    *  - a delete closes without appending — the key simply has no
+    *    current row until a later change revives it;
+    *  - a brand-new key appends its first open row.
+    *
+    * Priced exactly like [[mergeAtomic]]: only files whose `keyCol`
+    * interval may contain a churned key rewrite; every other history
+    * file (at 100 TB, almost all of them — history accretes but old
+    * intervals never change) carries into the new manifest verbatim.
+    * Same churn contract ([[collectChurn]]: integral-or-string key,
+    * no nulls, fenced), same OCC publish / crash / time-travel
+    * semantics. Version monotonicity is ENFORCED loudly: an incoming
+    * version at or below a churned key's open `valid_from` would
+    * write a corrupt interval (`valid_to <= valid_from`), so the
+    * merge counts violations on the churn-sized frame and throws
+    * before staging.
+    *
+    * Returns a [[MergeResult]] whose `upserts` are the new open rows
+    * and `beforeImages` the previously-open rows that closed.
+    */
+  def mergeScd2Atomic(changes: DataFrame, sink: String, keyCol: String,
+      versionCol: String, deleteCol: String,
+      maxChurnKeys: Int = 10000000): MergeResult = {
+    val spark = changes.sparkSession
+    val fs = fsOf(spark, sink)
+    val (version, priorEntries) = snapshotEntries(spark, sink)
+    require(priorEntries.nonEmpty, s"nothing committed to merge into at $sink")
+    val churn = collectChurn(changes, keyCol, maxChurnKeys)
+    val (carried, touched) = splitByKeyIntervals(priorEntries, keyCol, churn)
+    val fullSchema = readCommitted(spark, sink).schema
+    requireKeyFamily(fullSchema, keyCol, churn, changes)
+    require(fullSchema.fieldNames.exists(_.equalsIgnoreCase("valid_from")) &&
+      fullSchema.fieldNames.exists(_.equalsIgnoreCase("valid_to")),
+      s"SCD2 table at $sink must carry valid_from/valid_to columns")
+    val oldTouched =
+      if (touched.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
+      else spark.read.schema(fullSchema)
+        .parquet(touched.map(e => s"$sink/${e.path}"): _*)
+    val churnDf = broadcast(churn.toDf(spark, keyCol))
+    val untouchedRows = oldTouched.join(churnDf, Seq(keyCol), "left_anti")
+    val churnedRows = oldTouched.join(churnDf, Seq(keyCol), "left_semi")
+    val newVersions = changes.select(col(keyCol),
+      col(versionCol).as("__newv"))
+    // close the open row; closed history rides through the when()
+    val closed = churnedRows.join(broadcast(newVersions), Seq(keyCol))
+      .withColumn("valid_to",
+        when(col("valid_to").isNull, col("__newv"))
+          .otherwise(col("valid_to")))
+      .drop("__newv")
+    // version monotonicity: churn-sized count, loud before staging
+    val bad = closed.filter(col("valid_to") <= col("valid_from")).count()
+    require(bad == 0,
+      s"$bad churned row(s) would close with valid_to <= valid_from — " +
+        "incoming versions must exceed the open row's valid_from " +
+        "(per-key version monotonicity is the CDC log's contract)")
+    val newRows = changes.filter(!col(deleteCol)).drop(deleteCol)
+      .withColumnRenamed(versionCol, "valid_from")
+      .withColumn("valid_to",
+        lit(null).cast(fullSchema.apply(
+          fullSchema.fieldIndex("valid_to")).dataType))
+    val merged = untouchedRows
+      .unionByName(closed, allowMissingColumns = true)
+      .unionByName(newRows, allowMissingColumns = true)
+    val statsFields = (keyCol +: priorEntries
+        .flatMap(_.allStats.map(_.column)).distinct
+        .filter(c => priorEntries.forall(_.statsFor(c).nonEmpty)))
+      .distinct
+      .flatMap(c => merged.schema.fields.find(_.name.equalsIgnoreCase(c)))
+    val stagedEntries = stageEntries(merged, spark, fs, sink, statsFields)
+    try publish(fs, sink,
+      (carried ++ stagedEntries).map(_.render), version + 1)
+    catch { case e: Throwable =>
+      stagedEntries.headOption.foreach(e0 =>
+        fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
+      throw e
+    }
+    MergeResult(version + 1, carried.size, touched.size,
+      stagedEntries.size, newRows,
+      churnedRows.filter(col("valid_to").isNull))
   }
 
   /** Split manifest entries into (provably churn-free, may-contain)

@@ -228,6 +228,70 @@ object Cdc {
         |FROM merged GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin),
 
+    // The MATERIALIZED type-2 history (round 13): where q_cdc_history
+    // resolves intervals at read time, this folds a change batch into
+    // a copy-on-write SCD2 table — churned keys' open rows CLOSE
+    // (valid_to := incoming version), updates append a new open row,
+    // deletes close without appending, and only churn-intersecting
+    // files rewrite (`pruned` pins the carried files). The oracle
+    // replays the interval algebra per row class and aggregates by
+    // (status, currentness) — a row closed twice, an open row lost,
+    // or a delete that appended all move some group.
+    "q_merge_scd2" -> QueryDef(
+      (s, dir) => IncrementalAgg.withScratchSink(s, "graft_scd2") { sink =>
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          lit(0L).as("valid_from"),
+          lit(null).cast("long").as("valid_to"))
+        val mx = o.agg(max("o_orderkey")).head().getLong(0)
+        var lo = Long.MinValue
+        for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {
+          AtomicIncrement.appendIncrementAtomic(
+            o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+            sink, "o_orderkey")
+          lo = hi
+        }
+        val cut = 2 * mx / 3
+        val hot = o.filter(col("o_orderkey") > cut)
+        val changes = hot.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+            (col("o_totalprice") + 100).as("o_totalprice"),
+            lit(1L).as("v"), lit(false).as("del"))
+          .unionByName(hot.filter(col("o_orderkey") % 10 === 7)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"), lit(1L).as("v"), lit(true).as("del")))
+        val res = AtomicIncrement.mergeScd2Atomic(changes, sink,
+          "o_orderkey", "v", "del")
+        AtomicIncrement.readCommitted(s, sink)
+          .groupBy(col("o_orderstatus"),
+            col("valid_to").isNull.as("current"))
+          .agg(count(lit(1)).as("n"),
+            sum("o_orderkey").as("key_sum"),
+            round(sum("o_totalprice"), 2).as("price_sum"))
+          .withColumn("pruned", lit(res.carried > 0))
+          .orderBy("o_orderstatus", "current")
+      },
+      """WITH cut AS (SELECT 2 * max(o_orderkey) // 3 AS c FROM orders),
+        |hist AS (
+        |  -- untouched keys: still the open base row
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    TRUE AS current FROM orders, cut
+        |  WHERE NOT (o_orderkey > c AND o_orderkey % 10 IN (0, 7))
+        |  UNION ALL
+        |  -- churned keys: the base row closed at version 1
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice, FALSE
+        |  FROM orders, cut
+        |  WHERE o_orderkey > c AND o_orderkey % 10 IN (0, 7)
+        |  UNION ALL
+        |  -- updates: the new open version (deletes append nothing)
+        |  SELECT 'X', o_orderkey, o_totalprice + 100, TRUE
+        |  FROM orders, cut WHERE o_orderkey > c AND o_orderkey % 10 = 0)
+        |SELECT o_orderstatus, current, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  round(sum(o_totalprice), 2) AS price_sum, TRUE AS pruned
+        |FROM hist GROUP BY o_orderstatus, current
+        |ORDER BY o_orderstatus, current""".stripMargin),
+
     // The history view over the same feed: intervals chain per key,
     // deletes close the last interval without emitting a row.
     "q_cdc_history" -> QueryDef(

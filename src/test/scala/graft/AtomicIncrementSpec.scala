@@ -726,6 +726,76 @@ class AtomicIncrementSpec extends SparkSpec {
     assert(res2.staged > 0)
   }
 
+  private def loadScd2(sink: String): Unit =
+    for (r <- Seq(1L to 10L, 11L to 20L, 21L to 30L))
+      AtomicIncrement.appendIncrementAtomic(
+        r.map(k => (k, s"v$k", 0L, Option.empty[Long]))
+          .toDF("k", "v", "valid_from", "valid_to").repartition(1),
+        sink, "k")
+
+  test("SCD2 merge: intervals chain across batches (close + append), " +
+      "deletes close without appending, revivals open a new row, only " +
+      "churn files rewrite, and version monotonicity is enforced") {
+    val sink = tmp()
+    loadScd2(sink)
+    def hist(k: Long) = AtomicIncrement.readCommitted(spark, sink)
+      .filter(col("k") === k)
+      .select("v", "valid_from", "valid_to")
+      .as[(String, Long, Option[Long])].collect()
+      .sortBy(_._2).toSeq
+    // batch v=1: update 25, delete 27 — confined to the third file
+    val res1 = AtomicIncrement.mergeScd2Atomic(
+      Seq((25L, "UPD", 1L, false), (27L, "", 1L, true))
+        .toDF("k", "v", "ver", "del"), sink, "k", "ver", "del")
+    assert(res1.carried == 2 && res1.rewritten == 1, s"$res1")
+    assert(hist(25L) == Seq(("v25", 0L, Some(1L)), ("UPD", 1L, None)),
+      s"update chain wrong: ${hist(25L)}")
+    assert(hist(27L) == Seq(("v27", 0L, Some(1L))),
+      s"delete must close without appending: ${hist(27L)}")
+    assert(hist(26L) == Seq(("v26", 0L, None)), "untouched key moved")
+    // the delta frames: new open rows + the rows that closed
+    assert(res1.upserts.select("k").as[Long].collect().toSeq == Seq(25L))
+    assert(res1.beforeImages.select("k", "v").as[(Long, String)]
+      .collect().toSet == Set((25L, "v25"), (27L, "v27")))
+    // batch v=2: update 25 AGAIN (chains a third row), revive 27,
+    // insert brand-new 31
+    val res2 = AtomicIncrement.mergeScd2Atomic(
+      Seq((25L, "UPD2", 2L, false), (27L, "BACK", 2L, false),
+        (31L, "NEW", 2L, false))
+        .toDF("k", "v", "ver", "del"), sink, "k", "ver", "del")
+    assert(hist(25L) == Seq(("v25", 0L, Some(1L)), ("UPD", 1L, Some(2L)),
+      ("UPD2", 2L, None)), s"second update chain wrong: ${hist(25L)}")
+    assert(hist(27L) == Seq(("v27", 0L, Some(1L)), ("BACK", 2L, None)),
+      s"revival chain wrong: ${hist(27L)}")
+    assert(hist(31L) == Seq(("NEW", 2L, None)), "insert lost")
+    assert(res2.carried >= 2, s"history files over-rewritten: $res2")
+    // exactly one open row per live key; closed history immutable
+    val open = AtomicIncrement.readCommitted(spark, sink)
+      .filter(col("valid_to").isNull).groupBy("k").count()
+      .filter(col("count") > 1).count()
+    assert(open == 0, "a key holds two open rows")
+    // version monotonicity: re-sending version 1 against an open v=2
+    // row would write valid_to=1 < valid_from=2 — must throw, table
+    // unmoved
+    val before = AtomicIncrement.readCommitted(spark, sink).count()
+    val e = intercept[IllegalArgumentException] {
+      AtomicIncrement.mergeScd2Atomic(
+        Seq((25L, "STALE", 1L, false)).toDF("k", "v", "ver", "del"),
+        sink, "k", "ver", "del")
+    }
+    assert(e.getMessage.contains("valid_to"))
+    assert(AtomicIncrement.readCommitted(spark, sink).count() == before)
+    // a non-SCD2 table is rejected loudly
+    val plain = tmp()
+    loadRanged(plain)
+    val e2 = intercept[IllegalArgumentException] {
+      AtomicIncrement.mergeScd2Atomic(
+        Seq((25L, "U", 1L, false)).toDF("k", "v", "ver", "del"),
+        plain, "k", "ver", "del")
+    }
+    assert(e2.getMessage.contains("valid_from"))
+  }
+
   test("merge fences a churn set past maxChurnKeys loudly") {
     val sink = tmp()
     loadRanged(sink)
