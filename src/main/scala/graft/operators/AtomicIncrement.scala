@@ -840,6 +840,16 @@ object AtomicIncrement {
     *
     * Returns a [[MergeResult]] whose `upserts` are the new open rows
     * and `beforeImages` the previously-open rows that closed.
+    *
+    * REPLAY boundary: re-delivering an applied batch THROWS (its
+    * versions now sit at the open rows' `valid_from`, which the
+    * monotonicity guard rejects) — deliberately, because "stale
+    * version" and "redelivery" are indistinguishable here and
+    * silently skipping would swallow genuine out-of-order feeds. A
+    * streaming driver therefore shields on its batch id BEFORE
+    * calling this (the [[IncrementalAgg.mergeCdcBatch]] `__b`
+    * discipline), exactly once per micro-batch; scheduled batch jobs
+    * replay-from-source instead.
     */
   def mergeScd2Atomic(changes: DataFrame, sink: String, keyCol: String,
       versionCol: String, deleteCol: String,

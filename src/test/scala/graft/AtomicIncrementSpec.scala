@@ -726,6 +726,49 @@ class AtomicIncrementSpec extends SparkSpec {
     assert(res2.staged > 0)
   }
 
+  test("string-keyed merge on Cyrillic/emoji natural keys (the " +
+      "reference's person/project names): byte-order pruning stays " +
+      "consistent with the join, supplementary chars included") {
+    val sink = tmp()
+    // three single-file loads clustered by byte order: Latin < Cyrillic
+    // < supplementary (U+FFFD and emoji sort ABOVE Cyrillic in bytes —
+    // and in UTF-16 they'd interleave differently, which is the trap)
+    val groups = Seq(
+      Seq("alpha", "beta", "omega"),
+      Seq("Проект-А", "Проект-Б", "Сидоров Иван"),
+      Seq("�-repl", "😀-emoji"))
+    for ((g, gi) <- groups.zipWithIndex)
+      AtomicIncrement.appendIncrementAtomic(
+        g.zipWithIndex.map { case (n, i) =>
+            (100L * (gi + 1) + i, n, s"val-$n") }
+          .toDF("ts", "name", "v").repartition(1),
+        sink, "ts", extraStatsCols = Seq("name"))
+    val (_, entries) = AtomicIncrement.snapshotEntries(spark, sink)
+    assert(entries.forall(_.statsFor("name").exists(_.tag == "string")))
+    // churn one Cyrillic key: ONLY the Cyrillic file rewrites
+    val res = AtomicIncrement.mergeAtomic(
+      Seq((200L, "Проект-Б", "ОБНОВЛЁН", false))
+        .toDF("ts", "name", "v", "del"), sink, "name", "del")
+    assert(res.carried == 2 && res.rewritten == 1,
+      s"Cyrillic churn pruning wrong: $res")
+    val got = AtomicIncrement.readCommitted(spark, sink)
+      .select("name", "v").as[(String, String)].collect().toMap
+    assert(got("Проект-Б") == "ОБНОВЛЁН" && got.size == 8)
+    // churn the emoji key (supplementary — UTF-16 order would place it
+    // BELOW U+FFFD; byte order places it above, matching the stats)
+    val res2 = AtomicIncrement.mergeAtomic(
+      Seq((201L, "😀-emoji", "updated", false))
+        .toDF("ts", "name", "v", "del"), sink, "name", "del")
+    assert(res2.rewritten == 1, s"emoji churn: $res2")
+    assert(AtomicIncrement.readCommitted(spark, sink)
+      .filter(col("name") === "😀-emoji")
+      .select("v").as[String].head() == "updated")
+    // keyed string locality read on the Cyrillic range
+    val keyed = AtomicIncrement.readKeyedMayContainStr(spark, sink,
+      "name", Seq("Сидоров Иван"))
+    assert(keyed.filter(col("name") === "Сидоров Иван").count() == 1)
+  }
+
   private def loadScd2(sink: String): Unit =
     for (r <- Seq(1L to 10L, 11L to 20L, 21L to 30L))
       AtomicIncrement.appendIncrementAtomic(

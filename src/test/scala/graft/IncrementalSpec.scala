@@ -134,6 +134,37 @@ class IncrementalSpec extends SparkSpec {
     assert(Incremental.footerMax(spark, path, "nope", LongType).isEmpty)
   }
 
+  test("binary footer bounds agree with Spark's string min/max across " +
+      "Unicode (ASCII, Cyrillic, CJK, emoji/supplementary): the " +
+      "byte-order contract every string-stats consumer relies on") {
+    // parquet's UTF8 comparator ranks by unsigned bytes; Spark's
+    // string min/max rank UTF8String the same way. If they ever
+    // disagreed, string watermarks/merge pruning would silently skip
+    // live files — this pins the agreement on adversarial content,
+    // including supplementary characters where Java String.compareTo
+    // (UTF-16 code units) DOES disagree with byte order.
+    val path = tmp()
+    val values = Seq(
+      "alpha", "Zebra", "проект-А", "проект-я", "яблоко",
+      "数据管道", "données", "😀emoji", "�repl",
+      "mixedПро🚀", "  spaced", "z" * 80)
+    values.map(Tuple1(_)).toDF("s").repartition(2).write.parquet(path)
+    val sparkRow = spark.read.parquet(path).agg(min("s"), max("s")).head()
+    val (sparkMin, sparkMax) = (sparkRow.getString(0), sparkRow.getString(1))
+    // independent reference: unsigned UTF-8 byte order
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val byByte = values.sortWith((a, b) => java.util.Arrays.compareUnsigned(
+      a.getBytes(utf8), b.getBytes(utf8)) < 0)
+    assert(sparkMin == byByte.head && sparkMax == byByte.last,
+      s"Spark's own min/max is not byte order: $sparkMin/$sparkMax " +
+        s"vs ${byByte.head}/${byByte.last}")
+    // the footer bounds must fold to the same pair
+    val fMax = Incremental.footerMax(spark, path, "s", StringType)
+    assert(fMax.isDefined &&
+      spark.range(1).select(fMax.get).head().getString(0) == sparkMax,
+      "footer max diverged from Spark's string max")
+  }
+
   test("footer watermark ignores uncommitted files under hidden directories") {
     val path = tmp()
     Seq((5L, "a")).toDF("k", "v").write.parquet(path)
