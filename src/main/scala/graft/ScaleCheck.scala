@@ -73,7 +73,11 @@ object ScaleCheck {
     // replicated orderkey, so churn structure survives scaling) and
     // the composed maintenance loop
     "q_merge_upsert_str", "q_maintain_cdc", "q_read_pruned_str",
-    "q_merge_scd2")
+    "q_merge_scd2",
+    // round 13 (late): retractable extremes/distinct (fold ∝ churned
+    // groups' rows / pair-state) and the manifest-diff change feed
+    // (priced by the diffed files)
+    "q_incr_agg_minmax", "q_incr_agg_distinct", "q_change_feed")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {

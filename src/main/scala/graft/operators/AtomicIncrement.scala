@@ -195,16 +195,79 @@ object AtomicIncrement {
     */
   def readVersion(spark: SparkSession, sink: String,
       version: Long): DataFrame = {
-    val fs = fsOf(spark, sink)
+    val files = filesAtVersion(fsOf(spark, sink), sink, version)
+    require(files.nonEmpty, s"no manifest version $version at $sink")
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$sink/$f"): _*)
+  }
+
+  /** The exact data-file list manifest `version` committed. Version 0
+    * is the empty pre-first-commit snapshot (no manifest file exists
+    * for it, by construction).
+    */
+  private def filesAtVersion(fs: FileSystem, sink: String,
+      version: Long): Seq[String] = {
+    if (version == 0L) return Nil
     val mf = new Path(new Path(sink, ManifestDir), f"$version%020d")
     require(fs.exists(mf), s"no manifest version $version at $sink")
     val in = fs.open(mf)
-    val files =
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).map(parseLine(_).path).toList
-      finally in.close()
-    spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => s"$sink/$f"): _*)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).map(parseLine(_).path).toList
+    finally in.close()
+  }
+
+  /** CHANGE DATA FEED between two committed versions, derived from the
+    * manifest diff alone — no per-row change tracking is ever written:
+    * `plus` reads the data files version `to` lists that `from` did
+    * not, `minus` the files `from` lists that `to` dropped. Because
+    * every commit here is copy-on-write over immutable files, the pair
+    * is an exact MULTISET delta of the table: an append contributes
+    * only new files to `plus`; a [[mergeAtomic]]'s rewritten files put
+    * their survivors in BOTH frames, where any abelian consumer
+    * telescopes them away — folding `(plus, minus)` through
+    * [[IncrementalAgg.mergeCdcBatch]] (or [[IncrementalAgg.mergeCdcExtremes]],
+    * handing `plus` as the churned-groups view) moves a downstream
+    * rollup to exactly the `to`-version aggregate. That makes every
+    * manifest-committed table a CDC SOURCE for incremental consumers
+    * that never saw the upstream feed, at the cost of shipping
+    * rewritten-file rows rather than minimal row-level diffs — the
+    * Delta CDF trade inverted (zero write amplification, reader pays
+    * file granularity), priced by the churn-touched files when the
+    * table is key-clustered.
+    *
+    * Both frames read under the union of the two snapshots' merged
+    * schemas, so a column added between the versions is present
+    * (null-filled) on both sides. Retention contract: `from`'s
+    * superseded files must still exist — run the feed before
+    * [[vacuumSuperseded]]/[[vacuumUncommitted]] reclaim them, the
+    * same retention trade as [[readVersion]] time travel. `from` = 0
+    * yields the whole `to` snapshot as `plus` (the bootstrap feed).
+    */
+  def changesBetween(spark: SparkSession, sink: String,
+      from: Long, to: Long): (DataFrame, DataFrame) = {
+    require(from <= to, s"change feed runs forward: $from > $to")
+    val fs = fsOf(spark, sink)
+    val fromFiles = filesAtVersion(fs, sink, from)
+    val toFiles = filesAtVersion(fs, sink, to)
+    val added = toFiles.diff(fromFiles)
+    val removed = fromFiles.diff(toFiles)
+    val all = (added ++ removed).map(f => s"$sink/$f")
+    if (all.isEmpty) {
+      // no file moved between the versions (e.g. from == to): both
+      // sides are the empty delta under the current snapshot's schema
+      val empty = readVersion(spark, sink, to).limit(0)
+      return (empty, empty)
+    }
+    // one footer pass resolves the union schema both sides read under
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(all: _*).schema
+    def side(files: Seq[String]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(files.map(f => s"$sink/$f"): _*)
+    (side(added), side(removed))
   }
 
   /** Append rows with `watermarkCol` strictly above the committed

@@ -127,25 +127,8 @@ object IncrementalAgg {
     val last = prior.map(st =>
       st.agg(max("__b")).head().getLong(0)).getOrElse(Long.MinValue)
     if (prior.nonEmpty && batchId <= last) return false
-    def signed(df: DataFrame, sign: Int) = {
-      // the all-null-group coalesce zero in the column's NATIVE sum
-      // family, so an integer sum stays integral through the fold
-      // (parity with mergeBatch) instead of silently widening to
-      // double and drifting at 2⁵³-scale totals
-      import org.apache.spark.sql.types._
-      def zeroOf(c: String) = df.schema.fields
-        .find(_.name.equalsIgnoreCase(c)).map(_.dataType) match {
-          case Some(ByteType | ShortType | IntegerType | LongType) => lit(0L)
-          case Some(d: DecimalType) =>
-            lit(java.math.BigDecimal.ZERO).cast(d)
-          case _ => lit(0.0)
-        }
-      df.groupBy(keys.map(col): _*).agg(
-        (count(lit(1)) * sign).as("__n"),
-        sumCols.map(c =>
-          (coalesce(sum(col(c)), zeroOf(c)) * sign).as(s"sum_$c")): _*)
-    }
-    val delta = signed(plus, 1).unionByName(signed(minus, -1))
+    val delta = signedAgg(plus, 1, keys, sumCols)
+      .unionByName(signedAgg(minus, -1, keys, sumCols))
     val merged = prior.map(_.drop("__b").unionByName(delta))
       .getOrElse(delta)
       .groupBy(keys.map(col): _*).agg(
@@ -156,6 +139,168 @@ object IncrementalAgg {
     AtomicIncrement.replaceSnapshot(merged, sink, version)
     true
   }
+
+  /** One signed group partial — `(count, sums) × sign` — the abelian
+    * half of every CDC fold here. Sums coalesce their all-null-group
+    * zero in the column's NATIVE family, so an integer sum stays
+    * integral through the fold (parity with [[mergeBatch]]) instead of
+    * silently widening to double and drifting at 2⁵³-scale totals.
+    */
+  private def signedAgg(df: DataFrame, sign: Int, keys: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    def zeroOf(c: String) = df.schema.fields
+      .find(_.name.equalsIgnoreCase(c)).map(_.dataType) match {
+        case Some(ByteType | ShortType | IntegerType | LongType) => lit(0L)
+        case Some(d: DecimalType) =>
+          lit(java.math.BigDecimal.ZERO).cast(d)
+        case _ => lit(0.0)
+      }
+    df.groupBy(keys.map(col): _*).agg(
+      (count(lit(1)) * sign).as("__n"),
+      sumCols.map(c =>
+        (coalesce(sum(col(c)), zeroOf(c)) * sign).as(s"sum_$c")): _*)
+  }
+
+  /** Retractable rollup WITH min/max — the non-abelian face
+    * [[mergeCdcBatch]]'s contract boundary deliberately refuses:
+    * retracting a group's current minimum leaves "second-smallest"
+    * unanswerable from (count, sum, min, max) state alone, so churned
+    * groups' extremes are RESCANNED while everything abelian still
+    * folds from the deltas. Per batch:
+    *
+    *  - counts and sums move by `Σ(plus) − Σ(minus)` per group —
+    *    [[mergeCdcBatch]]'s exact algebra (native-typed sums, groups
+    *    at count 0 leave the state);
+    *  - `min_<c>`/`max_<c>` for every group the batch touches (a key
+    *    present in `plus` OR `minus`) recompute from `churnedRows`;
+    *    untouched groups carry their stored extremes forward byte-for-
+    *    byte — the rescan is priced by the CHURNED GROUPS' rows, never
+    *    the table.
+    *
+    * `churnedRows` is the caller's post-change view of AT LEAST the
+    * churned groups' surviving rows — rows of other groups are
+    * ignored (filtered by a null-safe semi join), so handing the whole
+    * resolved table works, but the scale path hands the churned
+    * groups' LOCALITY: on a table whose manifest records stats for the
+    * GROUP column (clustered by it, or carrying it in
+    * `extraStatsCols`), `readKeyedMayContain` on that column with the
+    * churned group keys opens only their files — note the group
+    * column, not the merge key: a merge-key locality read covers the
+    * churned ROWS but not their groups' other rows, which the rescan
+    * needs. UNDER-coverage is detected loudly: a group
+    * that is alive by the count algebra but has no extremes row
+    * (neither carried state nor rescan) fails the fold before
+    * publishing — silence there would write stale or missing extremes.
+    *
+    * Exactly-once, publication, and bootstrap follow [[mergeCdcBatch]]
+    * (`__b` batch shield, OCC snapshot replace; bootstrap = everything
+    * in `plus`, `minus` empty, `churnedRows` = the full load). State
+    * schema: keys, `__n`, `sum_<c>`s, `min_<c>`/`max_<c>`s, `__b`.
+    * Returns whether the batch applied (false = replay).
+    */
+  def mergeCdcExtremes(plus: DataFrame, minus: DataFrame,
+      churnedRows: DataFrame, sink: String, keys: Seq[String],
+      sumCols: Seq[String], minMaxCols: Seq[String],
+      batchId: Long): Boolean = {
+    require(minMaxCols.nonEmpty,
+      "no min/max columns: use mergeCdcBatch, which needs no rescan")
+    val spark = plus.sparkSession
+    val (version, priorFiles) = AtomicIncrement.snapshot(spark, sink)
+    val prior =
+      if (priorFiles.isEmpty) None else Some(readState(spark, sink))
+    val last = prior.map(st =>
+      st.agg(max("__b")).head().getLong(0)).getOrElse(Long.MinValue)
+    if (prior.nonEmpty && batchId <= last) return false
+    val kcols = keys.map(col)
+    val mmNames = minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+    // the groups this batch touches, either side; null group keys are
+    // legitimate groups, so every key join below is null-safe (<=>)
+    val churned = plus.select(kcols: _*)
+      .unionByName(minus.select(kcols: _*)).distinct()
+    val churnedR = churned.select(
+      keys.map(k => col(k).as(s"__ck_$k")): _*)
+    def touchesChurn(df: DataFrame) = keys
+      .map(k => col(k) <=> col(s"__ck_$k")).reduce(_ && _)
+    // abelian half: counts and sums from the deltas alone
+    val delta = signedAgg(plus, 1, keys, sumCols)
+      .unionByName(signedAgg(minus, -1, keys, sumCols))
+    val counts = prior.map(_.select(
+        (kcols :+ col("__n")) ++ sumCols.map(c => col(s"sum_$c")): _*)
+        .unionByName(delta))
+      .getOrElse(delta)
+      .groupBy(kcols: _*).agg(
+        sum("__n").as("__n"),
+        sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")): _*)
+      .filter(col("__n") > 0)
+    // non-abelian half: churned groups rescan, the rest carry state
+    val mmAggs = minMaxCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val rescan = churnedRows.join(churnedR, touchesChurn(churnedRows),
+        "left_semi")
+      .groupBy(kcols: _*).agg(mmAggs.head, mmAggs.tail: _*)
+    val extremes = prior match {
+      case Some(st) => st.join(churnedR, touchesChurn(st), "left_anti")
+        .select(kcols ++ mmNames.map(col): _*)
+        .unionByName(rescan)
+      case None => rescan
+    }
+    val extremesR = extremes.select(
+      keys.map(k => col(k).as(s"__e_$k")) ++ mmNames.map(col): _*)
+    def matchesExt(df: DataFrame) = keys
+      .map(k => col(k) <=> col(s"__e_$k")).reduce(_ && _)
+    // loud under-coverage: an alive group with no extremes row means
+    // churnedRows missed a churned group that still has rows
+    val uncovered = counts.join(extremesR, matchesExt(counts), "left_anti")
+      .limit(1).count()
+    require(uncovered == 0,
+      "churnedRows under-covers the churn: a group alive by the count " +
+        "algebra has no surviving rows to rescan extremes from — pass " +
+        "the churned groups' post-change rows (e.g. the keyed " +
+        "locality read of the merged table)")
+    val merged = counts.join(extremesR, matchesExt(counts))
+      .select(kcols ++ (col("__n") +:
+        (sumCols.map(c => col(s"sum_$c")) ++ mmNames.map(col))): _*)
+      .withColumn("__b", lit(batchId))
+    AtomicIncrement.replaceSnapshot(merged, sink, version)
+    true
+  }
+
+  /** EXACT distinct-count under retraction — the other measure
+    * [[mergeCdcBatch]]'s abelian boundary excludes — via two-level
+    * state: the child sink is a plain CDC rollup keyed at
+    * `(keys…, valueCol)` granularity, i.e. one row per distinct
+    * (group, value) pair holding that pair's multiplicity. Retractions
+    * decrement the multiplicity and [[mergeCdcBatch]]'s `__n > 0`
+    * filter removes the pair when its last occurrence retracts, so
+    * `COUNT(DISTINCT value)` per group is simply the child state's
+    * per-group ROW count — always exact, no sketch error, and the
+    * whole fold stays abelian (the non-abelian distinct is expressed
+    * as the count of a finer-grained abelian state).
+    *
+    * State size is |distinct (group, value) pairs| — the same rows an
+    * exact `COUNT(DISTINCT)` shuffles anyway, held incrementally; for
+    * cardinalities where even that is too large, the alternative is
+    * deletion-capable sketch state (a counting HLL), trading exactness
+    * — this is the exact path. Same `__b` replay shield, OCC publish,
+    * and bootstrap conventions as every CDC fold here.
+    */
+  def mergeCdcDistinct(plus: DataFrame, minus: DataFrame, sink: String,
+      keys: Seq[String], valueCol: String, batchId: Long): Boolean = {
+    val pairCols = (keys :+ valueCol).map(col)
+    mergeCdcBatch(plus.select(pairCols: _*), minus.select(pairCols: _*),
+      sink, keys :+ valueCol, Nil, batchId)
+  }
+
+  /** The maintained `COUNT(DISTINCT valueCol)` per group from a
+    * [[mergeCdcDistinct]] child sink: one row per group,
+    * `distinct_<valueCol>`.
+    */
+  def readDistinct(spark: org.apache.spark.sql.SparkSession,
+      sink: String, keys: Seq[String], valueCol: String): DataFrame =
+    readState(spark, sink)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as(s"distinct_$valueCol"))
 
   /** Run a query whose plumbing needs a scratch atomic sink, then
     * reclaim the sink DETERMINISTICALLY: the output (small by
@@ -382,5 +527,151 @@ object IncrementalAgg {
         |  round(sum(o_totalprice), 2) AS sum_price,
         |  round(sum(o_totalprice) / count(*), 6) AS avg_price
         |FROM final GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
+    // min/max under RETRACTION — the non-abelian measures
+    // q_incr_agg_cdc's fold refuses: the change batch deletes every
+    // group's current ARGMAX rows, so the stored max is gone and the
+    // new one must re-derive from the churned groups' survivors (state
+    // algebra alone cannot answer it); a brand-new group arrives only
+    // through the delta. The oracle aggregates the resolved table in
+    // one pass — a stale carried max, a missed tie (all argmax rows
+    // delete, both sides), or a dropped new group all hash-mismatch.
+    "q_incr_agg_minmax" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_mmagg") { sink =>
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        mergeCdcExtremes(o, o.limit(0), o, sink, Seq("o_orderstatus"),
+          Seq("o_totalprice"), Seq("o_totalprice"), 0L)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderstatus")
+        val withMx = o.withColumn("__gmx", max("o_totalprice").over(w))
+        val minus = withMx.filter(col("o_totalprice") === col("__gmx"))
+          .drop("__gmx")
+        val plus = o.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("o_orderstatus", lit("X"))
+        // the churned groups' post-change rows: survivors + the new
+        // group — exactly what the extremes rescan is priced by
+        val resolved = withMx.filter(col("o_totalprice") < col("__gmx"))
+          .drop("__gmx").unionByName(plus)
+        mergeCdcExtremes(plus, minus, resolved, sink,
+          Seq("o_orderstatus"), Seq("o_totalprice"),
+          Seq("o_totalprice"), 1L)
+        readState(s, sink)
+          .select(col("o_orderstatus"), col("__n").as("n"),
+            round(col("sum_o_totalprice"), 2).as("sum_price"),
+            col("min_o_totalprice").as("min_price"),
+            col("max_o_totalprice").as("max_price"))
+          .orderBy("o_orderstatus")
+      },
+      """WITH ranked AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    max(o_totalprice) OVER (PARTITION BY o_orderstatus) AS gmx
+        |  FROM orders),
+        |resolved AS (
+        |  SELECT o_orderstatus, o_totalprice FROM ranked
+        |  WHERE o_totalprice < gmx
+        |  UNION ALL
+        |  SELECT 'X' AS o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 = 3)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM resolved GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
+    // EXACT COUNT(DISTINCT) under retraction via the two-level state:
+    // the child rollup holds one multiplicity row per (status,
+    // custkey) pair, deletes decrement it, and the distinct count is
+    // the child state's per-group row count. The oracle computes
+    // count(DISTINCT) over the resolved table — a pair surviving its
+    // last retraction (multiplicity accounting wrong) or a distinct
+    // count derived from anything but the pair rows hash-mismatches.
+    "q_incr_agg_distinct" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_distagg") { sink =>
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+        mergeCdcDistinct(o, o.limit(0), sink,
+          Seq("o_orderstatus"), "o_custkey", 0L)
+        val minus = o.filter(col("o_orderkey") % 10 === 7)
+        val plus = o.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("o_orderstatus", lit("X"))
+        mergeCdcDistinct(plus, minus, sink,
+          Seq("o_orderstatus"), "o_custkey", 1L)
+        readDistinct(s, sink, Seq("o_orderstatus"), "o_custkey")
+          .withColumnRenamed("distinct_o_custkey", "n_cust")
+          .orderBy("o_orderstatus")
+      },
+      """WITH resolved AS (
+        |  SELECT o_orderstatus, o_custkey FROM orders
+        |  WHERE o_orderkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT 'X' AS o_orderstatus, o_custkey FROM orders
+        |  WHERE o_orderkey % 10 = 3)
+        |SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
+        |FROM resolved GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
+    // CHANGE DATA FEED under the oracle gate: the downstream rollup
+    // never sees the upstream CDC batch — it folds ONLY the manifest
+    // file-diff frames changesBetween derives (bootstrap 0→v1, then
+    // v1→v2 across a copy-on-write merge). Rewritten files put their
+    // survivors on BOTH sides of the feed, so the fold's telescoping
+    // must cancel them exactly; `diffed` pins the feed really is
+    // file-grained (the minus side carries MORE rows than the churn —
+    // a row-level feed would flip it). The oracle aggregates the
+    // SQL-resolved final table in one pass.
+    "q_change_feed" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_cdf_tab") { tableSink =>
+        withScratchSink(s, "graft_cdf_state") { stateSink =>
+          val o = table(s, dir, "orders").select(
+            col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          val mx = o.agg(max("o_orderkey")).head().getLong(0)
+          var lo = Long.MinValue
+          for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {
+            AtomicIncrement.appendIncrementAtomic(
+              o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+              tableSink, "o_orderkey")
+            lo = hi
+          }
+          val v1 = AtomicIncrement.snapshot(s, tableSink)._1
+          val (p0, m0) = AtomicIncrement.changesBetween(s, tableSink, 0L, v1)
+          mergeCdcBatch(p0.select("o_orderstatus", "o_totalprice"),
+            m0.select("o_orderstatus", "o_totalprice"),
+            stateSink, Seq("o_orderstatus"), Seq("o_totalprice"), 0L)
+          val cut = 2 * mx / 3
+          val hot = o.filter(col("o_orderkey") > cut)
+          val changes = hot.filter(col("o_orderkey") % 10 === 0)
+            .withColumn("o_orderstatus", lit("X"))
+            .withColumn("o_totalprice", col("o_totalprice") + 100)
+            .withColumn("del", lit(false))
+            .unionByName(hot.filter(col("o_orderkey") % 10 === 7)
+              .withColumn("del", lit(true)))
+          AtomicIncrement.mergeAtomic(changes, tableSink,
+            "o_orderkey", "del")
+          val v2 = AtomicIncrement.snapshot(s, tableSink)._1
+          val (plus, minus) =
+            AtomicIncrement.changesBetween(s, tableSink, v1, v2)
+          val fileGrained = minus.count() > changes.count()
+          mergeCdcBatch(plus.select("o_orderstatus", "o_totalprice"),
+            minus.select("o_orderstatus", "o_totalprice"),
+            stateSink, Seq("o_orderstatus"), Seq("o_totalprice"), 1L)
+          readState(s, stateSink)
+            .select(col("o_orderstatus"), col("__n").as("n"),
+              round(col("sum_o_totalprice"), 2).as("sum_price"))
+            .withColumn("diffed", lit(fileGrained))
+            .orderBy("o_orderstatus")
+        }
+      },
+      """WITH cut AS (SELECT 2 * max(o_orderkey) // 3 AS c FROM orders),
+        |resolved AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders, cut
+        |  WHERE NOT (o_orderkey > c AND o_orderkey % 10 IN (0, 7))
+        |  UNION ALL
+        |  SELECT 'X', o_totalprice + 100 FROM orders, cut
+        |  WHERE o_orderkey > c AND o_orderkey % 10 = 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price, TRUE AS diffed
+        |FROM resolved GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin))
 }

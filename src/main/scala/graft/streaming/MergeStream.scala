@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   * merge ([[AtomicIncrement.mergeAtomic]]: rewrite ∝ churn-touched
   * files) and, optionally, the retractable rollup fold
   * ([[IncrementalAgg.mergeCdcBatch]]: state moves by Σafter − Σbefore
-  * per group). Within-batch conflicts resolve first through
+  * per group; with `stateMinMax`, [[IncrementalAgg.mergeCdcExtremes]]
+  * — churned groups' min/max rescan from their pre-merge locality
+  * reshaped to the post-change view). Within-batch conflicts resolve
+  * first through
   * [[Cdc.latestView]] (latest version per key, delete wins ties), so
   * the merge sees ≤1 row per key — its contract.
   *
@@ -40,7 +43,8 @@ object MergeStream {
       stateSink: Option[String] = None, stateKeys: Seq[String] = Nil,
       stateSums: Seq[String] = Nil,
       afterFold: () => Unit = () => (),
-      maxChurnKeys: Int = 10000000): Unit = {
+      maxChurnKeys: Int = 10000000,
+      stateMinMax: Seq[String] = Nil): Unit = {
     val spark = changes.sparkSession
     val resolved = Cdc.latestViewWithDeletes(changes, Seq(keyCol),
       versionCol, deleteCol).drop(versionCol)
@@ -61,13 +65,67 @@ object MergeStream {
           keyCol, churn)
         .join(broadcast(churn.toDf(spark, keyCol)), Seq(keyCol), "left_semi")
       val plus = resolved.filter(!col(deleteCol)).drop(deleteCol)
-      IncrementalAgg.mergeCdcBatch(plus, before, st,
-        stateKeys, stateSums, batchId)
+      if (stateMinMax.isEmpty)
+        IncrementalAgg.mergeCdcBatch(plus, before, st,
+          stateKeys, stateSums, batchId)
+      else {
+        // the extremes rescan needs the churned GROUPS' post-change
+        // rows, but the fold runs BEFORE the table moves (the crash-
+        // safety order above) — so build that view logically from the
+        // committed PRE-merge snapshot: the churned groups' pre-rows,
+        // minus every churned key's row, plus the after-images. The
+        // pre-rows come from the GROUP column's locality when its
+        // stats can prune (note: the group column, not the merge key —
+        // the rescan needs the groups' OTHER rows too); a may-contain
+        // superset either way, and the fold's semi join restricts it.
+        val groupRows = churnedGroupPreRows(spark, tableSink,
+          stateKeys, plus, before)
+        val post = groupRows
+          .join(broadcast(churn.toDf(spark, keyCol)), Seq(keyCol),
+            "left_anti")
+          .unionByName(plus, allowMissingColumns = true)
+        IncrementalAgg.mergeCdcExtremes(plus, before, post, st,
+          stateKeys, stateSums, stateMinMax, batchId)
+      }
     }
     afterFold()
     AtomicIncrement.mergeAtomic(resolved, tableSink, keyCol, deleteCol,
       maxChurnKeys, churn)
     ()
+  }
+
+  /** The committed (pre-merge) rows of the groups this batch churns —
+    * the file-pruned locality read on a SINGLE integral/string group
+    * column (one bounded collect of the distinct churned group values,
+    * ≤ the churn size), degrading to the full committed snapshot for
+    * composite/other-typed group keys or a null churned group (both
+    * correct: the read only needs to be a may-contain SUPERSET of the
+    * churned groups' rows).
+    */
+  private def churnedGroupPreRows(
+      spark: org.apache.spark.sql.SparkSession, tableSink: String,
+      stateKeys: Seq[String], plus: DataFrame,
+      before: DataFrame): DataFrame = {
+    val full = AtomicIncrement.readCommitted(spark, tableSink)
+    if (stateKeys.size != 1) return full
+    val g = stateKeys.head
+    import org.apache.spark.sql.types._
+    val dt = plus.schema.fields.find(_.name.equalsIgnoreCase(g))
+      .map(_.dataType)
+    val vals = dt match {
+      case Some(StringType) | Some(ByteType) | Some(ShortType) |
+           Some(IntegerType) | Some(LongType) =>
+        plus.select(col(g)).unionByName(before.select(col(g)))
+          .distinct().collect()
+      case _ => return full
+    }
+    if (vals.exists(_.isNullAt(0))) return full
+    dt.get match {
+      case StringType => AtomicIncrement.readKeyedMayContainStr(
+        spark, tableSink, g, vals.map(_.getString(0)).toSeq)
+      case _ => AtomicIncrement.readKeyedMayContain(spark, tableSink, g,
+        vals.map(r => r.get(0).asInstanceOf[Number].longValue()).toSeq)
+    }
   }
 
   /** `maintainEvery` > 0 runs one [[graft.operators.Maintenance]] pass
@@ -88,13 +146,15 @@ object MergeStream {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       maintainEvery: Int = 0,
-      maintainTarget: Option[graft.operators.Maintenance.Target] = None)
+      maintainTarget: Option[graft.operators.Maintenance.Target] = None,
+      stateMinMax: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
       .foreachBatch { (b: DataFrame, id: Long) =>
         applyBatchStep(b, id, tableSink, keyCol, versionCol, deleteCol,
-          stateSink, stateKeys, stateSums)
+          stateSink, stateKeys, stateSums,
+          stateMinMax = stateMinMax)
         if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
           maintainTarget.foreach(t =>
             graft.operators.Maintenance.maintainAtomic(b.sparkSession, t))

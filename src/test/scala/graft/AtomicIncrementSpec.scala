@@ -852,4 +852,48 @@ class AtomicIncrementSpec extends SparkSpec {
     // nothing was staged or published
     assert(AtomicIncrement.readCommitted(spark, sink).count() == 30)
   }
+
+  test("change data feed: the manifest diff is an exact multiset " +
+      "delta — appends feed only plus, a copy-on-write merge puts the " +
+      "rewritten file's survivors on BOTH sides, and v1 + plus − minus " +
+      "telescopes to exactly the v2 rows") {
+    val sink = tmp()
+    loadRanged(sink)
+    val v1 = AtomicIncrement.snapshot(spark, sink)._1
+    // bootstrap feed: 0 → v1 is the whole snapshot, nothing retracts
+    val (p0, m0) = AtomicIncrement.changesBetween(spark, sink, 0L, v1)
+    assert(m0.count() == 0 && p0.count() == 30)
+    // a same-version feed is the empty delta
+    val (pSame, mSame) = AtomicIncrement.changesBetween(spark, sink, v1, v1)
+    assert(pSame.count() == 0 && mSame.count() == 0)
+    // forward-only
+    intercept[IllegalArgumentException] {
+      AtomicIncrement.changesBetween(spark, sink, v1, v1 - 1)
+    }
+    // copy-on-write merge confined to the third file's interval
+    val changes = Seq((25L, "UPD", 250.0, false), (27L, "", 0.0, true))
+      .toDF("k", "v", "x", "del")
+    val res = AtomicIncrement.mergeAtomic(changes, sink, "k", "del")
+    assert(res.carried == 2 && res.rewritten == 1)
+    val v2 = AtomicIncrement.snapshot(spark, sink)._1
+    val (plus, minus) = AtomicIncrement.changesBetween(spark, sink, v1, v2)
+    // file-grained, not row-grained: the whole old third file (10
+    // rows) retracts; its 8 survivors + the upsert (9 rows) add back
+    assert(minus.count() == 10, s"minus carried ${minus.count()} rows")
+    assert(plus.count() == 9, s"plus carried ${plus.count()} rows")
+    // multiset telescoping
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v").as[(Long, String)].collect().toSeq
+    val counts = scala.collection.mutable.Map[(Long, String), Int]()
+      .withDefaultValue(0)
+    rowsOf(AtomicIncrement.readVersion(spark, sink, v1))
+      .foreach(r => counts(r) += 1)
+    rowsOf(plus).foreach(r => counts(r) += 1)
+    rowsOf(minus).foreach(r => counts(r) -= 1)
+    val fed = counts.filter(_._2 != 0).toMap
+    val v2Bag = rowsOf(AtomicIncrement.readCommitted(spark, sink))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(fed == v2Bag, s"feed did not telescope: ${fed.toSeq.sorted
+      .take(5)} vs ${v2Bag.toSeq.sorted.take(5)}")
+  }
 }

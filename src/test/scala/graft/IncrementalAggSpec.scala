@@ -177,4 +177,147 @@ class IncrementalAggSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(got == direct, s"long CDC fold diverged: $got vs $direct")
   }
+
+  private def extState(sink: String) =
+    IncrementalAgg.readState(spark, sink)
+      .select("g", "__n", "sum_x", "min_x", "max_x")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1).toSeq
+
+  test("CDC extremes fold: retracting a group's current min/max " +
+      "re-derives them from the CHURNED group's survivors only — the " +
+      "untouched group's extremes carry from state (its rows are " +
+      "deliberately absent from churnedRows); a vanished group leaves; " +
+      "a new group arrives through the delta; replay no-ops") {
+    val sink = tmp()
+    val base = Seq((1L, "a", 5.0), (2L, "a", 1.0), (3L, "a", 9.0),
+      (4L, "b", 4.0), (5L, "b", 8.0)).toDF("ts", "g", "x")
+    assert(IncrementalAgg.mergeCdcExtremes(base, base.limit(0), base,
+      sink, keys, sums, Seq("x"), 0L))
+    assert(extState(sink) == Seq(("a", 3L, 15.0, 1.0, 9.0),
+      ("b", 2L, 12.0, 4.0, 8.0)))
+    // batch 1 deletes a's min AND max rows; churnedRows carries ONLY
+    // a's survivor — if the fold rescanned untouched groups it would
+    // see no b rows here and corrupt (or loudly drop) b's extremes
+    val minus = base.filter(col("ts").isin(2L, 3L))
+    val churnedRows = Seq((1L, "a", 5.0)).toDF("ts", "g", "x")
+    assert(IncrementalAgg.mergeCdcExtremes(base.limit(0), minus,
+      churnedRows, sink, keys, sums, Seq("x"), 1L))
+    val after1 = Seq(("a", 1L, 5.0, 5.0, 5.0), ("b", 2L, 12.0, 4.0, 8.0))
+    assert(extState(sink) == after1,
+      s"extremes fold diverged: ${extState(sink)}")
+    // replay shield: the same batch id moves nothing
+    assert(!IncrementalAgg.mergeCdcExtremes(base.limit(0), minus,
+      churnedRows, sink, keys, sums, Seq("x"), 1L))
+    assert(extState(sink) == after1)
+    // batch 2: a fully retracts (leaves the state); c arrives new
+    val minus2 = Seq((1L, "a", 5.0)).toDF("ts", "g", "x")
+    val plus2 = Seq((6L, "c", 7.0)).toDF("ts", "g", "x")
+    assert(IncrementalAgg.mergeCdcExtremes(plus2, minus2, plus2,
+      sink, keys, sums, Seq("x"), 2L))
+    assert(extState(sink) == Seq(("b", 2L, 12.0, 4.0, 8.0),
+      ("c", 1L, 7.0, 7.0, 7.0)))
+  }
+
+  test("CDC extremes fold fails LOUDLY when churnedRows under-covers " +
+      "a churned group that still has rows — silence would publish " +
+      "stale or missing extremes") {
+    val sink = tmp()
+    val base = Seq((1L, "a", 5.0), (2L, "a", 1.0)).toDF("ts", "g", "x")
+    assert(IncrementalAgg.mergeCdcExtremes(base, base.limit(0), base,
+      sink, keys, sums, Seq("x"), 0L))
+    val minus = base.filter(col("ts") === 2L)
+    val thrown = intercept[IllegalArgumentException] {
+      IncrementalAgg.mergeCdcExtremes(base.limit(0), minus,
+        base.limit(0), sink, keys, sums, Seq("x"), 1L)
+    }
+    assert(thrown.getMessage.contains("under-covers"))
+    // nothing published: the state is still the bootstrap
+    assert(extState(sink) == Seq(("a", 2L, 6.0, 1.0, 5.0)))
+  }
+
+  test("CDC extremes fold keeps native dtypes: long sums stay " +
+      "LongType, long extremes stay LongType") {
+    val sink = tmp()
+    val base = Seq((1L, "a", 10L), (2L, "a", 3L)).toDF("ts", "g", "c")
+    assert(IncrementalAgg.mergeCdcExtremes(base, base.limit(0), base,
+      sink, keys, Seq("c"), Seq("c"), 0L))
+    val st = IncrementalAgg.readState(spark, sink)
+    import org.apache.spark.sql.types.LongType
+    for (c <- Seq("sum_c", "min_c", "max_c"))
+      assert(st.schema(c).dataType == LongType,
+        s"$c widened: ${st.schema(c).dataType}")
+    assert(st.select("g", "__n", "sum_c", "min_c", "max_c").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq == Seq(("a", 2L, 13L, 3L, 10L)))
+  }
+
+  test("CDC distinct: one multiplicity row per (group, value) pair — " +
+      "a retraction decrements, the pair leaves at zero (the distinct " +
+      "count drops exactly then, not at the first delete), and the " +
+      "maintained count always equals a rescan's COUNT(DISTINCT)") {
+    val sink = tmp()
+    val base = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 1L))
+      .toDF("g", "v")
+    def empty = base.limit(0)
+    def distinctNow = IncrementalAgg.readDistinct(spark, sink, keys, "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(IncrementalAgg.mergeCdcDistinct(base, empty, sink, keys, "v", 0L))
+    assert(distinctNow == Seq("a" -> 2L, "b" -> 1L))
+    // first (a,1) delete: multiplicity 2 → 1, distinct count UNCHANGED
+    val one = Seq(("a", 1L)).toDF("g", "v")
+    assert(IncrementalAgg.mergeCdcDistinct(empty, one, sink, keys, "v", 1L))
+    assert(distinctNow == Seq("a" -> 2L, "b" -> 1L))
+    // second (a,1) delete: the pair's last occurrence — NOW it drops
+    assert(IncrementalAgg.mergeCdcDistinct(empty, one, sink, keys, "v", 2L))
+    assert(distinctNow == Seq("a" -> 1L, "b" -> 1L))
+    // replay of batch 2 no-ops
+    assert(!IncrementalAgg.mergeCdcDistinct(empty, one, sink, keys, "v", 2L))
+    assert(distinctNow == Seq("a" -> 1L, "b" -> 1L))
+    // b's only row retracts: the whole group leaves the distinct view
+    assert(IncrementalAgg.mergeCdcDistinct(empty,
+      Seq(("b", 1L)).toDF("g", "v"), sink, keys, "v", 3L))
+    assert(distinctNow == Seq("a" -> 1L))
+  }
+
+  test("CDC extremes compose with mergeAtomic + the GROUP-column " +
+      "locality read: the rollup's rescan opens only the churned " +
+      "groups' files on a group-clustered table") {
+    import graft.operators.AtomicIncrement
+    val tableSink = tmp()
+    val stateSink = tmp()
+    // table clustered by GROUP: one file per g-range, stats on g too
+    def gRows(r: Range, g: String) =
+      r.map(i => (i.toLong, g, i * 1.0)).toDF("ts", "g", "x")
+    AtomicIncrement.appendIncrementAtomic(
+      gRows(1 to 10, "g0").repartition(1), tableSink, "ts",
+      extraStatsCols = Seq("g"))
+    AtomicIncrement.appendIncrementAtomic(
+      gRows(11 to 20, "g1").repartition(1), tableSink, "ts",
+      extraStatsCols = Seq("g"))
+    val load = gRows(1 to 10, "g0").unionByName(gRows(11 to 20, "g1"))
+    assert(IncrementalAgg.mergeCdcExtremes(load, load.limit(0), load,
+      stateSink, keys, sums, Seq("x"), 0L))
+    // change: delete g1's max row (ts=20) — churned group is g1 only
+    val changes = Seq((20L, "g1", 20.0, true)).toDF("ts", "g", "x", "del")
+    val res = AtomicIncrement.mergeAtomic(changes, tableSink, "ts", "del")
+    assert(res.carried == 1 && res.rewritten == 1, s"merge pruning: $res")
+    // the GROUP locality read: only g1's file(s) open for the rescan
+    val churnedGroups = Seq("g1")
+    val locality = AtomicIncrement.readKeyedMayContainStr(
+      spark, tableSink, "g", churnedGroups)
+    assert(locality.inputFiles.length <
+      AtomicIncrement.committedFiles(spark, tableSink).size,
+      "group locality read did not prune")
+    assert(IncrementalAgg.mergeCdcExtremes(res.upserts, res.beforeImages,
+      locality, stateSink, keys, sums, Seq("x"), 1L))
+    val direct = AtomicIncrement.readCommitted(spark, tableSink)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("s"),
+        min("x").as("mn"), max("x").as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(extState(stateSink) == direct,
+      s"maintained extremes diverged: ${extState(stateSink)} vs $direct")
+  }
 }

@@ -228,4 +228,49 @@ class MergeStreamSpec extends SparkSpec {
       .agg(max("__b")).head().getLong(0) == preB,
       "the fold recorded a batch the table never applied")
   }
+
+  test("streamed CDC apply maintains a MIN/MAX rollup: extremes " +
+      "re-derive from the churned groups' PRE-merge locality reshaped " +
+      "to the post-change view (the fold still runs before the table " +
+      "moves), and a replayed batch moves neither half") {
+    val tableSink = tmp("graft_mmx_t")
+    val stateSink = tmp("graft_mmx_s")
+    // GROUP-clustered load (one file per group, g in the stats) so the
+    // extremes rescan's group-locality read can prune
+    val rowsA = (1L to 10L).map(k => (k, "a", k * 1.0)).toDF("k", "g", "x")
+    val rowsB = (11L to 20L).map(k => (k, "b", k * 1.0)).toDF("k", "g", "x")
+    AtomicIncrement.appendIncrementAtomic(rowsA.repartition(1),
+      tableSink, "k", extraStatsCols = Seq("g"))
+    AtomicIncrement.appendIncrementAtomic(rowsB.repartition(1),
+      tableSink, "k", extraStatsCols = Seq("g"))
+    val load = rowsA.unionByName(rowsB)
+    assert(IncrementalAgg.mergeCdcExtremes(load, load.limit(0), load,
+      stateSink, Seq("g"), Seq("x"), Seq("x"), -1L))
+    // batch 0: delete b's max row (k=20, x=20) and re-price a's min
+    // row UP (k=1 → x=5.5, so a's min must re-derive as 2.0)
+    val changes = Seq((20L, "", 0.0, 1L, true),
+      (1L, "a", 5.5, 1L, false)).toDF("k", "g", "x", "v", "del")
+    MergeStream.applyBatchStep(changes, 0L, tableSink, "k", "v", "del",
+      Some(stateSink), Seq("g"), Seq("x"), stateMinMax = Seq("x"))
+    def direct = AtomicIncrement.readCommitted(spark, tableSink)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("s"),
+        min("x").as("mn"), max("x").as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    def got = IncrementalAgg.readState(spark, stateSink)
+      .select("g", "__n", "sum_x", "min_x", "max_x")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(got == direct, s"streamed extremes diverged: $got vs $direct")
+    assert(got.find(_._1 == "b").exists(t => t._5 == 19.0),
+      "b's max did not re-derive after its argmax row deleted")
+    assert(got.find(_._1 == "a").exists(t => t._4 == 2.0),
+      "a's min did not re-derive after its argmin row re-priced")
+    // replay: the fold no-ops on the batch id, the merge re-applies
+    // idempotently — state and table both unchanged
+    val snap = got
+    MergeStream.applyBatchStep(changes, 0L, tableSink, "k", "v", "del",
+      Some(stateSink), Seq("g"), Seq("x"), stateMinMax = Seq("x"))
+    assert(got == snap && direct == snap)
+  }
 }
