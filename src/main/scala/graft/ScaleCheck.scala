@@ -77,7 +77,8 @@ object ScaleCheck {
     // round 13 (late): retractable extremes/distinct (fold ∝ churned
     // groups' rows / pair-state) and the manifest-diff change feed
     // (priced by the diffed files)
-    "q_incr_agg_minmax", "q_incr_agg_distinct", "q_change_feed")
+    "q_incr_agg_minmax", "q_incr_agg_distinct", "q_change_feed",
+    "q_optimize_zorder")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {

@@ -618,6 +618,77 @@ object AtomicIncrement {
     (priorEntries.size, staged.size)
   }
 
+  /** OPTIMIZE ZORDER: rewrite the snapshot MULTI-DIMENSIONALLY
+    * clustered — rows ordered along a Morton curve (bit-interleaved
+    * `bits`-bit bucket grids) over TWO integral columns — and record
+    * BOTH columns' interval stats, so stats-pruned reads and merges
+    * engage on EITHER dimension. [[compactClustered]]'s lexicographic
+    * range layout gives perfect intervals on its leading column and
+    * nearly none on the second (it only discriminates within
+    * leading-column ties); the z-curve trades both down to ~√F-of-F
+    * file pruning per dimension — the Delta `OPTIMIZE ZORDER BY (a,
+    * b)` move, for tables whose hot predicates come on two independent
+    * keys (fact id + dimension fk, tenant + time). Bucket bounds come
+    * from one min/max pass; the interleave is pure integer shift/mask
+    * column math (codegen'd, no UDF). Null z-keys sort together and
+    * stay in the table — stats and pruning remain may-contain correct.
+    * Same OCC/crash/pinned-reader semantics as every snapshot replace;
+    * `bloomCols` re-covers point-lookup sidecars in the same step.
+    * Returns (files before, files after).
+    */
+  def compactZordered(spark: SparkSession, sink: String,
+      colA: String, colB: String, numFiles: Int = 16,
+      bloomCols: Seq[String] = Nil, bits: Int = 8): (Int, Int) = {
+    require(bits >= 1 && bits <= 16, s"bits out of range: $bits")
+    val (version, priorEntries) = snapshotEntries(spark, sink)
+    require(priorEntries.nonEmpty, s"nothing committed to z-order at $sink")
+    val snap = readCommitted(spark, sink)
+    def fieldOf(c: String) = snap.schema.fields
+      .find(_.name.equalsIgnoreCase(c))
+      .getOrElse(throw new IllegalArgumentException(
+        s"z-order column '$c' not in ${snap.columns.mkString(",")}"))
+    for (c <- Seq(colA, colB))
+      require(tagOf(fieldOf(c).dataType).exists(integralTags.contains),
+        s"z-order needs integral columns (bucket grid): '$c' is " +
+          s"${fieldOf(c).dataType.simpleString}")
+    val bounds = snap.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    // an all-null dimension has no grid to interleave — degrade to the
+    // single-column clustered rewrite on the other (or plain compact)
+    if (bounds.isNullAt(0) && bounds.isNullAt(2))
+      return compact(spark, sink, numFiles, bloomCols)
+    if (bounds.isNullAt(0))
+      return compactClustered(spark, sink, Seq(colB), numFiles, bloomCols)
+    if (bounds.isNullAt(2))
+      return compactClustered(spark, sink, Seq(colA), numFiles, bloomCols)
+    val side = 1L << bits
+    def bucket(c: String, mn: Long, mx: Long) = {
+      val span = math.max(mx - mn, 0L) + 1L
+      expr(s"((cast($c as bigint) - (${mn}L)) * ${side}L) div ${span}L")
+    }
+    val z = (0 until bits).map { i =>
+      shiftleft(shiftright(col("__za"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(col("__zb"), i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+    val clustered = snap
+      .withColumn("__za", bucket(colA, bounds.getLong(0), bounds.getLong(1)))
+      .withColumn("__zb", bucket(colB, bounds.getLong(2), bounds.getLong(3)))
+      .withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__za", "__zb", "__z")
+    val statsFields = (Seq(colA, colB) ++ priorEntries
+        .flatMap(_.allStats.map(_.column)).distinct
+        .filter(c => priorEntries.forall(_.statsFor(c).nonEmpty)))
+      .distinct
+      .flatMap(c => snap.schema.fields.find(_.name.equalsIgnoreCase(c)))
+    val staged = replaceWithHook(clustered, sink, version, () => (),
+      statsFields)
+    bloomCols.foreach(c => BloomSkip.ensureSidecars(spark, sink, c))
+    (priorEntries.size, staged.size)
+  }
+
   /** Replace the committed snapshot with `df`'s contents as manifest
     * version `expectVersion + 1` — the OCC primitive behind [[compact]]
     * and `IncrementalAgg`'s state fold. Prior data files stay on disk

@@ -485,6 +485,60 @@ object IncrementalAgg {
         |WHERE o_orderkey > 2 * (SELECT max(o_orderkey) FROM orders) // 3
         |""".stripMargin),
 
+    // The OPTIMIZE ZORDER path under the oracle gate: interleaved
+    // loads defeat pruning on BOTH dimensions (every file's interval
+    // on each spans the whole domain), then ONE multi-dimensional
+    // rewrite must make the same above-the-cut read skip files on
+    // EITHER column — which no lexicographic layout can do for the
+    // trailing dimension. `zordered` pins all four halves (pruning
+    // impossible before on both dims, engaged after on both); the
+    // oracle aggregates both cuts from the raw table — layout must be
+    // invisible to content.
+    "q_optimize_zorder" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_optz") { sink =>
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        for (r <- 0L to 2L)
+          AtomicIncrement.appendIncrementAtomic(
+            o.filter(col("o_orderkey") % 3 === r).withColumn("b", lit(r)),
+            sink, "b", extraStatsCols = Seq("o_orderkey", "o_custkey"))
+        val m = o.agg(max("o_orderkey"), max("o_custkey")).head()
+        val cutK = 7 * m.getLong(0) / 8
+        val cutC = 7 * m.getLong(1) / 8
+        def opened(c: String, cut: Long) = AtomicIncrement
+          .readCommittedAbove(s, sink, c, cut).inputFiles.length
+        def total = AtomicIncrement.committedFiles(s, sink).size
+        val beforeK = opened("o_orderkey", cutK) < total
+        val beforeC = opened("o_custkey", cutC) < total
+        AtomicIncrement.compactZordered(s, sink,
+          "o_orderkey", "o_custkey", numFiles = 16)
+        val readK = AtomicIncrement.readCommittedAbove(
+          s, sink, "o_orderkey", cutK)
+        val readC = AtomicIncrement.readCommittedAbove(
+          s, sink, "o_custkey", cutC)
+        val engaged = !beforeK && !beforeC &&
+          readK.inputFiles.length < total && readC.inputFiles.length < total
+        val aggK = readK.filter(col("o_orderkey") > cutK)
+          .agg(count(lit(1)).as("n_key"),
+            round(sum("o_totalprice"), 2).as("sum_key"))
+        val aggC = readC.filter(col("o_custkey") > cutC)
+          .agg(count(lit(1)).as("n_cust"),
+            round(sum("o_totalprice"), 2).as("sum_cust"))
+        aggK.crossJoin(aggC).withColumn("zordered", lit(engaged))
+      },
+      """WITH ck AS (SELECT 7 * max(o_orderkey) // 8 AS v FROM orders),
+        |cc AS (SELECT 7 * max(o_custkey) // 8 AS v FROM orders)
+        |SELECT
+        |  (SELECT count(*) FROM orders, ck WHERE o_orderkey > v)
+        |    AS n_key,
+        |  (SELECT round(sum(o_totalprice), 2) FROM orders, ck
+        |    WHERE o_orderkey > v) AS sum_key,
+        |  (SELECT count(*) FROM orders, cc WHERE o_custkey > v)
+        |    AS n_cust,
+        |  (SELECT round(sum(o_totalprice), 2) FROM orders, cc
+        |    WHERE o_custkey > v) AS sum_cust,
+        |  TRUE AS zordered""".stripMargin),
+
     // The RETRACTION fold under the oracle gate: the rollup
     // initializes from the base load, then the q_merge_upsert change
     // feed moves it by Σ(after-images) − Σ(before-images) — one

@@ -58,7 +58,8 @@ object Maintenance {
     */
   final case class Target(sink: String, clusterCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, targetFiles: Int = 8,
-      triggerFiles: Int = 0)
+      triggerFiles: Int = 0,
+      zorderCols: Option[(String, String)] = None)
 
   /** One full pass over one sink. OCC applies to the compaction like
     * any snapshot replace: if a live writer commits concurrently the
@@ -71,11 +72,17 @@ object Maintenance {
       target.triggerFiles)
     val (before, after) =
       if (!rewrite) (committed, committed)
-      else if (target.clusterCols.nonEmpty)
-        AtomicIncrement.compactClustered(spark, target.sink,
-          target.clusterCols, target.targetFiles)
-      else
-        AtomicIncrement.compact(spark, target.sink, target.targetFiles)
+      else target.zorderCols match {
+        // two-dimensional layout policy wins over the lexicographic
+        // one: the table's hot predicates come on both columns
+        case Some((a, b)) => AtomicIncrement.compactZordered(spark,
+          target.sink, a, b, target.targetFiles)
+        case None if target.clusterCols.nonEmpty =>
+          AtomicIncrement.compactClustered(spark, target.sink,
+            target.clusterCols, target.targetFiles)
+        case None =>
+          AtomicIncrement.compact(spark, target.sink, target.targetFiles)
+      }
     val built = target.bloomCols.map(c =>
       BloomSkip.ensureSidecars(spark, target.sink, c)).sum
     val superseded = AtomicIncrement.vacuumSuperseded(spark, target.sink)

@@ -853,6 +853,55 @@ class AtomicIncrementSpec extends SparkSpec {
     assert(AtomicIncrement.readCommitted(spark, sink).count() == 30)
   }
 
+  test("compactZordered: one multi-dimensional rewrite restores " +
+      "pruning on BOTH independent columns (lexicographic clustering " +
+      "cannot serve the trailing one), content and composed-read " +
+      "equivalence preserved, non-integral dims rejected loudly") {
+    val sink = tmp()
+    // two independent uniform dims: c is a permutation of k (coprime
+    // multiplier), loads interleaved on k so every file's interval
+    // spans BOTH domains and nothing can prune
+    def rows(p: Long => Boolean) = (1L to 400L).filter(p)
+      .map(k => (k, (k * 193L) % 400L, k * 1.0)).toDF("k", "c", "x")
+    for (r <- 0L to 2L)
+      AtomicIncrement.appendIncrementAtomic(
+        rows(_ % 3 == r).withColumn("b", lit(r)).repartition(1),
+        sink, "b", extraStatsCols = Seq("k", "c"))
+    val total = AtomicIncrement.committedFiles(spark, sink).size
+    val (cutK, cutC) = (350L, 350L)
+    def openedK = AtomicIncrement
+      .readCommittedAbove(spark, sink, "k", cutK).inputFiles.length
+    def openedC = AtomicIncrement
+      .readCommittedAbove(spark, sink, "c", cutC).inputFiles.length
+    assert(openedK == total && openedC == total,
+      "fixture broke: pruning possible before the z-order rewrite")
+    val before = AtomicIncrement.readCommitted(spark, sink)
+      .select("k", "c").as[(Long, Long)].collect().sorted.toSeq
+    val (nb, na) = AtomicIncrement.compactZordered(spark, sink, "k", "c",
+      numFiles = 8)
+    assert(nb == total && na >= 1)
+    val total2 = AtomicIncrement.committedFiles(spark, sink).size
+    assert(openedK < total2, "z-order did not restore pruning on k")
+    assert(openedC < total2, "z-order did not restore pruning on c")
+    // content untouched, and the composed pruned read ≡ full filter
+    val after = AtomicIncrement.readCommitted(spark, sink)
+      .select("k", "c").as[(Long, Long)].collect().sorted.toSeq
+    assert(after == before)
+    for ((col0, cut) <- Seq("k" -> cutK, "c" -> cutC)) {
+      val pruned = AtomicIncrement
+        .readCommittedAbove(spark, sink, col0, cut)
+        .filter(col(col0) > cut).select("k").as[Long].collect().sorted.toSeq
+      val full = AtomicIncrement.readCommitted(spark, sink)
+        .filter(col(col0) > cut).select("k").as[Long].collect().sorted.toSeq
+      assert(pruned == full, s"pruned read diverged on $col0")
+    }
+    // a non-integral dimension has no bucket grid — loud
+    val e = intercept[IllegalArgumentException] {
+      AtomicIncrement.compactZordered(spark, sink, "k", "x")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("change data feed: the manifest diff is an exact multiset " +
       "delta — appends feed only plus, a copy-on-write merge puts the " +
       "rewritten file's survivors on BOTH sides, and v1 + plus − minus " +

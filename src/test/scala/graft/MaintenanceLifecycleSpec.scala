@@ -169,4 +169,28 @@ class MaintenanceLifecycleSpec extends SparkSpec {
     assert(r2.rewrote && r2.filesBefore == 9 && r2.filesAfter <= 8,
       s"fragmented table was not rewritten: $r2")
   }
+
+  test("z-order layout policy: a Target with zorderCols rewrites " +
+      "multi-dimensionally — pruning engages on both columns after " +
+      "the pass, content preserved") {
+    val sink = tmp("graft_ztgt")
+    def rows(p: Long => Boolean) = (1L to 300L).filter(p)
+      .map(k => (k, (k * 77L) % 300L, k * 1.0)).toDF("k", "c", "x")
+    // 6 interleaved loads: past the trigger, nothing pruning-shaped
+    for (r <- 0L to 5L)
+      AtomicIncrement.appendIncrementAtomic(
+        rows(_ % 6 == r).withColumn("b", lit(r)).repartition(1),
+        sink, "b", extraStatsCols = Seq("k", "c"))
+    val n0 = AtomicIncrement.readCommitted(spark, sink).count()
+    // ≥4 target files so the z-curve's leading bits split BOTH dims
+    val target = Maintenance.Target(sink, targetFiles = 4,
+      zorderCols = Some(("k", "c")))
+    val r = Maintenance.maintainAtomic(spark, target)
+    assert(r.rewrote, s"z-order pass did not rewrite: $r")
+    val total = AtomicIncrement.committedFiles(spark, sink).size
+    for (c <- Seq("k", "c"))
+      assert(AtomicIncrement.readCommittedAbove(spark, sink, c, 260L)
+        .inputFiles.length < total, s"no pruning on $c after z-order")
+    assert(AtomicIncrement.readCommitted(spark, sink).count() == n0)
+  }
 }
