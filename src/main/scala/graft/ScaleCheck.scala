@@ -78,7 +78,7 @@ object ScaleCheck {
     // groups' rows / pair-state) and the manifest-diff change feed
     // (priced by the diffed files)
     "q_incr_agg_minmax", "q_incr_agg_distinct", "q_change_feed",
-    "q_optimize_zorder")
+    "q_optimize_zorder", "q_merge_deferred")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
@@ -813,12 +813,15 @@ object MergeScaleCheck {
         (col("o_totalprice") + 1).as("o_totalprice"),
         lit(false).as("del"))
     def timeMerge(o: org.apache.spark.sql.DataFrame, replicas: Int,
-        ch: org.apache.spark.sql.DataFrame)
+        ch: org.apache.spark.sql.DataFrame, defer: Boolean = false)
         : (Double, Int, Int) = {
       val sink = load(o, replicas)
       val t0 = System.nanoTime()
-      val res = AtomicIncrement.mergeAtomic(asChanges(ch), sink,
-        "o_orderkey", "del")
+      val res =
+        if (defer) AtomicIncrement.mergeOnReadAtomic(asChanges(ch), sink,
+          "o_orderkey", "del")
+        else AtomicIncrement.mergeAtomic(asChanges(ch), sink,
+          "o_orderkey", "del")
       val sec = (System.nanoTime() - t0) / 1e9
       InternalCaches.drain(); spark.catalog.clearCache()
       org.apache.commons.io.FileUtils.deleteDirectory(
@@ -835,8 +838,15 @@ object MergeScaleCheck {
       cells(("spread", "1x")) ::= timeMerge(o1, 1, spread(o1, 10))
       cells(("spread", s"${factor}x")) ::=
         timeMerge(oN, factor, spread(oN, 10 * factor))
+      // merge-on-read: the same spread churn that forces copy-on-write
+      // to rewrite EVERY file commits as after-images + one tombstone
+      // file — cost ∝ the batch, however many files the table holds
+      cells(("defer-spread", "1x")) ::=
+        timeMerge(o1, 1, spread(o1, 10), defer = true)
+      cells(("defer-spread", s"${factor}x")) ::=
+        timeMerge(oN, factor, spread(oN, 10 * factor), defer = true)
     }
-    for (kind <- Seq("confined", "spread")) {
+    for (kind <- Seq("confined", "spread", "defer-spread")) {
       val c1 = cells((kind, "1x")); val cN = cells((kind, s"${factor}x"))
       val t1 = c1.map(_._1).min; val tN = cN.map(_._1).min
       println(f"[mergescale] $kind%-9s 1x=$t1%6.2fs " +

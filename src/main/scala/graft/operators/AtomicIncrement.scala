@@ -111,6 +111,35 @@ object AtomicIncrement {
 
   private[graft] val integralTags = Set("long", "int", "short", "byte")
 
+  /** Reserved manifest stats-group column names — metadata riding the
+    * stats-group syntax, never real table columns:
+    *  - `__graft_dv` marks a DELETE-VECTOR line (the [[mergeOnReadAtomic]]
+    *    path): the entry's file holds deleted KEYS, not rows; min/max
+    *    carry the base64 merge-key column name.
+    *  - `__graft_seq` is the commit SEQUENCE a data or dv file was
+    *    staged at (Iceberg's sequence-number idea): a dv masks only
+    *    data files with a STRICTLY smaller sequence, so a later
+    *    re-upsert of a deleted key is never swallowed by the old
+    *    tombstone. Data lines without the group sit at sequence 0.
+    */
+  private val DvCol = "__graft_dv"
+  private val SeqCol = "__graft_seq"
+  private val ReservedStatsCols = Set(DvCol, SeqCol)
+
+  private[graft] def isDv(e: ManifestEntry): Boolean =
+    e.statsFor(DvCol).nonEmpty
+
+  private def seqOf(e: ManifestEntry): Long =
+    e.statsFor(SeqCol).flatMap(s => s.min.toLongOption).getOrElse(0L)
+
+  private def dvKeyColOf(e: ManifestEntry): String =
+    new String(java.util.Base64.getDecoder.decode(
+      e.statsFor(DvCol).get.min), java.nio.charset.StandardCharsets.UTF_8)
+
+  private def stampSeq(e: ManifestEntry, seq: Long): ManifestEntry =
+    e.copy(allStats = e.allStats :+
+      FileColumnStats(SeqCol, "long", seq.toString, seq.toString))
+
   private[graft] def tagOf(dt: org.apache.spark.sql.types.DataType): Option[String] = {
     import org.apache.spark.sql.types._
     dt match {
@@ -150,10 +179,23 @@ object AtomicIncrement {
     * committed snapshot — (0, empty) before the first commit. The
     * version is the writer's optimistic-concurrency token: a commit
     * publishes at version+1 and fails if that version exists.
+    * Delete-vector lines are NOT data files and are excluded (their
+    * lifecycle is [[committedLivePaths]]').
     */
   def snapshot(spark: SparkSession, sink: String): (Long, Seq[String]) = {
+    val (v, dataE, _) = snapshotSplit(spark, sink)
+    (v, dataE.map(_.path))
+  }
+
+  /** [[snapshotEntries]] split into (version, data lines, delete-vector
+    * lines) — every read/stats/merge path consumes the data side and
+    * applies the dv side through [[readEffective]].
+    */
+  private[graft] def snapshotSplit(spark: SparkSession, sink: String)
+      : (Long, Seq[ManifestEntry], Seq[ManifestEntry]) = {
     val (v, entries) = snapshotEntries(spark, sink)
-    (v, entries.map(_.path))
+    val (dv, data) = entries.partition(isDv)
+    (v, data, dv)
   }
 
   /** [[snapshot]] with the per-file stats preserved. */
@@ -176,15 +218,75 @@ object AtomicIncrement {
   def committedFiles(spark: SparkSession, sink: String): Seq[String] =
     snapshot(spark, sink)._2
 
+  /** EVERY path the latest manifest keeps alive — data files AND
+    * delete-vector files: the liveness root the vacuums walk (a dv
+    * reclaimed while its manifest line stands would resurrect deleted
+    * rows).
+    */
+  private def committedLivePaths(spark: SparkSession,
+      sink: String): Seq[String] =
+    snapshotEntries(spark, sink)._2.map(_.path)
+
   /** The committed snapshot as a DataFrame (mergeSchema over the
-    * manifest's file list — schema evolution reads like
-    * `Incremental.readEvolved`). Throws before the first commit.
+    * manifest's data-file list — schema evolution reads like
+    * `Incremental.readEvolved`), with any delete vectors APPLIED:
+    * a table carrying merge-on-read tombstones reads its effective
+    * rows here, exactly what the copy-on-write result would hold.
+    * Throws before the first commit.
     */
   def readCommitted(spark: SparkSession, sink: String): DataFrame = {
-    val files = committedFiles(spark, sink)
-    require(files.nonEmpty, s"no committed snapshot at $sink")
+    val (_, dataE, dvE) = snapshotSplit(spark, sink)
+    require(dataE.nonEmpty, s"no committed snapshot at $sink")
+    readEffective(spark, sink, dataE, dvE, None)
+  }
+
+  /** Merge-schema over data files only (dv files hold keys, not rows). */
+  private def dataSchema(spark: SparkSession, sink: String,
+      dataE: Seq[ManifestEntry]): org.apache.spark.sql.types.StructType =
     spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => s"$sink/$f"): _*)
+      .parquet(dataE.map(e => s"$sink/${e.path}"): _*).schema
+
+  /** Read `dataSubset` under `schema` (or the full merged data schema
+    * when None) with the snapshot's delete vectors applied — the
+    * Iceberg equality-delete rule: a dv masks exactly the data files
+    * whose sequence is STRICTLY below its own, so a key deleted at
+    * sequence s and re-upserted at s' > s keeps its new row. The
+    * subset's files group by sequence (one group per distinct commit
+    * sequence still standing — bounded by the commits since the last
+    * compaction, which folds every dv away), each group anti-joins the
+    * union of the dvs above it, and the groups union back. With no dvs
+    * this is exactly the plain schema-pinned read.
+    */
+  private[graft] def readEffective(spark: SparkSession, sink: String,
+      dataSubset: Seq[ManifestEntry], dvE: Seq[ManifestEntry],
+      schemaOpt: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
+    val schema = schemaOpt.getOrElse {
+      // the schema comes from the FULL committed data list so a pruned
+      // subset never loses an evolved column
+      val (_, dataAll, _) = snapshotSplit(spark, sink)
+      dataSchema(spark, sink, dataAll)
+    }
+    def plain(files: Seq[ManifestEntry]): DataFrame =
+      if (files.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(files.map(e => s"$sink/${e.path}"): _*)
+    if (dvE.isEmpty || dataSubset.isEmpty) return plain(dataSubset)
+    val keyCols = dvE.map(dvKeyColOf).distinct
+    require(keyCols.size == 1,
+      s"delete vectors disagree on the merge key at $sink: $keyCols")
+    val keyCol = keyCols.head
+    def dvKeys(entries: Seq[ManifestEntry]): DataFrame =
+      spark.read.parquet(entries.map(e => s"$sink/${e.path}"): _*)
+        .select(col(keyCol))
+    dataSubset.groupBy(seqOf).toSeq.sortBy(_._1).map { case (s, group) =>
+      val masks = dvE.filter(d => seqOf(d) > s)
+      if (masks.isEmpty) plain(group)
+      else plain(group).join(
+        dvKeys(masks).distinct().withColumnRenamed(keyCol, "__dvk"),
+        col(keyCol) === col("__dvk"), "left_anti")
+    }.reduce(_ unionByName _)
   }
 
   /** Time travel: the snapshot EXACTLY as manifest `version` committed
@@ -195,24 +297,25 @@ object AtomicIncrement {
     */
   def readVersion(spark: SparkSession, sink: String,
       version: Long): DataFrame = {
-    val files = filesAtVersion(fsOf(spark, sink), sink, version)
-    require(files.nonEmpty, s"no manifest version $version at $sink")
-    spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => s"$sink/$f"): _*)
+    val (dvE, dataE) = entriesAtVersion(fsOf(spark, sink), sink, version)
+      .partition(isDv)
+    require(dataE.nonEmpty, s"no manifest version $version at $sink")
+    readEffective(spark, sink, dataE, dvE,
+      Some(dataSchema(spark, sink, dataE)))
   }
 
-  /** The exact data-file list manifest `version` committed. Version 0
-    * is the empty pre-first-commit snapshot (no manifest file exists
-    * for it, by construction).
+  /** The exact manifest lines `version` committed. Version 0 is the
+    * empty pre-first-commit snapshot (no manifest file exists for it,
+    * by construction).
     */
-  private def filesAtVersion(fs: FileSystem, sink: String,
-      version: Long): Seq[String] = {
+  private def entriesAtVersion(fs: FileSystem, sink: String,
+      version: Long): Seq[ManifestEntry] = {
     if (version == 0L) return Nil
     val mf = new Path(new Path(sink, ManifestDir), f"$version%020d")
     require(fs.exists(mf), s"no manifest version $version at $sink")
     val in = fs.open(mf)
     try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).map(parseLine(_).path).toList
+      .getLines().filter(_.nonEmpty).map(parseLine).toList
     finally in.close()
   }
 
@@ -247,27 +350,63 @@ object AtomicIncrement {
       from: Long, to: Long): (DataFrame, DataFrame) = {
     require(from <= to, s"change feed runs forward: $from > $to")
     val fs = fsOf(spark, sink)
-    val fromFiles = filesAtVersion(fs, sink, from)
-    val toFiles = filesAtVersion(fs, sink, to)
-    val added = toFiles.diff(fromFiles)
-    val removed = fromFiles.diff(toFiles)
-    val all = (added ++ removed).map(f => s"$sink/$f")
-    if (all.isEmpty) {
-      // no file moved between the versions (e.g. from == to): both
-      // sides are the empty delta under the current snapshot's schema
+    val (fromDv, fromData) = entriesAtVersion(fs, sink, from).partition(isDv)
+    val (toDv, toData) = entriesAtVersion(fs, sink, to).partition(isDv)
+    val fromPaths = fromData.map(_.path).toSet
+    val toPaths = toData.map(_.path).toSet
+    val added = toData.filterNot(e => fromPaths.contains(e.path))
+    val removed = fromData.filterNot(e => toPaths.contains(e.path))
+    val common = toData.filter(e => fromPaths.contains(e.path))
+    val allFiles = (added ++ removed).map(e => s"$sink/${e.path}")
+    if (allFiles.isEmpty && fromDv.map(_.path) == toDv.map(_.path)) {
+      // nothing moved between the versions (e.g. from == to): both
+      // sides are the empty delta under the target snapshot's schema
       val empty = readVersion(spark, sink, to).limit(0)
       return (empty, empty)
     }
     // one footer pass resolves the union schema both sides read under
     val schema = spark.read.option("mergeSchema", "true")
-      .parquet(all: _*).schema
-    def side(files: Seq[String]): DataFrame =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(files.map(f => s"$sink/$f"): _*)
-    (side(added), side(removed))
+      .parquet((if (allFiles.nonEmpty) allFiles
+        else common.map(e => s"$sink/${e.path}")): _*).schema
+    // file-level halves, each under the dvs of ITS OWN version: plus =
+    // added files' rows still live at `to`; minus = removed files'
+    // rows that were live at `from` (rewritten survivors ride both
+    // sides and telescope in any abelian consumer)
+    val plusFiles = readEffective(spark, sink, added, toDv, Some(schema))
+    val minusFiles = readEffective(spark, sink, removed, fromDv,
+      Some(schema))
+    if (fromDv.isEmpty && toDv.isEmpty) return (plusFiles, minusFiles)
+    // merge-on-read half: rows of files PRESENT AT BOTH versions that
+    // a dv published inside the window newly masks — for a common file
+    // at sequence s the newly-dead keys are those in `to`'s
+    // above-s tombstones but not `from`'s (dv lines only accrete while
+    // their data files stand; a compaction in the window removes the
+    // files from `common` instead)
+    val keyCols = (fromDv ++ toDv).map(dvKeyColOf).distinct
+    require(keyCols.size == 1,
+      s"delete vectors disagree on the merge key at $sink: $keyCols")
+    val keyCol = keyCols.head
+    def keysAbove(dvs: Seq[ManifestEntry], s: Long): DataFrame = {
+      val hit = dvs.filter(d => seqOf(d) > s)
+      if (hit.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          schema.apply(schema.fieldIndex(keyCol)))))
+      else spark.read.parquet(hit.map(e => s"$sink/${e.path}"): _*)
+        .select(col(keyCol))
+    }
+    val newlyMasked = common.groupBy(seqOf).toSeq.map { case (s, group) =>
+      val newKeys = keysAbove(toDv, s)
+        .join(keysAbove(fromDv, s).withColumnRenamed(keyCol, "__old"),
+          col(keyCol) === col("__old"), "left_anti")
+        .withColumnRenamed(keyCol, "__dead")
+      spark.read.schema(schema)
+        .parquet(group.map(e => s"$sink/${e.path}"): _*)
+        .join(newKeys, col(keyCol) === col("__dead"), "left_semi")
+    }.reduceOption(_ unionByName _)
+    val minus = newlyMasked.map(minusFiles.unionByName)
+      .getOrElse(minusFiles)
+    (plusFiles, minus)
   }
 
   /** Append rows with `watermarkCol` strictly above the committed
@@ -307,14 +446,17 @@ object AtomicIncrement {
       .find(_.name.equalsIgnoreCase(c))
       .getOrElse(throw new IllegalArgumentException(
         s"stats column '$c' not in ${df.columns.mkString(",")}")))
-    val (version, priorEntries) = snapshotEntries(spark, sink)
-    val prior = priorEntries.map(_.path)
+    val (version, dataEntries, dvEntries) = snapshotSplit(spark, sink)
+    val priorEntries = dataEntries ++ dvEntries
+    val prior = dataEntries.map(_.path)
     // watermark resolution, cheapest exact answer first: the manifest's
     // recorded stats (zero I/O beyond the manifest itself), then the
-    // footer sweep (O(files) small reads), then the full scan
+    // footer sweep (O(files) small reads), then the full scan — all
+    // over DATA lines only (a delete vector holds keys, not rows; a
+    // dv-masked row's watermark still upper-bounds, conservatively)
     val wmExpr =
       if (prior.isEmpty) None
-      else manifestMaxLiteral(priorEntries, resolved.name, resolved.dataType)
+      else manifestMaxLiteral(dataEntries, resolved.name, resolved.dataType)
         .orElse(Incremental.footerMaxOfFiles(spark,
           prior.map(f => new Path(s"$sink/$f")), resolved.name, resolved.dataType))
         .orElse(Option(readCommitted(spark, sink)
@@ -327,8 +469,13 @@ object AtomicIncrement {
     try {
       val n = fresh.count()
       if (n > 0) {
-        val staged = stageEntries(fresh, spark, fs, sink,
+        // on a dv-carrying table new data must outrank every standing
+        // tombstone, or an appended key that was once deleted would be
+        // re-masked — stamp the staged lines at this commit's sequence
+        val staged0 = stageEntries(fresh, spark, fs, sink,
           resolved +: extraFields)
+        val staged = if (dvEntries.isEmpty) staged0
+          else staged0.map(stampSeq(_, version + 1))
         try {
           beforePublish()
           publish(fs, sink, (priorEntries ++ staged).map(_.render), version + 1)
@@ -445,7 +592,7 @@ object AtomicIncrement {
     */
   def readCommittedAbove(spark: SparkSession, sink: String,
       column: String, lower: Long): DataFrame = {
-    val (_, entries) = snapshotEntries(spark, sink)
+    val (_, entries, _) = snapshotSplit(spark, sink)
     require(entries.nonEmpty, s"no committed snapshot at $sink")
     val kept = entries.filter { e =>
       e.statsFor(column) match {
@@ -485,7 +632,7 @@ object AtomicIncrement {
     */
   def readCommittedAboveStr(spark: SparkSession, sink: String,
       column: String, lower: String): DataFrame = {
-    val (_, entries) = snapshotEntries(spark, sink)
+    val (_, entries, _) = snapshotSplit(spark, sink)
     require(entries.nonEmpty, s"no committed snapshot at $sink")
     val lowerB = lower.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val kept = entries.filter { e =>
@@ -502,10 +649,9 @@ object AtomicIncrement {
 
   private def readKept(spark: SparkSession, sink: String,
       kept: Seq[ManifestEntry]): DataFrame = {
-    val full = readCommitted(spark, sink)
-    if (kept.isEmpty) full.limit(0)
-    else spark.read.schema(full.schema)
-      .parquet(kept.map(e => s"$sink/${e.path}"): _*)
+    val (_, dataE, dvE) = snapshotSplit(spark, sink)
+    readEffective(spark, sink, kept, dvE,
+      Some(dataSchema(spark, sink, dataE)))
   }
 
   /** Phase 2: atomically publish a manifest listing `files` at
@@ -565,21 +711,34 @@ object AtomicIncrement {
   private[graft] def compactWithHook(spark: SparkSession, sink: String,
       numFiles: Int, beforePublish: () => Unit,
       bloomCols: Seq[String] = Nil): (Int, Int) = {
-    val (version, priorEntries) = snapshotEntries(spark, sink)
-    require(priorEntries.nonEmpty, s"nothing committed to compact at $sink")
+    val (version, dataE, _) = snapshotSplit(spark, sink)
+    require(dataE.nonEmpty, s"nothing committed to compact at $sink")
+    // readCommitted applies any delete vectors, so the rewrite FOLDS
+    // merge-on-read tombstones away (the staged-only publish drops
+    // their manifest lines) — compaction is where the read-side debt
+    // of deferred merges is repaid
     val snap = readCommitted(spark, sink)
     // preserve data skipping across compaction: recompute stats for
-    // every column the prior manifest covers on ALL its files (a
+    // every column the prior manifest covers on ALL its data files (a
     // partially-covered column never pruned anyway)
-    val statsFields = priorEntries.flatMap(_.allStats.map(_.column))
-      .distinct
-      .filter(c => priorEntries.forall(_.statsFor(c).nonEmpty))
-      .flatMap(c => snap.schema.fields.find(_.name.equalsIgnoreCase(c)))
+    val statsFields = coveredStatsFields(dataE, snap.schema)
     val staged = replaceWithHook(snap.repartition(numFiles),
       sink, version, beforePublish, statsFields)
     bloomCols.foreach(c => BloomSkip.ensureSidecars(spark, sink, c))
-    (priorEntries.size, staged.size)
+    (dataE.size, staged.size)
   }
+
+  /** The columns the prior manifest's DATA lines fully cover, resolved
+    * against `schema` — reserved metadata groups excluded. The stats
+    * set every snapshot rewrite re-records.
+    */
+  private def coveredStatsFields(dataE: Seq[ManifestEntry],
+      schema: org.apache.spark.sql.types.StructType)
+      : Seq[org.apache.spark.sql.types.StructField] =
+    dataE.flatMap(_.allStats.map(_.column)).distinct
+      .filterNot(ReservedStatsCols.contains)
+      .filter(c => dataE.forall(_.statsFor(c).nonEmpty))
+      .flatMap(c => schema.fields.find(_.name.equalsIgnoreCase(c)))
 
   /** OPTIMIZE-style compaction: rewrite the snapshot CLUSTERED on
     * `byCols` — range-partitioned into `numFiles` files, sorted within
@@ -601,21 +760,19 @@ object AtomicIncrement {
       byCols: Seq[String], numFiles: Int = 8,
       bloomCols: Seq[String] = Nil): (Int, Int) = {
     require(byCols.nonEmpty, "cluster columns required")
-    val (version, priorEntries) = snapshotEntries(spark, sink)
-    require(priorEntries.nonEmpty, s"nothing committed to cluster at $sink")
+    val (version, dataE, _) = snapshotSplit(spark, sink)
+    require(dataE.nonEmpty, s"nothing committed to cluster at $sink")
     val snap = readCommitted(spark, sink)
-    val statsFields = (byCols ++ priorEntries
-        .flatMap(_.allStats.map(_.column)).distinct
-        .filter(c => priorEntries.forall(_.statsFor(c).nonEmpty)))
-      .distinct
-      .flatMap(c => snap.schema.fields.find(_.name.equalsIgnoreCase(c)))
+    val statsFields = (byCols
+        .flatMap(c => snap.schema.fields.find(_.name.equalsIgnoreCase(c)))
+      ++ coveredStatsFields(dataE, snap.schema)).distinct
     val clustered = snap
       .repartitionByRange(numFiles, byCols.map(col): _*)
       .sortWithinPartitions(byCols.map(col): _*)
     val staged = replaceWithHook(clustered, sink, version, () => (),
       statsFields)
     bloomCols.foreach(c => BloomSkip.ensureSidecars(spark, sink, c))
-    (priorEntries.size, staged.size)
+    (dataE.size, staged.size)
   }
 
   /** OPTIMIZE ZORDER: rewrite the snapshot MULTI-DIMENSIONALLY
@@ -640,8 +797,8 @@ object AtomicIncrement {
       colA: String, colB: String, numFiles: Int = 16,
       bloomCols: Seq[String] = Nil, bits: Int = 8): (Int, Int) = {
     require(bits >= 1 && bits <= 16, s"bits out of range: $bits")
-    val (version, priorEntries) = snapshotEntries(spark, sink)
-    require(priorEntries.nonEmpty, s"nothing committed to z-order at $sink")
+    val (version, dataE, _) = snapshotSplit(spark, sink)
+    require(dataE.nonEmpty, s"nothing committed to z-order at $sink")
     val snap = readCommitted(spark, sink)
     def fieldOf(c: String) = snap.schema.fields
       .find(_.name.equalsIgnoreCase(c))
@@ -678,15 +835,13 @@ object AtomicIncrement {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__za", "__zb", "__z")
-    val statsFields = (Seq(colA, colB) ++ priorEntries
-        .flatMap(_.allStats.map(_.column)).distinct
-        .filter(c => priorEntries.forall(_.statsFor(c).nonEmpty)))
-      .distinct
-      .flatMap(c => snap.schema.fields.find(_.name.equalsIgnoreCase(c)))
+    val statsFields = (Seq(colA, colB)
+        .flatMap(c => snap.schema.fields.find(_.name.equalsIgnoreCase(c)))
+      ++ coveredStatsFields(dataE, snap.schema)).distinct
     val staged = replaceWithHook(clustered, sink, version, () => (),
       statsFields)
     bloomCols.foreach(c => BloomSkip.ensureSidecars(spark, sink, c))
-    (priorEntries.size, staged.size)
+    (dataE.size, staged.size)
   }
 
   /** Replace the committed snapshot with `df`'s contents as manifest
@@ -878,8 +1033,8 @@ object AtomicIncrement {
       precollected: Option[ChurnKeys] = None): MergeResult = {
     val spark = changes.sparkSession
     val fs = fsOf(spark, sink)
-    val (version, priorEntries) = snapshotEntries(spark, sink)
-    require(priorEntries.nonEmpty, s"nothing committed to merge into at $sink")
+    val (version, dataE, dvE) = snapshotSplit(spark, sink)
+    require(dataE.nonEmpty, s"nothing committed to merge into at $sink")
     // key-contract enforcement (type family, nulls, churn fence) lives
     // in collectChurn — LOUD, because a silently nulled cast would
     // read as "no file intersects" and old rows would survive beside
@@ -888,16 +1043,15 @@ object AtomicIncrement {
       collectChurn(changes, keyCol, maxChurnKeys))
     require(churn.size <= maxChurnKeys,
       s"precollected churn carries ${churn.size} keys (> $maxChurnKeys)")
-    val (carried, touched) = splitByKeyIntervals(priorEntries, keyCol, churn)
+    val (carried, touched) = splitByKeyIntervals(dataE, keyCol, churn)
     // full-snapshot schema (the readCommittedAbove evolution guard):
     // a touched subset must not lose columns only carried files have
-    val fullSchema = readCommitted(spark, sink).schema
+    val fullSchema = dataSchema(spark, sink, dataE)
     requireKeyFamily(fullSchema, keyCol, churn, changes)
-    val oldTouched =
-      if (touched.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
-      else spark.read.schema(fullSchema)
-        .parquet(touched.map(e => s"$sink/${e.path}"): _*)
+    // EFFECTIVE old rows: standing delete vectors apply, so a
+    // dv-masked row can never be resurrected into the rewrite
+    val oldTouched = readEffective(spark, sink, touched, dvE,
+      Some(fullSchema))
     val churnDf = broadcast(churn.toDf(spark, keyCol))
     val survivors = oldTouched.join(churnDf, Seq(keyCol), "left_anti")
     val upserts = changes.filter(!col(deleteCol)).drop(deleteCol)
@@ -905,16 +1059,19 @@ object AtomicIncrement {
     // rewritten files re-record the merge key AND every column the
     // prior manifest fully covers (so the watermark shortcut and any
     // other pruning survive the merge)
-    val statsFields = (keyCol +: priorEntries
-        .flatMap(_.allStats.map(_.column)).distinct
-        .filter(c => priorEntries.forall(_.statsFor(c).nonEmpty)))
-      .distinct
+    val statsFields = ((keyCol +: coveredStatsFields(dataE,
+        merged.schema).map(_.name)).distinct)
       .flatMap(c => merged.schema.fields.find(_.name.equalsIgnoreCase(c)))
-    val stagedEntries = stageEntries(merged, spark, fs, sink, statsFields)
+    val staged0 = stageEntries(merged, spark, fs, sink, statsFields)
+    // on a dv-carrying table the rewrite must outrank every standing
+    // tombstone (a re-upserted once-deleted key would otherwise be
+    // re-masked); carried dv lines still apply to the carried files
+    val stagedEntries = if (dvE.isEmpty) staged0
+      else staged0.map(stampSeq(_, version + 1))
     try {
       beforePublish()
       publish(fs, sink,
-        (carried ++ stagedEntries).map(_.render), version + 1)
+        (carried ++ dvE ++ stagedEntries).map(_.render), version + 1)
     } catch { case e: Throwable =>
       stagedEntries.headOption.foreach(e0 =>
         fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
@@ -944,6 +1101,91 @@ object AtomicIncrement {
           s"${changes.schema.fields.find(_.name.equalsIgnoreCase(keyCol))
             .map(_.dataType.simpleString).getOrElse("absent")}")
     }
+
+  /** MERGE-ON-READ — the deferred twin of [[mergeAtomic]]'s
+    * copy-on-write: the commit stages ONLY the after-images as new
+    * data files plus one DELETE-VECTOR file holding the churned keys;
+    * no existing data file is read or rewritten, so a change batch
+    * costs its own size however the table is laid out — the
+    * Iceberg-equality-delete / Delta-deletion-vector trade, write
+    * amplification moved to the READ side. Every reader here applies
+    * standing dvs through [[readEffective]]'s sequence rule (a dv
+    * masks data files with a strictly smaller commit sequence, so
+    * later re-upserts are never swallowed), which keeps the whole
+    * composed surface — `readCommitted`, pruned range reads, point
+    * lookups, keyed locality reads, rollup folds, even a later
+    * copy-on-write merge — exactly equal to the copy-on-write result.
+    * The read debt is one churn-sized anti-join per standing dv
+    * window; any compaction ([[compact]] / [[compactClustered]] /
+    * [[compactZordered]], i.e. the scheduled [[Maintenance]] pass)
+    * FOLDS all dvs away — the steady state is "defer cheaply, repay
+    * at the next maintenance window".
+    *
+    * Same churn contract as [[mergeAtomic]] ([[collectChurn]]:
+    * integral-or-string key, no nulls, fenced; ≤1 row per key in
+    * `changes`; the table holds ≤1 row per key), same OCC publish /
+    * crash semantics. Replaying a delivered batch is semantically
+    * idempotent: the replay's higher sequence re-masks exactly the
+    * rows the original masked, and its after-images supersede the
+    * original's — content converges, only file debt accrues until
+    * compaction. Returns a [[MergeResult]] with `rewritten = 0` and
+    * `carried` = every prior data file, by construction.
+    */
+  def mergeOnReadAtomic(changes: DataFrame, sink: String, keyCol: String,
+      deleteCol: String, maxChurnKeys: Int = 10000000): MergeResult =
+    mergeOnReadAtomic(changes, sink, keyCol, deleteCol, maxChurnKeys,
+      collectChurn(changes, keyCol, maxChurnKeys))
+
+  /** [[mergeOnReadAtomic]] with the churn already collected — the
+    * streaming CDC apply's one-collect-per-micro-batch discipline.
+    */
+  private[graft] def mergeOnReadAtomic(changes: DataFrame, sink: String,
+      keyCol: String, deleteCol: String, maxChurnKeys: Int,
+      churn: ChurnKeys): MergeResult = {
+    val spark = changes.sparkSession
+    val fs = fsOf(spark, sink)
+    val (version, dataE, dvE) = snapshotSplit(spark, sink)
+    require(dataE.nonEmpty, s"nothing committed to merge into at $sink")
+    require(churn.size <= maxChurnKeys,
+      s"precollected churn carries ${churn.size} keys (> $maxChurnKeys)")
+    val fullSchema = dataSchema(spark, sink, dataE)
+    requireKeyFamily(fullSchema, keyCol, churn, changes)
+    dvE.headOption.foreach(d => require(
+      dvKeyColOf(d).equalsIgnoreCase(keyCol),
+      s"merge-on-read table at $sink already carries delete vectors " +
+        s"keyed by '${dvKeyColOf(d)}' — one merge key per table"))
+    val seq = version + 1
+    val upserts = changes.filter(!col(deleteCol)).drop(deleteCol)
+    // before-images (the rollup retraction input) resolve BEFORE the
+    // commit from the effective pre-merge churn locality — lazy over
+    // immutable files, so still valid after the publish
+    val (_, touched) = splitByKeyIntervals(dataE, keyCol, churn)
+    val beforeImages = readEffective(spark, sink, touched, dvE,
+        Some(fullSchema))
+      .join(broadcast(churn.toDf(spark, keyCol)), Seq(keyCol), "left_semi")
+    val statsFields = ((keyCol +: coveredStatsFields(dataE,
+        fullSchema).map(_.name)).distinct)
+      .flatMap(c => upserts.schema.fields.find(_.name.equalsIgnoreCase(c)))
+    val stagedData = stageEntries(upserts, spark, fs, sink, statsFields)
+      .map(stampSeq(_, seq))
+    val dvMark = FileColumnStats(DvCol, "string",
+      java.util.Base64.getEncoder.encodeToString(
+        keyCol.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      java.util.Base64.getEncoder.encodeToString(
+        keyCol.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val stagedDv = stageBatch(churn.toDf(spark, keyCol), spark, fs, sink)
+      .map(rel => stampSeq(ManifestEntry(rel, Seq(dvMark)), seq))
+    try publish(fs, sink,
+      (dataE ++ dvE ++ stagedData ++ stagedDv).map(_.render), seq)
+    catch { case e: Throwable =>
+      // two staged batch dirs (after-images, dv) — drop BOTH
+      for (group <- Seq(stagedData, stagedDv); e0 <- group.headOption)
+        fs.delete(new Path(s"$sink/${e0.path}").getParent, true)
+      throw e
+    }
+    MergeResult(seq, dataE.size, 0, stagedData.size, upserts,
+      beforeImages)
+  }
 
   /** Copy-on-write SCD2 (type-2 history) MERGE — the MATERIALIZED twin
     * of [[Cdc.scd2History]]'s read-side view: the committed table
@@ -990,20 +1232,17 @@ object AtomicIncrement {
       maxChurnKeys: Int = 10000000): MergeResult = {
     val spark = changes.sparkSession
     val fs = fsOf(spark, sink)
-    val (version, priorEntries) = snapshotEntries(spark, sink)
-    require(priorEntries.nonEmpty, s"nothing committed to merge into at $sink")
+    val (version, dataE, dvE) = snapshotSplit(spark, sink)
+    require(dataE.nonEmpty, s"nothing committed to merge into at $sink")
     val churn = collectChurn(changes, keyCol, maxChurnKeys)
-    val (carried, touched) = splitByKeyIntervals(priorEntries, keyCol, churn)
-    val fullSchema = readCommitted(spark, sink).schema
+    val (carried, touched) = splitByKeyIntervals(dataE, keyCol, churn)
+    val fullSchema = dataSchema(spark, sink, dataE)
     requireKeyFamily(fullSchema, keyCol, churn, changes)
     require(fullSchema.fieldNames.exists(_.equalsIgnoreCase("valid_from")) &&
       fullSchema.fieldNames.exists(_.equalsIgnoreCase("valid_to")),
       s"SCD2 table at $sink must carry valid_from/valid_to columns")
-    val oldTouched =
-      if (touched.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
-      else spark.read.schema(fullSchema)
-        .parquet(touched.map(e => s"$sink/${e.path}"): _*)
+    val oldTouched = readEffective(spark, sink, touched, dvE,
+      Some(fullSchema))
     val churnDf = broadcast(churn.toDf(spark, keyCol))
     val untouchedRows = oldTouched.join(churnDf, Seq(keyCol), "left_anti")
     val churnedRows = oldTouched.join(churnDf, Seq(keyCol), "left_semi")
@@ -1029,14 +1268,14 @@ object AtomicIncrement {
     val merged = untouchedRows
       .unionByName(closed, allowMissingColumns = true)
       .unionByName(newRows, allowMissingColumns = true)
-    val statsFields = (keyCol +: priorEntries
-        .flatMap(_.allStats.map(_.column)).distinct
-        .filter(c => priorEntries.forall(_.statsFor(c).nonEmpty)))
-      .distinct
+    val statsFields = ((keyCol +: coveredStatsFields(dataE,
+        merged.schema).map(_.name)).distinct)
       .flatMap(c => merged.schema.fields.find(_.name.equalsIgnoreCase(c)))
-    val stagedEntries = stageEntries(merged, spark, fs, sink, statsFields)
+    val staged0 = stageEntries(merged, spark, fs, sink, statsFields)
+    val stagedEntries = if (dvE.isEmpty) staged0
+      else staged0.map(stampSeq(_, version + 1))
     try publish(fs, sink,
-      (carried ++ stagedEntries).map(_.render), version + 1)
+      (carried ++ dvE ++ stagedEntries).map(_.render), version + 1)
     catch { case e: Throwable =>
       stagedEntries.headOption.foreach(e0 =>
         fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
@@ -1124,13 +1363,11 @@ object AtomicIncrement {
 
   private[graft] def readKeyedChurn(spark: SparkSession, sink: String,
       keyCol: String, churn: ChurnKeys): DataFrame = {
-    val (_, entries) = snapshotEntries(spark, sink)
-    require(entries.nonEmpty, s"no committed snapshot at $sink")
-    val (_, touched) = splitByKeyIntervals(entries, keyCol, churn)
-    val full = readCommitted(spark, sink)
-    if (touched.isEmpty) full.limit(0)
-    else spark.read.schema(full.schema)
-      .parquet(touched.map(e => s"$sink/${e.path}"): _*)
+    val (_, dataE, dvE) = snapshotSplit(spark, sink)
+    require(dataE.nonEmpty, s"no committed snapshot at $sink")
+    val (_, touched) = splitByKeyIntervals(dataE, keyCol, churn)
+    readEffective(spark, sink, touched, dvE,
+      Some(dataSchema(spark, sink, dataE)))
   }
 
   /** GC data files a MERGE superseded inside still-live batch
@@ -1153,7 +1390,9 @@ object AtomicIncrement {
     val fs = fsOf(spark, sink)
     val dataRoot = new Path(sink, DataDir)
     if (!fs.exists(dataRoot)) return 0
-    val live = committedFiles(spark, sink).toSet
+    // liveness root = data files AND delete-vector files: reclaiming a
+    // dv whose manifest line stands would resurrect its deleted rows
+    val live = committedLivePaths(spark, sink).toSet
     val dirs = fs.listStatus(dataRoot).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("batch-"))
     // one listing + the dead-file deletes per dir, fanned out — a
@@ -1188,7 +1427,7 @@ object AtomicIncrement {
     val fs = fsOf(spark, sink)
     val dataRoot = new Path(sink, DataDir)
     if (!fs.exists(dataRoot)) return 0
-    val live = committedFiles(spark, sink)
+    val live = committedLivePaths(spark, sink)
       .map(f => f.split("/")(1)).toSet // batch dir component
     val orphans = fs.listStatus(dataRoot).toSeq
       .map(_.getPath)

@@ -207,7 +207,7 @@ object BloomSkip {
     */
   def pointLookup(spark: SparkSession, sink: String, column: String,
       value: org.apache.spark.sql.Column): DataFrame = {
-    val (_, entries) = AtomicIncrement.snapshotEntries(spark, sink)
+    val (_, entries, dvE) = AtomicIncrement.snapshotSplit(spark, sink)
     require(entries.nonEmpty, s"no committed snapshot at $sink")
     // the literal's hash, computed by the same engine expression the
     // build used — one driver-local 1-row job, no replication risk
@@ -242,10 +242,9 @@ object BloomSkip {
     val kept = intervalKept.zip(AtomicIncrement.inParallel(intervalKept)(
         e => mayContain(spark, sink, e.path, column, h)))
       .filter(_._2).map(_._1)
-    val full = AtomicIncrement.readCommitted(spark, sink)
-    if (kept.isEmpty) full.limit(0)
-    else spark.read.schema(full.schema)
-      .parquet(kept.map(e => s"$sink/${e.path}"): _*)
+    // standing delete vectors apply (merge-on-read tables): the lookup
+    // must never surface a tombstoned row the full read hides
+    AtomicIncrement.readEffective(spark, sink, kept, dvE, None)
   }
 
   def defs: Map[String, QueryDef] = Map(

@@ -485,6 +485,70 @@ object IncrementalAgg {
         |WHERE o_orderkey > 2 * (SELECT max(o_orderkey) FROM orders) // 3
         |""".stripMargin),
 
+    // MERGE-ON-READ under the oracle gate: two deferred change batches
+    // (the second RE-UPSERTS keys the first already moved — only the
+    // sequence rule keeps the newest after-image alive) apply with
+    // ZERO data-file rewrites (`deferred` pins rewritten == 0 on
+    // both), the dv-masked read must equal the SQL resolve, and the
+    // compaction that follows must FOLD the tombstones away without
+    // moving content (`folded` pins dv lines gone AND the aggregate
+    // byte-identical across the fold). The oracle aggregates the
+    // resolved final table in one pass.
+    "q_merge_deferred" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_mor") { sink =>
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val mx = o.agg(max("o_orderkey")).head().getLong(0)
+        var lo = Long.MinValue
+        for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {
+          AtomicIncrement.appendIncrementAtomic(
+            o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+            sink, "o_orderkey")
+          lo = hi
+        }
+        val cut = 2 * mx / 3
+        val hot = o.filter(col("o_orderkey") > cut)
+        val b1 = hot.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_orderstatus", lit("X"))
+          .withColumn("o_totalprice", col("o_totalprice") + 100)
+          .withColumn("del", lit(false))
+          .unionByName(hot.filter(col("o_orderkey") % 10 === 7)
+            .withColumn("del", lit(true)))
+        val r1 = AtomicIncrement.mergeOnReadAtomic(b1, sink,
+          "o_orderkey", "del")
+        val b2 = hot.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_orderstatus", lit("Y"))
+          .withColumn("o_totalprice", col("o_totalprice") + 200)
+          .withColumn("del", lit(false))
+        val r2 = AtomicIncrement.mergeOnReadAtomic(b2, sink,
+          "o_orderkey", "del")
+        val deferred = r1.rewritten == 0 && r2.rewritten == 0
+        def agg = AtomicIncrement.readCommitted(s, sink)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("sum_price"))
+          .orderBy("o_orderstatus")
+        val preFold = agg.collect().toSeq
+        AtomicIncrement.compact(s, sink, numFiles = 4)
+        val dvGone = AtomicIncrement.snapshotSplit(s, sink)._3.isEmpty
+        val postFold = agg
+        val folded = dvGone && postFold.collect().toSeq == preFold
+        postFold.withColumn("deferred", lit(deferred))
+          .withColumn("folded", lit(folded))
+      },
+      """WITH cut AS (SELECT 2 * max(o_orderkey) // 3 AS c FROM orders),
+        |resolved AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders, cut
+        |  WHERE NOT (o_orderkey > c AND o_orderkey % 10 IN (0, 7))
+        |  UNION ALL
+        |  SELECT 'Y', o_totalprice + 200 FROM orders, cut
+        |  WHERE o_orderkey > c AND o_orderkey % 10 = 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  TRUE AS deferred, TRUE AS folded
+        |FROM resolved GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
     // The OPTIMIZE ZORDER path under the oracle gate: interleaved
     // loads defeat pruning on BOTH dimensions (every file's interval
     // on each spans the whole domain), then ONE multi-dimensional

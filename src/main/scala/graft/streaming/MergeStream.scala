@@ -44,7 +44,8 @@ object MergeStream {
       stateSums: Seq[String] = Nil,
       afterFold: () => Unit = () => (),
       maxChurnKeys: Int = 10000000,
-      stateMinMax: Seq[String] = Nil): Unit = {
+      stateMinMax: Seq[String] = Nil,
+      defer: Boolean = false): Unit = {
     val spark = changes.sparkSession
     val resolved = Cdc.latestViewWithDeletes(changes, Seq(keyCol),
       versionCol, deleteCol).drop(versionCol)
@@ -89,8 +90,18 @@ object MergeStream {
       }
     }
     afterFold()
-    AtomicIncrement.mergeAtomic(resolved, tableSink, keyCol, deleteCol,
-      maxChurnKeys, churn)
+    // defer = merge-on-read: the batch stages after-images + a
+    // tombstone file instead of rewriting churn-touched data files —
+    // the high-frequency-stream trade (commit ∝ batch, read debt
+    // repaid by the in-stream maintenance cadence's compaction, which
+    // folds the dvs). Same fold-before-merge crash order: both merges
+    // are semantically idempotent on replay.
+    if (defer)
+      AtomicIncrement.mergeOnReadAtomic(resolved, tableSink, keyCol,
+        deleteCol, maxChurnKeys, churn)
+    else
+      AtomicIncrement.mergeAtomic(resolved, tableSink, keyCol, deleteCol,
+        maxChurnKeys, churn)
     ()
   }
 
@@ -147,14 +158,15 @@ object MergeStream {
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       maintainEvery: Int = 0,
       maintainTarget: Option[graft.operators.Maintenance.Target] = None,
-      stateMinMax: Seq[String] = Nil)
+      stateMinMax: Seq[String] = Nil,
+      defer: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
       .foreachBatch { (b: DataFrame, id: Long) =>
         applyBatchStep(b, id, tableSink, keyCol, versionCol, deleteCol,
           stateSink, stateKeys, stateSums,
-          stateMinMax = stateMinMax)
+          stateMinMax = stateMinMax, defer = defer)
         if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
           maintainTarget.foreach(t =>
             graft.operators.Maintenance.maintainAtomic(b.sparkSession, t))

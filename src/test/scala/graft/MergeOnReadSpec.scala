@@ -1,0 +1,204 @@
+package graft
+
+import graft.operators.{AtomicIncrement, BloomSkip, IncrementalAgg}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Merge-on-read (delete-vector) MERGE: a change batch stages only its
+  * after-images + one tombstone-key file — zero existing data files
+  * read or rewritten — and EVERY read face (committed read, pruned
+  * range read, point lookup, keyed locality, time travel, change feed,
+  * a later copy-on-write merge, compaction) must behave exactly as if
+  * the merge had been copy-on-write. The sequence rule (a dv masks
+  * only data files with a strictly smaller commit sequence) is what
+  * keeps re-upserts of once-deleted keys alive.
+  */
+class MergeOnReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_mor").resolve("t").toString
+
+  private def loadRanged(sink: String): Unit =
+    for (r <- Seq(1L to 10L, 11L to 20L, 21L to 30L))
+      AtomicIncrement.appendIncrementAtomic(
+        r.map(k => (k, s"v$k", 1.0 * k)).toDF("k", "v", "x")
+          .repartition(1), sink, "k")
+
+  private def rows(sink: String) =
+    AtomicIncrement.readCommitted(spark, sink)
+      .select("k", "v").as[(Long, String)].collect().toMap
+
+  test("merge-on-read rewrites NOTHING: prior data-file lines ride " +
+      "verbatim, the effective read equals the copy-on-write result, " +
+      "the sequence rule lets a second batch delete the first batch's " +
+      "upsert and revive its delete, and the delta frames are exact") {
+    val sink = tmp()
+    loadRanged(sink)
+    val priorFiles = AtomicIncrement.committedFiles(spark, sink).toSet
+    val changes = Seq((25L, "UPD", 250.0, false),
+      (31L, "NEW", 310.0, false), (27L, "", 0.0, true))
+      .toDF("k", "v", "x", "del")
+    val res = AtomicIncrement.mergeOnReadAtomic(changes, sink, "k", "del")
+    assert(res.rewritten == 0 && res.carried == 3 && res.staged >= 1,
+      s"merge-on-read touched data files: $res")
+    // every pre-merge data file is still listed, untouched
+    assert(priorFiles.subsetOf(
+      AtomicIncrement.committedFiles(spark, sink).toSet))
+    val expect1 = ((1L to 30L).filterNot(Set(25L, 27L))
+      .map(k => k -> s"v$k") ++ Seq(25L -> "UPD", 31L -> "NEW")).toMap
+    assert(rows(sink) == expect1, s"effective read wrong after batch 1")
+    // delta frames: exactly the copy-on-write merge's contract
+    assert(res.upserts.select("k", "v").as[(Long, String)]
+      .collect().toSet == Set((25L, "UPD"), (31L, "NEW")))
+    assert(res.beforeImages.select("k", "v").as[(Long, String)]
+      .collect().toSet == Set((25L, "v25"), (27L, "v27")))
+    val v1 = res.version
+    // batch 2: delete the key batch 1 UPSERTED (its row lives in a
+    // batch-1 file — only a SEQUENCE-aware mask can kill it without
+    // touching the file) and revive the key batch 1 deleted
+    val c2 = Seq((25L, "", 0.0, true), (27L, "BACK", 270.0, false))
+      .toDF("k", "v", "x", "del")
+    val res2 = AtomicIncrement.mergeOnReadAtomic(c2, sink, "k", "del")
+    assert(res2.rewritten == 0)
+    val expect2 = ((1L to 30L).filterNot(Set(25L, 27L))
+      .map(k => k -> s"v$k") ++ Seq(27L -> "BACK", 31L -> "NEW")).toMap
+    assert(rows(sink) == expect2,
+      "sequence rule broke: re-upsert masked or tombstone missed")
+    // batch 2's before-images are the rows IT killed: batch 1's upsert
+    // and nothing for the revived key (it had no standing row)
+    assert(res2.beforeImages.select("k", "v").as[(Long, String)]
+      .collect().toSet == Set((25L, "UPD")))
+    // time travel: the batch-1 snapshot still reads effectively
+    assert(AtomicIncrement.readVersion(spark, sink, v1)
+      .select("k", "v").as[(Long, String)].collect().toMap == expect1)
+    // pruned range read ≡ full filter on the dv-carrying table
+    val above = AtomicIncrement.readCommittedAbove(spark, sink, "k", 20L)
+      .filter(col("k") > 20).select("k", "v").as[(Long, String)]
+      .collect().toMap
+    assert(above == expect2.filter(_._1 > 20))
+    // point lookup: the tombstoned row never surfaces, the revived does
+    BloomSkip.ensureSidecars(spark, sink, "k")
+    assert(BloomSkip.pointLookup(spark, sink, "k", lit(25L))
+      .filter(col("k") === 25L).count() == 0)
+    assert(BloomSkip.pointLookup(spark, sink, "k", lit(27L))
+      .filter(col("k") === 27L).select("v").as[String]
+      .collect().toSeq == Seq("BACK"))
+    // the watermark append still works and its rows outrank the dvs
+    assert(AtomicIncrement.appendIncrementAtomic(
+      Seq((31L, "dup", 0.0)).toDF("k", "v", "x"), sink, "k") == 0)
+    assert(AtomicIncrement.appendIncrementAtomic(
+      Seq((32L, "v32", 32.0)).toDF("k", "v", "x"), sink, "k") == 1)
+    assert(rows(sink).get(32L).contains("v32"))
+  }
+
+  test("a later copy-on-write merge composes: effective old rows (no " +
+      "tombstone resurrection), staged rewrite outranks standing dvs") {
+    val sink = tmp()
+    loadRanged(sink)
+    AtomicIncrement.mergeOnReadAtomic(
+      Seq((25L, "UPD", 250.0, false), (27L, "", 0.0, true))
+        .toDF("k", "v", "x", "del"), sink, "k", "del")
+    // CoW re-insert of the MoR-deleted key: if the rewrite did not
+    // outrank the dv, 27 would vanish again; if effective-old-rows
+    // were skipped, the stale v27 would resurrect beside it
+    val res = AtomicIncrement.mergeAtomic(
+      Seq((27L, "CBACK", 2.0, false)).toDF("k", "v", "x", "del"),
+      sink, "k", "del")
+    assert(res.rewritten >= 1)
+    val got = rows(sink)
+    assert(got(27L) == "CBACK" && got(25L) == "UPD" && got(26L) == "v26",
+      s"CoW-on-dv composition wrong: ${got.toSeq.sortBy(_._1).take(8)}")
+    assert(got.size == 30)
+  }
+
+  test("compaction FOLDS the delete vectors away: no dv lines survive, " +
+      "content identical, vacuum reclaims the superseded debt") {
+    val sink = tmp()
+    loadRanged(sink)
+    AtomicIncrement.mergeOnReadAtomic(
+      Seq((25L, "UPD", 250.0, false), (27L, "", 0.0, true))
+        .toDF("k", "v", "x", "del"), sink, "k", "del")
+    val before = rows(sink)
+    val (_, nAfter) = AtomicIncrement.compact(spark, sink, numFiles = 2)
+    assert(nAfter == 2)
+    // the new snapshot carries no dv lines and reads identically
+    val (_, dataE, dvE) = AtomicIncrement.snapshotSplit(spark, sink)
+    assert(dvE.isEmpty, "compaction left delete vectors standing")
+    assert(dataE.size == 2)
+    assert(rows(sink) == before)
+    // the folded dv + superseded batches are reclaimable
+    assert(AtomicIncrement.vacuumUncommitted(spark, sink) >= 4)
+    assert(rows(sink) == before)
+  }
+
+  test("vacuum NEVER reclaims a standing delete vector (it would " +
+      "resurrect deleted rows)") {
+    val sink = tmp()
+    loadRanged(sink)
+    AtomicIncrement.mergeOnReadAtomic(
+      Seq((27L, "", 0.0, true)).toDF("k", "v", "x", "del"),
+      sink, "k", "del")
+    val before = rows(sink)
+    assert(!before.contains(27L))
+    assert(AtomicIncrement.vacuumUncommitted(spark, sink) == 0)
+    assert(AtomicIncrement.vacuumSuperseded(spark, sink) == 0)
+    assert(rows(sink) == before, "vacuum resurrected a deleted row")
+  }
+
+  test("change feed across a merge-on-read window: newly-masked rows " +
+      "land on the minus side and v1 + plus − minus telescopes to v2") {
+    val sink = tmp()
+    loadRanged(sink)
+    val v1 = AtomicIncrement.snapshot(spark, sink)._1
+    val res = AtomicIncrement.mergeOnReadAtomic(
+      Seq((25L, "UPD", 250.0, false), (31L, "NEW", 310.0, false),
+        (27L, "", 0.0, true)).toDF("k", "v", "x", "del"),
+      sink, "k", "del")
+    val (plus, minus) = AtomicIncrement.changesBetween(spark, sink,
+      v1, res.version)
+    assert(plus.select("k", "v").as[(Long, String)].collect().toSet ==
+      Set((25L, "UPD"), (31L, "NEW")))
+    assert(minus.select("k", "v").as[(Long, String)].collect().toSet ==
+      Set((25L, "v25"), (27L, "v27")),
+      "newly-masked common-file rows missing from the minus side")
+    // the abelian fold over the feed reproduces the v2 aggregate
+    val counts = scala.collection.mutable.Map[(Long, String), Int]()
+      .withDefaultValue(0)
+    AtomicIncrement.readVersion(spark, sink, v1).select("k", "v")
+      .as[(Long, String)].collect().foreach(r => counts(r) += 1)
+    plus.select("k", "v").as[(Long, String)].collect()
+      .foreach(r => counts(r) += 1)
+    minus.select("k", "v").as[(Long, String)].collect()
+      .foreach(r => counts(r) -= 1)
+    val fed = counts.filter(_._2 != 0)
+    assert(fed.values.forall(_ == 1) && fed.keySet == rows(sink).toSet,
+      "feed did not telescope")
+  }
+
+  test("rollup maintenance from merge-on-read delta frames ≡ " +
+      "re-aggregating the table (the CDC fold composes unchanged)") {
+    val sink = tmp()
+    val state = tmp()
+    loadRanged(sink)
+    IncrementalAgg.mergeCdcBatch(
+      AtomicIncrement.readCommitted(spark, sink),
+      AtomicIncrement.readCommitted(spark, sink).limit(0),
+      state, Seq("v"), Seq("x"), -1L)
+    val res = AtomicIncrement.mergeOnReadAtomic(
+      Seq((25L, "g", 250.0, false), (27L, "", 0.0, true))
+        .toDF("k", "v", "x", "del"), sink, "k", "del")
+    IncrementalAgg.mergeCdcBatch(res.upserts, res.beforeImages,
+      state, Seq("v"), Seq("x"), 0L)
+    val direct = AtomicIncrement.readCommitted(spark, sink)
+      .groupBy("v").agg(count(lit(1)).as("n"), sum("x").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val folded = IncrementalAgg.readState(spark, state)
+      .select("v", "__n", "sum_x")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(folded == direct,
+      s"rollup diverged from the MoR table: $folded vs $direct")
+  }
+}

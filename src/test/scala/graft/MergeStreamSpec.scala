@@ -273,4 +273,43 @@ class MergeStreamSpec extends SparkSpec {
       Some(stateSink), Seq("g"), Seq("x"), stateMinMax = Seq("x"))
     assert(got == snap && direct == snap)
   }
+
+  test("DEFERRED streamed CDC apply: the merge stages tombstones " +
+      "instead of rewriting data files (high-frequency-stream trade), " +
+      "the rollup folds the same delta, and the maintenance pass " +
+      "repays the read debt (dvs folded, content invariant)") {
+    val tableSink = tmp("graft_mdef_t")
+    val stateSink = tmp("graft_mdef_s")
+    loadBase(tableSink, stateSink)
+    val preFiles = AtomicIncrement.committedFiles(spark, tableSink).toSet
+    val changes = Seq((5L, "g9", 100.0, 1L, false),
+      (30L, "", 0.0, 1L, true)).toDF("k", "g", "x", "v", "del")
+    MergeStream.applyBatchStep(changes, 0L, tableSink, "k", "v", "del",
+      Some(stateSink), Seq("g"), Seq("x"), defer = true)
+    // no data file was rewritten: the old set rides verbatim
+    assert(preFiles.subsetOf(
+      AtomicIncrement.committedFiles(spark, tableSink).toSet),
+      "deferred merge rewrote data files")
+    assert(AtomicIncrement.snapshotSplit(spark, tableSink)._3.nonEmpty,
+      "deferred merge staged no delete vector")
+    def direct = AtomicIncrement.readCommitted(spark, tableSink)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val byK = tableRows(tableSink).map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byK(5L) == ("g9", 100.0) && !byK.contains(30L),
+      "deferred merge content wrong")
+    assert(stateRows(stateSink) == direct,
+      s"rollup diverged under defer: ${stateRows(stateSink)} vs $direct")
+    // maintenance folds the debt: dv lines gone, content byte-stable
+    val before = tableRows(tableSink)
+    val rep = graft.operators.Maintenance.maintainAtomic(spark,
+      graft.operators.Maintenance.Target(tableSink,
+        clusterCols = Seq("k"), targetFiles = 2))
+    assert(rep.rewrote, s"maintenance skipped the fold: $rep")
+    assert(AtomicIncrement.snapshotSplit(spark, tableSink)._3.isEmpty,
+      "maintenance left delete vectors standing")
+    assert(tableRows(tableSink) == before)
+    assert(stateRows(stateSink) == direct)
+  }
 }
