@@ -78,7 +78,7 @@ object ScaleCheck {
     // groups' rows / pair-state) and the manifest-diff change feed
     // (priced by the diffed files)
     "q_incr_agg_minmax", "q_incr_agg_distinct", "q_change_feed",
-    "q_optimize_zorder", "q_merge_deferred")
+    "q_optimize_zorder", "q_merge_deferred", "q_rollup_sync")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {

@@ -302,6 +302,39 @@ object IncrementalAgg {
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as(s"distinct_$valueCol"))
 
+  /** SELF-SYNCING rollup: fold everything `tableSink` committed since
+    * this state's last sync, in ONE pull of the manifest-diff change
+    * feed ([[AtomicIncrement.changesBetween]]) — no upstream
+    * coordination, no CDC batch plumbing: the table's own VERSION is
+    * the exactly-once key (stored as the state's `__b`), so appends,
+    * copy-on-write merges, and merge-on-read commits all flow through
+    * the same telescoping fold, a catch-up after downtime spans any
+    * number of commits in one feed window, and a re-run with nothing
+    * new is a version-compare no-op (zero jobs beyond the manifest
+    * read). First sync bootstraps from version 0 (the whole snapshot
+    * arrives as the plus side).
+    *
+    * Retention contract is the feed's: sync before vacuum reclaims the
+    * last-synced version's superseded files; a rollup that slept past
+    * its table's vacuum horizon re-bootstraps (drop the state and
+    * sync fresh). Returns how many table versions were folded
+    * (0 = already current).
+    */
+  def syncRollup(spark: org.apache.spark.sql.SparkSession,
+      tableSink: String, stateSink: String, keys: Seq[String],
+      sumCols: Seq[String]): Long = {
+    val current = AtomicIncrement.snapshot(spark, tableSink)._1
+    val bootstrapped =
+      AtomicIncrement.snapshot(spark, stateSink)._2.nonEmpty
+    val last = if (!bootstrapped) 0L
+      else readState(spark, stateSink).agg(max("__b")).head().getLong(0)
+    if (current <= last) return 0L
+    val (plus, minus) = AtomicIncrement.changesBetween(spark, tableSink,
+      math.max(last, 0L), current)
+    mergeCdcBatch(plus, minus, stateSink, keys, sumCols, current)
+    current - math.max(last, 0L)
+  }
+
   /** Run a query whose plumbing needs a scratch atomic sink, then
     * reclaim the sink DETERMINISTICALLY: the output (small by
     * construction — these queries end in an aggregate of at most a
@@ -484,6 +517,74 @@ object IncrementalAgg {
         |FROM orders
         |WHERE o_orderkey > 2 * (SELECT max(o_orderkey) FROM orders) // 3
         |""".stripMargin),
+
+    // SELF-SYNCING rollup under the oracle gate: the state never sees
+    // a CDC batch — it pulls the manifest-diff feed by table VERSION
+    // (bootstrap 0→v3, then ONE catch-up pull spanning a copy-on-write
+    // merge AND a merge-on-read commit, then an idempotent no-op).
+    // The oracle aggregates the SQL-resolved final table; `synced`
+    // pins the version arithmetic (3 folded, then 2 in one pull, then
+    // 0). A feed that mis-handles the cross-kind window (rewritten
+    // survivors not telescoping, dv-masked rows not landing on minus)
+    // hash-mismatches.
+    "q_rollup_sync" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_sync_t") { tableSink =>
+        withScratchSink(s, "graft_sync_s") { stateSink =>
+          val o = table(s, dir, "orders").select(
+            col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          val mx = o.agg(max("o_orderkey")).head().getLong(0)
+          var lo = Long.MinValue
+          for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {
+            AtomicIncrement.appendIncrementAtomic(
+              o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+              tableSink, "o_orderkey")
+            lo = hi
+          }
+          val n0 = syncRollup(s, tableSink, stateSink,
+            Seq("o_orderstatus"), Seq("o_totalprice"))
+          val cut = 2 * mx / 3
+          val hot = o.filter(col("o_orderkey") > cut)
+          def ch(df: DataFrame, status: org.apache.spark.sql.Column,
+              price: org.apache.spark.sql.Column, del: Boolean) =
+            df.select(col("o_orderkey"), status.as("o_orderstatus"),
+              price.as("o_totalprice"), lit(del).as("del"))
+          AtomicIncrement.mergeAtomic(
+            ch(hot.filter(col("o_orderkey") % 10 === 0), lit("X"),
+              col("o_totalprice") + 100, del = false)
+            .unionByName(ch(hot.filter(col("o_orderkey") % 10 === 7),
+              col("o_orderstatus"), col("o_totalprice"), del = true)),
+            tableSink, "o_orderkey", "del")
+          AtomicIncrement.mergeOnReadAtomic(
+            ch(hot.filter(col("o_orderkey") % 10 === 3), lit("Y"),
+              col("o_totalprice") + 50, del = false)
+            .unionByName(ch(hot.filter(col("o_orderkey") % 10 === 1),
+              col("o_orderstatus"), col("o_totalprice"), del = true)),
+            tableSink, "o_orderkey", "del")
+          val n1 = syncRollup(s, tableSink, stateSink,
+            Seq("o_orderstatus"), Seq("o_totalprice"))
+          val n2 = syncRollup(s, tableSink, stateSink,
+            Seq("o_orderstatus"), Seq("o_totalprice"))
+          readState(s, stateSink)
+            .select(col("o_orderstatus"), col("__n").as("n"),
+              round(col("sum_o_totalprice"), 2).as("sum_price"))
+            .withColumn("synced", lit(n0 == 3 && n1 == 2 && n2 == 0))
+            .orderBy("o_orderstatus")
+        }
+      },
+      """WITH cut AS (SELECT 2 * max(o_orderkey) // 3 AS c FROM orders),
+        |resolved AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders, cut
+        |  WHERE NOT (o_orderkey > c AND o_orderkey % 10 IN (0, 1, 3, 7))
+        |  UNION ALL
+        |  SELECT 'X', o_totalprice + 100 FROM orders, cut
+        |  WHERE o_orderkey > c AND o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 'Y', o_totalprice + 50 FROM orders, cut
+        |  WHERE o_orderkey > c AND o_orderkey % 10 = 3)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price, TRUE AS synced
+        |FROM resolved GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
 
     // MERGE-ON-READ under the oracle gate: two deferred change batches
     // (the second RE-UPSERTS keys the first already moved — only the

@@ -59,7 +59,8 @@ object Maintenance {
   final case class Target(sink: String, clusterCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, targetFiles: Int = 8,
       triggerFiles: Int = 0,
-      zorderCols: Option[(String, String)] = None)
+      zorderCols: Option[(String, String)] = None,
+      foldDvs: Boolean = true)
 
   /** One full pass over one sink. OCC applies to the compaction like
     * any snapshot replace: if a live writer commits concurrently the
@@ -68,7 +69,13 @@ object Maintenance {
     */
   def maintainAtomic(spark: SparkSession, target: Target): Report = {
     val committed = AtomicIncrement.committedFiles(spark, target.sink).size
-    val rewrite = committed > math.max(target.targetFiles,
+    // standing delete vectors are READ DEBT (every read pays their
+    // anti-join until a rewrite folds them) — the maintenance pass is
+    // the window that repays it, so dvs force the rewrite even below
+    // the fragmentation trigger unless the target opts out
+    val dvStanding = target.foldDvs &&
+      AtomicIncrement.snapshotSplit(spark, target.sink)._3.nonEmpty
+    val rewrite = dvStanding || committed > math.max(target.targetFiles,
       target.triggerFiles)
     val (before, after) =
       if (!rewrite) (committed, committed)

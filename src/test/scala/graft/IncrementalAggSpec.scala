@@ -281,6 +281,40 @@ class IncrementalAggSpec extends SparkSpec {
     assert(distinctNow == Seq("a" -> 1L))
   }
 
+  test("syncRollup: the state pulls the table's change feed by " +
+      "VERSION — bootstrap, multi-commit catch-up in one pull (append " +
+      "+ copy-on-write merge), idempotent re-sync — and always equals " +
+      "the one-pass re-aggregation") {
+    import graft.operators.AtomicIncrement
+    val tableSink = tmp()
+    val stateSink = tmp()
+    for (r <- Seq(1L to 15L, 16L to 30L))
+      AtomicIncrement.appendIncrementAtomic(
+        rows(r.head.toInt to r.last.toInt).repartition(1), tableSink, "ts")
+    // bootstrap: two versions fold in one pull
+    assert(IncrementalAgg.syncRollup(spark, tableSink, stateSink,
+      keys, sums) == 2L)
+    def direct = AtomicIncrement.readCommitted(spark, tableSink)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(state(stateSink) == direct)
+    // catch-up across an append AND a copy-on-write merge, one pull
+    AtomicIncrement.appendIncrementAtomic(
+      rows(31 to 40).repartition(1), tableSink, "ts")
+    AtomicIncrement.mergeAtomic(
+      Seq((20L, "gX", 999.0, false), (25L, "", 0.0, true))
+        .toDF("ts", "g", "x", "del"), tableSink, "ts", "del")
+    assert(IncrementalAgg.syncRollup(spark, tableSink, stateSink,
+      keys, sums) == 2L)
+    assert(state(stateSink) == direct,
+      s"synced state diverged: ${state(stateSink)} vs $direct")
+    // nothing new: version-compare no-op
+    assert(IncrementalAgg.syncRollup(spark, tableSink, stateSink,
+      keys, sums) == 0L)
+    assert(state(stateSink) == direct)
+  }
+
   test("CDC extremes compose with mergeAtomic + the GROUP-column " +
       "locality read: the rollup's rescan opens only the churned " +
       "groups' files on a group-clustered table") {

@@ -170,6 +170,39 @@ class MaintenanceLifecycleSpec extends SparkSpec {
       s"fragmented table was not rewritten: $r2")
   }
 
+  test("standing delete vectors force the maintenance fold even below " +
+      "the fragmentation trigger (read debt is repaid at the window), " +
+      "unless the target opts out") {
+    val sink = tmp("graft_dvfold")
+    for (r <- Seq(1L to 30L, 31L to 60L))
+      AtomicIncrement.appendIncrementAtomic(
+        base.filter(col("k").between(r.head, r.last)).repartition(1),
+        sink, "k")
+    // triggerFiles high: fragmentation alone never fires in this test,
+    // so the rewrite decision is PURELY the dv-fold rule under test
+    val target = Maintenance.Target(sink, targetFiles = 8,
+      triggerFiles = 20)
+    // healthy, no dvs: the pass skips the rewrite
+    assert(!Maintenance.maintainAtomic(spark, target).rewrote)
+    // a merge-on-read delete leaves a tombstone — the next pass must
+    // fold it although the file count is still below the trigger
+    AtomicIncrement.mergeOnReadAtomic(
+      Seq((5L, "", 0.0, true)).toDF("k", "g", "x", "del"),
+      sink, "k", "del")
+    val r1 = Maintenance.maintainAtomic(spark, target)
+    assert(r1.rewrote, s"dv-carrying pass skipped the fold: $r1")
+    assert(AtomicIncrement.snapshotSplit(spark, sink)._3.isEmpty)
+    assert(!AtomicIncrement.readCommitted(spark, sink)
+      .select("k").as[Long].collect().contains(5L))
+    // opt-out: foldDvs = false leaves the debt standing
+    AtomicIncrement.mergeOnReadAtomic(
+      Seq((6L, "", 0.0, true)).toDF("k", "g", "x", "del"),
+      sink, "k", "del")
+    assert(!Maintenance.maintainAtomic(spark,
+      target.copy(foldDvs = false)).rewrote)
+    assert(AtomicIncrement.snapshotSplit(spark, sink)._3.nonEmpty)
+  }
+
   test("z-order layout policy: a Target with zorderCols rewrites " +
       "multi-dimensionally — pruning engages on both columns after " +
       "the pass, content preserved") {
