@@ -241,7 +241,7 @@ object AtomicIncrement {
   }
 
   /** Merge-schema over data files only (dv files hold keys, not rows). */
-  private def dataSchema(spark: SparkSession, sink: String,
+  private[graft] def dataSchema(spark: SparkSession, sink: String,
       dataE: Seq[ManifestEntry]): org.apache.spark.sql.types.StructType =
     spark.read.option("mergeSchema", "true")
       .parquet(dataE.map(e => s"$sink/${e.path}"): _*).schema
@@ -261,6 +261,14 @@ object AtomicIncrement {
       dataSubset: Seq[ManifestEntry], dvE: Seq[ManifestEntry],
       schemaOpt: Option[org.apache.spark.sql.types.StructType])
       : DataFrame = {
+    // the hot path — no dvs, no pinned schema (the caller reads the
+    // whole snapshot, so subset schema == full schema): ONE mergeSchema
+    // relation, exactly the pre-dv readCommitted. Callers reading a
+    // PRUNED subset must pin the full schema themselves or an evolved
+    // column carried only by pruned files would vanish.
+    if (dvE.isEmpty && schemaOpt.isEmpty && dataSubset.nonEmpty)
+      return spark.read.option("mergeSchema", "true")
+        .parquet(dataSubset.map(e => s"$sink/${e.path}"): _*)
     val schema = schemaOpt.getOrElse {
       // the schema comes from the FULL committed data list so a pruned
       // subset never loses an evolved column

@@ -243,8 +243,11 @@ object BloomSkip {
         e => mayContain(spark, sink, e.path, column, h)))
       .filter(_._2).map(_._1)
     // standing delete vectors apply (merge-on-read tables): the lookup
-    // must never surface a tombstoned row the full read hides
-    AtomicIncrement.readEffective(spark, sink, kept, dvE, None)
+    // must never surface a tombstoned row the full read hides. The
+    // schema pins to the FULL data list (evolution guard — `kept` is a
+    // pruned subset).
+    AtomicIncrement.readEffective(spark, sink, kept, dvE,
+      Some(AtomicIncrement.dataSchema(spark, sink, entries)))
   }
 
   def defs: Map[String, QueryDef] = Map(

@@ -530,7 +530,9 @@ object IncrementalAgg {
     "q_rollup_sync" -> QueryDef(
       (s, dir) => withScratchSink(s, "graft_sync_t") { tableSink =>
         withScratchSink(s, "graft_sync_s") { stateSink =>
-          val o = table(s, dir, "orders").select(
+          val o = table(s, dir, "orders")
+            .filter(col("o_orderkey") % 3 === 1)
+            .select(
             col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
           val mx = o.agg(max("o_orderkey")).head().getLong(0)
           var lo = Long.MinValue
@@ -571,15 +573,17 @@ object IncrementalAgg {
             .orderBy("o_orderstatus")
         }
       },
-      """WITH cut AS (SELECT 2 * max(o_orderkey) // 3 AS c FROM orders),
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |              FROM orders WHERE o_orderkey % 3 = 1),
+        |cut AS (SELECT 2 * max(o_orderkey) // 3 AS c FROM base),
         |resolved AS (
-        |  SELECT o_orderstatus, o_totalprice FROM orders, cut
+        |  SELECT o_orderstatus, o_totalprice FROM base, cut
         |  WHERE NOT (o_orderkey > c AND o_orderkey % 10 IN (0, 1, 3, 7))
         |  UNION ALL
-        |  SELECT 'X', o_totalprice + 100 FROM orders, cut
+        |  SELECT 'X', o_totalprice + 100 FROM base, cut
         |  WHERE o_orderkey > c AND o_orderkey % 10 = 0
         |  UNION ALL
-        |  SELECT 'Y', o_totalprice + 50 FROM orders, cut
+        |  SELECT 'Y', o_totalprice + 50 FROM base, cut
         |  WHERE o_orderkey > c AND o_orderkey % 10 = 3)
         |SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price, TRUE AS synced
@@ -597,7 +601,9 @@ object IncrementalAgg {
     // resolved final table in one pass.
     "q_merge_deferred" -> QueryDef(
       (s, dir) => withScratchSink(s, "graft_mor") { sink =>
-        val o = table(s, dir, "orders").select(
+        val o = table(s, dir, "orders")
+          .filter(col("o_orderkey") % 3 === 1)
+          .select(
           col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         val mx = o.agg(max("o_orderkey")).head().getLong(0)
         var lo = Long.MinValue
@@ -637,12 +643,14 @@ object IncrementalAgg {
         postFold.withColumn("deferred", lit(deferred))
           .withColumn("folded", lit(folded))
       },
-      """WITH cut AS (SELECT 2 * max(o_orderkey) // 3 AS c FROM orders),
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |              FROM orders WHERE o_orderkey % 3 = 1),
+        |cut AS (SELECT 2 * max(o_orderkey) // 3 AS c FROM base),
         |resolved AS (
-        |  SELECT o_orderstatus, o_totalprice FROM orders, cut
+        |  SELECT o_orderstatus, o_totalprice FROM base, cut
         |  WHERE NOT (o_orderkey > c AND o_orderkey % 10 IN (0, 7))
         |  UNION ALL
-        |  SELECT 'Y', o_totalprice + 200 FROM orders, cut
+        |  SELECT 'Y', o_totalprice + 200 FROM base, cut
         |  WHERE o_orderkey > c AND o_orderkey % 10 = 0)
         |SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price,
@@ -758,7 +766,11 @@ object IncrementalAgg {
     // delete, both sides), or a dropped new group all hash-mismatch.
     "q_incr_agg_minmax" -> QueryDef(
       (s, dir) => withScratchSink(s, "graft_mmagg") { sink =>
-        val o = table(s, dir, "orders").select(
+        // a third of orders (the q_maintain_cdc fixture discipline):
+        // the RETRACTION ALGEBRA is under test, not the volume
+        val o = table(s, dir, "orders")
+          .filter(col("o_orderkey") % 3 === 1)
+          .select(
           col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         mergeCdcExtremes(o, o.limit(0), o, sink, Seq("o_orderstatus"),
           Seq("o_totalprice"), Seq("o_totalprice"), 0L)
@@ -783,15 +795,17 @@ object IncrementalAgg {
             col("max_o_totalprice").as("max_price"))
           .orderBy("o_orderstatus")
       },
-      """WITH ranked AS (
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |              FROM orders WHERE o_orderkey % 3 = 1),
+        |ranked AS (
         |  SELECT o_orderstatus, o_totalprice,
         |    max(o_totalprice) OVER (PARTITION BY o_orderstatus) AS gmx
-        |  FROM orders),
+        |  FROM base),
         |resolved AS (
         |  SELECT o_orderstatus, o_totalprice FROM ranked
         |  WHERE o_totalprice < gmx
         |  UNION ALL
-        |  SELECT 'X' AS o_orderstatus, o_totalprice FROM orders
+        |  SELECT 'X' AS o_orderstatus, o_totalprice FROM base
         |  WHERE o_orderkey % 10 = 3)
         |SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price,
