@@ -1427,6 +1427,36 @@ object AtomicIncrement {
     }.sum
   }
 
+  /** Expire manifest versions older than the latest `keepLast` — the
+    * metadata half of retention the vacuums don't touch: every
+    * snapshot resolution lists the manifest directory, so a table
+    * that has committed 10⁵ times pays an O(commits) listing per read
+    * forever unless old versions are retired. Expiring a version ends
+    * time travel and [[changesBetween]] windows that start below the
+    * horizon (they throw their "no manifest version" contract error —
+    * loud, never a silently different answer); the LATEST snapshot
+    * and every version above the horizon are untouched. The vacuums'
+    * liveness root is the latest manifest already, so expiry moves no
+    * data-reclaim decision — it bounds the per-read manifest listing
+    * and makes the time-travel horizon EXPLICIT instead of "whenever
+    * vacuum happened to run". [[Maintenance.maintainAtomic]] runs it
+    * before the vacuums when the target sets a retention. Returns how
+    * many manifest files were removed.
+    */
+  def expireManifests(spark: SparkSession, sink: String,
+      keepLast: Int): Int = {
+    require(keepLast >= 1, "must keep at least the latest manifest")
+    val fs = fsOf(spark, sink)
+    val dir = new Path(sink, ManifestDir)
+    if (!fs.exists(dir)) return 0
+    val versions = fs.listStatus(dir).toSeq
+      .flatMap(st => st.getPath.getName.toLongOption.map(_ -> st.getPath))
+      .sortBy(_._1)
+    val expired = versions.dropRight(keepLast)
+    inParallel(expired)(v => fs.delete(v._2, false))
+    expired.size
+  }
+
   /** GC staged-but-uncommitted batch directories (crashed or lost-race
     * writers). ONLY safe when no writer is actively staging — the
     * caller owns that scheduling, exactly like Delta's VACUUM.

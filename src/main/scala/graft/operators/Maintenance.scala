@@ -60,7 +60,8 @@ object Maintenance {
       bloomCols: Seq[String] = Nil, targetFiles: Int = 8,
       triggerFiles: Int = 0,
       zorderCols: Option[(String, String)] = None,
-      foldDvs: Boolean = true)
+      foldDvs: Boolean = true,
+      keepVersions: Int = 0)
 
   /** One full pass over one sink. OCC applies to the compaction like
     * any snapshot replace: if a live writer commits concurrently the
@@ -92,6 +93,14 @@ object Maintenance {
       }
     val built = target.bloomCols.map(c =>
       BloomSkip.ensureSidecars(spark, target.sink, c)).sum
+    // manifest retention: keepVersions = 0 (default) keeps every
+    // version — unbounded time travel, O(commits) manifest listings
+    // per snapshot read; a bounded policy is the 10⁵-commit table's
+    // steady state (the vacuums already root at the latest manifest,
+    // so this bounds metadata, not data).
+    if (target.keepVersions > 0)
+      AtomicIncrement.expireManifests(spark, target.sink,
+        target.keepVersions)
     val superseded = AtomicIncrement.vacuumSuperseded(spark, target.sink)
     val orphans = AtomicIncrement.vacuumUncommitted(spark, target.sink)
     Report(before, after, rewrite, built, superseded, orphans)

@@ -902,6 +902,34 @@ class AtomicIncrementSpec extends SparkSpec {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("expireManifests bounds the retention horizon: versions below " +
+      "it are gone LOUDLY (time travel and feed windows throw), the " +
+      "latest snapshot and every kept version read unchanged") {
+    val sink = tmp()
+    for (i <- 1 to 5)
+      AtomicIncrement.appendIncrementAtomic(
+        Seq((i.toLong, s"v$i")).toDF("k", "v"), sink, "k")
+    assert(AtomicIncrement.expireManifests(spark, sink, keepLast = 2) == 3)
+    // latest + kept versions unaffected
+    assert(AtomicIncrement.readCommitted(spark, sink).count() == 5)
+    assert(AtomicIncrement.readVersion(spark, sink, 4L).count() == 4)
+    // expired versions fail the contract error, never a wrong answer
+    intercept[IllegalArgumentException] {
+      AtomicIncrement.readVersion(spark, sink, 3L)
+    }
+    intercept[IllegalArgumentException] {
+      AtomicIncrement.changesBetween(spark, sink, 2L, 5L)
+    }
+    // windows fully above the horizon still feed
+    val (p, m) = AtomicIncrement.changesBetween(spark, sink, 4L, 5L)
+    assert(p.count() == 1 && m.count() == 0)
+    // appends continue above the horizon (watermark intact)
+    assert(AtomicIncrement.appendIncrementAtomic(
+      Seq((3L, "dup")).toDF("k", "v"), sink, "k") == 0)
+    assert(AtomicIncrement.expireManifests(spark, sink, 1) == 1)
+    assert(AtomicIncrement.readCommitted(spark, sink).count() == 5)
+  }
+
   test("change data feed: the manifest diff is an exact multiset " +
       "delta — appends feed only plus, a copy-on-write merge puts the " +
       "rewritten file's survivors on BOTH sides, and v1 + plus − minus " +
