@@ -312,6 +312,30 @@ object AtomicIncrement {
       Some(dataSchema(spark, sink, dataE)))
   }
 
+  /** Time travel by TIMESTAMP: the snapshot of the latest version
+    * whose manifest was committed at or before `tsMillis` (epoch ms).
+    * Manifest files are written once and never touched again, so the
+    * filesystem modification time IS the commit time — no clock is
+    * ever stored in the data. Same retention contract as
+    * [[readVersion]]: [[expireManifests]] moves the answerable
+    * horizon, reclaimed data files end readability. Throws when every
+    * retained version is later than `tsMillis`.
+    */
+  def readVersionAsOf(spark: SparkSession, sink: String,
+      tsMillis: Long): DataFrame = {
+    val fs = fsOf(spark, sink)
+    val dir = new Path(sink, ManifestDir)
+    require(fs.exists(dir), s"no committed snapshot at $sink")
+    val eligible = fs.listStatus(dir).toSeq
+      .flatMap(st => st.getPath.getName.toLongOption
+        .map(v => (v, st.getModificationTime)))
+      .filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no manifest version at or before $tsMillis at $sink " +
+        "(expired, or the table is younger)")
+    readVersion(spark, sink, eligible.maxBy(_._1)._1)
+  }
+
   /** The exact manifest lines `version` committed. Version 0 is the
     * empty pre-first-commit snapshot (no manifest file exists for it,
     * by construction).

@@ -902,6 +902,26 @@ class AtomicIncrementSpec extends SparkSpec {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("time travel by TIMESTAMP: readVersionAsOf resolves the latest " +
+      "manifest at or before the instant (mtime = commit time), and a " +
+      "pre-table instant throws") {
+    val sink = tmp()
+    AtomicIncrement.appendIncrementAtomic(
+      Seq((1L, "a")).toDF("k", "v"), sink, "k")
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    AtomicIncrement.appendIncrementAtomic(
+      Seq((2L, "b")).toDF("k", "v"), sink, "k")
+    assert(AtomicIncrement.readVersionAsOf(spark, sink, between)
+      .select("k").as[Long].collect().toSeq == Seq(1L))
+    assert(AtomicIncrement.readVersionAsOf(spark, sink,
+      System.currentTimeMillis()).count() == 2)
+    intercept[IllegalArgumentException] {
+      AtomicIncrement.readVersionAsOf(spark, sink, between - 3600000L)
+    }
+  }
+
   test("expireManifests bounds the retention horizon: versions below " +
       "it are gone LOUDLY (time travel and feed windows throw), the " +
       "latest snapshot and every kept version read unchanged") {

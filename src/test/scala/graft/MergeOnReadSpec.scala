@@ -176,6 +176,37 @@ class MergeOnReadSpec extends SparkSpec {
       "feed did not telescope")
   }
 
+  test("string/UUID-keyed merge-on-read: the tombstone file carries " +
+      "the string keys, the sequence-ruled read resolves in UTF-8 " +
+      "byte space, and a later string-keyed CoW merge composes") {
+    val sink = tmp()
+    def guid(i: Long) = f"guid-$i%04d"
+    for (r <- Seq(1L to 10L, 11L to 20L))
+      AtomicIncrement.appendIncrementAtomic(
+        r.map(i => (guid(i), s"v$i", 1.0 * i)).toDF("k", "v", "x")
+          .repartition(1), sink, "k")
+    val res = AtomicIncrement.mergeOnReadAtomic(
+      Seq((guid(5), "UPD", 50.0, false), (guid(17), "", 0.0, true))
+        .toDF("k", "v", "x", "del"), sink, "k", "del")
+    assert(res.rewritten == 0)
+    def got = AtomicIncrement.readCommitted(spark, sink)
+      .select("k", "v").as[(String, String)].collect().toMap
+    val expect = ((1L to 20L).filterNot(Set(5L, 17L))
+      .map(i => guid(i) -> s"v$i") ++ Seq(guid(5) -> "UPD")).toMap
+    assert(got == expect, s"string MoR read wrong: ${got.toSeq.sorted.take(6)}")
+    // the revive-through-CoW composition on the string key
+    AtomicIncrement.mergeAtomic(
+      Seq((guid(17), "BACK", 2.0, false)).toDF("k", "v", "x", "del"),
+      sink, "k", "del")
+    assert(got == expect + (guid(17) -> "BACK"))
+    // an integral churn against the string-dv table still fails loudly
+    intercept[IllegalArgumentException] {
+      AtomicIncrement.mergeOnReadAtomic(
+        Seq((5L, "zz", 0.0, false)).toDF("k", "v", "x", "del"),
+        sink, "k", "del")
+    }
+  }
+
   test("rollup maintenance from merge-on-read delta frames ≡ " +
       "re-aggregating the table (the CDC fold composes unchanged)") {
     val sink = tmp()
