@@ -427,14 +427,47 @@ object AtomicIncrement {
       else spark.read.parquet(hit.map(e => s"$sink/${e.path}"): _*)
         .select(col(keyCol))
     }
-    val newlyMasked = common.groupBy(seqOf).toSeq.map { case (s, group) =>
-      val newKeys = keysAbove(toDv, s)
-        .join(keysAbove(fromDv, s).withColumnRenamed(keyCol, "__old"),
-          col(keyCol) === col("__old"), "left_anti")
-        .withColumnRenamed(keyCol, "__dead")
-      spark.read.schema(schema)
-        .parquet(group.map(e => s"$sink/${e.path}"): _*)
-        .join(newKeys, col(keyCol) === col("__dead"), "left_semi")
+    // the common files a newly-masked row can live in are PRUNED by
+    // the window's new tombstone keys before anything is read: each dv
+    // file is one merge batch's churn (fenced churn-sized), so the new
+    // keys collect like any churn set and test the common files' key
+    // intervals — a 3-key delete against a 10⁵-file clustered table
+    // feeds from the churn's locality, never a table-sized read. The
+    // collected superset (all new dv keys, any sequence) only ever
+    // keeps MORE files than the per-group exact set — may-contain safe.
+    val fromDvPaths = fromDv.map(_.path).toSet
+    val newDv = toDv.filterNot(e => fromDvPaths.contains(e.path))
+    val pruneChurn: Option[ChurnKeys] =
+      if (newDv.isEmpty) None
+      else {
+        val vals = spark.read
+          .parquet(newDv.map(e => s"$sink/${e.path}"): _*)
+          .select(col(keyCol)).distinct().collect()
+        import org.apache.spark.sql.types._
+        schema.apply(schema.fieldIndex(keyCol)).dataType match {
+          case StringType =>
+            Some(StringChurn(sortUtf8(vals.map(_.getString(0)))))
+          case ByteType | ShortType | IntegerType | LongType =>
+            Some(LongChurn(vals.map(
+              _.get(0).asInstanceOf[Number].longValue()).sorted))
+          case _ => None // no interval family: keep every common file
+        }
+      }
+    val newlyMasked = common.groupBy(seqOf).toSeq.flatMap { case (s, group) =>
+      val touched = pruneChurn match {
+        case Some(ch) => splitByKeyIntervals(group, keyCol, ch)._2
+        case None => group
+      }
+      if (touched.isEmpty || newDv.forall(d => seqOf(d) <= s)) None
+      else {
+        val newKeys = keysAbove(toDv, s)
+          .join(keysAbove(fromDv, s).withColumnRenamed(keyCol, "__old"),
+            col(keyCol) === col("__old"), "left_anti")
+          .withColumnRenamed(keyCol, "__dead")
+        Some(spark.read.schema(schema)
+          .parquet(touched.map(e => s"$sink/${e.path}"): _*)
+          .join(newKeys, col(keyCol) === col("__dead"), "left_semi"))
+      }
     }.reduceOption(_ unionByName _)
     val minus = newlyMasked.map(minusFiles.unionByName)
       .getOrElse(minusFiles)

@@ -155,6 +155,7 @@ class MergeOnReadSpec extends SparkSpec {
       Seq((25L, "UPD", 250.0, false), (31L, "NEW", 310.0, false),
         (27L, "", 0.0, true)).toDF("k", "v", "x", "del"),
       sink, "k", "del")
+    val preMergeFiles = AtomicIncrement.committedFiles(spark, sink)
     val (plus, minus) = AtomicIncrement.changesBetween(spark, sink,
       v1, res.version)
     assert(plus.select("k", "v").as[(Long, String)].collect().toSet ==
@@ -162,6 +163,16 @@ class MergeOnReadSpec extends SparkSpec {
     assert(minus.select("k", "v").as[(Long, String)].collect().toSet ==
       Set((25L, "v25"), (27L, "v27")),
       "newly-masked common-file rows missing from the minus side")
+    // feed LOCALITY: the churn sits in the third file's interval, so
+    // the newly-masked read must interval-prune the other two common
+    // files — a table-sized feed pull for a 2-key churn is the 10⁵-file
+    // failure shape
+    val untouched = preMergeFiles.take(2)
+      .map(r => r.split("/").takeRight(2).mkString("/")).toSet
+    val opened = minus.inputFiles
+      .map(_.split("/").takeRight(2).mkString("/")).toSet
+    assert(untouched.forall(f => !opened.contains(f)),
+      s"feed read churn-free common files: ${opened.take(5)}")
     // the abelian fold over the feed reproduces the v2 aggregate
     val counts = scala.collection.mutable.Map[(Long, String), Int]()
       .withDefaultValue(0)
