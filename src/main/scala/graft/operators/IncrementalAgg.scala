@@ -335,6 +335,63 @@ object IncrementalAgg {
     current - math.max(last, 0L)
   }
 
+  /** [[syncRollup]]'s EXTREMES twin: the same version-keyed feed pull,
+    * folded through [[mergeCdcExtremes]] — churned groups' min/max
+    * rescan from the CURRENT table's group locality (the feed is
+    * file-grained, so "churned" here is every group in a diffed file,
+    * a superset of the truly-moved groups: each rescans exactly, the
+    * rest carry state; on a group-clustered table that superset IS the
+    * touched files' locality). The rescan view resolves via the GROUP
+    * column's keyed may-contain read when the single group key is
+    * integral/string, the full committed snapshot otherwise — either
+    * way a may-contain superset the fold's semi join restricts.
+    */
+  def syncExtremes(spark: org.apache.spark.sql.SparkSession,
+      tableSink: String, stateSink: String, keys: Seq[String],
+      sumCols: Seq[String], minMaxCols: Seq[String]): Long = {
+    val current = AtomicIncrement.snapshot(spark, tableSink)._1
+    val bootstrapped =
+      AtomicIncrement.snapshot(spark, stateSink)._2.nonEmpty
+    val last = if (!bootstrapped) 0L
+      else readState(spark, stateSink).agg(max("__b")).head().getLong(0)
+    if (current <= last) return 0L
+    val (plus, minus) = AtomicIncrement.changesBetween(spark, tableSink,
+      math.max(last, 0L), current)
+    val kcols = keys.map(col)
+    val churnedRows: DataFrame = {
+      import org.apache.spark.sql.types._
+      def full = AtomicIncrement.readCommitted(spark, tableSink)
+      if (keys.size != 1) full
+      else {
+        val g = keys.head
+        val dt = plus.schema.fields.find(_.name.equalsIgnoreCase(g))
+          .map(_.dataType)
+        val vals = dt match {
+          case Some(StringType) | Some(ByteType) | Some(ShortType) |
+               Some(IntegerType) | Some(LongType) =>
+            plus.select(kcols: _*).unionByName(minus.select(kcols: _*))
+              .distinct().collect()
+          case _ => return {
+            mergeCdcExtremes(plus, minus, full, stateSink, keys,
+              sumCols, minMaxCols, current)
+            current - math.max(last, 0L)
+          }
+        }
+        if (vals.exists(_.isNullAt(0))) full
+        else dt.get match {
+          case StringType => AtomicIncrement.readKeyedMayContainStr(
+            spark, tableSink, g, vals.map(_.getString(0)).toSeq)
+          case _ => AtomicIncrement.readKeyedMayContain(spark, tableSink,
+            g, vals.map(r =>
+              r.get(0).asInstanceOf[Number].longValue()).toSeq)
+        }
+      }
+    }
+    mergeCdcExtremes(plus, minus, churnedRows, stateSink, keys,
+      sumCols, minMaxCols, current)
+    current - math.max(last, 0L)
+  }
+
   /** Run a query whose plumbing needs a scratch atomic sink, then
     * reclaim the sink DETERMINISTICALLY: the output (small by
     * construction — these queries end in an aggregate of at most a

@@ -315,6 +315,42 @@ class IncrementalAggSpec extends SparkSpec {
     assert(state(stateSink) == direct)
   }
 
+  test("syncExtremes: the min/max rollup self-syncs off the feed by " +
+      "table version — the deleted argmax re-derives from the group " +
+      "locality, catch-up and the no-op re-sync hold") {
+    import graft.operators.AtomicIncrement
+    val tableSink = tmp()
+    val stateSink = tmp()
+    def gRows(r: Range, g: String) =
+      r.map(i => (i.toLong, g, i * 1.0)).toDF("ts", "g", "x")
+    AtomicIncrement.appendIncrementAtomic(
+      gRows(1 to 10, "g0").repartition(1), tableSink, "ts",
+      extraStatsCols = Seq("g"))
+    AtomicIncrement.appendIncrementAtomic(
+      gRows(11 to 20, "g1").repartition(1), tableSink, "ts",
+      extraStatsCols = Seq("g"))
+    assert(IncrementalAgg.syncExtremes(spark, tableSink, stateSink,
+      keys, sums, Seq("x")) == 2L)
+    def direct = AtomicIncrement.readCommitted(spark, tableSink)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("s"),
+        min("x").as("mn"), max("x").as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(extState(stateSink) == direct)
+    // delete g1's max through the table: the synced state must
+    // re-derive g1's max from the survivors, g0 carries from state
+    AtomicIncrement.mergeAtomic(
+      Seq((20L, "g1", 20.0, true)).toDF("ts", "g", "x", "del"),
+      tableSink, "ts", "del")
+    assert(IncrementalAgg.syncExtremes(spark, tableSink, stateSink,
+      keys, sums, Seq("x")) == 1L)
+    assert(extState(stateSink) == direct,
+      s"synced extremes diverged: ${extState(stateSink)} vs $direct")
+    assert(extState(stateSink).find(_._1 == "g1").exists(_._5 == 19.0))
+    assert(IncrementalAgg.syncExtremes(spark, tableSink, stateSink,
+      keys, sums, Seq("x")) == 0L)
+  }
+
   test("CDC extremes compose with mergeAtomic + the GROUP-column " +
       "locality read: the rollup's rescan opens only the churned " +
       "groups' files on a group-clustered table") {
