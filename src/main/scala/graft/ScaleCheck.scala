@@ -78,7 +78,11 @@ object ScaleCheck {
     // groups' rows / pair-state) and the manifest-diff change feed
     // (priced by the diffed files)
     "q_incr_agg_minmax", "q_incr_agg_distinct", "q_change_feed",
-    "q_optimize_zorder", "q_merge_deferred", "q_rollup_sync")
+    "q_optimize_zorder", "q_merge_deferred", "q_rollup_sync",
+    // round 14: the string-dim z-order (table-sized by design, like
+    // its integral twin) and the linear-counting sketch distinct
+    // (state bounded at m per group)
+    "q_optimize_zorder_str", "q_incr_agg_distinct_approx")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
@@ -845,8 +849,32 @@ object MergeScaleCheck {
         timeMerge(o1, 1, spread(o1, 10), defer = true)
       cells(("defer-spread", s"${factor}x")) ::=
         timeMerge(oN, factor, spread(oN, 10 * factor), defer = true)
+      // round 14 — TARGETED dv fold: after a confined merge-on-read
+      // batch, foldDvsTargeted must rewrite the churn's file locality
+      // (the same 1 masked file at both scales), never the table —
+      // the r13 policy's full rewrite here scaled with the snapshot
+      def timeFold(o: org.apache.spark.sql.DataFrame, replicas: Int,
+          ch: org.apache.spark.sql.DataFrame): (Double, Int, Int) = {
+        val sink = load(o, replicas)
+        AtomicIncrement.mergeOnReadAtomic(asChanges(ch), sink,
+          "o_orderkey", "del")
+        val t0 = System.nanoTime()
+        val (masked, staged) =
+          AtomicIncrement.foldDvsTargeted(spark, sink)
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(masked >= 1 && masked <= 2,
+          s"confined dv fold masked $masked files — locality broke")
+        InternalCaches.drain(); spark.catalog.clearCache()
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(new java.io.File(sink).getParent))
+        (sec, masked, staged)
+      }
+      cells(("dvfold-conf", "1x")) ::= timeFold(o1, 1, confined(o1))
+      cells(("dvfold-conf", s"${factor}x")) ::=
+        timeFold(oN, factor, confined(oN))
     }
-    for (kind <- Seq("confined", "spread", "defer-spread")) {
+    for (kind <- Seq("confined", "spread", "defer-spread",
+        "dvfold-conf")) {
       val c1 = cells((kind, "1x")); val cN = cells((kind, s"${factor}x"))
       val t1 = c1.map(_._1).min; val tN = cN.map(_._1).min
       println(f"[mergescale] $kind%-9s 1x=$t1%6.2fs " +

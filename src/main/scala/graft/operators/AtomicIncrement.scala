@@ -126,6 +126,22 @@ object AtomicIncrement {
   private val SeqCol = "__graft_seq"
   private val ReservedStatsCols = Set(DvCol, SeqCol)
 
+  /** Reserved manifest LINE (round 14): the first line of every new
+    * manifest is `__graft_commit\t__graft_ts\tlong\t<ms>\t<ms>` — the
+    * commit wall-clock stamped INTO the manifest, riding the ordinary
+    * stats-group syntax so old parsers would read it as one more
+    * entry and new ones filter it by path. [[readVersionAsOf]]
+    * prefers it over filesystem mtime, which a DistCp/backup-restore
+    * scrambles silently; manifests written before the stamp existed
+    * fall back to mtime.
+    */
+  private val CommitMetaPath = "__graft_commit"
+  private val TsCol = "__graft_ts"
+
+  private def commitMetaLine(ms: Long): String =
+    ManifestEntry(CommitMetaPath,
+      Seq(FileColumnStats(TsCol, "long", ms.toString, ms.toString))).render
+
   private[graft] def isDv(e: ManifestEntry): Boolean =
     e.statsFor(DvCol).nonEmpty
 
@@ -207,7 +223,8 @@ object AtomicIncrement {
       case Some((v, mf)) =>
         val in = fs.open(mf)
         try (v, scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().filter(_.nonEmpty).map(parseLine).toList)
+          .getLines().filter(_.nonEmpty).map(parseLine)
+          .filterNot(_.path == CommitMetaPath).toList)
         finally in.close()
     }
   }
@@ -313,27 +330,58 @@ object AtomicIncrement {
   }
 
   /** Time travel by TIMESTAMP: the snapshot of the latest version
-    * whose manifest was committed at or before `tsMillis` (epoch ms).
-    * Manifest files are written once and never touched again, so the
-    * filesystem modification time IS the commit time — no clock is
-    * ever stored in the data. Same retention contract as
-    * [[readVersion]]: [[expireManifests]] moves the answerable
-    * horizon, reclaimed data files end readability. Throws when every
-    * retained version is later than `tsMillis`.
+    * whose commit time is at or before `tsMillis` (epoch ms). The
+    * commit time PREFERS the wall-clock stamped into the manifest's
+    * reserved first line (round 14 — [[commitMetaLine]]): manifest
+    * files are written once, but a DistCp/backup-restore rewrites
+    * their filesystem mtimes and would silently shift a mapping keyed
+    * on them, while the embedded stamp survives any copy. Manifests
+    * written before the stamp existed fall back to their mtime.
+    * Resolved times are then made MONOTONE in version order by a
+    * running max (the Delta in-commit-timestamp discipline): commit
+    * clocks can skew and restored mtimes can invert, and a
+    * non-monotone mapping would answer "as of T" with a version whose
+    * successor is older than T — the adjustment keeps the mapping
+    * order-consistent and deterministic instead of throwing a table
+    * into an unreadable state after every restore. Cost: one small
+    * manifest-head read per retained version ([[expireManifests]]
+    * bounds the count) — time travel is the rare path; snapshot reads
+    * never pay this. Same retention contract as [[readVersion]].
+    * Throws when every retained version is later than `tsMillis`.
     */
   def readVersionAsOf(spark: SparkSession, sink: String,
       tsMillis: Long): DataFrame = {
     val fs = fsOf(spark, sink)
     val dir = new Path(sink, ManifestDir)
     require(fs.exists(dir), s"no committed snapshot at $sink")
-    val eligible = fs.listStatus(dir).toSeq
+    val versions = fs.listStatus(dir).toSeq
       .flatMap(st => st.getPath.getName.toLongOption
-        .map(v => (v, st.getModificationTime)))
-      .filter(_._2 <= tsMillis)
+        .map(v => (v, st.getPath, st.getModificationTime)))
+      .sortBy(_._1)
+    val times = inParallel(versions) { case (v, p, mtime) =>
+      (v, commitTimeOf(fs, p, mtime)) }
+    val adjusted = times.scanLeft((0L, Long.MinValue)) {
+      case ((_, prev), (v, t)) => (v, math.max(prev, t)) }.drop(1)
+    val eligible = adjusted.filter(_._2 <= tsMillis)
     require(eligible.nonEmpty,
       s"no manifest version at or before $tsMillis at $sink " +
         "(expired, or the table is younger)")
-    readVersion(spark, sink, eligible.maxBy(_._1)._1)
+    readVersion(spark, sink, eligible.last._1)
+  }
+
+  /** The commit wall-clock of one manifest: the embedded stamp when
+    * present, the file's mtime otherwise (pre-stamp manifests). Reads
+    * only the head line.
+    */
+  private def commitTimeOf(fs: FileSystem, mf: Path,
+      mtime: Long): Long = {
+    val in = fs.open(mf)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .find(_.nonEmpty).map(parseLine)
+      .filter(_.path == CommitMetaPath)
+      .flatMap(_.statsFor(TsCol)).flatMap(_.min.toLongOption)
+      .getOrElse(mtime)
+    finally in.close()
   }
 
   /** The exact manifest lines `version` committed. Version 0 is the
@@ -347,7 +395,8 @@ object AtomicIncrement {
     require(fs.exists(mf), s"no manifest version $version at $sink")
     val in = fs.open(mf)
     try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).map(parseLine).toList
+      .getLines().filter(_.nonEmpty).map(parseLine)
+      .filterNot(_.path == CommitMetaPath).toList
     finally in.close()
   }
 
@@ -379,7 +428,8 @@ object AtomicIncrement {
     * yields the whole `to` snapshot as `plus` (the bootstrap feed).
     */
   def changesBetween(spark: SparkSession, sink: String,
-      from: Long, to: Long): (DataFrame, DataFrame) = {
+      from: Long, to: Long, maxPruneKeys: Int = 10000000)
+      : (DataFrame, DataFrame) = {
     require(from <= to, s"change feed runs forward: $from > $to")
     val fs = fsOf(spark, sink)
     val (fromDv, fromData) = entriesAtVersion(fs, sink, from).partition(isDv)
@@ -435,16 +485,33 @@ object AtomicIncrement {
     // feeds from the churn's locality, never a table-sized read. The
     // collected superset (all new dv keys, any sequence) only ever
     // keeps MORE files than the per-group exact set — may-contain safe.
+    // The collect is guarded twice (round 14): SKIPPED outright when
+    // no common file can be newly masked (no common files at all —
+    // every bootstrap pull from version 0 — or no new dv sequenced
+    // above the lowest common file), and FENCED like every churn
+    // collect — a catch-up window spanning many deferred batches
+    // pools Σ(churn) keys, and past `maxPruneKeys` the feed KEEPS
+    // every common file instead of collecting unbounded keys to the
+    // driver (may-contain correct: the per-group semi joins below
+    // still emit only newly-dead rows; a fence-abort mid-feed would
+    // turn a catch-up sync into an outage).
     val fromDvPaths = fromDv.map(_.path).toSet
     val newDv = toDv.filterNot(e => fromDvPaths.contains(e.path))
+    val minCommonSeq =
+      if (common.isEmpty) Long.MaxValue else common.map(seqOf).min
     val pruneChurn: Option[ChurnKeys] =
-      if (newDv.isEmpty) None
+      if (!newDv.exists(d => seqOf(d) > minCommonSeq)) None
       else {
+        pruneChurnCollects.incrementAndGet()
         val vals = spark.read
           .parquet(newDv.map(e => s"$sink/${e.path}"): _*)
-          .select(col(keyCol)).distinct().collect()
+          .select(col(keyCol)).distinct()
+          .limit(maxPruneKeys + 1).collect()
         import org.apache.spark.sql.types._
-        schema.apply(schema.fieldIndex(keyCol)).dataType match {
+        if (vals.length > maxPruneKeys) {
+          pruneFenceFallbacks.incrementAndGet()
+          None // over the fence: keep every common file
+        } else schema.apply(schema.fieldIndex(keyCol)).dataType match {
           case StringType =>
             Some(StringChurn(sortUtf8(vals.map(_.getString(0)))))
           case ByteType | ShortType | IntegerType | LongType =>
@@ -726,13 +793,15 @@ object AtomicIncrement {
     * rename, so no reader can observe a partial manifest.
     */
   private[graft] def publish(fs: FileSystem, sink: String,
-      files: Seq[String], version: Long): Unit = {
+      files: Seq[String], version: Long,
+      commitMillis: Long = System.currentTimeMillis()): Unit = {
     val dir = new Path(sink, ManifestDir)
     fs.mkdirs(dir)
     val target = new Path(dir, f"$version%020d")
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
+    try out.write((commitMetaLine(commitMillis) +: files)
+      .mkString("\n").getBytes("UTF-8")) finally out.close()
     // HDFS rename is atomic and refuses an existing destination; the
     // local FS overwrites, so guard with an exists probe for the test
     // environment (the race window is the object-store caveat above)
@@ -842,26 +911,53 @@ object AtomicIncrement {
 
   /** OPTIMIZE ZORDER: rewrite the snapshot MULTI-DIMENSIONALLY
     * clustered — rows ordered along a Morton curve (bit-interleaved
-    * `bits`-bit bucket grids) over TWO integral columns — and record
-    * BOTH columns' interval stats, so stats-pruned reads and merges
-    * engage on EITHER dimension. [[compactClustered]]'s lexicographic
+    * `bits`-bit bucket grids) over N ≥ 2 columns — and record EVERY
+    * z-column's interval stats, so stats-pruned reads and merges
+    * engage on ANY dimension. [[compactClustered]]'s lexicographic
     * range layout gives perfect intervals on its leading column and
-    * nearly none on the second (it only discriminates within
-    * leading-column ties); the z-curve trades both down to ~√F-of-F
-    * file pruning per dimension — the Delta `OPTIMIZE ZORDER BY (a,
-    * b)` move, for tables whose hot predicates come on two independent
-    * keys (fact id + dimension fk, tenant + time). Bucket bounds come
-    * from one min/max pass; the interleave is pure integer shift/mask
-    * column math (codegen'd, no UDF). Null z-keys sort together and
-    * stay in the table — stats and pruning remain may-contain correct.
-    * Same OCC/crash/pinned-reader semantics as every snapshot replace;
-    * `bloomCols` re-covers point-lookup sidecars in the same step.
-    * Returns (files before, files after).
+    * nearly none on the trailing ones (it only discriminates within
+    * leading-column ties); the z-curve trades all of them down to
+    * partial-but-real file pruning per dimension — the Delta
+    * `OPTIMIZE ZORDER BY (a, b, …)` move, for tables whose hot
+    * predicates come on independent keys (fact id + dimension fk,
+    * tenant + time).
+    *
+    * Columns may be INTEGRAL (bucket grid over the value range —
+    * width-divided, `(v − mn) div ceil(span/side)`, so the math can
+    * never overflow however wide the span; the earlier
+    * multiply-first form wrapped past ~2⁵⁵ spans) or STRING (round
+    * 14 — the reference's hot keys are UUID strings,
+    * create_yougile_dataset.ipynb cell 9): a string dimension maps to
+    * an order-preserving integral image — the three characters AFTER
+    * the table-wide common prefix of its min/max bound (every value
+    * between two strings shares their common prefix, so the stripped
+    * prefix discriminates maximally: a constant-prefixed key space
+    * like `o-000000123456` grids on its varying digits, a bare UUID
+    * on its leading hex), codepoints packed big-endian 16 bits each.
+    * UTF-8 is codepoint-order-preserving, so the image's order agrees
+    * with the manifest's byte-space string stats (supplementary
+    * codepoints cap at 0xFFFF — monotone, so still order-consistent).
+    * Bucket quality only ever affects PRUNING, never answers: stats
+    * are recomputed from the rewritten files' footers at stage time,
+    * so a pathological prefix distribution degrades skipping, not
+    * correctness. Bucket bounds come from a min/max pass over the
+    * integral images (one extra bounds pass resolves string prefixes
+    * first); the interleave is shift/mask column math (codegen'd, no
+    * UDF). Null z-keys sort together and stay in the table — stats
+    * and pruning remain may-contain correct; an all-null dimension
+    * drops out of the grid (degrading to fewer dims, then to
+    * [[compactClustered]]/[[compact]]). Same OCC/crash/pinned-reader
+    * semantics as every snapshot replace; `bloomCols` re-covers
+    * point-lookup sidecars in the same step. Returns (files before,
+    * files after).
     */
   def compactZordered(spark: SparkSession, sink: String,
-      colA: String, colB: String, numFiles: Int = 16,
-      bloomCols: Seq[String] = Nil, bits: Int = 8): (Int, Int) = {
+      zCols: Seq[String], numFiles: Int, bloomCols: Seq[String],
+      bits: Int): (Int, Int) = {
+    require(zCols.size >= 2, s"z-order needs >= 2 columns, got $zCols")
     require(bits >= 1 && bits <= 16, s"bits out of range: $bits")
+    require(bits * zCols.size <= 62,
+      s"$bits bits x ${zCols.size} dims exceeds the 62-bit z-key")
     val (version, dataE, _) = snapshotSplit(spark, sink)
     require(dataE.nonEmpty, s"nothing committed to z-order at $sink")
     val snap = readCommitted(spark, sink)
@@ -869,38 +965,89 @@ object AtomicIncrement {
       .find(_.name.equalsIgnoreCase(c))
       .getOrElse(throw new IllegalArgumentException(
         s"z-order column '$c' not in ${snap.columns.mkString(",")}"))
-    for (c <- Seq(colA, colB))
-      require(tagOf(fieldOf(c).dataType).exists(integralTags.contains),
-        s"z-order needs integral columns (bucket grid): '$c' is " +
-          s"${fieldOf(c).dataType.simpleString}")
-    val bounds = snap.agg(
-      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
-      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
-    // an all-null dimension has no grid to interleave — degrade to the
-    // single-column clustered rewrite on the other (or plain compact)
-    if (bounds.isNullAt(0) && bounds.isNullAt(2))
-      return compact(spark, sink, numFiles, bloomCols)
-    if (bounds.isNullAt(0))
-      return compactClustered(spark, sink, Seq(colB), numFiles, bloomCols)
-    if (bounds.isNullAt(2))
-      return compactClustered(spark, sink, Seq(colA), numFiles, bloomCols)
-    val side = 1L << bits
-    def bucket(c: String, mn: Long, mx: Long) = {
-      val span = math.max(mx - mn, 0L) + 1L
-      expr(s"((cast($c as bigint) - (${mn}L)) * ${side}L) div ${span}L")
+    for (c <- zCols)
+      require(tagOf(fieldOf(c).dataType)
+          .exists(t => integralTags.contains(t) || t == "string"),
+        s"z-order needs integral or string columns (bucket grid): " +
+          s"'$c' is ${fieldOf(c).dataType.simpleString}")
+    val stringCols = zCols.filter(c =>
+      tagOf(fieldOf(c).dataType).contains("string"))
+    // string dims: one bounds pass resolves each column's table-wide
+    // min/max, whose common prefix is what the packed image strips
+    val prefixLen: Map[String, Int] =
+      if (stringCols.isEmpty) Map.empty
+      else {
+        val row = snap.agg(
+          min(col(stringCols.head)),
+          (max(col(stringCols.head)) +:
+            stringCols.tail.flatMap(c =>
+              Seq(min(col(c)), max(col(c))))): _*).head()
+        stringCols.zipWithIndex.map { case (c, i) =>
+          val (mnV, mxV) = (row.get(2 * i), row.get(2 * i + 1))
+          val L =
+            if (mnV == null || mxV == null) 0
+            else {
+              val (a, b) = (mnV.toString, mxV.toString)
+              a.zip(b).takeWhile { case (x, y) => x == y }.length
+            }
+          c -> L
+        }.toMap
+      }
+    // order-preserving integral image of each dimension
+    def ordKey(c: String): org.apache.spark.sql.Column =
+      if (integralTags.contains(tagOf(fieldOf(c).dataType).get))
+        col(c).cast("long")
+      else {
+        val from = prefixLen(c) + 1 // substring is 1-based
+        (0 until 3).map { i =>
+          least(ascii(substring(col(c), from + i, 1)).cast("long"),
+            lit(65535L)) * lit(1L << (16 * (2 - i)))
+        }.reduce(_ + _)
+      }
+    val boundAggs = zCols.flatMap(c =>
+      Seq(min(ordKey(c)).cast("long"), max(ordKey(c)).cast("long")))
+    val bounds = snap.agg(boundAggs.head, boundAggs.tail: _*).head()
+    // an all-null dimension has no grid to interleave — drop it; with
+    // fewer than two left, degrade to the clustered/plain rewrite
+    val live = zCols.zipWithIndex.filterNot { case (_, i) =>
+      bounds.isNullAt(2 * i) }
+    if (live.isEmpty) return compact(spark, sink, numFiles, bloomCols)
+    if (live.size == 1)
+      return compactClustered(spark, sink, Seq(live.head._1), numFiles,
+        bloomCols)
+    val side = BigInt(1L << bits)
+    def bucket(c: String, i: Int): org.apache.spark.sql.Column = {
+      val mn = BigInt(bounds.getLong(2 * i))
+      val span = BigInt(bounds.getLong(2 * i + 1)) - mn + 1
+      // width-divided grid: w = ceil(span/side), bucket = (v−mn) div w
+      // — provably in [0, side−1] and overflow-free at any span. The
+      // subtraction runs in decimal and the division is the EXACT
+      // IntegralDivide (`div`): a fractional decimal divide rounds at
+      // its result scale, and 255.999999… rounding up to 256 would
+      // set a bit above the grid and collapse the interleave (this is
+      // a table rewrite — the decimal cost is noise against the
+      // shuffle).
+      val w = (span + side - 1) / side
+      call_function("div",
+        ordKey(c).cast("decimal(38,0)") -
+          lit(new java.math.BigDecimal(mn.bigInteger)),
+        lit(new java.math.BigDecimal(w.bigInteger)))
     }
-    val z = (0 until bits).map { i =>
-      shiftleft(shiftright(col("__za"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
-        shiftleft(shiftright(col("__zb"), i).bitwiseAND(lit(1L)), 2 * i)
+    val d = live.size
+    val z = (0 until bits).flatMap { i =>
+      live.zipWithIndex.map { case (_, j) =>
+        shiftleft(shiftright(col(s"__zb$j"), i).bitwiseAND(lit(1L)),
+          i * d + (d - 1 - j))
+      }
     }.reduce(_ + _)
-    val clustered = snap
-      .withColumn("__za", bucket(colA, bounds.getLong(0), bounds.getLong(1)))
-      .withColumn("__zb", bucket(colB, bounds.getLong(2), bounds.getLong(3)))
+    val clustered = live.zipWithIndex
+      .foldLeft(snap) { case (df, ((c, ci), j)) =>
+        df.withColumn(s"__zb$j", bucket(c, ci)) }
       .withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__za", "__zb", "__z")
-    val statsFields = (Seq(colA, colB)
+      .drop((live.indices.map(j => s"__zb$j") :+ "__z"): _*)
+    val statsFields = (zCols
         .flatMap(c => snap.schema.fields.find(_.name.equalsIgnoreCase(c)))
       ++ coveredStatsFields(dataE, snap.schema)).distinct
     val staged = replaceWithHook(clustered, sink, version, () => (),
@@ -908,6 +1055,23 @@ object AtomicIncrement {
     bloomCols.foreach(c => BloomSkip.ensureSidecars(spark, sink, c))
     (dataE.size, staged.size)
   }
+
+  /** [[compactZordered]] over a column list with the usual defaults. */
+  def compactZordered(spark: SparkSession, sink: String,
+      zCols: Seq[String], numFiles: Int): (Int, Int) =
+    compactZordered(spark, sink, zCols, numFiles, Nil, 8)
+
+  def compactZordered(spark: SparkSession, sink: String,
+      zCols: Seq[String]): (Int, Int) =
+    compactZordered(spark, sink, zCols, 16, Nil, 8)
+
+  /** The two-column form earlier rounds shipped — delegates to the
+    * N-dimensional rewrite. */
+  def compactZordered(spark: SparkSession, sink: String,
+      colA: String, colB: String, numFiles: Int = 16,
+      bloomCols: Seq[String] = Nil, bits: Int = 8): (Int, Int) =
+    compactZordered(spark, sink, Seq(colA, colB), numFiles, bloomCols,
+      bits)
 
   /** Replace the committed snapshot with `df`'s contents as manifest
     * version `expectVersion + 1` — the OCC primitive behind [[compact]]
@@ -989,6 +1153,19 @@ object AtomicIncrement {
     * inside the merge).
     */
   private[graft] val churnCollects =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Test probes for [[changesBetween]]'s guarded dv-key collect:
+    * how many times the collect RAN (the bootstrap/no-mask guard
+    * skips it entirely — a feed pull that cannot newly-mask anything
+    * must cost zero dv-key jobs) and how many times the churn fence
+    * tripped into the keep-all-common-files fallback.
+    */
+  private[graft] val pruneChurnCollects =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] val pruneFenceFallbacks =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] val groupFenceFallbacks =
     new java.util.concurrent.atomic.AtomicLong
 
   /** Collect `changes`' distinct churn keys, enforcing the merge-key
@@ -1252,6 +1429,105 @@ object AtomicIncrement {
       beforeImages)
   }
 
+  /** TARGETED delete-vector fold — minor compaction (round 14): fold
+    * standing delete vectors by rewriting ONLY the data files they
+    * actually mask, then drop every dv line and carry all other data
+    * files verbatim. A file is masked iff its commit sequence sits
+    * STRICTLY below some dv's (the [[readEffective]] rule) AND its
+    * `keyCol` interval intersects that dv window's keys — exactly the
+    * [[splitByKeyIntervals]] test the merges prune their rewrite sets
+    * with, so on a key-clustered table a 3-key deferred delete folds
+    * its churn's file locality while 10⁵ − k files carry untouched.
+    * The previous policy ([[Maintenance.maintainAtomic]] forcing the
+    * FULL snapshot rewrite on any standing dv) repaid merge-on-read's
+    * write savings with a table-sized rewrite; this fold is priced by
+    * the MASKED files, and layout rewrites stay where they belong —
+    * behind the fragmentation trigger.
+    *
+    * Files provably unmasked (sequence at or above every dv, or
+    * key-interval disjoint from every dv above them) carry with their
+    * manifest lines byte-identical; files without usable `keyCol`
+    * stats below a dv's sequence rewrite, conservatively (may-
+    * contain). After the fold no dv stands, so every read path drops
+    * its anti-join debt; a dv that provably masks nothing (its files
+    * were already rewritten by later commits) is dropped by a
+    * metadata-only publish, zero bytes moved. The dv keys collect to
+    * the driver under the same churn fence as the merges that wrote
+    * them (each dv file is one merge batch's fenced churn;
+    * `maxChurnKeys` bounds the pool loudly). Same OCC publish / crash
+    * / pinned-reader semantics as every snapshot commit. Returns
+    * (masked files rewritten, files staged); (0, 0) with no publish
+    * when no dv stands.
+    */
+  def foldDvsTargeted(spark: SparkSession, sink: String,
+      maxChurnKeys: Int = 10000000): (Int, Int) = {
+    val fs = fsOf(spark, sink)
+    val (version, dataE, dvE) = snapshotSplit(spark, sink)
+    if (dvE.isEmpty) return (0, 0)
+    val keyCols = dvE.map(dvKeyColOf).distinct
+    require(keyCols.size == 1,
+      s"delete vectors disagree on the merge key at $sink: $keyCols")
+    val keyCol = keyCols.head
+    val fullSchema = dataSchema(spark, sink, dataE)
+    val isString = fullSchema.fields
+      .find(_.name.equalsIgnoreCase(keyCol))
+      .flatMap(f => tagOf(f.dataType)).contains("string")
+    // per-sequence dv key sets (one bounded collect per distinct dv
+    // sequence — dv commits since the last fold, small by the
+    // maintenance cadence), pooled under the churn fence
+    var pooled = 0
+    val keysBySeq: Map[Long, Array[org.apache.spark.sql.Row]] =
+      dvE.groupBy(seqOf).map { case (s, es) =>
+        val r = spark.read.parquet(es.map(e => s"$sink/${e.path}"): _*)
+          .select(col(keyCol)).distinct()
+          .limit(maxChurnKeys + 1 - pooled).collect()
+        pooled += r.length
+        require(pooled <= maxChurnKeys,
+          s"standing delete vectors at $sink pool more than " +
+            s"$maxChurnKeys keys — that is reload-scale deletion, not " +
+            "churn: run the full compaction instead or raise " +
+            "maxChurnKeys deliberately")
+        s -> r
+      }
+    def churnAbove(s: Long): Option[ChurnKeys] = {
+      val rows = keysBySeq.filter(_._1 > s).values.flatten.toArray
+      if (rows.isEmpty) None
+      else if (isString)
+        Some(StringChurn(sortUtf8(rows.map(_.getString(0)).distinct)))
+      else Some(LongChurn(rows.map(
+        _.get(0).asInstanceOf[Number].longValue()).distinct.sorted))
+    }
+    val parts = dataE.groupBy(seqOf).toSeq.map { case (s, group) =>
+      churnAbove(s) match {
+        case None => (group, Seq.empty[ManifestEntry])
+        case Some(ch) => splitByKeyIntervals(group, keyCol, ch)
+      }
+    }
+    val carried = parts.flatMap(_._1)
+    val masked = parts.flatMap(_._2)
+    if (masked.isEmpty) {
+      // dvs stand but provably mask nothing: dropping their lines
+      // alone repays the read debt — a metadata-only commit
+      publish(fs, sink, carried.map(_.render), version + 1)
+      return (0, 0)
+    }
+    // the masked files rewrite with the dvs APPLIED (readEffective
+    // runs the per-sequence-group anti-joins); staged files need no
+    // sequence stamp — no dv survives the fold
+    val folded = readEffective(spark, sink, masked, dvE, Some(fullSchema))
+    val statsFields = ((keyCol +: coveredStatsFields(dataE,
+        fullSchema).map(_.name)).distinct)
+      .flatMap(c => fullSchema.fields.find(_.name.equalsIgnoreCase(c)))
+    val staged = stageEntries(folded, spark, fs, sink, statsFields)
+    try publish(fs, sink, (carried ++ staged).map(_.render), version + 1)
+    catch { case e: Throwable =>
+      staged.headOption.foreach(e0 =>
+        fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
+      throw e
+    }
+    (masked.size, staged.size)
+  }
+
   /** Copy-on-write SCD2 (type-2 history) MERGE — the MATERIALIZED twin
     * of [[Cdc.scd2History]]'s read-side view: the committed table
     * holds one row per (key, version interval) with `valid_from` /
@@ -1435,6 +1711,87 @@ object AtomicIncrement {
       Some(dataSchema(spark, sink, dataE)))
   }
 
+  /** MULTI-COLUMN may-contain locality read (round 14): the committed
+    * snapshot restricted to files that survive EVERY per-column
+    * interval prune. A row whose composite key tuple is churned can
+    * only live in a file whose interval on EACH column may contain
+    * that column's churned values, so successive single-column prunes
+    * INTERSECT into a tighter — still may-contain — superset: one
+    * recorded-stats column already prunes; each further one only
+    * removes files. Columns without usable same-family stats simply
+    * keep everything on their pass (the [[splitByKeyIntervals]]
+    * contract), so a partially-covered manifest degrades per column,
+    * never per read.
+    */
+  private[graft] def readKeyedChurnMulti(spark: SparkSession,
+      sink: String, churns: Seq[(String, ChurnKeys)]): DataFrame = {
+    require(churns.nonEmpty, "at least one churn column required")
+    val (_, dataE, dvE) = snapshotSplit(spark, sink)
+    require(dataE.nonEmpty, s"no committed snapshot at $sink")
+    val touched = churns.foldLeft(dataE) { case (remaining, (c, ch)) =>
+      splitByKeyIntervals(remaining, c, ch)._2 }
+    readEffective(spark, sink, touched, dvE,
+      Some(dataSchema(spark, sink, dataE)))
+  }
+
+  /** The churned GROUPS' committed rows for an extremes rescan — the
+    * shared locality resolver behind `IncrementalAgg.syncExtremes`
+    * and the streaming fold's pre-rows view (round 14 closes the
+    * composite-group gap: these paths previously degraded to a FULL
+    * `readCommitted` — a table-sized scan per micro-batch for a
+    * two-column-grouped rollup at 100 TB). ONE bounded collect of the
+    * distinct churned group tuples across `sides`, then the
+    * per-column interval prunes intersect via [[readKeyedChurnMulti]]
+    * — each group-key column with manifest stats narrows the file
+    * set independently.
+    *
+    * The collect is FENCED at `maxGroupKeys` (the file-grained feed
+    * can churn every group — a compaction inside a sync window puts
+    * the whole table in plus — so a high-cardinality group key must
+    * degrade to the full-snapshot read, not an unbounded driver
+    * collect; `groupFenceFallbacks` is the test probe). A column
+    * declines to prune when its churned values include NULL (interval
+    * stats never witness nulls, and a null-group row can live in any
+    * file) or its type has no interval family — the OTHER columns
+    * still prune. Always a may-contain SUPERSET of the churned
+    * groups' rows; the caller's semi join restricts exactly, so every
+    * fallback here is a performance trade, never a correctness one.
+    */
+  private[graft] def readGroupLocality(spark: SparkSession, sink: String,
+      groupKeys: Seq[String], sides: Seq[DataFrame],
+      maxGroupKeys: Int = 1000000): DataFrame = {
+    import org.apache.spark.sql.types._
+    def full = readCommitted(spark, sink)
+    val kcols = groupKeys.map(col)
+    val schema0 = sides.head.schema
+    val dts = groupKeys.map(g => schema0.fields
+      .find(_.name.equalsIgnoreCase(g)).map(_.dataType))
+    val supported = dts.map {
+      case Some(StringType | ByteType | ShortType | IntegerType |
+                LongType) => true
+      case _ => false
+    }
+    if (!supported.contains(true)) return full
+    val tuples = sides.map(_.select(kcols: _*)).reduce(_ unionByName _)
+      .distinct().limit(maxGroupKeys + 1).collect()
+    if (tuples.length > maxGroupKeys) {
+      groupFenceFallbacks.incrementAndGet()
+      return full
+    }
+    val churns = groupKeys.indices.flatMap { i =>
+      if (!supported(i) || tuples.exists(_.isNullAt(i))) None
+      else dts(i).get match {
+        case StringType => Some(groupKeys(i) -> StringChurn(
+          sortUtf8(tuples.map(_.getString(i)).distinct.toArray)))
+        case _ => Some(groupKeys(i) -> LongChurn(tuples.map(
+          _.get(i).asInstanceOf[Number].longValue())
+          .distinct.sorted.toArray))
+      }
+    }
+    if (churns.isEmpty) full
+    else readKeyedChurnMulti(spark, sink, churns)
+  }
+
   /** GC data files a MERGE superseded inside still-live batch
     * directories: [[vacuumUncommitted]] reclaims whole dirs no
     * manifest references, but a partial rewrite (some of a batch's
@@ -1515,18 +1872,31 @@ object AtomicIncrement {
   }
 
   /** GC staged-but-uncommitted batch directories (crashed or lost-race
-    * writers). ONLY safe when no writer is actively staging — the
-    * caller owns that scheduling, exactly like Delta's VACUUM.
+    * writers). `minAgeMillis` is the retention-age guard (round 14 —
+    * Delta's VACUUM discipline): a dir younger than it SURVIVES, so a
+    * concurrent writer's seconds-old staged batch is never reclaimed
+    * out from under its publish even when the scheduling contract
+    * below is violated. The default 0 preserves the strict contract —
+    * ONLY safe when no writer is actively staging, which the caller
+    * owns exactly like Delta's VACUUM; production schedulers that
+    * cannot prove quiescence should pass minutes here (the cost is
+    * crash debris surviving one extra pass).
     */
-  def vacuumUncommitted(spark: SparkSession, sink: String): Int = {
+  def vacuumUncommitted(spark: SparkSession, sink: String,
+      minAgeMillis: Long = 0L): Int = {
     val fs = fsOf(spark, sink)
     val dataRoot = new Path(sink, DataDir)
     if (!fs.exists(dataRoot)) return 0
     val live = committedLivePaths(spark, sink)
       .map(f => f.split("/")(1)).toSet // batch dir component
+    val cutoff = System.currentTimeMillis() - minAgeMillis
     val orphans = fs.listStatus(dataRoot).toSeq
+      .filter { st =>
+        val p = st.getPath
+        p.getName.startsWith("batch-") && !live.contains(p.getName) &&
+          (minAgeMillis <= 0L || st.getModificationTime <= cutoff)
+      }
       .map(_.getPath)
-      .filter(p => p.getName.startsWith("batch-") && !live.contains(p.getName))
     inParallel(orphans)(fs.delete(_, true))
     orphans.size
   }

@@ -302,6 +302,56 @@ object IncrementalAgg {
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as(s"distinct_$valueCol"))
 
+  /** APPROXIMATE distinct-count under retraction (round 14) — the
+    * deletion-capable SKETCH twin [[mergeCdcDistinct]]'s scaladoc
+    * names for cardinalities past the exact path's state boundary:
+    * sparse LINEAR COUNTING with multiplicity registers. Values hash
+    * into `m` buckets (xxhash64 — deterministic across runs and
+    * machines), and the child state holds one multiplicity row per
+    * OCCUPIED (group, bucket) pair — a retraction decrements and the
+    * bucket row leaves at zero exactly like the exact path's value
+    * pairs, so occupancy is always EXACT for the current multiset
+    * (this is a counting-Bloom/counting-HLL register array, kept
+    * sparse so only occupied buckets cost state). The estimate
+    * derives at read time ([[readDistinctApprox]]) from the load
+    * factor: `D̂ = −m·ln(1 − occupied/m)`, the classic linear-counting
+    * estimator, standard error ≈ `√(m(e^t − t − 1))/(t·m)` at load
+    * `t = D/m` — about 0.3% at t = 0.25 with the default m = 2¹⁶.
+    *
+    * The trade vs the exact path: state is `min(D, m)` rows per group
+    * — BOUNDED at m however large the group's cardinality grows,
+    * while [[mergeCdcDistinct]]'s grows with D; the price is the
+    * pinned error band and SATURATION (occupancy → m drives the
+    * estimator to infinity — size m ≥ 4·D_expected; the read face
+    * answers NULL for a fully-saturated group rather than a number).
+    * Same `__b` replay shield, OCC publish, and bootstrap conventions
+    * as every CDC fold here.
+    */
+  def mergeCdcDistinctApprox(plus: DataFrame, minus: DataFrame,
+      sink: String, keys: Seq[String], valueCol: String, batchId: Long,
+      m: Int = 1 << 16): Boolean = {
+    require(m >= 16, s"sketch needs at least 16 buckets, got $m")
+    def bucketed(df: DataFrame) = df.select(
+      (keys.map(col) :+ pmod(xxhash64(col(valueCol)), lit(m.toLong))
+        .as("__bkt")): _*)
+    mergeCdcBatch(bucketed(plus), bucketed(minus), sink,
+      keys :+ "__bkt", Nil, batchId)
+  }
+
+  /** The estimated `COUNT(DISTINCT)` per group from a
+    * [[mergeCdcDistinctApprox]] child sink (`distinct_est`, rounded
+    * to a long; NULL when the group's sketch is saturated). `m` must
+    * match the fold's.
+    */
+  def readDistinctApprox(spark: org.apache.spark.sql.SparkSession,
+      sink: String, keys: Seq[String], m: Int = 1 << 16): DataFrame =
+    readState(spark, sink)
+      .groupBy(keys.map(col): _*)
+      .agg(when(count(lit(1)) < m,
+        round(-lit(m.toDouble) *
+          log(lit(1.0) - count(lit(1)) / lit(m.toDouble))).cast("long"))
+        .as("distinct_est"))
+
   /** SELF-SYNCING rollup: fold everything `tableSink` committed since
     * this state's last sync, in ONE pull of the manifest-diff change
     * feed ([[AtomicIncrement.changesBetween]]) — no upstream
@@ -341,14 +391,20 @@ object IncrementalAgg {
     * file-grained, so "churned" here is every group in a diffed file,
     * a superset of the truly-moved groups: each rescans exactly, the
     * rest carry state; on a group-clustered table that superset IS the
-    * touched files' locality). The rescan view resolves via the GROUP
-    * column's keyed may-contain read when the single group key is
-    * integral/string, the full committed snapshot otherwise — either
-    * way a may-contain superset the fold's semi join restricts.
+    * touched files' locality). The rescan view resolves through
+    * [[AtomicIncrement.readGroupLocality]] (round 14): COMPOSITE group
+    * keys intersect per-column interval prunes — any group column with
+    * manifest stats narrows the file set, so a two-column-grouped
+    * rollup no longer degrades to a full table scan per sync — and the
+    * churned-tuple collect is fenced at `maxGroupKeys` (falling back
+    * to the full-snapshot read past it: the feed can churn every
+    * group, e.g. a compaction inside the window). Either way a
+    * may-contain superset the fold's semi join restricts.
     */
   def syncExtremes(spark: org.apache.spark.sql.SparkSession,
       tableSink: String, stateSink: String, keys: Seq[String],
-      sumCols: Seq[String], minMaxCols: Seq[String]): Long = {
+      sumCols: Seq[String], minMaxCols: Seq[String],
+      maxGroupKeys: Int = 1000000): Long = {
     val current = AtomicIncrement.snapshot(spark, tableSink)._1
     val bootstrapped =
       AtomicIncrement.snapshot(spark, stateSink)._2.nonEmpty
@@ -357,36 +413,8 @@ object IncrementalAgg {
     if (current <= last) return 0L
     val (plus, minus) = AtomicIncrement.changesBetween(spark, tableSink,
       math.max(last, 0L), current)
-    val kcols = keys.map(col)
-    val churnedRows: DataFrame = {
-      import org.apache.spark.sql.types._
-      def full = AtomicIncrement.readCommitted(spark, tableSink)
-      if (keys.size != 1) full
-      else {
-        val g = keys.head
-        val dt = plus.schema.fields.find(_.name.equalsIgnoreCase(g))
-          .map(_.dataType)
-        val vals = dt match {
-          case Some(StringType) | Some(ByteType) | Some(ShortType) |
-               Some(IntegerType) | Some(LongType) =>
-            plus.select(kcols: _*).unionByName(minus.select(kcols: _*))
-              .distinct().collect()
-          case _ => return {
-            mergeCdcExtremes(plus, minus, full, stateSink, keys,
-              sumCols, minMaxCols, current)
-            current - math.max(last, 0L)
-          }
-        }
-        if (vals.exists(_.isNullAt(0))) full
-        else dt.get match {
-          case StringType => AtomicIncrement.readKeyedMayContainStr(
-            spark, tableSink, g, vals.map(_.getString(0)).toSeq)
-          case _ => AtomicIncrement.readKeyedMayContain(spark, tableSink,
-            g, vals.map(r =>
-              r.get(0).asInstanceOf[Number].longValue()).toSeq)
-        }
-      }
-    }
+    val churnedRows = AtomicIncrement.readGroupLocality(spark, tableSink,
+      keys, Seq(plus, minus), maxGroupKeys)
     mergeCdcExtremes(plus, minus, churnedRows, stateSink, keys,
       sumCols, minMaxCols, current)
     current - math.max(last, 0L)
@@ -962,6 +990,120 @@ object IncrementalAgg {
         |  WHERE o_orderkey > c AND o_orderkey % 10 = 0)
         |SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price, TRUE AS diffed
+        |FROM resolved GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
+    // OPTIMIZE ZORDER with a STRING dimension (round 14): the hot keys
+    // of the reference's conformed tables are UUID strings, so the
+    // multi-dimensional layout must grid a string column too. The
+    // string key is a constant-prefixed zero-padded form of the order
+    // key (so DuckDB can derive it), which also pins the adaptive
+    // prefix-stripping: a grid over the RAW first characters would
+    // see the constant "o-0" on every row and never discriminate —
+    // pruning engaging on the string dim proves the common prefix was
+    // stripped before bucketing. Interleaved loads defeat pruning on
+    // both dims before the rewrite; `zordered` pins impossible-before
+    // + engaged-after on the string AND the integral dimension; the
+    // oracle aggregates both cuts from the raw table.
+    "q_optimize_zorder_str" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_optzs") { sink =>
+        val o = table(s, dir, "orders").select(
+          concat(lit("o-"),
+            lpad(col("o_orderkey").cast("string"), 12, "0")).as("okey"),
+          col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+        for (r <- 0L to 2L)
+          AtomicIncrement.appendIncrementAtomic(
+            o.filter(col("o_orderkey") % 3 === r).drop("o_orderkey")
+              .withColumn("b", lit(r)),
+            sink, "b", extraStatsCols = Seq("okey", "o_custkey"))
+        val m = table(s, dir, "orders")
+          .agg(max("o_orderkey"), max("o_custkey")).head()
+        val cutK = "o-" + "%012d".format(7 * m.getLong(0) / 8)
+        val cutC = 7 * m.getLong(1) / 8
+        def total = AtomicIncrement.committedFiles(s, sink).size
+        val beforeK = AtomicIncrement.readCommittedAboveStr(
+          s, sink, "okey", cutK).inputFiles.length < total
+        val beforeC = AtomicIncrement.readCommittedAbove(
+          s, sink, "o_custkey", cutC).inputFiles.length < total
+        AtomicIncrement.compactZordered(s, sink,
+          Seq("okey", "o_custkey"), 16)
+        val readK = AtomicIncrement.readCommittedAboveStr(
+          s, sink, "okey", cutK)
+        val readC = AtomicIncrement.readCommittedAbove(
+          s, sink, "o_custkey", cutC)
+        val engaged = !beforeK && !beforeC &&
+          readK.inputFiles.length < total &&
+          readC.inputFiles.length < total
+        val aggK = readK.filter(col("okey") > cutK)
+          .agg(count(lit(1)).as("n_key"),
+            round(sum("o_totalprice"), 2).as("sum_key"))
+        val aggC = readC.filter(col("o_custkey") > cutC)
+          .agg(count(lit(1)).as("n_cust"),
+            round(sum("o_totalprice"), 2).as("sum_cust"))
+        aggK.crossJoin(aggC).withColumn("zordered", lit(engaged))
+      },
+      """WITH ck AS (SELECT 'o-' || lpad(CAST(7 * max(o_orderkey) // 8
+        |    AS VARCHAR), 12, '0') AS v FROM orders),
+        |cc AS (SELECT 7 * max(o_custkey) // 8 AS v FROM orders)
+        |SELECT
+        |  (SELECT count(*) FROM orders, ck
+        |    WHERE 'o-' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') > v)
+        |    AS n_key,
+        |  (SELECT round(sum(o_totalprice), 2) FROM orders, ck
+        |    WHERE 'o-' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') > v)
+        |    AS sum_key,
+        |  (SELECT count(*) FROM orders, cc WHERE o_custkey > v)
+        |    AS n_cust,
+        |  (SELECT round(sum(o_totalprice), 2) FROM orders, cc
+        |    WHERE o_custkey > v) AS sum_cust,
+        |  TRUE AS zordered""".stripMargin),
+
+    // The deletion-capable SKETCH distinct beside the exact path
+    // (round 14): the same retraction feed drives BOTH states — the
+    // exact two-level multiplicity rollup and the linear-counting
+    // sketch — and the output pins the sketch INSIDE its error band
+    // against the exact count per group (`within_5pct`; the
+    // estimator's expected error at this m and these cardinalities is
+    // under 1%, so the 5% band is conservative, and xxhash64 makes it
+    // deterministic). The exact counts also ride the row, so the
+    // oracle's count(DISTINCT) gates both states at once: a bucket
+    // surviving its last retraction breaks the band, a wrong exact
+    // multiplicity breaks the counts.
+    "q_incr_agg_distinct_approx" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_dexact") { exactSink =>
+        withScratchSink(s, "graft_dsketch") { sketchSink =>
+          val o = table(s, dir, "orders").select(
+            col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+          mergeCdcDistinct(o, o.limit(0), exactSink,
+            Seq("o_orderstatus"), "o_custkey", 0L)
+          mergeCdcDistinctApprox(o, o.limit(0), sketchSink,
+            Seq("o_orderstatus"), "o_custkey", 0L)
+          val minus = o.filter(col("o_orderkey") % 10 === 7)
+          val plus = o.filter(col("o_orderkey") % 10 === 3)
+            .withColumn("o_orderstatus", lit("X"))
+          mergeCdcDistinct(plus, minus, exactSink,
+            Seq("o_orderstatus"), "o_custkey", 1L)
+          mergeCdcDistinctApprox(plus, minus, sketchSink,
+            Seq("o_orderstatus"), "o_custkey", 1L)
+          readDistinct(s, exactSink, Seq("o_orderstatus"), "o_custkey")
+            .join(readDistinctApprox(s, sketchSink,
+              Seq("o_orderstatus")), Seq("o_orderstatus"))
+            .select(col("o_orderstatus"),
+              col("distinct_o_custkey").as("n_cust"),
+              (abs(col("distinct_est") - col("distinct_o_custkey")) <=
+                greatest(lit(1.0),
+                  col("distinct_o_custkey") * 0.05)).as("within_5pct"))
+            .orderBy("o_orderstatus")
+        }
+      },
+      """WITH resolved AS (
+        |  SELECT o_orderstatus, o_custkey FROM orders
+        |  WHERE o_orderkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT 'X' AS o_orderstatus, o_custkey FROM orders
+        |  WHERE o_orderkey % 10 = 3)
+        |SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+        |  TRUE AS within_5pct
         |FROM resolved GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin))
 }

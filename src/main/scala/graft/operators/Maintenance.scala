@@ -40,11 +40,14 @@ object Maintenance {
 
   /** What one pass did — the numbers a maintenance log would record.
     * `rewrote = false` means the fragmentation trigger skipped the
-    * table rewrite (the pass was metadata/increment-sized).
+    * table rewrite (the pass was metadata/increment-sized);
+    * `dvFoldedFiles` counts the data files the TARGETED delete-vector
+    * fold rewrote (0 when no dv stood, or when the full rewrite ran
+    * and folded them itself).
     */
   final case class Report(filesBefore: Int, filesAfter: Int,
       rewrote: Boolean, sidecarsBuilt: Int, supersededRemoved: Int,
-      orphanDirsRemoved: Int)
+      orphanDirsRemoved: Int, dvFoldedFiles: Int = 0)
 
   /** One maintenance target: an atomic sink plus its layout policy.
     * `triggerFiles` is the fragmentation trigger: the OPTIMIZE rewrite
@@ -59,9 +62,10 @@ object Maintenance {
   final case class Target(sink: String, clusterCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, targetFiles: Int = 8,
       triggerFiles: Int = 0,
-      zorderCols: Option[(String, String)] = None,
+      zorderCols: Seq[String] = Nil,
       foldDvs: Boolean = true,
-      keepVersions: Int = 0)
+      keepVersions: Int = 0,
+      vacuumMinAgeMs: Long = 0L)
 
   /** One full pass over one sink. OCC applies to the compaction like
     * any snapshot replace: if a live writer commits concurrently the
@@ -70,27 +74,36 @@ object Maintenance {
     */
   def maintainAtomic(spark: SparkSession, target: Target): Report = {
     val committed = AtomicIncrement.committedFiles(spark, target.sink).size
+    val rewrite = committed > math.max(target.targetFiles,
+      target.triggerFiles)
     // standing delete vectors are READ DEBT (every read pays their
     // anti-join until a rewrite folds them) — the maintenance pass is
-    // the window that repays it, so dvs force the rewrite even below
-    // the fragmentation trigger unless the target opts out
-    val dvStanding = target.foldDvs &&
-      AtomicIncrement.snapshotSplit(spark, target.sink)._3.nonEmpty
-    val rewrite = dvStanding || committed > math.max(target.targetFiles,
-      target.triggerFiles)
+    // the window that repays it. Round 14: the repayment is TARGETED
+    // ([[AtomicIncrement.foldDvsTargeted]] rewrites only the files
+    // each dv actually masks — at 10⁵ files a 3-key deferred delete
+    // folds its churn locality, never the table; the earlier policy
+    // forced the FULL snapshot rewrite on any standing dv, repaying
+    // merge-on-read's write savings with table-sized interest).
+    // Layout rewrites stay the fragmentation trigger's business, and
+    // when the full rewrite runs anyway it folds every dv itself, so
+    // the targeted pass is skipped as redundant.
+    val dvFolded =
+      if (!target.foldDvs || rewrite) (0, 0)
+      else AtomicIncrement.foldDvsTargeted(spark, target.sink)
     val (before, after) =
-      if (!rewrite) (committed, committed)
-      else target.zorderCols match {
-        // two-dimensional layout policy wins over the lexicographic
-        // one: the table's hot predicates come on both columns
-        case Some((a, b)) => AtomicIncrement.compactZordered(spark,
-          target.sink, a, b, target.targetFiles)
-        case None if target.clusterCols.nonEmpty =>
-          AtomicIncrement.compactClustered(spark, target.sink,
-            target.clusterCols, target.targetFiles)
-        case None =>
-          AtomicIncrement.compact(spark, target.sink, target.targetFiles)
-      }
+      if (!rewrite)
+        (committed,
+          AtomicIncrement.committedFiles(spark, target.sink).size)
+      else if (target.zorderCols.nonEmpty)
+        // multi-dimensional layout policy wins over the lexicographic
+        // one: the table's hot predicates come on several columns
+        AtomicIncrement.compactZordered(spark, target.sink,
+          target.zorderCols, target.targetFiles)
+      else if (target.clusterCols.nonEmpty)
+        AtomicIncrement.compactClustered(spark, target.sink,
+          target.clusterCols, target.targetFiles)
+      else
+        AtomicIncrement.compact(spark, target.sink, target.targetFiles)
     val built = target.bloomCols.map(c =>
       BloomSkip.ensureSidecars(spark, target.sink, c)).sum
     // manifest retention: keepVersions = 0 (default) keeps every
@@ -102,8 +115,10 @@ object Maintenance {
       AtomicIncrement.expireManifests(spark, target.sink,
         target.keepVersions)
     val superseded = AtomicIncrement.vacuumSuperseded(spark, target.sink)
-    val orphans = AtomicIncrement.vacuumUncommitted(spark, target.sink)
-    Report(before, after, rewrite, built, superseded, orphans)
+    val orphans = AtomicIncrement.vacuumUncommitted(spark, target.sink,
+      target.vacuumMinAgeMs)
+    Report(before, after, rewrite, built, superseded, orphans,
+      dvFolded._1)
   }
 
   def defs: Map[String, QueryDef] = Map(

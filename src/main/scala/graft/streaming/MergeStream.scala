@@ -106,38 +106,20 @@ object MergeStream {
   }
 
   /** The committed (pre-merge) rows of the groups this batch churns —
-    * the file-pruned locality read on a SINGLE integral/string group
-    * column (one bounded collect of the distinct churned group values,
-    * ≤ the churn size), degrading to the full committed snapshot for
-    * composite/other-typed group keys or a null churned group (both
-    * correct: the read only needs to be a may-contain SUPERSET of the
-    * churned groups' rows).
+    * [[AtomicIncrement.readGroupLocality]]'s fenced, per-column-
+    * intersected locality read (round 14: COMPOSITE group keys prune
+    * through every stats-covered column instead of degrading to a
+    * table-sized `readCommitted` per micro-batch; the churned-tuple
+    * collect is capped, falling back to the full snapshot past the
+    * fence). Always a may-contain SUPERSET of the churned groups'
+    * rows — the fold's semi join restricts exactly.
     */
   private def churnedGroupPreRows(
       spark: org.apache.spark.sql.SparkSession, tableSink: String,
       stateKeys: Seq[String], plus: DataFrame,
-      before: DataFrame): DataFrame = {
-    val full = AtomicIncrement.readCommitted(spark, tableSink)
-    if (stateKeys.size != 1) return full
-    val g = stateKeys.head
-    import org.apache.spark.sql.types._
-    val dt = plus.schema.fields.find(_.name.equalsIgnoreCase(g))
-      .map(_.dataType)
-    val vals = dt match {
-      case Some(StringType) | Some(ByteType) | Some(ShortType) |
-           Some(IntegerType) | Some(LongType) =>
-        plus.select(col(g)).unionByName(before.select(col(g)))
-          .distinct().collect()
-      case _ => return full
-    }
-    if (vals.exists(_.isNullAt(0))) return full
-    dt.get match {
-      case StringType => AtomicIncrement.readKeyedMayContainStr(
-        spark, tableSink, g, vals.map(_.getString(0)).toSeq)
-      case _ => AtomicIncrement.readKeyedMayContain(spark, tableSink, g,
-        vals.map(r => r.get(0).asInstanceOf[Number].longValue()).toSeq)
-    }
-  }
+      before: DataFrame): DataFrame =
+    AtomicIncrement.readGroupLocality(spark, tableSink, stateKeys,
+      Seq(plus, before))
 
   /** `maintainEvery` > 0 runs one [[graft.operators.Maintenance]] pass
     * over `maintainTarget` after every Nth micro-batch — the

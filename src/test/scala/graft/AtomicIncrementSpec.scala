@@ -993,4 +993,224 @@ class AtomicIncrementSpec extends SparkSpec {
     assert(fed == v2Bag, s"feed did not telescope: ${fed.toSeq.sorted
       .take(5)} vs ${v2Bag.toSeq.sorted.take(5)}")
   }
+
+  test("z-order generalizes to N dimensions (round 14): three " +
+      "independent integral columns all prune after ONE rewrite") {
+    val sink = tmp()
+    def rows(p: Long => Boolean) = (1L to 400L).filter(p)
+      .map(k => (k, (k * 193L) % 400L, (k * 211L) % 400L, k * 1.0))
+      .toDF("k", "c", "d", "x")
+    for (r <- 0L to 2L)
+      AtomicIncrement.appendIncrementAtomic(
+        rows(_ % 3 == r).withColumn("b", lit(r)).repartition(1),
+        sink, "b", extraStatsCols = Seq("k", "c", "d"))
+    val total = AtomicIncrement.committedFiles(spark, sink).size
+    def opened(c0: String) = AtomicIncrement
+      .readCommittedAbove(spark, sink, c0, 350L).inputFiles.length
+    for (c0 <- Seq("k", "c", "d"))
+      assert(opened(c0) == total, s"fixture broke: $c0 pruned before")
+    val before = AtomicIncrement.readCommitted(spark, sink)
+      .select("k").as[Long].collect().sorted.toSeq
+    AtomicIncrement.compactZordered(spark, sink, Seq("k", "c", "d"), 8)
+    val total2 = AtomicIncrement.committedFiles(spark, sink).size
+    for (c0 <- Seq("k", "c", "d"))
+      assert(opened(c0) < total2, s"no pruning on $c0 after 3-dim z-order")
+    assert(AtomicIncrement.readCommitted(spark, sink)
+      .select("k").as[Long].collect().sorted.toSeq == before)
+    // the z-key budget is enforced loudly: 16 bits x 4 dims > 62
+    val e = intercept[IllegalArgumentException] {
+      AtomicIncrement.compactZordered(spark, sink,
+        Seq("k", "c", "d", "k"), 8, Nil, 16)
+    }
+    assert(e.getMessage.contains("62-bit"))
+  }
+
+  test("z-order bucket math is overflow-safe (round 14): a span past " +
+      "2^62 grids correctly — the multiply-first form wrapped to " +
+      "garbage buckets and lost the layout") {
+    val sink = tmp()
+    val big = 1L << 61
+    // two key clusters at the extremes of a ~2^62 span; c is uniform
+    // within each batch so only k's grid can separate the clusters
+    def rows(r: Long) =
+      ((1L to 100L).map(i => (-big + i * 1000L + r, (i * 193L) % 200L,
+        1.0)) ++
+       (1L to 100L).map(i => (big - i * 1000L - r, (i * 211L) % 200L,
+        1.0))).toDF("k", "c", "x")
+    for (r <- 0L to 1L)
+      AtomicIncrement.appendIncrementAtomic(
+        rows(r).withColumn("b", lit(r)).repartition(1),
+        sink, "b", extraStatsCols = Seq("k", "c"))
+    val total = AtomicIncrement.committedFiles(spark, sink).size
+    def openedAbove0 = AtomicIncrement
+      .readCommittedAbove(spark, sink, "k", 0L).inputFiles.length
+    assert(openedAbove0 == total,
+      "fixture broke: clusters separated before the rewrite")
+    val before = AtomicIncrement.readCommitted(spark, sink)
+      .select("k").as[Long].collect().sorted.toSeq
+    AtomicIncrement.compactZordered(spark, sink, Seq("k", "c"), 4)
+    assert(openedAbove0 <
+      AtomicIncrement.committedFiles(spark, sink).size,
+      "huge-span grid did not separate the clusters (overflow wrap?)")
+    assert(AtomicIncrement.readCommitted(spark, sink)
+      .select("k").as[Long].collect().sorted.toSeq == before)
+  }
+
+  test("z-order STRING dimension (round 14): the grid strips the " +
+      "table-wide common prefix before bucketing, so a constant-" +
+      "prefixed key space prunes on its varying suffix") {
+    val sink = tmp()
+    def key(i: Long) = "item-" + "%06d".format(i)
+    def rows(p: Long => Boolean) = (1L to 300L).filter(p)
+      .map(i => (key(i), (i * 193L) % 300L, i * 1.0))
+      .toDF("okey", "c", "x")
+    for (r <- 0L to 2L)
+      AtomicIncrement.appendIncrementAtomic(
+        rows(_ % 3 == r).withColumn("b", lit(r)).repartition(1),
+        sink, "b", extraStatsCols = Seq("okey", "c"))
+    val total = AtomicIncrement.committedFiles(spark, sink).size
+    val cutS = key(250L)
+    def openedS = AtomicIncrement
+      .readCommittedAboveStr(spark, sink, "okey", cutS).inputFiles.length
+    def openedC = AtomicIncrement
+      .readCommittedAbove(spark, sink, "c", 250L).inputFiles.length
+    assert(openedS == total && openedC == total,
+      "fixture broke: pruning possible before the rewrite")
+    val before = AtomicIncrement.readCommitted(spark, sink)
+      .select("okey").as[String].collect().sorted.toSeq
+    AtomicIncrement.compactZordered(spark, sink, Seq("okey", "c"), 8)
+    val total2 = AtomicIncrement.committedFiles(spark, sink).size
+    assert(openedS < total2,
+      "string dim did not prune — common prefix not stripped?")
+    assert(openedC < total2, "integral dim lost pruning beside a string")
+    // composed equivalence on the string cut
+    val pruned = AtomicIncrement
+      .readCommittedAboveStr(spark, sink, "okey", cutS)
+      .filter(col("okey") > cutS).select("okey").as[String]
+      .collect().sorted.toSeq
+    assert(pruned == before.filter(_ > cutS))
+  }
+
+  test("readVersionAsOf prefers the manifest-embedded commit stamp " +
+      "(round 14): a restore that scrambles every mtime leaves the " +
+      "mapping intact; pre-stamp manifests fall back to mtime") {
+    val sink = tmp()
+    val times = (1 to 3).map { i =>
+      AtomicIncrement.appendIncrementAtomic(
+        Seq((i.toLong, s"v$i")).toDF("k", "v"), sink, "k")
+      Thread.sleep(25)
+      System.currentTimeMillis()
+    }
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(sink, "_graft_manifest")
+    val mfs = fs.listStatus(mdir).map(_.getPath)
+      .filterNot(_.getName.startsWith(".")).sortBy(_.getName)
+    // the backup-restore shape: every mtime rewritten, order INVERTED
+    val far = System.currentTimeMillis() + 86400000L
+    mfs.zipWithIndex.foreach { case (p, i) =>
+      fs.setTimes(p, far + (mfs.length - i) * 3600000L, -1) }
+    for (i <- 1 to 3)
+      assert(AtomicIncrement.readVersionAsOf(spark, sink, times(i - 1))
+        .count() == i, s"asOf mapping shifted after restore at v$i")
+    // pre-stamp manifests (the r13 format): strip the meta line —
+    // resolution falls back to the (now meaningful) mtime
+    val sink2 = tmp()
+    for (i <- 1 to 2)
+      AtomicIncrement.appendIncrementAtomic(
+        Seq((i.toLong, s"v$i")).toDF("k", "v"), sink2, "k")
+    val fs2 = new org.apache.hadoop.fs.Path(sink2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir2 = new org.apache.hadoop.fs.Path(sink2, "_graft_manifest")
+    val mfs2 = fs2.listStatus(mdir2).map(_.getPath)
+      .filterNot(_.getName.startsWith(".")).sortBy(_.getName)
+    for (p <- mfs2) {
+      val in = fs2.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filterNot(_.startsWith("__graft_commit")).mkString("\n")
+      finally in.close()
+      fs2.delete(p, false)
+      val out = fs2.create(p, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    val t0 = System.currentTimeMillis() + 86400000L
+    fs2.setTimes(mfs2(0), t0, -1)
+    fs2.setTimes(mfs2(1), t0 + 60000L, -1)
+    assert(AtomicIncrement.readVersionAsOf(spark, sink2, t0 + 30000L)
+      .count() == 1, "pre-stamp manifest did not fall back to mtime")
+    assert(AtomicIncrement.readVersionAsOf(spark, sink2, t0 + 90000L)
+      .count() == 2)
+  }
+
+  test("vacuumUncommitted age guard (round 14): a freshly staged " +
+      "batch dir survives a concurrent pass, an aged orphan reclaims, " +
+      "and the strict default still collects everything") {
+    val sink = tmp()
+    AtomicIncrement.appendIncrementAtomic(
+      Seq((1L, "a")).toDF("k", "v"), sink, "k")
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a concurrent writer's in-flight stage (or seconds-old crash debris)
+    AtomicIncrement.stageBatch(Seq((2L, "b")).toDF("k", "v"), spark,
+      fs, sink)
+    assert(AtomicIncrement.vacuumUncommitted(spark, sink,
+      minAgeMillis = 3600000L) == 0,
+      "age guard reclaimed a fresh staged dir")
+    assert(AtomicIncrement.readCommitted(spark, sink).count() == 1)
+    // age the orphan past the guard — now it reclaims
+    val dataRoot = new org.apache.hadoop.fs.Path(sink, "_data")
+    val live = AtomicIncrement.committedFiles(spark, sink)
+      .map(_.split("/")(1)).toSet
+    val orphan = fs.listStatus(dataRoot).map(_.getPath)
+      .filter(p => p.getName.startsWith("batch-") &&
+        !live.contains(p.getName)).head
+    fs.setTimes(orphan, System.currentTimeMillis() - 7200000L, -1)
+    assert(AtomicIncrement.vacuumUncommitted(spark, sink,
+      minAgeMillis = 3600000L) == 1)
+    // strict default (0): immediate reclaim, the crash-matrix contract
+    AtomicIncrement.stageBatch(Seq((3L, "c")).toDF("k", "v"), spark,
+      fs, sink)
+    assert(AtomicIncrement.vacuumUncommitted(spark, sink) == 1)
+  }
+
+  test("readGroupLocality (round 14): composite group keys intersect " +
+      "per-column interval prunes — files opened < committed for a " +
+      "two-column churn; NULL tuples and the fence degrade to the " +
+      "full snapshot, never a wrong superset") {
+    val sink = tmp()
+    // three range-loaded files; BOTH group columns carry stats
+    for (r <- 0L to 2L)
+      AtomicIncrement.appendIncrementAtomic(
+        (r * 10 + 1 to r * 10 + 10)
+          .map(i => (i, i * 2, s"v$i")).toDF("g1", "g2", "v")
+          .withColumn("b", lit(r)).repartition(1),
+        sink, "b", extraStatsCols = Seq("g1", "g2"))
+    val total = AtomicIncrement.committedFiles(spark, sink).size
+    import spark.implicits._
+    // churn confined to the third file's tuples
+    val plus = Seq((25L, 50L, "x")).toDF("g1", "g2", "v")
+    val minus = Seq((27L, 54L, "y")).toDF("g1", "g2", "v")
+    val local = AtomicIncrement.readGroupLocality(spark, sink,
+      Seq("g1", "g2"), Seq(plus, minus))
+    assert(local.inputFiles.length < total,
+      "composite-group locality read opened the whole table")
+    assert(local.filter(col("g1") === 25L).count() == 1)
+    // a NULL in one column's churned values disables THAT column's
+    // prune; the other still narrows the read
+    val plusNull = Seq((25L, Option.empty[Long], "x"))
+      .toDF("g1", "g2", "v")
+    val localNull = AtomicIncrement.readGroupLocality(spark, sink,
+      Seq("g1", "g2"), Seq(plusNull, minus))
+    assert(localNull.inputFiles.length < total,
+      "g1 should still prune when g2's churn carries a null")
+    // fence: past maxGroupKeys the read degrades to the full snapshot
+    val f0 = AtomicIncrement.groupFenceFallbacks.get()
+    val wide = (1L to 30L).map(i => (i, i * 2, "w")).toDF("g1", "g2", "v")
+    val fenced = AtomicIncrement.readGroupLocality(spark, sink,
+      Seq("g1", "g2"), Seq(wide, minus), maxGroupKeys = 5)
+    assert(AtomicIncrement.groupFenceFallbacks.get() == f0 + 1,
+      "group fence did not trip")
+    assert(fenced.inputFiles.length == total)
+    assert(fenced.count() == 30)
+  }
 }

@@ -390,4 +390,107 @@ class IncrementalAggSpec extends SparkSpec {
     assert(extState(stateSink) == direct,
       s"maintained extremes diverged: ${extState(stateSink)} vs $direct")
   }
+
+  test("syncExtremes with a COMPOSITE group key (round 14): correct " +
+      "through a merge window, and the rescan rides the intersected " +
+      "group locality instead of a full-table read") {
+    import graft.operators.AtomicIncrement
+    val tableSink = tmp()
+    val stateSink = tmp()
+    // three range-loaded files, BOTH group columns in the manifest
+    for (r <- 0L to 2L)
+      AtomicIncrement.appendIncrementAtomic(
+        (r * 10 + 1 to r * 10 + 10)
+          .map(i => (i, i, i * 2, i * 1.0))
+          .toDF("k", "g1", "g2", "x").repartition(1),
+        tableSink, "k", extraStatsCols = Seq("g1", "g2"))
+    val keys2 = Seq("g1", "g2")
+    assert(IncrementalAgg.syncExtremes(spark, tableSink, stateSink,
+      keys2, Seq("x"), Seq("x")) == 3)
+    // churn confined to the third file: delete the group's only row
+    // for one key, update another — extremes must re-derive
+    AtomicIncrement.mergeAtomic(
+      Seq((25L, 25L, 50L, 990.0, false), (27L, 27L, 54L, 0.0, true))
+        .toDF("k", "g1", "g2", "x", "del"),
+      tableSink, "k", "del")
+    assert(IncrementalAgg.syncExtremes(spark, tableSink, stateSink,
+      keys2, Seq("x"), Seq("x")) == 1)
+    val direct = AtomicIncrement.readCommitted(spark, tableSink)
+      .groupBy("g1", "g2").agg(count(lit(1)).as("n"), sum("x").as("s"),
+        min("x").as("mn"), max("x").as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val folded = IncrementalAgg.readState(spark, stateSink)
+      .select("g1", "g2", "__n", "sum_x", "min_x", "max_x")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(folded == direct,
+      s"composite-group sync diverged: ${folded.take(4)} vs ${direct.take(4)}")
+    // the locality claim itself: a churn confined to one file's tuple
+    // space opens fewer files than the committed snapshot
+    val plus = Seq((25L, 50L)).toDF("g1", "g2")
+    val local = AtomicIncrement.readGroupLocality(spark, tableSink,
+      keys2, Seq(plus, plus.limit(0)))
+    assert(local.inputFiles.length <
+      AtomicIncrement.committedFiles(spark, tableSink).size,
+      "composite-group rescan still reads the whole table")
+  }
+
+  test("CDC distinct APPROX (round 14): the deletion-capable linear-" +
+      "counting sketch tracks the exact path within its error band, " +
+      "buckets leave at zero on full retraction, and state is bounded " +
+      "at m however many values arrive") {
+    val exactSink = tmp()
+    val sketchSink = tmp()
+    val m = 1 << 12
+    def feed(r: Range, g: String) =
+      r.map(i => (g, i.toLong)).toDF("g", "v")
+    // bootstrap: 600 distinct values in gA, 40 in gB
+    val p0 = feed(1 to 600, "gA").unionByName(feed(1 to 40, "gB"))
+    IncrementalAgg.mergeCdcDistinct(p0, p0.limit(0), exactSink,
+      Seq("g"), "v", 0L)
+    IncrementalAgg.mergeCdcDistinctApprox(p0, p0.limit(0), sketchSink,
+      Seq("g"), "v", 0L, m)
+    // churn: retract 100 of gA's values (one of them twice-inserted
+    // first, so multiplicity must survive one retraction), delete ALL
+    // of gB, add a new group
+    val dup = feed(50 to 50, "gA") // second copy of value 50
+    IncrementalAgg.mergeCdcDistinct(dup, dup.limit(0), exactSink,
+      Seq("g"), "v", 1L)
+    IncrementalAgg.mergeCdcDistinctApprox(dup, dup.limit(0), sketchSink,
+      Seq("g"), "v", 1L, m)
+    val minus = feed(1 to 100, "gA").unionByName(feed(1 to 40, "gB"))
+    val plus = feed(1 to 25, "gC")
+    IncrementalAgg.mergeCdcDistinct(plus, minus, exactSink,
+      Seq("g"), "v", 2L)
+    IncrementalAgg.mergeCdcDistinctApprox(plus, minus, sketchSink,
+      Seq("g"), "v", 2L, m)
+    val exact = IncrementalAgg.readDistinct(spark, exactSink,
+      Seq("g"), "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // values 1..100 retract once each, but 50 was at multiplicity 2,
+    // so it survives: 600 − 99 = 501 distinct remain in gA
+    assert(exact == Map("gA" -> 501L, "gC" -> 25L),
+      s"exact path wrong: $exact")
+    val est = IncrementalAgg.readDistinctApprox(spark, sketchSink,
+      Seq("g"), m).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // gB left the sketch entirely — its last retraction zeroed every
+    // bucket (a bucket surviving would leave a phantom group)
+    assert(est.keySet == Set("gA", "gC"),
+      s"fully-retracted group still in the sketch: $est")
+    for ((g, d) <- exact) {
+      val e = est(g)
+      assert(math.abs(e - d) <= math.max(1L, (d * 0.05).toLong),
+        s"sketch out of band for $g: est $e vs exact $d")
+    }
+    // state boundedness: occupied buckets ≤ min(D, m) per group
+    val stateRows = IncrementalAgg.readState(spark, sketchSink)
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stateRows.values.forall(_ <= m))
+    assert(stateRows("gA") <= 501L && stateRows("gC") <= 25L)
+  }
 }

@@ -170,36 +170,46 @@ class MaintenanceLifecycleSpec extends SparkSpec {
       s"fragmented table was not rewritten: $r2")
   }
 
-  test("standing delete vectors force the maintenance fold even below " +
-      "the fragmentation trigger (read debt is repaid at the window), " +
-      "unless the target opts out") {
+  test("standing delete vectors are repaid by the TARGETED fold below " +
+      "the fragmentation trigger — no full table rewrite, only the " +
+      "masked file moves; the opt-out leaves the debt standing") {
     val sink = tmp("graft_dvfold")
     for (r <- Seq(1L to 30L, 31L to 60L))
       AtomicIncrement.appendIncrementAtomic(
         base.filter(col("k").between(r.head, r.last)).repartition(1),
         sink, "k")
     // triggerFiles high: fragmentation alone never fires in this test,
-    // so the rewrite decision is PURELY the dv-fold rule under test
+    // so every rewrite decision is PURELY the dv policy under test
     val target = Maintenance.Target(sink, targetFiles = 8,
       triggerFiles = 20)
-    // healthy, no dvs: the pass skips the rewrite
-    assert(!Maintenance.maintainAtomic(spark, target).rewrote)
-    // a merge-on-read delete leaves a tombstone — the next pass must
-    // fold it although the file count is still below the trigger
+    // healthy, no dvs: the pass skips the rewrite AND the fold
+    val r0 = Maintenance.maintainAtomic(spark, target)
+    assert(!r0.rewrote && r0.dvFoldedFiles == 0)
+    // a merge-on-read delete leaves a tombstone over the FIRST file's
+    // key range — the next pass repays it without a layout rewrite,
+    // touching exactly the one masked file (the r13 policy rewrote
+    // the whole snapshot here)
     AtomicIncrement.mergeOnReadAtomic(
       Seq((5L, "", 0.0, true)).toDF("k", "g", "x", "del"),
       sink, "k", "del")
+    val secondFile = AtomicIncrement.committedFiles(spark, sink).toSet
     val r1 = Maintenance.maintainAtomic(spark, target)
-    assert(r1.rewrote, s"dv-carrying pass skipped the fold: $r1")
+    assert(!r1.rewrote, s"dv repayment ran a full table rewrite: $r1")
+    assert(r1.dvFoldedFiles == 1,
+      s"targeted fold must rewrite exactly the masked file: $r1")
     assert(AtomicIncrement.snapshotSplit(spark, sink)._3.isEmpty)
     assert(!AtomicIncrement.readCommitted(spark, sink)
       .select("k").as[Long].collect().contains(5L))
+    // the unmasked file carried verbatim: its path survives the fold
+    val after = AtomicIncrement.committedFiles(spark, sink).toSet
+    assert(secondFile.intersect(after).nonEmpty,
+      "the dv-free file should carry through the targeted fold")
     // opt-out: foldDvs = false leaves the debt standing
     AtomicIncrement.mergeOnReadAtomic(
       Seq((6L, "", 0.0, true)).toDF("k", "g", "x", "del"),
       sink, "k", "del")
-    assert(!Maintenance.maintainAtomic(spark,
-      target.copy(foldDvs = false)).rewrote)
+    val r2 = Maintenance.maintainAtomic(spark, target.copy(foldDvs = false))
+    assert(!r2.rewrote && r2.dvFoldedFiles == 0)
     assert(AtomicIncrement.snapshotSplit(spark, sink)._3.nonEmpty)
   }
 
@@ -217,7 +227,7 @@ class MaintenanceLifecycleSpec extends SparkSpec {
     val n0 = AtomicIncrement.readCommitted(spark, sink).count()
     // ≥4 target files so the z-curve's leading bits split BOTH dims
     val target = Maintenance.Target(sink, targetFiles = 4,
-      zorderCols = Some(("k", "c")))
+      zorderCols = Seq("k", "c"))
     val r = Maintenance.maintainAtomic(spark, target)
     assert(r.rewrote, s"z-order pass did not rewrite: $r")
     val total = AtomicIncrement.committedFiles(spark, sink).size

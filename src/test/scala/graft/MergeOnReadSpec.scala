@@ -218,6 +218,97 @@ class MergeOnReadSpec extends SparkSpec {
     }
   }
 
+  test("TARGETED dv fold rewrites only the masked files: a churn-" +
+      "confined delete folds its one file's locality, the other files " +
+      "carry with byte-identical manifest lines, content ≡ the " +
+      "copy-on-write result, and no dv survives") {
+    val sink = tmp()
+    loadRanged(sink) // 3 files: [1,10] [11,20] [21,30]
+    val linesBefore = AtomicIncrement.snapshotSplit(spark, sink)._2
+      .map(_.render)
+    AtomicIncrement.mergeOnReadAtomic(
+      Seq((25L, "UPD", 250.0, false), (27L, "", 0.0, true))
+        .toDF("k", "v", "x", "del"), sink, "k", "del")
+    val expect = rows(sink) // dv-resolved view, what CoW would hold
+    val (masked, staged) = AtomicIncrement.foldDvsTargeted(spark, sink)
+    assert(masked == 1 && staged >= 1,
+      s"churn in one file's interval must fold exactly it: ($masked, $staged)")
+    val (_, dataE, dvE) = AtomicIncrement.snapshotSplit(spark, sink)
+    assert(dvE.isEmpty, "targeted fold left a dv standing")
+    // the two churn-free files' manifest lines ride byte-identical
+    val after = dataE.map(_.render).toSet
+    assert(linesBefore.take(2).forall(after.contains),
+      "an unmasked file's manifest line changed across the fold")
+    assert(rows(sink) == expect, "targeted fold moved content")
+    // read debt gone; the folded file's dir and the dv's dir (each a
+    // whole batch dir with no live file left) reclaim
+    assert(AtomicIncrement.vacuumUncommitted(spark, sink) >= 2)
+    assert(rows(sink) == expect)
+    // idempotent surface: nothing standing → (0, 0), no publish
+    val v = AtomicIncrement.snapshot(spark, sink)._1
+    assert(AtomicIncrement.foldDvsTargeted(spark, sink) == ((0, 0)))
+    assert(AtomicIncrement.snapshot(spark, sink)._1 == v)
+  }
+
+  test("a dv that provably masks nothing (its files were rewritten by " +
+      "a later CoW merge) folds as a METADATA-ONLY commit: zero files " +
+      "moved, dv lines dropped") {
+    val sink = tmp()
+    loadRanged(sink)
+    AtomicIncrement.mergeOnReadAtomic(
+      Seq((27L, "", 0.0, true)).toDF("k", "v", "x", "del"),
+      sink, "k", "del")
+    // the CoW merge rewrites the only file the dv masked; its staged
+    // replacement outranks the dv, so the tombstone now masks nothing
+    AtomicIncrement.mergeAtomic(
+      Seq((25L, "UPD", 250.0, false)).toDF("k", "v", "x", "del"),
+      sink, "k", "del")
+    val expect = rows(sink)
+    val dataBefore = AtomicIncrement.committedFiles(spark, sink).toSet
+    assert(AtomicIncrement.foldDvsTargeted(spark, sink) == ((0, 0)))
+    val (_, dataE, dvE) = AtomicIncrement.snapshotSplit(spark, sink)
+    assert(dvE.isEmpty, "no-op fold left the dv lines standing")
+    assert(dataE.map(_.path).toSet == dataBefore,
+      "metadata-only fold moved data files")
+    assert(rows(sink) == expect)
+  }
+
+  test("change feed guards (round 14): a bootstrap pull runs ZERO " +
+      "dv-key collect jobs, and a window whose pooled dv keys exceed " +
+      "the fence falls back to keep-all-common-files — same rows") {
+    val sink = tmp()
+    loadRanged(sink)
+    val v1 = AtomicIncrement.snapshot(spark, sink)._1
+    val res = AtomicIncrement.mergeOnReadAtomic(
+      Seq((25L, "UPD", 250.0, false), (27L, "", 0.0, true))
+        .toDF("k", "v", "x", "del"), sink, "k", "del")
+    // bootstrap from version 0: no common files exist, so the
+    // newly-masked path cannot contribute — the dv-key collect is
+    // guarded out entirely (previously every bootstrap on a
+    // dv-carrying table paid the wasted scan)
+    val c0 = AtomicIncrement.pruneChurnCollects.get()
+    val (pb, mb) = AtomicIncrement.changesBetween(spark, sink, 0L,
+      res.version)
+    assert(pb.count() == 29 && mb.count() == 0)
+    assert(AtomicIncrement.pruneChurnCollects.get() == c0,
+      "bootstrap feed pull ran the dv-key collect")
+    // real window: the collect runs once, under the fence
+    val (p1, m1) = AtomicIncrement.changesBetween(spark, sink, v1,
+      res.version)
+    assert(AtomicIncrement.pruneChurnCollects.get() == c0 + 1)
+    // over-fence window: the fallback keeps every common file — the
+    // frames stay row-identical, only locality is lost
+    val f0 = AtomicIncrement.pruneFenceFallbacks.get()
+    val (p2, m2) = AtomicIncrement.changesBetween(spark, sink, v1,
+      res.version, maxPruneKeys = 1)
+    assert(AtomicIncrement.pruneFenceFallbacks.get() == f0 + 1,
+      "fence did not trip")
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v").as[(Long, String)].collect().toSet
+    assert(set(p2) == set(p1) && set(m2) == set(m1),
+      "fence fallback changed the feed's rows")
+  }
+
   test("rollup maintenance from merge-on-read delta frames ≡ " +
       "re-aggregating the table (the CDC fold composes unchanged)") {
     val sink = tmp()
