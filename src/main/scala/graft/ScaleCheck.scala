@@ -80,9 +80,11 @@ object ScaleCheck {
     "q_incr_agg_minmax", "q_incr_agg_distinct", "q_change_feed",
     "q_optimize_zorder", "q_merge_deferred", "q_rollup_sync",
     // round 14: the string-dim z-order (table-sized by design, like
-    // its integral twin) and the linear-counting sketch distinct
-    // (state bounded at m per group)
-    "q_optimize_zorder_str", "q_incr_agg_distinct_approx")
+    // its integral twin), the linear-counting sketch distinct (state
+    // bounded at m per group), and incremental small-file compaction
+    // (priced by the small-file debt, never the table)
+    "q_optimize_zorder_str", "q_incr_agg_distinct_approx",
+    "q_optimize_small")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {

@@ -308,10 +308,56 @@ object AtomicIncrement {
     dataSubset.groupBy(seqOf).toSeq.sortBy(_._1).map { case (s, group) =>
       val masks = dvE.filter(d => seqOf(d) > s)
       if (masks.isEmpty) plain(group)
-      else plain(group).join(
-        dvKeys(masks).distinct().withColumnRenamed(keyCol, "__dvk"),
-        col(keyCol) === col("__dvk"), "left_anti")
+      else {
+        // dv LOCALITY (round 14): dv lines staged since this round
+        // carry the churn's own keyCol interval, so a data file whose
+        // interval is provably DISJOINT from every applicable dv's
+        // skips the anti-join entirely — on a key-clustered 10⁵-file
+        // table a localized deferred delete prices the read debt at
+        // its churn's file locality instead of one table-wide
+        // anti-join per dv window. Files or dvs without usable stats
+        // stay on the maybe side (may-contain, the universal fallback
+        // here), which is also what every pre-round-14 dv line does.
+        val (clean, maybe) = group.partition(f =>
+          masks.forall(d => intervalsDisjoint(
+            f.statsFor(keyCol), d.statsFor(keyCol))))
+        val maskedSide =
+          if (maybe.isEmpty) None
+          else Some(plain(maybe).join(
+            dvKeys(masks).distinct().withColumnRenamed(keyCol, "__dvk"),
+            col(keyCol) === col("__dvk"), "left_anti"))
+        (clean, maskedSide) match {
+          case (Nil, Some(m)) => m
+          case (c, None) => plain(c)
+          case (c, Some(m)) => plain(c).unionByName(m)
+        }
+      }
     }.reduce(_ unionByName _)
+  }
+
+  /** True only when BOTH stats are present, same-family, parseable,
+    * and their [min, max] intervals provably do not intersect —
+    * every uncertainty answers false (may overlap), keeping all
+    * interval decisions conservative.
+    */
+  private def intervalsDisjoint(a: Option[FileColumnStats],
+      b: Option[FileColumnStats]): Boolean = (a, b) match {
+    case (Some(fa), Some(fb)) =>
+      try {
+        if (integralTags.contains(fa.tag) && integralTags.contains(fb.tag))
+          fa.max.toLong < fb.min.toLong || fa.min.toLong > fb.max.toLong
+        else if (fa.tag == "string" && fb.tag == "string") {
+          val dec = java.util.Base64.getDecoder
+          java.util.Arrays.compareUnsigned(
+            dec.decode(fa.max), dec.decode(fb.min)) < 0 ||
+          java.util.Arrays.compareUnsigned(
+            dec.decode(fa.min), dec.decode(fb.max)) > 0
+        } else false
+      } catch {
+        case _: NumberFormatException => false
+        case _: IllegalArgumentException => false
+      }
+    case _ => false
   }
 
   /** Time travel: the snapshot EXACTLY as manifest `version` committed
@@ -909,6 +955,67 @@ object AtomicIncrement {
     (dataE.size, staged.size)
   }
 
+  /** INCREMENTAL small-file compaction — OPTIMIZE priced by the
+    * small-file DEBT, never the table (round 14): coalesce only the
+    * committed data files whose on-disk size sits below `smallBytes`,
+    * carrying every well-formed file's manifest line byte-identical.
+    * The full-snapshot rewrites ([[compact]] / [[compactClustered]] /
+    * [[compactZordered]]) move the whole table to fix what a handful
+    * of small batch files caused; a steady append/merge cadence
+    * accretes exactly that debt, and this pass repays it at its own
+    * size — the Delta OPTIMIZE bin-packing semantics, which is what a
+    * scheduled pass should run between the rare layout rewrites.
+    *
+    * When `keyCol` is given and every small file carries its stats,
+    * the rewrite is CLUSTER-PRESERVING (rewritten rows range-partition
+    * + sort on the key, so interval pruning over the packed region
+    * survives); otherwise they coalesce as-is. Standing delete
+    * vectors APPLY to the rewritten rows (staged files outrank the
+    * dvs via the sequence stamp) and keep masking the untouched
+    * files — folding them away stays [[foldDvsTargeted]]'s job. File
+    * sizes come from one parallel driver-side listing (metadata round
+    * trips over the bounded pool). Same OCC publish / crash /
+    * pinned-reader semantics as every snapshot commit. Returns
+    * (small files rewritten, files staged); (0, 0) with no publish
+    * when fewer than two small files stand — nothing to bin.
+    */
+  def compactSmall(spark: SparkSession, sink: String, smallBytes: Long,
+      targetFiles: Int = 1, keyCol: Option[String] = None,
+      bloomCols: Seq[String] = Nil): (Int, Int) = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1: $targetFiles")
+    val fs = fsOf(spark, sink)
+    val (version, dataE, dvE) = snapshotSplit(spark, sink)
+    require(dataE.nonEmpty, s"nothing committed to compact at $sink")
+    val sizes = inParallel(dataE)(e =>
+      e.path -> fs.getFileStatus(new Path(s"$sink/${e.path}")).getLen)
+      .toMap
+    val (small, large) = dataE.partition(e => sizes(e.path) < smallBytes)
+    if (small.size < 2) return (0, 0)
+    val fullSchema = dataSchema(spark, sink, dataE)
+    val rowsDf = readEffective(spark, sink, small, dvE, Some(fullSchema))
+    val packed = keyCol match {
+      case Some(k) if small.forall(_.statsFor(k).nonEmpty) =>
+        rowsDf.repartitionByRange(targetFiles, col(k))
+          .sortWithinPartitions(col(k))
+      case _ => rowsDf.coalesce(targetFiles)
+    }
+    val statsFields = ((keyCol.toSeq ++ coveredStatsFields(dataE,
+        fullSchema).map(_.name)).distinct)
+      .flatMap(c => fullSchema.fields.find(_.name.equalsIgnoreCase(c)))
+    val staged0 = stageEntries(packed, spark, fs, sink, statsFields)
+    val staged = if (dvE.isEmpty) staged0
+      else staged0.map(stampSeq(_, version + 1))
+    try publish(fs, sink,
+      (large ++ dvE ++ staged).map(_.render), version + 1)
+    catch { case e: Throwable =>
+      staged.headOption.foreach(e0 =>
+        fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
+      throw e
+    }
+    bloomCols.foreach(c => BloomSkip.ensureSidecars(spark, sink, c))
+    (small.size, staged.size)
+  }
+
   /** OPTIMIZE ZORDER: rewrite the snapshot MULTI-DIMENSIONALLY
     * clustered — rows ordered along a Morton curve (bit-interleaved
     * `bits`-bit bucket grids) over N ≥ 2 columns — and record EVERY
@@ -1415,8 +1522,15 @@ object AtomicIncrement {
         keyCol.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
       java.util.Base64.getEncoder.encodeToString(
         keyCol.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    val stagedDv = stageBatch(churn.toDf(spark, keyCol), spark, fs, sink)
-      .map(rel => stampSeq(ManifestEntry(rel, Seq(dvMark)), seq))
+    // the dv file stages WITH the churn's own keyCol interval stats
+    // (round 14): readEffective's dv-locality split uses them to skip
+    // the anti-join for data files provably outside the churn — the
+    // read-debt pricing that keeps a localized deferred delete from
+    // taxing every read of a 10⁵-file table
+    val dvDf = churn.toDf(spark, keyCol)
+    val stagedDv = stageEntries(dvDf, spark, fs, sink,
+        dvDf.schema.fields.toSeq)
+      .map(e => stampSeq(e.copy(allStats = e.allStats :+ dvMark), seq))
     try publish(fs, sink,
       (dataE ++ dvE ++ stagedData ++ stagedDv).map(_.render), seq)
     catch { case e: Throwable =>

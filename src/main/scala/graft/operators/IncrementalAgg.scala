@@ -1105,5 +1105,61 @@ object IncrementalAgg {
         |SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
         |  TRUE AS within_5pct
         |FROM resolved GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
+    // INCREMENTAL small-file compaction under the oracle gate (round
+    // 14): one well-formed big file + six small append files — the
+    // debt a steady cadence accretes — and compactSmall must bin-pack
+    // ONLY the six (the big file's manifest line rides byte-identical:
+    // `carried` pins its path survives) into targetFiles, cluster-
+    // preserving so the key-range read still prunes afterwards
+    // (`packed` pins (6 rewritten, 2 staged) + pruning engaged). The
+    // oracle aggregates the raw table — packing must be invisible to
+    // content. The full-snapshot OPTIMIZE shapes are q_optimize_*'s
+    // fixtures; this is the between-rewrites maintenance price.
+    "q_optimize_small" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_optsm") { sink =>
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val mx = o.agg(max("o_orderkey")).head().getLong(0)
+        val cut = 2 * mx / 3
+        AtomicIncrement.appendIncrementAtomic(
+          o.filter(col("o_orderkey") <= cut).repartition(1),
+          sink, "o_orderkey")
+        var lo = cut
+        for (i <- 1 to 6) {
+          val hi = if (i == 6) mx else cut + i * (mx - cut) / 6
+          AtomicIncrement.appendIncrementAtomic(
+            o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+              .repartition(1), sink, "o_orderkey")
+          lo = hi
+        }
+        val fs = new org.apache.hadoop.fs.Path(sink)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val files0 = AtomicIncrement.committedFiles(s, sink)
+        val sizes = files0.map(f => f -> fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$sink/$f")).getLen).toMap
+        val bigPath = sizes.maxBy(_._2)._1
+        val (rewritten, stagedN) = AtomicIncrement.compactSmall(s, sink,
+          smallBytes = sizes(bigPath) / 2, targetFiles = 2,
+          keyCol = Some("o_orderkey"))
+        val after = AtomicIncrement.committedFiles(s, sink)
+        val carried = after.contains(bigPath)
+        val pruned = AtomicIncrement.readCommittedAbove(s, sink,
+          "o_orderkey", cut + 5 * (mx - cut) / 6)
+          .inputFiles.length < after.size
+        AtomicIncrement.readCommitted(s, sink)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("sum_price"))
+          .withColumn("carried", lit(carried))
+          .withColumn("packed",
+            lit(rewritten == 6 && stagedN == 2 && pruned))
+          .orderBy("o_orderstatus")
+      },
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  TRUE AS carried, TRUE AS packed
+        |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin))
 }

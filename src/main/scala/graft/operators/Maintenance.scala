@@ -47,7 +47,8 @@ object Maintenance {
     */
   final case class Report(filesBefore: Int, filesAfter: Int,
       rewrote: Boolean, sidecarsBuilt: Int, supersededRemoved: Int,
-      orphanDirsRemoved: Int, dvFoldedFiles: Int = 0)
+      orphanDirsRemoved: Int, dvFoldedFiles: Int = 0,
+      smallCompacted: Int = 0)
 
   /** One maintenance target: an atomic sink plus its layout policy.
     * `triggerFiles` is the fragmentation trigger: the OPTIMIZE rewrite
@@ -65,7 +66,8 @@ object Maintenance {
       zorderCols: Seq[String] = Nil,
       foldDvs: Boolean = true,
       keepVersions: Int = 0,
-      vacuumMinAgeMs: Long = 0L)
+      vacuumMinAgeMs: Long = 0L,
+      smallFileBytes: Long = 0L)
 
   /** One full pass over one sink. OCC applies to the compaction like
     * any snapshot replace: if a live writer commits concurrently the
@@ -90,6 +92,16 @@ object Maintenance {
     val dvFolded =
       if (!target.foldDvs || rewrite) (0, 0)
       else AtomicIncrement.foldDvsTargeted(spark, target.sink)
+    // small-file debt repays INCREMENTALLY between layout rewrites
+    // (round 14): bin-pack only the sub-threshold files, cluster-
+    // preserving on the layout's leading key — the full rewrite above
+    // handles it wholesale when fragmentation warrants
+    val smallPacked =
+      if (target.smallFileBytes <= 0L || rewrite) (0, 0)
+      else AtomicIncrement.compactSmall(spark, target.sink,
+        target.smallFileBytes,
+        keyCol = (target.clusterCols ++ target.zorderCols).headOption,
+        bloomCols = target.bloomCols)
     val (before, after) =
       if (!rewrite)
         (committed,
@@ -118,7 +130,7 @@ object Maintenance {
     val orphans = AtomicIncrement.vacuumUncommitted(spark, target.sink,
       target.vacuumMinAgeMs)
     Report(before, after, rewrite, built, superseded, orphans,
-      dvFolded._1)
+      dvFolded._1, smallPacked._1)
   }
 
   def defs: Map[String, QueryDef] = Map(

@@ -1173,6 +1173,77 @@ class AtomicIncrementSpec extends SparkSpec {
     assert(AtomicIncrement.vacuumUncommitted(spark, sink) == 1)
   }
 
+  test("compactSmall (round 14): only sub-threshold files bin-pack — " +
+      "the well-formed file's manifest line rides byte-identical, " +
+      "packing is cluster-preserving, content invariant, and fewer " +
+      "than two small files is a no-op without a publish") {
+    val sink = tmp()
+    // one big file (keys 1..60) + four single-row small appends
+    AtomicIncrement.appendIncrementAtomic(
+      (1L to 60L).map(k => (k, s"v$k", 1.0 * k)).toDF("k", "v", "x")
+        .repartition(1), sink, "k")
+    for (k <- 61L to 64L)
+      AtomicIncrement.appendIncrementAtomic(
+        Seq((k, s"v$k", 1.0 * k)).toDF("k", "v", "x").repartition(1),
+        sink, "k")
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val linesBefore = AtomicIncrement.snapshotSplit(spark, sink)._2
+      .map(_.render)
+    val sizes = AtomicIncrement.committedFiles(spark, sink).map(f =>
+      f -> fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$sink/$f")).getLen).toMap
+    val bigPath = sizes.maxBy(_._2)._1
+    // threshold = the big file's own size: `< smallBytes` keeps the
+    // big file out however close the parquet overheads run
+    val thresh = sizes(bigPath)
+    val (rew, staged) = AtomicIncrement.compactSmall(spark, sink,
+      thresh, targetFiles = 1, keyCol = Some("k"))
+    assert(rew == 4 && staged == 1, s"expected (4,1), got ($rew,$staged)")
+    val (_, dataE, _) = AtomicIncrement.snapshotSplit(spark, sink)
+    // the big file's line is byte-identical; packed region prunes
+    val bigLine = linesBefore.find(_.startsWith(bigPath + "\t"))
+      .getOrElse(fail(s"big file $bigPath not in the prior manifest"))
+    assert(dataE.map(_.render).contains(bigLine),
+      "big file's manifest line changed across compactSmall")
+    assert(AtomicIncrement.readCommitted(spark, sink)
+      .select("k").as[Long].collect().sorted.toSeq == (1L to 64L))
+    assert(AtomicIncrement.readCommittedAbove(spark, sink, "k", 60L)
+      .inputFiles.length < dataE.size,
+      "packed small region lost its key interval")
+    // one remaining small file: nothing to bin, no version published
+    val v = AtomicIncrement.snapshot(spark, sink)._1
+    assert(AtomicIncrement.compactSmall(spark, sink, thresh) == ((0, 0)))
+    assert(AtomicIncrement.snapshot(spark, sink)._1 == v)
+  }
+
+  test("delete-vector locality (round 14): dv lines carry the " +
+      "churn's key interval, so reads of provably-disjoint files " +
+      "skip the anti-join entirely — and the masked region still " +
+      "resolves exactly") {
+    val sink = tmp()
+    for (r <- Seq(1L to 10L, 11L to 20L, 21L to 30L))
+      AtomicIncrement.appendIncrementAtomic(
+        r.map(k => (k, s"v$k", 1.0 * k)).toDF("k", "v", "x")
+          .repartition(1), sink, "k")
+    AtomicIncrement.mergeOnReadAtomic(
+      Seq((25L, "", 0.0, true)).toDF("k", "v", "x", "del"),
+      sink, "k", "del")
+    // a locality read entirely OUTSIDE the churn: no join in the plan
+    val clean = AtomicIncrement.readKeyedMayContain(spark, sink,
+      "k", Seq(5L))
+    assert(!clean.queryExecution.optimizedPlan.toString.contains("Join"),
+      "dv anti-join taxed a read of provably-unmasked files:\n" +
+        clean.queryExecution.optimizedPlan.toString.take(400))
+    assert(clean.filter(col("k") === 5L).count() == 1)
+    // the masked region still pays (and resolves) its anti-join
+    val hot = AtomicIncrement.readKeyedMayContain(spark, sink,
+      "k", Seq(25L))
+    assert(hot.queryExecution.optimizedPlan.toString.contains("Join"))
+    assert(hot.filter(col("k") === 25L).count() == 0)
+    assert(AtomicIncrement.readCommitted(spark, sink).count() == 29)
+  }
+
   test("readGroupLocality (round 14): composite group keys intersect " +
       "per-column interval prunes — files opened < committed for a " +
       "two-column churn; NULL tuples and the fence degrade to the " +

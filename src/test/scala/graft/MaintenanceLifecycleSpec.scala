@@ -213,6 +213,36 @@ class MaintenanceLifecycleSpec extends SparkSpec {
     assert(AtomicIncrement.snapshotSplit(spark, sink)._3.nonEmpty)
   }
 
+  test("small-file policy (round 14): a below-trigger pass with " +
+      "smallFileBytes bin-packs only the sub-threshold files — no " +
+      "table rewrite, the big file carries, content invariant") {
+    val sink = tmp("graft_smalltgt")
+    AtomicIncrement.appendIncrementAtomic(
+      base.repartition(1), sink, "k")
+    for (k <- 61L to 64L)
+      AtomicIncrement.appendIncrementAtomic(
+        Seq((k, "gS", 1.0)).toDF("k", "g", "x").repartition(1), sink, "k")
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val big = AtomicIncrement.committedFiles(spark, sink).map(f =>
+      f -> fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$sink/$f")).getLen)
+      .maxBy(_._2)
+    val n0 = AtomicIncrement.readCommitted(spark, sink).count()
+    val r = Maintenance.maintainAtomic(spark, Maintenance.Target(sink,
+      clusterCols = Seq("k"), targetFiles = 8, triggerFiles = 20,
+      smallFileBytes = big._2))
+    assert(!r.rewrote && r.smallCompacted == 4,
+      s"small-file pass wrong shape: $r")
+    assert(AtomicIncrement.committedFiles(spark, sink).contains(big._1),
+      "the well-formed file did not carry through the small-file pass")
+    assert(AtomicIncrement.readCommitted(spark, sink).count() == n0)
+    // healthy again: the next pass packs nothing
+    assert(Maintenance.maintainAtomic(spark, Maintenance.Target(sink,
+      clusterCols = Seq("k"), targetFiles = 8, triggerFiles = 20,
+      smallFileBytes = big._2)).smallCompacted == 0)
+  }
+
   test("z-order layout policy: a Target with zorderCols rewrites " +
       "multi-dimensionally — pruning engages on both columns after " +
       "the pass, content preserved") {
