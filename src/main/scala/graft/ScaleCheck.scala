@@ -84,7 +84,7 @@ object ScaleCheck {
     // bounded at m per group), and incremental small-file compaction
     // (priced by the small-file debt, never the table)
     "q_optimize_zorder_str", "q_incr_agg_distinct_approx",
-    "q_optimize_small")
+    "q_optimize_small", "q_distinct_sync")
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
@@ -874,9 +874,37 @@ object MergeScaleCheck {
       cells(("dvfold-conf", "1x")) ::= timeFold(o1, 1, confined(o1))
       cells(("dvfold-conf", s"${factor}x")) ::=
         timeFold(oN, factor, confined(oN))
+      // round 14 — INCREMENTAL small-file compaction: the SAME four
+      // single-row appends land on the 1× and the Nx table, and
+      // compactSmall must price the pack at that fixed debt — flat
+      // across table size (the full-snapshot OPTIMIZE is ×N here)
+      def timeSmall(o: org.apache.spark.sql.DataFrame,
+          replicas: Int): (Double, Int, Int) = {
+        val sink = load(o, replicas)
+        for (i <- 1L to 4L)
+          AtomicIncrement.appendIncrementAtomic(
+            spark.range(1).select(
+              (lit(factor.toLong * offset * 2 + i)).as("o_orderkey"),
+              lit("S").as("o_orderstatus"),
+              lit(1.0).as("o_totalprice")).repartition(1),
+            sink, "o_orderkey")
+        val t0 = System.nanoTime()
+        val (packed, staged) = AtomicIncrement.compactSmall(spark, sink,
+          smallBytes = 16384L, targetFiles = 1,
+          keyCol = Some("o_orderkey"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(packed == 4,
+          s"small-file pack touched $packed files — threshold broke")
+        InternalCaches.drain(); spark.catalog.clearCache()
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(new java.io.File(sink).getParent))
+        (sec, packed, staged)
+      }
+      cells(("smallpack", "1x")) ::= timeSmall(o1, 1)
+      cells(("smallpack", s"${factor}x")) ::= timeSmall(oN, factor)
     }
     for (kind <- Seq("confined", "spread", "defer-spread",
-        "dvfold-conf")) {
+        "dvfold-conf", "smallpack")) {
       val c1 = cells((kind, "1x")); val cN = cells((kind, s"${factor}x"))
       val t1 = c1.map(_._1).min; val tN = cN.map(_._1).min
       println(f"[mergescale] $kind%-9s 1x=$t1%6.2fs " +

@@ -385,6 +385,31 @@ object IncrementalAgg {
     current - math.max(last, 0L)
   }
 
+  /** [[syncRollup]]'s DISTINCT twin (round 14, completing the
+    * self-sync family beside the extremes): the same version-keyed
+    * feed pull folded through [[mergeCdcDistinct]] — the two-level
+    * (group, value) multiplicity state is abelian all the way down,
+    * so the file-grained feed's rewritten survivors telescope exactly
+    * like the count/sum rollup's, and a downstream COUNT(DISTINCT)
+    * self-paces off the manifest with no CDC plumbing. Same
+    * bootstrap / retention / no-op semantics as [[syncRollup]];
+    * read the answer via [[readDistinct]]. Returns versions folded.
+    */
+  def syncDistinct(spark: org.apache.spark.sql.SparkSession,
+      tableSink: String, stateSink: String, keys: Seq[String],
+      valueCol: String): Long = {
+    val current = AtomicIncrement.snapshot(spark, tableSink)._1
+    val bootstrapped =
+      AtomicIncrement.snapshot(spark, stateSink)._2.nonEmpty
+    val last = if (!bootstrapped) 0L
+      else readState(spark, stateSink).agg(max("__b")).head().getLong(0)
+    if (current <= last) return 0L
+    val (plus, minus) = AtomicIncrement.changesBetween(spark, tableSink,
+      math.max(last, 0L), current)
+    mergeCdcDistinct(plus, minus, stateSink, keys, valueCol, current)
+    current - math.max(last, 0L)
+  }
+
   /** [[syncRollup]]'s EXTREMES twin: the same version-keyed feed pull,
     * folded through [[mergeCdcExtremes]] — churned groups' min/max
     * rescan from the CURRENT table's group locality (the feed is
@@ -1161,5 +1186,77 @@ object IncrementalAgg {
         |  round(sum(o_totalprice), 2) AS sum_price,
         |  TRUE AS carried, TRUE AS packed
         |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
+    // SELF-SYNCING COUNT(DISTINCT) (round 14 — the sync family's
+    // third member beside q_rollup_sync and the extremes): the pair
+    // state never sees a CDC batch, it pulls the manifest-diff feed
+    // by table version across a copy-on-write merge AND a
+    // merge-on-read commit in ONE catch-up window. A pair surviving
+    // its retraction (multiplicity wrong through the file-grained
+    // telescoping), a dv-masked row missing from the minus side, or
+    // a distinct count derived from anything but the pair rows all
+    // hash-mismatch; `synced` pins the version arithmetic (3 folded,
+    // 2 in one pull, then the idempotent 0).
+    "q_distinct_sync" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_dsync_t") { tableSink =>
+        withScratchSink(s, "graft_dsync_s") { stateSink =>
+          val o = table(s, dir, "orders")
+            .filter(col("o_orderkey") % 3 === 1)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_custkey"))
+          val mx = o.agg(max("o_orderkey")).head().getLong(0)
+          var lo = Long.MinValue
+          for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {
+            AtomicIncrement.appendIncrementAtomic(
+              o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+              tableSink, "o_orderkey")
+            lo = hi
+          }
+          val n0 = syncDistinct(s, tableSink, stateSink,
+            Seq("o_orderstatus"), "o_custkey")
+          val cut = 2 * mx / 3
+          val hot = o.filter(col("o_orderkey") > cut)
+          def ch(df: DataFrame, status: org.apache.spark.sql.Column,
+              del: Boolean) =
+            df.select(col("o_orderkey"), status.as("o_orderstatus"),
+              col("o_custkey"), lit(del).as("del"))
+          AtomicIncrement.mergeAtomic(
+            ch(hot.filter(col("o_orderkey") % 10 === 0), lit("X"),
+              del = false)
+            .unionByName(ch(hot.filter(col("o_orderkey") % 10 === 7),
+              col("o_orderstatus"), del = true)),
+            tableSink, "o_orderkey", "del")
+          AtomicIncrement.mergeOnReadAtomic(
+            ch(hot.filter(col("o_orderkey") % 10 === 3), lit("Y"),
+              del = false)
+            .unionByName(ch(hot.filter(col("o_orderkey") % 10 === 1),
+              col("o_orderstatus"), del = true)),
+            tableSink, "o_orderkey", "del")
+          val n1 = syncDistinct(s, tableSink, stateSink,
+            Seq("o_orderstatus"), "o_custkey")
+          val n2 = syncDistinct(s, tableSink, stateSink,
+            Seq("o_orderstatus"), "o_custkey")
+          readDistinct(s, stateSink, Seq("o_orderstatus"), "o_custkey")
+            .withColumnRenamed("distinct_o_custkey", "n_cust")
+            .withColumn("synced", lit(n0 == 3 && n1 == 2 && n2 == 0))
+            .orderBy("o_orderstatus")
+        }
+      },
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_custkey
+        |              FROM orders WHERE o_orderkey % 3 = 1),
+        |cut AS (SELECT 2 * max(o_orderkey) // 3 AS c FROM base),
+        |resolved AS (
+        |  SELECT o_orderstatus, o_custkey FROM base, cut
+        |  WHERE NOT (o_orderkey > c AND o_orderkey % 10 IN (0, 1, 3, 7))
+        |  UNION ALL
+        |  SELECT 'X', o_custkey FROM base, cut
+        |  WHERE o_orderkey > c AND o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 'Y', o_custkey FROM base, cut
+        |  WHERE o_orderkey > c AND o_orderkey % 10 = 3)
+        |SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+        |  TRUE AS synced
+        |FROM resolved GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin))
 }
