@@ -767,6 +767,138 @@ object BloomBuildCheck {
   * sink per measurement (a merge mutates its table); legs interleave
   * inside each rep so host drift prices every cell equally.
   */
+/** Round-14 continuation scale rows: the metadata/maintenance faces
+  * added after the main r14 drop —
+  *
+  *  - `statsagg`: [[operators.AtomicIncrement.statsAggregate]] at 1×
+  *    and N× the table — MUST be ≈flat (it reads one manifest and
+  *    launches ZERO jobs; a ratio tracking table size means a scan
+  *    snuck in);
+  *  - `grepbuild`: [[operators.BloomSkip.ensureTokenSidecars]] over a
+  *    corpus ×N — expected ≈linear (one distributed job over the new
+  *    files: building an index costs the data, once);
+  *  - `grepprobe`: the needle token probe — O(files) SMALL sidecar
+  *    reads fanned out, then ONE data file opened at either scale
+  *    (the pin: opened files stay 1 while the corpus grows N×);
+  *  - `quantfold`: a FIXED-SIZE CDC batch into
+  *    [[operators.IncrementalAgg.mergeCdcQuantile]] state built from
+  *    1× vs N× history — MUST be ≈flat (cost ∝ batch + occupied
+  *    buckets, never the history).
+  */
+object MetaScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(8)
+    val reps = args.drop(2).headOption.map(_.toInt).getOrElse(3)
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import operators.{AtomicIncrement, BloomSkip, IncrementalAgg}
+    def sinkDir(): String = java.nio.file.Files
+      .createTempDirectory("graft_meta").resolve("t").toString
+    def drop(sink: String): Unit =
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(new java.io.File(sink).getParent))
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    val cells = scala.collection.mutable.Map[(String, String),
+      List[Double]]().withDefaultValue(Nil)
+
+    // ---- statsagg + quantfold share the orders fixture ----
+    val o1 = sources.Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val mx = o1.agg(max("o_orderkey")).head().getLong(0)
+    var offset = 100000000L
+    while (offset <= mx) offset *= 10
+    def ordersLoad(replicas: Int): String = {
+      val sink = sinkDir()
+      for (r <- 0 until replicas)
+        AtomicIncrement.appendIncrementAtomic(
+          o1.withColumn("o_orderkey", col("o_orderkey") + lit(r * offset))
+            .repartition(4), sink, "o_orderkey",
+          Seq("o_totalprice", "o_orderstatus"))
+      sink
+    }
+    val (s1, sN) = (ordersLoad(1), ordersLoad(factor))
+    // exactness pinned once against the scan before timing
+    val meta = AtomicIncrement.statsAggregate(spark, s1,
+      Seq("o_orderkey", "o_totalprice")).get.head()
+    val scan = AtomicIncrement.readCommitted(spark, s1).agg(
+      count(lit(1)), min("o_orderkey"), max("o_orderkey"),
+      min("o_totalprice"), max("o_totalprice")).head()
+    require((0 to 4).forall(i => meta.get(i) == scan.get(i)),
+      s"statsAggregate disagrees with the scan: $meta vs $scan")
+    val batch = o1.filter(col("o_orderkey") % 100 === 7).cache()
+    batch.count()
+    (1 to reps).foreach { _ =>
+      cells(("statsagg", "1x")) ::= timed(
+        AtomicIncrement.statsAggregate(spark, s1,
+          Seq("o_orderkey", "o_totalprice")).get.head())._1
+      cells(("statsagg", s"${factor}x")) ::= timed(
+        AtomicIncrement.statsAggregate(spark, sN,
+          Seq("o_orderkey", "o_totalprice")).get.head())._1
+      // quantile: bootstrap ∝ history (untimed), folds ∝ batch
+      for ((label, src) <- Seq("1x" -> s1, s"${factor}x" -> sN)) {
+        val st = sinkDir()
+        IncrementalAgg.mergeCdcQuantile(
+          AtomicIncrement.readCommitted(spark, src),
+          batch.limit(0), st, Seq("o_orderstatus"), "o_totalprice",
+          0.0, 640000.0, 6400, 0L)
+        cells(("quantfold", label)) ::= timed(
+          IncrementalAgg.mergeCdcQuantile(batch, batch, st,
+            Seq("o_orderstatus"), "o_totalprice",
+            0.0, 640000.0, 6400, 1L))._1
+        drop(st)
+      }
+    }
+    drop(s1); drop(sN)
+
+    // ---- token grep: corpus ×N, needle probe ----
+    val d1 = sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val dmx = d1.agg(max("doc_id")).head().getLong(0)
+    var doff = 100000000L
+    while (doff <= dmx) doff *= 10
+    def corpusLoad(replicas: Int): String = {
+      val sink = sinkDir()
+      for (r <- 0 until replicas; q <- 0 until 4)
+        AtomicIncrement.appendIncrementAtomic(
+          d1.filter(col("doc_id") % 4 === q)
+            .withColumn("doc_id", col("doc_id") + lit(r * doff))
+            .repartition(1), sink, "doc_id")
+      AtomicIncrement.appendIncrementAtomic(
+        spark.range(1).select(
+          lit(replicas.toLong * doff * 2).as("doc_id"),
+          lit("the xyzzy needle").as("text")), sink, "doc_id")
+      sink
+    }
+    for ((label, replicas) <- Seq("1x" -> 1, s"${factor}x" -> factor)) {
+      val sink = corpusLoad(replicas)
+      (1 to reps).foreach { r =>
+        if (r == 1)
+          cells(("grepbuild", label)) ::= timed(
+            BloomSkip.ensureTokenSidecars(spark, sink, "text"))._1
+        val (t, narrowed) = timed(
+          BloomSkip.readContainingTokens(spark, sink, "text",
+            Seq("xyzzy")))
+        require(narrowed.inputFiles.length == 1,
+          s"needle probe opened ${narrowed.inputFiles.length} files")
+        cells(("grepprobe", label)) ::= t
+      }
+      drop(sink)
+    }
+    batch.unpersist()
+    for (kind <- Seq("statsagg", "quantfold", "grepbuild", "grepprobe")) {
+      val t1 = cells((kind, "1x")).min
+      val tN = cells((kind, s"${factor}x")).min
+      println(f"[metascale] $kind%-9s 1x=$t1%7.3fs ${factor}x=$tN%7.3fs " +
+        f"ratio=${tN / t1}%5.2f")
+    }
+  }
+}
+
 object MergeScaleCheck {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")

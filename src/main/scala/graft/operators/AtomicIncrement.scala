@@ -41,7 +41,7 @@ import org.apache.spark.sql.functions._
 object AtomicIncrement {
 
   private val ManifestDir = "_graft_manifest"
-  private val DataDir = "_data"
+  private[operators] val DataDir = "_data"
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -124,7 +124,34 @@ object AtomicIncrement {
     */
   private val DvCol = "__graft_dv"
   private val SeqCol = "__graft_seq"
-  private val ReservedStatsCols = Set(DvCol, SeqCol)
+
+  /** Reserved stats group `__graft_rows` (round 14): the file's EXACT
+    * row count, stamped at stage time from the parquet footer
+    * (min = max = count). It makes the manifest a COUNT index —
+    * [[statsAggregate]] answers `count(*)` (and min/max on covered
+    * columns) from the manifest alone, zero data-file reads over a
+    * 10⁵-file snapshot (the Iceberg metadata-table / Delta
+    * stats-only-query move). Files staged before the group existed
+    * parse fine and simply disable the metadata count (fallback is
+    * the ordinary scan — conservative like every stats gap here).
+    */
+  private val RowsCol = "__graft_rows"
+  private val ReservedStatsCols = Set(DvCol, SeqCol, RowsCol)
+
+  /** Stats tag for a PROVABLY ALL-NULL column chunk set (round 14):
+    * footers report "no non-null value" distinctly from "no stats",
+    * and recording that as `null`-tagged bounds (empty min/max) keeps
+    * the column COVERED across rewrites — an all-null file
+    * contributes nothing to [[statsAggregate]]'s min/max (exactly
+    * SQL's null-ignoring aggregate semantics) instead of forcing the
+    * whole table to the scan fallback. Every interval consumer treats
+    * the tag conservatively: a file with zero non-null values can
+    * never satisfy a `col > x` watermark read or contain a (non-null
+    * by contract) churned merge key, so those paths skip it EXACTLY;
+    * anything else falls through to may-contain like any unusable
+    * stats group.
+    */
+  private[operators] val NullTag = "null"
 
   /** Reserved manifest LINE (round 14): the first line of every new
     * manifest is `__graft_commit\t__graft_ts\tlong\t<ms>\t<ms>` — the
@@ -235,14 +262,26 @@ object AtomicIncrement {
   def committedFiles(spark: SparkSession, sink: String): Seq[String] =
     snapshot(spark, sink)._2
 
-  /** EVERY path the latest manifest keeps alive — data files AND
-    * delete-vector files: the liveness root the vacuums walk (a dv
-    * reclaimed while its manifest line stands would resurrect deleted
-    * rows).
+  /** EVERY path the latest manifest — or any TAGGED manifest (round
+    * 14) — keeps alive: data files AND delete-vector files, the
+    * liveness root the vacuums walk (a dv reclaimed while its
+    * manifest line stands would resurrect deleted rows; a tagged
+    * snapshot's file reclaimed would break the tag's pin silently).
+    * A tag pointing at an expired/missing manifest throws here —
+    * LOUDLY failing the vacuum rather than quietly deleting what the
+    * tag meant to pin.
     */
   private def committedLivePaths(spark: SparkSession,
-      sink: String): Seq[String] =
-    snapshotEntries(spark, sink)._2.map(_.path)
+      sink: String): Seq[String] = {
+    val latest = snapshotEntries(spark, sink)._2.map(_.path)
+    val pinned = tags(spark, sink).values.toSeq.distinct
+    if (pinned.isEmpty) latest
+    else {
+      val fs = fsOf(spark, sink)
+      (latest ++ pinned.flatMap(v =>
+        entriesAtVersion(fs, sink, v).map(_.path))).distinct
+    }
+  }
 
   /** The committed snapshot as a DataFrame (mergeSchema over the
     * manifest's data-file list — schema evolution reads like
@@ -430,6 +469,97 @@ object AtomicIncrement {
     finally in.close()
   }
 
+  private val RefsDir = "_refs"
+
+  private def refPath(sink: String, name: String): Path =
+    new Path(new Path(sink, RefsDir), name)
+
+  /** Create a named TAG — an immutable pointer to manifest `version`
+    * (round 14; Iceberg's tags / Delta's pinned versions, the ref
+    * layer every audited pipeline eventually needs: "the snapshot the
+    * Q3 model trained on" must survive maintenance). A tag PINS its
+    * snapshot end to end:
+    *
+    *  - [[expireManifests]] never retires a tagged version, and
+    *  - both vacuums treat every tagged manifest's files as LIVE, so
+    *    [[readTag]] keeps answering after any maintenance pass —
+    *    unlike raw version-number time travel, whose horizon is
+    *    "whenever vacuum last ran".
+    *
+    * Tags are immutable by default (re-tagging a name throws;
+    * `replace = true` moves it deliberately), written
+    * temp-file-then-rename like every commit artifact here. The cost
+    * of a standing tag is retained storage: superseded files it pins
+    * are not reclaimed until [[dropTag]] releases them — exactly the
+    * trade a pinned snapshot asks for.
+    */
+  def tagVersion(spark: SparkSession, sink: String, name: String,
+      version: Long, replace: Boolean = false): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"tag name must be path-safe ([A-Za-z0-9._-]+): '$name'")
+    val fs = fsOf(spark, sink)
+    require(fs.exists(new Path(new Path(sink, ManifestDir),
+        f"$version%020d")),
+      s"cannot tag $sink@$version: no such manifest version")
+    val p = refPath(sink, name)
+    require(replace || !fs.exists(p),
+      s"tag '$name' already exists at $sink — tags are immutable; " +
+        "pass replace = true to move it deliberately")
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent,
+      s".$name.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    if (replace) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"tag '$name' appeared concurrently at $sink")
+    }
+  }
+
+  /** The version a tag points at, if the tag exists. */
+  def tagVersionOf(spark: SparkSession, sink: String,
+      name: String): Option[Long] = {
+    val fs = fsOf(spark, sink)
+    val p = refPath(sink, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toLongOption
+      finally in.close()
+    }
+  }
+
+  /** Every tag at the sink, name → version. Unparseable ref files are
+    * IGNORED here (a listing should not throw) but still PIN nothing —
+    * they fail loudly at [[readTag]] time instead.
+    */
+  def tags(spark: SparkSession, sink: String): Map[String, Long] = {
+    val fs = fsOf(spark, sink)
+    val dir = new Path(sink, RefsDir)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+      .flatMap(n => tagVersionOf(spark, sink, n).map(n -> _)).toMap
+  }
+
+  /** Time travel by TAG: the snapshot the tag pinned, guaranteed
+    * readable while the tag stands (see [[tagVersion]]).
+    */
+  def readTag(spark: SparkSession, sink: String, name: String)
+      : DataFrame =
+    readVersion(spark, sink, tagVersionOf(spark, sink, name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no tag '$name' at $sink")))
+
+  /** Drop a tag, releasing its pins (the next maintenance pass may
+    * reclaim what only it kept). Returns whether it existed.
+    */
+  def dropTag(spark: SparkSession, sink: String, name: String): Boolean =
+    fsOf(spark, sink).delete(refPath(sink, name), false)
+
   /** The exact manifest lines `version` committed. Version 0 is the
     * empty pre-first-commit snapshot (no manifest file exists for it,
     * by construction).
@@ -607,13 +737,45 @@ object AtomicIncrement {
       watermarkCol: String, extraStatsCols: Seq[String]): Long =
     appendWithHook(df, sink, watermarkCol, () => (), extraStatsCols)
 
+  /** WRITE-AUDIT-PUBLISH append (round 14 — the Iceberg WAP / staging
+    * pattern): the increment stages exactly like
+    * [[appendIncrementAtomic]], then `audit` receives the STAGED
+    * FILES as a DataFrame — the bytes the table would serve, not the
+    * caller's logical plan re-evaluated — and only a true verdict
+    * publishes. On false (or an audit that throws) the staged batch
+    * directory is removed immediately and the committed snapshot is
+    * untouched: no version moves, no reader ever sees the rejected
+    * rows, no orphan waits for vacuum. Returns Some(appended) on
+    * publish, None on rejection. Everything else — watermark
+    * idempotence, OCC collision, crash cleanup — is the plain
+    * append's contract.
+    *
+    * This is the quality gate a production ingest wants ON the
+    * transaction boundary: schema drift, null floods, or volume
+    * anomalies abort BEFORE the commit instead of being rolled back
+    * after downstream already read them.
+    */
+  def appendAuditedAtomic(df: DataFrame, sink: String,
+      watermarkCol: String, extraStatsCols: Seq[String] = Nil)(
+      audit: DataFrame => Boolean): Option[Long] =
+    appendGated(df, sink, watermarkCol, () => (), extraStatsCols)(audit)
+
   /** [[appendIncrementAtomic]] with a seam between stage and publish —
     * the spec injects a competing commit there to exercise the
     * optimistic-concurrency loss path deterministically.
     */
   private[graft] def appendWithHook(df: DataFrame, sink: String,
       watermarkCol: String, beforePublish: () => Unit,
-      extraStatsCols: Seq[String] = Nil): Long = {
+      extraStatsCols: Seq[String] = Nil): Long =
+    appendGated(df, sink, watermarkCol, beforePublish,
+      extraStatsCols)(_ => true)
+      .getOrElse(throw new IllegalStateException(
+        "unreachable: the always-true gate rejected"))
+
+  private def appendGated(df: DataFrame, sink: String,
+      watermarkCol: String, beforePublish: () => Unit,
+      extraStatsCols: Seq[String])(
+      audit: DataFrame => Boolean): Option[Long] = {
     val spark = df.sparkSession
     val fs = fsOf(spark, sink)
     val resolved = df.schema.fields
@@ -654,18 +816,28 @@ object AtomicIncrement {
           resolved +: extraFields)
         val staged = if (dvEntries.isEmpty) staged0
           else staged0.map(stampSeq(_, version + 1))
+        def dropStaged(): Unit =
+          staged.headOption.foreach(e0 =>
+            fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
+        // the WAP seam: the audit reads the STAGED FILES — the exact
+        // bytes a publish would serve — and a rejection (or an audit
+        // crash) removes them before any manifest moves
+        val verdict =
+          try audit(spark.read.schema(fresh.schema)
+            .parquet(staged.map(e => s"$sink/${e.path}"): _*))
+          catch { case e: Throwable => dropStaged(); throw e }
+        if (!verdict) { dropStaged(); return None }
         try {
           beforePublish()
           publish(fs, sink, (priorEntries ++ staged).map(_.render), version + 1)
         } catch { case e: Throwable =>
           // failed commit must not leak half-staged state into a GC
           // race with the winner's readers — drop the whole batch dir
-          staged.headOption.foreach(e0 =>
-            fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
+          dropStaged()
           throw e
         }
       }
-      n
+      Some(n)
     } finally { fresh.unpersist(); () }
   }
 
@@ -747,11 +919,20 @@ object AtomicIncrement {
               val b64 = java.util.Base64.getEncoder
               Some(FileColumnStats(f.name, tag,
                 b64.encodeToString(mn), b64.encodeToString(mx)))
-            case Incremental.AllNullFile => None
+            // provably all-null: record it (see [[NullTag]]) — the
+            // column stays covered and aggregates exactly
+            case Incremental.AllNullFile =>
+              Some(FileColumnStats(f.name, NullTag, "", ""))
           }
         } yield fc
       }
-      ManifestEntry(rel, stats)
+      // the exact row count rides every staged line (see [[RowsCol]]);
+      // an unreadable footer stages without it — the metadata count
+      // degrades to the scan, never to a wrong number
+      val rows = Incremental.footerRowCountOfFile(spark,
+          new Path(s"$sink/$rel")).map(n =>
+        FileColumnStats(RowsCol, "long", n.toString, n.toString))
+      ManifestEntry(rel, stats ++ rows)
     }
 
   /** Data-skipping read for the incremental-consumer predicate
@@ -781,6 +962,7 @@ object AtomicIncrement {
           // splitByKeyIntervals applies, never an exception
           try fc.tag match {
             case "string" => true // no numeric order: may contain
+            case NullTag => false // zero non-null values: cannot satisfy
             case "double" | "float" => fc.max.toDouble > lower.toDouble
             case _ => fc.max.toLong > lower
           } catch { case _: NumberFormatException => true }
@@ -819,6 +1001,8 @@ object AtomicIncrement {
           try java.util.Arrays.compareUnsigned(
             java.util.Base64.getDecoder.decode(fc.max), lowerB) > 0
           catch { case _: IllegalArgumentException => true }
+        case Some(fc) if fc.tag == NullTag =>
+          false // zero non-null values: cannot satisfy col > lower
         case _ => true // no usable string stats: may contain
       }
     }
@@ -830,6 +1014,110 @@ object AtomicIncrement {
     val (_, dataE, dvE) = snapshotSplit(spark, sink)
     readEffective(spark, sink, kept, dvE,
       Some(dataSchema(spark, sink, dataE)))
+  }
+
+  /** METADATA-ONLY aggregate: one row of `count(*)` (`cnt`) and
+    * min/max of each of `minMaxCols` (`min_<c>`, `max_<c>`), answered
+    * from the MANIFEST ALONE — zero data-file opens, zero Spark jobs,
+    * however many files the snapshot holds. The Iceberg
+    * metadata-table / Delta stats-only-query move: at 100 TB,
+    * `SELECT count(*), max(event_time) FROM t` is a dashboard's
+    * heartbeat query, and a 10⁵-file table answers it here in one
+    * manifest read instead of a 10⁵-split scan stage. Per-file row
+    * counts ride the [[RowsCol]] group (stamped from each staged
+    * file's footer), min/max fold the same interval stats every
+    * pruned read trusts, and [[NullTag]] lines contribute nothing to
+    * min/max — exactly SQL's null-ignoring aggregate semantics, so a
+    * column that is all-null in SOME files still answers exactly. A
+    * column all-null in EVERY file answers NULL min/max (typed
+    * string, the manifest having erased the type — degenerate by
+    * construction).
+    *
+    * EXACT or ABSENT, never approximate: returns None — the caller
+    * falls back to the ordinary scan — when no snapshot is committed,
+    * when delete vectors stand (masked-row counts are not knowable
+    * from metadata), when any data line predates the row-count group,
+    * or when a requested column is uncovered on some line / covered
+    * under disagreeing stats families. Timestamps decode at micros,
+    * dates at days — the stats' primitive domains. Strings decode
+    * from the byte-ordered bounds, exact for files this sink staged
+    * (parquet-mr OMITS over-long binary bounds rather than truncating,
+    * which lands the no-stats line and routes to None).
+    */
+  def statsAggregate(spark: SparkSession, sink: String,
+      minMaxCols: Seq[String] = Nil): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val (version, dataE, dvE) = snapshotSplit(spark, sink)
+    if (version == 0L || dataE.isEmpty || dvE.nonEmpty) return None
+    val counts = dataE.map(_.statsFor(RowsCol).flatMap(_.min.toLongOption))
+    if (counts.contains(None)) return None
+    val cnt = counts.flatten.sum
+    val dec = java.util.Base64.getDecoder
+    val colVals: Seq[Option[(DataType, Any, Any)]] = minMaxCols.map { c =>
+      val groups = dataE.map(_.statsFor(c))
+      if (groups.contains(None)) None
+      else {
+        val present = groups.flatten.filterNot(_.tag == NullTag)
+        present.map(_.tag).distinct match {
+          case Seq() => Some((StringType, null, null)) // all-null column
+          case Seq(tag) => try {
+            def foldL(f: (Long, Long) => Long, v: FileColumnStats => String) =
+              present.map(s => v(s).toLong).reduce(f)
+            def tsOf(us: Long) =
+              org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .toJavaTimestamp(us)
+            def dateOf(d: Long) =
+              org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .toJavaDate(d.toInt)
+            tag match {
+              case "long" => Some((LongType,
+                foldL(math.min, _.min), foldL(math.max, _.max)))
+              case "int" => Some((IntegerType,
+                foldL(math.min, _.min).toInt, foldL(math.max, _.max).toInt))
+              case "short" => Some((ShortType,
+                foldL(math.min, _.min).toShort,
+                foldL(math.max, _.max).toShort))
+              case "byte" => Some((ByteType,
+                foldL(math.min, _.min).toByte,
+                foldL(math.max, _.max).toByte))
+              case "ts" => Some((TimestampType,
+                tsOf(foldL(math.min, _.min)), tsOf(foldL(math.max, _.max))))
+              case "date" => Some((DateType,
+                dateOf(foldL(math.min, _.min)),
+                dateOf(foldL(math.max, _.max))))
+              case "double" => Some((DoubleType,
+                present.map(_.min.toDouble).min,
+                present.map(_.max.toDouble).max))
+              case "float" => Some((FloatType,
+                present.map(_.min.toDouble).min.toFloat,
+                present.map(_.max.toDouble).max.toFloat))
+              case "string" =>
+                def best(v: FileColumnStats => String, wantMax: Boolean) =
+                  new String(present.map(s => dec.decode(v(s))).reduce(
+                    (a, b) =>
+                      if ((java.util.Arrays.compareUnsigned(a, b) >= 0)
+                          == wantMax) a else b),
+                    java.nio.charset.StandardCharsets.UTF_8)
+                Some((StringType, best(_.min, wantMax = false),
+                  best(_.max, wantMax = true)))
+              case _ => None // a future tag this reader can't decode
+            }
+          } catch { // damaged bounds: fall back, never a wrong answer
+            case _: NumberFormatException => None
+            case _: IllegalArgumentException => None
+          }
+          case _ => None // disagreeing families (type evolution)
+        }
+      }
+    }
+    if (colVals.contains(None)) return None
+    val fields = StructField("cnt", LongType, nullable = false) +:
+      minMaxCols.zip(colVals.flatten).flatMap { case (c, (dt, _, _)) =>
+        Seq(StructField(s"min_$c", dt), StructField(s"max_$c", dt)) }
+    val row = org.apache.spark.sql.Row.fromSeq(
+      cnt +: colVals.flatten.flatMap { case (_, mn, mx) => Seq(mn, mx) })
+    Some(spark.createDataFrame(java.util.Arrays.asList(row),
+      StructType(fields)))
   }
 
   /** Phase 2: atomically publish a manifest listing `files` at
@@ -1788,6 +2076,9 @@ object AtomicIncrement {
               !bytesHas(sc.sortedBytes,
                 dec.decode(fc.min), dec.decode(fc.max))
             } catch { case _: IllegalArgumentException => false }
+          // all-null key file: churn keys are non-null by contract,
+          // so the file provably contains none of them
+          case (_, NullTag) => true
           case _ => false // family mismatch / unusable stats: may contain
         }
         case _ => false // no key stats: may contain
@@ -1980,7 +2271,12 @@ object AtomicIncrement {
     val versions = fs.listStatus(dir).toSeq
       .flatMap(st => st.getPath.getName.toLongOption.map(_ -> st.getPath))
       .sortBy(_._1)
+    // a TAGGED version never expires (round 14): the tag pinned it,
+    // and retiring its manifest would break readTag while the vacuums
+    // still honor its file pins — the inconsistent half-state
+    val pinned = tags(spark, sink).values.toSet
     val expired = versions.dropRight(keepLast)
+      .filterNot(v => pinned.contains(v._1))
     inParallel(expired)(v => fs.delete(v._2, false))
     expired.size
   }

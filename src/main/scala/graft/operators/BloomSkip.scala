@@ -45,8 +45,17 @@ object BloomSkip {
 
   private val HashSeed = 42 // xxhash64's default seed, pinned
 
-  private def sidecar(sink: String, rel: String, column: String): Path =
-    new Path(s"$sink/$rel.bloom-$column")
+  private def sidecar(sink: String, rel: String, tag: String): Path =
+    new Path(s"$sink/$rel.bloom-$tag")
+
+  /** Sidecar-name tag for the TOKEN filters (round 14): `tok-<col>`
+    * beside the value filters' bare `<col>`, so one column can carry
+    * both a point-lookup filter (whole values) and a text-search
+    * filter (tokens) without collision. Every sidecar lifecycle path
+    * (vacuum, compaction re-cover) matches on the shared `.bloom-`
+    * prefix and handles both.
+    */
+  private def tokenTag(column: String): String = s"tok-$column"
 
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -76,7 +85,7 @@ object BloomSkip {
     * over-cardinality files fail LOUDLY instead of silently wrapping
     * into a corrupt undersized filter.
     */
-  private def writeSidecarFor(dataFile: Path, column: String,
+  private def writeSidecarFor(dataFile: Path, tag: String,
       hashes: Array[Long], bitsPerKey: Int, k: Int,
       conf: org.apache.hadoop.conf.Configuration): Unit = {
     val mL = math.max(64L, bitsPerKey.toLong * hashes.length)
@@ -92,7 +101,7 @@ object BloomSkip {
     val body = s"$m $k\n" +
       java.util.Base64.getEncoder.encodeToString(bits)
     val sc = new Path(dataFile.getParent,
-      s"${dataFile.getName}.bloom-$column")
+      s"${dataFile.getName}.bloom-$tag")
     val fs = sc.getFileSystem(conf)
     val out = fs.create(sc, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -121,7 +130,43 @@ object BloomSkip {
     * re-reading each new file once.
     */
   def ensureSidecars(spark: SparkSession, sink: String, column: String,
-      bitsPerKey: Int = 10, k: Int = 4): Int = {
+      bitsPerKey: Int = 10, k: Int = 4): Int =
+    ensureSidecarsWith(spark, sink, column, column, bitsPerKey, k)(
+      df => df.select(col("f"), xxhash64(col(column)).as("h")))
+
+  /** The exact build/probe token normalization, shared by
+    * [[ensureTokenSidecars]] and [[readContainingTokens]]: lowercase,
+    * split on any non-alphanumeric run. The probe REQUIRES its tokens
+    * already in this normal form (loudly), because a token the
+    * tokenizer could never emit would "skip" every file for the wrong
+    * reason.
+    */
+  private def tokensOf(c: org.apache.spark.sql.Column) =
+    split(lower(c), "[^a-z0-9]+")
+
+  /** TOKEN sidecars over a text column (round 14): one Bloom filter
+    * per file over the DISTINCT TOKENS of `column` — the full-text
+    * twin of [[ensureSidecars]]' whole-value filters, turning "which
+    * files mention this identifier/phrase word" into sidecar probes
+    * instead of a 100 TB corpus scan. Same ONE-distributed-job build
+    * (explode is map-side; the per-file distinct happens in the same
+    * shuffle the value path pays), same idempotent missing-only
+    * coverage, same lifecycle (built beside the data file, vacuumed
+    * with it, re-covered after compaction by the maintenance pass).
+    * Sized per DISTINCT token, so a 128 MB text file costs a few MB
+    * of sidecar at the default 10 bits/token.
+    */
+  def ensureTokenSidecars(spark: SparkSession, sink: String,
+      column: String, bitsPerToken: Int = 10, k: Int = 4): Int =
+    ensureSidecarsWith(spark, sink, column, tokenTag(column),
+        bitsPerToken, k)(df =>
+      df.select(col("f"), explode(tokensOf(col(column))).as("t"))
+        .filter(length(col("t")) > 0)
+        .select(col("f"), xxhash64(col("t")).as("h")))
+
+  private def ensureSidecarsWith(spark: SparkSession, sink: String,
+      column: String, tag: String, bitsPerKey: Int, k: Int)(
+      hashProj: DataFrame => DataFrame): Int = {
     require(bitsPerKey > 0 && k > 0, "bloom parameters must be positive")
     val fs = fsOf(spark, sink)
     val committed = AtomicIncrement.committedFiles(spark, sink)
@@ -131,42 +176,42 @@ object BloomSkip {
           val present = fs.listStatus(new Path(s"$sink/$dir"))
             .map(_.getPath.getName).toSet
           rels.filterNot(rel =>
-            present.contains(s"${rel.split("/").last}.bloom-$column"))
+            present.contains(s"${rel.split("/").last}.bloom-$tag"))
       }.flatten
     if (missing.isEmpty) return 0
     // the snapshot type is the hash domain on BOTH paths (build here,
-    // literal probe in pointLookup); an evolved file missing the
-    // column contributes one null-hash bit — a may-contain nit, never
-    // a false negative
+    // literal probe in pointLookup/readContainingTokens); an evolved
+    // file missing the column contributes one null-hash bit — a
+    // may-contain nit, never a false negative
     val field = AtomicIncrement.readCommitted(spark, sink).schema.fields
       .find(_.name.equalsIgnoreCase(column))
       .getOrElse(throw new IllegalArgumentException(
         s"bloom column '$column' not in the committed schema"))
     val confSer = new org.apache.spark.SerializableWritable(
       spark.sparkContext.hadoopConfiguration)
-    val (bpk, kk, colName) = (bitsPerKey, k, column)
+    val (bpk, kk, tagName) = (bitsPerKey, k, tag)
     import spark.implicits._
-    val builtNames = spark.read
-      .schema(org.apache.spark.sql.types.StructType(Seq(field)))
-      .parquet(missing.map(rel => s"$sink/$rel"): _*)
-      .select(input_file_name().as("f"),
-        xxhash64(col(column)).as("h"))
+    val builtNames = hashProj(spark.read
+        .schema(org.apache.spark.sql.types.StructType(Seq(field)))
+        .parquet(missing.map(rel => s"$sink/$rel"): _*)
+        .select(input_file_name().as("f"), col(column)))
       .distinct()
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroups { (f, it) =>
         val dataPath = new Path(new java.net.URI(f))
-        writeSidecarFor(dataPath, colName, it.map(_._2).toArray,
+        writeSidecarFor(dataPath, tagName, it.map(_._2).toArray,
           bpk, kk, confSer.value)
         s"${dataPath.getParent.getName}/${dataPath.getName}"
       }
       .collect().toSet
-    // a zero-row file yields no hash group: its always-reject sidecar
-    // (empty bitset — the true verdict for a rowless file) is written
-    // here, driver-side, at zero scan cost
+    // a zero-row (or zero-token) file yields no hash group: its
+    // always-reject sidecar (empty bitset — the true verdict for a
+    // file that can't match) is written here, driver-side, at zero
+    // scan cost
     for (rel <- missing
         if !builtNames.contains(rel.split("/").takeRight(2).mkString("/")))
-      writeSidecarFor(new Path(s"$sink/$rel"), column,
+      writeSidecarFor(new Path(s"$sink/$rel"), tag,
         Array.empty[Long], bitsPerKey, k,
         spark.sparkContext.hadoopConfiguration)
     missing.size
@@ -177,9 +222,18 @@ object BloomSkip {
     * present row invisible).
     */
   private def mayContain(spark: SparkSession, sink: String, rel: String,
-      column: String, h: Long): Boolean = {
+      tag: String, h: Long): Boolean =
+    mayContainAll(spark, sink, rel, tag, Seq(h))
+
+  /** ONE sidecar read answering EVERY hash: true iff the filter may
+    * contain ALL of `hs` (the conjunctive text-search verdict — a file
+    * missing any one probe token cannot hold a document containing
+    * them all). Absent/unreadable sidecar stays may-contain.
+    */
+  private def mayContainAll(spark: SparkSession, sink: String,
+      rel: String, tag: String, hs: Seq[Long]): Boolean = {
     val fs = fsOf(spark, sink)
-    val sc = sidecar(sink, rel, column)
+    val sc = sidecar(sink, rel, tag)
     if (!fs.exists(sc)) return true
     try {
       val in = fs.open(sc)
@@ -188,7 +242,8 @@ object BloomSkip {
       val Array(header, b64) = text.split("\n", 2)
       val Array(m, k) = header.trim.split(" ").map(_.toInt)
       val bits = java.util.Base64.getDecoder.decode(b64.trim)
-      positions(h, k, m).forall(p => (bits(p >>> 3) & (1 << (p & 7))) != 0)
+      hs.forall(h => positions(h, k, m)
+        .forall(p => (bits(p >>> 3) & (1 << (p & 7))) != 0))
     } catch { case scala.util.control.NonFatal(_) => true }
   }
 
@@ -250,6 +305,43 @@ object BloomSkip {
       Some(AtomicIncrement.dataSchema(spark, sink, entries)))
   }
 
+  /** TEXT-SEARCH read (round 14): the committed snapshot restricted to
+    * files whose token sidecars MAY contain EVERY one of `tokens` —
+    * the distributed grep a 100 TB training corpus needs ("which
+    * documents mention this identifier") priced at one small sidecar
+    * read per file instead of a full scan, conjunctive because a
+    * document containing all probe tokens can only live in a file
+    * whose filter witnesses each of them. May-contain SUPERSET as
+    * always (absent sidecars keep their files; Bloom false positives
+    * keep ~1% extra): the caller applies the exact row-level
+    * predicate, and the composed read ≡ the full scan + filter
+    * whatever state the sidecars are in. Standing delete vectors
+    * apply. Tokens must already be in the build's normal form
+    * (lowercase alphanumeric — see `tokensOf`); anything else throws,
+    * because the tokenizer could never emit it and every file would
+    * "skip" for the wrong reason.
+    */
+  def readContainingTokens(spark: SparkSession, sink: String,
+      column: String, tokens: Seq[String]): DataFrame = {
+    require(tokens.nonEmpty, "at least one probe token required")
+    tokens.foreach(t => require(t.matches("[a-z0-9]+"),
+      s"probe token '$t' is not in token normal form " +
+        "(lowercase alphanumeric, no separators)"))
+    val (_, entries, dvE) = AtomicIncrement.snapshotSplit(spark, sink)
+    require(entries.nonEmpty, s"no committed snapshot at $sink")
+    // the probes' hashes, computed by the same engine expression the
+    // build used — one driver-local |tokens|-row job
+    import spark.implicits._
+    val hs = tokens.toDF("t").select(xxhash64(col("t")))
+      .collect().map(_.getLong(0)).toSeq
+    val tag = tokenTag(column)
+    val kept = entries.zip(AtomicIncrement.inParallel(entries)(
+        e => mayContainAll(spark, sink, e.path, tag, hs)))
+      .filter(_._2).map(_._1)
+    AtomicIncrement.readEffective(spark, sink, kept, dvE,
+      Some(AtomicIncrement.dataSchema(spark, sink, entries)))
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // The needle-in-haystack read under the oracle gate: events land
     // as three time-range increments (interval stats on ts — useless
@@ -293,5 +385,47 @@ object BloomSkip {
         |  round(value, 2) AS value_r, TRUE AS pruned
         |FROM events
         |WHERE event_id = (SELECT max(event_id) FROM events
-        |                  WHERE event_id % 1000 = 7)""".stripMargin))
+        |                  WHERE event_id % 1000 = 7)""".stripMargin),
+
+    // Distributed GREP under the oracle gate (round 14): the corpus
+    // lands as three increments plus ONE needle document carrying a
+    // token no other document has, token sidecars build, and the
+    // conjunctive probe ("xyzzy" AND "dup") must skip every file but
+    // the needle's (`pruned` pins engagement at ANY corpus scale —
+    // the needle is one file however many the corpus has) while the
+    // exact row-level re-check keeps the read ≡ scan + filter. A
+    // tokenizer drift between build and probe, a false NEGATIVE in
+    // the filter, or a probe that forgets delete vectors all
+    // hash-mismatch against the oracle's literal needle row.
+    "q_read_grep" -> QueryDef(
+      (s, dir) => IncrementalAgg.withScratchSink(s, "graft_grep") { sink =>
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        val mx = d.agg(max("doc_id")).head().getLong(0)
+        var lo = Long.MinValue
+        for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {
+          AtomicIncrement.appendIncrementAtomic(
+            d.filter(col("doc_id") > lo && col("doc_id") <= hi),
+            sink, "doc_id")
+          lo = hi
+        }
+        AtomicIncrement.appendIncrementAtomic(
+          s.createDataFrame(Seq(
+            (mx + 1, "the xyzzy incident dup report", "en", "src_needle")))
+            .toDF("doc_id", "text", "lang", "source"),
+          sink, "doc_id")
+        ensureTokenSidecars(s, sink, "text")
+        val narrowed = readContainingTokens(s, sink, "text",
+          Seq("xyzzy", "dup"))
+        val engaged = narrowed.inputFiles.length <
+          AtomicIncrement.committedFiles(s, sink).size
+        narrowed.filter(
+            array_contains(tokensOf(col("text")), "xyzzy") &&
+            array_contains(tokensOf(col("text")), "dup"))
+          .select(col("doc_id"), col("source"),
+            org.apache.spark.sql.functions.lit(engaged).as("pruned"))
+      },
+      """SELECT max(doc_id) + 1 AS doc_id, 'src_needle' AS source,
+        |  TRUE AS pruned
+        |FROM documents""".stripMargin))
 }

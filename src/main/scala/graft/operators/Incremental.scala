@@ -103,6 +103,25 @@ object Incremental {
   private[graft] final case class BinaryStats(min: Array[Byte],
       max: Array[Byte]) extends FooterStats
 
+  /** EXACT row count of ONE parquet file from its footer (the sum of
+    * the row groups' counts — parquet's block metadata is
+    * authoritative, written by the file's own writer). None on any
+    * read surprise, so a caller stamping counts into a manifest
+    * degrades to no-stamp rather than a wrong number.
+    */
+  private[graft] def footerRowCountOfFile(spark: SparkSession,
+      file: org.apache.hadoop.fs.Path): Option[Long] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    try {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        file, spark.sparkContext.hadoopConfiguration))
+      try Some(reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+      finally reader.close()
+    } catch { case _: Exception => None }
+  }
+
   /** (min, max) of `column` in ONE parquet file, from footer metadata
     * only. None when the footer cannot answer EXACTLY — missing stats,
     * a NaN-suppressed float chunk (parquet-mr omits min/max there), an

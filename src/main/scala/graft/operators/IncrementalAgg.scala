@@ -352,6 +352,99 @@ object IncrementalAgg {
           log(lit(1.0) - count(lit(1)) / lit(m.toDouble))).cast("long"))
         .as("distinct_est"))
 
+  /** Retractable QUANTILE rollup (round 14) — the distribution face of
+    * the CDC family (count/sum fold, extremes rescan, distinct pairs,
+    * sketch registers… and now percentiles): fixed-grid HISTOGRAM
+    * state. Values bin into `bins` equal-width buckets over the
+    * DECLARED domain `[lo, hi)` (out-of-range values clamp into the
+    * edge bins — declare the domain generously; the grid must be
+    * fixed up front because rebinning old state is impossible), and
+    * the child CDC rollup keyed at (group, bin) holds one signed
+    * count per occupied bucket — retraction decrements, empty buckets
+    * leave, state is `min(distinct-bins, bins)` rows per group
+    * however large the group grows. Unlike every order-statistic
+    * sketch (KLL, t-digest), a counting histogram is ABELIAN — it
+    * supports deletion exactly, which is the whole reason it is the
+    * retraction-safe choice here. NULL values are ignored on both
+    * sides (SQL aggregate semantics). Same `__b` replay shield, OCC
+    * publish, and bootstrap conventions as every CDC fold.
+    */
+  def mergeCdcQuantile(plus: DataFrame, minus: DataFrame, sink: String,
+      keys: Seq[String], valueCol: String, lo: Double, hi: Double,
+      bins: Int, batchId: Long): Boolean = {
+    require(bins >= 2 && bins <= (1 << 20),
+      s"bins out of range: $bins")
+    require(hi > lo, s"empty histogram domain: [$lo, $hi)")
+    val w = (hi - lo) / bins
+    def binned(df: DataFrame) = df.filter(col(valueCol).isNotNull)
+      .select((keys.map(col) :+
+        least(lit(bins - 1L), greatest(lit(0L),
+          floor((col(valueCol).cast("double") - lit(lo)) / lit(w))
+            .cast("long"))).as("__qbin")): _*)
+    mergeCdcBatch(binned(plus), binned(minus), sink,
+      keys :+ "__qbin", Nil, batchId)
+  }
+
+  /** The estimated q-quantile per group from a [[mergeCdcQuantile]]
+    * child sink (`n` = exact surviving non-null count, `quantile_est`
+    * = linear interpolation inside the first bucket whose cumulative
+    * count crosses `q·n`). The rank-`⌈q·n⌉` order statistic sits in
+    * that same bucket by construction, so the error against it is
+    * bounded by ONE BIN WIDTH, `(hi − lo) / bins` — and by two bin
+    * widths against any interpolated percentile definition (whose
+    * bracketing ranks can straddle the bucket boundary); the oracle
+    * row pins the two-width band.
+    * `lo`/`hi`/`bins` must match the fold's. State is rollup-sized,
+    * so the window here runs over |groups × occupied bins| rows,
+    * never data.
+    */
+  def readQuantile(spark: org.apache.spark.sql.SparkSession,
+      sink: String, keys: Seq[String], q: Double, lo: Double,
+      hi: Double, bins: Int): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"quantile must be in (0, 1): $q")
+    val w = (hi - lo) / bins
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val cum = readState(spark, sink)
+      .withColumn("__cum", sum("__n").over(win.orderBy("__qbin")))
+      .withColumn("__tot", sum("__n").over(win))
+    // the first bucket whose cumulative count reaches the target rank
+    // contains the true quantile; interpolate linearly inside it
+    cum.filter(col("__cum") >= col("__tot") * q)
+      .groupBy(keys.map(col): _*)
+      .agg(min_by(struct(col("__qbin"), col("__n"), col("__cum"),
+        col("__tot")), col("__qbin")).as("__hit"))
+      .select((keys.map(col) :+
+        col("__hit.__tot").as("n") :+
+        (lit(lo) + lit(w) * (col("__hit.__qbin") +
+          (col("__hit.__tot") * q -
+            (col("__hit.__cum") - col("__hit.__n"))) / col("__hit.__n")))
+          .as("quantile_est")): _*)
+  }
+
+  /** [[syncRollup]]'s QUANTILE twin: the version-keyed manifest-diff
+    * feed folded through [[mergeCdcQuantile]] — histogram counts are
+    * abelian, so the file-grained feed's rewritten survivors
+    * telescope exactly like the count/sum rollup's. Same bootstrap /
+    * retention / no-op semantics; read via [[readQuantile]]. Returns
+    * versions folded.
+    */
+  def syncQuantile(spark: org.apache.spark.sql.SparkSession,
+      tableSink: String, stateSink: String, keys: Seq[String],
+      valueCol: String, lo: Double, hi: Double, bins: Int): Long = {
+    val current = AtomicIncrement.snapshot(spark, tableSink)._1
+    val bootstrapped =
+      AtomicIncrement.snapshot(spark, stateSink)._2.nonEmpty
+    val last = if (!bootstrapped) 0L
+      else readState(spark, stateSink).agg(max("__b")).head().getLong(0)
+    if (current <= last) return 0L
+    val (plus, minus) = AtomicIncrement.changesBetween(spark, tableSink,
+      math.max(last, 0L), current)
+    mergeCdcQuantile(plus, minus, stateSink, keys, valueCol, lo, hi,
+      bins, current)
+    current - math.max(last, 0L)
+  }
+
   /** SELF-SYNCING rollup: fold everything `tableSink` committed since
     * this state's last sync, in ONE pull of the manifest-diff change
     * feed ([[AtomicIncrement.changesBetween]]) — no upstream
@@ -1132,6 +1225,49 @@ object IncrementalAgg {
         |FROM resolved GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin),
 
+    // Retractable QUANTILE rollup under the oracle gate (round 14):
+    // histogram state bootstraps from the full orders load, then one
+    // CDC batch retracts every %10==7 key and inserts %10==3 copies
+    // under a new group — and the read-time median must stay within
+    // the pinned TWO-BIN band of the exact percentile computed over
+    // the resolved feed (the histogram's error contract: one width
+    // for in-bin interpolation, one for the rank straddle). `n` is
+    // the state's exact surviving count — a bucket surviving its
+    // retraction, a clamp bin miscounting, or a cumulative-rank
+    // off-by-one all hash-mismatch.
+    "q_incr_agg_quantile" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_qhist") { sink =>
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val (lo, hi, bins) = (0.0, 640000.0, 6400) // w = 100
+        mergeCdcQuantile(o, o.limit(0), sink, Seq("o_orderstatus"),
+          "o_totalprice", lo, hi, bins, 0L)
+        val minus = o.filter(col("o_orderkey") % 10 === 7)
+        val plus = o.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("o_orderstatus", lit("X"))
+        mergeCdcQuantile(plus, minus, sink, Seq("o_orderstatus"),
+          "o_totalprice", lo, hi, bins, 1L)
+        val resolved = o.filter(col("o_orderkey") % 10 =!= 7)
+          .unionByName(plus)
+        val exact = resolved.groupBy("o_orderstatus")
+          .agg(expr("percentile(o_totalprice, 0.5)").as("p50"))
+        readQuantile(s, sink, Seq("o_orderstatus"), 0.5, lo, hi, bins)
+          .join(exact, Seq("o_orderstatus"))
+          .select(col("o_orderstatus"), col("n"),
+            (abs(col("quantile_est") - col("p50")) <=
+              lit(2 * (hi - lo) / bins)).as("within_band"))
+          .orderBy("o_orderstatus")
+      },
+      """WITH resolved AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT 'X' AS o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 = 3)
+        |SELECT o_orderstatus, count(*) AS n, TRUE AS within_band
+        |FROM resolved GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
     // INCREMENTAL small-file compaction under the oracle gate (round
     // 14): one well-formed big file + six small append files — the
     // debt a steady cadence accretes — and compactSmall must bin-pack
@@ -1198,6 +1334,84 @@ object IncrementalAgg {
     // a distinct count derived from anything but the pair rows all
     // hash-mismatch; `synced` pins the version arithmetic (3 folded,
     // 2 in one pull, then the idempotent 0).
+    // WRITE-AUDIT-PUBLISH under the oracle gate (round 14): the first
+    // half of lineitem lands through a passing audit, a POISONED
+    // second half (negated quantities) is REJECTED at the staging
+    // seam — no version moves, no orphan waits for vacuum — and the
+    // corrected rows then land normally. The final table must equal
+    // the raw table exactly (the oracle aggregates it), so a rejected
+    // batch leaking rows, a watermark advanced by the rejected stage,
+    // or an audit that read the caller's plan instead of the staged
+    // bytes all hash-mismatch; `audit_fired` pins the rejection
+    // actually happened.
+    "q_wap" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_wap") { sink =>
+        val li = table(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        val mx = li.agg(max("l_orderkey")).head().getLong(0)
+        val cut = mx / 2
+        val gate: DataFrame => Boolean =
+          st => st.filter(col("l_quantity") < 0).isEmpty
+        AtomicIncrement.appendAuditedAtomic(
+          li.filter(col("l_orderkey") <= cut), sink, "l_orderkey")(gate)
+        val rejected = AtomicIncrement.appendAuditedAtomic(
+          li.filter(col("l_orderkey") > cut)
+            .withColumn("l_quantity", -col("l_quantity")),
+          sink, "l_orderkey")(gate)
+        AtomicIncrement.appendAuditedAtomic(
+          li.filter(col("l_orderkey") > cut), sink, "l_orderkey")(gate)
+        AtomicIncrement.readCommitted(s, sink).agg(
+          count(lit(1)).as("cnt"),
+          sum("l_quantity").as("sum_qty"),
+          lit(rejected.isEmpty).as("audit_fired"))
+      },
+      """SELECT count(*) AS cnt, sum(l_quantity) AS sum_qty,
+        |  TRUE AS audit_fired
+        |FROM lineitem""".stripMargin),
+
+    // METADATA-ONLY aggregate under the oracle gate (round 14): three
+    // watermarked increments land with per-file row counts + min/max
+    // stamped in the manifest, then EVERY data file is DELETED — the
+    // strongest possible "zero data reads" pin — and statsAggregate
+    // must still answer count(*)/min/max exactly as the oracle
+    // computes them from the raw table. A count derived from anything
+    // but the stamped footer counts, a min/max fold that misses a
+    // file, or a string bound decoded out of byte order all
+    // hash-mismatch; at 100 TB this is the dashboard heartbeat query
+    // ("how many rows, how fresh") priced at one manifest read
+    // instead of a 10⁵-split scan stage.
+    "q_stats_agg" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_statsagg") { sink =>
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val mx = o.agg(max("o_orderkey")).head().getLong(0)
+        var lo = Long.MinValue
+        for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {
+          AtomicIncrement.appendIncrementAtomic(
+            o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+            sink, "o_orderkey", Seq("o_totalprice", "o_orderstatus"))
+          lo = hi
+        }
+        val dataRoot = new org.apache.hadoop.fs.Path(sink,
+          AtomicIncrement.DataDir)
+        dataRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(dataRoot, true)
+        AtomicIncrement.statsAggregate(s, sink,
+          Seq("o_orderkey", "o_totalprice", "o_orderstatus")).get
+          .select(col("cnt"),
+            col("min_o_orderkey").as("mn_key"),
+            col("max_o_orderkey").as("mx_key"),
+            col("min_o_totalprice").as("mn_price"),
+            col("max_o_totalprice").as("mx_price"),
+            col("min_o_orderstatus").as("mn_status"),
+            col("max_o_orderstatus").as("mx_status"))
+      },
+      """SELECT count(*) AS cnt,
+        |  min(o_orderkey) AS mn_key, max(o_orderkey) AS mx_key,
+        |  min(o_totalprice) AS mn_price, max(o_totalprice) AS mx_price,
+        |  min(o_orderstatus) AS mn_status, max(o_orderstatus) AS mx_status
+        |FROM orders""".stripMargin),
+
     "q_distinct_sync" -> QueryDef(
       (s, dir) => withScratchSink(s, "graft_dsync_t") { tableSink =>
         withScratchSink(s, "graft_dsync_s") { stateSink =>

@@ -1284,4 +1284,168 @@ class AtomicIncrementSpec extends SparkSpec {
     assert(fenced.inputFiles.length == total)
     assert(fenced.count() == 30)
   }
+
+  test("write-audit-publish (round 14): a rejected batch leaves no " +
+      "version, no rows, and no orphan dir; a passing batch ≡ the " +
+      "plain append; an audit crash cleans up too") {
+    val sink = tmp()
+    def dataDirs(): Int = {
+      val root = new org.apache.hadoop.fs.Path(sink, "_data")
+      if (!fs(sink).exists(root)) 0
+      else fs(sink).listStatus(root).count(_.getPath.getName
+        .startsWith("batch-"))
+    }
+    val gate: org.apache.spark.sql.DataFrame => Boolean =
+      st => st.filter(col("v") < 0).isEmpty
+    // pass: identical to a plain append
+    assert(AtomicIncrement.appendAuditedAtomic(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), sink, "k")(gate)
+      .contains(2L))
+    val v1 = AtomicIncrement.snapshot(spark, sink)._1
+    // reject: version frozen, rows invisible, staged dir GONE (not
+    // waiting for vacuum)
+    val before = dataDirs()
+    assert(AtomicIncrement.appendAuditedAtomic(
+      Seq((3L, -5L)).toDF("k", "v"), sink, "k")(gate).isEmpty)
+    assert(AtomicIncrement.snapshot(spark, sink)._1 == v1)
+    assert(dataDirs() == before, "rejected batch left an orphan dir")
+    assert(AtomicIncrement.readCommitted(spark, sink).count() == 2)
+    // an audit that THROWS cleans up the same way
+    intercept[RuntimeException](AtomicIncrement.appendAuditedAtomic(
+      Seq((4L, 1L)).toDF("k", "v"), sink, "k")(
+      _ => throw new RuntimeException("audit infra down")))
+    assert(dataDirs() == before && AtomicIncrement
+      .snapshot(spark, sink)._1 == v1)
+    // the watermark contract is untouched: the rejected key's range
+    // re-arrives clean and publishes; a pure replay audits nothing
+    var audits = 0
+    assert(AtomicIncrement.appendAuditedAtomic(
+      Seq((3L, 5L)).toDF("k", "v"), sink, "k")(
+      st => { audits += 1; gate(st) }).contains(1L))
+    assert(audits == 1)
+    assert(AtomicIncrement.appendAuditedAtomic(
+      Seq((3L, 5L)).toDF("k", "v"), sink, "k")(
+      st => { audits += 1; gate(st) }).contains(0L))
+    assert(audits == 1, "a zero-row replay must not stage or audit")
+  }
+
+  test("tags (round 14): a tag pins its snapshot through compaction, " +
+      "vacuum, and manifest expiry; dropTag releases the pins; " +
+      "immutability and path-safety are enforced") {
+    val sink = tmp()
+    AtomicIncrement.appendIncrementAtomic(
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"), sink, "k")
+    val v1 = AtomicIncrement.snapshot(spark, sink)._1
+    AtomicIncrement.tagVersion(spark, sink, "q3-train", v1)
+    AtomicIncrement.appendIncrementAtomic(
+      (11L to 20L).map(k => (k, s"v$k")).toDF("k", "v"), sink, "k")
+    // full maintenance: rewrite + expiry + both vacuums
+    AtomicIncrement.compact(spark, sink, 1)
+    AtomicIncrement.expireManifests(spark, sink, 1)
+    AtomicIncrement.vacuumSuperseded(spark, sink)
+    AtomicIncrement.vacuumUncommitted(spark, sink)
+    // the tagged snapshot is fully readable — exactly version 1
+    assert(AtomicIncrement.readTag(spark, sink, "q3-train")
+      .select("k").as[Long].collect().sorted.toSeq == (1L to 10L))
+    assert(AtomicIncrement.readCommitted(spark, sink).count() == 20)
+    // an UNTAGGED intermediate version expired: only the tagged one
+    // and the latest survive retention
+    val mdir = new org.apache.hadoop.fs.Path(sink, "_graft_manifest")
+    val kept = fs(sink).listStatus(mdir)
+      .flatMap(_.getPath.getName.toLongOption).sorted.toSeq
+    assert(kept.contains(v1) && kept.size == 2,
+      s"retention kept the wrong versions: $kept")
+    // immutability + path safety
+    intercept[IllegalArgumentException](
+      AtomicIncrement.tagVersion(spark, sink, "q3-train", v1 + 1))
+    intercept[IllegalArgumentException](
+      AtomicIncrement.tagVersion(spark, sink, "../escape", v1))
+    intercept[IllegalArgumentException](
+      AtomicIncrement.tagVersion(spark, sink, "nope", 999L))
+    AtomicIncrement.tagVersion(spark, sink, "q3-train",
+      AtomicIncrement.snapshot(spark, sink)._1, replace = true)
+    assert(AtomicIncrement.readTag(spark, sink, "q3-train").count() == 20)
+    // dropping the pin lets maintenance reclaim the old snapshot
+    assert(AtomicIncrement.dropTag(spark, sink, "q3-train"))
+    assert(!AtomicIncrement.dropTag(spark, sink, "q3-train"))
+    AtomicIncrement.expireManifests(spark, sink, 1)
+    AtomicIncrement.vacuumUncommitted(spark, sink)
+    intercept[IllegalArgumentException](
+      AtomicIncrement.readTag(spark, sink, "q3-train"))
+  }
+
+  test("statsAggregate (round 14): metadata-only count/min/max ≡ the " +
+      "scan, survives total data-file loss, all-null columns follow " +
+      "SQL semantics") {
+    val sink = tmp()
+    // batch 1: n mixes a value and a null; z is all-null everywhere
+    AtomicIncrement.appendIncrementAtomic(
+      Seq((1L, 2.5, "b", Option("x"), Option.empty[Long]),
+          (5L, 1.0, "a", None, None)).toDF("k", "p", "s", "n", "z"),
+      sink, "k", Seq("p", "s", "n", "z"))
+    // batch 2: n is ALL null → its stats group is the null marker
+    AtomicIncrement.appendIncrementAtomic(
+      Seq((9L, 7.25, "c", Option.empty[String], Option.empty[Long]))
+        .toDF("k", "p", "s", "n", "z"),
+      sink, "k", Seq("p", "s", "n", "z"))
+    val cols = Seq("k", "p", "s", "n", "z")
+    val out = AtomicIncrement.statsAggregate(spark, sink, cols).get
+    val got = out.head()
+    assert(got.getLong(0) == 3L, s"cnt: $got")
+    assert(got.getLong(1) == 1L && got.getLong(2) == 9L, s"k: $got")
+    assert(got.getDouble(3) == 1.0 && got.getDouble(4) == 7.25, s"p: $got")
+    assert(got.getString(5) == "a" && got.getString(6) == "c", s"s: $got")
+    // n: the all-null batch contributes nothing (SQL null-ignoring)
+    assert(got.getString(7) == "x" && got.getString(8) == "x", s"n: $got")
+    // z: all-null in EVERY file → NULL min/max
+    assert(got.isNullAt(9) && got.isNullAt(10), s"z: $got")
+    // the answer agrees with the scan on every non-degenerate column
+    val scan = AtomicIncrement.readCommitted(spark, sink)
+      .agg(count(lit(1)), min("k"), max("k"), min("p"), max("p"),
+        min("s"), max("s"), min("n"), max("n")).head()
+    assert((0 to 8).forall(i => scan.get(i) == got.get(i)),
+      s"metadata disagrees with scan: $got vs $scan")
+    // compaction restages counts and stats: still exact after
+    AtomicIncrement.compact(spark, sink, 1)
+    assert(AtomicIncrement.statsAggregate(spark, sink, cols).get.head()
+      .getLong(0) == 3L)
+    // METADATA-ONLY: destroy every data file — the answer is unchanged
+    fs(sink).delete(new org.apache.hadoop.fs.Path(sink, "_data"), true)
+    val severed = AtomicIncrement.statsAggregate(spark, sink, cols).get
+      .head()
+    assert(severed.getLong(0) == 3L && severed.getLong(2) == 9L &&
+      severed.getString(6) == "c", s"severed: $severed")
+  }
+
+  test("statsAggregate falls back to None — never approximates — on " +
+      "standing delete vectors, missing row-count groups, and " +
+      "uncovered columns") {
+    val sink = tmp()
+    AtomicIncrement.appendIncrementAtomic(
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"), sink, "k")
+    // v carries no stats group → min/max on it cannot be exact
+    assert(AtomicIncrement.statsAggregate(spark, sink, Seq("v")).isEmpty)
+    // count-only works
+    assert(AtomicIncrement.statsAggregate(spark, sink).get
+      .head().getLong(0) == 10L)
+    // a standing delete vector makes metadata counts unknowable
+    AtomicIncrement.mergeOnReadAtomic(
+      Seq((3L, "dead", true)).toDF("k", "v", "del"), sink, "k", "del")
+    assert(AtomicIncrement.statsAggregate(spark, sink).isEmpty)
+    // folding the dv restores the metadata answer, one row lighter
+    AtomicIncrement.foldDvsTargeted(spark, sink)
+    assert(AtomicIncrement.statsAggregate(spark, sink).get
+      .head().getLong(0) == 9L)
+    // pre-round-14 manifests (no row-count group): rewrite the latest
+    // manifest path-only — count falls back, nothing throws
+    val f = fs(sink)
+    val dir = new org.apache.hadoop.fs.Path(sink, "_graft_manifest")
+    val mf = f.listStatus(dir).map(_.getPath).maxBy(_.getName)
+    val paths = AtomicIncrement.committedFiles(spark, sink)
+    f.delete(mf, false)
+    val outS = f.create(mf, true)
+    try outS.write(paths.mkString("\n").getBytes("UTF-8"))
+    finally outS.close()
+    assert(AtomicIncrement.statsAggregate(spark, sink).isEmpty)
+  }
 }

@@ -177,4 +177,95 @@ class BloomSkipSpec extends SparkSpec {
     assert(BloomSkip.pointLookup(spark, sink, "id", lit(3L))
       .inputFiles.length == 1, "the zero-row file was not rejected")
   }
+
+  // ---- token sidecars (round 14): the text-search twin ----
+
+  private def loadCorpus(sink: String): Unit = {
+    // three single-file increments with CONTROLLED vocabulary: 'alpha'
+    // rides every file, 'bravo' only file 2, 'delta'+'echo' co-occur
+    // in one doc of file 3 while file 1 has them in SEPARATE docs
+    val f1 = Seq((1L, "Alpha likes DELTA."), (2L, "alpha, echo!"),
+      (3L, "alpha alone"))
+    val f2 = Seq((11L, "alpha and bravo"), (12L, "alpha bravo again"))
+    val f3 = Seq((21L, "alpha delta echo together"), (22L, "just alpha"))
+    for (r <- Seq(f1, f2, f3))
+      AtomicIncrement.appendIncrementAtomic(
+        r.toDF("doc_id", "text").repartition(1), sink, "doc_id")
+    assert(BloomSkip.ensureTokenSidecars(spark, sink, "text") == 3)
+  }
+
+  private def grep(sink: String, toks: Seq[String]) =
+    BloomSkip.readContainingTokens(spark, sink, "text", toks)
+
+  private def exact(df: org.apache.spark.sql.DataFrame,
+      toks: Seq[String]) =
+    toks.foldLeft(df)((d, t) => d.filter(
+        array_contains(split(lower(col("text")), "[^a-z0-9]+"), t)))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+
+  test("token sidecars: no false negatives through case/punctuation, " +
+      "single-token probes prune to the right files, probe ≡ scan") {
+    val sink = tmp()
+    loadCorpus(sink)
+    val full = AtomicIncrement.readCommitted(spark, sink)
+    for (t <- Seq("alpha", "bravo", "delta", "echo", "zulu")) {
+      val narrowed = grep(sink, Seq(t))
+      assert(exact(narrowed, Seq(t)) == exact(full, Seq(t)),
+        s"probe '$t' diverged from the scan")
+    }
+    // 'bravo' lives only in file 2; 'zulu' nowhere
+    assert(grep(sink, Seq("bravo")).inputFiles.length == 1)
+    assert(grep(sink, Seq("zulu")).inputFiles.length == 0)
+    assert(grep(sink, Seq("alpha")).inputFiles.length == 3)
+  }
+
+  test("token sidecars: conjunctive probes are FILE-level verdicts — " +
+      "a file holding the tokens in separate docs survives (the exact " +
+      "filter restricts), idempotent rebuild, malformed probes throw") {
+    val sink = tmp()
+    loadCorpus(sink)
+    // file 1 has delta+echo in separate docs, file 3 in one doc: both
+    // files survive the probe, the exact filter keeps only doc 21
+    val narrowed = grep(sink, Seq("delta", "echo"))
+    assert(narrowed.inputFiles.length == 2,
+      s"expected files 1+3, got ${narrowed.inputFiles.length}")
+    assert(exact(narrowed, Seq("delta", "echo")) == Seq(21L))
+    // conjunction with an absent token rejects everything
+    assert(grep(sink, Seq("alpha", "zulu")).inputFiles.length == 0)
+    assert(BloomSkip.ensureTokenSidecars(spark, sink, "text") == 0,
+      "rebuild must be a no-op under full coverage")
+    intercept[IllegalArgumentException](grep(sink, Seq("Alpha")))
+    intercept[IllegalArgumentException](grep(sink, Seq("two words")))
+    intercept[IllegalArgumentException](grep(sink, Seq.empty))
+  }
+
+  test("token sidecars: missing sidecar = may-contain, value and " +
+      "token filters coexist on one column, delete vectors apply") {
+    val sink = tmp()
+    loadCorpus(sink)
+    // a value filter over the SAME column: no name collision
+    assert(BloomSkip.ensureSidecars(spark, sink, "text") == 3)
+    assert(BloomSkip.ensureTokenSidecars(spark, sink, "text") == 0)
+    val hit = BloomSkip.pointLookup(spark, sink, "text",
+      lit("alpha alone")).filter(col("text") === "alpha alone")
+    assert(hit.select("doc_id").as[Long].collect().toSeq == Seq(3L))
+    // drop file 2's token sidecar: it must be KEPT (may-contain), and
+    // answers stay identical
+    val f = fs(sink)
+    val victims = AtomicIncrement.committedFiles(spark, sink)
+      .map(r => new org.apache.hadoop.fs.Path(s"$sink/$r.bloom-tok-text"))
+      .filter(f.exists)
+    assert(victims.size == 3)
+    f.delete(victims(1), false)
+    val narrowed = grep(sink, Seq("zulu"))
+    assert(narrowed.inputFiles.length == 1,
+      "the sidecar-less file must stay may-contain")
+    assert(exact(narrowed, Seq("zulu")).isEmpty)
+    // merge-on-read delete doc 21: the probe must not resurrect it
+    AtomicIncrement.mergeOnReadAtomic(
+      Seq((21L, "", true)).toDF("doc_id", "text", "del"),
+      sink, "doc_id", "del")
+    assert(exact(grep(sink, Seq("delta", "echo")), Seq("delta", "echo"))
+      .isEmpty, "a tombstoned document surfaced through the token read")
+  }
 }

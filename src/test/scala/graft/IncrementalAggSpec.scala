@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.IncrementalAgg
+import graft.operators.{AtomicIncrement, IncrementalAgg}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -492,5 +492,81 @@ class IncrementalAggSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stateRows.values.forall(_ <= m))
     assert(stateRows("gA") <= 501L && stateRows("gC") <= 25L)
+  }
+
+  test("CDC quantile (round 14): histogram state retracts exactly, " +
+      "estimates stay within one bin of the rank statistic, clamps " +
+      "catch out-of-domain values, state is bucket-bounded") {
+    val sink = tmp()
+    val (lo, hi, bins) = (0.0, 100.0, 100) // w = 1
+    // gA: uniform 1..80; gB: constant 5s — then retract gA's top half
+    val boot = ((1 to 80).map(v => ("gA", v.toDouble)) ++
+      (1 to 10).map(_ => ("gB", 5.0))).toDF("g", "v")
+    assert(IncrementalAgg.mergeCdcQuantile(boot, boot.limit(0), sink,
+      Seq("g"), "v", lo, hi, bins, 0L))
+    def q50(g: String): (Long, Double) = {
+      val r = IncrementalAgg.readQuantile(spark, sink, Seq("g"),
+        0.5, lo, hi, bins).filter(col("g") === g).head()
+      (r.getLong(1), r.getDouble(2))
+    }
+    val (n0, e0) = q50("gA")
+    assert(n0 == 80L && math.abs(e0 - 40.0) <= 1.0, s"gA p50: $e0")
+    val (nb, eb) = q50("gB")
+    assert(nb == 10L && math.abs(eb - 5.0) <= 1.0, s"gB p50: $eb")
+    // retract 41..80: the median must MOVE DOWN to ~20 — the exact
+    // retraction a deletion-less sketch cannot perform
+    val minus = (41 to 80).map(v => ("gA", v.toDouble)).toDF("g", "v")
+    assert(IncrementalAgg.mergeCdcQuantile(minus.limit(0), minus, sink,
+      Seq("g"), "v", lo, hi, bins, 1L))
+    val (n1, e1) = q50("gA")
+    assert(n1 == 40L && math.abs(e1 - 20.0) <= 1.0, s"post-retract: $e1")
+    // replay shield: batch 1 again is a no-op
+    assert(!IncrementalAgg.mergeCdcQuantile(minus.limit(0), minus, sink,
+      Seq("g"), "v", lo, hi, bins, 1L))
+    // out-of-domain values clamp into edge bins (count right, rank
+    // right at the probed quantile), and NULLs are ignored
+    val odd = Seq(("gC", Some(-50.0)), ("gC", Some(1.0)),
+      ("gC", Some(2.0)), ("gC", Some(500.0)),
+      ("gC", Option.empty[Double])).toDF("g", "v")
+    assert(IncrementalAgg.mergeCdcQuantile(odd, odd.limit(0), sink,
+      Seq("g"), "v", lo, hi, bins, 2L))
+    val (nc, ec) = q50("gC")
+    assert(nc == 4L, s"null not ignored: $nc")
+    assert(math.abs(ec - 1.5) <= 1.0, s"clamped median drifted: $ec")
+    // a group fully retracted leaves the state
+    assert(IncrementalAgg.mergeCdcQuantile(odd.limit(0),
+      (1 to 10).map(_ => ("gB", 5.0)).toDF("g", "v"), sink,
+      Seq("g"), "v", lo, hi, bins, 3L))
+    assert(IncrementalAgg.readQuantile(spark, sink, Seq("g"),
+      0.5, lo, hi, bins).filter(col("g") === "gB").count() == 0)
+    // state boundedness: gA occupies ≤ 40 buckets of its 100-domain
+    assert(IncrementalAgg.readState(spark, sink)
+      .filter(col("g") === "gA").count() <= 40L)
+  }
+
+  test("syncQuantile: the histogram self-syncs off the manifest-diff " +
+      "feed by table version, including a copy-on-write merge window") {
+    val tableSink = tmp()
+    val stateSink = tmp()
+    val (lo, hi, bins) = (0.0, 1000.0, 1000)
+    AtomicIncrement.appendIncrementAtomic(
+      (1L to 100L).map(k => (k, "g", k.toDouble)).toDF("k", "g", "v"),
+      tableSink, "k")
+    assert(IncrementalAgg.syncQuantile(spark, tableSink, stateSink,
+      Seq("g"), "v", lo, hi, bins) == 1L)
+    def med(): Double = IncrementalAgg.readQuantile(spark, stateSink,
+      Seq("g"), 0.5, lo, hi, bins).head().getDouble(2)
+    assert(math.abs(med() - 50.0) <= 2.0, s"bootstrap median: ${med()}")
+    // CoW merge: delete the top half — the feed's minus side must
+    // retract those buckets through the telescoped fold
+    AtomicIncrement.mergeAtomic(
+      (51L to 100L).map(k => (k, "g", k.toDouble, true))
+        .toDF("k", "g", "v", "del"), tableSink, "k", "del")
+    assert(IncrementalAgg.syncQuantile(spark, tableSink, stateSink,
+      Seq("g"), "v", lo, hi, bins) == 1L)
+    assert(math.abs(med() - 25.0) <= 2.0, s"post-merge median: ${med()}")
+    // idempotent: nothing new → zero versions folded
+    assert(IncrementalAgg.syncQuantile(spark, tableSink, stateSink,
+      Seq("g"), "v", lo, hi, bins) == 0L)
   }
 }
