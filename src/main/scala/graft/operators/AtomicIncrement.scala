@@ -151,7 +151,7 @@ object AtomicIncrement {
     * anything else falls through to may-contain like any unusable
     * stats group.
     */
-  private[operators] val NullTag = "null"
+  private[graft] val NullTag = "null"
 
   /** Reserved manifest LINE (round 14): the first line of every new
     * manifest is `__graft_commit\t__graft_ts\tlong\t<ms>\t<ms>` — the
@@ -435,7 +435,14 @@ object AtomicIncrement {
     * Throws when every retained version is later than `tsMillis`.
     */
   def readVersionAsOf(spark: SparkSession, sink: String,
-      tsMillis: Long): DataFrame = {
+      tsMillis: Long): DataFrame =
+    readVersion(spark, sink, versionAsOf(spark, sink, tsMillis))
+
+  /** The version [[readVersionAsOf]] resolves for `tsMillis` — shared
+    * with the `graft-atomic` DataSource's `timestampAsOf` option.
+    */
+  private[graft] def versionAsOf(spark: SparkSession, sink: String,
+      tsMillis: Long): Long = {
     val fs = fsOf(spark, sink)
     val dir = new Path(sink, ManifestDir)
     require(fs.exists(dir), s"no committed snapshot at $sink")
@@ -451,7 +458,7 @@ object AtomicIncrement {
     require(eligible.nonEmpty,
       s"no manifest version at or before $tsMillis at $sink " +
         "(expired, or the table is younger)")
-    readVersion(spark, sink, eligible.last._1)
+    eligible.last._1
   }
 
   /** The commit wall-clock of one manifest: the embedded stamp when
@@ -560,11 +567,94 @@ object AtomicIncrement {
   def dropTag(spark: SparkSession, sink: String, name: String): Boolean =
     fsOf(spark, sink).delete(refPath(sink, name), false)
 
+  /** DESCRIBE DETAIL for the sink (round 14): one row of operational
+    * truth — `version`, `files` (data), `dv_files` (standing delete
+    * vectors), `bytes` (live data size), `rows` (exact, from the
+    * manifest row counts; NULL when any line predates them or dvs
+    * stand — [[statsAggregate]]'s contract), `tags`, and the latest
+    * commit's wall-clock. Everything but `bytes` is manifest-only;
+    * `bytes` fans one status call per live file. The face an operator
+    * (or a scheduler deciding whether to OPTIMIZE) reads instead of
+    * spelunking `_graft_manifest` by hand.
+    */
+  def describeSink(spark: SparkSession, sink: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fs = fsOf(spark, sink)
+    val (version, dataE, dvE) = snapshotSplit(spark, sink)
+    val bytes = inParallel(dataE ++ dvE) { e =>
+      try fs.getFileStatus(new Path(s"$sink/${e.path}")).getLen
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+    val rows: Any =
+      if (dvE.nonEmpty) null
+      else {
+        val counts = dataE.map(
+          _.statsFor(RowsCol).flatMap(_.min.toLongOption))
+        if (counts.contains(None)) null else counts.flatten.sum
+      }
+    val committedAt: Any = latestManifest(fs, sink).map { case (_, mf) =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(
+        commitTimeOf(fs, mf, fs.getFileStatus(mf).getModificationTime)
+          * 1000L)
+    }.orNull
+    val tagList = tags(spark, sink).toSeq.sortBy(_._1)
+      .map { case (n, v) => s"$n@$v" }
+    val schemaOut = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("files", IntegerType, nullable = false),
+      StructField("dv_files", IntegerType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("rows", LongType),
+      StructField("tags", ArrayType(StringType), nullable = false),
+      StructField("committed_at", TimestampType)))
+    spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(version, dataE.size, dvE.size, bytes,
+        rows, tagList, committedAt)), schemaOut)
+  }
+
+  /** DESCRIBE HISTORY for the sink (round 14): one row per retained
+    * manifest version — `version`, `committed_at` (the embedded
+    * commit stamp, mtime for pre-stamp manifests, monotone-adjusted
+    * exactly like [[readVersionAsOf]]'s mapping so the listed times
+    * are the ones time travel resolves against), `files`, `dv_files`.
+    * Pure metadata: one small manifest read per retained version
+    * ([[expireManifests]] bounds the count). Expired versions are
+    * simply absent — the explicit retention horizon, visible.
+    */
+  def history(spark: SparkSession, sink: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fs = fsOf(spark, sink)
+    val dir = new Path(sink, ManifestDir)
+    val versions =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq
+        .flatMap(st => st.getPath.getName.toLongOption
+          .map(v => (v, st.getPath, st.getModificationTime)))
+        .sortBy(_._1)
+    val rows = inParallel(versions) { case (v, p, mtime) =>
+      val (dv, data) = entriesAtVersion(fs, sink, v).partition(isDv)
+      (v, commitTimeOf(fs, p, mtime), data.size, dv.size)
+    }
+    val adjusted = rows.scanLeft((0L, Long.MinValue, 0, 0)) {
+      case ((_, prev, _, _), (v, t, d, k)) =>
+        (v, math.max(prev, t), d, k) }.drop(1)
+    val schemaOut = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("files", IntegerType, nullable = false),
+      StructField("dv_files", IntegerType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(
+      adjusted.map { case (v, t, d, k) =>
+        org.apache.spark.sql.Row(v,
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .toJavaTimestamp(t * 1000L), d, k) }: _*), schemaOut)
+  }
+
   /** The exact manifest lines `version` committed. Version 0 is the
     * empty pre-first-commit snapshot (no manifest file exists for it,
     * by construction).
     */
-  private def entriesAtVersion(fs: FileSystem, sink: String,
+  private[graft] def entriesAtVersion(fs: FileSystem, sink: String,
       version: Long): Seq[ManifestEntry] = {
     if (version == 0L) return Nil
     val mf = new Path(new Path(sink, ManifestDir), f"$version%020d")
@@ -1692,7 +1782,20 @@ object AtomicIncrement {
     val churnDf = broadcast(churn.toDf(spark, keyCol))
     val survivors = oldTouched.join(churnDf, Seq(keyCol), "left_anti")
     val upserts = changes.filter(!col(deleteCol)).drop(deleteCol)
-    val merged = survivors.unionByName(upserts, allowMissingColumns = true)
+    val merged0 = survivors.unionByName(upserts, allowMissingColumns = true)
+    // CLUSTER-PRESERVING rewrite (round 14): the staged files
+    // range-partition on the merge key, so each rewrite leaves tight
+    // disjoint key intervals behind instead of interleaving survivors
+    // with upserts across write partitions — without this every merge
+    // WIDENED the touched region's intervals (an un-shaped union
+    // writes one file per input split — a one-file rewrite fanned
+    // into one staged file per upsert partition, each spanning the
+    // whole churn range), and after enough batches the next merge's
+    // prune decayed toward rewrite-everything until an OPTIMIZE
+    // repaired it. The shuffle is churn-locality-sized.
+    val merged = merged0
+      .repartitionByRange(math.max(1, touched.size), col(keyCol))
+      .sortWithinPartitions(keyCol)
     // rewritten files re-record the merge key AND every column the
     // prior manifest fully covers (so the watermark shortcut and any
     // other pruning survive the merge)

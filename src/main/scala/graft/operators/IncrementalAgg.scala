@@ -1334,6 +1334,120 @@ object IncrementalAgg {
     // a distinct count derived from anything but the pair rows all
     // hash-mismatch; `synced` pins the version arithmetic (3 folded,
     // 2 in one pull, then the idempotent 0).
+    // The SQL FACE under the oracle gate (round 14): the sink mounts
+    // as a `graft-atomic` TEMPORARY VIEW and a plain SQL
+    // aggregate-with-WHERE runs against it — the WHERE must prune
+    // files through the manifest stats (`pruned` pins kept <
+    // committed via the scan probe) while the answer matches the
+    // oracle's raw-table SQL exactly. A pruning verdict that drops a
+    // live file, a dv leak, or a filter translated wrong all
+    // hash-mismatch.
+    "q_sql_pushdown" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_sqlview") { sink =>
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val mx = o.agg(max("o_orderkey")).head().getLong(0)
+        var lo = Long.MinValue
+        for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {
+          AtomicIncrement.appendIncrementAtomic(
+            o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+            sink, "o_orderkey", Seq("o_totalprice", "o_orderstatus"))
+          lo = hi
+        }
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_sql_orders
+          USING `graft-atomic` OPTIONS (path '$sink')""")
+        val cut = 2 * mx / 3
+        val out = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM graft_sql_orders
+             |WHERE o_orderkey > $cut
+             |GROUP BY o_orderstatus""".stripMargin)
+        val rows = out.collect()
+        val (kept, committed) = graft.sources.GraftAtomicRelation
+          .lastScan.get()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          .withColumn("pruned", lit(kept < committed))
+          .orderBy("o_orderstatus")
+      },
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total, TRUE AS pruned
+        |FROM orders
+        |WHERE o_orderkey > (SELECT (2 * max(o_orderkey)) // 3
+        |                    FROM orders)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
+    // DESCRIBE HISTORY under the oracle gate (round 14): three
+    // single-file appends then a churn-CONFINED copy-on-write merge —
+    // the listed history must show versions 1..4 with file counts
+    // 1,2,3,3 (the merge rewrites exactly the one touched file and
+    // stages exactly one back — the cluster-preserving rewrite's
+    // count) and zero dv lines throughout. A merge that stopped
+    // pruning (files jump), a rewrite that fans out per input split,
+    // or a version-arithmetic slip all hash-mismatch against the
+    // literal expectation.
+    "q_history" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_hist") { sink =>
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val mx = o.agg(max("o_orderkey")).head().getLong(0)
+        var lo = Long.MinValue
+        for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {
+          AtomicIncrement.appendIncrementAtomic(
+            o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+              .repartition(1), sink, "o_orderkey")
+          lo = hi
+        }
+        AtomicIncrement.mergeAtomic(
+          o.filter(col("o_orderkey") <= mx / 3 &&
+            col("o_orderkey") % 10 === 0)
+            .withColumn("o_orderstatus", lit("X"))
+            .withColumn("del", lit(false)),
+          sink, "o_orderkey", "del")
+        AtomicIncrement.history(s, sink)
+          .select(col("version"), col("files"), col("dv_files"))
+          .orderBy("version")
+      },
+      """SELECT CAST(version AS BIGINT) AS version,
+        |  CAST(files AS INT) AS files, CAST(dv_files AS INT) AS dv_files
+        |FROM (VALUES (1, 1, 0), (2, 2, 0), (3, 3, 0), (4, 3, 0))
+        |  t(version, files, dv_files)
+        |ORDER BY version""".stripMargin),
+
+    // SQL WRITE path under the oracle gate (round 14): half of orders
+    // seeds the sink through the writer API, the other half arrives
+    // via SQL `INSERT INTO` a graft-atomic view, and a FULL REPLAY
+    // insert follows — the watermark contract must filter it to zero
+    // rows through the SQL face too (a leak doubles every count and
+    // hash-mismatches). The final aggregate must equal the oracle's
+    // raw-table SQL exactly.
+    "q_sql_insert" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_sqlins") { sink =>
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val mx = o.agg(max("o_orderkey")).head().getLong(0)
+        val cut = mx / 2
+        o.filter(col("o_orderkey") <= cut).write
+          .format("graft-atomic").option("watermarkCol", "o_orderkey")
+          .mode("append").save(sink)
+        o.createOrReplaceTempView("graft_sqlins_src")
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_sqlins_t
+          USING `graft-atomic`
+          OPTIONS (path '$sink', watermarkCol 'o_orderkey')""")
+        s.sql(s"""INSERT INTO graft_sqlins_t
+          SELECT * FROM graft_sqlins_src WHERE o_orderkey > $cut""")
+        s.sql("INSERT INTO graft_sqlins_t SELECT * FROM graft_sqlins_src")
+        s.sql("""SELECT o_orderstatus, count(*) AS n,
+          round(sum(o_totalprice), 2) AS total
+          FROM graft_sqlins_t GROUP BY o_orderstatus
+          ORDER BY o_orderstatus""")
+      },
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
     // WRITE-AUDIT-PUBLISH under the oracle gate (round 14): the first
     // half of lineitem lands through a passing audit, a POISONED
     // second half (negated quantities) is REJECTED at the staging

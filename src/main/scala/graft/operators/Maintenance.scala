@@ -48,7 +48,7 @@ object Maintenance {
   final case class Report(filesBefore: Int, filesAfter: Int,
       rewrote: Boolean, sidecarsBuilt: Int, supersededRemoved: Int,
       orphanDirsRemoved: Int, dvFoldedFiles: Int = 0,
-      smallCompacted: Int = 0)
+      smallCompacted: Int = 0, tokenSidecarsBuilt: Int = 0)
 
   /** One maintenance target: an atomic sink plus its layout policy.
     * `triggerFiles` is the fragmentation trigger: the OPTIMIZE rewrite
@@ -67,7 +67,8 @@ object Maintenance {
       foldDvs: Boolean = true,
       keepVersions: Int = 0,
       vacuumMinAgeMs: Long = 0L,
-      smallFileBytes: Long = 0L)
+      smallFileBytes: Long = 0L,
+      tokenBloomCols: Seq[String] = Nil)
 
   /** One full pass over one sink. OCC applies to the compaction like
     * any snapshot replace: if a live writer commits concurrently the
@@ -118,6 +119,11 @@ object Maintenance {
         AtomicIncrement.compact(spark, target.sink, target.targetFiles)
     val built = target.bloomCols.map(c =>
       BloomSkip.ensureSidecars(spark, target.sink, c)).sum
+    // text-search coverage rides the same lifecycle (round 14): a
+    // rewrite leaves its new files token-sidecar-less (may-contain —
+    // correct but unpruned), and this is the pass that re-covers them
+    val tokenBuilt = target.tokenBloomCols.map(c =>
+      BloomSkip.ensureTokenSidecars(spark, target.sink, c)).sum
     // manifest retention: keepVersions = 0 (default) keeps every
     // version — unbounded time travel, O(commits) manifest listings
     // per snapshot read; a bounded policy is the 10⁵-commit table's
@@ -130,7 +136,7 @@ object Maintenance {
     val orphans = AtomicIncrement.vacuumUncommitted(spark, target.sink,
       target.vacuumMinAgeMs)
     Report(before, after, rewrite, built, superseded, orphans,
-      dvFolded._1, smallPacked._1)
+      dvFolded._1, smallPacked._1, tokenBuilt)
   }
 
   def defs: Map[String, QueryDef] = Map(

@@ -1374,6 +1374,38 @@ class AtomicIncrementSpec extends SparkSpec {
       AtomicIncrement.readTag(spark, sink, "q3-train"))
   }
 
+  test("cluster-preserving merge rewrite (round 14): a spread churn " +
+      "leaves tight disjoint key intervals behind, so the NEXT " +
+      "confined merge still prunes instead of rewriting everything") {
+    val sink = tmp()
+    for (r <- Seq(1L to 100L, 101L to 200L, 201L to 300L))
+      AtomicIncrement.appendIncrementAtomic(
+        r.map(k => (k, s"v$k")).toDF("k", "v").repartition(1), sink, "k")
+    // spread churn: every file's interval contains some churned key
+    val spread = (1L to 300L by 30L).map(k => (k, s"u$k", false))
+      .toDF("k", "v", "del")
+    val m1 = AtomicIncrement.mergeAtomic(spread, sink, "k", "del")
+    assert(m1.rewritten == 3, s"spread churn must touch all files: $m1")
+    // the rewrite range-partitioned on k: staged intervals are
+    // pairwise disjoint, so a confined second churn prunes again
+    val (_, entries) = AtomicIncrement.snapshotEntries(spark, sink)
+    val ivs = entries.flatMap(_.statsFor("k"))
+      .map(s => (s.min.toLong, s.max.toLong)).sortBy(_._1)
+    assert(ivs.size == m1.staged && ivs.sliding(2).forall {
+      case Seq((_, aMax), (bMin, _)) => aMax < bMin
+      case _ => true
+    }, s"rewritten intervals overlap: $ivs")
+    val confined = Seq((5L, "w5", false)).toDF("k", "v", "del")
+    val m2 = AtomicIncrement.mergeAtomic(confined, sink, "k", "del")
+    assert(m2.rewritten == 1 && m2.carried == m1.staged - 1,
+      s"confined churn after a spread merge did not prune: $m2")
+    // content stayed exact through both shapes
+    val got = AtomicIncrement.readCommitted(spark, sink)
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(got.size == 300 && got(5L) == "w5" && got(31L) == "u31" &&
+      got(2L) == "v2")
+  }
+
   test("statsAggregate (round 14): metadata-only count/min/max ≡ the " +
       "scan, survives total data-file loss, all-null columns follow " +
       "SQL semantics") {
@@ -1415,6 +1447,43 @@ class AtomicIncrementSpec extends SparkSpec {
       .head()
     assert(severed.getLong(0) == 3L && severed.getLong(2) == 9L &&
       severed.getString(6) == "c", s"severed: $severed")
+  }
+
+  test("describeSink + history (round 14): operational truth from the " +
+      "manifest — versions, counts, standing dvs, tags, and monotone " +
+      "commit times") {
+    val sink = tmp()
+    for (r <- Seq(1L to 10L, 11L to 20L, 21L to 30L))
+      AtomicIncrement.appendIncrementAtomic(
+        r.map(k => (k, s"v$k")).toDF("k", "v").repartition(1), sink, "k")
+    AtomicIncrement.tagVersion(spark, sink, "rel", 2L)
+    AtomicIncrement.mergeOnReadAtomic(
+      Seq((15L, "", true)).toDF("k", "v", "del"), sink, "k", "del")
+    val d = AtomicIncrement.describeSink(spark, sink).head()
+    assert(d.getLong(0) == 4L, s"version: $d")
+    // 3 appended files + the merge's (empty) after-image file
+    assert(d.getInt(1) == 4 && d.getInt(2) == 1, s"files/dvs: $d")
+    assert(d.getLong(3) > 0L, s"bytes: $d")
+    assert(d.isNullAt(4), "rows must be NULL while a dv stands")
+    assert(d.getSeq[String](5) == Seq("rel@2"), s"tags: $d")
+    assert(!d.isNullAt(6), "committed_at missing")
+    // folding the dv restores the exact metadata row count
+    AtomicIncrement.foldDvsTargeted(spark, sink)
+    assert(AtomicIncrement.describeSink(spark, sink).head()
+      .getLong(4) == 29L)
+    val h = AtomicIncrement.history(spark, sink).collect()
+    assert(h.map(_.getLong(0)).toSeq == (1L to 5L),
+      s"history versions: ${h.toSeq}")
+    assert(h.map(_.getTimestamp(1).getTime).toSeq ==
+      h.map(_.getTimestamp(1).getTime).sorted.toSeq,
+      "commit times must list monotone")
+    assert(h.map(_.getInt(3)).toSeq == Seq(0, 0, 0, 1, 0),
+      s"dv-file history wrong: ${h.toSeq}")
+    // retention is visible: expiring trims the listed history
+    AtomicIncrement.dropTag(spark, sink, "rel")
+    AtomicIncrement.expireManifests(spark, sink, 2)
+    assert(AtomicIncrement.history(spark, sink).collect()
+      .map(_.getLong(0)).toSeq == Seq(4L, 5L))
   }
 
   test("statsAggregate falls back to None — never approximates — on " +

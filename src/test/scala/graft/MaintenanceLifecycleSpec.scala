@@ -266,4 +266,33 @@ class MaintenanceLifecycleSpec extends SparkSpec {
         .inputFiles.length < total, s"no pruning on $c after z-order")
     assert(AtomicIncrement.readCommitted(spark, sink).count() == n0)
   }
+
+  test("token-sidecar lifecycle (round 14): the maintenance pass " +
+      "re-covers text-search filters after a rewrite, and the grep " +
+      "prunes again immediately") {
+    import graft.operators.BloomSkip
+    val sink = tmp("toklife")
+    for (r <- Seq(Seq((1L, "alpha common"), (2L, "common only")),
+        Seq((11L, "bravo common")), Seq((21L, "common again"))))
+      AtomicIncrement.appendIncrementAtomic(
+        r.toDF("k", "txt").repartition(1), sink, "k")
+    val target = Maintenance.Target(sink, clusterCols = Seq("k"),
+      targetFiles = 2, tokenBloomCols = Seq("txt"))
+    // first pass: rewrite (3 files > 2 target) + fresh token cover
+    val r1 = Maintenance.maintainAtomic(spark, target)
+    assert(r1.rewrote && r1.tokenSidecarsBuilt ==
+      AtomicIncrement.committedFiles(spark, sink).size,
+      s"rewrite must leave every new file to re-cover: $r1")
+    val narrowed = BloomSkip.readContainingTokens(spark, sink, "txt",
+      Seq("bravo"))
+    assert(narrowed.inputFiles.length <
+      AtomicIncrement.committedFiles(spark, sink).size,
+      "token pruning did not re-engage after the rewrite")
+    assert(narrowed.filter(col("txt").contains("bravo"))
+      .select("k").as[Long].collect().toSeq == Seq(11L))
+    // healthy second pass: nothing to rebuild
+    val r2 = Maintenance.maintainAtomic(spark, target.copy(
+      triggerFiles = 100))
+    assert(!r2.rewrote && r2.tokenSidecarsBuilt == 0, s"$r2")
+  }
 }
