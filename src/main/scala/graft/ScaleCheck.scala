@@ -883,7 +883,11 @@ object MetaScaleCheck {
         val (t, narrowed) = timed(
           BloomSkip.readContainingTokens(spark, sink, "text",
             Seq("xyzzy")))
-        require(narrowed.inputFiles.length == 1,
+        // the needle file plus a small Bloom false-positive margin
+        // (~1% per distinct filter at 10 bits/token — an exact ==1
+        // would fail deterministically on an unlucky corpus)
+        require(narrowed.inputFiles.length >= 1 &&
+            narrowed.inputFiles.length <= 3,
           s"needle probe opened ${narrowed.inputFiles.length} files")
         cells(("grepprobe", label)) ::= t
       }

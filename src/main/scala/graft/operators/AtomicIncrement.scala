@@ -502,8 +502,12 @@ object AtomicIncrement {
     */
   def tagVersion(spark: SparkSession, sink: String, name: String,
       version: Long, replace: Boolean = false): Unit = {
-    require(name.matches("[A-Za-z0-9._-]+"),
-      s"tag name must be path-safe ([A-Za-z0-9._-]+): '$name'")
+    // leading dot forbidden: '.'-prefixed ref files are this layout's
+    // invisible temp namespace — a dot-named tag would resolve in
+    // readTag but pin NOTHING against expiry/vacuum (tags() skips
+    // dotfiles), silently breaking the pin contract
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"tag name must be path-safe and not start with '.': '$name'")
     val fs = fsOf(spark, sink)
     require(fs.exists(new Path(new Path(sink, ManifestDir),
         f"$version%020d")),
@@ -513,15 +517,35 @@ object AtomicIncrement {
       s"tag '$name' already exists at $sink — tags are immutable; " +
         "pass replace = true to move it deliberately")
     fs.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent,
-      s".$name.${java.util.UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
-    if (replace) fs.delete(p, false)
-    if (!fs.rename(tmp, p)) {
-      fs.delete(tmp, false)
-      throw new java.util.ConcurrentModificationException(
-        s"tag '$name' appeared concurrently at $sink")
+    def writeRef(target: Path): Unit = {
+      val tmp = new Path(p.getParent,
+        s".$name.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(version.toString.getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"tag '${target.getName}' appeared concurrently at $sink")
+      }
+    }
+    if (!replace) writeRef(p)
+    else {
+      // NO unpinned window on replace: a visible BRIDGE ref pins the
+      // new version BEFORE the old name drops, so a maintenance pass
+      // racing the move always sees at least one standing pin for
+      // what the caller wants kept (the old version's pin releases at
+      // the delete — that IS replace's semantics). A crash between
+      // the steps leaves the bridge standing: harmless (a pin),
+      // visible in tags(), reclaimed by dropTag.
+      val bridge = s"$name.moving-${java.util.UUID.randomUUID()}"
+      writeRef(refPath(sink, bridge))
+      fs.delete(p, false)
+      if (!fs.rename(refPath(sink, bridge), p)) {
+        fs.delete(refPath(sink, bridge), false)
+        throw new java.util.ConcurrentModificationException(
+          s"tag '$name' moved concurrently at $sink")
+      }
     }
   }
 
@@ -585,13 +609,7 @@ object AtomicIncrement {
       try fs.getFileStatus(new Path(s"$sink/${e.path}")).getLen
       catch { case _: java.io.IOException => 0L }
     }.sum
-    val rows: Any =
-      if (dvE.nonEmpty) null
-      else {
-        val counts = dataE.map(
-          _.statsFor(RowsCol).flatMap(_.min.toLongOption))
-        if (counts.contains(None)) null else counts.flatten.sum
-      }
+    val rows: Any = metadataRowCount(dataE, dvE).orNull
     val committedAt: Any = latestManifest(fs, sink).map { case (_, mf) =>
       org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(
         commitTimeOf(fs, mf, fs.getFileStatus(mf).getModificationTime)
@@ -631,9 +649,19 @@ object AtomicIncrement {
         .flatMap(st => st.getPath.getName.toLongOption
           .map(v => (v, st.getPath, st.getModificationTime)))
         .sortBy(_._1)
+    // ONE read per manifest serves both the commit stamp and the
+    // entry counts (a per-field re-open would double the metadata
+    // listing cost the scaladoc prices at one small read per version)
     val rows = inParallel(versions) { case (v, p, mtime) =>
-      val (dv, data) = entriesAtVersion(fs, sink, v).partition(isDv)
-      (v, commitTimeOf(fs, p, mtime), data.size, dv.size)
+      val in = fs.open(p)
+      val parsed = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).map(parseLine).toList
+        finally in.close()
+      val (meta, entries) = parsed.partition(_.path == CommitMetaPath)
+      val t = meta.headOption.flatMap(_.statsFor(TsCol))
+        .flatMap(_.min.toLongOption).getOrElse(mtime)
+      val (dv, data) = entries.partition(isDv)
+      (v, t, data.size, dv.size)
     }
     val adjusted = rows.scanLeft((0L, Long.MinValue, 0, 0)) {
       case ((_, prev, _, _), (v, t, d, k)) =>
@@ -940,8 +968,15 @@ object AtomicIncrement {
       column: String, dt: org.apache.spark.sql.types.DataType)
       : Option[org.apache.spark.sql.Column] = {
     val expectTag = tagOf(dt).getOrElse(return None)
+    // NullTag lines (provably zero non-null values — e.g. the empty
+    // after-image file a pure-delete merge-on-read stages) contribute
+    // nothing to the max and must not disable the shortcut: before
+    // round 14's continuation ONE such line pushed every subsequent
+    // append to the O(files) footer sweep until a compaction
     val stats = entries.map(_.statsFor(column))
-    if (stats.exists(s => !s.exists(_.tag == expectTag))) None
+      .filterNot(_.exists(_.tag == NullTag))
+    if (stats.isEmpty || stats.exists(s => !s.exists(_.tag == expectTag)))
+      None
     else try expectTag match {
       // string max decodes from the byte-ordered bounds — exact for
       // the files this sink staged (Spark writes untruncated binary
@@ -995,11 +1030,16 @@ object AtomicIncrement {
       statsFields: Seq[org.apache.spark.sql.types.StructField])
       : Seq[ManifestEntry] =
     stageBatch(fresh, spark, fs, sink).map { rel =>
+      // ONE footer open per staged file serves every column's stats
+      // AND the row count (the per-column shape paid N+1 opens per
+      // file — on object storage each open is a round trip)
+      val (byCol, rowCount) = Incremental.footerStatsOfFileAll(spark,
+        new Path(s"$sink/$rel"),
+        statsFields.filter(f => tagOf(f.dataType).nonEmpty))
       val stats = statsFields.flatMap { f =>
         for {
           tag <- tagOf(f.dataType)
-          st <- Incremental.footerStatsOfFile(spark,
-            new Path(s"$sink/$rel"), f.name, f.dataType)
+          st <- byCol.get(f.name)
           fc <- st match {
             case Incremental.LongStats(mn, mx) =>
               Some(FileColumnStats(f.name, tag, mn.toString, mx.toString))
@@ -1019,8 +1059,7 @@ object AtomicIncrement {
       // the exact row count rides every staged line (see [[RowsCol]]);
       // an unreadable footer stages without it — the metadata count
       // degrades to the scan, never to a wrong number
-      val rows = Incremental.footerRowCountOfFile(spark,
-          new Path(s"$sink/$rel")).map(n =>
+      val rows = rowCount.map(n =>
         FileColumnStats(RowsCol, "long", n.toString, n.toString))
       ManifestEntry(rel, stats ++ rows)
     }
@@ -1134,14 +1173,25 @@ object AtomicIncrement {
     * (parquet-mr OMITS over-long binary bounds rather than truncating,
     * which lands the no-stats line and routes to None).
     */
+  /** The EXACT committed row count from metadata alone: Σ of the
+    * lines' [[RowsCol]] groups — None under standing dvs (masked
+    * counts are unknowable) or any pre-stamp line. The single source
+    * of truth for [[statsAggregate]]'s `cnt` and [[describeSink]]'s
+    * `rows`.
+    */
+  private def metadataRowCount(dataE: Seq[ManifestEntry],
+      dvE: Seq[ManifestEntry]): Option[Long] = {
+    if (dataE.isEmpty || dvE.nonEmpty) return None
+    val counts = dataE.map(_.statsFor(RowsCol).flatMap(_.min.toLongOption))
+    if (counts.contains(None)) None else Some(counts.flatten.sum)
+  }
+
   def statsAggregate(spark: SparkSession, sink: String,
       minMaxCols: Seq[String] = Nil): Option[DataFrame] = {
     import org.apache.spark.sql.types._
     val (version, dataE, dvE) = snapshotSplit(spark, sink)
-    if (version == 0L || dataE.isEmpty || dvE.nonEmpty) return None
-    val counts = dataE.map(_.statsFor(RowsCol).flatMap(_.min.toLongOption))
-    if (counts.contains(None)) return None
-    val cnt = counts.flatten.sum
+    if (version == 0L) return None
+    val cnt = metadataRowCount(dataE, dvE).getOrElse(return None)
     val dec = java.util.Base64.getDecoder
     val colVals: Seq[Option[(DataType, Any, Any)]] = minMaxCols.map { c =>
       val groups = dataE.map(_.statsFor(c))
@@ -1792,9 +1842,17 @@ object AtomicIncrement {
     // into one staged file per upsert partition, each spanning the
     // whole churn range), and after enough batches the next merge's
     // prune decayed toward rewrite-everything until an OPTIMIZE
-    // repaired it. The shuffle is churn-locality-sized.
+    // repaired it. The shuffle is churn-locality-sized. Output file
+    // count: at least the touched files (layout-stable), and for a
+    // BULK batch (insert-heavy loads where touched is 0 or 1 but the
+    // churn is millions of keys) enough partitions that one task
+    // never serializes the whole write — the churn size is already
+    // exact on the driver, so the sizing costs nothing.
+    val rowsPerStagedFile = 2000000L
+    val nOut = math.max(math.max(1, touched.size),
+      ((churn.size + rowsPerStagedFile - 1) / rowsPerStagedFile).toInt)
     val merged = merged0
-      .repartitionByRange(math.max(1, touched.size), col(keyCol))
+      .repartitionByRange(nOut, col(keyCol))
       .sortWithinPartitions(keyCol)
     // rewritten files re-record the merge key AND every column the
     // prior manifest fully covers (so the watermark shortcut and any

@@ -57,6 +57,32 @@ object BloomSkip {
     */
   private def tokenTag(column: String): String = s"tok-$column"
 
+  /** LOUD guard for the one name the two sidecar namespaces can
+    * share: the VALUE sidecar of a column literally named `tok-<c>`
+    * is the TOKEN sidecar of column `<c>`. If both exist on one
+    * table, whichever filter builds second is skipped by the
+    * missing-only coverage check and probes then test the WRONG hash
+    * domain — a near-certain reject, i.e. a FALSE NEGATIVE that
+    * silently loses rows from the composed read. Refusing the
+    * ambiguous setup up front keeps "pruned ∘ filter ≡ scan ∘ filter"
+    * unconditional; rename the column (or skip one index kind) to
+    * proceed.
+    */
+  private def requireNoTagCollision(schemaCols: Seq[String],
+      column: String, token: Boolean): Unit = {
+    val lower = schemaCols.map(_.toLowerCase)
+    if (token)
+      require(!lower.contains(s"tok-$column".toLowerCase),
+        s"token sidecars for '$column' would collide with value " +
+          s"sidecars of the column literally named 'tok-$column' — " +
+          "refusing the ambiguous namespace")
+    else if (column.toLowerCase.startsWith("tok-"))
+      require(!lower.contains(column.toLowerCase.stripPrefix("tok-")),
+        s"value sidecars for '$column' would collide with TOKEN " +
+          s"sidecars of column '${column.stripPrefix("tok-")}' — " +
+          "refusing the ambiguous namespace")
+  }
+
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -183,7 +209,10 @@ object BloomSkip {
     // literal probe in pointLookup/readContainingTokens); an evolved
     // file missing the column contributes one null-hash bit — a
     // may-contain nit, never a false negative
-    val field = AtomicIncrement.readCommitted(spark, sink).schema.fields
+    val snapSchema = AtomicIncrement.readCommitted(spark, sink).schema
+    requireNoTagCollision(snapSchema.fieldNames.toIndexedSeq, column,
+      token = tag != column)
+    val field = snapSchema.fields
       .find(_.name.equalsIgnoreCase(column))
       .getOrElse(throw new IllegalArgumentException(
         s"bloom column '$column' not in the committed schema"))
@@ -264,6 +293,9 @@ object BloomSkip {
       value: org.apache.spark.sql.Column): DataFrame = {
     val (_, entries, dvE) = AtomicIncrement.snapshotSplit(spark, sink)
     require(entries.nonEmpty, s"no committed snapshot at $sink")
+    requireNoTagCollision(
+      AtomicIncrement.dataSchema(spark, sink, entries).fieldNames
+        .toIndexedSeq, column, token = false)
     // the literal's hash, computed by the same engine expression the
     // build used — one driver-local 1-row job, no replication risk
     val h = spark.range(1).select(xxhash64(value)).head().getLong(0)
@@ -329,6 +361,9 @@ object BloomSkip {
         "(lowercase alphanumeric, no separators)"))
     val (_, entries, dvE) = AtomicIncrement.snapshotSplit(spark, sink)
     require(entries.nonEmpty, s"no committed snapshot at $sink")
+    val schema = AtomicIncrement.dataSchema(spark, sink, entries)
+    requireNoTagCollision(schema.fieldNames.toIndexedSeq, column,
+      token = true)
     // the probes' hashes, computed by the same engine expression the
     // build used — one driver-local |tokens|-row job
     import spark.implicits._
@@ -338,8 +373,7 @@ object BloomSkip {
     val kept = entries.zip(AtomicIncrement.inParallel(entries)(
         e => mayContainAll(spark, sink, e.path, tag, hs)))
       .filter(_._2).map(_._1)
-    AtomicIncrement.readEffective(spark, sink, kept, dvE,
-      Some(AtomicIncrement.dataSchema(spark, sink, entries)))
+    AtomicIncrement.readEffective(spark, sink, kept, dvE, Some(schema))
   }
 
   def defs: Map[String, QueryDef] = Map(

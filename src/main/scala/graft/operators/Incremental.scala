@@ -103,23 +103,45 @@ object Incremental {
   private[graft] final case class BinaryStats(min: Array[Byte],
       max: Array[Byte]) extends FooterStats
 
-  /** EXACT row count of ONE parquet file from its footer (the sum of
-    * the row groups' counts — parquet's block metadata is
-    * authoritative, written by the file's own writer). None on any
-    * read surprise, so a caller stamping counts into a manifest
-    * degrades to no-stamp rather than a wrong number.
+  /** Open ONE parquet footer and evaluate `f` over it — the shared
+    * open/close/fallback seam: None on any read surprise, so every
+    * footer consumer degrades to its scan fallback rather than trust
+    * a partial answer.
     */
-  private[graft] def footerRowCountOfFile(spark: SparkSession,
-      file: org.apache.hadoop.fs.Path): Option[Long] = {
+  private def withFooter[A](spark: SparkSession,
+      file: org.apache.hadoop.fs.Path)(
+      f: org.apache.parquet.hadoop.metadata.ParquetMetadata => A)
+      : Option[A] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    import scala.jdk.CollectionConverters._
     try {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
         file, spark.sparkContext.hadoopConfiguration))
-      try Some(reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
-      finally reader.close()
+      try Some(f(reader.getFooter)) finally reader.close()
     } catch { case _: Exception => None }
+  }
+
+  /** Per-column stats AND the exact row count of ONE file from a
+    * SINGLE footer open — what [[graft.operators.AtomicIncrement]]'s
+    * stage path uses (the one-open-per-column shape paid N+1 footer
+    * round trips per staged file; on object storage each open is a
+    * round trip, so a 200-file × 5-column stage was 1200 serial
+    * opens). A column the footer can't answer exactly is simply
+    * absent from the map; a failed open returns (empty, None).
+    */
+  private[graft] def footerStatsOfFileAll(spark: SparkSession,
+      file: org.apache.hadoop.fs.Path, fields: Seq[StructField])
+      : (Map[String, FooterStats], Option[Long]) = {
+    import scala.jdk.CollectionConverters._
+    withFooter(spark, file) { footer =>
+      (fields.flatMap(f =>
+          columnStatsOf(footer, f.name, f.dataType).map(f.name -> _))
+        .toMap,
+        footer.getBlocks.asScala.map(_.getRowCount).sum)
+    } match {
+      case Some((stats, rows)) => (stats, Some(rows))
+      case None => (Map.empty, None)
+    }
   }
 
   /** (min, max) of `column` in ONE parquet file, from footer metadata
@@ -130,9 +152,12 @@ object Incremental {
     */
   private[graft] def footerStatsOfFile(spark: SparkSession,
       file: org.apache.hadoop.fs.Path, column: String,
-      dt: DataType): Option[FooterStats] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
+      dt: DataType): Option[FooterStats] =
+    withFooter(spark, file)(columnStatsOf(_, column, dt)).flatten
+
+  private def columnStatsOf(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      column: String, dt: DataType): Option[FooterStats] = {
     import scala.jdk.CollectionConverters._
     val supported = dt match {
       case LongType | IntegerType | ShortType | ByteType |
@@ -141,14 +166,11 @@ object Incremental {
       case _ => false
     }
     if (!supported) return None
-    val conf = spark.sparkContext.hadoopConfiguration
     try {
       var longs: Option[(Long, Long)] = None
       var doubles: Option[(Double, Double)] = None
       var binaries: Option[(Array[Byte], Array[Byte])] = None
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-      try {
-        val footer = reader.getFooter
+      locally {
         // timestamp unit from the column's logical type: stats are in
         // the WRITER's unit (MILLIS under outputTimestampType=
         // TIMESTAMP_MILLIS), and a micros assumption would build a
@@ -212,7 +234,7 @@ object Incremental {
             }
           }
         }
-      } finally reader.close()
+      }
       (longs, doubles, binaries) match {
         case (Some((mn, mx)), None, None) => Some(LongStats(mn, mx))
         case (None, Some((mn, mx)), None) => Some(DoubleStats(mn, mx))

@@ -302,6 +302,33 @@ object IncrementalAgg {
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as(s"distinct_$valueCol"))
 
+  /** Retractable TOP-K / heavy hitters (round 14): the per-group k
+    * most frequent values of `valueCol`, read from the SAME
+    * (group, value)-multiplicity state [[mergeCdcDistinct]] maintains
+    * — no new fold at all, because the pair state is already the
+    * exact frequency table under retraction (each pair row's `__n` is
+    * its value's surviving multiplicity; a retraction decrements; the
+    * pair leaves at zero). The read ranks inside each group by
+    * (count desc, value asc — the deterministic tie-break an oracle
+    * needs) over |state| rows, never data. State cost is the exact
+    * path's min(D, ·) rows per group; for cardinalities past that the
+    * documented sketch trade applies (a count-min twin would bound
+    * state at the price of an error band — the same boundary the
+    * distinct faces draw).
+    */
+  def readTopK(spark: org.apache.spark.sql.SparkSession, sink: String,
+      keys: Seq[String], valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"top-k needs k >= 1: $k")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__n").desc, col(valueCol))
+    readState(spark, sink)
+      .withColumn("__rk", row_number().over(win))
+      .filter(col("__rk") <= k)
+      .select((keys.map(col) :+ col(valueCol) :+
+        col("__n").as("cnt") :+ col("__rk").as("rank")): _*)
+  }
+
   /** APPROXIMATE distinct-count under retraction (round 14) — the
     * deletion-capable SKETCH twin [[mergeCdcDistinct]]'s scaladoc
     * names for cardinalities past the exact path's state boundary:
@@ -1224,6 +1251,46 @@ object IncrementalAgg {
         |  TRUE AS within_5pct
         |FROM resolved GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin),
+
+    // Retractable TOP-K under the oracle gate (round 14): the
+    // (group, value) multiplicity state bootstraps from orders, one
+    // CDC batch retracts every %10==7 order and re-homes %10==3
+    // under a new group, and the per-status top-3 customers BY
+    // SURVIVING ORDER COUNT must match the oracle's window over the
+    // resolved feed — deterministic tie-break (count desc, customer
+    // asc) pinned on both engines. A multiplicity that survives its
+    // retraction re-ranks the tail and hash-mismatches.
+    "q_incr_agg_topk" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_topk") { sink =>
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+        mergeCdcDistinct(o, o.limit(0), sink,
+          Seq("o_orderstatus"), "o_custkey", 0L)
+        val minus = o.filter(col("o_orderkey") % 10 === 7)
+        val plus = o.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("o_orderstatus", lit("X"))
+        mergeCdcDistinct(plus, minus, sink,
+          Seq("o_orderstatus"), "o_custkey", 1L)
+        readTopK(s, sink, Seq("o_orderstatus"), "o_custkey", 3)
+          .orderBy("o_orderstatus", "rank")
+      },
+      """WITH resolved AS (
+        |  SELECT o_orderstatus, o_custkey FROM orders
+        |  WHERE o_orderkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT 'X' AS o_orderstatus, o_custkey FROM orders
+        |  WHERE o_orderkey % 10 = 3),
+        |counted AS (
+        |  SELECT o_orderstatus, o_custkey, count(*) AS cnt
+        |  FROM resolved GROUP BY o_orderstatus, o_custkey),
+        |ranked AS (
+        |  SELECT o_orderstatus, o_custkey, cnt,
+        |    CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY cnt DESC, o_custkey) AS INT) AS rank
+        |  FROM counted)
+        |SELECT o_orderstatus, o_custkey, cnt, rank FROM ranked
+        |WHERE rank <= 3
+        |ORDER BY o_orderstatus, rank""".stripMargin),
 
     // Retractable QUANTILE rollup under the oracle gate (round 14):
     // histogram state bootstraps from the full orders load, then one

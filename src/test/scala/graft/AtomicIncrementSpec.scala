@@ -1360,6 +1360,10 @@ class AtomicIncrementSpec extends SparkSpec {
       AtomicIncrement.tagVersion(spark, sink, "q3-train", v1 + 1))
     intercept[IllegalArgumentException](
       AtomicIncrement.tagVersion(spark, sink, "../escape", v1))
+    // a '.'-prefixed name would resolve in readTag but PIN NOTHING
+    // (tags() skips the temp-file namespace) — refused up front
+    intercept[IllegalArgumentException](
+      AtomicIncrement.tagVersion(spark, sink, ".hidden", v1))
     intercept[IllegalArgumentException](
       AtomicIncrement.tagVersion(spark, sink, "nope", 999L))
     AtomicIncrement.tagVersion(spark, sink, "q3-train",

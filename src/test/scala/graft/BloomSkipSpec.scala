@@ -268,4 +268,25 @@ class BloomSkipSpec extends SparkSpec {
     assert(exact(grep(sink, Seq("delta", "echo")), Seq("delta", "echo"))
       .isEmpty, "a tombstoned document surfaced through the token read")
   }
+
+  test("sidecar namespace collision is REFUSED loudly: a column " +
+      "literally named tok-<c> cannot share filter files with column " +
+      "<c>'s token index (the silent version is a false negative)") {
+    val sink = tmp()
+    AtomicIncrement.appendIncrementAtomic(
+      Seq((1L, "alpha beta", "x1"), (2L, "gamma", "x2"))
+        .toDF("k", "text", "tok-text").repartition(1), sink, "k")
+    intercept[IllegalArgumentException](
+      BloomSkip.ensureTokenSidecars(spark, sink, "text"))
+    intercept[IllegalArgumentException](
+      BloomSkip.ensureSidecars(spark, sink, "tok-text"))
+    intercept[IllegalArgumentException](
+      BloomSkip.readContainingTokens(spark, sink, "text", Seq("alpha")))
+    intercept[IllegalArgumentException](
+      BloomSkip.pointLookup(spark, sink, "tok-text", lit("x1")))
+    // the unambiguous pieces still work on the same table
+    assert(BloomSkip.ensureSidecars(spark, sink, "text") == 1)
+    assert(BloomSkip.pointLookup(spark, sink, "text", lit("gamma"))
+      .filter(col("text") === "gamma").count() == 1)
+  }
 }

@@ -494,6 +494,32 @@ class IncrementalAggSpec extends SparkSpec {
     assert(stateRows("gA") <= 501L && stateRows("gC") <= 25L)
   }
 
+  test("readTopK (round 14): the pair state ranks heavy hitters " +
+      "exactly under retraction, with the deterministic tie-break") {
+    val sink = tmp()
+    // gA: v1×5, v2×3, v3×3, v4×1 — v2/v3 tie broken by value asc
+    val boot = (Seq.fill(5)("v1") ++ Seq.fill(3)("v2") ++
+      Seq.fill(3)("v3") ++ Seq("v4")).map(("gA", _)).toDF("g", "v")
+    assert(IncrementalAgg.mergeCdcDistinct(boot, boot.limit(0), sink,
+      Seq("g"), "v", 0L))
+    def top(k: Int): Seq[(String, Long, Int)] =
+      IncrementalAgg.readTopK(spark, sink, Seq("g"), "v", k)
+        .select("v", "cnt", "rank")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .sortBy(_._3).toSeq
+    assert(top(3) == Seq(("v1", 5L, 1), ("v2", 3L, 2), ("v3", 3L, 3)))
+    // retract three v1s: v1 drops to rank 3 (tie with v3 broken asc)
+    val minus = Seq.fill(3)(("gA", "v1")).toDF("g", "v")
+    assert(IncrementalAgg.mergeCdcDistinct(minus.limit(0), minus, sink,
+      Seq("g"), "v", 1L))
+    assert(top(3) == Seq(("v2", 3L, 1), ("v3", 3L, 2), ("v1", 2L, 3)))
+    // retract the rest of v1: it leaves the ranking entirely
+    val minus2 = Seq.fill(2)(("gA", "v1")).toDF("g", "v")
+    assert(IncrementalAgg.mergeCdcDistinct(minus2.limit(0), minus2, sink,
+      Seq("g"), "v", 2L))
+    assert(top(4) == Seq(("v2", 3L, 1), ("v3", 3L, 2), ("v4", 1L, 3)))
+  }
+
   test("CDC quantile (round 14): histogram state retracts exactly, " +
       "estimates stay within one bin of the rank statistic, clamps " +
       "catch out-of-domain values, state is bucket-bounded") {
