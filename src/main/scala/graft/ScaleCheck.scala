@@ -822,6 +822,19 @@ object MetaScaleCheck {
       sink
     }
     val (s1, sN) = (ordersLoad(1), ordersLoad(factor))
+    // SQL face: a WHERE-pruned aggregate over the graft-atomic view —
+    // the predicate selects replica 0's upper half at BOTH scales, so
+    // the work the prune leaves behind is constant and the ratio
+    // isolates the per-file verdict cost (manifest-sized)
+    def sqlAgg(sink: String, view: String): Double = {
+      spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW $view
+        USING `graft-atomic` OPTIONS (path '$sink')""")
+      timed(spark.sql(
+        s"""SELECT count(*) c, round(sum(o_totalprice), 2) t
+           |FROM $view
+           |WHERE o_orderkey > ${mx / 2} AND o_orderkey <= $mx"""
+          .stripMargin).collect())._1
+    }
     // exactness pinned once against the scan before timing
     val meta = AtomicIncrement.statsAggregate(spark, s1,
       Seq("o_orderkey", "o_totalprice")).get.head()
@@ -839,6 +852,8 @@ object MetaScaleCheck {
       cells(("statsagg", s"${factor}x")) ::= timed(
         AtomicIncrement.statsAggregate(spark, sN,
           Seq("o_orderkey", "o_totalprice")).get.head())._1
+      cells(("sqlprune", "1x")) ::= sqlAgg(s1, "graft_ms_v1")
+      cells(("sqlprune", s"${factor}x")) ::= sqlAgg(sN, "graft_ms_vN")
       // quantile: bootstrap ∝ history (untimed), folds ∝ batch
       for ((label, src) <- Seq("1x" -> s1, s"${factor}x" -> sN)) {
         val st = sinkDir()
@@ -894,7 +909,8 @@ object MetaScaleCheck {
       drop(sink)
     }
     batch.unpersist()
-    for (kind <- Seq("statsagg", "quantfold", "grepbuild", "grepprobe")) {
+    for (kind <- Seq("statsagg", "sqlprune", "quantfold", "grepbuild",
+        "grepprobe")) {
       val t1 = cells((kind, "1x")).min
       val tN = cells((kind, s"${factor}x")).min
       println(f"[metascale] $kind%-9s 1x=$t1%7.3fs ${factor}x=$tN%7.3fs " +
