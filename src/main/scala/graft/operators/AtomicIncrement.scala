@@ -274,7 +274,7 @@ object AtomicIncrement {
   private def committedLivePaths(spark: SparkSession,
       sink: String): Seq[String] = {
     val latest = snapshotEntries(spark, sink)._2.map(_.path)
-    val pinned = tags(spark, sink).values.toSeq.distinct
+    val pinned = pinnedVersionsStrict(spark, sink)
     if (pinned.isEmpty) latest
     else {
       val fs = fsOf(spark, sink)
@@ -563,9 +563,32 @@ object AtomicIncrement {
     }
   }
 
+  /** The versions MAINTENANCE must treat as pinned — every non-dot
+    * ref's version, with an existing-but-UNPARSEABLE ref a LOUD error
+    * (round 15, ADVICE): a corrupted ref that silently pinned nothing
+    * would let [[expireManifests]] and both vacuums reclaim exactly
+    * the snapshot the tag meant to keep — the user-facing [[tags]]
+    * listing stays lenient, but a reclaim decision must not be.
+    */
+  private def pinnedVersionsStrict(spark: SparkSession,
+      sink: String): Seq[Long] = {
+    val fs = fsOf(spark, sink)
+    val dir = new Path(sink, RefsDir)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).map { n =>
+        tagVersionOf(spark, sink, n).getOrElse(
+          throw new IllegalStateException(
+            s"tag ref '$n' at $sink exists but does not parse as a " +
+              "version — refusing to run maintenance past a pin it " +
+              "cannot honor (repair or dropTag the ref first)"))
+      }.distinct
+  }
+
   /** Every tag at the sink, name → version. Unparseable ref files are
-    * IGNORED here (a listing should not throw) but still PIN nothing —
-    * they fail loudly at [[readTag]] time instead.
+    * IGNORED here (a listing should not throw) but
+    * [[pinnedVersionsStrict]] makes them fail maintenance loudly —
+    * they cannot silently pin nothing.
     */
   def tags(spark: SparkSession, sink: String): Map[String, Long] = {
     val fs = fsOf(spark, sink)
@@ -610,11 +633,25 @@ object AtomicIncrement {
       catch { case _: java.io.IOException => 0L }
     }.sum
     val rows: Any = metadataRowCount(dataE, dvE).orNull
-    val committedAt: Any = latestManifest(fs, sink).map { case (_, mf) =>
-      org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(
-        commitTimeOf(fs, mf, fs.getFileStatus(mf).getModificationTime)
-          * 1000L)
-    }.orNull
+    // committed_at goes through the SAME monotone-adjusted mapping as
+    // history() and versionAsOf() (round 15, ADVICE): the running max
+    // of every retained version's resolved stamp — its last element is
+    // simply the max — so all three faces agree even when restored
+    // mtimes or skewed clocks invert the raw stamps. Cost: one small
+    // manifest-head read per retained version, the same price
+    // versionAsOf already declares (expireManifests bounds the count).
+    val committedAt: Any = {
+      val dir = new Path(sink, ManifestDir)
+      val versions =
+        if (!fs.exists(dir)) Nil
+        else fs.listStatus(dir).toSeq
+          .flatMap(st => st.getPath.getName.toLongOption
+            .map(v => (v, st.getPath, st.getModificationTime)))
+      if (versions.isEmpty) null
+      else org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .toJavaTimestamp(inParallel(versions) { case (_, p, mtime) =>
+          commitTimeOf(fs, p, mtime) }.max * 1000L)
+    }
     val tagList = tags(spark, sink).toSeq.sortBy(_._1)
       .map { case (n, v) => s"$n@$v" }
     val schemaOut = StructType(Seq(
@@ -2434,8 +2471,9 @@ object AtomicIncrement {
       .sortBy(_._1)
     // a TAGGED version never expires (round 14): the tag pinned it,
     // and retiring its manifest would break readTag while the vacuums
-    // still honor its file pins — the inconsistent half-state
-    val pinned = tags(spark, sink).values.toSet
+    // still honor its file pins — the inconsistent half-state. Strict:
+    // an unparseable ref aborts expiry rather than pinning nothing.
+    val pinned = pinnedVersionsStrict(spark, sink).toSet
     val expired = versions.dropRight(keepLast)
       .filterNot(v => pinned.contains(v._1))
     inParallel(expired)(v => fs.delete(v._2, false))

@@ -403,7 +403,15 @@ object IncrementalAgg {
       s"bins out of range: $bins")
     require(hi > lo, s"empty histogram domain: [$lo, $hi)")
     val w = (hi - lo) / bins
-    def binned(df: DataFrame) = df.filter(col(valueCol).isNotNull)
+    // NaN is excluded alongside NULL (round 15, ADVICE): floor(NaN)
+    // casts to 0L under the clamp and would silently count NaN rows
+    // into bin 0, dragging low-quantile estimates down — the
+    // documented semantics are "values in [lo, hi) clamp to edge
+    // bins", and NaN is not a value on that line. The exclusion is
+    // symmetric on plus and minus, so retraction stays exact.
+    def binned(df: DataFrame) = df
+      .filter(col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")))
       .select((keys.map(col) :+
         least(lit(bins - 1L), greatest(lit(0L),
           floor((col(valueCol).cast("double") - lit(lo)) / lit(w))
@@ -1432,7 +1440,7 @@ object IncrementalAgg {
              |GROUP BY o_orderstatus""".stripMargin)
         val rows = out.collect()
         val (kept, committed) = graft.sources.GraftAtomicRelation
-          .lastScan.get()
+          .lastScanFor(sink)
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
           .withColumn("pruned", lit(kept < committed))
           .orderBy("o_orderstatus")

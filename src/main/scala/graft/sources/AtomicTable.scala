@@ -21,6 +21,12 @@ import org.apache.spark.sql.types.StructType
   * }}}
   *
   * or `spark.read.format("graft-atomic").option(...).load(sink)`.
+  * SCHEMA-EVOLUTION window (standard V1 behavior, spec-pinned): a
+  * standing view's COLUMN SET freezes at view creation while its DATA
+  * follows the latest snapshot — after a schema-evolving append the
+  * old view serves the new rows projected to the old columns (stale
+  * columns, never wrong rows; `readEffective` pins the old schema
+  * over the evolved files). Re-create the view to surface new columns.
   * Read options: `versionAsOf` (manifest version), `timestampAsOf`
   * (epoch millis, or an ISO-8601 instant — resolved through the
   * manifest-embedded commit stamps), `tag` (a named ref from
@@ -133,10 +139,22 @@ class GraftAtomicSource extends RelationProvider
 }
 
 private[graft] object GraftAtomicRelation {
-  /** Test probe: (files kept, files committed) of the latest scan —
-    * how the spec pins that SQL WHERE clauses actually skip files.
+  /** Test probe: (files kept, files committed) of the latest scan,
+    * KEYED BY SINK PATH — how the spec pins that SQL WHERE clauses
+    * actually skip files. Per-sink scoping (round 15) keeps the pin
+    * honest under a parallel query driver: concurrent scans of
+    * different graft-atomic relations record into different slots
+    * instead of clobbering one process-global cell.
     */
-  val lastScan = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+  private val lastScans =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  private[graft] def recordScan(sink: String, kept: Int,
+      committed: Int): Unit = lastScans.put(sink, (kept, committed))
+  /** The latest (kept, committed) scan verdict for `sink`; (0, 0)
+    * before any scan.
+    */
+  def lastScanFor(sink: String): (Int, Int) =
+    lastScans.getOrDefault(sink, (0, 0))
 }
 
 private[graft] class GraftAtomicRelation(override val sqlContext: SQLContext,
@@ -230,7 +248,7 @@ private[graft] class GraftAtomicRelation(override val sqlContext: SQLContext,
       filters: Array[Filter]): RDD[Row] = {
     val (data, dv) = resolveEntries()
     val kept = data.filter(e => filters.forall(f => mayMatch(e, f)))
-    GraftAtomicRelation.lastScan.set((kept.size, data.size))
+    GraftAtomicRelation.recordScan(sink, kept.size, data.size)
     val base = AtomicIncrement.readEffective(spark, sink, kept, dv,
       Some(schema))
     val pushed = filters.flatMap(translate)
@@ -307,6 +325,18 @@ private[graft] class GraftAtomicRelation(override val sqlContext: SQLContext,
             val x = n.doubleValue()
             verdict(fc.min.toDouble.compareTo(x),
               fc.max.toDouble.compareTo(x), op)
+          case (t, n: Number)
+              if AtomicIncrement.integralTags.contains(t) =>
+            // fractional (or arbitrary-precision) filter value against
+            // integral file bounds — compare EXACTLY in BigDecimal so
+            // the may-match verdict is conservative by construction
+            // (round 15, ADVICE: n.longValue() truncation would turn
+            // `k > -20.5` into `k > -20` and wrongly prune a file whose
+            // max is -20). NaN/Infinity render unparseable → the outer
+            // catch keeps the file.
+            val x = new java.math.BigDecimal(n.toString)
+            verdict(new java.math.BigDecimal(fc.min).compareTo(x),
+              new java.math.BigDecimal(fc.max).compareTo(x), op)
           case _ => true // family this reader can't compare exactly
         }
       }
@@ -324,8 +354,13 @@ private[graft] class GraftAtomicRelation(override val sqlContext: SQLContext,
     */
   private def primitive(v: Any, tag: String)
       : Option[Either[Long, Array[Byte]]] = (tag, v) match {
-    case (t, n: Number) if AtomicIncrement.integralTags.contains(t) =>
-      Some(Left(n.longValue()))
+    // only GENUINELY integral value types ride the exact long path;
+    // a fractional Double/Float/BigDecimal falls to boundsAllow's
+    // BigDecimal branch instead of truncating through longValue()
+    case (t, n @ (_: java.lang.Byte | _: java.lang.Short |
+        _: java.lang.Integer | _: java.lang.Long))
+        if AtomicIncrement.integralTags.contains(t) =>
+      Some(Left(n.asInstanceOf[Number].longValue()))
     case ("ts", t: java.sql.Timestamp) =>
       Some(Left(org.apache.spark.sql.catalyst.util.DateTimeUtils
         .fromJavaTimestamp(t)))

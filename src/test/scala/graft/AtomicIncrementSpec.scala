@@ -1378,6 +1378,66 @@ class AtomicIncrementSpec extends SparkSpec {
       AtomicIncrement.readTag(spark, sink, "q3-train"))
   }
 
+  test("a corrupted tag ref fails maintenance LOUDLY (round 15): an " +
+      "existing-but-unparseable ref must never silently pin nothing " +
+      "while expiry/vacuum reclaim the snapshot it meant to keep") {
+    val sink = tmp()
+    for (i <- 1 to 3)
+      AtomicIncrement.appendIncrementAtomic(
+        Seq((i.toLong, s"v$i")).toDF("k", "v"), sink, "k")
+    val f = fs(sink)
+    val ref = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(sink, "_refs"), "q3-train")
+    f.mkdirs(ref.getParent)
+    val out = f.create(ref, false)
+    try out.write("not-a-version".getBytes("UTF-8")) finally out.close()
+    // the lenient listing skips it; every reclaim decision refuses it
+    assert(AtomicIncrement.tags(spark, sink).isEmpty)
+    intercept[IllegalStateException](
+      AtomicIncrement.expireManifests(spark, sink, 1))
+    intercept[IllegalStateException](
+      AtomicIncrement.vacuumSuperseded(spark, sink))
+    intercept[IllegalStateException](
+      AtomicIncrement.vacuumUncommitted(spark, sink))
+    // all three versions still stand — nothing was reclaimed past the
+    // pin maintenance could not honor
+    val mdir = new org.apache.hadoop.fs.Path(sink, "_graft_manifest")
+    assert(f.listStatus(mdir)
+      .flatMap(_.getPath.getName.toLongOption).length == 3)
+    // repairing (dropping) the ref unblocks maintenance
+    assert(AtomicIncrement.dropTag(spark, sink, "q3-train"))
+    assert(AtomicIncrement.expireManifests(spark, sink, 1) == 2)
+  }
+
+  test("describeSink's committed_at rides the same monotone-adjusted " +
+      "mapping as history()/versionAsOf (round 15): after an mtime " +
+      "scramble all three faces agree") {
+    val sink = tmp()
+    for (i <- 1 to 3) {
+      AtomicIncrement.appendIncrementAtomic(
+        Seq((i.toLong, s"v$i")).toDF("k", "v"), sink, "k")
+      Thread.sleep(15)
+    }
+    val f = fs(sink)
+    val mdir = new org.apache.hadoop.fs.Path(sink, "_graft_manifest")
+    val mfs = f.listStatus(mdir).map(_.getPath)
+      .filterNot(_.getName.startsWith(".")).sortBy(_.getName)
+    // restore shape: every mtime rewritten far ahead, order inverted
+    val far = System.currentTimeMillis() + 86400000L
+    mfs.zipWithIndex.foreach { case (p, i) =>
+      f.setTimes(p, far + (mfs.length - i) * 3600000L, -1) }
+    val describe = AtomicIncrement.describeSink(spark, sink).head()
+    val histLast = AtomicIncrement.history(spark, sink)
+      .orderBy(col("version").desc).head()
+    assert(describe.getAs[java.sql.Timestamp]("committed_at") ==
+      histLast.getAs[java.sql.Timestamp]("committed_at"),
+      "DESCRIBE DETAIL and the last DESCRIBE HISTORY row disagree")
+    // and timestampAsOf at that instant resolves the latest version
+    assert(AtomicIncrement.versionAsOf(spark, sink,
+      describe.getAs[java.sql.Timestamp]("committed_at").getTime) ==
+      describe.getAs[Long]("version"))
+  }
+
   test("cluster-preserving merge rewrite (round 14): a spread churn " +
       "leaves tight disjoint key intervals behind, so the NEXT " +
       "confined merge still prunes instead of rewriting everything") {

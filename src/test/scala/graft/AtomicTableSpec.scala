@@ -36,7 +36,8 @@ class AtomicTableSpec extends SparkSpec {
     spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW $name
       USING `graft-atomic` OPTIONS (path '$sink'$opts)""")
 
-  private def scanned(): (Int, Int) = GraftAtomicRelation.lastScan.get()
+  private def scanned(sink: String): (Int, Int) =
+    GraftAtomicRelation.lastScanFor(sink)
 
   test("SQL view reads the committed snapshot; WHERE clauses prune " +
       "files through the manifest stats and stay ≡ full scan + filter") {
@@ -48,28 +49,28 @@ class AtomicTableSpec extends SparkSpec {
     val hi = spark.sql("SELECT k FROM t WHERE k > 20 AND k <= 30")
       .as[Long].collect().sorted.toSeq
     assert(hi == (21L to 30L))
-    assert(scanned()._1 < scanned()._2,
-      s"range WHERE did not prune: ${scanned()}")
+    assert(scanned(sink)._1 < scanned(sink)._2,
+      s"range WHERE did not prune: ${scanned(sink)}")
     // equality on the string column (stats-covered): byte-order
     // intervals keep files 1 ("s15" sorts inside [s1, s9]) and 2
     // (its own range) and prune file 3 + the all-null file
     assert(spark.sql("SELECT price FROM t WHERE s = 's15'")
       .head().getDouble(0) == 22.5)
-    assert(scanned()._1 == 2, s"point WHERE kept ${scanned()._1} files")
+    assert(scanned(sink)._1 == 2, s"point WHERE kept ${scanned(sink)._1} files")
     // IN list spanning two ranges
     assert(spark.sql("SELECT sum(k) x FROM t WHERE k IN (5, 25)")
       .head().getLong(0) == 30)
-    assert(scanned()._1 == 2, s"IN kept ${scanned()._1}")
+    assert(scanned(sink)._1 == 2, s"IN kept ${scanned(sink)._1}")
     // prefix predicate on the stats-covered string
     assert(spark.sql("SELECT count(*) c FROM t WHERE s LIKE 's2%'")
       .head().getLong(0) == 11) // s2 and s20..s29
     // IS NOT NULL prunes the provably-all-null file
     spark.sql("SELECT count(*) c FROM t WHERE s IS NOT NULL").head()
-    assert(scanned()._1 == 3, s"IsNotNull kept ${scanned()._1} of 4")
+    assert(scanned(sink)._1 == 3, s"IsNotNull kept ${scanned(sink)._1} of 4")
     // a double-family range
     assert(spark.sql("SELECT count(*) c FROM t WHERE price > 30.0")
       .head().getLong(0) == 11)
-    assert(scanned()._1 < scanned()._2)
+    assert(scanned(sink)._1 < scanned(sink)._2)
     // aggregation without any filter reads everything
     assert(spark.sql("SELECT min(k) a, max(k) b FROM t").head()
       == org.apache.spark.sql.Row(1L, 31L))
@@ -184,5 +185,69 @@ class AtomicTableSpec extends SparkSpec {
     AtomicIncrement.tagVersion(spark, sink,
       "first", AtomicIncrement.snapshot(spark, sink)._1, replace = true)
     assert(spark.sql("SELECT max(k) m FROM t_tag").head().getLong(0) == 9L)
+  }
+
+  test("fractional filter values against integral file stats compare " +
+      "EXACTLY (round 15, ADVICE): k > -20.5 must keep a file whose " +
+      "max is -20 — longValue() truncation would prune it") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThan}
+    val sink = tmp()
+    AtomicIncrement.appendIncrementAtomic(
+      (-30L to -20L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartition(1), sink, "k")
+    // drive buildScan directly: Catalyst's cast-unwrapping usually
+    // rewrites fractional comparisons before pushdown, so the guarantee
+    // must hold WITHOUT relying on that optimizer behavior
+    val rel = new GraftAtomicRelation(spark.sqlContext, sink, None)
+    // buildScan applies the translated filter on top of the pruned
+    // file set, so `rows` is the exact predicate result and `kept`
+    // pins whether the single file survived the stats verdict
+    def rows(f: org.apache.spark.sql.sources.Filter): (Long, Int) = {
+      val n = rel.buildScan(Array("k"), Array(f)).count()
+      (n, GraftAtomicRelation.lastScanFor(sink)._1)
+    }
+    assert(rows(GreaterThan("k", -20.5)) == ((1L, 1)),
+      "k > -20.5 wrongly pruned the file (truncated to -20)")
+    assert(rows(LessThan("k", -29.5)) == ((1L, 1)),
+      "k < -29.5 wrongly pruned the file (truncated to -29)")
+    // a fractional equality inside the interval keeps the file (the
+    // interval verdict stays conservative — it never reasons about
+    // integrality) and the row-level filter returns the exact zero
+    assert(rows(EqualTo("k", -25.5)) == ((0L, 1)))
+    // outside the interval it prunes exactly
+    assert(rows(EqualTo("k", -19.5)) == ((0L, 0)))
+    assert(rows(EqualTo("k", java.math.BigDecimal.valueOf(-25L)))
+      == ((1L, 1)))
+    // whole-valued doubles keep the usual verdicts
+    assert(rows(GreaterThan("k", -20.0)) == ((0L, 0)))
+    assert(rows(GreaterThan("k", -21.0)) == ((1L, 1)))
+  }
+
+  test("a standing view's schema freezes at creation while data " +
+      "follows the latest snapshot (round 15 pin): after a " +
+      "schema-evolving append the old view serves new ROWS projected " +
+      "to the OLD column set — stale columns, never wrong rows — and " +
+      "re-creating the view surfaces the new column") {
+    val sink = tmp()
+    AtomicIncrement.appendIncrementAtomic(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), sink, "k")
+    sqlView(sink, "t_old")
+    assert(spark.table("t_old").columns.toSeq == Seq("k", "v"))
+    // schema-evolving append: a new column arrives
+    AtomicIncrement.appendIncrementAtomic(
+      Seq((3L, "c", 9.5)).toDF("k", "v", "w"), sink, "k")
+    // the standing view: new row visible, old column set (V1 resolves
+    // the relation schema once at view creation; readEffective pins it
+    // over the evolved files, so no read ever errors or loses rows)
+    assert(spark.sql("SELECT max(k) m FROM t_old").head().getLong(0) == 3L)
+    assert(spark.table("t_old").columns.toSeq == Seq("k", "v"))
+    // re-created view (or a fresh reader) sees the evolved schema,
+    // with the old files' missing column null-filled
+    sqlView(sink, "t_new")
+    assert(spark.table("t_new").columns.toSeq == Seq("k", "v", "w"))
+    assert(spark.sql("SELECT w FROM t_new WHERE k = 3").head()
+      .getDouble(0) == 9.5)
+    assert(spark.sql("SELECT count(*) c FROM t_new WHERE w IS NULL")
+      .head().getLong(0) == 2L)
   }
 }

@@ -289,4 +289,32 @@ class BloomSkipSpec extends SparkSpec {
     assert(BloomSkip.pointLookup(spark, sink, "text", lit("gamma"))
       .filter(col("text") === "gamma").count() == 1)
   }
+
+  test("distributed probe path (file count past the threshold) is " +
+      "verdict-identical to the driver pool: same pruning, same rows, " +
+      "and it actually engaged") {
+    val sink = tmp()
+    load(sink)
+    assert(BloomSkip.ensureSidecars(spark, sink, "id") == 3)
+    val id = 7919L % 3000L
+    val pooled = lookupRows(sink, id)
+    val pooledKept = BloomSkip.pointLookup(spark, sink, "id", lit(id))
+      .inputFiles.toSet
+    val before = BloomSkip.distributedProbes.get()
+    spark.conf.set(BloomSkip.ProbeThresholdConf, "2")
+    try {
+      // identical verdict bitmap: same kept files, same rows, and the
+      // probe ran as a Spark job (the counter pins the path taken)
+      val dist = BloomSkip.pointLookup(spark, sink, "id", lit(id))
+      assert(dist.inputFiles.toSet == pooledKept,
+        "distributed probe kept a different file set")
+      assert(lookupRows(sink, id) == pooled)
+      assert(BloomSkip.distributedProbes.get() > before,
+        "the distributed path never engaged below the lowered threshold")
+      // the whole key domain stays false-negative-free through the job
+      for (probe <- 0L until 3000L by 293L)
+        assert(lookupRows(sink, probe) == fullRows(sink, probe),
+          s"distributed lookup diverged for id=$probe")
+    } finally spark.conf.unset(BloomSkip.ProbeThresholdConf)
+  }
 }
