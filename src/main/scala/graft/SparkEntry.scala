@@ -46,6 +46,9 @@ object SparkEntry {
     * tools/check_oracle.py and is recorded in the round notes.
     */
   private val checkFirst: Seq[String] = Seq(
+    // round-15 additions, never driver-checked yet
+    "q_stream_source", "q_sql_delete", "q_incr_agg_topk_approx",
+    "q_read_grep_indexed",
     // the round-13 additions: string/UUID-keyed merge + the composed
     // maintenance loop, never driver-checked yet
     "q_merge_upsert_str", "q_maintain_cdc", "q_read_pruned_str",

@@ -172,7 +172,7 @@ object AtomicIncrement {
   private[graft] def isDv(e: ManifestEntry): Boolean =
     e.statsFor(DvCol).nonEmpty
 
-  private def seqOf(e: ManifestEntry): Long =
+  private[graft] def seqOf(e: ManifestEntry): Long =
     e.statsFor(SeqCol).flatMap(s => s.min.toLongOption).getOrElse(0L)
 
   private def dvKeyColOf(e: ManifestEntry): String =
@@ -870,6 +870,52 @@ object AtomicIncrement {
     val minus = newlyMasked.map(minusFiles.unionByName)
       .getOrElse(minusFiles)
     (plusFiles, minus)
+  }
+
+  /** ROW-LEVEL change feed (round 15) — the opt-in minimal-rows face
+    * of [[changesBetween]] for NON-ABELIAN consumers (an external
+    * sink replaying rows elsewhere, an audit trail): the file-grained
+    * frames telescope here instead of at the consumer, via a
+    * two-sided multiset difference (`EXCEPT ALL` both ways), so a
+    * rewritten file's surviving rows — identical on both sides —
+    * vanish and only genuinely changed rows ship. With a declared
+    * `keyCol`, rows further classify Delta-CDF style into one frame:
+    * `_change_type ∈ {insert, delete, update_preimage,
+    * update_postimage}` (a key present on both sides is an update;
+    * pre/post images pair by key). Without one, the pure multiset
+    * delta ships as insert/delete.
+    *
+    * Cost model: the diff shuffles the WINDOW'S CHANGED-FILE rows on
+    * their full width (the telescoping the abelian path gets free now
+    * costs one exchange) — still priced by the churn-touched files,
+    * never the table, and exactly the trade the consumer asked for by
+    * wanting minimal rows. Same retention contract as the file-grained
+    * feed. NOTE: an update that leaves a row byte-identical (an
+    * upsert writing the same values) telescopes away entirely — this
+    * feed ships CHANGES, not touches.
+    */
+  def changesRowLevel(spark: SparkSession, sink: String, from: Long,
+      to: Long, keyCol: Option[String] = None): DataFrame = {
+    val (plus, minus) = changesBetween(spark, sink, from, to)
+    val rowPlus = plus.exceptAll(minus)
+    val rowMinus = minus.exceptAll(plus)
+    def tagged(df: DataFrame, t: String) =
+      df.withColumn("_change_type", lit(t))
+    keyCol match {
+      case None =>
+        tagged(rowPlus, "insert").unionByName(tagged(rowMinus, "delete"))
+      case Some(k) =>
+        val plusKeys = rowPlus.select(col(k).as("__pk")).distinct()
+        val minusKeys = rowMinus.select(col(k).as("__mk")).distinct()
+        tagged(rowPlus.join(minusKeys, col(k) <=> col("__mk"),
+            "left_anti"), "insert")
+          .unionByName(tagged(rowPlus.join(minusKeys,
+            col(k) <=> col("__mk"), "left_semi"), "update_postimage"))
+          .unionByName(tagged(rowMinus.join(plusKeys,
+            col(k) <=> col("__pk"), "left_anti"), "delete"))
+          .unionByName(tagged(rowMinus.join(plusKeys,
+            col(k) <=> col("__pk"), "left_semi"), "update_preimage"))
+    }
   }
 
   /** Append rows with `watermarkCol` strictly above the committed
@@ -1915,6 +1961,67 @@ object AtomicIncrement {
     MergeResult(version + 1, carried.size, touched.size,
       stagedEntries.size, upserts,
       oldTouched.join(churnDf, Seq(keyCol), "left_semi"))
+  }
+
+  final case class DeleteResult(version: Long, carried: Int,
+      rewritten: Int, staged: Int)
+
+  /** Copy-on-write predicate DELETE — `DELETE FROM t WHERE cond` for a
+    * table with NO key contract, priced by the files the predicate can
+    * touch: `mayMatch` (the manifest-stats verdict the SQL face
+    * computes from the WHERE clause) splits the snapshot into files
+    * that provably hold no matching row — carried into the new
+    * manifest VERBATIM, zero bytes moved — and files that might; only
+    * the latter are read (delete vectors applied through
+    * [[readEffective]], so a dv-masked row cannot be resurrected) and
+    * their surviving rows re-staged. On a predicate aligned with the
+    * table's clustering (the common case: a time-range purge on a
+    * watermark-ordered table, a key-range GDPR erase on a z-ordered
+    * one) a 10⁵-file table rewrites the touched region only.
+    *
+    * SQL NULL semantics: a row deletes iff `cond` is TRUE — survivors
+    * keep rows where it is false OR NULL.
+    *
+    * The survivor write is SHUFFLE-FREE: `coalesce` back to the
+    * touched file count keeps rows approximately file-local (the scan
+    * partitions follow the input files), so existing clustering
+    * erodes no faster than the deletion itself requires. A no-match
+    * delete (nothing touched) publishes NO new version — idempotent
+    * and free. Publication/OCC/crash behavior are [[publish]]'s, as
+    * in [[mergeAtomic]].
+    */
+  def deleteWhereAtomic(spark: SparkSession, sink: String,
+      cond: org.apache.spark.sql.Column,
+      mayMatch: ManifestEntry => Boolean = _ => true): DeleteResult = {
+    val fs = fsOf(spark, sink)
+    val (version, dataE, dvE) = snapshotSplit(spark, sink)
+    require(dataE.nonEmpty, s"nothing committed to delete from at $sink")
+    val (touched, carried) = dataE.partition(mayMatch)
+    if (touched.isEmpty) return DeleteResult(version, carried.size, 0, 0)
+    val fullSchema = dataSchema(spark, sink, dataE)
+    val oldTouched = readEffective(spark, sink, touched, dvE,
+      Some(fullSchema))
+    // delete iff cond IS TRUE: null-cond rows survive
+    val survivors = oldTouched
+      .filter(!org.apache.spark.sql.functions.coalesce(cond,
+        org.apache.spark.sql.functions.lit(false)))
+      .coalesce(math.max(1, touched.size))
+    val statsFields = coveredStatsFields(dataE, survivors.schema)
+    val staged0 = stageEntries(survivors, spark, fs, sink, statsFields)
+    // survivors were read dv-resolved; the rewrite must outrank every
+    // standing tombstone or a dv would re-mask them (same rule as the
+    // CoW merge)
+    val stagedEntries = if (dvE.isEmpty) staged0
+      else staged0.map(stampSeq(_, version + 1))
+    try publish(fs, sink,
+      (carried ++ dvE ++ stagedEntries).map(_.render), version + 1)
+    catch { case e: Throwable =>
+      stagedEntries.headOption.foreach(e0 =>
+        fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
+      throw e
+    }
+    DeleteResult(version + 1, carried.size, touched.size,
+      stagedEntries.size)
   }
 
   /** The table's own key column must sit in the churn's type family,

@@ -420,6 +420,159 @@ object BloomSkip {
     AtomicIncrement.readEffective(spark, sink, kept, dvE, Some(schema))
   }
 
+  // ---- manifest-level INVERTED TOKEN INDEX (round 15, verdict #7):
+  // past ~10⁶ files even a distributed per-file sidecar probe pays
+  // O(files) reads per grep; the index amortizes every probe to ONE
+  // pushdown-pruned read of a token→file postings table. ----
+
+  private def indexRoot(sink: String, column: String): Path =
+    new Path(sink, s"_index/tok-$column")
+
+  private def rel2(path: String): String =
+    path.split("/").takeRight(2).mkString("/")
+
+  private def readSmallText(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+
+  private def writeSmallText(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path, body: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    ()
+  }
+
+  /** Build (or top up) the inverted token index for `column`: a
+    * parquet POSTINGS table `(h = token-hash bucket, rel = data file)`
+    * under `<sink>/_index/tok-<column>/`, range-sorted on `h` so a
+    * probe's `h IN (...)` prunes to the needle buckets' row groups —
+    * the probe cost becomes ~flat in FILE COUNT (it scales with the
+    * probe tokens' posting lists instead, which is the work itself).
+    *
+    * INCREMENTAL by construction: only files missing from the covered
+    * list are tokenized, and their postings APPEND as new parquet
+    * files (cost ∝ the increment, the [[ensureSidecars]] discipline).
+    * Files removed by compaction leave dead postings behind —
+    * harmless to correctness (a dead rel never matches a live
+    * manifest entry) and repaid by a FULL REBUILD once the dead
+    * outnumber the live (the small-file-compaction trade, applied to
+    * the index). Crash between the postings append and the covered
+    * rewrite self-heals: the files re-index next pass, and duplicate
+    * postings rows are idempotent under the probe's distinct-bucket
+    * count.
+    *
+    * Run it from the maintenance pass beside the sidecar re-cover;
+    * the probe face is [[readContainingTokensIndexed]]. Returns files
+    * newly indexed.
+    */
+  def ensureTokenIndex(spark: SparkSession, sink: String,
+      column: String, buckets: Int = 1 << 20): Int = {
+    require(buckets >= 1024, s"index needs >= 1024 buckets: $buckets")
+    val fs = fsOf(spark, sink)
+    val root = indexRoot(sink, column)
+    val committed = AtomicIncrement.committedFiles(spark, sink)
+    val committedR = committed.map(rel2).toSet
+    val metaP = new Path(root, "_meta.txt")
+    val coveredP = new Path(root, "_covered.txt")
+    readSmallText(fs, metaP).foreach { m =>
+      require(m.trim == s"buckets=$buckets",
+        s"index at $root was built with '$m'; probe/build must agree " +
+          s"on buckets=$buckets — delete the index dir to resize")
+    }
+    var covered = readSmallText(fs, coveredP)
+      .map(_.split("\n").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val dead = covered.diff(committedR)
+    if (covered.nonEmpty && dead.size * 2 > covered.size) {
+      fs.delete(root, true) // dead-heavy: full rebuild is cheaper debt
+      covered = Set.empty
+    }
+    val missing = committed.filterNot(r => covered.contains(rel2(r)))
+    if (missing.isEmpty) return 0
+    val snapSchema = AtomicIncrement.readCommitted(spark, sink).schema
+    val field = snapSchema.fields
+      .find(_.name.equalsIgnoreCase(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"index column '$column' not in the committed schema"))
+    val postings = spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(field)))
+      .parquet(missing.map(rel => s"$sink/$rel"): _*)
+      .select(input_file_name().as("f"), col(column))
+      .select(col("f"), explode(tokensOf(col(column))).as("t"))
+      .filter(length(col("t")) > 0)
+      .select(pmod(xxhash64(col("t")), lit(buckets.toLong)).as("h"),
+        col("f"))
+      .distinct()
+      // rel = the last two URI segments (batch-dir/file) — native
+      // string ops, no UDF; batch dirs and parquet part names are
+      // engine-generated [A-Za-z0-9.-], so URI encoding is identity
+      .select(col("h"), concat_ws("/",
+        element_at(split(col("f"), "/"), -2),
+        element_at(split(col("f"), "/"), -1)).as("rel"))
+    postings.repartitionByRange(col("h")).sortWithinPartitions("h")
+      .write.mode("append").parquet(new Path(root, "postings").toString)
+    writeSmallText(fs, metaP, s"buckets=$buckets")
+    writeSmallText(fs, coveredP,
+      (covered ++ missing.map(rel2)).toSeq.sorted.mkString("\n"))
+    missing.size
+  }
+
+  /** [[readContainingTokens]] through the inverted index: the
+    * committed snapshot restricted to files whose postings witness
+    * EVERY probe token's bucket — ONE pushdown-pruned read of the
+    * postings table replaces the per-file sidecar probes, so a grep
+    * over a 10⁶-file corpus costs the needle buckets' posting lists,
+    * not a round trip per file. May-contain superset as always: files
+    * the index does not cover yet (appended since the last
+    * maintenance pass) are KEPT, bucket collisions only ever keep
+    * more, and standing delete vectors apply — the composed read
+    * ≡ full scan + filter in every index state. Requires the index
+    * built ([[ensureTokenIndex]], same `buckets`); refuses loudly
+    * otherwise rather than silently scanning everything.
+    */
+  def readContainingTokensIndexed(spark: SparkSession, sink: String,
+      column: String, tokens: Seq[String],
+      buckets: Int = 1 << 20): DataFrame = {
+    require(tokens.nonEmpty, "at least one probe token required")
+    tokens.foreach(t => require(t.matches("[a-z0-9]+"),
+      s"probe token '$t' is not in token normal form " +
+        "(lowercase alphanumeric, no separators)"))
+    val fs = fsOf(spark, sink)
+    val root = indexRoot(sink, column)
+    val meta = readSmallText(fs, new Path(root, "_meta.txt")).getOrElse(
+      throw new IllegalStateException(
+        s"no token index for '$column' at $sink — run " +
+          "ensureTokenIndex (the maintenance pass builds it)"))
+    require(meta.trim == s"buckets=$buckets",
+      s"index built with '$meta', probed with buckets=$buckets")
+    val (_, entries, dvE) = AtomicIncrement.snapshotSplit(spark, sink)
+    require(entries.nonEmpty, s"no committed snapshot at $sink")
+    val schema = AtomicIncrement.dataSchema(spark, sink, entries)
+    val covered = readSmallText(fs, new Path(root, "_covered.txt"))
+      .map(_.split("\n").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    // the probes' buckets, by the build's own engine expression
+    import spark.implicits._
+    val hs = tokens.toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(buckets.toLong)))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val cand = spark.read.parquet(new Path(root, "postings").toString)
+      .filter(col("h").isin(hs: _*))
+      .groupBy("rel")
+      .agg(countDistinct("h").as("__nb"))
+      .filter(col("__nb") === hs.size)
+      .select("rel").collect().map(_.getString(0)).toSet
+    val kept = entries.filter { e =>
+      val r = rel2(e.path)
+      !covered.contains(r) || cand.contains(r)
+    }
+    AtomicIncrement.readEffective(spark, sink, kept, dvE, Some(schema))
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // The needle-in-haystack read under the oracle gate: events land
     // as three time-range increments (interval stats on ts — useless
@@ -497,6 +650,59 @@ object BloomSkip {
           Seq("xyzzy", "dup"))
         val engaged = narrowed.inputFiles.length <
           AtomicIncrement.committedFiles(s, sink).size
+        narrowed.filter(
+            array_contains(tokensOf(col("text")), "xyzzy") &&
+            array_contains(tokensOf(col("text")), "dup"))
+          .select(col("doc_id"), col("source"),
+            org.apache.spark.sql.functions.lit(engaged).as("pruned"))
+      },
+      """SELECT max(doc_id) + 1 AS doc_id, 'src_needle' AS source,
+        |  TRUE AS pruned
+        |FROM documents""".stripMargin),
+
+    // The INVERTED-INDEX grep beside the sidecar path (round 15): the
+    // same needle corpus, but the probe is ONE pushdown-pruned read
+    // of the manifest-level token→file postings table instead of a
+    // per-file sidecar round. The index builds INCREMENTALLY (the
+    // needle's late append indexes alone — `incr` pins that second
+    // build touched exactly 1 file), an UNCOVERED late append stays
+    // may-contain (the `covered` pin: a file appended after the last
+    // index pass is kept without a postings row), and the narrowed
+    // read must still equal scan + filter exactly — the oracle's
+    // literal needle row gates tokenizer drift, bucket-hash drift
+    // between build and probe, and false negatives all at once.
+    "q_read_grep_indexed" -> QueryDef(
+      (s, dir) => IncrementalAgg.withScratchSink(s, "graft_grepidx") { sink =>
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        val mx = d.agg(max("doc_id")).head().getLong(0)
+        var lo = Long.MinValue
+        for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {
+          AtomicIncrement.appendIncrementAtomic(
+            d.filter(col("doc_id") > lo && col("doc_id") <= hi),
+            sink, "doc_id")
+          lo = hi
+        }
+        val n0 = ensureTokenIndex(s, sink, "text")
+        AtomicIncrement.appendIncrementAtomic(
+          s.createDataFrame(Seq(
+            (mx + 1, "the xyzzy incident dup report", "en", "src_needle")))
+            .toDF("doc_id", "text", "lang", "source"),
+          sink, "doc_id")
+        val incr = ensureTokenIndex(s, sink, "text") // needle file only
+        // an append the index has NOT covered stays may-contain
+        AtomicIncrement.appendIncrementAtomic(
+          s.createDataFrame(Seq(
+            (mx + 2, "plain filler prose", "en", "src_tail")))
+            .toDF("doc_id", "text", "lang", "source"),
+          sink, "doc_id")
+        val narrowed = readContainingTokensIndexed(s, sink, "text",
+          Seq("xyzzy", "dup"))
+        val total = AtomicIncrement.committedFiles(s, sink).size
+        val opened = narrowed.inputFiles.length
+        // needle file + the uncovered tail file; everything indexed
+        // and needle-free skipped
+        val engaged = opened < total && opened >= 2 && incr == 1 && n0 > 1
         narrowed.filter(
             array_contains(tokensOf(col("text")), "xyzzy") &&
             array_contains(tokensOf(col("text")), "dup"))

@@ -379,6 +379,136 @@ object IncrementalAgg {
           log(lit(1.0) - count(lit(1)) / lit(m.toDouble))).cast("long"))
         .as("distinct_est"))
 
+  /** Retractable TOP-K under BOUNDED state (round 15) — the count-min
+    * twin [[readTopK]]'s scaladoc names for value domains past the
+    * exact pair state's boundary. Two child CDC rollups under `sink`:
+    *
+    *  - `cm` — the COUNT-MIN CELLS: each value hashes into one cell
+    *    per depth row (`xxhash64(value, d) % width`), and the rollup
+    *    keyed at (group, d, cell) holds each occupied cell's SIGNED
+    *    occupancy. Cells are pure sums, so retraction is EXACT — a
+    *    cell is always ≥ any colliding value's true count, and the
+    *    read-time estimate (min over depth) sits in
+    *    `[true, true + εN]` with `ε ≈ e/width`, the classic CM bound,
+    *    which deletions do not loosen. State ≤ depth × width rows per
+    *    group, however large the value domain grows.
+    *  - `pool` — the CANDIDATE SET: (group, value) pairs seen by any
+    *    batch, PRUNED after every fold to the `poolFactor × k` best
+    *    by CM estimate (a heap expressed as state). The prune is what
+    *    bounds state; its price is the standard heavy-hitter
+    *    one-sidedness — a value pruned while light re-enters the pool
+    *    only when a later batch touches it, so a candidate promoted
+    *    purely by OTHERS' mass-retraction (its own rows untouched)
+    *    can be missed. Values heavy by their own insertion mass — the
+    *    heavy-hitter workload — are never lost: at prune time a true
+    *    heavy hitter's estimate is ≥ its true count and outranks the
+    *    cap boundary.
+    *
+    * Crash matrix (each child carries its own `__b` shield, folded in
+    * a fixed order): die before the cm fold → both replay; between cm
+    * and pool → cm no-ops, pool applies; after both → both no-op and
+    * the prune re-runs idempotently. Read via [[readTopKSketch]] with
+    * the SAME width/depth.
+    */
+  def mergeCdcTopKSketch(plus: DataFrame, minus: DataFrame, sink: String,
+      keys: Seq[String], valueCol: String, batchId: Long, k: Int,
+      width: Int = 2048, depth: Int = 3, poolFactor: Int = 4): Boolean = {
+    require(k >= 1 && width >= 16 && depth >= 1 && poolFactor >= 2,
+      s"bad sketch shape: k=$k width=$width depth=$depth pool=$poolFactor")
+    val spark = plus.sparkSession
+    val (cellSink, poolSink) = (s"$sink/cm", s"$sink/pool")
+    def cells(df: DataFrame) = cmCells(df, keys, valueCol, width, depth)
+      .drop(valueCol)
+    val applied = mergeCdcBatch(cells(plus), cells(minus), cellSink,
+      keys ++ Seq("__d", "__cell"), Nil, batchId)
+    val pairCols = (keys :+ valueCol).map(col)
+    mergeCdcBatch(plus.select(pairCols: _*), minus.select(pairCols: _*),
+      poolSink, keys :+ valueCol, Nil, batchId)
+    // prune the pool to the cap by CM estimate — state-sized, runs
+    // even on replay (idempotent), so a crash mid-prune self-heals
+    val cap = poolFactor * k
+    val (poolVersion, poolFiles) = AtomicIncrement.snapshot(spark, poolSink)
+    if (poolFiles.nonEmpty) {
+      val pool = readState(spark, poolSink)
+      // the estimate joins BACK onto the intact pool rows — the pruned
+      // state must keep the fold's full schema (multiplicity `__n`,
+      // batch shield `__b`), not the estimate projection
+      val est = cmEstimate(spark, cellSink, pool, keys, valueCol,
+        width, depth).select(
+        (keys.map(k => col(k).as(s"__e_$k")) :+
+          col(valueCol).as("__e_v") :+ col("__est")): _*)
+      val estCond = (keys.map(k => col(k) <=> col(s"__e_$k")) :+
+        (col(valueCol) <=> col("__e_v"))).reduce(_ && _)
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(col("__est").desc, col(valueCol))
+      val ranked = pool.join(est, estCond)
+        .withColumn("__rk", row_number().over(win))
+      if (ranked.filter(col("__rk") > cap).limit(1).count() > 0)
+        AtomicIncrement.replaceSnapshot(
+          ranked.filter(col("__rk") <= cap)
+            .select(pool.columns.toIndexedSeq.map(col): _*),
+          poolSink, poolVersion)
+    }
+    applied
+  }
+
+  /** The (value, depth-row, cell) exploded view shared by the fold and
+    * the read — ONE expression builds the hash on both sides, so the
+    * probe always lands in the fold's cell (type-identical inputs).
+    */
+  private def cmCells(df: DataFrame, keys: Seq[String], valueCol: String,
+      width: Int, depth: Int): DataFrame =
+    df.select((keys.map(col) :+ col(valueCol)): _*)
+      .withColumn("__d", explode(array((0 until depth).map(lit): _*)))
+      .withColumn("__cell",
+        pmod(xxhash64(col(valueCol), col("__d")), lit(width.toLong)))
+
+  /** CM estimate per (group, candidate): min over depth of the
+    * occupied cell counts (an absent cell is 0). Null-safe on the
+    * group keys — a null group is a legitimate group here, as in
+    * every CDC fold.
+    */
+  private def cmEstimate(spark: org.apache.spark.sql.SparkSession,
+      cellSink: String, candidates: DataFrame, keys: Seq[String],
+      valueCol: String, width: Int, depth: Int): DataFrame = {
+    val cellState = readState(spark, cellSink).select(
+      (keys.map(k => col(k).as(s"__s_$k")) ++
+        Seq(col("__d").as("__s_d"), col("__cell").as("__s_cell"),
+          col("__n").as("__s_n"))): _*)
+    val probes = cmCells(candidates, keys, valueCol, width, depth)
+    val joinCond = (keys.map(k => col(k) <=> col(s"__s_$k")) ++
+      Seq(col("__d") === col("__s_d"), col("__cell") === col("__s_cell")))
+      .reduce(_ && _)
+    probes.join(cellState, joinCond, "left")
+      .groupBy((keys :+ valueCol).map(col): _*)
+      .agg(min(coalesce(col("__s_n"), lit(0L))).as("__est"))
+  }
+
+  /** The per-group top-k heavy hitters from a [[mergeCdcTopKSketch]]
+    * sink: pool candidates ranked by CM estimate (`cnt_est`), the
+    * same deterministic tie-break as the exact [[readTopK]]
+    * (estimate desc, value asc). `width`/`depth` must match the
+    * fold's; `k` at most its `poolFactor × k` cap. Everything here is
+    * state-sized — |pool| ≤ cap rows and ≤ depth × width cells per
+    * group, never data.
+    */
+  def readTopKSketch(spark: org.apache.spark.sql.SparkSession,
+      sink: String, keys: Seq[String], valueCol: String, k: Int,
+      width: Int = 2048, depth: Int = 3): DataFrame = {
+    require(k >= 1, s"top-k needs k >= 1: $k")
+    val pool = readState(spark, s"$sink/pool")
+    val est = cmEstimate(spark, s"$sink/cm", pool, keys, valueCol,
+      width, depth)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__est").desc, col(valueCol))
+    est.withColumn("__rk", row_number().over(win))
+      .filter(col("__rk") <= k)
+      .select((keys.map(col) :+ col(valueCol) :+
+        col("__est").as("cnt_est") :+ col("__rk").as("rank")): _*)
+  }
+
   /** Retractable QUANTILE rollup (round 14) — the distribution face of
     * the CDC family (count/sum fold, extremes rescan, distinct pairs,
     * sketch registers… and now percentiles): fixed-grid HISTOGRAM
@@ -825,6 +955,113 @@ object IncrementalAgg {
         |  WHERE o_orderkey > c AND o_orderkey % 10 = 3)
         |SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price, TRUE AS synced
+        |FROM resolved GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
+    // STREAMING SOURCE face under the oracle gate (round 15): the
+    // exact q_rollup_sync fixture — three appends, a copy-on-write
+    // merge, a merge-on-read commit — but the consumer is a REAL
+    // `spark.readStream.format("graft-atomic")` subscription: offsets
+    // are manifest versions, each micro-batch one change-feed window,
+    // foreachBatch folds the signed delta. The oracle aggregates the
+    // SQL-resolved final table, so the stream's multiset-delta
+    // contract (rewritten survivors telescoping, dv-masked rows
+    // landing as deletes) must reproduce the batch resolve EXACTLY.
+    // `streamed` pins the window arithmetic: 5 versions under a
+    // 2-version admission cap drain in 3 micro-batches (0→2, 2→4,
+    // 4→5), and a second run from the same checkpoint fires ZERO
+    // batches (the offset log already covers the table).
+    "q_stream_source" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_strm_t") { tableSink =>
+        withScratchSink(s, "graft_strm_c") { scratch =>
+          val o = table(s, dir, "orders")
+            .filter(col("o_orderkey") % 3 === 1)
+            .select(
+            col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          val mx = o.agg(max("o_orderkey")).head().getLong(0)
+          var lo = Long.MinValue
+          for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {
+            AtomicIncrement.appendIncrementAtomic(
+              o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+              tableSink, "o_orderkey")
+            lo = hi
+          }
+          val cut = 2 * mx / 3
+          val hot = o.filter(col("o_orderkey") > cut)
+          def ch(df: DataFrame, status: org.apache.spark.sql.Column,
+              price: org.apache.spark.sql.Column, del: Boolean) =
+            df.select(col("o_orderkey"), status.as("o_orderstatus"),
+              price.as("o_totalprice"), lit(del).as("del"))
+          AtomicIncrement.mergeAtomic(
+            ch(hot.filter(col("o_orderkey") % 10 === 0), lit("X"),
+              col("o_totalprice") + 100, del = false)
+            .unionByName(ch(hot.filter(col("o_orderkey") % 10 === 7),
+              col("o_orderstatus"), col("o_totalprice"), del = true)),
+            tableSink, "o_orderkey", "del")
+          AtomicIncrement.mergeOnReadAtomic(
+            ch(hot.filter(col("o_orderkey") % 10 === 3), lit("Y"),
+              col("o_totalprice") + 50, del = false)
+            .unionByName(ch(hot.filter(col("o_orderkey") % 10 === 1),
+              col("o_orderstatus"), col("o_totalprice"), del = true)),
+            tableSink, "o_orderkey", "del")
+          val state = new java.util.concurrent.ConcurrentHashMap[
+            String, (Long, Double)]()
+          val windows = new java.util.concurrent.atomic.AtomicInteger
+          def drain(): Int = {
+            val before = windows.get()
+            val q = s.readStream.format("graft-atomic")
+              .option("path", tableSink)
+              .option("maxVersionsPerBatch", "2").load()
+              .writeStream
+              .option("checkpointLocation", s"$scratch/ckpt")
+              .trigger(
+                org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .foreachBatch { (df: DataFrame, _: Long) =>
+                windows.incrementAndGet()
+                df.groupBy("o_orderstatus").agg(
+                  sum(when(col("_change_type") === "insert", 1L)
+                    .otherwise(-1L)).as("dn"),
+                  sum(when(col("_change_type") === "insert",
+                    col("o_totalprice")).otherwise(-col("o_totalprice")))
+                    .as("ds"))
+                  .collect().foreach { r =>
+                    state.merge(r.getString(0),
+                      (r.getLong(1), r.getDouble(2)),
+                      (a, b) => (a._1 + b._1, a._2 + b._2))
+                  }
+                ()
+              }.start()
+            q.awaitTermination()
+            windows.get() - before
+          }
+          val n1 = drain() // the full backlog: 3 capped windows
+          val n2 = drain() // caught up: zero windows fire
+          import scala.jdk.CollectionConverters._
+          val folded = state.asScala.toSeq
+            .filter { case (_, (n, _)) => n != 0L }
+            .map { case (k, (n, sm)) => (k, n, sm) }
+          s.createDataFrame(folded)
+            .toDF("o_orderstatus", "n", "raw")
+            .select(col("o_orderstatus"), col("n"),
+              round(col("raw"), 2).as("sum_price"))
+            .withColumn("streamed", lit(n1 == 3 && n2 == 0))
+            .orderBy("o_orderstatus")
+        }
+      },
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |              FROM orders WHERE o_orderkey % 3 = 1),
+        |cut AS (SELECT 2 * max(o_orderkey) // 3 AS c FROM base),
+        |resolved AS (
+        |  SELECT o_orderstatus, o_totalprice FROM base, cut
+        |  WHERE NOT (o_orderkey > c AND o_orderkey % 10 IN (0, 1, 3, 7))
+        |  UNION ALL
+        |  SELECT 'X', o_totalprice + 100 FROM base, cut
+        |  WHERE o_orderkey > c AND o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 'Y', o_totalprice + 50 FROM base, cut
+        |  WHERE o_orderkey > c AND o_orderkey % 10 = 3)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price, TRUE AS streamed
         |FROM resolved GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin),
 
@@ -1300,6 +1537,69 @@ object IncrementalAgg {
         |WHERE rank <= 3
         |ORDER BY o_orderstatus, rank""".stripMargin),
 
+    // The BOUNDED-state TOP-K twin under the oracle gate (round 15):
+    // the same retraction feed drives the exact pair state AND the
+    // count-min + candidate-pool sketch, with the heavy-hitter value
+    // deliberately skewed (lowest set bit of o_custkey — geometric
+    // frequency gaps, the workload the sketch is FOR). The sketch's
+    // per-status top-3 must reproduce the oracle's exact ranking
+    // (estimate-ranked, same tie-break), each reported count is the
+    // EXACT path's (gating both states at once), and `within_band`
+    // pins the CM guarantee — estimate ≥ exact, excess ≤ max(1, εN)
+    // — which retraction must not loosen. The pool cap (12 < ~20
+    // distinct values) forces real pruning in-query.
+    "q_incr_agg_topk_approx" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_tkexact") { exactSink =>
+        withScratchSink(s, "graft_tksketch") { sketchSink =>
+          val o = table(s, dir, "orders").select(
+            col("o_orderkey"), col("o_orderstatus"),
+            (col("o_custkey").bitwiseAND(-col("o_custkey"))).as("hh"))
+          mergeCdcDistinct(o, o.limit(0), exactSink,
+            Seq("o_orderstatus"), "hh", 0L)
+          mergeCdcTopKSketch(o, o.limit(0), sketchSink,
+            Seq("o_orderstatus"), "hh", 0L, k = 3)
+          val minus = o.filter(col("o_orderkey") % 10 === 7)
+          val plus = o.filter(col("o_orderkey") % 10 === 3)
+            .withColumn("o_orderstatus", lit("X"))
+          mergeCdcDistinct(plus, minus, exactSink,
+            Seq("o_orderstatus"), "hh", 1L)
+          mergeCdcTopKSketch(plus, minus, sketchSink,
+            Seq("o_orderstatus"), "hh", 1L, k = 3)
+          val exact = readState(s, exactSink)
+            .select(col("o_orderstatus"), col("hh"),
+              col("__n").as("cnt"))
+          val tot = exact.groupBy("o_orderstatus")
+            .agg(sum("cnt").as("__tot"))
+          readTopKSketch(s, sketchSink, Seq("o_orderstatus"), "hh", 3)
+            .join(exact, Seq("o_orderstatus", "hh"))
+            .join(tot, Seq("o_orderstatus"))
+            .select(col("o_orderstatus"), col("hh"), col("cnt"),
+              col("rank"),
+              (col("cnt_est") >= col("cnt") &&
+                (col("cnt_est") - col("cnt")) <=
+                  greatest(lit(1.0), col("__tot") * (math.E / 2048.0)))
+                .as("within_band"))
+            .orderBy("o_orderstatus", "rank")
+        }
+      },
+      """WITH resolved AS (
+        |  SELECT o_orderstatus, o_custkey & -o_custkey AS hh
+        |  FROM orders WHERE o_orderkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT 'X' AS o_orderstatus, o_custkey & -o_custkey AS hh
+        |  FROM orders WHERE o_orderkey % 10 = 3),
+        |counted AS (
+        |  SELECT o_orderstatus, hh, count(*) AS cnt
+        |  FROM resolved GROUP BY o_orderstatus, hh),
+        |ranked AS (
+        |  SELECT o_orderstatus, hh, cnt,
+        |    CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY cnt DESC, hh) AS INT) AS rank
+        |  FROM counted)
+        |SELECT o_orderstatus, hh, cnt, rank, TRUE AS within_band
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY o_orderstatus, rank""".stripMargin),
+
     // Retractable QUANTILE rollup under the oracle gate (round 14):
     // histogram state bootstraps from the full orders load, then one
     // CDC batch retracts every %10==7 key and inserts %10==3 copies
@@ -1450,6 +1750,61 @@ object IncrementalAgg {
         |FROM orders
         |WHERE o_orderkey > (SELECT (2 * max(o_orderkey)) // 3
         |                    FROM orders)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
+    // SQL ROW-LEVEL DML under the oracle gate (round 15, the r14
+    // verdict's missing #1): the sink mounts through the DSv2 CATALOG
+    // (`graft.`<path>``) and a plain SQL `DELETE FROM ... WHERE`
+    // lands as a copy-on-write predicate delete — files the WHERE
+    // provably cannot touch ride into the new manifest VERBATIM
+    // (`pruned` pins carried ∩ rewritten ≠ ∅ via the before/after
+    // file sets, plus a no-match DELETE publishing NO new version),
+    // and the read-back runs through the catalog's SELECT face (the
+    // V1Scan bridge), so both halves of the DML surface sit under one
+    // oracle. The oracle replays the delete as a WHERE NOT(...) over
+    // the raw table — a dropped survivor, a resurrected dv row, or a
+    // NULL-cond mishandling all hash-mismatch.
+    "q_sql_delete" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_sqldel") { sink =>
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val mx = o.agg(max("o_orderkey")).head().getLong(0)
+        var lo = Long.MinValue
+        for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {
+          AtomicIncrement.appendIncrementAtomic(
+            o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+            sink, "o_orderkey", Seq("o_totalprice"))
+          lo = hi
+        }
+        val cut = 2 * mx / 3
+        val before = AtomicIncrement.committedFiles(s, sink).toSet
+        val v1 = AtomicIncrement.snapshot(s, sink)._1
+        s.sql(s"DELETE FROM graft.`$sink` " +
+          s"WHERE o_orderkey > $cut AND o_totalprice < 150000")
+        val after = AtomicIncrement.committedFiles(s, sink).toSet
+        val v2 = AtomicIncrement.snapshot(s, sink)._1
+        // a DELETE no row can match must be a FREE no-op: no version
+        s.sql(s"DELETE FROM graft.`$sink` WHERE o_orderkey > ${mx * 10}")
+        val v3 = AtomicIncrement.snapshot(s, sink)._1
+        val engaged = before.intersect(after).nonEmpty &&
+          before.diff(after).nonEmpty && v2 == v1 + 1 && v3 == v2
+        val out = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM graft.`$sink`
+             |GROUP BY o_orderstatus""".stripMargin)
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          .withColumn("pruned", lit(engaged))
+          .orderBy("o_orderstatus")
+      },
+      """WITH cut AS (SELECT (2 * max(o_orderkey)) // 3 AS c FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price, TRUE AS pruned
+        |FROM orders, cut
+        |WHERE NOT (o_orderkey > c AND o_totalprice < 150000)
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin),
 

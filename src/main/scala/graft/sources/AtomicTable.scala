@@ -84,8 +84,63 @@ import org.apache.spark.sql.types.StructType
   * SQL-option encoding here. Time-travel-pinned views are read-only.
   */
 class GraftAtomicSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with StreamSourceProvider {
   override def shortName(): String = "graft-atomic"
+
+  // ---- STREAMING source face (round 15): subscribers replace the
+  // scheduled version-keyed sync* pulls — offsets are manifest
+  // versions, each micro-batch one changesBetween window. Full
+  // contract at [[graft.streaming.GraftAtomicStreamSource]]. ----
+
+  private def streamParams(parameters: Map[String, String])
+      : (String, Boolean, Option[Long], Boolean, Option[String]) = {
+    val sink = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-atomic requires a 'path' option (the sink root)"))
+    val appendOnly = parameters.get("mode") match {
+      case None | Some("cdf") => false
+      case Some("append-only") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft-atomic stream mode must be cdf|append-only, got $other")
+    }
+    val cap = parameters.get("maxVersionsPerBatch").map { v =>
+      val n = v.trim.toLong
+      require(n > 0, s"maxVersionsPerBatch must be positive, got $n")
+      n
+    }
+    val rowLevel = parameters.get("rowLevel").exists(_.trim.toBoolean)
+    val rowKey = parameters.get("keyCol")
+    require(rowKey.isEmpty || rowLevel,
+      "keyCol only classifies a rowLevel=true stream")
+    require(!(rowLevel && appendOnly),
+      "rowLevel diffs a cdf window; append-only windows are already " +
+        "minimal (pure inserts)")
+    (sink, appendOnly, cap, rowLevel, rowKey)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft-atomic stream schema comes from the committed manifest — " +
+        "drop the explicit .schema(...)")
+    val (sink, _, _, _, _) = streamParams(parameters)
+    (shortName(), graft.streaming.GraftAtomicStreamSource.fullSchema(
+      graft.streaming.GraftAtomicStreamSource.dataSchemaOf(
+        sqlContext.sparkSession, sink)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val (sink, appendOnly, cap, rowLevel, rowKey) =
+      streamParams(parameters)
+    new graft.streaming.GraftAtomicStreamSource(sqlContext, sink,
+      graft.streaming.GraftAtomicStreamSource.dataSchemaOf(
+        sqlContext.sparkSession, sink), appendOnly, cap, rowLevel, rowKey)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -256,13 +311,26 @@ private[graft] class GraftAtomicRelation(override val sqlContext: SQLContext,
     pushed.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
   }
 
-  // ---- file-level may-match verdicts from manifest interval stats ----
+  private def mayMatch(e: AtomicIncrement.ManifestEntry,
+      f: Filter): Boolean = ManifestPruning.mayMatch(e, f)
+
+  private def translate(f: Filter): Option[Column] =
+    ManifestPruning.translate(f)
+}
+
+/** File-level may-match verdicts from manifest interval stats plus the
+  * Filter→Column translation — shared by every face that prunes a
+  * snapshot's file list by a SQL predicate: the V1 relation's scan
+  * ([[GraftAtomicRelation.buildScan]]) and the catalog table's
+  * `DELETE FROM` ([[GraftSqlTable]]'s copy-on-write predicate delete).
+  */
+private[graft] object ManifestPruning {
 
   /** False ONLY when the file's recorded stats PROVE no row can
     * satisfy `f` — every uncertainty (no stats, foreign family,
     * unparseable bounds, untranslatable value) answers true.
     */
-  private def mayMatch(e: AtomicIncrement.ManifestEntry,
+  private[graft] def mayMatch(e: AtomicIncrement.ManifestEntry,
       f: Filter): Boolean = f match {
     case And(l, r) => mayMatch(e, l) && mayMatch(e, r)
     case Or(l, r) => mayMatch(e, l) || mayMatch(e, r)
@@ -377,9 +445,10 @@ private[graft] class GraftAtomicRelation(override val sqlContext: SQLContext,
   }
 
   // ---- Filter → Column, for parquet row-group pushdown inside the
-  // surviving files (Spark still re-applies everything on top) ----
+  // surviving files (Spark still re-applies everything on top) and
+  // for the catalog DELETE's survivor predicate ----
 
-  private def translate(f: Filter): Option[Column] = f match {
+  private[graft] def translate(f: Filter): Option[Column] = f match {
     case EqualTo(c, v) => Some(col(c) === lit(v))
     case GreaterThan(c, v) => Some(col(c) > lit(v))
     case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
@@ -396,6 +465,10 @@ private[graft] class GraftAtomicRelation(override val sqlContext: SQLContext,
     case Or(l, r) =>
       for (a <- translate(l); b <- translate(r)) yield a || b
     case Not(x) => translate(x).map(not)
+    // DELETE FROM t (no WHERE) arrives as AlwaysTrue via the
+    // TruncatableTable default; keep both constants total here
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
     case _ => None
   }
 }

@@ -1,0 +1,144 @@
+package graft
+
+import graft.operators.AtomicIncrement
+import graft.sources.GraftAtomicRelation
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The DSv2 catalog face (`spark.sql.catalog.graft`): SELECT through
+  * the V1Scan bridge (manifest pruning engaged from SQL WHERE),
+  * row-level DELETE via SupportsDeleteV2 (carried-files-verbatim,
+  * dv-aware, NULL-cond semantics), TRUNCATE, no-match no-op, loud
+  * refusals for the unsupported DDL surface.
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rm(dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+    ()
+  }
+
+  private def install(): Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.GraftCatalog")
+
+  private def rows(lo: Int, hi: Int): DataFrame =
+    (lo to hi).map(k => (k.toLong, s"g${k % 3}", k * 1.5))
+      .toDF("k", "grp", "amt")
+
+  /** Three disjoint-interval increments: files prune on k. */
+  private def loadThree(sink: String): Unit =
+    for ((lo, hi) <- Seq((1, 40), (41, 80), (81, 120)))
+      AtomicIncrement.appendIncrementAtomic(rows(lo, hi), sink, "k")
+
+  test("SELECT through the catalog prunes files from the SQL WHERE " +
+      "and returns exact rows") {
+    install()
+    val sink = tmp("graft_cat_sel")
+    try {
+      loadThree(sink)
+      val got = spark.sql(
+        s"SELECT grp, count(*) AS n, sum(amt) AS s FROM graft.`$sink` " +
+          "WHERE k > 80 GROUP BY grp ORDER BY grp").collect()
+      val want = rows(81, 120).groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("amt").as("s"))
+        .orderBy("grp").collect()
+      assert(got.toSeq.map(_.toSeq) === want.toSeq.map(_.toSeq))
+      // the WHERE pruned to the third increment's files only
+      val (kept, committed) = GraftAtomicRelation.lastScanFor(sink)
+      assert(committed === AtomicIncrement.committedFiles(spark, sink).size)
+      assert(kept < committed, s"no pruning engaged: $kept of $committed")
+    } finally rm(sink)
+  }
+
+  test("DELETE FROM rewrites only may-match files, carries the rest " +
+      "verbatim, and survives NULL-cond rows") {
+    install()
+    val sink = tmp("graft_cat_del")
+    try {
+      loadThree(sink)
+      // one row with NULL amt in the hot range: `amt < 100` is NULL
+      // there, and SQL DELETE must keep it
+      AtomicIncrement.appendIncrementAtomic(
+        Seq((121L, "g0", null.asInstanceOf[java.lang.Double]))
+          .toDF("k", "grp", "amt"), sink, "k")
+      val before = AtomicIncrement.committedFiles(spark, sink).toSet
+      spark.sql(s"DELETE FROM graft.`$sink` WHERE k > 80 AND amt < 150")
+      val after = AtomicIncrement.committedFiles(spark, sink).toSet
+      // files of the first two increments (k <= 80) carried verbatim
+      val carried = before.intersect(after)
+      assert(carried.nonEmpty, "nothing carried: pruning regressed")
+      assert(before.diff(after).nonEmpty, "nothing rewritten")
+      val got = AtomicIncrement.readCommitted(spark, sink)
+      // survivors: everything k<=80, k>80 rows with amt>=150, and the
+      // NULL-amt row (cond NULL -> survives)
+      val expected = rows(1, 120).filter($"k" <= 80 || $"amt" >= 150)
+        .select($"k").as[Long].collect().toSet + 121L
+      assert(got.select("k").as[Long].collect().toSet === expected)
+      assert(got.filter($"k" === 121L).count() === 1L,
+        "NULL-cond row must survive a SQL DELETE")
+    } finally rm(sink)
+  }
+
+  test("DELETE on a merge-on-read table respects standing delete " +
+      "vectors and the rewrite outranks them") {
+    install()
+    val sink = tmp("graft_cat_delmor")
+    try {
+      loadThree(sink)
+      // defer-delete k in [100, 110] via MoR (dv only, no rewrite)
+      AtomicIncrement.mergeOnReadAtomic(
+        rows(100, 110).withColumn("del", lit(true)), sink, "k", "del")
+      // SQL DELETE of k > 90 with amt < 160 — overlaps the dv range
+      spark.sql(s"DELETE FROM graft.`$sink` WHERE k > 90 AND amt < 160")
+      val got = AtomicIncrement.readCommitted(spark, sink)
+        .select("k").as[Long].collect().toSet
+      val expected = rows(1, 120)
+        .filter(!($"k" >= 100 && $"k" <= 110)) // dv-masked first
+        .filter(!($"k" > 90 && $"amt" < 160))  // then the SQL delete
+        .select($"k").as[Long].collect().toSet
+      assert(got === expected)
+    } finally rm(sink)
+  }
+
+  test("no-match DELETE publishes no new version; DELETE without " +
+      "WHERE empties the table") {
+    install()
+    val sink = tmp("graft_cat_noop")
+    try {
+      loadThree(sink)
+      val v0 = AtomicIncrement.snapshot(spark, sink)._1
+      spark.sql(s"DELETE FROM graft.`$sink` WHERE k > 99999")
+      assert(AtomicIncrement.snapshot(spark, sink)._1 === v0,
+        "a no-match delete must be a free no-op")
+      spark.sql(s"DELETE FROM graft.`$sink`")
+      assert(AtomicIncrement.readCommitted(spark, sink).count() === 0L)
+    } finally rm(sink)
+  }
+
+  test("unsupported DDL refuses loudly; missing table is " +
+      "NoSuchTable; DROP TABLE removes the sink") {
+    install()
+    val sink = tmp("graft_cat_ddl")
+    try {
+      loadThree(sink)
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE graft.`$sink` ADD COLUMN x INT")
+      }
+      assert(e.getMessage.contains("mergeSchema") ||
+        Option(e.getCause).exists(_.getMessage.contains("mergeSchema")))
+      val missing = tmp("graft_cat_missing")
+      try intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT * FROM graft.`$missing/nope`").collect()
+      } finally rm(missing)
+      spark.sql(s"DROP TABLE graft.`$sink`")
+      assert(AtomicIncrement.snapshot(spark, sink)._2.isEmpty)
+    } finally rm(sink)
+  }
+}
