@@ -1537,6 +1537,99 @@ object IncrementalAgg {
         |WHERE rank <= 3
         |ORDER BY o_orderstatus, rank""".stripMargin),
 
+    // END-TO-END CDC REPLICATION under the oracle gate (round 15):
+    // the streaming SOURCE face reads table A's row-level change feed
+    // (insert/delete/update images classified by key) and the
+    // streaming SINK face applies it to table B as per-batch
+    // copy-on-write merges — `readStream(A) → writeStream(B)` through
+    // public APIs, the loop every lakehouse replication product
+    // closes. The oracle aggregates the SQL-resolved upstream;
+    // `replicated` pins that a second catch-up run moves NOTHING
+    // (version-idempotent) and that B's version count shows the
+    // bootstrap-then-merge shape. A survivor riding the feed
+    // un-telescoped, a preimage applied as an upsert, or a delete
+    // dropped by the sink all hash-mismatch.
+    "q_stream_replicate" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_repa") { tableA =>
+        withScratchSink(s, "graft_repb") { scratch =>
+          val o = table(s, dir, "orders")
+            .filter(col("o_orderkey") % 3 === 1)
+            .select(
+            col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          val mx = o.agg(max("o_orderkey")).head().getLong(0)
+          var lo = Long.MinValue
+          for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {
+            AtomicIncrement.appendIncrementAtomic(
+              o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+              tableA, "o_orderkey")
+            lo = hi
+          }
+          val cut = 2 * mx / 3
+          val hot = o.filter(col("o_orderkey") > cut)
+          def ch(df: DataFrame, status: org.apache.spark.sql.Column,
+              price: org.apache.spark.sql.Column, del: Boolean) =
+            df.select(col("o_orderkey"), status.as("o_orderstatus"),
+              price.as("o_totalprice"), lit(del).as("del"))
+          AtomicIncrement.mergeAtomic(
+            ch(hot.filter(col("o_orderkey") % 10 === 0), lit("X"),
+              col("o_totalprice") + 100, del = false)
+            .unionByName(ch(hot.filter(col("o_orderkey") % 10 === 7),
+              col("o_orderstatus"), col("o_totalprice"), del = true)),
+            tableA, "o_orderkey", "del")
+          AtomicIncrement.mergeOnReadAtomic(
+            ch(hot.filter(col("o_orderkey") % 10 === 3), lit("Y"),
+              col("o_totalprice") + 50, del = false)
+            .unionByName(ch(hot.filter(col("o_orderkey") % 10 === 1),
+              col("o_orderstatus"), col("o_totalprice"), del = true)),
+            tableA, "o_orderkey", "del")
+          val tableB = s"$scratch/b"
+          def replicate(): Unit = {
+            val q = s.readStream.format("graft-atomic")
+              .option("path", tableA).option("rowLevel", "true")
+              .option("keyCol", "o_orderkey").load()
+              .filter(col("_change_type") =!= "update_preimage")
+              .withColumn("del", col("_change_type") === "delete")
+              .drop("_change_type", "_commit_version")
+              .writeStream.format("graft-atomic")
+              .option("path", tableB).option("keyCol", "o_orderkey")
+              .option("deleteCol", "del")
+              .option("checkpointLocation", s"$scratch/ckpt")
+              .outputMode(
+                org.apache.spark.sql.streaming.OutputMode.Update())
+              .trigger(
+                org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
+          replicate()
+          val vb = AtomicIncrement.snapshot(s, tableB)._1
+          replicate() // caught up: nothing may move
+          val idem = AtomicIncrement.snapshot(s, tableB)._1 == vb
+          AtomicIncrement.readCommitted(s, tableB)
+            .groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"),
+              round(sum("o_totalprice"), 2).as("sum_price"))
+            .withColumn("replicated", lit(idem && vb >= 1))
+            .orderBy("o_orderstatus")
+        }
+      },
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |              FROM orders WHERE o_orderkey % 3 = 1),
+        |cut AS (SELECT 2 * max(o_orderkey) // 3 AS c FROM base),
+        |resolved AS (
+        |  SELECT o_orderstatus, o_totalprice FROM base, cut
+        |  WHERE NOT (o_orderkey > c AND o_orderkey % 10 IN (0, 1, 3, 7))
+        |  UNION ALL
+        |  SELECT 'X', o_totalprice + 100 FROM base, cut
+        |  WHERE o_orderkey > c AND o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 'Y', o_totalprice + 50 FROM base, cut
+        |  WHERE o_orderkey > c AND o_orderkey % 10 = 3)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price, TRUE AS replicated
+        |FROM resolved GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
     // The BOUNDED-state TOP-K twin under the oracle gate (round 15):
     // the same retraction feed drives the exact pair state AND the
     // count-min + candidate-pool sketch, with the heavy-hitter value

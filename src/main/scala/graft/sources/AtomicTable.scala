@@ -85,8 +85,30 @@ import org.apache.spark.sql.types.StructType
   */
 class GraftAtomicSource extends RelationProvider
     with CreatableRelationProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with StreamSinkProvider {
   override def shortName(): String = "graft-atomic"
+
+  /** `df.writeStream.format("graft-atomic")`: micro-batches land as
+    * manifest commits — Append = watermarked increments (the
+    * watermark IS the exactly-once shield), Update = copy-on-write
+    * merges by `keyCol` (+ optional `deleteCol`), Complete = OCC
+    * snapshot replaces. Contract at
+    * [[graft.streaming.GraftAtomicStreamSink]].
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-atomic lays data out by manifest + clustering, not " +
+        "partitionBy — drop the partitioning clause")
+    val sink = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-atomic requires a 'path' option (the sink root)"))
+    new graft.streaming.GraftAtomicStreamSink(sink,
+      parameters.get("watermarkCol"), parameters.get("keyCol"),
+      parameters.get("deleteCol"), outputMode)
+  }
 
   // ---- STREAMING source face (round 15): subscribers replace the
   // scheduled version-keyed sync* pulls — offsets are manifest
@@ -210,6 +232,27 @@ private[graft] object GraftAtomicRelation {
     */
   def lastScanFor(sink: String): (Int, Int) =
     lastScans.getOrDefault(sink, (0, 0))
+
+  /** Resolve a time-travel pin to a manifest version — the ONE
+    * translation every pinned face shares (the V1 relation's scan and
+    * the catalog's `VERSION AS OF` / `TIMESTAMP AS OF` overloads).
+    * `None` = the LATEST version, re-resolved at every call.
+    */
+  private[graft] def resolveVersion(
+      spark: org.apache.spark.sql.SparkSession, sink: String,
+      pin: Option[(String, String)]): Long = pin match {
+    case None => AtomicIncrement.snapshot(spark, sink)._1
+    case Some(("versionAsOf", v)) => v.trim.toLong
+    case Some(("timestampAsOf", t)) =>
+      val ms = t.trim.toLongOption.getOrElse(
+        java.time.Instant.parse(t.trim).toEpochMilli)
+      AtomicIncrement.versionAsOf(spark, sink, ms)
+    case Some(("tag", name)) =>
+      AtomicIncrement.tagVersionOf(spark, sink, name).getOrElse(
+        throw new IllegalArgumentException(s"no tag '$name' at $sink"))
+    case Some((k, _)) =>
+      throw new IllegalArgumentException(s"unknown pin option $k")
+  }
 }
 
 private[graft] class GraftAtomicRelation(override val sqlContext: SQLContext,
@@ -251,19 +294,7 @@ private[graft] class GraftAtomicRelation(override val sqlContext: SQLContext,
       Seq[AtomicIncrement.ManifestEntry]) = {
     val fs = new Path(sink).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val version = pin match {
-      case None => AtomicIncrement.snapshot(spark, sink)._1
-      case Some(("versionAsOf", v)) => v.trim.toLong
-      case Some(("timestampAsOf", t)) =>
-        val ms = t.trim.toLongOption.getOrElse(
-          java.time.Instant.parse(t.trim).toEpochMilli)
-        AtomicIncrement.versionAsOf(spark, sink, ms)
-      case Some(("tag", name)) =>
-        AtomicIncrement.tagVersionOf(spark, sink, name).getOrElse(
-          throw new IllegalArgumentException(s"no tag '$name' at $sink"))
-      case Some((k, _)) =>
-        throw new IllegalArgumentException(s"unknown pin option $k")
-    }
+    val version = GraftAtomicRelation.resolveVersion(spark, sink, pin)
     val (dv, data) = AtomicIncrement.entriesAtVersion(fs, sink, version)
       .partition(AtomicIncrement.isDv)
     require(data.nonEmpty, s"no committed snapshot at $sink")

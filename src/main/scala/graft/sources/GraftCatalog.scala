@@ -95,6 +95,33 @@ class GraftCatalog extends TableCatalog {
     new GraftSqlTable(sink)
   }
 
+  /** SQL time travel, `SELECT … FROM graft.t VERSION AS OF x`: a
+    * numeric `x` pins a manifest version, anything else resolves as a
+    * named TAG — the same pair of coordinates the view face's
+    * `versionAsOf`/`tag` options speak. Pinned tables are read-only
+    * (history is immutable); DELETE refuses.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val sink = sinkPath(ident)
+    if (AtomicIncrement.snapshot(spark, sink)._2.isEmpty)
+      throw new NoSuchTableException(ident)
+    val pin = if (version.trim.forall(_.isDigit))
+      ("versionAsOf", version.trim) else ("tag", version.trim)
+    new GraftSqlTable(sink, Some(pin))
+  }
+
+  /** SQL `TIMESTAMP AS OF` — Spark hands micros since epoch; the
+    * manifest commit stamps resolve it (monotone-adjusted, like every
+    * time-travel face).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val sink = sinkPath(ident)
+    if (AtomicIncrement.snapshot(spark, sink)._2.isEmpty)
+      throw new NoSuchTableException(ident)
+    new GraftSqlTable(sink,
+      Some(("timestampAsOf", (timestamp / 1000L).toString)))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     try { loadTable(ident); true }
     catch { case _: NoSuchTableException => false }
@@ -159,15 +186,22 @@ class GraftCatalog extends TableCatalog {
   * the per-statement catalog round trip, so consecutive SQL
   * statements each see the current snapshot.
   */
-private[graft] class GraftSqlTable(sink: String) extends Table
+private[graft] class GraftSqlTable(sink: String,
+    pin: Option[(String, String)] = None) extends Table
     with SupportsRead with SupportsDeleteV2 {
 
   private def spark = SparkSession.active
 
-  override def name(): String = s"graft.`$sink`"
+  override def name(): String = s"graft.`$sink`" +
+    pin.map { case (k, v) => s" ($k $v)" }.getOrElse("")
 
   override val schema: StructType = {
-    val (_, dataE, _) = AtomicIncrement.snapshotSplit(spark, sink)
+    val version = GraftAtomicRelation.resolveVersion(spark, sink, pin)
+    val fs = new Path(sink).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dataE = AtomicIncrement.entriesAtVersion(fs, sink, version)
+      .filterNot(AtomicIncrement.isDv)
+    require(dataE.nonEmpty, s"no committed snapshot at $sink ($pin)")
     AtomicIncrement.dataSchema(spark, sink, dataE)
   }
 
@@ -178,7 +212,7 @@ private[graft] class GraftSqlTable(sink: String) extends Table
     java.util.Collections.singletonMap(TableCatalog.PROP_LOCATION, sink)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new GraftScanBuilder(sink, schema)
+      : ScanBuilder = new GraftScanBuilder(sink, schema, pin)
 
   // ---- row-level DELETE ----
 
@@ -198,6 +232,9 @@ private[graft] class GraftSqlTable(sink: String) extends Table
       ManifestPruning.translate(f).isDefined))
 
   override def deleteWhere(predicates: Array[V2Predicate]): Unit = {
+    require(pin.isEmpty,
+      s"cannot DELETE from a time-travel-pinned table ($pin): " +
+        "committed history is immutable")
     val filters = v1Filters(predicates).getOrElse(
       throw new UnsupportedOperationException(
         s"DELETE predicates have no source-filter form: " +
@@ -220,7 +257,8 @@ private[graft] class GraftSqlTable(sink: String) extends Table
   * composed plan: pruned file list, dv anti-joins, vectorized parquet
   * under whole-stage codegen.
   */
-private[graft] class GraftScanBuilder(sink: String, tableSchema: StructType)
+private[graft] class GraftScanBuilder(sink: String,
+    tableSchema: StructType, pin: Option[(String, String)] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -247,7 +285,7 @@ private[graft] class GraftScanBuilder(sink: String, tableSchema: StructType)
 
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T =
-      new GraftSqlV1Scan(context, sink, required, filters)
+      new GraftSqlV1Scan(context, sink, required, filters, pin)
         .asInstanceOf[T]
 
     override def description(): String =
@@ -260,12 +298,13 @@ private[graft] class GraftScanBuilder(sink: String, tableSchema: StructType)
   * DSv2 pushdown negotiated.
   */
 private[graft] class GraftSqlV1Scan(override val sqlContext: SQLContext,
-    sink: String, required: StructType, filters: Array[Filter])
+    sink: String, required: StructType, filters: Array[Filter],
+    pin: Option[(String, String)] = None)
     extends BaseRelation with TableScan {
 
   override def schema: StructType = required
 
   override def buildScan(): RDD[Row] =
-    new GraftAtomicRelation(sqlContext, sink, None)
+    new GraftAtomicRelation(sqlContext, sink, pin)
       .buildScan(required.fieldNames, filters)
 }

@@ -237,3 +237,80 @@ class GraftAtomicStreamSource(sqlContext: SQLContext, sink: String,
     s"GraftAtomicStreamSource[$sink, " +
       s"${if (appendOnly) "append-only" else "cdf"}]"
 }
+
+/** STREAMING SINK face — `df.writeStream.format("graft-atomic")`:
+  * every micro-batch lands as ONE manifest commit, and the commit
+  * kind follows the output mode:
+  *
+  *  - **Append** (requires `watermarkCol`): each batch is an atomic
+  *    watermarked increment — the sink's replay shield IS the
+  *    watermark contract (a restarted query's re-delivered batch
+  *    filters to zero rows and publishes nothing), so the pipeline is
+  *    exactly-once end to end without any sink-side batch log.
+  *  - **Update** (requires `keyCol`, optional `deleteCol`): each
+  *    batch is a copy-on-write MERGE priced by churn-touched files —
+  *    rows upsert by key; with `deleteCol`, true rows delete.
+  *    Replay-safe because the merge is semantically idempotent
+  *    (re-upserting the same after-images and re-deleting the same
+  *    keys reproduce the same table). The FIRST batch into an empty
+  *    sink bootstraps via one OCC snapshot replace (a merge needs a
+  *    committed base); its replay falls through to the idempotent
+  *    merge path.
+  *  - **Complete**: each batch replaces the snapshot (OCC) — the
+  *    rollup-table shape.
+  *
+  * Composed with the SOURCE face this closes the replication loop:
+  * `readStream(A, rowLevel) → classify → writeStream(B, Update)` is
+  * CDC replication lakehouse-to-lakehouse through public streaming
+  * APIs, oracle-pinned by `q_stream_replicate`.
+  */
+class GraftAtomicStreamSink(sink: String, watermarkCol: Option[String],
+    keyCol: Option[String], deleteCol: Option[String],
+    mode: org.apache.spark.sql.streaming.OutputMode)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  import org.apache.spark.sql.streaming.OutputMode
+
+  override def addBatch(batchId: Long,
+      incoming: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = incoming.sparkSession
+    // the runtime hands the INCREMENTAL (isStreaming) frame; re-wrap
+    // its rows as a batch plan before any write action — the
+    // ForeachBatchSink move, via the one audited bridge
+    val data = StreamingFrameBridge.batchFrame(incoming)
+    mode match {
+      case m if m == OutputMode.Append() =>
+        val wm = watermarkCol.getOrElse(throw new IllegalArgumentException(
+          "append-mode graft-atomic sink requires the 'watermarkCol' " +
+            "option — the watermark contract is its exactly-once shield"))
+        AtomicIncrement.appendIncrementAtomic(data, sink, wm)
+        ()
+      case m if m == OutputMode.Complete() =>
+        AtomicIncrement.replaceSnapshot(data, sink,
+          AtomicIncrement.snapshot(spark, sink)._1)
+        ()
+      case _ => // Update
+        val k = keyCol.getOrElse(throw new IllegalArgumentException(
+          "update-mode graft-atomic sink requires the 'keyCol' option " +
+            "(rows merge by key)"))
+        val del = deleteCol.map(col).getOrElse(lit(false))
+        val changes = data.withColumn("__gdel", del)
+          .drop(deleteCol.toSeq: _*)
+        if (AtomicIncrement.snapshot(spark, sink)._2.isEmpty) {
+          // bootstrap: a merge needs a committed base — the first
+          // batch must be pure upserts and lands as one OCC replace
+          val deletes = changes.filter(col("__gdel")).limit(1).count()
+          require(deletes == 0L,
+            s"first batch into empty sink $sink carries deletes — " +
+              "nothing exists to delete; seed the table first")
+          AtomicIncrement.replaceSnapshot(
+            changes.drop("__gdel"), sink, 0L)
+          ()
+        } else {
+          AtomicIncrement.mergeAtomic(changes, sink, k, "__gdel")
+          ()
+        }
+    }
+  }
+
+  override def toString: String = s"GraftAtomicStreamSink[$sink, $mode]"
+}

@@ -37,6 +37,21 @@ object StreamingFrameBridge {
     classic.internalCreateDataFrame(rdd, schema, isStreaming = true)
   }
 
+  /** The INVERSE wrap for a V1 streaming `Sink.addBatch`: the frame
+    * the runtime hands in carries the incremental (isStreaming) plan,
+    * so any batch action on it throws "streaming sources must be
+    * executed with writeStream.start()". Re-wrap its physical rows as
+    * a plain batch frame — literally what Spark's own
+    * `ForeachBatchSink` does before invoking user code.
+    */
+  def batchFrame(streaming: DataFrame): DataFrame = {
+    val spark = streaming.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ds = streaming.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    spark.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema,
+      isStreaming = false)
+  }
+
   /** V2 `Predicate` → V1 `Filter`, via Spark's own converter (the one
     * its JDBC connector uses) rather than a hand-rolled re-walk of the
     * expression tree — `PredicateUtils` is `private[sql]`, hence its
