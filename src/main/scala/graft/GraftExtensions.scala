@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // declarative HOF dot products -> native codegen'd FloatDotProduct
     // (flag-gated per query: spark.graft.rewriteHofDot)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
+    // catalog-face graft scans: surface the manifest-true size the
+    // V1ScanWrapper hides, as a conservative broadcast hint
+    ext.injectOptimizerRule(_ => graft.plans.BroadcastFromManifest)
   }
 }
 

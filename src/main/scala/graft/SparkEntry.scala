@@ -48,7 +48,7 @@ object SparkEntry {
   private val checkFirst: Seq[String] = Seq(
     // round-15 additions, never driver-checked yet
     "q_stream_source", "q_sql_delete", "q_incr_agg_topk_approx",
-    "q_read_grep_indexed", "q_stream_replicate",
+    "q_read_grep_indexed", "q_stream_replicate", "q_update_where",
     // the round-13 additions: string/UUID-keyed merge + the composed
     // maintenance loop, never driver-checked yet
     "q_merge_upsert_str", "q_maintain_cdc", "q_read_pruned_str",

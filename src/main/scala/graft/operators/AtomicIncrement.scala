@@ -135,7 +135,7 @@ object AtomicIncrement {
     * parse fine and simply disable the metadata count (fallback is
     * the ordinary scan — conservative like every stats gap here).
     */
-  private val RowsCol = "__graft_rows"
+  private[graft] val RowsCol = "__graft_rows"
   private val ReservedStatsCols = Set(DvCol, SeqCol, RowsCol)
 
   /** Stats tag for a PROVABLY ALL-NULL column chunk set (round 14):
@@ -2040,6 +2040,68 @@ object AtomicIncrement {
     // survivors were read dv-resolved; the rewrite must outrank every
     // standing tombstone or a dv would re-mask them (same rule as the
     // CoW merge)
+    val stagedEntries = if (dvE.isEmpty) staged0
+      else staged0.map(stampSeq(_, version + 1))
+    try publish(fs, sink,
+      (carried ++ dvE ++ stagedEntries).map(_.render), version + 1)
+    catch { case e: Throwable =>
+      stagedEntries.headOption.foreach(e0 =>
+        fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
+      throw e
+    }
+    DeleteResult(version + 1, carried.size, touched.size,
+      stagedEntries.size)
+  }
+
+  /** Copy-on-write predicate UPDATE — `UPDATE t SET … WHERE cond` for
+    * a table with no key contract, [[deleteWhereAtomic]]'s sibling:
+    * the same manifest-stats file pruning (carried files verbatim),
+    * the same dv-resolved rewrite of may-match files, but matching
+    * rows get the SET expressions applied instead of dropped. SQL
+    * semantics throughout: a row updates iff `cond` is TRUE (false OR
+    * NULL rows carry unchanged), and EVERY set expression evaluates
+    * against the OLD row (`SET a = b, b = a` swaps — the new values
+    * compute into temporaries before any column is replaced). Each
+    * assigned value casts to its column's existing type, so the
+    * snapshot schema never drifts through an update. A dv-masked row
+    * is absent from the rewrite's input and cannot be resurrected by
+    * matching the predicate. No-match (nothing touched) publishes no
+    * version. This is the exact rewrite contract SQL UPDATE's
+    * group-based `SupportsRowLevelOperations` needs — the named next
+    * step for the catalog face.
+    */
+  def updateWhereAtomic(spark: SparkSession, sink: String,
+      cond: org.apache.spark.sql.Column,
+      sets: Map[String, org.apache.spark.sql.Column],
+      mayMatch: ManifestEntry => Boolean = _ => true): DeleteResult = {
+    require(sets.nonEmpty, "UPDATE needs at least one SET assignment")
+    val fs = fsOf(spark, sink)
+    val (version, dataE, dvE) = snapshotSplit(spark, sink)
+    require(dataE.nonEmpty, s"nothing committed to update at $sink")
+    val fullSchema = dataSchema(spark, sink, dataE)
+    sets.keys.foreach(c => require(
+      fullSchema.fields.exists(_.name.equalsIgnoreCase(c)),
+      s"SET column '$c' not in the committed schema"))
+    val (touched, carried) = dataE.partition(mayMatch)
+    if (touched.isEmpty) return DeleteResult(version, carried.size, 0, 0)
+    val oldTouched = readEffective(spark, sink, touched, dvE,
+      Some(fullSchema))
+    import org.apache.spark.sql.functions.{coalesce, lit, when, col => c}
+    val matchC = coalesce(cond, lit(false))
+    // all new values compute against the OLD row first
+    val staged = sets.toSeq.zipWithIndex
+    var df = oldTouched
+    for (((name, value), i) <- staged) {
+      val field = fullSchema.fields
+        .find(_.name.equalsIgnoreCase(name)).get
+      df = df.withColumn(s"__set_$i",
+        when(matchC, value.cast(field.dataType)).otherwise(c(name)))
+    }
+    for (((name, _), i) <- staged)
+      df = df.withColumn(name, c(s"__set_$i")).drop(s"__set_$i")
+    val updated = df.coalesce(math.max(1, touched.size))
+    val statsFields = coveredStatsFields(dataE, updated.schema)
+    val staged0 = stageEntries(updated, spark, fs, sink, statsFields)
     val stagedEntries = if (dvE.isEmpty) staged0
       else staged0.map(stampSeq(_, version + 1))
     try publish(fs, sink,

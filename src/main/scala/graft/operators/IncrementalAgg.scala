@@ -1901,6 +1901,68 @@ object IncrementalAgg {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin),
 
+    // Copy-on-write predicate UPDATE under the oracle gate (round 15,
+    // DELETE's sibling): no key contract — the WHERE prunes files
+    // through the same manifest verdicts, only may-match files
+    // rewrite (carried-verbatim pinned via the file sets), matching
+    // rows get the SET expressions applied AGAINST THE OLD ROW, and a
+    // no-match UPDATE publishes no version. The oracle replays the
+    // statement as a CASE expression over the raw table — sequential
+    // SET evaluation (new values leaking into later assignments), a
+    // NULL-cond row mutated, or a type drift through the cast all
+    // hash-mismatch.
+    "q_update_where" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_updw") { sink =>
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val mx = o.agg(max("o_orderkey")).head().getLong(0)
+        var lo = Long.MinValue
+        for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {
+          AtomicIncrement.appendIncrementAtomic(
+            o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+            sink, "o_orderkey", Seq("o_totalprice"))
+          lo = hi
+        }
+        val cut = 2 * mx / 3
+        import org.apache.spark.sql.sources.GreaterThan
+        def prune(f: org.apache.spark.sql.sources.Filter)(
+            e: AtomicIncrement.ManifestEntry) =
+          graft.sources.ManifestPruning.mayMatch(e, f)
+        val before = AtomicIncrement.committedFiles(s, sink).toSet
+        val v1 = AtomicIncrement.snapshot(s, sink)._1
+        val r1 = AtomicIncrement.updateWhereAtomic(s, sink,
+          col("o_orderkey") > cut && col("o_totalprice") < 150000,
+          Map("o_totalprice" -> (col("o_totalprice") * 2),
+            "o_orderstatus" -> lit("U")),
+          prune(GreaterThan("o_orderkey", cut)))
+        val after = AtomicIncrement.committedFiles(s, sink).toSet
+        val r2 = AtomicIncrement.updateWhereAtomic(s, sink,
+          col("o_orderkey") > mx * 10,
+          Map("o_orderstatus" -> lit("Z")),
+          prune(GreaterThan("o_orderkey", mx * 10)))
+        val engaged = before.intersect(after).nonEmpty &&
+          before.diff(after).nonEmpty &&
+          r1.version == v1 + 1 && r2.version == r1.version
+        AtomicIncrement.readCommitted(s, sink)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("sum_price"))
+          .withColumn("pruned", lit(engaged))
+          .orderBy("o_orderstatus")
+      },
+      """WITH cut AS (SELECT (2 * max(o_orderkey)) // 3 AS c FROM orders),
+        |resolved AS (
+        |  SELECT CASE WHEN o_orderkey > c AND o_totalprice < 150000
+        |              THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN o_orderkey > c AND o_totalprice < 150000
+        |              THEN o_totalprice * 2 ELSE o_totalprice END
+        |           AS o_totalprice
+        |  FROM orders, cut)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price, TRUE AS pruned
+        |FROM resolved GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
     // DESCRIBE HISTORY under the oracle gate (round 14): three
     // single-file appends then a churn-CONFINED copy-on-write merge —
     // the listed history must show versions 1..4 with file counts

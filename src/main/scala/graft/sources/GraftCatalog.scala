@@ -208,6 +208,24 @@ private[graft] class GraftSqlTable(sink: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
+  /** Manifest-true LIVE bytes at the resolved version — the smallness
+    * evidence [[graft.plans.BroadcastFromManifest]] reads pre-pushdown
+    * (before WHERE pruning can shrink it further, so only ever an
+    * OVER-estimate: a table judged small here really is small).
+    * Missing files (pinned reader racing a vacuum) count 0.
+    */
+  private[graft] def manifestSizeInBytes: Long = {
+    val version = GraftAtomicRelation.resolveVersion(spark, sink, pin)
+    val fs = new Path(sink).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dataE = AtomicIncrement.entriesAtVersion(fs, sink, version)
+      .filterNot(AtomicIncrement.isDv)
+    AtomicIncrement.inParallel(dataE) { e =>
+      try fs.getFileStatus(new Path(s"$sink/${e.path}")).getLen
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+  }
+
   override def properties(): java.util.Map[String, String] =
     java.util.Collections.singletonMap(TableCatalog.PROP_LOCATION, sink)
 
@@ -280,13 +298,53 @@ private[graft] class GraftScanBuilder(sink: String,
     ()
   }
 
-  override def build(): Scan = new V1Scan {
+  override def build(): Scan = new V1Scan
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     override def readSchema(): StructType = required
 
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T =
       new GraftSqlV1Scan(context, sink, required, filters, pin)
         .asInstanceOf[T]
+
+    /** Manifest-true statistics — without this a DSv2 scan reports
+      * `defaultSizeInBytes` (huge) and a small graft-atomic dimension
+      * table would NEVER broadcast in a catalog-face SQL join (the
+      * same fix the V1 relation's `sizeInBytes` carries). Bytes =
+      * fanned file-status sum over the PRUNED file list; rows = the
+      * manifest row-count groups when every kept line carries one.
+      * Missing files (pinned reader racing a vacuum) count 0 — an
+      * under-estimate only ever risks a broadcast Spark would spill
+      * on, never a wrong answer.
+      */
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics = {
+      val spark = SparkSession.active
+      val version = GraftAtomicRelation.resolveVersion(spark, sink, pin)
+      val fs = new Path(sink).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val dataE = AtomicIncrement.entriesAtVersion(fs, sink, version)
+        .filterNot(AtomicIncrement.isDv)
+      val kept = dataE.filter(e =>
+        filters.forall(f => ManifestPruning.mayMatch(e, f)))
+      val bytes = AtomicIncrement.inParallel(kept) { e =>
+        try fs.getFileStatus(new Path(s"$sink/${e.path}")).getLen
+        catch { case _: java.io.IOException => 0L }
+      }.sum
+      val rowCounts = kept.map(_.statsFor(AtomicIncrement.RowsCol))
+      val rows: java.util.OptionalLong =
+        if (rowCounts.forall(_.isDefined))
+          try java.util.OptionalLong.of(
+            rowCounts.map(_.get.min.toLong).sum)
+          catch { case _: NumberFormatException =>
+            java.util.OptionalLong.empty() }
+        else java.util.OptionalLong.empty()
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(bytes)
+        override def numRows(): java.util.OptionalLong = rows
+      }
+    }
 
     override def description(): String =
       s"GraftAtomicScan($sink, filters=${filters.mkString(",")})"

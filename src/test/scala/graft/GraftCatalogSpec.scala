@@ -122,6 +122,38 @@ class GraftCatalogSpec extends SparkSpec {
     } finally rm(sink)
   }
 
+  test("catalog scan reports manifest-true statistics and a small " +
+      "catalog table broadcasts in a SQL join") {
+    install()
+    val small = tmp("graft_cat_dim")
+    val big = tmp("graft_cat_fact")
+    try {
+      AtomicIncrement.appendIncrementAtomic(
+        (1 to 20).map(k => (k.toLong, s"name$k")).toDF("k", "label"),
+        small, "k")
+      AtomicIncrement.appendIncrementAtomic(
+        (1 to 5000).map(i => (i.toLong, (i % 20 + 1).toLong, i * 1.0))
+          .toDF("id", "k", "amt"), big, "id")
+      // the DSv2 scan's estimateStatistics: exact rows from the
+      // manifest row-count groups, real bytes from the file list
+      val scan = new graft.sources.GraftScanBuilder(small,
+        AtomicIncrement.readCommitted(spark, small).schema).build()
+      val stats = scan
+        .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics()
+      assert(stats.numRows().getAsLong === 20L)
+      assert(stats.sizeInBytes().getAsLong > 0L)
+      // without stats a V2 relation reports defaultSizeInBytes (huge)
+      // and this join would sort-merge; with them it broadcasts
+      val plan = spark.sql(
+        s"SELECT sum(b.amt) FROM graft.`$big` b " +
+          s"JOIN graft.`$small` s ON b.k = s.k")
+        .queryExecution.sparkPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"catalog join did not broadcast:\n$plan")
+    } finally { rm(small); rm(big) }
+  }
+
   test("unsupported DDL refuses loudly; missing table is " +
       "NoSuchTable; DROP TABLE removes the sink") {
     install()
