@@ -911,8 +911,11 @@ object AtomicIncrement {
     * `keyCol`, rows further classify Delta-CDF style into one frame:
     * `_change_type ∈ {insert, delete, update_preimage,
     * update_postimage}` (a key present on both sides is an update;
-    * pre/post images pair by key). Without one, the pure multiset
-    * delta ships as insert/delete.
+    * pre/post images pair by key — under a NON-unique key the labels
+    * stay consistent per side but individual pre/post rows don't pair
+    * one-to-one; declare a genuinely unique key for CDC-style
+    * consumption). Without one, the pure multiset delta ships as
+    * insert/delete.
     *
     * Cost model: the diff shuffles the WINDOW'S CHANGED-FILE rows on
     * their full width (the telescoping the abelian path gets free now

@@ -220,6 +220,12 @@ private[graft] class GraftSqlTable(sink: String,
       spark.sparkContext.hadoopConfiguration)
     val dataE = AtomicIncrement.entriesAtVersion(fs, sink, version)
       .filterNot(AtomicIncrement.isDv)
+    // the caller asks "is this table broadcast-small?" during QUERY
+    // COMPILE — never pay 10⁵ fanned status round trips to learn the
+    // answer is no. Past a file-count ceiling the table cannot be
+    // under any sane broadcast threshold (2048 non-empty files ≪ 10 MB
+    // is impossible); answer "large" from the manifest alone.
+    if (dataE.size > 2048) return Long.MaxValue
     AtomicIncrement.inParallel(dataE) { e =>
       try fs.getFileStatus(new Path(s"$sink/${e.path}")).getLen
       catch { case _: java.io.IOException => 0L }

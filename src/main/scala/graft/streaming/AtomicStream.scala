@@ -249,7 +249,11 @@ class GraftAtomicStreamSource(sqlContext: SQLContext, sink: String,
   *    exactly-once end to end without any sink-side batch log.
   *  - **Update** (requires `keyCol`, optional `deleteCol`): each
   *    batch is a copy-on-write MERGE priced by churn-touched files —
-  *    rows upsert by key; with `deleteCol`, true rows delete.
+  *    rows upsert by key; with `deleteCol`, true rows delete. The
+  *    merge contract applies: ≤1 row per key PER BATCH — resolve
+  *    within-batch conflicts upstream ([[graft.operators.Cdc.latestView]]
+  *    is that resolve; the graft-atomic source's row-level feed emits
+  *    ≤1 net change per key per window by snapshot-diff construction).
   *    Replay-safe because the merge is semantically idempotent
   *    (re-upserting the same after-images and re-deleting the same
   *    keys reproduce the same table). The FIRST batch into an empty
