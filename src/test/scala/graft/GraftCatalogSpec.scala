@@ -154,6 +154,40 @@ class GraftCatalogSpec extends SparkSpec {
     } finally { rm(small); rm(big) }
   }
 
+  test("warehouse-rooted names resolve and listTables surfaces only " +
+      "real committed tables") {
+    val wh = tmp("graft_cat_wh")
+    try {
+      // two real tables plus a decoy dir with no committed manifest
+      AtomicIncrement.appendIncrementAtomic(
+        (1 to 10).map(i => (i.toLong, i * 1.0)).toDF("k", "amt"),
+        s"$wh/db1/t1", "k")
+      AtomicIncrement.appendIncrementAtomic(
+        (1 to 5).map(i => (i.toLong, i * 2.0)).toDF("k", "amt"),
+        s"$wh/db1/t2", "k")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$wh/db1/not_a_table"))
+      val cat = new graft.sources.GraftCatalog
+      cat.initialize("gw",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.singletonMap("warehouse", wh)))
+      val listed = cat.listTables(Array("db1")).map(_.name).sorted
+      assert(listed.toSeq === Seq("t1", "t2"))
+      val t1 = cat.loadTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("db1"), "t1"))
+      assert(t1.schema().fieldNames.toSeq === Seq("k", "amt"))
+      intercept[org.apache.spark.sql.catalyst.analysis.NoSuchTableException] {
+        cat.loadTable(
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            Array("db1"), "not_a_table"))
+      }
+      intercept[org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException] {
+        cat.listTables(Array("nope"))
+      }
+    } finally rm(wh)
+  }
+
   test("unsupported DDL refuses loudly; missing table is " +
       "NoSuchTable; DROP TABLE removes the sink") {
     install()

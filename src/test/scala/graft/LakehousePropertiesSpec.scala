@@ -182,4 +182,76 @@ class LakehousePropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("random predicate DELETE/UPDATE interleaved with keyed merges " +
+      "and maintenance equals the reference model (4 seeded scenarios)") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    for (scenario <- 1 to 4) {
+      val rnd = new scala.util.Random(31500L + scenario)
+      val sink = tmp()
+      val n = 40 + rnd.nextInt(40)
+      var model: Map[Long, (String, Double)] =
+        (1L to n).map(k => k -> (s"v$k", k * 0.5)).toMap
+      for (r <- Seq(1L to n / 2, n / 2 + 1L to n))
+        AtomicIncrement.appendIncrementAtomic(
+          r.map(k => (k, model(k)._1, model(k)._2)).toDF("k", "s", "x")
+            .repartition(1), sink, "k")
+      def prune(lo: Long, hi: Long)(e: AtomicIncrement.ManifestEntry) =
+        graft.sources.ManifestPruning.mayMatch(e,
+          GreaterThanOrEqual("k", lo)) &&
+        graft.sources.ManifestPruning.mayMatch(e,
+          LessThanOrEqual("k", hi))
+      for (step <- 1 to 5) {
+        rnd.nextInt(4) match {
+          case 0 => // keyed merge (CoW or MoR)
+            val keys = rnd.shuffle((1L to (n + 10L)).toList)
+              .take(1 + rnd.nextInt(10)).distinct
+            val rows = keys.map { k =>
+              if (rnd.nextBoolean() && model.contains(k))
+                (k, "", 0.0, true)
+              else (k, s"u$step-$k", rnd.nextInt(1000) * 0.25, false)
+            }
+            val changes = rows.toDF("k", "s", "x", "del")
+            if (rnd.nextBoolean())
+              AtomicIncrement.mergeAtomic(changes, sink, "k", "del")
+            else
+              AtomicIncrement.mergeOnReadAtomic(changes, sink, "k", "del")
+            model = rows.foldLeft(model) {
+              case (m, (k, _, _, true)) => m - k
+              case (m, (k, s, x, false)) => m + (k -> (s, x))
+            }
+          case 1 => // predicate DELETE: k in a random range with x below
+            // a random threshold — manifest-pruned like the SQL face
+            val lo = 1L + rnd.nextInt(n); val hi = lo + rnd.nextInt(n)
+            val t = rnd.nextInt(300) * 1.0
+            AtomicIncrement.deleteWhereAtomic(spark, sink,
+              col("k") >= lo && col("k") <= hi && col("x") < t,
+              prune(lo, hi))
+            model = model.filterNot { case (k, (_, x)) =>
+              k >= lo && k <= hi && x < t }
+          case 2 => // predicate UPDATE: SET against the old row
+            val lo = 1L + rnd.nextInt(n); val hi = lo + rnd.nextInt(n)
+            val c = rnd.nextInt(50) * 1.0
+            AtomicIncrement.updateWhereAtomic(spark, sink,
+              col("k") >= lo && col("k") <= hi,
+              Map("x" -> (col("x") + c),
+                "s" -> concat(lit(s"U$step-"), col("s"))),
+              prune(lo, hi))
+            model = model.map { case (k, (s, x)) =>
+              if (k >= lo && k <= hi) k -> (s"U$step-$s", x + c)
+              else k -> (s, x) }
+          case _ => // maintenance between DML steps
+            rnd.nextInt(3) match {
+              case 0 => AtomicIncrement.compact(spark, sink, 2)
+              case 1 => AtomicIncrement.foldDvsTargeted(spark, sink)
+              case _ => AtomicIncrement.compactSmall(spark, sink,
+                1L << 20, targetFiles = 1, keyCol = Some("k"))
+            }
+        }
+        if (model.nonEmpty)
+          assert(tableOf(sink) == model,
+            s"scenario $scenario step $step diverged from the model")
+      }
+    }
+  }
 }
