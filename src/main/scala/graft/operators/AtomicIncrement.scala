@@ -313,8 +313,13 @@ object AtomicIncrement {
 
   private def schemaKey(sink: String, dataE: Seq[ManifestEntry]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    dataE.map(_.path).sorted.foreach(p =>
-      md.update(p.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    // '\n' delimiter makes the encoding injective over path LISTS —
+    // raw concatenation would let ["a/b","c"] and ["a/bc"] collide
+    // (paths never contain newlines; the manifest is line-oriented)
+    dataE.map(_.path).sorted.foreach { p =>
+      md.update(p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update('\n'.toByte)
+    }
     sink + "#" + java.util.Base64.getEncoder.encodeToString(md.digest())
   }
 
@@ -960,6 +965,31 @@ object AtomicIncrement {
       watermarkCol: String): Long =
     appendWithHook(df, sink, watermarkCol, () => ())
 
+  /** Outcome of a counted append: rows published vs rows the
+    * watermark gate dropped (watermark ≤ committed max, or NULL).
+    * The gate cannot tell a REPLAYED row from a genuinely LATE one —
+    * both carry a stale watermark — so callers that ingest
+    * out-of-order event-time data must watch `droppedLate` (the
+    * streaming sink surfaces it; `failOnLateRows` turns it fatal).
+    */
+  case class AppendResult(appended: Long, droppedLate: Long)
+
+  /** [[appendIncrementAtomic]] that ALSO reports how many incoming
+    * rows the watermark gate dropped (round 16, ADVICE): the filter
+    * that makes replay idempotent silently discards any genuinely
+    * late row too, and for out-of-order streams that loss is
+    * indistinguishable from replay dedup unless counted. Costs one
+    * extra `count` over the incoming frame.
+    */
+  def appendIncrementAtomicCounted(df: DataFrame, sink: String,
+      watermarkCol: String, extraStatsCols: Seq[String] = Nil,
+      failOnDropped: Boolean = false): AppendResult =
+    appendGated(df, sink, watermarkCol, () => (), extraStatsCols,
+      countDropped = true, failOnDropped = failOnDropped)(_ => true)
+      .map { case (a, d) => AppendResult(a, d) }
+      .getOrElse(throw new IllegalStateException(
+        "unreachable: the always-true gate rejected"))
+
   /** [[appendIncrementAtomic]] recording interval stats for extra
     * columns beyond the watermark — the multi-stats manifest shape
     * that lets a table watermarked by event time also prune a
@@ -991,7 +1021,8 @@ object AtomicIncrement {
   def appendAuditedAtomic(df: DataFrame, sink: String,
       watermarkCol: String, extraStatsCols: Seq[String] = Nil)(
       audit: DataFrame => Boolean): Option[Long] =
-    appendGated(df, sink, watermarkCol, () => (), extraStatsCols)(audit)
+    appendGated(df, sink, watermarkCol, () => (),
+      extraStatsCols)(audit).map(_._1)
 
   /** [[appendIncrementAtomic]] with a seam between stage and publish —
     * the spec injects a competing commit there to exercise the
@@ -1002,13 +1033,19 @@ object AtomicIncrement {
       extraStatsCols: Seq[String] = Nil): Long =
     appendGated(df, sink, watermarkCol, beforePublish,
       extraStatsCols)(_ => true)
+      .map(_._1)
       .getOrElse(throw new IllegalStateException(
         "unreachable: the always-true gate rejected"))
 
+  /** Returns Some((appended, dropped)) on publish/no-op, None on audit
+    * rejection; `dropped` is counted only when `countDropped` (one
+    * extra job over the incoming frame), else reported as 0.
+    */
   private def appendGated(df: DataFrame, sink: String,
       watermarkCol: String, beforePublish: () => Unit,
-      extraStatsCols: Seq[String])(
-      audit: DataFrame => Boolean): Option[Long] = {
+      extraStatsCols: Seq[String], countDropped: Boolean = false,
+      failOnDropped: Boolean = false)(
+      audit: DataFrame => Boolean): Option[(Long, Long)] = {
     val spark = df.sparkSession
     val fs = fsOf(spark, sink)
     val resolved = df.schema.fields
@@ -1041,6 +1078,21 @@ object AtomicIncrement {
     fresh.cache()
     try {
       val n = fresh.count()
+      // dropped = late-or-replayed rows the gate filtered (watermark
+      // ≤ committed max, or NULL watermark when a bound exists) —
+      // counted only on request, one extra job over the incoming frame
+      val dropped =
+        if (countDropped && wmExpr.isDefined) df.count() - n else 0L
+      // the fatal check fires BEFORE any staging or publish — a
+      // failed batch must leave the table byte-identical (the
+      // streaming sink's failOnLateRows rides this)
+      if (failOnDropped && dropped > 0)
+        throw new IllegalStateException(
+          s"watermark gate dropped $dropped row(s) at or below the " +
+            s"committed max of '$watermarkCol' — replay dedup if this " +
+            "batch is a retry, DATA LOSS if the stream delivers " +
+            "out-of-order event times (the append contract requires " +
+            "cross-batch watermark monotonicity)")
       if (n > 0) {
         // on a dv-carrying table new data must outrank every standing
         // tombstone, or an appended key that was once deleted would be
@@ -1070,7 +1122,7 @@ object AtomicIncrement {
           throw e
         }
       }
-      Some(n)
+      Some((n, dropped))
     } finally { fresh.unpersist(); () }
   }
 
@@ -2091,17 +2143,23 @@ object AtomicIncrement {
       Some(fullSchema))
     import org.apache.spark.sql.functions.{coalesce, lit, when, col => c}
     val matchC = coalesce(cond, lit(false))
-    // all new values compute against the OLD row first
-    val staged = sets.toSeq.zipWithIndex
-    var df = oldTouched
-    for (((name, value), i) <- staged) {
+    // all new values compute against the OLD row first; the write-back
+    // targets the RESOLVED field name, not the caller's spelling — a
+    // case-mismatched SET key (`SET O_TOTALPRICE = …`) must replace
+    // the existing column, not mint a case-variant twin that standing
+    // files lack (mergeSchema readers would then surface duplicate
+    // case-variant columns / nulls)
+    val staged = sets.toSeq.zipWithIndex.map { case ((name, value), i) =>
       val field = fullSchema.fields
         .find(_.name.equalsIgnoreCase(name)).get
-      df = df.withColumn(s"__set_$i",
-        when(matchC, value.cast(field.dataType)).otherwise(c(name)))
+      (field, value, i)
     }
-    for (((name, _), i) <- staged)
-      df = df.withColumn(name, c(s"__set_$i")).drop(s"__set_$i")
+    var df = oldTouched
+    for ((field, value, i) <- staged)
+      df = df.withColumn(s"__set_$i",
+        when(matchC, value.cast(field.dataType)).otherwise(c(field.name)))
+    for ((field, _, i) <- staged)
+      df = df.withColumn(field.name, c(s"__set_$i")).drop(s"__set_$i")
     val updated = df.coalesce(math.max(1, touched.size))
     val statsFields = coveredStatsFields(dataE, updated.schema)
     val staged0 = stageEntries(updated, spark, fs, sink, statsFields)

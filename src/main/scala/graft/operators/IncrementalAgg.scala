@@ -1697,11 +1697,17 @@ object IncrementalAgg {
     // histogram state bootstraps from the full orders load, then one
     // CDC batch retracts every %10==7 key and inserts %10==3 copies
     // under a new group — and the read-time median must stay within
-    // the pinned TWO-BIN band of the exact percentile computed over
-    // the resolved feed (the histogram's error contract: one width
-    // for in-bin interpolation, one for the rank straddle). `n` is
-    // the state's exact surviving count — a bucket surviving its
-    // retraction, a clamp bin miscounting, or a cumulative-rank
+    // the pinned TWO-BIN band of the exact DISCRETE median (the
+    // rank-ceil(n/2) order statistic). The discrete quantile is the
+    // right referent at EVERY density: readQuantile locates exactly
+    // the bin that order statistic falls in (counts are exact) and
+    // interpolates inside it, so |est − disc| ≤ one width by
+    // construction — whereas Spark's interpolating percentile()
+    // averages the two middle order stats, which sparse data can
+    // place in bins arbitrarily far apart (measured: every group
+    // fails the band at sf0.001 against percentile(), round 16).
+    // `n` is the state's exact surviving count — a bucket surviving
+    // its retraction, a clamp bin miscounting, or a cumulative-rank
     // off-by-one all hash-mismatch.
     "q_incr_agg_quantile" -> QueryDef(
       (s, dir) => withScratchSink(s, "graft_qhist") { sink =>
@@ -1717,8 +1723,17 @@ object IncrementalAgg {
           "o_totalprice", lo, hi, bins, 1L)
         val resolved = o.filter(col("o_orderkey") % 10 =!= 7)
           .unionByName(plus)
-        val exact = resolved.groupBy("o_orderstatus")
-          .agg(expr("percentile(o_totalprice, 0.5)").as("p50"))
+        // discrete median: the smallest value whose cumulative count
+        // reaches ceil(0.5·n) — the same rank convention readQuantile's
+        // `__cum >= __tot * q` bin hit uses
+        val grpWin = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderstatus")
+        val exact = resolved
+          .withColumn("__r",
+            row_number().over(grpWin.orderBy("o_totalprice")))
+          .withColumn("__n", count(lit(1)).over(grpWin))
+          .filter(col("__r") === ceil(col("__n") * 0.5))
+          .select(col("o_orderstatus"), col("o_totalprice").as("p50"))
         readQuantile(s, sink, Seq("o_orderstatus"), 0.5, lo, hi, bins)
           .join(exact, Seq("o_orderstatus"))
           .select(col("o_orderstatus"), col("n"),

@@ -23,13 +23,37 @@ import org.apache.spark.sql.internal.SQLConf
   * Conservative by construction: the hint lands only when EVERY leaf
   * of the side is a graft V1-bridged scan with reported statistics,
   * their pruned byte sum clears the session's
-  * `autoBroadcastJoinThreshold`, and the side carries no user hint
-  * already (a user hint always wins). A wrong smallness estimate can
+  * `autoBroadcastJoinThreshold`, the side's subtree is ROW-BOUNDED
+  * (only Project / Filter / SubqueryAlias between the join and the
+  * leaves — no Generate/explode, no intermediate Join, no Expand,
+  * nothing that can multiply rows past the leaf byte sum), and the
+  * side carries no user hint already (a user hint always wins). The
+  * row-bounded walk is what makes "leaf bytes over-estimate side
+  * bytes" actually hold per-SUBTREE, not just per-leaf: a
+  * `JoinHint(BROADCAST)` forces the broadcast regardless of runtime
+  * size, so an explode above a 1 MB leaf must disqualify the side —
+  * otherwise the forced broadcast of its multiplied output could OOM
+  * the driver. A wrong smallness estimate under these guards can
   * cost spill-speed, never rows — hint semantics.
   */
 object BroadcastFromManifest extends Rule[LogicalPlan] {
 
+  /** Bytes of the side's graft leaves, but ONLY when every interior
+    * node is row-bounded (emits at most its child's rows, at most its
+    * child's column payload per row). Project is allowed because the
+    * manifest byte sum prices the FULL row; a projection only narrows
+    * it. Any other operator — Generate, Join, Expand, Aggregate
+    * (collect_list can widen rows), Window, Union — returns None and
+    * the side is never hinted.
+    */
   private def graftScanBytes(plan: LogicalPlan): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, SubqueryAlias}
+    def rowBounded(p: LogicalPlan): Boolean = p match {
+      case _: DataSourceV2Relation | _: DataSourceV2ScanRelation => true
+      case _: Project | _: Filter | _: SubqueryAlias => p.children.forall(rowBounded)
+      case _ => false
+    }
+    if (!rowBounded(plan)) return None
     val leaves = plan.collectLeaves()
     val sizes = leaves.map {
       // the shape at this batch's position (the custom operator-

@@ -107,7 +107,9 @@ class GraftAtomicSource extends RelationProvider
         "graft-atomic requires a 'path' option (the sink root)"))
     new graft.streaming.GraftAtomicStreamSink(sink,
       parameters.get("watermarkCol"), parameters.get("keyCol"),
-      parameters.get("deleteCol"), outputMode)
+      parameters.get("deleteCol"), outputMode,
+      failOnLateRows = parameters.get("failOnLateRows")
+        .exists(_.trim.equalsIgnoreCase("true")))
   }
 
   // ---- STREAMING source face (round 15): subscribers replace the
@@ -384,6 +386,12 @@ private[graft] object ManifestPruning {
       case Some(fc) if fc.tag == AtomicIncrement.NullTag => false
       case _ => true
     }
+    // WHERE folded to false (translate maps it to lit(false)):
+    // provably no row matches, so no file is touched — a predicate
+    // DELETE with such a WHERE carries everything and publishes
+    // nothing instead of copy-on-write rewriting the whole table as
+    // a no-op (round 16, ADVICE)
+    case _: AlwaysFalse => false
     case _ => true // IsNull, Not(...), unknown shapes: may contain
   }
 

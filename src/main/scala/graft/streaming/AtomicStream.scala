@@ -246,7 +246,15 @@ class GraftAtomicStreamSource(sqlContext: SQLContext, sink: String,
   *    watermarked increment — the sink's replay shield IS the
   *    watermark contract (a restarted query's re-delivered batch
   *    filters to zero rows and publishes nothing), so the pipeline is
-  *    exactly-once end to end without any sink-side batch log.
+  *    exactly-once end to end without any sink-side batch log. The
+  *    contract demands CROSS-BATCH WATERMARK MONOTONICITY: a
+  *    genuinely late row (watermark at or below the committed max)
+  *    is dropped by the same gate that dedups replays, and the two
+  *    are indistinguishable to the sink. Every non-zero drop is
+  *    logged with its count; `failOnLateRows=true` turns it into a
+  *    batch failure for streams where late data must never be
+  *    silently lost (use Update mode, which has no watermark gate,
+  *    when the stream is keyed and genuinely out-of-order).
   *  - **Update** (requires `keyCol`, optional `deleteCol`): each
   *    batch is a copy-on-write MERGE priced by churn-touched files —
   *    rows upsert by key; with `deleteCol`, true rows delete. The
@@ -270,9 +278,12 @@ class GraftAtomicStreamSource(sqlContext: SQLContext, sink: String,
   */
 class GraftAtomicStreamSink(sink: String, watermarkCol: Option[String],
     keyCol: Option[String], deleteCol: Option[String],
-    mode: org.apache.spark.sql.streaming.OutputMode)
+    mode: org.apache.spark.sql.streaming.OutputMode,
+    failOnLateRows: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Sink {
   import org.apache.spark.sql.streaming.OutputMode
+  private val logger =
+    org.slf4j.LoggerFactory.getLogger(classOf[GraftAtomicStreamSink])
 
   override def addBatch(batchId: Long,
       incoming: org.apache.spark.sql.DataFrame): Unit = {
@@ -285,8 +296,27 @@ class GraftAtomicStreamSink(sink: String, watermarkCol: Option[String],
       case m if m == OutputMode.Append() =>
         val wm = watermarkCol.getOrElse(throw new IllegalArgumentException(
           "append-mode graft-atomic sink requires the 'watermarkCol' " +
-            "option — the watermark contract is its exactly-once shield"))
-        AtomicIncrement.appendIncrementAtomic(data, sink, wm)
+            "option — the watermark contract is its exactly-once " +
+            "shield, and it assumes CROSS-BATCH MONOTONICITY: every " +
+            "batch's rows must carry watermarks strictly above all " +
+            "previously committed ones, or the gate drops them as " +
+            "replays (set failOnLateRows=true to make that fatal)"))
+        // the watermark gate cannot distinguish a REPLAYED row from a
+        // genuinely LATE one — surface the dropped count so an
+        // out-of-order event-time stream's silent loss is visible
+        // (round 16, ADVICE); with failOnLateRows the append itself
+        // throws BEFORE staging or publish, so a failed batch leaves
+        // the table byte-identical
+        val res = AtomicIncrement.appendIncrementAtomicCounted(
+          data, sink, wm, failOnDropped = failOnLateRows)
+        if (res.droppedLate > 0)
+          logger.warn(
+            s"graft-atomic append sink $sink batch $batchId: " +
+              s"watermark gate dropped ${res.droppedLate} row(s) at " +
+              s"or below the committed max of '$wm' — replay dedup " +
+              "if this batch is a retry, DATA LOSS if the stream " +
+              "delivers out-of-order event times (the append " +
+              "contract requires cross-batch watermark monotonicity)")
         ()
       case m if m == OutputMode.Complete() =>
         AtomicIncrement.replaceSnapshot(data, sink,

@@ -56,6 +56,50 @@ class AtomicStreamSinkSpec extends SparkSpec {
     } finally { rm(sink); rm(ck1); rm(ck2) }
   }
 
+  test("append mode surfaces late rows: failOnLateRows=true fails the " +
+      "batch instead of silently dropping out-of-order event times") {
+    val sink = tmp("graft_ssink_late")
+    val ckpt = tmp("graft_ssink_lck")
+    try {
+      val mem = MemoryStream[(Long, Double)](spark)
+      def run(fail: Boolean): Unit = {
+        val q = mem.toDF().toDF("k", "amt")
+          .writeStream.format("graft-atomic")
+          .option("path", sink).option("watermarkCol", "k")
+          .option("failOnLateRows", fail.toString)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      mem.addData((1 to 50).map(i => (i.toLong, i * 1.0)))
+      run(fail = true)
+      // a batch mixing late (k ≤ 50) and fresh rows: the gate would
+      // silently keep only the fresh ones — with failOnLateRows the
+      // batch fails loudly BEFORE any commit
+      mem.addData(Seq((10L, 99.0), (51L, 51.0)))
+      val v0 = AtomicIncrement.snapshot(spark, sink)._1
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        run(fail = true)
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(c => c +: causes(c.getCause))
+      assert(causes(ex).exists(c =>
+        c.isInstanceOf[IllegalStateException] &&
+          c.getMessage.contains("dropped 1 row")),
+        s"expected the late-row failure, got: $ex")
+      assert(AtomicIncrement.snapshot(spark, sink)._1 === v0,
+        "the failed batch must publish nothing")
+      // default mode: the same batch drops the late row (logged) and
+      // commits the fresh one — replay-dedup semantics preserved
+      run(fail = false)
+      val got = AtomicIncrement.readCommitted(spark, sink)
+      assert(got.count() === 51L)
+      assert(got.filter($"k" === 10L).select("amt").as[Double]
+        .head() === 10.0, "the late re-send of k=10 must not land")
+    } finally { rm(sink); rm(ckpt) }
+  }
+
   test("update mode bootstraps an empty sink then merges by key; " +
       "deletes ride the deleteCol") {
     val sink = tmp("graft_ssink_upd")

@@ -154,6 +154,70 @@ class GraftCatalogSpec extends SparkSpec {
     } finally { rm(small); rm(big) }
   }
 
+  test("a WHERE that folds to false is provably-no-match: no file " +
+      "touched, no version published (AlwaysFalse prunes everything)") {
+    install()
+    val sink = tmp("graft_cat_false")
+    try {
+      loadThree(sink)
+      val v0 = AtomicIncrement.snapshot(spark, sink)._1
+      // the verdict itself: AlwaysFalse proves emptiness whatever the
+      // entry's stats — even a stats-free path-only line prunes
+      val bare = AtomicIncrement.ManifestEntry("part-0.parquet", Nil)
+      assert(!graft.sources.ManifestPruning.mayMatch(bare,
+        org.apache.spark.sql.sources.AlwaysFalse()))
+      // and through SQL: before the AlwaysFalse case, this rewrote
+      // EVERY file as a no-op and published a new version
+      spark.sql(s"DELETE FROM graft.`$sink` WHERE 1 = 0")
+      assert(AtomicIncrement.snapshot(spark, sink)._1 === v0,
+        "a folded-false WHERE must publish nothing")
+      assert(AtomicIncrement.readCommitted(spark, sink).count() === 120L)
+    } finally rm(sink)
+  }
+
+  test("a row-multiplying subtree (Generate) above a small graft leaf " +
+      "is never broadcast-hinted — leaf bytes don't bound its output") {
+    install()
+    val small = tmp("graft_cat_dim2")
+    val big = tmp("graft_cat_fact2")
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val threshold0 = spark.conf.get(thresholdKey)
+    try {
+      AtomicIncrement.appendIncrementAtomic(
+        (1 to 20).map(k => (k.toLong, s"name$k")).toDF("k", "label"),
+        small, "k")
+      AtomicIncrement.appendIncrementAtomic(
+        (1 to 5000).map(i => (i.toLong, (i % 20 + 1).toLong, i * 1.0))
+          .toDF("id", "k", "amt"), big, "id")
+      // pin the threshold BETWEEN the two tables' manifest bytes so
+      // only the dim side could ever qualify — then put an explode
+      // between the join and the dim leaf: the leaf byte sum no
+      // longer upper-bounds the side's output, and a forced
+      // JoinHint(BROADCAST) would override runtime size entirely, so
+      // the rule must decline and the join must sort-merge
+      spark.conf.set(thresholdKey, "10240")
+      val plan = spark.sql(
+        s"SELECT sum(b.amt) FROM graft.`$big` b JOIN " +
+          s"(SELECT explode(array(k, k)) AS k FROM graft.`$small`) s " +
+          "ON b.k = s.k")
+        .queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"row-multiplying side must not be force-broadcast:\n$plan")
+      // control: the SAME tables and threshold with the bare dim side
+      // still broadcast — the guard bites on the subtree shape, not
+      // on the threshold pin
+      val bare = spark.sql(
+        s"SELECT sum(b.amt) FROM graft.`$big` b " +
+          s"JOIN graft.`$small` s ON b.k = s.k")
+        .queryExecution.sparkPlan.toString
+      assert(bare.contains("BroadcastHashJoin"),
+        s"bare dim side should still broadcast:\n$bare")
+    } finally {
+      spark.conf.set(thresholdKey, threshold0)
+      rm(small); rm(big)
+    }
+  }
+
   test("warehouse-rooted names resolve and listTables surfaces only " +
       "real committed tables") {
     val wh = tmp("graft_cat_wh")

@@ -71,4 +71,33 @@ class UpdateWhereSpec extends SparkSpec {
       assert(now.filter($"k" <= 10 && $"amt" =!= 7.0).count() === 0L)
     } finally rm(sink)
   }
+
+  test("a case-mismatched SET key writes under the STANDING column " +
+      "case — carried and rewritten files stay mergeSchema-compatible") {
+    val sink = tmp("graft_upd_case")
+    try {
+      // two disjoint increments so the update leaves one file CARRIED
+      // verbatim next to the rewritten one — the mixed read is where
+      // a case-variant twin column ('AMT' next to 'amt') would
+      // surface duplicate columns / nulls through mergeSchema
+      AtomicIncrement.appendIncrementAtomic(
+        (1 to 10).map(i => (i.toLong, i * 1.0)).toDF("k", "amt"),
+        sink, "k")
+      AtomicIncrement.appendIncrementAtomic(
+        (11 to 20).map(i => (i.toLong, i * 1.0)).toDF("k", "amt"),
+        sink, "k")
+      AtomicIncrement.updateWhereAtomic(spark, sink, $"k" <= 5,
+        Map("AMT" -> lit(0.0)),
+        mayMatch = e => e.statsFor("k")
+          .forall(s => s.min.toLong <= 5L)) // second file carries
+      val now = AtomicIncrement.readCommitted(spark, sink)
+      assert(now.schema.fieldNames.toSeq === Seq("k", "amt"),
+        "SET must target the resolved standing name, not mint a " +
+          s"case-variant twin: ${now.schema.fieldNames.mkString(",")}")
+      assert(now.count() === 20L)
+      assert(now.filter($"k" <= 5).select("amt").as[Double]
+        .collect().forall(_ == 0.0))
+      assert(now.filter($"k" > 5 && $"amt" === 0.0).count() === 0L)
+    } finally rm(sink)
+  }
 }
