@@ -41,7 +41,7 @@ import org.apache.spark.sql.functions._
 object AtomicIncrement {
 
   private val ManifestDir = "_graft_manifest"
-  private[operators] val DataDir = "_data"
+  private[graft] val DataDir = "_data"
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -165,9 +165,51 @@ object AtomicIncrement {
   private val CommitMetaPath = "__graft_commit"
   private val TsCol = "__graft_ts"
 
+  /** MANIFEST-EMBEDDED SCHEMA (round 16): a second reserved line
+    * carrying the snapshot's merged data schema as base64(JSON) —
+    * the Delta-log "schema lives in the log" move. Every
+    * schema-needing face (stream start, catalog load, predicate
+    * DELETE/UPDATE, pruned reads, feed windows) used to pay a
+    * first-touch mergeSchema FOOTER SWEEP over all committed files
+    * (O(files) small reads — measured as the dominant 32× residual
+    * in `sqldelete` 3.01 / `streamwin` 1.88); with the schema in the
+    * manifest, [[dataSchema]] resolves O(manifest) even in a fresh
+    * process or on a fresh table. Back-compat both ways: a manifest
+    * without the line falls back to the footer sweep exactly as
+    * before (and upgrades on its next commit, since the sweep seeds
+    * the memo the next publish embeds from), and old readers parse
+    * the line as an unknown reserved path they never read as data.
+    * The embedded schema is normalized ALL-NULLABLE, matching what a
+    * parquet footer sweep reports — a writer-declared non-null field
+    * must not suppress codegen null checks over files an evolving
+    * append left without the column.
+    */
+  private val SchemaMetaPath = "__graft_schema"
+
   private def commitMetaLine(ms: Long): String =
     ManifestEntry(CommitMetaPath,
       Seq(FileColumnStats(TsCol, "long", ms.toString, ms.toString))).render
+
+  private def schemaMetaLine(
+      schema: org.apache.spark.sql.types.StructType): String =
+    ManifestEntry(SchemaMetaPath, Seq(FileColumnStats(SchemaMetaPath,
+      "json", java.util.Base64.getEncoder.encodeToString(
+        schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      "-"))).render
+
+  /** Reserved metadata lines — never data, never dv. */
+  private def isMeta(e: ManifestEntry): Boolean =
+    e.path == CommitMetaPath || e.path == SchemaMetaPath
+
+  private def decodeSchemaMeta(e: ManifestEntry)
+      : Option[org.apache.spark.sql.types.StructType] =
+    e.statsFor(SchemaMetaPath).flatMap { s =>
+      try Some(org.apache.spark.sql.types.DataType.fromJson(
+        new String(java.util.Base64.getDecoder.decode(s.min),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      catch { case _: Exception => None } // unknown future shape: sweep
+    }
 
   private[graft] def isDv(e: ManifestEntry): Boolean =
     e.statsFor(DvCol).nonEmpty
@@ -175,11 +217,11 @@ object AtomicIncrement {
   private[graft] def seqOf(e: ManifestEntry): Long =
     e.statsFor(SeqCol).flatMap(s => s.min.toLongOption).getOrElse(0L)
 
-  private def dvKeyColOf(e: ManifestEntry): String =
+  private[graft] def dvKeyColOf(e: ManifestEntry): String =
     new String(java.util.Base64.getDecoder.decode(
       e.statsFor(DvCol).get.min), java.nio.charset.StandardCharsets.UTF_8)
 
-  private def stampSeq(e: ManifestEntry, seq: Long): ManifestEntry =
+  private[graft] def stampSeq(e: ManifestEntry, seq: Long): ManifestEntry =
     e.copy(allStats = e.allStats :+
       FileColumnStats(SeqCol, "long", seq.toString, seq.toString))
 
@@ -241,6 +283,28 @@ object AtomicIncrement {
     (v, data, dv)
   }
 
+  /** Parse one manifest's lines into entries, SEEDING the schema memo
+    * from the embedded schema line when present — so the very first
+    * [[dataSchema]] call after any snapshot read is O(1) even in a
+    * fresh process (the O(files) footer sweep becomes the legacy
+    * fallback for manifests written before round 16). Meta lines
+    * never reach callers.
+    */
+  private def parseManifestStream(sink: String,
+      in: java.io.InputStream): Seq[ManifestEntry] = {
+    val all = scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).map(parseLine).toList
+    val (meta, entries) = all.partition(isMeta)
+    for {
+      se <- meta.find(_.path == SchemaMetaPath)
+      schema <- decodeSchemaMeta(se)
+    } {
+      if (schemaMemo.size >= 512) schemaMemo.clear()
+      schemaMemo.put(schemaKey(sink, entries.filterNot(isDv)), schema)
+    }
+    entries
+  }
+
   /** [[snapshot]] with the per-file stats preserved. */
   private[graft] def snapshotEntries(spark: SparkSession,
       sink: String): (Long, Seq[ManifestEntry]) = {
@@ -249,9 +313,7 @@ object AtomicIncrement {
       case None => (0L, Seq.empty)
       case Some((v, mf)) =>
         val in = fs.open(mf)
-        try (v, scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().filter(_.nonEmpty).map(parseLine)
-          .filterNot(_.path == CommitMetaPath).toList)
+        try (v, parseManifestStream(sink, in))
         finally in.close()
     }
   }
@@ -322,6 +384,11 @@ object AtomicIncrement {
     }
     sink + "#" + java.util.Base64.getEncoder.encodeToString(md.digest())
   }
+
+  /** Specs simulate a FRESH PROCESS (cold memo) with this — the
+    * manifest-embedded schema line must be able to answer on its own.
+    */
+  private[graft] def clearSchemaMemoForTest(): Unit = schemaMemo.clear()
 
   /** Merge-schema over data files only (dv files hold keys, not rows). */
   private[graft] def dataSchema(spark: SparkSession, sink: String,
@@ -728,8 +795,9 @@ object AtomicIncrement {
       val parsed = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).map(parseLine).toList
         finally in.close()
-      val (meta, entries) = parsed.partition(_.path == CommitMetaPath)
-      val t = meta.headOption.flatMap(_.statsFor(TsCol))
+      val (meta, entries) = parsed.partition(isMeta)
+      val t = meta.find(_.path == CommitMetaPath)
+        .flatMap(_.statsFor(TsCol))
         .flatMap(_.min.toLongOption).getOrElse(mtime)
       val (dv, data) = entries.partition(isDv)
       (v, t, data.size, dv.size)
@@ -759,9 +827,9 @@ object AtomicIncrement {
     val mf = new Path(new Path(sink, ManifestDir), f"$version%020d")
     require(fs.exists(mf), s"no manifest version $version at $sink")
     val in = fs.open(mf)
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).map(parseLine)
-      .filterNot(_.path == CommitMetaPath).toList
+    // seeds the memo under THIS version's file list — a time-travel
+    // read resolves the pinned snapshot's schema O(manifest) too
+    try parseManifestStream(sink, in)
     finally in.close()
   }
 
@@ -1112,9 +1180,21 @@ object AtomicIncrement {
             .parquet(staged.map(e => s"$sink/${e.path}"): _*))
           catch { case e: Throwable => dropStaged(); throw e }
         if (!verdict) { dropStaged(); return None }
+        // snapshot schema to embed: a fresh table declares the
+        // increment's own schema; a standing one merges the embedded
+        // prior (memo — seeded by the snapshot parse above when the
+        // last commit embedded one) with the increment's. A memo miss
+        // or merge conflict embeds nothing — the legacy footer sweep
+        // stays the adjudicator and the NEXT commit upgrades (any
+        // dataSchema sweep seeds the memo).
+        val snapSchema =
+          if (dataEntries.isEmpty) Some(fresh.schema)
+          else Option(schemaMemo.get(schemaKey(sink, dataEntries)))
+            .flatMap(mergeStructs(_, fresh.schema))
         try {
           beforePublish()
-          publish(fs, sink, (priorEntries ++ staged).map(_.render), version + 1)
+          publish(fs, sink, (priorEntries ++ staged).map(_.render),
+            version + 1, snapshotSchema = snapSchema)
         } catch { case e: Throwable =>
           // failed commit must not leak half-staged state into a GC
           // race with the winner's readers — drop the whole batch dir
@@ -1196,40 +1276,53 @@ object AtomicIncrement {
       fs: FileSystem, sink: String,
       statsFields: Seq[org.apache.spark.sql.types.StructField])
       : Seq[ManifestEntry] =
-    stageBatch(fresh, spark, fs, sink).map { rel =>
-      // ONE footer open per staged file serves every column's stats
-      // AND the row count (the per-column shape paid N+1 opens per
-      // file — on object storage each open is a round trip)
-      val (byCol, rowCount) = Incremental.footerStatsOfFileAll(spark,
-        new Path(s"$sink/$rel"),
-        statsFields.filter(f => tagOf(f.dataType).nonEmpty))
-      val stats = statsFields.flatMap { f =>
-        for {
-          tag <- tagOf(f.dataType)
-          st <- byCol.get(f.name)
-          fc <- st match {
-            case Incremental.LongStats(mn, mx) =>
-              Some(FileColumnStats(f.name, tag, mn.toString, mx.toString))
-            case Incremental.DoubleStats(mn, mx) =>
-              Some(FileColumnStats(f.name, tag, mn.toString, mx.toString))
-            case Incremental.BinaryStats(mn, mx) =>
-              val b64 = java.util.Base64.getEncoder
-              Some(FileColumnStats(f.name, tag,
-                b64.encodeToString(mn), b64.encodeToString(mx)))
-            // provably all-null: record it (see [[NullTag]]) — the
-            // column stays covered and aggregates exactly
-            case Incremental.AllNullFile =>
-              Some(FileColumnStats(f.name, NullTag, "", ""))
-          }
-        } yield fc
-      }
-      // the exact row count rides every staged line (see [[RowsCol]]);
-      // an unreadable footer stages without it — the metadata count
-      // degrades to the scan, never to a wrong number
-      val rows = rowCount.map(n =>
-        FileColumnStats(RowsCol, "long", n.toString, n.toString))
-      ManifestEntry(rel, stats ++ rows)
+    stageBatch(fresh, spark, fs, sink)
+      .map(rel => entryForStagedFile(spark, sink, rel, statsFields))
+
+  /** One manifest line for an ALREADY-WRITTEN staged file — the
+    * footer-stats half of [[stageEntries]], shared with the DSv2
+    * row-level write path (whose parquet parts are written by
+    * executor [[org.apache.spark.sql.connector.write.DataWriter]]s
+    * and reach the driver as commit messages, not through
+    * [[stageBatch]]).
+    */
+  private[graft] def entryForStagedFile(spark: SparkSession,
+      sink: String, rel: String,
+      statsFields: Seq[org.apache.spark.sql.types.StructField])
+      : ManifestEntry = {
+    // ONE footer open per staged file serves every column's stats
+    // AND the row count (the per-column shape paid N+1 opens per
+    // file — on object storage each open is a round trip)
+    val (byCol, rowCount) = Incremental.footerStatsOfFileAll(spark,
+      new Path(s"$sink/$rel"),
+      statsFields.filter(f => tagOf(f.dataType).nonEmpty))
+    val stats = statsFields.flatMap { f =>
+      for {
+        tag <- tagOf(f.dataType)
+        st <- byCol.get(f.name)
+        fc <- st match {
+          case Incremental.LongStats(mn, mx) =>
+            Some(FileColumnStats(f.name, tag, mn.toString, mx.toString))
+          case Incremental.DoubleStats(mn, mx) =>
+            Some(FileColumnStats(f.name, tag, mn.toString, mx.toString))
+          case Incremental.BinaryStats(mn, mx) =>
+            val b64 = java.util.Base64.getEncoder
+            Some(FileColumnStats(f.name, tag,
+              b64.encodeToString(mn), b64.encodeToString(mx)))
+          // provably all-null: record it (see [[NullTag]]) — the
+          // column stays covered and aggregates exactly
+          case Incremental.AllNullFile =>
+            Some(FileColumnStats(f.name, NullTag, "", ""))
+        }
+      } yield fc
     }
+    // the exact row count rides every staged line (see [[RowsCol]]);
+    // an unreadable footer stages without it — the metadata count
+    // degrades to the scan, never to a wrong number
+    val rows = rowCount.map(n =>
+      FileColumnStats(RowsCol, "long", n.toString, n.toString))
+    ManifestEntry(rel, stats ++ rows)
+  }
 
   /** Data-skipping read for the incremental-consumer predicate
     * `column > lower`: only files whose manifest-recorded max may
@@ -1433,15 +1526,78 @@ object AtomicIncrement {
     * loses). The temp file is fully written and closed before the
     * rename, so no reader can observe a partial manifest.
     */
+  /** All-nullable normalization for the embedded schema — what a
+    * parquet footer sweep reports (Spark marks every parquet-read
+    * field nullable). Embedding a writer-declared non-null field
+    * would let codegen skip null checks over rows an evolving append
+    * or outer join legitimately left null.
+    */
+  private def asNullableType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType(s.fields.map(f =>
+        f.copy(dataType = asNullableType(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = asNullableType(a.elementType),
+        containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = asNullableType(m.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+
+  private[graft] def asNullableStruct(
+      s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    asNullableType(s).asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** Conservative schema union matching parquet mergeSchema's happy
+    * path: standing fields keep their position and name, unseen
+    * fields append in arrival order, same-name fields must carry the
+    * SAME type (nested structs merge recursively). Any conflict —
+    * the case parquet mergeSchema itself would refuse — answers None
+    * and the commit simply embeds no schema, leaving the legacy
+    * footer sweep to adjudicate at read time. Name match is
+    * case-insensitive (the engine's resolution convention), keeping
+    * the standing spelling.
+    */
+  private[graft] def mergeStructs(
+      a: org.apache.spark.sql.types.StructType,
+      b: org.apache.spark.sql.types.StructType)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val out = scala.collection.mutable.ArrayBuffer(
+      asNullableStruct(a).fields: _*)
+    for (bf <- asNullableStruct(b).fields) {
+      val i = out.indexWhere(_.name.equalsIgnoreCase(bf.name))
+      if (i < 0) { out += bf; () }
+      else (out(i).dataType, bf.dataType) match {
+        case (x, y) if x == y => ()
+        case (x: org.apache.spark.sql.types.StructType,
+              y: org.apache.spark.sql.types.StructType) =>
+          mergeStructs(x, y) match {
+            case Some(m) => out(i) = out(i).copy(dataType = m)
+            case None => return None
+          }
+        case _ => return None
+      }
+    }
+    Some(org.apache.spark.sql.types.StructType(out.toSeq))
+  }
+
   private[graft] def publish(fs: FileSystem, sink: String,
       files: Seq[String], version: Long,
-      commitMillis: Long = System.currentTimeMillis()): Unit = {
+      commitMillis: Long = System.currentTimeMillis(),
+      snapshotSchema: Option[org.apache.spark.sql.types.StructType] =
+        None): Unit = {
     val dir = new Path(sink, ManifestDir)
     fs.mkdirs(dir)
     val target = new Path(dir, f"$version%020d")
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+    val embedded = snapshotSchema.map(asNullableStruct)
+    val metaLines = commitMetaLine(commitMillis) +:
+      embedded.map(schemaMetaLine).toSeq
     val out = fs.create(tmp, false)
-    try out.write((commitMetaLine(commitMillis) +: files)
+    try out.write((metaLines ++ files)
       .mkString("\n").getBytes("UTF-8")) finally out.close()
     // HDFS rename is atomic and refuses an existing destination; the
     // local FS overwrites, so guard with an exists probe for the test
@@ -1450,6 +1606,13 @@ object AtomicIncrement {
       fs.delete(tmp, false)
       throw new java.util.ConcurrentModificationException(
         s"manifest version $version already committed at $sink")
+    }
+    // the committing process itself never re-derives what it just
+    // declared: seed the memo under the NEW version's data-file list
+    embedded.foreach { s =>
+      val dataE = files.map(parseLine).filterNot(e => isMeta(e) || isDv(e))
+      if (schemaMemo.size >= 512) schemaMemo.clear()
+      schemaMemo.put(schemaKey(sink, dataE), s)
     }
   }
 
@@ -1507,7 +1670,7 @@ object AtomicIncrement {
     * against `schema` — reserved metadata groups excluded. The stats
     * set every snapshot rewrite re-records.
     */
-  private def coveredStatsFields(dataE: Seq[ManifestEntry],
+  private[graft] def coveredStatsFields(dataE: Seq[ManifestEntry],
       schema: org.apache.spark.sql.types.StructType)
       : Seq[org.apache.spark.sql.types.StructField] =
     dataE.flatMap(_.allStats.map(_.column)).distinct
@@ -1601,7 +1764,8 @@ object AtomicIncrement {
     val staged = if (dvE.isEmpty) staged0
       else staged0.map(stampSeq(_, version + 1))
     try publish(fs, sink,
-      (large ++ dvE ++ staged).map(_.render), version + 1)
+      (large ++ dvE ++ staged).map(_.render), version + 1,
+      snapshotSchema = Some(fullSchema))
     catch { case e: Throwable =>
       staged.headOption.foreach(e0 =>
         fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
@@ -1787,6 +1951,43 @@ object AtomicIncrement {
       expectVersion: Long): Unit =
     { replaceWithHook(df, sink, expectVersion, () => ()); () }
 
+  /** BLIND append — SQL `INSERT INTO` semantics through the catalog
+    * face: rows land as new staged files with NO watermark gate (ANSI
+    * INSERT is a row add, not an increment delivery — the
+    * watermark-idempotent contract stays on the view face's
+    * `watermarkCol` option and the API). Stats record every column
+    * the standing manifest fully covers, so pruning and the watermark
+    * shortcut survive the insert; on a dv-carrying table the staged
+    * lines outrank standing tombstones (an inserted key that was once
+    * deleted must not be re-masked). Same OCC/crash contract as every
+    * commit. Returns the appended row count.
+    */
+  def appendBlindAtomic(df: DataFrame, sink: String): Long = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, sink)
+    val (version, dataE, dvE) = snapshotSplit(spark, sink)
+    val statsFields =
+      if (dataE.isEmpty)
+        df.schema.fields.filter(f => tagOf(f.dataType).nonEmpty).toSeq
+      else coveredStatsFields(dataE, df.schema)
+    val staged0 = stageEntries(df, spark, fs, sink, statsFields)
+    val staged = if (dvE.isEmpty) staged0
+      else staged0.map(stampSeq(_, version + 1))
+    val snapSchema =
+      if (dataE.isEmpty) Some(df.schema)
+      else Option(schemaMemo.get(schemaKey(sink, dataE)))
+        .flatMap(mergeStructs(_, df.schema))
+    try publish(fs, sink,
+      (dataE ++ dvE ++ staged).map(_.render), version + 1,
+      snapshotSchema = snapSchema)
+    catch { case e: Throwable =>
+      staged.headOption.foreach(e0 =>
+        fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
+      throw e
+    }
+    staged.flatMap(_.statsFor(RowsCol)).flatMap(_.min.toLongOption).sum
+  }
+
   private[graft] def replaceWithHook(df: DataFrame, sink: String,
       expectVersion: Long, beforePublish: () => Unit,
       statsFields: Seq[org.apache.spark.sql.types.StructField] = Nil)
@@ -1796,7 +1997,9 @@ object AtomicIncrement {
     val staged = stageEntries(df, spark, fs, sink, statsFields)
     try {
       beforePublish()
-      publish(fs, sink, staged.map(_.render), expectVersion + 1)
+      // a full replace's snapshot schema IS the replacing frame's
+      publish(fs, sink, staged.map(_.render), expectVersion + 1,
+        snapshotSchema = Some(df.schema))
     } catch { case e: Throwable =>
       staged.headOption.foreach(e0 =>
         fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
@@ -2035,8 +2238,12 @@ object AtomicIncrement {
       else staged0.map(stampSeq(_, version + 1))
     try {
       beforePublish()
+      // merged already unions any change-batch-only columns over the
+      // carried schema (allowMissingColumns), so this IS the new
+      // snapshot's merge-schema
       publish(fs, sink,
-        (carried ++ dvE ++ stagedEntries).map(_.render), version + 1)
+        (carried ++ dvE ++ stagedEntries).map(_.render), version + 1,
+        snapshotSchema = mergeStructs(fullSchema, merged.schema))
     } catch { case e: Throwable =>
       stagedEntries.headOption.foreach(e0 =>
         fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
@@ -2098,7 +2305,8 @@ object AtomicIncrement {
     val stagedEntries = if (dvE.isEmpty) staged0
       else staged0.map(stampSeq(_, version + 1))
     try publish(fs, sink,
-      (carried ++ dvE ++ stagedEntries).map(_.render), version + 1)
+      (carried ++ dvE ++ stagedEntries).map(_.render), version + 1,
+      snapshotSchema = Some(fullSchema)) // a DELETE never moves schema
     catch { case e: Throwable =>
       stagedEntries.headOption.foreach(e0 =>
         fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
@@ -2166,7 +2374,8 @@ object AtomicIncrement {
     val stagedEntries = if (dvE.isEmpty) staged0
       else staged0.map(stampSeq(_, version + 1))
     try publish(fs, sink,
-      (carried ++ dvE ++ stagedEntries).map(_.render), version + 1)
+      (carried ++ dvE ++ stagedEntries).map(_.render), version + 1,
+      snapshotSchema = Some(fullSchema)) // SET casts pin the types
     catch { case e: Throwable =>
       stagedEntries.headOption.foreach(e0 =>
         fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
@@ -2277,7 +2486,8 @@ object AtomicIncrement {
         dvDf.schema.fields.toSeq)
       .map(e => stampSeq(e.copy(allStats = e.allStats :+ dvMark), seq))
     try publish(fs, sink,
-      (dataE ++ dvE ++ stagedData ++ stagedDv).map(_.render), seq)
+      (dataE ++ dvE ++ stagedData ++ stagedDv).map(_.render), seq,
+      snapshotSchema = mergeStructs(fullSchema, upserts.schema))
     catch { case e: Throwable =>
       // two staged batch dirs (after-images, dv) — drop BOTH
       for (group <- Seq(stagedData, stagedDv); e0 <- group.headOption)
@@ -2366,8 +2576,10 @@ object AtomicIncrement {
     val masked = parts.flatMap(_._2)
     if (masked.isEmpty) {
       // dvs stand but provably mask nothing: dropping their lines
-      // alone repays the read debt — a metadata-only commit
-      publish(fs, sink, carried.map(_.render), version + 1)
+      // alone repays the read debt — a metadata-only commit (data
+      // files untouched, so the snapshot schema carries verbatim)
+      publish(fs, sink, carried.map(_.render), version + 1,
+        snapshotSchema = Some(fullSchema))
       return (0, 0)
     }
     // the masked files rewrite with the dvs APPLIED (readEffective
@@ -2378,7 +2590,8 @@ object AtomicIncrement {
         fullSchema).map(_.name)).distinct)
       .flatMap(c => fullSchema.fields.find(_.name.equalsIgnoreCase(c)))
     val staged = stageEntries(folded, spark, fs, sink, statsFields)
-    try publish(fs, sink, (carried ++ staged).map(_.render), version + 1)
+    try publish(fs, sink, (carried ++ staged).map(_.render), version + 1,
+      snapshotSchema = Some(fullSchema)) // dv fold never moves schema
     catch { case e: Throwable =>
       staged.headOption.foreach(e0 =>
         fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
@@ -2475,7 +2688,8 @@ object AtomicIncrement {
     val stagedEntries = if (dvE.isEmpty) staged0
       else staged0.map(stampSeq(_, version + 1))
     try publish(fs, sink,
-      (carried ++ dvE ++ stagedEntries).map(_.render), version + 1)
+      (carried ++ dvE ++ stagedEntries).map(_.render), version + 1,
+      snapshotSchema = mergeStructs(fullSchema, merged.schema))
     catch { case e: Throwable =>
       stagedEntries.headOption.foreach(e0 =>
         fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
