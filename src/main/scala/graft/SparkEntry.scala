@@ -46,7 +46,9 @@ object SparkEntry {
     * tools/check_oracle.py and is recorded in the round notes.
     */
   private val checkFirst: Seq[String] = Seq(
-    // round-15 additions, never driver-checked yet
+    // round-16 additions, never driver-checked yet
+    "q_sql_update", "q_sql_merge", "q_incr_agg_topk_dyadic",
+    // round-15 additions, driver-checked once (r15)
     "q_stream_source", "q_sql_delete", "q_incr_agg_topk_approx",
     "q_read_grep_indexed", "q_stream_replicate", "q_update_where",
     // the round-13 additions: string/UUID-keyed merge + the composed

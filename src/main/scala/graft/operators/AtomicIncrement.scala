@@ -186,6 +186,34 @@ object AtomicIncrement {
     */
   private val SchemaMetaPath = "__graft_schema"
 
+  /** MONOTONE WATERMARK FLOOR (round 16): a destructive commit (a
+    * predicate DELETE of the newest rows, a CoW merge-delete) can
+    * LOWER a column's live manifest max — and the append gate, which
+    * resolves its replay shield from that max, would then re-admit a
+    * replayed batch whose rows were already delivered and since
+    * deleted. This reserved line closes the hazard structurally: it
+    * carries, per stats-covered column, the highest max ANY version
+    * ever committed (never lowered by rewrites — each publish folds
+    * `max(prior floor, new version's recorded maxes)`), and
+    * [[appendGated]] filters against `greatest(live max, floor)`.
+    * A column's floor is conservative-LOW by construction (files
+    * without usable stats contribute nothing), so it can only ever
+    * fail toward the pre-round-16 behavior, never drop genuinely new
+    * rows. [[replaceSnapshot]] RESETS floors to the replacing data's
+    * own maxes — a full replace is a deliberate new history (the
+    * Complete-mode streaming sink's contract), not a destructive
+    * edit of the old one. Legacy manifests without the line behave
+    * exactly as before until their next commit writes one.
+    */
+  private val FloorMetaPath = "__graft_wmfloor"
+
+  /** (version, floors) of the latest manifest parsed per sink — the
+    * publish that follows a snapshot read never re-reads the manifest
+    * just to carry the floor forward.
+    */
+  private val floorMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Seq[FileColumnStats])]()
+
   private def commitMetaLine(ms: Long): String =
     ManifestEntry(CommitMetaPath,
       Seq(FileColumnStats(TsCol, "long", ms.toString, ms.toString))).render
@@ -199,7 +227,8 @@ object AtomicIncrement {
 
   /** Reserved metadata lines — never data, never dv. */
   private def isMeta(e: ManifestEntry): Boolean =
-    e.path == CommitMetaPath || e.path == SchemaMetaPath
+    e.path == CommitMetaPath || e.path == SchemaMetaPath ||
+      e.path == FloorMetaPath
 
   private def decodeSchemaMeta(e: ManifestEntry)
       : Option[org.apache.spark.sql.types.StructType] =
@@ -290,7 +319,7 @@ object AtomicIncrement {
     * fallback for manifests written before round 16). Meta lines
     * never reach callers.
     */
-  private def parseManifestStream(sink: String,
+  private def parseManifestStream(sink: String, version: Long,
       in: java.io.InputStream): Seq[ManifestEntry] = {
     val all = scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).map(parseLine).toList
@@ -302,6 +331,13 @@ object AtomicIncrement {
       if (schemaMemo.size >= 512) schemaMemo.clear()
       schemaMemo.put(schemaKey(sink, entries.filterNot(isDv)), schema)
     }
+    // remember the floor line only for the sink's LATEST parse — the
+    // memo serves the publish that follows this read (floors at older
+    // pinned versions are history, not the append gate's concern)
+    val floors = meta.find(_.path == FloorMetaPath)
+      .map(_.allStats).getOrElse(Nil)
+    floorMemo.merge(sink, (version, floors),
+      (old, now) => if (now._1 >= old._1) now else old)
     entries
   }
 
@@ -313,7 +349,7 @@ object AtomicIncrement {
       case None => (0L, Seq.empty)
       case Some((v, mf)) =>
         val in = fs.open(mf)
-        try (v, parseManifestStream(sink, in))
+        try (v, parseManifestStream(sink, v, in))
         finally in.close()
     }
   }
@@ -389,6 +425,11 @@ object AtomicIncrement {
     * manifest-embedded schema line must be able to answer on its own.
     */
   private[graft] def clearSchemaMemoForTest(): Unit = schemaMemo.clear()
+
+  /** Cold-process simulation for the floor: the next snapshot parse
+    * must re-seed it from the manifest line alone.
+    */
+  private[graft] def clearFloorMemoForTest(): Unit = floorMemo.clear()
 
   /** Merge-schema over data files only (dv files hold keys, not rows). */
   private[graft] def dataSchema(spark: SparkSession, sink: String,
@@ -609,6 +650,14 @@ object AtomicIncrement {
     // dotfiles), silently breaking the pin contract
     require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
       s"tag name must be path-safe and not start with '.': '$name'")
+    // all-digit names forbidden (round 16): SQL `VERSION AS OF '123'`
+    // resolves digit-only strings as manifest VERSIONS, so a tag
+    // named "123" would be unreachable from the catalog face —
+    // refuse at creation instead of shadowing silently
+    require(!name.forall(_.isDigit),
+      s"tag name '$name' is all digits — SQL time travel would read " +
+        "it as a manifest version, never the tag; pick a name with " +
+        "at least one non-digit")
     val fs = fsOf(spark, sink)
     require(fs.exists(new Path(new Path(sink, ManifestDir),
         f"$version%020d")),
@@ -829,7 +878,7 @@ object AtomicIncrement {
     val in = fs.open(mf)
     // seeds the memo under THIS version's file list — a time-travel
     // read resolves the pinned snapshot's schema O(manifest) too
-    try parseManifestStream(sink, in)
+    try parseManifestStream(sink, version, in)
     finally in.close()
   }
 
@@ -1132,13 +1181,28 @@ object AtomicIncrement {
     // footer sweep (O(files) small reads), then the full scan — all
     // over DATA lines only (a delete vector holds keys, not rows; a
     // dv-masked row's watermark still upper-bounds, conservatively)
-    val wmExpr =
+    val liveMax =
       if (prior.isEmpty) None
       else manifestMaxLiteral(dataEntries, resolved.name, resolved.dataType)
         .orElse(Incremental.footerMaxOfFiles(spark,
           prior.map(f => new Path(s"$sink/$f")), resolved.name, resolved.dataType))
         .orElse(Option(readCommitted(spark, sink)
           .agg(max(watermarkCol)).head().get(0)).map(lit))
+    // the MONOTONE FLOOR closes the delete-reopens-replay-window
+    // hazard: a predicate DELETE of the newest rows lowers the live
+    // max, but the floor (never lowered by rewrites) still remembers
+    // the highest watermark ever committed — gate on the larger of
+    // the two. The snapshotSplit above parsed the manifest, so the
+    // memo is warm; decode reuses the manifest-max machinery over a
+    // synthetic one-line entry.
+    val floorLit = Option(floorMemo.get(sink))
+      .filter(_._1 == version).map(_._2).filter(_.nonEmpty)
+      .flatMap(fl => manifestMaxLiteral(Seq(ManifestEntry("f", fl)),
+        resolved.name, resolved.dataType))
+    val wmExpr = (liveMax, floorLit) match {
+      case (Some(l), Some(f)) => Some(greatest(l, f))
+      case (l, f) => l.orElse(f)
+    }
     val fresh = wmExpr match {
       case Some(w) => df.filter(col(watermarkCol) > w)
       case None => df
@@ -1584,18 +1648,104 @@ object AtomicIncrement {
     Some(org.apache.spark.sql.types.StructType(out.toSeq))
   }
 
+  /** Larger-of by the stats tag's comparison domain; None when the
+    * values don't parse in that domain (damaged stats → no floor).
+    */
+  private def maxByTag(tag: String, a: String, b: String)
+      : Option[String] = try {
+    tag match {
+      case "double" | "float" =>
+        Some(if (a.toDouble >= b.toDouble) a else b)
+      case "string" =>
+        val dec = java.util.Base64.getDecoder
+        Some(if (java.util.Arrays.compareUnsigned(
+          dec.decode(a), dec.decode(b)) >= 0) a else b)
+      case _ => Some(if (a.toLong >= b.toLong) a else b)
+    }
+  } catch { case _: IllegalArgumentException => None }
+
+  /** `max(prior floor, this version's recorded per-column maxes)` —
+    * the monotone fold [[FloorMetaPath]] documents. A column whose
+    * tags disagree (schema drift) or whose values don't parse drops
+    * out (floor absent = pre-round-16 behavior for that column).
+    */
+  private def foldFloors(prior: Seq[FileColumnStats],
+      dataLines: Seq[ManifestEntry]): Seq[FileColumnStats] = {
+    val current = scala.collection.mutable.LinkedHashMap[String,
+      FileColumnStats]()
+    for (e <- dataLines; s <- e.allStats
+        if !ReservedStatsCols.contains(s.column) && s.tag != NullTag) {
+      current.get(s.column.toLowerCase) match {
+        case None => current(s.column.toLowerCase) = s
+        case Some(p) if p.tag == s.tag =>
+          maxByTag(s.tag, p.max, s.max) match {
+            case Some(m) => current(s.column.toLowerCase) =
+              FileColumnStats(p.column, p.tag, m, m)
+            case None => current.remove(s.column.toLowerCase); ()
+          }
+        case Some(_) => current.remove(s.column.toLowerCase); ()
+      }
+    }
+    // normalize current maxes to floor shape (min == max == the max)
+    val now = current.values.map(s =>
+      FileColumnStats(s.column, s.tag, s.max, s.max)).toSeq
+    val byCol = scala.collection.mutable.LinkedHashMap[String,
+      FileColumnStats]()
+    for (f <- prior) byCol(f.column.toLowerCase) = f
+    for (n <- now) byCol.get(n.column.toLowerCase) match {
+      case None => byCol(n.column.toLowerCase) = n
+      case Some(p) if p.tag == n.tag =>
+        maxByTag(n.tag, p.max, n.max).foreach(m =>
+          byCol(n.column.toLowerCase) =
+            FileColumnStats(p.column, p.tag, m, m))
+      case Some(_) => () // tag drift: keep the prior floor as-is
+    }
+    byCol.values.toSeq
+  }
+
+  /** The floors the NEXT version must fold over — memo when warm (the
+    * writer just parsed the snapshot), else one small re-read of the
+    * prior manifest.
+    */
+  private def priorFloors(fs: FileSystem, sink: String,
+      priorVersion: Long): Seq[FileColumnStats] = {
+    if (priorVersion <= 0L) return Nil
+    Option(floorMemo.get(sink)) match {
+      case Some((v, f)) if v == priorVersion => f
+      case _ =>
+        val mf = new Path(new Path(sink, ManifestDir),
+          f"$priorVersion%020d")
+        if (!fs.exists(mf)) Nil
+        else {
+          val in = fs.open(mf)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.nonEmpty).map(parseLine)
+            .find(_.path == FloorMetaPath)
+            .map(_.allStats).getOrElse(Nil)
+          finally in.close()
+        }
+    }
+  }
+
   private[graft] def publish(fs: FileSystem, sink: String,
       files: Seq[String], version: Long,
       commitMillis: Long = System.currentTimeMillis(),
       snapshotSchema: Option[org.apache.spark.sql.types.StructType] =
-        None): Unit = {
+        None, resetFloors: Boolean = false): Unit = {
     val dir = new Path(sink, ManifestDir)
     fs.mkdirs(dir)
     val target = new Path(dir, f"$version%020d")
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
     val embedded = snapshotSchema.map(asNullableStruct)
-    val metaLines = commitMetaLine(commitMillis) +:
-      embedded.map(schemaMetaLine).toSeq
+    val parsed = files.map(parseLine)
+    val dataLines = parsed.filterNot(e => isMeta(e) || isDv(e))
+    val floors = foldFloors(
+      if (resetFloors) Nil else priorFloors(fs, sink, version - 1),
+      dataLines)
+    val floorLine = if (floors.isEmpty) Nil
+      else Seq(ManifestEntry(FloorMetaPath, floors).render)
+    val metaLines = (commitMetaLine(commitMillis) +:
+      embedded.map(schemaMetaLine).toSeq) ++ floorLine
     val out = fs.create(tmp, false)
     try out.write((metaLines ++ files)
       .mkString("\n").getBytes("UTF-8")) finally out.close()
@@ -1608,12 +1758,14 @@ object AtomicIncrement {
         s"manifest version $version already committed at $sink")
     }
     // the committing process itself never re-derives what it just
-    // declared: seed the memo under the NEW version's data-file list
+    // declared: seed the memos under the NEW version's state
     embedded.foreach { s =>
-      val dataE = files.map(parseLine).filterNot(e => isMeta(e) || isDv(e))
       if (schemaMemo.size >= 512) schemaMemo.clear()
-      schemaMemo.put(schemaKey(sink, dataE), s)
+      schemaMemo.put(schemaKey(sink, dataLines), s)
     }
+    floorMemo.merge(sink, (version, floors),
+      (old, now) => if (now._1 >= old._1) now else old)
+    ()
   }
 
   /** Maintenance compaction: rewrite the committed snapshot into
@@ -1660,8 +1812,10 @@ object AtomicIncrement {
     // every column the prior manifest covers on ALL its data files (a
     // partially-covered column never pruned anyway)
     val statsFields = coveredStatsFields(dataE, snap.schema)
+    // row-preserving maintenance must CARRY the watermark floor —
+    // only a deliberate snapshot replace may reset it
     val staged = replaceWithHook(snap.repartition(numFiles),
-      sink, version, beforePublish, statsFields)
+      sink, version, beforePublish, statsFields, resetFloors = false)
     bloomCols.foreach(c => BloomSkip.ensureSidecars(spark, sink, c))
     (dataE.size, staged.size)
   }
@@ -1708,7 +1862,7 @@ object AtomicIncrement {
       .repartitionByRange(numFiles, byCols.map(col): _*)
       .sortWithinPartitions(byCols.map(col): _*)
     val staged = replaceWithHook(clustered, sink, version, () => (),
-      statsFields)
+      statsFields, resetFloors = false)
     bloomCols.foreach(c => BloomSkip.ensureSidecars(spark, sink, c))
     (dataE.size, staged.size)
   }
@@ -1917,7 +2071,7 @@ object AtomicIncrement {
         .flatMap(c => snap.schema.fields.find(_.name.equalsIgnoreCase(c)))
       ++ coveredStatsFields(dataE, snap.schema)).distinct
     val staged = replaceWithHook(clustered, sink, version, () => (),
-      statsFields)
+      statsFields, resetFloors = false)
     bloomCols.foreach(c => BloomSkip.ensureSidecars(spark, sink, c))
     (dataE.size, staged.size)
   }
@@ -1990,16 +2144,19 @@ object AtomicIncrement {
 
   private[graft] def replaceWithHook(df: DataFrame, sink: String,
       expectVersion: Long, beforePublish: () => Unit,
-      statsFields: Seq[org.apache.spark.sql.types.StructField] = Nil)
-      : Seq[ManifestEntry] = {
+      statsFields: Seq[org.apache.spark.sql.types.StructField] = Nil,
+      resetFloors: Boolean = true): Seq[ManifestEntry] = {
     val spark = df.sparkSession
     val fs = fsOf(spark, sink)
     val staged = stageEntries(df, spark, fs, sink, statsFields)
     try {
       beforePublish()
-      // a full replace's snapshot schema IS the replacing frame's
+      // a full replace's snapshot schema IS the replacing frame's;
+      // floors RESET — a replace is a deliberate new history (the
+      // Complete-mode sink rewrites its rollup every batch), not a
+      // destructive edit the replay shield must remember
       publish(fs, sink, staged.map(_.render), expectVersion + 1,
-        snapshotSchema = Some(df.schema))
+        snapshotSchema = Some(df.schema), resetFloors = resetFloors)
     } catch { case e: Throwable =>
       staged.headOption.foreach(e0 =>
         fs.delete(new Path(s"$sink/${e0.path}").getParent, true))

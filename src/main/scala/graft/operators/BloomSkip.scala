@@ -470,6 +470,18 @@ object BloomSkip {
     * Run it from the maintenance pass beside the sidecar re-cover;
     * the probe face is [[readContainingTokensIndexed]]. Returns files
     * newly indexed.
+    *
+    * CONCURRENCY CONTRACT (round 16, explicit like every maintenance
+    * entry point): SINGLE WRITER — `_covered.txt` is a driver-side
+    * full coverage list rewritten non-atomically per pass, and two
+    * concurrent builds could interleave postings appends with
+    * coverage rewrites (lost coverage = files re-indexed next pass —
+    * wasteful, not wrong; the probe's distinct-bucket count absorbs
+    * duplicate postings). Schedule it from ONE maintenance loop per
+    * table, exactly like [[ensureSidecars]] and the compactions.
+    * Probes may run concurrently with a build: a file covered but
+    * not yet posted cannot arise (postings append BEFORE the cover
+    * rewrite), and an uncovered file is kept conservatively.
     */
   def ensureTokenIndex(spark: SparkSession, sink: String,
       column: String, buckets: Int = 1 << 20): Int = {
@@ -573,6 +585,74 @@ object BloomSkip {
     AtomicIncrement.readEffective(spark, sink, kept, dvE, Some(schema))
   }
 
+  /** What [[readGrep]] decided last, for the planner spec's pins. */
+  private[graft] val lastGrepChoice =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** Small tables answer fastest through the per-file sidecar probe
+    * (single-digit driver round trips beat a postings query); past
+    * this the index wins whenever it covers enough of the snapshot.
+    * Tunable per session.
+    */
+  private[graft] val GrepIndexThresholdConf =
+    "graft.bloom.grep.indexThreshold"
+
+  private def grepIndexThreshold(spark: SparkSession): Int =
+    spark.conf.getOption(GrepIndexThresholdConf).map(_.toInt)
+      .getOrElse(64)
+
+  /** THE grep face (round 16): one entry point that picks the probe
+    * plan itself — the r15 seam where the caller had to choose
+    * between [[readContainingTokens]] (per-file sidecar probes,
+    * driver-pooled up to the distributed threshold, one Spark job
+    * past it) and [[readContainingTokensIndexed]] (one pushdown-
+    * pruned postings read), which was a footgun at exactly the scale
+    * the index exists for. The policy, pinned by GrepPlannerSpec:
+    *
+    *  - SMALL snapshot (≤ `graft.bloom.grep.indexThreshold` files,
+    *    default 64): the sidecar probe, always — a handful of pooled
+    *    round trips beats any postings query, and the distributed
+    *    tier can't engage at this size anyway.
+    *  - LARGE snapshot with a USABLE index (meta present, bucket
+    *    count matching, covering at least HALF the committed files):
+    *    the inverted index — flat in file count (measured 0.94 at
+    *    32×). Partial coverage stays correct (uncovered files are
+    *    kept conservatively); the half bound is where keeping the
+    *    uncovered tail stops beating per-file probes.
+    *  - LARGE snapshot, index absent / stale / bucket-mismatched:
+    *    the sidecar probe, whose distributed tier self-selects past
+    *    `graft.bloom.probe.distributedThreshold` — never a silent
+    *    full scan, never a refusal.
+    *
+    * Every path returns the same may-contain superset read; the
+    * choice is purely a cost decision.
+    */
+  def readGrep(spark: SparkSession, sink: String, column: String,
+      tokens: Seq[String], buckets: Int = 1 << 20): DataFrame = {
+    val committed = AtomicIncrement.committedFiles(spark, sink)
+    val choice: String =
+      if (committed.size <= grepIndexThreshold(spark)) "sidecar-small"
+      else {
+        val fs = fsOf(spark, sink)
+        val root = indexRoot(sink, column)
+        val usable = readSmallText(fs, new Path(root, "_meta.txt"))
+          .exists(_.trim == s"buckets=$buckets")
+        if (!usable) "sidecar-noindex"
+        else {
+          val covered = readSmallText(fs, new Path(root, "_covered.txt"))
+            .map(_.split("\n").filter(_.nonEmpty).toSet)
+            .getOrElse(Set.empty)
+          val coverage = committed.count(r => covered.contains(rel2(r)))
+          if (coverage.toLong * 2 >= committed.size) "indexed"
+          else "sidecar-stale"
+        }
+      }
+    lastGrepChoice.set(choice)
+    if (choice == "indexed")
+      readContainingTokensIndexed(spark, sink, column, tokens, buckets)
+    else readContainingTokens(spark, sink, column, tokens)
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // The needle-in-haystack read under the oracle gate: events land
     // as three time-range increments (interval stats on ts — useless
@@ -646,10 +726,12 @@ object BloomSkip {
             .toDF("doc_id", "text", "lang", "source"),
           sink, "doc_id")
         ensureTokenSidecars(s, sink, "text")
-        val narrowed = readContainingTokens(s, sink, "text",
-          Seq("xyzzy", "dup"))
+        // through the unified planner face (round 16): no index here,
+        // so the plan must come out a sidecar probe
+        val narrowed = readGrep(s, sink, "text", Seq("xyzzy", "dup"))
         val engaged = narrowed.inputFiles.length <
-          AtomicIncrement.committedFiles(s, sink).size
+          AtomicIncrement.committedFiles(s, sink).size &&
+          lastGrepChoice.get().startsWith("sidecar")
         narrowed.filter(
             array_contains(tokensOf(col("text")), "xyzzy") &&
             array_contains(tokensOf(col("text")), "dup"))
@@ -696,13 +778,18 @@ object BloomSkip {
             (mx + 2, "plain filler prose", "en", "src_tail")))
             .toDF("doc_id", "text", "lang", "source"),
           sink, "doc_id")
-        val narrowed = readContainingTokensIndexed(s, sink, "text",
-          Seq("xyzzy", "dup"))
+        // through the unified planner face (round 16): the snapshot
+        // is small at gate scale, so force the size threshold down —
+        // the planner must then pick the fresh index on its own
+        s.conf.set(GrepIndexThresholdConf, "1")
+        val narrowed = try readGrep(s, sink, "text", Seq("xyzzy", "dup"))
+          finally s.conf.unset(GrepIndexThresholdConf)
         val total = AtomicIncrement.committedFiles(s, sink).size
         val opened = narrowed.inputFiles.length
         // needle file + the uncovered tail file; everything indexed
         // and needle-free skipped
-        val engaged = opened < total && opened >= 2 && incr == 1 && n0 > 1
+        val engaged = opened < total && opened >= 2 && incr == 1 &&
+          n0 > 1 && lastGrepChoice.get() == "indexed"
         narrowed.filter(
             array_contains(tokensOf(col("text")), "xyzzy") &&
             array_contains(tokensOf(col("text")), "dup"))

@@ -453,6 +453,126 @@ object IncrementalAgg {
     applied
   }
 
+  /** Dyadic levels for the radix-16 prefix tree: value >> 60, 56, …,
+    * 4, 0 — 16 levels covering the full signed-long domain
+    * (arithmetic shifts compose, so negatives form a correct subtree
+    * under prefixes −8…−1).
+    */
+  private val DyadicLevels: Seq[Int] = (0 to 60 by 4).reverse
+
+  /** DYADIC-RANGE count-min TOP-K (round 16) — the deletion-complete
+    * twin of [[mergeCdcTopKSketch]]. The pooled sketch's candidate
+    * pool is ONE-SIDED under retraction: a value the recent batches
+    * never touched can rise into the top-k purely because others
+    * were retracted, and if the pool pruned it earlier nothing ever
+    * re-nominates it. This twin keeps NO pool at all — the textbook
+    * deletion-capable heavy-hitter shape: one CM sketch per dyadic
+    * level of the value domain (radix-16: prefix = value >> ℓ for
+    * ℓ = 60, 56, …, 0), all abelian signed counters, so retraction
+    * decrements every level exactly and the CURRENT heavy hitters
+    * are recoverable from state alone by descending the prefix tree
+    * ([[readTopKDyadic]]'s beam search). State: ≤ 16 × depth × width
+    * cells per group, O(log U) of the pooled twin's cells — bounded
+    * however the data churns, which is the point.
+    *
+    * INTEGRAL values only (the prefix tree is bit arithmetic); both
+    * signs supported. Same `__b` replay shield, OCC publish, and
+    * bootstrap conventions as every CDC fold.
+    */
+  def mergeCdcTopKDyadic(plus: DataFrame, minus: DataFrame,
+      sink: String, keys: Seq[String], valueCol: String,
+      batchId: Long, width: Int = 2048, depth: Int = 3): Boolean = {
+    require(width >= 16 && depth >= 1,
+      s"bad sketch shape: width=$width depth=$depth")
+    def cells(df: DataFrame): DataFrame = {
+      val v = df.schema.fields
+        .find(_.name.equalsIgnoreCase(valueCol))
+        .getOrElse(throw new IllegalArgumentException(
+          s"value column '$valueCol' absent from the batch"))
+      require(AtomicIncrement.integralTags.exists(
+          graft.operators.AtomicIncrement.tagOf(v.dataType).contains),
+        s"dyadic top-k needs an integral value column, got " +
+          s"${v.dataType.simpleString}")
+      val base = df.select((keys.map(col) :+
+        col(valueCol).cast("long").as("__v")): _*)
+      DyadicLevels.map(l =>
+        base.select((keys.map(col) :+
+          shiftright(col("__v"), l).as("__p") :+
+          lit(l).as("__lvl")): _*))
+        .reduce(_ unionByName _)
+        .withColumn("__d", explode(array((0 until depth).map(lit): _*)))
+        .withColumn("__cell",
+          pmod(xxhash64(col("__p"), col("__d")), lit(width.toLong)))
+        .drop("__p")
+    }
+    mergeCdcBatch(cells(plus), cells(minus), s"$sink/dyadic",
+      keys ++ Seq("__lvl", "__d", "__cell"), Nil, batchId)
+  }
+
+  /** Per-group top-k from a [[mergeCdcTopKDyadic]] sink by BEAM
+    * DESCENT over the prefix tree: start from the 16 root prefixes,
+    * estimate each candidate's range count (CM min over depth at its
+    * level), keep the best `beamFactor × k` per group, expand each
+    * survivor's 16 children, repeat to level 0 — the survivors there
+    * ARE values, ranked exactly like the exact twin (estimate desc,
+    * value asc). A true top-k value's ancestors carry at least its
+    * count, so they out-rank all but CM-noise-inflated rivals at
+    * every level; the beam absorbs that noise (εN per cell, min over
+    * depth). 16 state-sized driver rounds, never data.
+    */
+  def readTopKDyadic(spark: org.apache.spark.sql.SparkSession,
+      sink: String, keys: Seq[String], valueCol: String, k: Int,
+      width: Int = 2048, depth: Int = 3, beamFactor: Int = 4)
+      : DataFrame = {
+    require(k >= 1 && beamFactor >= 2,
+      s"top-k needs k >= 1 and beamFactor >= 2: $k, $beamFactor")
+    val beam = beamFactor * k
+    val cellState = readState(spark, s"$sink/dyadic")
+    cellState.cache()
+    try {
+      val groups = cellState.select(keys.map(col): _*).distinct()
+      // roots: value >> 60 of any long lies in [-8, 7]
+      var cand = groups.withColumn("__p",
+        explode(array((-8 to 7).map(i => lit(i.toLong)): _*)))
+      for (lvl <- DyadicLevels) {
+        val probes = cand
+          .withColumn("__d", explode(array((0 until depth).map(lit): _*)))
+          .withColumn("__cell",
+            pmod(xxhash64(col("__p"), col("__d")), lit(width.toLong)))
+        val state = cellState.filter(col("__lvl") === lvl).select(
+          (keys.map(c => col(c).as(s"__s_$c")) ++
+            Seq(col("__d").as("__s_d"), col("__cell").as("__s_cell"),
+              col("__n").as("__s_n"))): _*)
+        val joinCond = (keys.map(c => col(c) <=> col(s"__s_$c")) ++
+          Seq(col("__d") === col("__s_d"),
+            col("__cell") === col("__s_cell"))).reduce(_ && _)
+        val est = probes.join(state, joinCond, "left")
+          .groupBy((keys :+ "__p").map(col): _*)
+          .agg(min(coalesce(col("__s_n"), lit(0L))).as("__est"))
+          .filter(col("__est") > 0L)
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(col("__est").desc, col("__p"))
+        val kept = est.withColumn("__rk", row_number().over(win))
+          .filter(col("__rk") <= beam)
+        cand =
+          if (lvl == 0) kept
+          else kept.select((keys.map(col) :+
+            (col("__p") * 16).as("__p16")): _*)
+            .withColumn("__c",
+              explode(array((0 to 15).map(i => lit(i.toLong)): _*)))
+            .withColumn("__p", col("__p16") + col("__c"))
+            .drop("__p16", "__c")
+        // each level is a small state-sized frame; pin it so the
+        // 16-round descent does not re-derive the whole chain
+        cand = cand.localCheckpoint(true)
+      }
+      cand.filter(col("__rk") <= k)
+        .select((keys.map(col) :+ col("__p").as(valueCol) :+
+          col("__est").as("cnt_est") :+ col("__rk").as("rank")): _*)
+    } finally { cellState.unpersist(); () }
+  }
+
   /** The (value, depth-row, cell) exploded view shared by the fold and
     * the read — ONE expression builds the hash on both sides, so the
     * probe always lands in the fold's cell (type-identical inputs).
@@ -1693,6 +1813,67 @@ object IncrementalAgg {
         |FROM ranked WHERE rank <= 3
         |ORDER BY o_orderstatus, rank""".stripMargin),
 
+    // The DYADIC-RANGE top-k twin under the oracle gate (round 16,
+    // closing the pooled sketch's documented one-sidedness): the same
+    // skewed retraction feed, but the state is 16 level-wise CM
+    // sketches over the value's radix-16 prefix tree and the read is
+    // a BEAM DESCENT that recovers the current heavy hitters from
+    // state alone — no candidate pool, so a value promoted purely by
+    // OTHERS' retraction surfaces by construction (TopKSketchSpec
+    // constructs that exact promotion; here the oracle pins the full
+    // exact ranking + the CM band on the deep retraction feed).
+    "q_incr_agg_topk_dyadic" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_tkdyexact") { exactSink =>
+        withScratchSink(s, "graft_tkdysketch") { sketchSink =>
+          val o = table(s, dir, "orders").select(
+            col("o_orderkey"), col("o_orderstatus"),
+            (col("o_custkey").bitwiseAND(-col("o_custkey"))).as("hh"))
+          mergeCdcDistinct(o, o.limit(0), exactSink,
+            Seq("o_orderstatus"), "hh", 0L)
+          mergeCdcTopKDyadic(o, o.limit(0), sketchSink,
+            Seq("o_orderstatus"), "hh", 0L)
+          val minus = o.filter(col("o_orderkey") % 10 === 7)
+          val plus = o.filter(col("o_orderkey") % 10 === 3)
+            .withColumn("o_orderstatus", lit("X"))
+          mergeCdcDistinct(plus, minus, exactSink,
+            Seq("o_orderstatus"), "hh", 1L)
+          mergeCdcTopKDyadic(plus, minus, sketchSink,
+            Seq("o_orderstatus"), "hh", 1L)
+          val exact = readState(s, exactSink)
+            .select(col("o_orderstatus"), col("hh"),
+              col("__n").as("cnt"))
+          val tot = exact.groupBy("o_orderstatus")
+            .agg(sum("cnt").as("__tot"))
+          readTopKDyadic(s, sketchSink, Seq("o_orderstatus"), "hh", 3)
+            .join(exact, Seq("o_orderstatus", "hh"))
+            .join(tot, Seq("o_orderstatus"))
+            .select(col("o_orderstatus"), col("hh"), col("cnt"),
+              col("rank"),
+              (col("cnt_est") >= col("cnt") &&
+                (col("cnt_est") - col("cnt")) <=
+                  greatest(lit(1.0), col("__tot") * (math.E / 2048.0)))
+                .as("within_band"))
+            .orderBy("o_orderstatus", "rank")
+        }
+      },
+      """WITH resolved AS (
+        |  SELECT o_orderstatus, o_custkey & -o_custkey AS hh
+        |  FROM orders WHERE o_orderkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT 'X' AS o_orderstatus, o_custkey & -o_custkey AS hh
+        |  FROM orders WHERE o_orderkey % 10 = 3),
+        |counted AS (
+        |  SELECT o_orderstatus, hh, count(*) AS cnt
+        |  FROM resolved GROUP BY o_orderstatus, hh),
+        |ranked AS (
+        |  SELECT o_orderstatus, hh, cnt,
+        |    CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY cnt DESC, hh) AS INT) AS rank
+        |  FROM counted)
+        |SELECT o_orderstatus, hh, cnt, rank, TRUE AS within_band
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY o_orderstatus, rank""".stripMargin),
+
     // Retractable QUANTILE rollup under the oracle gate (round 14):
     // histogram state bootstraps from the full orders load, then one
     // CDC batch retracts every %10==7 key and inserts %10==3 copies
@@ -1975,6 +2156,136 @@ object IncrementalAgg {
         |  FROM orders, cut)
         |SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price, TRUE AS pruned
+        |FROM resolved GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
+    // SQL UPDATE through the DSv2 catalog (round 16, the r15
+    // verdict's missing #1): `UPDATE graft.t SET ... WHERE ...` is
+    // rewritten by Spark into a group-based ReplaceData plan whose
+    // scan is a REAL DSv2 batch over ONLY the may-match files (the
+    // same ManifestPruning verdicts, pushed through
+    // GroupBasedRowLevelOperationScanPlanning) and whose write is a
+    // REAL BatchWrite — executor parquet parts, driver manifest
+    // commit from the WriterCommitMessages. `pruned` pins the
+    // carried-files-verbatim contract via before/after file-set
+    // identity AND the no-match no-version rule; the oracle replays
+    // the statement as a CASE over the raw table, so old-row SET
+    // semantics, NULL-cond carries, and survivor fidelity all sit
+    // under the hash.
+    "q_sql_update" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_squpd") { sink =>
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val mx = o.agg(max("o_orderkey")).head().getLong(0)
+        var lo = Long.MinValue
+        for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {
+          AtomicIncrement.appendIncrementAtomic(
+            o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+            sink, "o_orderkey", Seq("o_totalprice"))
+          lo = hi
+        }
+        val cut = 2 * mx / 3
+        val before = AtomicIncrement.committedFiles(s, sink).toSet
+        val v1 = AtomicIncrement.snapshot(s, sink)._1
+        s.sql(s"UPDATE graft.`$sink` SET o_totalprice = " +
+          s"o_totalprice * 2, o_orderstatus = 'U' " +
+          s"WHERE o_orderkey > $cut AND o_totalprice < 150000")
+        val after = AtomicIncrement.committedFiles(s, sink).toSet
+        val v2 = AtomicIncrement.snapshot(s, sink)._1
+        // no-match UPDATE: zero touched files, no version published
+        s.sql(s"UPDATE graft.`$sink` SET o_orderstatus = 'Z' " +
+          s"WHERE o_orderkey > ${mx * 10}")
+        val v3 = AtomicIncrement.snapshot(s, sink)._1
+        val engaged = before.intersect(after).nonEmpty &&
+          before.diff(after).nonEmpty && v2 == v1 + 1 && v3 == v2
+        val out = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM graft.`$sink`
+             |GROUP BY o_orderstatus""".stripMargin)
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          .withColumn("pruned", lit(engaged))
+          .orderBy("o_orderstatus")
+      },
+      """WITH cut AS (SELECT (2 * max(o_orderkey)) // 3 AS c FROM orders),
+        |resolved AS (
+        |  SELECT CASE WHEN o_orderkey > c AND o_totalprice < 150000
+        |              THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN o_orderkey > c AND o_totalprice < 150000
+        |              THEN o_totalprice * 2 ELSE o_totalprice END
+        |           AS o_totalprice
+        |  FROM orders, cut)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price, TRUE AS pruned
+        |FROM resolved GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
+    // SQL MERGE INTO through the DSv2 catalog (round 16): matched
+    // UPDATE, matched-AND DELETE, and NOT MATCHED INSERT in one
+    // statement over the same row-level machinery — the source is a
+    // derived view of orders (every 10th key upserts doubled, every
+    // 7th deletes, shifted keys insert), and the oracle replays the
+    // statement relationally (anti-join survivors + updated matches +
+    // inserts). A merge group rewrite is whole-table in v1 (a join
+    // condition pushes no target-only filters), so the pin here is
+    // CONTENT + the single published version, not file pruning.
+    "q_sql_merge" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_sqmrg") { sink =>
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val mx = o.agg(max("o_orderkey")).head().getLong(0)
+        AtomicIncrement.appendIncrementAtomic(o, sink, "o_orderkey",
+          Seq("o_totalprice"))
+        val v1 = AtomicIncrement.snapshot(s, sink)._1
+        o.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("o_orderstatus", lit("M"))
+          .withColumn("del", lit(false))
+          .unionByName(o.filter(col("o_orderkey") % 10 === 7)
+            .withColumn("del", lit(true)))
+          .unionByName(o.filter(col("o_orderkey") % 10 === 3)
+            .withColumn("o_orderkey", col("o_orderkey") + mx)
+            .withColumn("o_orderstatus", lit("I"))
+            .withColumn("del", lit(false)))
+          .createOrReplaceTempView("graft_sqmrg_src")
+        s.sql(
+          s"""MERGE INTO graft.`$sink` t USING graft_sqmrg_src s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED AND s.del THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET
+             |  t.o_orderstatus = s.o_orderstatus,
+             |  t.o_totalprice = s.o_totalprice
+             |WHEN NOT MATCHED THEN INSERT
+             |  (o_orderkey, o_orderstatus, o_totalprice)
+             |  VALUES (s.o_orderkey, s.o_orderstatus, s.o_totalprice)
+             |""".stripMargin)
+        val v2 = AtomicIncrement.snapshot(s, sink)._1
+        val out = s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM graft.`$sink`
+             |GROUP BY o_orderstatus""".stripMargin)
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          .withColumn("one_commit", lit(v2 == v1 + 1))
+          .orderBy("o_orderstatus")
+      },
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |resolved AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'M'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT o_orderkey + m, 'I', o_totalprice
+        |  FROM orders, mx WHERE o_orderkey % 10 = 3)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price, TRUE AS one_commit
         |FROM resolved GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin),
 

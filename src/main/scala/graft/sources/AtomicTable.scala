@@ -118,7 +118,8 @@ class GraftAtomicSource extends RelationProvider
   // contract at [[graft.streaming.GraftAtomicStreamSource]]. ----
 
   private def streamParams(parameters: Map[String, String])
-      : (String, Boolean, Option[Long], Boolean, Option[String]) = {
+      : (String, Boolean, graft.streaming.AdmissionCaps, Boolean,
+        Option[String]) = {
     val sink = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft-atomic requires a 'path' option (the sink root)"))
@@ -128,11 +129,16 @@ class GraftAtomicSource extends RelationProvider
       case Some(other) => throw new IllegalArgumentException(
         s"graft-atomic stream mode must be cdf|append-only, got $other")
     }
-    val cap = parameters.get("maxVersionsPerBatch").map { v =>
-      val n = v.trim.toLong
-      require(n > 0, s"maxVersionsPerBatch must be positive, got $n")
-      n
-    }
+    def positive(key: String): Option[Long] =
+      parameters.get(key).map { v =>
+        val n = v.trim.toLong
+        require(n > 0, s"$key must be positive, got $n")
+        n
+      }
+    val caps = graft.streaming.AdmissionCaps(
+      maxVersions = positive("maxVersionsPerBatch"),
+      maxFiles = positive("maxFilesPerBatch"),
+      maxBytes = positive("maxBytesPerBatch"))
     val rowLevel = parameters.get("rowLevel").exists(_.trim.toBoolean)
     val rowKey = parameters.get("keyCol")
     require(rowKey.isEmpty || rowLevel,
@@ -140,7 +146,7 @@ class GraftAtomicSource extends RelationProvider
     require(!(rowLevel && appendOnly),
       "rowLevel diffs a cdf window; append-only windows are already " +
         "minimal (pure inserts)")
-    (sink, appendOnly, cap, rowLevel, rowKey)
+    (sink, appendOnly, caps, rowLevel, rowKey)
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -341,7 +347,14 @@ private[graft] class GraftAtomicRelation(override val sqlContext: SQLContext,
       Some(schema))
     val pushed = filters.flatMap(translate)
       .foldLeft(base)((df, c) => df.filter(c))
-    pushed.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+    // the file-identity metadata column (catalog face): served from
+    // the physical scan's own file attribution, not stored anywhere
+    val fileCol = GraftRowLevelOperation.FileCol
+    val withMeta = if (requiredColumns.contains(fileCol))
+      pushed.withColumn(fileCol,
+        org.apache.spark.sql.functions.input_file_name())
+    else pushed
+    withMeta.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
   }
 
   private def mayMatch(e: AtomicIncrement.ManifestEntry,

@@ -9,6 +9,8 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwriteV2, SupportsTruncate, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.graftbridge.StreamingFrameBridge
 import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -98,8 +100,11 @@ class GraftCatalog extends TableCatalog {
   /** SQL time travel, `SELECT … FROM graft.t VERSION AS OF x`: a
     * numeric `x` pins a manifest version, anything else resolves as a
     * named TAG — the same pair of coordinates the view face's
-    * `versionAsOf`/`tag` options speak. Pinned tables are read-only
-    * (history is immutable); DELETE refuses.
+    * `versionAsOf`/`tag` options speak. The digit-only namespace
+    * belongs to VERSIONS outright: [[AtomicIncrement.tagVersion]]
+    * refuses all-digit tag names at creation (round 16), so no tag
+    * can ever be shadowed here. Pinned tables are read-only (history
+    * is immutable); DELETE refuses.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val sink = sinkPath(ident)
@@ -144,13 +149,29 @@ class GraftCatalog extends TableCatalog {
           .map(t => Identifier.of(namespace, t)).toArray
     }
 
+  /** CREATE TABLE ... AS SELECT (round 16): the catalog hands back a
+    * schema-declared table over the still-empty sink; the CTAS write
+    * that follows commits manifest version 1 and MAKES the table (a
+    * graft table is its first committed write — the declared schema
+    * only bridges the gap until that commit). Plain CREATE TABLE
+    * without a query "succeeds" the same way but stays invisible to
+    * `loadTable` until something commits, which is the honest
+    * semantics of a manifest-defined table. Partitioning clauses
+    * refuse: layout is manifest + clustering here.
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "a graft-atomic table is created by its first committed write — " +
-        "use df.write.format(\"graft-atomic\") or the AtomicIncrement " +
-        "API, then query it through this catalog")
+      properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-atomic lays data out by manifest + clustering, not " +
+        "PARTITIONED BY — drop the partitioning clause")
+    val sink = sinkPath(ident)
+    if (AtomicIncrement.snapshot(spark, sink)._2.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          Seq(catalogName) ++ ident.namespace.toSeq :+ ident.name)
+    new GraftSqlTable(sink, declaredSchema = Some(schema))
+  }
 
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table =
@@ -187,15 +208,36 @@ class GraftCatalog extends TableCatalog {
   * statements each see the current snapshot.
   */
 private[graft] class GraftSqlTable(sink: String,
-    pin: Option[(String, String)] = None) extends Table
-    with SupportsRead with SupportsDeleteV2 {
+    pin: Option[(String, String)] = None,
+    declaredSchema: Option[StructType] = None) extends Table
+    with SupportsRead with SupportsDeleteV2
+    with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   private def spark = SparkSession.active
+
+  /** `_graft_file` — the absolute path of the data file each row came
+    * from (Delta's `_metadata.file_path` shape). The row-level DML
+    * rewrite requires it (file identity decides which groups a commit
+    * swaps), and the plain read face serves it via
+    * `input_file_name()` when a query projects it.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftRowLevelOperation.FileCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "absolute path of the data file this row came from"
+    })
 
   override def name(): String = s"graft.`$sink`" +
     pin.map { case (k, v) => s" ($k $v)" }.getOrElse("")
 
-  override val schema: StructType = {
+  override val schema: StructType = declaredSchema.getOrElse {
     val version = GraftAtomicRelation.resolveVersion(spark, sink, pin)
     val fs = new Path(sink).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -206,7 +248,70 @@ private[graft] class GraftSqlTable(sink: String,
   }
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
+
+  /** SQL UPDATE / MERGE INTO / CoW DELETE — the group-based row-level
+    * face ([[GraftRowLevelOperation]]). Translatable DELETEs never
+    * reach it: Spark's `OptimizeMetadataOnlyDeleteFromTable` folds
+    * them back onto [[SupportsDeleteV2.deleteWhere]] (the r15
+    * manifest-pruned path), so this serves UPDATE, MERGE, and the
+    * WHERE shapes `canDeleteWhere` refuses.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pin.isEmpty,
+      s"cannot ${info.command()} a time-travel-pinned table ($pin): " +
+        "committed history is immutable")
+    () => new GraftRowLevelOperation(sink, info.command())
+  }
+
+  /** SQL INSERT INTO (blind ANSI append —
+    * [[AtomicIncrement.appendBlindAtomic]]) and INSERT OVERWRITE /
+    * CTAS-replace ([[AtomicIncrement.replaceSnapshot]]), through the
+    * V1 write fallback: the staged `df.write` job's parquet parts are
+    * written by executors and the manifest commit stays on the
+    * driver — the same two-phase shape as every API write. The
+    * watermark-idempotent INSERT contract stays on the VIEW face
+    * (`watermarkCol` option); a catalog identifier can't carry it.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pin.isEmpty,
+      s"cannot write to a time-travel-pinned table ($pin): " +
+        "committed history is immutable")
+    new WriteBuilder with SupportsTruncate with SupportsOverwriteV2 {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def overwrite(predicates: Array[V2Predicate])
+          : WriteBuilder = {
+        require(predicates.isEmpty || predicates.forall(
+            _.name() == "ALWAYS_TRUE"),
+          "graft catalog INSERT OVERWRITE replaces the whole " +
+            "snapshot — partial overwrite predicates are not " +
+            s"supported: ${predicates.mkString(", ")}")
+        replace = true
+        this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                if (replace || overwrite)
+                  AtomicIncrement.replaceSnapshot(data, sink,
+                    AtomicIncrement.snapshot(
+                      data.sparkSession, sink)._1)
+                else { AtomicIncrement.appendBlindAtomic(data, sink); () }
+              }
+            }
+          override def description(): String =
+            s"GraftV1Write($sink, replace=$replace)"
+        }
+    }
+  }
 
   /** Manifest-true LIVE bytes at the resolved version — the smallness
     * evidence [[graft.plans.BroadcastFromManifest]] reads pre-pushdown

@@ -1,0 +1,458 @@
+package graft.sources
+
+import graft.operators.AtomicIncrement
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.graftbridge.ParquetIoBridge
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.util.SerializableConfiguration
+
+/** SQL UPDATE / MERGE INTO / (untranslatable-WHERE) DELETE on the
+  * lakehouse — the group-based `SupportsRowLevelOperations` face
+  * (round 16, the r15 verdict's "What's missing #1").
+  *
+  * Spark's analyzer rewrites the DML statement into a `ReplaceData`
+  * plan: a scan of the AFFECTED GROUPS (here: manifest data files),
+  * a projection computing the replacement rows (`If(cond, updated,
+  * original)` for UPDATE, `MergeRows` for MERGE, survivor filter for
+  * DELETE), and a write that must atomically swap the scanned groups
+  * for the written files. This connector maps that contract onto the
+  * exact copy-on-write commit the API's oracle-green rewrite bodies
+  * use ([[AtomicIncrement.updateWhereAtomic]] et al.):
+  *
+  *  - SCAN: the statement's condition arrives through
+  *    `GroupBasedRowLevelOperationScanPlanning`'s filter push; the
+  *    SAME [[ManifestPruning]] verdicts every other face uses pick
+  *    the TOUCHED files — every untouched file rides into the new
+  *    manifest verbatim (the carried-files-verbatim pin). The read
+  *    itself is a real DSv2 [[Batch]]: one [[InputPartition]] per
+  *    touched file, executed by Spark's own vectorized parquet
+  *    reader through [[ParquetIoBridge]]. NO row-level filter is
+  *    pushed into parquet — a dropped row group would silently drop
+  *    the non-matching rows the rewrite must carry.
+  *  - Delete vectors apply IN THE READER (the Iceberg `DeleteFilter`
+  *    shape): each partition loads the masking dv key sets (those
+  *    with a commit sequence strictly above its file's — the
+  *    [[AtomicIncrement.readEffective]] rule) and filters masked
+  *    rows out, so a tombstoned row can never resurrect through SQL
+  *    DML.
+  *  - WRITE: a real [[BatchWrite]] — executors write parquet parts
+  *    into a staged `_data/batch-<uuid>/` dir (invisible until
+  *    commit, like every staged write here), each
+  *    [[WriterCommitMessage]] carries its part's sink-relative path,
+  *    and the DRIVER commit derives manifest stats from the staged
+  *    footers ([[AtomicIncrement.entryForStagedFile]]) and publishes
+  *    `carried ++ dvs ++ staged` at version+1 under the same OCC /
+  *    crash-cleanup contract as the API. Staged lines outrank
+  *    standing tombstones (the scan already applied them).
+  *
+  * PLAN-SHAPE FORK, handled explicitly: an UPDATE whose condition
+  * contains a subquery is rewritten by Spark as a UNION plan (all
+  * remaining rows ∪ updated rows) that reads the table through TWO
+  * scans and writes the ENTIRE table back — the commit must then be
+  * a full snapshot replace, not a group swap (carrying files would
+  * duplicate every untouched row). The operation counts its scan
+  * builds: one scan = group commit, two scans + UPDATE = full
+  * replace, anything else refuses loudly before publishing.
+  *
+  * MERGE pruning: a join condition yields no target-only pushable
+  * filters, so v1 merges rewrite every file (correct, append-only
+  * churn-sized for insert-only merges via Spark's own AppendData
+  * fast path). Group pruning for merge needs
+  * `SupportsRuntimeV2Filtering` over a file-identity metadata column
+  * — the named next rung, kept out of v1 deliberately.
+  */
+private[graft] class GraftRowLevelOperation(sink: String,
+    cmd: Command) extends RowLevelOperation {
+
+  private def spark = SparkSession.active
+
+  // ---- the statement's snapshot, resolved ONCE (scan and write must
+  // agree on version/files or the commit could carry a file another
+  // writer already rewrote — OCC still backstops at publish) ----
+  private case class Snap(version: Long,
+      dataE: Seq[AtomicIncrement.ManifestEntry],
+      dvE: Seq[AtomicIncrement.ManifestEntry],
+      fullSchema: StructType)
+  @volatile private var snapState: Snap = null
+  private def snap: Snap = synchronized {
+    if (snapState == null) {
+      val (version, dataE, dvE) = AtomicIncrement.snapshotSplit(spark, sink)
+      require(dataE.nonEmpty, s"nothing committed to $cmd at $sink")
+      snapState = Snap(version, dataE, dvE,
+        AtomicIncrement.dataSchema(spark, sink, dataE))
+    }
+    snapState
+  }
+
+  private val scanBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+  // union of files any scan touched — group commits carry the rest
+  private val touchedPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[sources] def recordTouched(files: Seq[String]): Unit = {
+    files.foreach(touchedPaths.add); ()
+  }
+
+  override def command(): Command = cmd
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    scanBuilds.incrementAndGet()
+    new GraftCowScanBuilder(this, sink, snap.fullSchema)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftCowBatchWrite(GraftRowLevelOperation.this, sink,
+            info.schema())
+        override def description(): String =
+          s"GraftCowWrite($sink, $cmd)"
+      }
+    }
+
+  override def description(): String = s"GraftRowLevelOperation($sink, $cmd)"
+
+  /** File identity rides every row (the Iceberg `_file` shape). Two
+    * jobs: it forces Spark's `ReplaceDataProjections` metadata path
+    * (the projection-less `DataWritingSparkTask` branch would hand
+    * the writer rows still carrying the rewrite's operation column),
+    * and it is the group-filter attribute a future
+    * `SupportsRuntimeV2Filtering` merge prune keys on.
+    */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftRowLevelOperation.FileCol))
+
+  // ---- state the write's driver-side commit reads ----
+  private[sources] def snapshotForCommit: (Long,
+      Seq[AtomicIncrement.ManifestEntry],
+      Seq[AtomicIncrement.ManifestEntry], StructType) =
+    (snap.version, snap.dataE, snap.dvE, snap.fullSchema)
+
+  private[sources] def scanCount: Int = scanBuilds.get()
+
+  private[sources] def touchedSet: Set[String] = {
+    val s = Set.newBuilder[String]
+    touchedPaths.forEach(p => s += p)
+    s.result()
+  }
+}
+
+private[graft] object GraftRowLevelOperation {
+  /** The file-identity metadata column (absolute path of the data
+    * file each row came from) — exposed by [[GraftSqlTable]] as a
+    * DSv2 metadata column on every face.
+    */
+  val FileCol = "_graft_file"
+}
+
+/** Filter push here is GROUP SELECTION, not row filtering: verdicts
+  * prune whole files, every filter reports residual, and the rows of
+  * every kept file flow to the rewrite projection complete.
+  */
+private[graft] class GraftCowScanBuilder(op: GraftRowLevelOperation,
+    sink: String, fullSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var filters: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(pushed: Array[Filter]): Array[Filter] = {
+    filters = pushed
+    pushed // all residual
+  }
+
+  override def pushedFilters(): Array[Filter] = filters
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = if (requiredSchema.isEmpty)
+      StructType(fullSchema.fields.take(1)) else requiredSchema
+    ()
+  }
+
+  override def build(): Scan = {
+    val (_, dataE, dvE, _) = op.snapshotForCommit
+    val touched = dataE.filter(e =>
+      filters.forall(f => ManifestPruning.mayMatch(e, f)))
+    op.recordTouched(touched.map(_.path))
+    new GraftCowScan(sink, fullSchema, required, touched, dvE)
+  }
+}
+
+/** One InputPartition per touched data file; dv key files masking it
+  * (strictly-higher commit sequence) ride along for reader-side
+  * application.
+  */
+private[graft] case class GraftCowInputPartition(absPath: String,
+    length: Long, dvAbsPaths: Array[String]) extends InputPartition
+
+private[graft] class GraftCowScan(sink: String, fullSchema: StructType,
+    required: StructType, touched: Seq[AtomicIncrement.ManifestEntry],
+    dvE: Seq[AtomicIncrement.ManifestEntry]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftCowScan($sink, ${touched.size} touched files)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val fs = new Path(sink).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val lens = AtomicIncrement.inParallel(touched)(e =>
+      fs.getFileStatus(new Path(s"$sink/${e.path}")).getLen)
+    touched.zip(lens).map { case (e, len) =>
+      val masks = dvE.filter(dv =>
+        AtomicIncrement.seqOf(dv) > AtomicIncrement.seqOf(e))
+        .map(dv => s"$sink/${dv.path}")
+      GraftCowInputPartition(s"$sink/${e.path}", len, masks.toArray)
+        : InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    // the physical parquet read: the requested columns minus the
+    // file-identity metadata column (a per-partition constant the
+    // reader's projection injects), plus the dv key when tombstones
+    // stand and the projection didn't already ask for it
+    val dataCols = required.fields.filterNot(
+      _.name == GraftRowLevelOperation.FileCol)
+    val (keyField, physical) =
+      if (dvE.isEmpty) (None, StructType(dataCols))
+      else {
+        val keyCol = AtomicIncrement.dvKeyColOf(dvE.head)
+        val kf = fullSchema.fields
+          .find(_.name.equalsIgnoreCase(keyCol))
+          .getOrElse(throw new IllegalStateException(
+            s"dv key column '$keyCol' missing from $sink schema"))
+        if (dataCols.exists(_.name.equalsIgnoreCase(kf.name)))
+          (Some(kf), StructType(dataCols))
+        else (Some(kf), StructType(dataCols :+ kf))
+      }
+    val dataReader = ParquetIoBridge.parquetReader(spark, fullSchema,
+      physical)
+    val dvReader = keyField.map(kf => ParquetIoBridge.parquetReader(
+      spark, StructType(Seq(kf)), StructType(Seq(kf))))
+    new GraftCowReaderFactory(dataReader, dvReader, keyField, physical,
+      required)
+  }
+}
+
+private[graft] class GraftCowReaderFactory(
+    dataReader: org.apache.spark.sql.execution.datasources.PartitionedFile
+      => Iterator[InternalRow],
+    dvReader: Option[org.apache.spark.sql.execution.datasources.PartitionedFile
+      => Iterator[InternalRow]],
+    keyField: Option[StructField], physical: StructType,
+    required: StructType) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftCowInputPartition]
+    new GraftCowPartitionReader(p, dataReader, dvReader, keyField,
+      physical, required)
+  }
+}
+
+/** Executor-side: stream one touched file's rows, masked by the
+  * applicable delete vectors, projected to the scan's read schema.
+  */
+private[graft] class GraftCowPartitionReader(p: GraftCowInputPartition,
+    dataReader: org.apache.spark.sql.execution.datasources.PartitionedFile
+      => Iterator[InternalRow],
+    dvReader: Option[org.apache.spark.sql.execution.datasources.PartitionedFile
+      => Iterator[InternalRow]],
+    keyField: Option[StructField], physical: StructType,
+    required: StructType) extends PartitionReader[InternalRow] {
+
+  // dv key set for THIS file — churn-fenced by the merge-on-read
+  // contract, so driver-collected-scale, never table-scale
+  private lazy val masked: java.util.HashSet[Any] = {
+    val s = new java.util.HashSet[Any]()
+    for (r <- dvReader; dvPath <- p.dvAbsPaths) {
+      val it = ParquetIoBridge.rows(
+        r(ParquetIoBridge.wholeFile(dvPath, Long.MaxValue)))
+      while (it.hasNext) {
+        val key = keyOf(it.next(), 0)
+        if (key != null) { s.add(key); () }
+      }
+    }
+    s
+  }
+
+  private def keyOf(row: InternalRow, i: Int): Any = {
+    if (row.isNullAt(i)) return null
+    keyField.get.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        java.lang.Long.valueOf(row.getLong(i))
+      case org.apache.spark.sql.types.IntegerType =>
+        java.lang.Long.valueOf(row.getInt(i).toLong)
+      case org.apache.spark.sql.types.ShortType =>
+        java.lang.Long.valueOf(row.getShort(i).toLong)
+      case org.apache.spark.sql.types.ByteType =>
+        java.lang.Long.valueOf(row.getByte(i).toLong)
+      case _: org.apache.spark.sql.types.StringType =>
+        row.getUTF8String(i).toString
+      case other => throw new IllegalStateException(
+        s"unsupported dv key family: $other")
+    }
+  }
+
+  private val keyIdx = keyField.map(kf => physical.fieldIndex(
+    physical.fields.find(_.name.equalsIgnoreCase(kf.name)).get.name))
+  private val needProject =
+    physical.fieldNames.toSeq != required.fieldNames.toSeq
+  private lazy val project = ParquetIoBridge.projectorWithConstants(
+    physical, required,
+    Map(GraftRowLevelOperation.FileCol -> p.absPath))
+
+  private val base = ParquetIoBridge.rows(
+    dataReader(ParquetIoBridge.wholeFile(p.absPath, p.length)))
+  private val it: Iterator[InternalRow] = {
+    val filtered = keyIdx match {
+      case Some(i) if p.dvAbsPaths.nonEmpty =>
+        base.filter(r => !masked.contains(keyOf(r, i)))
+      case _ => base
+    }
+    if (needProject) filtered.map(project) else filtered
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (it.hasNext) { current = it.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+// ---- the write half ----
+
+private[graft] case class GraftCowCommitMessage(relPaths: Seq[String])
+    extends WriterCommitMessage
+
+private[graft] class GraftCowBatchWrite(op: GraftRowLevelOperation,
+    sink: String, writeSchema: StructType) extends BatchWrite {
+
+  private def spark = SparkSession.active
+  private val batchRel =
+    s"${AtomicIncrement.DataDir}/batch-${java.util.UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    val (factory, conf) =
+      ParquetIoBridge.parquetWriterFactory(spark, writeSchema)
+    new GraftCowWriterFactory(sink, batchRel, writeSchema, factory, conf)
+  }
+
+  private def dropStaged(): Unit = {
+    val p = new Path(s"$sink/$batchRel")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rels = messages.collect {
+      case GraftCowCommitMessage(ps) => ps }.flatten.toSeq.sorted
+    val (version, dataE, dvE, fullSchema) = op.snapshotForCommit
+    val touched = op.touchedSet
+    if (rels.isEmpty && touched.isEmpty) { dropStaged(); return }
+    val fs = new Path(sink).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val statsFields =
+      AtomicIncrement.coveredStatsFields(dataE, writeSchema)
+    val staged0 = rels.map(rel =>
+      AtomicIncrement.entryForStagedFile(spark, sink, rel, statsFields))
+    try {
+      if (op.scanCount <= 1) {
+        // group commit: untouched files ride verbatim, staged files
+        // outrank standing tombstones the scan already applied
+        val carried = dataE.filterNot(e => touched.contains(e.path))
+        val staged = if (dvE.isEmpty) staged0
+          else staged0.map(AtomicIncrement.stampSeq(_, version + 1))
+        AtomicIncrement.publish(fs, sink,
+          (carried ++ dvE ++ staged).map(_.render), version + 1,
+          snapshotSchema = AtomicIncrement
+            .mergeStructs(fullSchema, writeSchema))
+      } else if (op.command() == Command.UPDATE) {
+        // the subquery-condition UNION shape: two scans read the
+        // whole table and the incoming rows ARE the whole table —
+        // a full snapshot replace (carrying anything would duplicate)
+        AtomicIncrement.publish(fs, sink, staged0.map(_.render),
+          version + 1, snapshotSchema = Some(writeSchema))
+      } else {
+        throw new IllegalStateException(
+          s"unexpected multi-scan ${op.command()} plan shape at " +
+            s"$sink (${op.scanCount} scans) — refusing to publish " +
+            "rather than guess the replace semantics")
+      }
+    } catch { case e: Throwable => dropStaged(); throw e }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    dropStaged()
+
+  override def toString: String = s"GraftCowBatchWrite($sink)"
+}
+
+private[graft] class GraftCowWriterFactory(sink: String, batchRel: String,
+    schema: StructType,
+    factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new GraftCowDataWriter(sink, batchRel, schema, factory, conf,
+      partitionId)
+}
+
+/** Executor part writer: opens lazily on the first row (no empty
+  * parquet parts), names uniquely per attempt (speculative twins never
+  * collide), deletes its own file on abort.
+  */
+private[graft] class GraftCowDataWriter(sink: String, batchRel: String,
+    schema: StructType,
+    factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: SerializableConfiguration, partitionId: Int)
+    extends DataWriter[InternalRow] {
+
+  private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
+  private var rel: String = _
+
+  override def write(record: InternalRow): Unit = {
+    if (writer == null) {
+      val ext = ParquetIoBridge.fileExtension(factory, conf)
+      rel = f"$batchRel/part-$partitionId%05d-${java.util.UUID.randomUUID()}$ext"
+      writer = ParquetIoBridge.openWriter(factory, conf, s"$sink/$rel",
+        schema)
+    }
+    writer.write(record)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    GraftCowCommitMessage(Option(rel).toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) {
+      try writer.close() catch { case _: Throwable => () }
+      val p = new Path(s"$sink/$rel")
+      val fs = p.getFileSystem(conf.value)
+      if (fs.exists(p)) { fs.delete(p, false); () }
+    }
+  }
+
+  override def close(): Unit = ()
+}

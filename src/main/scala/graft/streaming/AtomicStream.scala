@@ -67,6 +67,24 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * SQL view ([[graft.sources.GraftAtomicSource]] scaladoc) — restart
   * the stream to surface it.
   */
+/** Micro-batch admission limits (round 16 adds the DATA-SIZED pair):
+  * `maxVersions` caps how many manifest versions a window may span;
+  * `maxFiles` / `maxBytes` stop ACCUMULATING versions once the
+  * window's cumulative changed-file count / changed-byte volume
+  * crosses the limit — so one runaway backfill commit can no longer
+  * drag a dozen ordinary ones into the same micro-batch. Version
+  * atomicity is the FLOOR: a window never splits below one version,
+  * so a single bulk commit still arrives whole (but alone). File
+  * counts come from the manifest diff alone; bytes cost one
+  * file-status round trip per ADDED file in the window, short-
+  * circuited as soon as the cap is crossed.
+  */
+case class AdmissionCaps(maxVersions: Option[Long] = None,
+    maxFiles: Option[Long] = None, maxBytes: Option[Long] = None) {
+  def unlimited: Boolean =
+    maxVersions.isEmpty && maxFiles.isEmpty && maxBytes.isEmpty
+}
+
 object GraftAtomicStreamSource {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
@@ -89,7 +107,7 @@ object GraftAtomicStreamSource {
 
 class GraftAtomicStreamSource(sqlContext: SQLContext, sink: String,
     dataSchema: StructType, appendOnly: Boolean,
-    maxVersionsPerBatch: Option[Long],
+    caps: AdmissionCaps,
     rowLevel: Boolean = false, rowKey: Option[String] = None)
     extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
@@ -121,11 +139,16 @@ class GraftAtomicStreamSource(sqlContext: SQLContext, sink: String,
     case other => other.json.trim.toLong
   }
 
-  /** Admission control: offer at most `maxVersionsPerBatch` manifest
-    * versions past the committed offset, never past an AvailableNow
-    * target. The version count is the natural read unit here (one
-    * version = one commit's worth of changed files), so the cap rides
-    * this method rather than a row-based [[ReadLimit]].
+  /** Admission control: offer manifest versions past the committed
+    * offset up to the caps, never past an AvailableNow target. The
+    * version is the natural read unit here (one version = one
+    * commit's worth of changed files) so the caps ride this method
+    * rather than a row-based [[ReadLimit]]: `maxVersions` bounds the
+    * span outright; `maxFiles`/`maxBytes` stop accumulating versions
+    * once the cumulative changed-file count / added-byte volume
+    * crosses the limit — with the single-version floor (the first
+    * version past the offset always admits, however large: version
+    * atomicity bounds the window from below).
     */
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit)
       : OffsetV2 = {
@@ -134,11 +157,70 @@ class GraftAtomicStreamSource(sqlContext: SQLContext, sink: String,
       case t if t >= 0L => t
       case _ => AtomicIncrement.snapshot(spark, sink)._1
     }
-    val next = maxVersionsPerBatch match {
+    val byVersion = caps.maxVersions match {
       case Some(m) => math.max(math.min(target, base + m), base)
       case None => math.max(target, base)
     }
+    val next =
+      if (caps.maxFiles.isEmpty && caps.maxBytes.isEmpty) byVersion
+      else dataSizedCap(base, byVersion)
     if (next <= 0L) null else LongOffset(next)
+  }
+
+  /** Walk versions `base+1 .. limitV`, accumulating each version's
+    * manifest diff (files added + removed; bytes of added files when
+    * `maxBytes` is set), and return the last version that fits — at
+    * least `base+1` when anything is pending. Cost: one manifest read
+    * per walked version (the reads the admitted window's
+    * `changesBetween` repeats anyway) plus, under `maxBytes` only,
+    * one file-status round trip per added file, short-circuited at
+    * the cap.
+    */
+  private def dataSizedCap(base: Long, limitV: Long): Long = {
+    if (limitV <= base) return base
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var prev = AtomicIncrement.entriesAtVersion(fs, sink, base)
+      .filterNot(AtomicIncrement.isDv).map(_.path).toSet
+    var admitted = base
+    var files = 0L
+    var bytes = 0L
+    var full = false
+    while (!full && admitted < limitV) {
+      val v = admitted + 1
+      val cur = AtomicIncrement.entriesAtVersion(fs, sink, v)
+        .filterNot(AtomicIncrement.isDv).map(_.path).toSet
+      val added = cur.diff(prev)
+      val removed = prev.diff(cur)
+      val vFiles = added.size.toLong + removed.size.toLong
+      val vBytes = caps.maxBytes match {
+        case None => 0L
+        case Some(cap) =>
+          var sum = 0L
+          val it = added.iterator
+          while (sum <= cap && it.hasNext) {
+            val p = new org.apache.hadoop.fs.Path(s"$sink/${it.next()}")
+            sum += (try fs.getFileStatus(p).getLen
+              catch { case _: java.io.IOException => 0L })
+          }
+          sum
+      }
+      val fits = caps.maxFiles.forall(files + vFiles <= _) &&
+        caps.maxBytes.forall(bytes + vBytes <= _)
+      if (fits || admitted == base) {
+        // the single-version floor: the FIRST pending version admits
+        // whole even when it alone exceeds the caps — and then the
+        // window is full
+        admitted = v
+        files += vFiles
+        bytes += vBytes
+        prev = cur
+        full = !fits ||
+          caps.maxFiles.exists(files >= _) ||
+          caps.maxBytes.exists(bytes >= _)
+      } else full = true
+    }
+    admitted
   }
 
   override def reportLatestOffset(): OffsetV2 = {

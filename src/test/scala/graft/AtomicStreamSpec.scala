@@ -158,6 +158,63 @@ class AtomicStreamSpec extends SparkSpec {
     } finally { rm(sink); rm(ckpt) }
   }
 
+  test("data-sized admission: a bulk version batches ALONE (the " +
+      "single-version floor) and small neighbors coalesce under the " +
+      "file cap") {
+    val sink = tmp("graft_stream_bulk")
+    val ckpt = tmp("graft_stream_bulkck")
+    try {
+      // v1 = one small commit, v2 = a BULK backfill (8 files),
+      // v3..v4 = small again — under maxFilesPerBatch=4 the bulk
+      // version must not drag its neighbors into its micro-batch
+      AtomicIncrement.appendIncrementAtomic(
+        rows(1, 10).repartition(1), sink, "k")
+      AtomicIncrement.appendIncrementAtomic(
+        rows(11, 90).repartition(8), sink, "k")
+      AtomicIncrement.appendIncrementAtomic(
+        rows(91, 95).repartition(1), sink, "k")
+      AtomicIncrement.appendIncrementAtomic(
+        rows(96, 99).repartition(1), sink, "k")
+      val windows = scala.collection.mutable.ArrayBuffer[Long]()
+      val state =
+        scala.collection.concurrent.TrieMap[String, (Long, Double)]()
+      val q = spark.readStream.format("graft-atomic")
+        .option("path", sink).option("maxFilesPerBatch", "4").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val d = df.cache()
+          windows += d.agg(max("_commit_version")).head().getLong(0)
+          fold(state)(d)
+          d.unpersist()
+          ()
+        }.start()
+      q.awaitTermination()
+      // (0,1] fits (1 file < 4, window still open but v2 won't fit),
+      // (1,2] = the bulk alone (floor), (2,4] = the two small ones
+      assert(windows.toSeq === Seq(1L, 2L, 4L),
+        s"window ends were ${windows.toSeq}")
+      assertFoldMatches(state, sink)
+      // the BYTE cap degenerate case: a 1-byte budget forces every
+      // version to batch alone via the single-version floor
+      val ckpt2 = tmp("graft_stream_bulkck2")
+      try {
+        val w2 = scala.collection.mutable.ArrayBuffer[Long]()
+        val q2 = spark.readStream.format("graft-atomic")
+          .option("path", sink).option("maxBytesPerBatch", "1").load()
+          .writeStream.option("checkpointLocation", ckpt2)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            w2 += df.agg(max("_commit_version")).head().getLong(0)
+            ()
+          }.start()
+        q2.awaitTermination()
+        assert(w2.toSeq === Seq(1L, 2L, 3L, 4L),
+          s"byte-capped window ends were ${w2.toSeq}")
+      } finally rm(ckpt2)
+    } finally { rm(sink); rm(ckpt) }
+  }
+
   test("append-only mode streams appends and refuses a merge window " +
       "loudly") {
     val sink = tmp("graft_stream_ao")

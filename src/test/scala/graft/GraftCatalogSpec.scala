@@ -218,6 +218,24 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("an all-digit tag name refuses at creation — SQL VERSION AS OF " +
+      "owns the digit namespace, so no tag can be shadowed") {
+    install()
+    val sink = tmp("graft_cat_digtag")
+    try {
+      loadThree(sink)
+      val ex = intercept[IllegalArgumentException] {
+        AtomicIncrement.tagVersion(spark, sink, "123",
+          AtomicIncrement.snapshot(spark, sink)._1)
+      }
+      assert(ex.getMessage.contains("all digits"))
+      // a digit-CARRYING name is fine and resolves from SQL
+      AtomicIncrement.tagVersion(spark, sink, "v1-frozen", 1L)
+      assert(spark.sql(s"SELECT count(*) FROM graft.`$sink` " +
+        "VERSION AS OF 'v1-frozen'").head().getLong(0) === 40L)
+    } finally rm(sink)
+  }
+
   test("warehouse-rooted names resolve and listTables surfaces only " +
       "real committed tables") {
     val wh = tmp("graft_cat_wh")

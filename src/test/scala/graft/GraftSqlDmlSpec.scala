@@ -1,0 +1,231 @@
+package graft
+
+import graft.operators.AtomicIncrement
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The round-16 SQL DML surface: UPDATE and MERGE INTO through
+  * `SupportsRowLevelOperations` (group-based copy-on-write with a
+  * real DSv2 batch read + BatchWrite), INSERT INTO / INSERT OVERWRITE
+  * / CTAS through the catalog's V1 write. Pins: carried files ride
+  * VERBATIM (path identity, not just content), dv-masked rows never
+  * resurrect, the subquery-UPDATE union shape commits as a full
+  * replace, no-match statements publish no version, and previously
+  * refused untranslatable DELETE predicates now execute via CoW.
+  */
+class GraftSqlDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rm(dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+    ()
+  }
+
+  private def install(): Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.GraftCatalog")
+
+  private def rows(lo: Int, hi: Int): DataFrame =
+    (lo to hi).map(k => (k.toLong, s"g${k % 3}", k * 1.5))
+      .toDF("k", "grp", "amt")
+
+  /** Three disjoint-interval increments, ONE file each (so file-level
+    * pins count whole increments).
+    */
+  private def loadThree(sink: String): Unit =
+    for ((lo, hi) <- Seq((1, 40), (41, 80), (81, 120)))
+      AtomicIncrement.appendIncrementAtomic(
+        rows(lo, hi).repartition(1), sink, "k")
+
+  test("SQL UPDATE rewrites only may-match files — carried files ride " +
+      "verbatim by PATH; old-row SET semantics hold") {
+    install()
+    val sink = tmp("graft_dml_upd")
+    try {
+      loadThree(sink)
+      val before = AtomicIncrement.committedFiles(spark, sink).toSet
+      spark.sql(s"UPDATE graft.`$sink` SET amt = amt + 1000 " +
+        "WHERE k <= 40")
+      val after = AtomicIncrement.committedFiles(spark, sink).toSet
+      // files 2 and 3 (k in 41..120) must be the SAME paths
+      assert((before -- after).size <= 1,
+        s"more than the may-match file was rewritten: " +
+          s"dropped=${before -- after}")
+      assert((before & after).size >= 2,
+        "carried files must survive by path identity")
+      val got = AtomicIncrement.readCommitted(spark, sink)
+      assert(got.count() === 120L)
+      assert(got.filter($"k" <= 40 && $"amt" =!= ($"k" * 1.5 + 1000))
+        .count() === 0L)
+      assert(got.filter($"k" > 40 && $"amt" =!= $"k" * 1.5)
+        .count() === 0L)
+    } finally rm(sink)
+  }
+
+  test("SQL UPDATE SET a = b, b = a swaps (every assignment sees the " +
+      "OLD row); NULL cond rows carry") {
+    install()
+    val sink = tmp("graft_dml_swap")
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      AtomicIncrement.appendIncrementAtomic(
+        spark.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(1L, 10L, 20L),
+          org.apache.spark.sql.Row(2L, 30L, 40L),
+          org.apache.spark.sql.Row(3L, null, 60L)), schema),
+        sink, "k")
+      spark.sql(s"UPDATE graft.`$sink` SET a = b, b = a WHERE a < 25")
+      val got = AtomicIncrement.readCommitted(spark, sink)
+        .orderBy("k").collect().map(r =>
+          (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+      assert(got.toSeq === Seq(
+        (1L, Some(20L), Some(10L)),
+        (2L, Some(30L), Some(40L)),
+        (3L, None, Some(60L))))
+    } finally rm(sink)
+  }
+
+  test("SQL UPDATE with a subquery condition takes the UNION plan " +
+      "shape and commits as a full snapshot replace — no duplication") {
+    install()
+    val sink = tmp("graft_dml_subq")
+    try {
+      loadThree(sink)
+      spark.sql(s"UPDATE graft.`$sink` SET amt = 0 WHERE k IN " +
+        s"(SELECT k FROM graft.`$sink` WHERE grp = 'g1')")
+      val got = AtomicIncrement.readCommitted(spark, sink)
+      assert(got.count() === 120L, "union-shape UPDATE duplicated rows")
+      assert(got.filter($"grp" === "g1" && $"amt" =!= 0.0).count() === 0L)
+      assert(got.filter($"grp" =!= "g1" && $"amt" === 0.0).count() === 0L)
+    } finally rm(sink)
+  }
+
+  test("SQL UPDATE on a dv-carrying table: tombstoned rows never " +
+      "resurrect; the rewrite outranks standing tombstones") {
+    install()
+    val sink = tmp("graft_dml_dv")
+    try {
+      AtomicIncrement.appendIncrementAtomic(
+        (1 to 20).map(i => (i.toLong, i * 1.0)).toDF("k", "amt"),
+        sink, "k")
+      AtomicIncrement.mergeOnReadAtomic(
+        Seq((5L, 0.0, true)).toDF("k", "amt", "del"), sink, "k", "del")
+      spark.sql(s"UPDATE graft.`$sink` SET amt = 777 WHERE k <= 10")
+      val got = AtomicIncrement.readCommitted(spark, sink)
+      assert(got.count() === 19L)
+      assert(got.filter($"k" === 5L).count() === 0L,
+        "a dv-masked row resurrected through SQL UPDATE")
+      assert(got.filter($"k" <= 10 && $"amt" =!= 777.0).count() === 0L)
+    } finally rm(sink)
+  }
+
+  test("no-match SQL UPDATE publishes no version") {
+    install()
+    val sink = tmp("graft_dml_noop")
+    try {
+      loadThree(sink)
+      val v0 = AtomicIncrement.snapshot(spark, sink)._1
+      spark.sql(s"UPDATE graft.`$sink` SET amt = 0 WHERE k > 99999")
+      assert(AtomicIncrement.snapshot(spark, sink)._1 === v0)
+    } finally rm(sink)
+  }
+
+  test("MERGE INTO: matched update, matched-and delete, not-matched " +
+      "insert — content equals the API merge") {
+    install()
+    val sink = tmp("graft_dml_merge")
+    try {
+      loadThree(sink)
+      (Seq((2L, "gX", 9999.0, false), (41L, "gX", 8888.0, false),
+        (7L, "", 0.0, true), (121L, "gN", 121.5, false),
+        (130L, "gN", 130.5, false)))
+        .toDF("k", "grp", "amt", "del")
+        .createOrReplaceTempView("graft_dml_src")
+      spark.sql(
+        s"""MERGE INTO graft.`$sink` t USING graft_dml_src s ON t.k = s.k
+           |WHEN MATCHED AND s.del THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET t.grp = s.grp, t.amt = s.amt
+           |WHEN NOT MATCHED THEN INSERT (k, grp, amt)
+           |  VALUES (s.k, s.grp, s.amt)""".stripMargin)
+      val got = AtomicIncrement.readCommitted(spark, sink)
+      assert(got.count() === 121L) // 120 - 1 deleted + 2 inserted
+      assert(got.filter($"k" === 7L).count() === 0L)
+      assert(got.filter($"k" === 2L).select("amt").as[Double]
+        .head() === 9999.0)
+      assert(got.filter($"k" === 41L).select("grp").as[String]
+        .head() === "gX")
+      assert(got.filter($"k" === 121L).count() === 1L)
+      assert(got.filter($"k" === 130L).count() === 1L)
+      // untouched rows intact
+      assert(got.filter($"k" === 100L).select("amt").as[Double]
+        .head() === 150.0)
+    } finally rm(sink)
+  }
+
+  test("INSERT INTO is a blind ANSI append (carried files verbatim); " +
+      "INSERT OVERWRITE replaces the snapshot") {
+    install()
+    val sink = tmp("graft_dml_ins")
+    try {
+      loadThree(sink)
+      val before = AtomicIncrement.committedFiles(spark, sink).toSet
+      spark.sql(s"INSERT INTO graft.`$sink` " +
+        "VALUES (200L, 'gZ', 5.0), (201L, 'gZ', 6.0)")
+      val after = AtomicIncrement.committedFiles(spark, sink).toSet
+      assert(before.subsetOf(after), "append must carry files verbatim")
+      val got = AtomicIncrement.readCommitted(spark, sink)
+      assert(got.count() === 122L)
+      assert(got.filter($"grp" === "gZ").count() === 2L)
+      // blind append: re-running the same INSERT adds the rows AGAIN
+      spark.sql(s"INSERT INTO graft.`$sink` " +
+        "VALUES (200L, 'gZ', 5.0), (201L, 'gZ', 6.0)")
+      assert(AtomicIncrement.readCommitted(spark, sink)
+        .filter($"grp" === "gZ").count() === 4L)
+      spark.sql(s"INSERT OVERWRITE graft.`$sink` " +
+        "VALUES (1L, 'only', 1.0)")
+      assert(AtomicIncrement.readCommitted(spark, sink).count() === 1L)
+    } finally rm(sink)
+  }
+
+  test("CTAS creates the table with the query's rows; a second CTAS " +
+      "at the same path refuses") {
+    install()
+    val root = tmp("graft_dml_ctas")
+    val sink = s"$root/t"
+    try {
+      loadThree(s"$root/src")
+      spark.sql(s"CREATE TABLE graft.`$sink` AS " +
+        s"SELECT k, amt FROM graft.`$root/src` WHERE k <= 10")
+      val got = AtomicIncrement.readCommitted(spark, sink)
+      assert(got.count() === 10L)
+      assert(got.columns.toSeq === Seq("k", "amt"))
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.`$sink` AS SELECT 1L AS k")
+      }
+    } finally rm(root)
+  }
+
+  test("a DELETE whose WHERE has no V1-filter form (arithmetic) now " +
+      "executes through the CoW row-level path") {
+    install()
+    val sink = tmp("graft_dml_delmod")
+    try {
+      loadThree(sink)
+      spark.sql(s"DELETE FROM graft.`$sink` WHERE k % 7 = 0")
+      val got = AtomicIncrement.readCommitted(spark, sink)
+        .select("k").as[Long].collect().toSet
+      assert(got === (1 to 120).map(_.toLong).filterNot(_ % 7 == 0).toSet)
+    } finally rm(sink)
+  }
+}

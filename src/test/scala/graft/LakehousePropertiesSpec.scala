@@ -202,7 +202,7 @@ class LakehousePropertiesSpec extends SparkSpec {
         graft.sources.ManifestPruning.mayMatch(e,
           LessThanOrEqual("k", hi))
       for (step <- 1 to 5) {
-        rnd.nextInt(4) match {
+        rnd.nextInt(5) match {
           case 0 => // keyed merge (CoW or MoR)
             val keys = rnd.shuffle((1L to (n + 10L)).toList)
               .take(1 + rnd.nextInt(10)).distinct
@@ -240,6 +240,17 @@ class LakehousePropertiesSpec extends SparkSpec {
             model = model.map { case (k, (s, x)) =>
               if (k >= lo && k <= hi) k -> (s"U$step-$s", x + c)
               else k -> (s, x) }
+          case 3 => // REPLAY (round 16): the at-least-once upstream
+            // re-delivers the ORIGINAL load — the monotone watermark
+            // floor must hold the gate shut even after predicate
+            // deletes or merge-deletes lowered the live max, however
+            // the prior steps interleaved
+            val re = AtomicIncrement.appendIncrementAtomic(
+              (1L to n).map(k => (k, s"v$k", k * 0.5))
+                .toDF("k", "s", "x"), sink, "k")
+            assert(re === 0L,
+              s"scenario $scenario step $step: replay re-admitted " +
+                s"$re since-deleted rows")
           case _ => // maintenance between DML steps
             rnd.nextInt(3) match {
               case 0 => AtomicIncrement.compact(spark, sink, 2)

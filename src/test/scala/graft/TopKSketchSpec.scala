@@ -81,4 +81,75 @@ class TopKSketchSpec extends SparkSpec {
       assert(before === after, "a replayed batch moved the cells")
     } finally rm(sink)
   }
+
+  test("DYADIC twin finds a hitter promoted PURELY by others' " +
+      "retraction — the pooled sketch's documented blind spot") {
+    val pooled = tmp("graft_tkd_pool")
+    val dyadic = tmp("graft_tkd_dy")
+    try {
+      // batch 0: A=100, B=90, C=60, D..I tail (6 values, 5 rows each).
+      // k=1, poolFactor=2 → the pool caps at 2 and keeps {A, B};
+      // C is pruned away.
+      def rows(v: Long, n: Int) = Seq.fill(n)(("g", v))
+      val b0 = (rows(1L, 100) ++ rows(2L, 90) ++ rows(3L, 60) ++
+        (10L to 15L).flatMap(rows(_, 5))).toDF("grp", "v")
+      IncrementalAgg.mergeCdcTopKSketch(b0, b0.limit(0), pooled,
+        Seq("grp"), "v", 0L, k = 1, poolFactor = 2)
+      IncrementalAgg.mergeCdcTopKDyadic(b0, b0.limit(0), dyadic,
+        Seq("grp"), "v", 0L)
+      // batch 1 touches ONLY A and B: retract A to 10 and B to 5.
+      // True top-1 is now C (60) — which batch 1 never mentioned.
+      val minus = (rows(1L, 90) ++ rows(2L, 85)).toDF("grp", "v")
+      IncrementalAgg.mergeCdcTopKSketch(b0.limit(0), minus, pooled,
+        Seq("grp"), "v", 1L, k = 1, poolFactor = 2)
+      IncrementalAgg.mergeCdcTopKDyadic(b0.limit(0), minus, dyadic,
+        Seq("grp"), "v", 1L)
+      // the pooled twin CANNOT see C (pool = {A, B} still) — its
+      // documented one-sidedness, constructed exactly
+      val pooledTop = IncrementalAgg.readTopKSketch(spark, pooled,
+        Seq("grp"), "v", 1).head()
+      assert(pooledTop.getLong(1) !== 3L,
+        "pooled sketch unexpectedly recovered the untouched hitter " +
+          "(fixture no longer exercises the blind spot)")
+      // the dyadic twin recovers C from state alone
+      val dyTop = IncrementalAgg.readTopKDyadic(spark, dyadic,
+        Seq("grp"), "v", 1).head()
+      assert(dyTop.getLong(1) === 3L,
+        s"dyadic descent missed the promoted hitter: $dyTop")
+      assert(dyTop.getLong(2) >= 60L, "CM estimate below the true count")
+    } finally { rm(pooled); rm(dyadic) }
+  }
+
+  test("dyadic twin: exact ranking on planted hitters (negatives " +
+      "included), retraction-exact, replay-shielded, log(U) state") {
+    val sink = tmp("graft_tkd_full")
+    try {
+      // heavy hitters on BOTH signs of the value domain
+      val heavy = Seq((-7L, 300), (42L, 250), (1L << 40, 200),
+        (-(1L << 33), 150))
+      val tail = (100000L to 101000L).map((_, 1))
+      val b0 = (heavy ++ tail).flatMap { case (v, n) =>
+        Seq.fill(n)(("g", v)) }.toDF("grp", "v")
+      IncrementalAgg.mergeCdcTopKDyadic(b0, b0.limit(0), sink,
+        Seq("grp"), "v", 0L)
+      val cells = IncrementalAgg.readState(spark, s"$sink/dyadic")
+      assert(cells.count() <= 16L * 3L * 2048L,
+        "state must stay within levels*depth*width")
+      val top = IncrementalAgg.readTopKDyadic(spark, sink, Seq("grp"),
+        "v", 4).orderBy("rank").collect()
+      assert(top.map(_.getLong(1)).toSeq ===
+        Seq(-7L, 42L, 1L << 40, -(1L << 33)))
+      // retraction demotes exactly: drop -7 to 40 rows
+      val minus = Seq.fill(260)(("g", -7L)).toDF("grp", "v")
+      assert(IncrementalAgg.mergeCdcTopKDyadic(b0.limit(0), minus, sink,
+        Seq("grp"), "v", 1L))
+      val top2 = IncrementalAgg.readTopKDyadic(spark, sink, Seq("grp"),
+        "v", 3).orderBy("rank").collect()
+      assert(top2.map(_.getLong(1)).toSeq ===
+        Seq(42L, 1L << 40, -(1L << 33)))
+      // replay shield: the same batch id is a no-op
+      assert(!IncrementalAgg.mergeCdcTopKDyadic(b0.limit(0), minus, sink,
+        Seq("grp"), "v", 1L))
+    } finally rm(sink)
+  }
 }
