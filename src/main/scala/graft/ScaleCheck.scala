@@ -1063,10 +1063,31 @@ object MetaScaleCheck {
         drop(sink)
       }
     }
+    // ---- SQL UPDATE through the native row-level DSv2 path (round
+    // 16): same constant-touch fixture as the delete — the WHERE may
+    // touch only replica 0's upper-half files at both scales, so the
+    // ratio isolates the group-scan planning + manifest verdict +
+    // publish cost of the SupportsRowLevelOperations machinery ----
+    for ((label, replicas) <- Seq("1x" -> 1, s"${factor}x" -> factor)) {
+      (1 to reps).foreach { _ =>
+        val sink = ordersLoad(replicas)
+        val before = AtomicIncrement.committedFiles(spark, sink).size
+        val (t, _) = timed(spark.sql(
+          s"UPDATE graft.`$sink` SET o_totalprice = o_totalprice + 1 " +
+            s"WHERE o_orderkey > ${mx / 2} AND o_orderkey <= $mx " +
+            "AND o_totalprice < 100000"))
+        val after = AtomicIncrement.committedFiles(spark, sink)
+        require(after.size >= before - 4,
+          s"update rewrote ${before - after.size} of $before files — " +
+            "the row-level group prune regressed")
+        cells(("sqlupdate", label)) ::= t
+        drop(sink)
+      }
+    }
     batch.unpersist()
     for (kind <- Seq("statsagg", "sqlprune", "quantfold", "grepbuild",
         "grepprobe", "distprobe", "idxbuild", "idxprobe", "streamwin",
-        "sqldelete")) {
+        "sqldelete", "sqlupdate")) {
       val t1 = cells((kind, "1x")).min
       val tN = cells((kind, s"${factor}x")).min
       println(f"[metascale] $kind%-9s 1x=$t1%7.3fs ${factor}x=$tN%7.3fs " +
