@@ -457,16 +457,26 @@ object AtomicIncrement {
     */
   private[graft] def readEffective(spark: SparkSession, sink: String,
       dataSubset: Seq[ManifestEntry], dvE: Seq[ManifestEntry],
-      schemaOpt: Option[org.apache.spark.sql.types.StructType])
-      : DataFrame = {
+      schemaOpt: Option[org.apache.spark.sql.types.StructType],
+      tagFileCol: Option[String] = None): DataFrame = {
+    // `tagFileCol`: attach `input_file_name()` under that name
+    // DIRECTLY ABOVE EACH parquet leaf (round 16, the `_graft_file`
+    // metadata column) — the expression refuses to sit above a union
+    // or join of sources ("does not support more than one source"),
+    // so the tag must ride each single-relation read before the dv
+    // algebra composes them.
+    def tag(df: DataFrame): DataFrame = tagFileCol match {
+      case Some(c) => df.withColumn(c, input_file_name())
+      case None => df
+    }
     // the hot path — no dvs, no pinned schema (the caller reads the
     // whole snapshot, so subset schema == full schema): ONE mergeSchema
     // relation, exactly the pre-dv readCommitted. Callers reading a
     // PRUNED subset must pin the full schema themselves or an evolved
     // column carried only by pruned files would vanish.
     if (dvE.isEmpty && schemaOpt.isEmpty && dataSubset.nonEmpty)
-      return spark.read.option("mergeSchema", "true")
-        .parquet(dataSubset.map(e => s"$sink/${e.path}"): _*)
+      return tag(spark.read.option("mergeSchema", "true")
+        .parquet(dataSubset.map(e => s"$sink/${e.path}"): _*))
     val schema = schemaOpt.getOrElse {
       // the schema comes from the FULL committed data list so a pruned
       // subset never loses an evolved column
@@ -474,10 +484,11 @@ object AtomicIncrement {
       dataSchema(spark, sink, dataAll)
     }
     def plain(files: Seq[ManifestEntry]): DataFrame =
-      if (files.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(files.map(e => s"$sink/${e.path}"): _*)
+      if (files.isEmpty) tagFileCol.foldLeft(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))(
+          (df, c) => df.withColumn(c, lit("")))
+      else tag(spark.read.schema(schema)
+        .parquet(files.map(e => s"$sink/${e.path}"): _*))
     if (dvE.isEmpty || dataSubset.isEmpty) return plain(dataSubset)
     val keyCols = dvE.map(dvKeyColOf).distinct
     require(keyCols.size == 1,

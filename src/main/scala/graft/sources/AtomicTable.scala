@@ -343,18 +343,18 @@ private[graft] class GraftAtomicRelation(override val sqlContext: SQLContext,
     val (data, dv) = resolveEntries()
     val kept = data.filter(e => filters.forall(f => mayMatch(e, f)))
     GraftAtomicRelation.recordScan(sink, kept.size, data.size)
+    // the file-identity metadata column (catalog face) is served from
+    // the physical scan's own file attribution — attached INSIDE
+    // readEffective, per parquet leaf (input_file_name() refuses to
+    // sit above the dv algebra's unions/joins)
+    val fileCol = GraftRowLevelOperation.FileCol
     val base = AtomicIncrement.readEffective(spark, sink, kept, dv,
-      Some(schema))
+      Some(schema),
+      tagFileCol = if (requiredColumns.contains(fileCol))
+        Some(fileCol) else None)
     val pushed = filters.flatMap(translate)
       .foldLeft(base)((df, c) => df.filter(c))
-    // the file-identity metadata column (catalog face): served from
-    // the physical scan's own file attribution, not stored anywhere
-    val fileCol = GraftRowLevelOperation.FileCol
-    val withMeta = if (requiredColumns.contains(fileCol))
-      pushed.withColumn(fileCol,
-        org.apache.spark.sql.functions.input_file_name())
-    else pushed
-    withMeta.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+    pushed.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
   }
 
   private def mayMatch(e: AtomicIncrement.ManifestEntry,

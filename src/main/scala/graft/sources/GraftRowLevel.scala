@@ -99,6 +99,13 @@ private[graft] class GraftRowLevelOperation(sink: String,
     files.foreach(touchedPaths.add); ()
   }
 
+  /** Runtime group filtering narrowed the scan's file set — the
+    * commit must carry exactly what the narrowed scan skipped.
+    */
+  private[sources] def narrowTouched(kept: Set[String]): Unit = {
+    touchedPaths.removeIf(p => !kept.contains(p)); ()
+  }
+
   override def command(): Command = cmd
 
   override def newScanBuilder(
@@ -185,20 +192,25 @@ private[graft] class GraftCowScanBuilder(op: GraftRowLevelOperation,
     val touched = dataE.filter(e =>
       filters.forall(f => ManifestPruning.mayMatch(e, f)))
     op.recordTouched(touched.map(_.path))
-    new GraftCowScan(sink, fullSchema, required, touched, dvE)
+    new GraftCowScan(op, sink, fullSchema, required, touched, dvE)
   }
 }
 
 /** One InputPartition per touched data file; dv key files masking it
   * (strictly-higher commit sequence) ride along for reader-side
-  * application.
+  * application. `fileId` is the `input_file_name()`-format identity
+  * the reader emits as `_graft_file`.
   */
 private[graft] case class GraftCowInputPartition(absPath: String,
-    length: Long, dvAbsPaths: Array[String]) extends InputPartition
+    fileId: String, length: Long, dvAbsPaths: Array[String])
+    extends InputPartition
 
-private[graft] class GraftCowScan(sink: String, fullSchema: StructType,
-    required: StructType, touched: Seq[AtomicIncrement.ManifestEntry],
-    dvE: Seq[AtomicIncrement.ManifestEntry]) extends Scan with Batch {
+private[graft] class GraftCowScan(op: GraftRowLevelOperation,
+    sink: String, fullSchema: StructType,
+    required: StructType,
+    @volatile private var touched: Seq[AtomicIncrement.ManifestEntry],
+    dvE: Seq[AtomicIncrement.ManifestEntry]) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
 
@@ -207,17 +219,61 @@ private[graft] class GraftCowScan(sink: String, fullSchema: StructType,
   override def description(): String =
     s"GraftCowScan($sink, ${touched.size} touched files)"
 
+  /** RUNTIME GROUP FILTERING (round 16, the merge-prune rung): Spark
+    * plans `SELECT DISTINCT _graft_file FROM t WHERE <group filter>`
+    * against the ORIGINAL table (the V1 face serves the column via
+    * `input_file_name()`) and hands the matched identities here
+    * before partitions plan — so a MERGE whose join condition pushes
+    * no static filters still rewrites ONLY the files that actually
+    * hold matching rows, and UPDATE/DELETE sharpen from stats-bound
+    * to exact-match pruning. The commit's carried set narrows in
+    * lockstep ([[GraftRowLevelOperation.narrowTouched]]). Unknown
+    * predicate shapes are ignored — conservative, never wrong.
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftRowLevelOperation.FileCol))
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val fileCol = GraftRowLevelOperation.FileCol
+    val matched: Option[Set[String]] = predicates.toSeq
+      .flatMap(org.apache.spark.sql.graftbridge.StreamingFrameBridge
+        .toV1Filter)
+      .collectFirst {
+        case In(c, vs) if c.equalsIgnoreCase(fileCol) =>
+          vs.flatMap(v => Option(v)).map(_.toString).toSet
+        case EqualTo(c, v) if c.equalsIgnoreCase(fileCol) && v != null =>
+          Set(v.toString)
+      }
+    matched.foreach { ids =>
+      // compare by the sink-relative tail (batch-dir/file) — robust
+      // to URI scheme/encoding differences between faces; file names
+      // are engine-generated [A-Za-z0-9.-], so URL encoding is
+      // identity on the tail
+      def tail(s: String): String =
+        s.split('/').takeRight(2).mkString("/")
+      val keptTails = ids.map(tail)
+      touched = touched.filter(e => keptTails.contains(tail(e.path)))
+      op.narrowTouched(touched.map(_.path).toSet)
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val fs = new Path(sink).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val lens = AtomicIncrement.inParallel(touched)(e =>
-      fs.getFileStatus(new Path(s"$sink/${e.path}")).getLen)
-    touched.zip(lens).map { case (e, len) =>
+    val stats = AtomicIncrement.inParallel(touched)(e =>
+      fs.getFileStatus(new Path(s"$sink/${e.path}")))
+    touched.zip(stats).map { case (e, st) =>
       val masks = dvE.filter(dv =>
         AtomicIncrement.seqOf(dv) > AtomicIncrement.seqOf(e))
         .map(dv => s"$sink/${dv.path}")
-      GraftCowInputPartition(s"$sink/${e.path}", len, masks.toArray)
+      GraftCowInputPartition(s"$sink/${e.path}",
+        ParquetIoBridge.inputFileNameOf(st), st.getLen, masks.toArray)
         : InputPartition
     }.toArray
   }
@@ -317,7 +373,10 @@ private[graft] class GraftCowPartitionReader(p: GraftCowInputPartition,
     physical.fieldNames.toSeq != required.fieldNames.toSeq
   private lazy val project = ParquetIoBridge.projectorWithConstants(
     physical, required,
-    Map(GraftRowLevelOperation.FileCol -> p.absPath))
+    // the injected runtime-filter predicate compares this value
+    // BYTE-FOR-BYTE against input_file_name() output — emit the
+    // reproduced format, never a raw path
+    Map(GraftRowLevelOperation.FileCol -> p.fileId))
 
   private val base = ParquetIoBridge.rows(
     dataReader(ParquetIoBridge.wholeFile(p.absPath, p.length)))

@@ -65,6 +65,19 @@ object ParquetIoBridge {
       Array.empty[String], 0L, length,
       Map.empty[String, Any])
 
+  /** The EXACT string `input_file_name()` returns for this file when
+    * Spark's own file source reads it (`SparkPath.fromFileStatus →
+    * urlEncoded` — the value `FileScanRDD` sets into
+    * `InputFileBlockHolder`). The row-level scan must emit its
+    * file-identity column in THIS format: the runtime group filter's
+    * injected row predicate compares it BYTE-FOR-BYTE against values
+    * collected from an `input_file_name`-backed scan, and a format
+    * drift would silently drop every scanned row from the rewrite.
+    */
+  def inputFileNameOf(
+      st: org.apache.hadoop.fs.FileStatus): String =
+    SparkPath.fromFileStatus(st).urlEncoded
+
   /** Executor-side: unwrap the reader's iterator exactly like
     * `FileScanRDD` does — a vectorized read yields `ColumnarBatch`
     * elements cast as `InternalRow`; flatten them to their row

@@ -216,6 +216,39 @@ class GraftSqlDmlSpec extends SparkSpec {
     } finally rm(root)
   }
 
+  test("runtime group filtering prunes a MERGE to the files that " +
+      "actually hold matching rows — carried files ride verbatim") {
+    install()
+    val sink = tmp("graft_dml_mrgprune")
+    try {
+      loadThree(sink) // one file per increment: 1..40 / 41..80 / 81..120
+      val before = AtomicIncrement.committedFiles(spark, sink).toSet
+      Seq((5L, "gP", 1.0, false), (17L, "", 0.0, true))
+        .toDF("k", "grp", "amt", "del")
+        .createOrReplaceTempView("graft_mrgp_src")
+      spark.sql(
+        s"""MERGE INTO graft.`$sink` t USING graft_mrgp_src s
+           |ON t.k = s.k
+           |WHEN MATCHED AND s.del THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET t.grp = s.grp, t.amt = s.amt
+           |""".stripMargin)
+      val after = AtomicIncrement.committedFiles(spark, sink).toSet
+      // the join pushes no static target filters — only the runtime
+      // group filter can know that files 2 and 3 hold no matching
+      // keys; they must survive BY PATH
+      assert((before & after).size >= 2,
+        s"runtime prune failed: carried=${(before & after).size} " +
+          s"of ${before.size}")
+      val got = AtomicIncrement.readCommitted(spark, sink)
+      assert(got.count() === 119L)
+      assert(got.filter($"k" === 5L).select("grp").as[String]
+        .head() === "gP")
+      assert(got.filter($"k" === 17L).count() === 0L)
+      assert(got.filter($"k" === 100L).select("amt").as[Double]
+        .head() === 150.0)
+    } finally rm(sink)
+  }
+
   test("a DELETE whose WHERE has no V1-filter form (arithmetic) now " +
       "executes through the CoW row-level path") {
     install()
