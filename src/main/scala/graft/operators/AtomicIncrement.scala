@@ -2138,6 +2138,19 @@ object AtomicIncrement {
     val staged0 = stageEntries(df, spark, fs, sink, statsFields)
     val staged = if (dvE.isEmpty) staged0
       else staged0.map(stampSeq(_, version + 1))
+    val counts = staged.map(_.statsFor(RowsCol)
+      .flatMap(_.min.toLongOption))
+    val appended = counts.flatten.sum
+    // INSERT of an empty SELECT: drop the empty staged parts and
+    // publish nothing — a zero-row version helps no reader. Only
+    // when every part's row count is KNOWN zero: an unreadable
+    // footer stages without the count, and treating that as empty
+    // would silently drop real rows
+    if (dataE.nonEmpty && counts.forall(_.contains(0L))) {
+      staged.headOption.foreach(e0 =>
+        fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
+      return 0L
+    }
     val snapSchema =
       if (dataE.isEmpty) Some(df.schema)
       else Option(schemaMemo.get(schemaKey(sink, dataE)))
@@ -2150,7 +2163,7 @@ object AtomicIncrement {
         fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
       throw e
     }
-    staged.flatMap(_.statsFor(RowsCol)).flatMap(_.min.toLongOption).sum
+    appended
   }
 
   private[graft] def replaceWithHook(df: DataFrame, sink: String,

@@ -195,6 +195,12 @@ class GraftSqlDmlSpec extends SparkSpec {
       spark.sql(s"INSERT OVERWRITE graft.`$sink` " +
         "VALUES (1L, 'only', 1.0)")
       assert(AtomicIncrement.readCommitted(spark, sink).count() === 1L)
+      // INSERT of an empty SELECT publishes NO version
+      val v0 = AtomicIncrement.snapshot(spark, sink)._1
+      spark.sql(s"INSERT INTO graft.`$sink` " +
+        s"SELECT * FROM graft.`$sink` WHERE k > 99999")
+      assert(AtomicIncrement.snapshot(spark, sink)._1 === v0,
+        "an empty insert must be a free no-op")
     } finally rm(sink)
   }
 

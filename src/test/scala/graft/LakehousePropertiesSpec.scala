@@ -184,8 +184,11 @@ class LakehousePropertiesSpec extends SparkSpec {
   }
 
   test("random predicate DELETE/UPDATE interleaved with keyed merges " +
-      "and maintenance equals the reference model (4 seeded scenarios)") {
+      "and maintenance equals the reference model (4 seeded scenarios; " +
+      "round 16 routes each DML step through the SQL catalog faces " +
+      "half the time — the row-level DSv2 path under the same model)") {
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     for (scenario <- 1 to 4) {
       val rnd = new scala.util.Random(31500L + scenario)
       val sink = tmp()
@@ -203,7 +206,8 @@ class LakehousePropertiesSpec extends SparkSpec {
           LessThanOrEqual("k", hi))
       for (step <- 1 to 5) {
         rnd.nextInt(5) match {
-          case 0 => // keyed merge (CoW or MoR)
+          case 0 => // keyed merge: CoW API, MoR API, or SQL MERGE INTO
+            // (the round-16 row-level path) — same model fold
             val keys = rnd.shuffle((1L to (n + 10L)).toList)
               .take(1 + rnd.nextInt(10)).distinct
             val rows = keys.map { k =>
@@ -212,31 +216,54 @@ class LakehousePropertiesSpec extends SparkSpec {
               else (k, s"u$step-$k", rnd.nextInt(1000) * 0.25, false)
             }
             val changes = rows.toDF("k", "s", "x", "del")
-            if (rnd.nextBoolean())
-              AtomicIncrement.mergeAtomic(changes, sink, "k", "del")
-            else
-              AtomicIncrement.mergeOnReadAtomic(changes, sink, "k", "del")
+            rnd.nextInt(3) match {
+              case 0 =>
+                AtomicIncrement.mergeAtomic(changes, sink, "k", "del")
+              case 1 =>
+                AtomicIncrement.mergeOnReadAtomic(changes, sink, "k", "del")
+              case _ =>
+                changes.createOrReplaceTempView("graft_prop_src")
+                // the NOT MATCHED guard reproduces the API contract:
+                // a delete row for an absent key is a no-op
+                spark.sql(
+                  s"""MERGE INTO graft.`$sink` t USING graft_prop_src s
+                     |ON t.k = s.k
+                     |WHEN MATCHED AND s.del THEN DELETE
+                     |WHEN MATCHED THEN UPDATE SET t.s = s.s, t.x = s.x
+                     |WHEN NOT MATCHED AND NOT s.del THEN
+                     |  INSERT (k, s, x) VALUES (s.k, s.s, s.x)
+                     |""".stripMargin)
+            }
             model = rows.foldLeft(model) {
               case (m, (k, _, _, true)) => m - k
               case (m, (k, s, x, false)) => m + (k -> (s, x))
             }
           case 1 => // predicate DELETE: k in a random range with x below
-            // a random threshold — manifest-pruned like the SQL face
+            // a random threshold — API or SQL statement, same verdicts
             val lo = 1L + rnd.nextInt(n); val hi = lo + rnd.nextInt(n)
             val t = rnd.nextInt(300) * 1.0
-            AtomicIncrement.deleteWhereAtomic(spark, sink,
-              col("k") >= lo && col("k") <= hi && col("x") < t,
-              prune(lo, hi))
+            if (rnd.nextBoolean())
+              AtomicIncrement.deleteWhereAtomic(spark, sink,
+                col("k") >= lo && col("k") <= hi && col("x") < t,
+                prune(lo, hi))
+            else
+              spark.sql(s"DELETE FROM graft.`$sink` WHERE " +
+                s"k >= $lo AND k <= $hi AND x < $t")
             model = model.filterNot { case (k, (_, x)) =>
               k >= lo && k <= hi && x < t }
-          case 2 => // predicate UPDATE: SET against the old row
+          case 2 => // predicate UPDATE: SET against the old row — API
+            // or SQL UPDATE (the round-16 row-level path)
             val lo = 1L + rnd.nextInt(n); val hi = lo + rnd.nextInt(n)
             val c = rnd.nextInt(50) * 1.0
-            AtomicIncrement.updateWhereAtomic(spark, sink,
-              col("k") >= lo && col("k") <= hi,
-              Map("x" -> (col("x") + c),
-                "s" -> concat(lit(s"U$step-"), col("s"))),
-              prune(lo, hi))
+            if (rnd.nextBoolean())
+              AtomicIncrement.updateWhereAtomic(spark, sink,
+                col("k") >= lo && col("k") <= hi,
+                Map("x" -> (col("x") + c),
+                  "s" -> concat(lit(s"U$step-"), col("s"))),
+                prune(lo, hi))
+            else
+              spark.sql(s"UPDATE graft.`$sink` SET x = x + $c, " +
+                s"s = 'U$step-' || s WHERE k >= $lo AND k <= $hi")
             model = model.map { case (k, (s, x)) =>
               if (k >= lo && k <= hi) k -> (s"U$step-$s", x + c)
               else k -> (s, x) }
