@@ -46,7 +46,9 @@ object SparkEntry {
     * tools/check_oracle.py and is recorded in the round notes.
     */
   private val checkFirst: Seq[String] = Seq(
-    // round-16 additions, never driver-checked yet
+    // round-17 additions, never driver-checked yet
+    "q_sql_evolve",
+    // round-16 additions, driver-checked once (r16)
     "q_sql_update", "q_sql_merge", "q_incr_agg_topk_dyadic",
     // round-15 additions, driver-checked once (r15)
     "q_stream_source", "q_sql_delete", "q_incr_agg_topk_approx",

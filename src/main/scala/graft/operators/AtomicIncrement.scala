@@ -174,11 +174,17 @@ object AtomicIncrement {
     * (O(files) small reads — measured as the dominant 32× residual
     * in `sqldelete` 3.01 / `streamwin` 1.88); with the schema in the
     * manifest, [[dataSchema]] resolves O(manifest) even in a fresh
-    * process or on a fresh table. Back-compat both ways: a manifest
-    * without the line falls back to the footer sweep exactly as
-    * before (and upgrades on its next commit, since the sweep seeds
-    * the memo the next publish embeds from), and old readers parse
-    * the line as an unknown reserved path they never read as data.
+    * process or on a fresh table. Back-compat READ-side only: a
+    * manifest without the line falls back to the footer sweep exactly
+    * as before (and upgrades on its next commit, since the sweep
+    * seeds the memo the next publish embeds from). The REVERSE
+    * direction is a declared break: a pre-round-16 binary filters
+    * only `__graft_commit` and would parse this line (and any later
+    * reserved line) as a data file, then fail every read trying to
+    * open `sink/__graft_schema` as parquet — round-16+ manifests are
+    * not readable by older binaries. From round 17 this binary
+    * filters reserved lines by the `__graft_` path PREFIX, so any
+    * FUTURE reserved line is ignored generically here.
     * The embedded schema is normalized ALL-NULLABLE, matching what a
     * parquet footer sweep reports — a writer-declared non-null field
     * must not suppress codegen null checks over files an evolving
@@ -209,10 +215,21 @@ object AtomicIncrement {
 
   /** (version, floors) of the latest manifest parsed per sink — the
     * publish that follows a snapshot read never re-reads the manifest
-    * just to carry the floor forward.
+    * just to carry the floor forward. Bounded like [[schemaMemo]]:
+    * clears wholesale past 512 sinks (a long-lived driver touching
+    * many sinks must not accumulate floor state indefinitely; a miss
+    * only costs [[priorFloors]] one small manifest re-read).
     */
   private val floorMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, Seq[FileColumnStats])]()
+
+  private def seedFloorMemo(sink: String, version: Long,
+      floors: Seq[FileColumnStats]): Unit = {
+    if (floorMemo.size >= 512) floorMemo.clear()
+    floorMemo.merge(sink, (version, floors),
+      (old, now) => if (now._1 >= old._1) now else old)
+    ()
+  }
 
   private def commitMetaLine(ms: Long): String =
     ManifestEntry(CommitMetaPath,
@@ -225,10 +242,16 @@ object AtomicIncrement {
         schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
       "-"))).render
 
-  /** Reserved metadata lines — never data, never dv. */
+  /** Reserved metadata lines — never data, never dv. Matched by the
+    * `__graft_` path PREFIX (not an enumerated set) so a reserved
+    * line introduced by a FUTURE version is ignored generically by
+    * this binary instead of being misread as a data file. Data paths
+    * are engine-generated under `_data/`, so the prefix can never
+    * collide with a real file.
+    */
+  private[graft] val ReservedPathPrefix = "__graft_"
   private def isMeta(e: ManifestEntry): Boolean =
-    e.path == CommitMetaPath || e.path == SchemaMetaPath ||
-      e.path == FloorMetaPath
+    e.path.startsWith(ReservedPathPrefix)
 
   private def decodeSchemaMeta(e: ManifestEntry)
       : Option[org.apache.spark.sql.types.StructType] =
@@ -336,8 +359,7 @@ object AtomicIncrement {
     // pinned versions are history, not the append gate's concern)
     val floors = meta.find(_.path == FloorMetaPath)
       .map(_.allStats).getOrElse(Nil)
-    floorMemo.merge(sink, (version, floors),
-      (old, now) => if (now._1 >= old._1) now else old)
+    seedFloorMemo(sink, version, floors)
     entries
   }
 
@@ -431,17 +453,54 @@ object AtomicIncrement {
     */
   private[graft] def clearFloorMemoForTest(): Unit = floorMemo.clear()
 
-  /** Merge-schema over data files only (dv files hold keys, not rows). */
+  /** Merge-schema over data files only (dv files hold keys, not rows).
+    * An EMPTY data list (a schema-only snapshot: `CREATE TABLE` before
+    * its first INSERT, or a table a DELETE emptied) resolves from the
+    * latest manifest's embedded schema line — there is no footer to
+    * sweep, so the line is the only authority.
+    */
   private[graft] def dataSchema(spark: SparkSession, sink: String,
       dataE: Seq[ManifestEntry]): org.apache.spark.sql.types.StructType = {
     val key = schemaKey(sink, dataE)
     val hit = schemaMemo.get(key)
     if (hit != null) return hit
-    val schema = spark.read.option("mergeSchema", "true")
-      .parquet(dataE.map(e => s"$sink/${e.path}"): _*).schema
+    val schema =
+      if (dataE.isEmpty)
+        embeddedSchemaAt(spark, sink).getOrElse(
+          throw new IllegalStateException(
+            s"schema-only snapshot at $sink has no __graft_schema " +
+              "line (pre-round-16 manifest?) — nothing can answer " +
+              "its schema"))
+      else spark.read.option("mergeSchema", "true")
+        .parquet(dataE.map(e => s"$sink/${e.path}"): _*).schema
     if (schemaMemo.size >= 512) schemaMemo.clear()
     schemaMemo.put(key, schema)
     schema
+  }
+
+  /** The embedded `__graft_schema` line of `version`'s manifest (the
+    * LATEST when None), decoded — the schema authority for snapshots
+    * with no data file to sweep. None when nothing is committed or
+    * the manifest predates the line.
+    */
+  private[graft] def embeddedSchemaAt(spark: SparkSession, sink: String,
+      version: Option[Long] = None)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val fs = fsOf(spark, sink)
+    val mfOpt = version match {
+      case Some(v) if v > 0L =>
+        Some(new Path(new Path(sink, ManifestDir), f"$v%020d"))
+          .filter(fs.exists(_))
+      case Some(_) => None
+      case None => latestManifest(fs, sink).map(_._2)
+    }
+    mfOpt.flatMap { mf =>
+      val in = fs.open(mf)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(parseLine)
+        .find(_.path == SchemaMetaPath).flatMap(decodeSchemaMeta)
+      finally in.close()
+    }
   }
 
   /** Read `dataSubset` under `schema` (or the full merged data schema
@@ -1218,14 +1277,23 @@ object AtomicIncrement {
       case Some(w) => df.filter(col(watermarkCol) > w)
       case None => df
     }
-    fresh.cache()
+    // dropped = late-or-replayed rows the gate filtered (watermark
+    // ≤ committed max, or NULL watermark when a bound exists). When
+    // counting, cache the INCOMING frame (fresh is a filter over it,
+    // so staging reads the cache too) and fold BOTH counts into one
+    // aggregate job — the previous shape (`df.count() - n`) rescanned
+    // the entire micro-batch from source on every gated batch
+    val countBoth = countDropped && wmExpr.isDefined
+    val toCache = if (countBoth) df else fresh
+    toCache.cache()
     try {
-      val n = fresh.count()
-      // dropped = late-or-replayed rows the gate filtered (watermark
-      // ≤ committed max, or NULL watermark when a bound exists) —
-      // counted only on request, one extra job over the incoming frame
-      val dropped =
-        if (countDropped && wmExpr.isDefined) df.count() - n else 0L
+      val (n, dropped) =
+        if (countBoth) {
+          val r = df.agg(
+            count(lit(1)),
+            count(when(col(watermarkCol) > wmExpr.get, 1))).head()
+          (r.getLong(1), r.getLong(0) - r.getLong(1))
+        } else (fresh.count(), 0L)
       // the fatal check fires BEFORE any staging or publish — a
       // failed batch must leave the table byte-identical (the
       // streaming sink's failOnLateRows rides this)
@@ -1278,7 +1346,7 @@ object AtomicIncrement {
         }
       }
       Some((n, dropped))
-    } finally { fresh.unpersist(); () }
+    } finally { toCache.unpersist(); () }
   }
 
   /** The committed snapshot's max of `column` from manifest stats
@@ -1774,8 +1842,7 @@ object AtomicIncrement {
       if (schemaMemo.size >= 512) schemaMemo.clear()
       schemaMemo.put(schemaKey(sink, dataLines), s)
     }
-    floorMemo.merge(sink, (version, floors),
-      (old, now) => if (now._1 >= old._1) now else old)
+    seedFloorMemo(sink, version, floors)
     ()
   }
 
@@ -2164,6 +2231,70 @@ object AtomicIncrement {
       throw e
     }
     appended
+  }
+
+  /** SQL `CREATE TABLE` (no AS SELECT): publish a SCHEMA-ONLY
+    * manifest as version 1 — zero data files, the declared schema in
+    * the `__graft_schema` line — so the statement's success is
+    * immediately observable: the table loads, SELECTs answer empty,
+    * and a following INSERT INTO lands as the ordinary blind append
+    * at version 2 (round 17; closes the r16 ADVICE surprise where
+    * CREATE "succeeded" but loadTable refused until a commit).
+    */
+  def createEmptyTable(spark: SparkSession, sink: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val fs = fsOf(spark, sink)
+    val (version, _) = snapshotEntries(spark, sink)
+    require(version == 0L,
+      s"table already committed at $sink (version $version)")
+    publish(fs, sink, Seq.empty, 1L, snapshotSchema = Some(schema))
+  }
+
+  /** `ALTER TABLE … ADD COLUMN` as a DEGENERATE APPEND (round 17):
+    * the evolution commit stages ONE zero-row parquet file carrying
+    * the evolved schema and publishes `prior ++ that file` at
+    * version+1 with the evolved schema embedded. Why a real file and
+    * not just a rewritten `__graft_schema` line: the content-addressed
+    * [[schemaMemo]] keys by FILE LIST, so a schema change over an
+    * unchanged file set could serve the pre-evolution schema for the
+    * post-evolution snapshot (and vice versa through time-travel
+    * parses). With the zero-row file the list itself changes — no memo
+    * entry can cross versions — and every mergeSchema face (footer
+    * sweeps, pinned readers, legacy paths) sees the new column exactly
+    * as an evolving append would surface it. The file's manifest line
+    * stamps [[NullTag]] stats for every taggable column (zero rows =
+    * provably zero non-null values), so stats coverage — the manifest
+    * watermark shortcut and [[coveredStatsFields]] — survives the
+    * evolution instead of degrading to the footer sweep, and no
+    * pruning verdict can ever touch the file. Same OCC/crash contract
+    * as every commit. Returns the published version.
+    */
+  def evolveSchemaAtomic(spark: SparkSession, sink: String,
+      evolved: org.apache.spark.sql.types.StructType): Long = {
+    val fs = fsOf(spark, sink)
+    val (version, dataE, dvE) = snapshotSplit(spark, sink)
+    require(version > 0L, s"nothing committed at $sink")
+    val norm = asNullableStruct(evolved)
+    val bridge = org.apache.spark.sql.graftbridge.ParquetIoBridge
+    val (factory, conf) = bridge.parquetWriterFactory(spark, norm)
+    val uuid = java.util.UUID.randomUUID()
+    val rel = s"$DataDir/batch-$uuid/part-00000-$uuid" +
+      bridge.fileExtension(factory, conf)
+    // driver-written (a zero-row footer is a handful of KB — no job)
+    bridge.openWriter(factory, conf, s"$sink/$rel", norm).close()
+    val stats = norm.fields.toSeq.flatMap(f => tagOf(f.dataType).map(_ =>
+      FileColumnStats(f.name, NullTag, "", ""))) :+
+      FileColumnStats(RowsCol, "long", "0", "0")
+    val staged0 = ManifestEntry(rel, stats)
+    val staged =
+      if (dvE.isEmpty) staged0 else stampSeq(staged0, version + 1)
+    try publish(fs, sink, ((dataE ++ dvE) :+ staged).map(_.render),
+      version + 1, snapshotSchema = Some(norm))
+    catch { case e: Throwable =>
+      fs.delete(new Path(s"$sink/$rel").getParent, true)
+      throw e
+    }
+    version + 1
   }
 
   private[graft] def replaceWithHook(df: DataFrame, sink: String,

@@ -305,13 +305,22 @@ private[graft] class GraftAtomicRelation(override val sqlContext: SQLContext,
     val version = GraftAtomicRelation.resolveVersion(spark, sink, pin)
     val (dv, data) = AtomicIncrement.entriesAtVersion(fs, sink, version)
       .partition(AtomicIncrement.isDv)
-    require(data.nonEmpty, s"no committed snapshot at $sink")
+    // a SCHEMA-ONLY snapshot (CREATE TABLE before its first INSERT,
+    // or a DELETE that emptied the table) reads as an empty frame —
+    // the embedded schema line answers the shape
+    require(data.nonEmpty || AtomicIncrement
+        .embeddedSchemaAt(spark, sink, Some(version)).nonEmpty,
+      s"no committed snapshot at $sink")
     (data, dv)
   }
 
   override val schema: StructType = {
     val (data, _) = resolveEntries()
-    AtomicIncrement.dataSchema(spark, sink, data)
+    if (data.nonEmpty) AtomicIncrement.dataSchema(spark, sink, data)
+    else {
+      val version = GraftAtomicRelation.resolveVersion(spark, sink, pin)
+      AtomicIncrement.embeddedSchemaAt(spark, sink, Some(version)).get
+    }
   }
 
   /** Real table size from the manifest's file list (one status call

@@ -444,16 +444,25 @@ private[graft] class GraftCowBatchWrite(op: GraftRowLevelOperation,
           (carried ++ dvE ++ staged).map(_.render), version + 1,
           snapshotSchema = AtomicIncrement
             .mergeStructs(fullSchema, writeSchema))
-      } else if (op.command() == Command.UPDATE) {
+      } else if (op.command() == Command.UPDATE &&
+          dataE.forall(e => touched.contains(e.path))) {
         // the subquery-condition UNION shape: two scans read the
         // whole table and the incoming rows ARE the whole table —
-        // a full snapshot replace (carrying anything would duplicate)
+        // a full snapshot replace (carrying anything would duplicate).
+        // STRUCTURAL guard, not just the scan count: in the genuine
+        // UNION plan the not-matching branch scans UNPRUNED, so the
+        // touched set must cover every standing data file. A
+        // double-built scan of a single-scan plan (plan reuse /
+        // re-analysis) would fail this cover check and refuse below
+        // instead of silently replacing the table with only the
+        // rewritten rows.
         AtomicIncrement.publish(fs, sink, staged0.map(_.render),
           version + 1, snapshotSchema = Some(writeSchema))
       } else {
         throw new IllegalStateException(
           s"unexpected multi-scan ${op.command()} plan shape at " +
-            s"$sink (${op.scanCount} scans) — refusing to publish " +
+            s"$sink (${op.scanCount} scans, ${touched.size} of " +
+            s"${dataE.size} files touched) — refusing to publish " +
             "rather than guess the replace semantics")
       }
     } catch { case e: Throwable => dropStaged(); throw e }

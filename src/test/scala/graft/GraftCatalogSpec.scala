@@ -276,11 +276,13 @@ class GraftCatalogSpec extends SparkSpec {
     val sink = tmp("graft_cat_ddl")
     try {
       loadThree(sink)
+      // ADD COLUMN became first-class in round 17 (GraftSqlEvolveSpec);
+      // the destructive ALTERs still refuse
       val e = intercept[Exception] {
-        spark.sql(s"ALTER TABLE graft.`$sink` ADD COLUMN x INT")
+        spark.sql(s"ALTER TABLE graft.`$sink` DROP COLUMN grp")
       }
-      assert(e.getMessage.contains("mergeSchema") ||
-        Option(e.getCause).exists(_.getMessage.contains("mergeSchema")))
+      assert(e.getMessage.contains("not supported") ||
+        Option(e.getCause).exists(_.getMessage.contains("not supported")))
       val missing = tmp("graft_cat_missing")
       try intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql(s"SELECT * FROM graft.`$missing/nope`").collect()
