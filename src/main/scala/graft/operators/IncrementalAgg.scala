@@ -2344,6 +2344,48 @@ object IncrementalAgg {
         |GROUP BY 1
         |ORDER BY prio""".stripMargin),
 
+    // SQL MAINTENANCE + METADATA-TABLE surface under the oracle gate
+    // (round 17, the r16 verdict's #2): the q_history fixture —
+    // three single-file appends, a churn-confined CoW merge — then a
+    // real `CALL graft.system.optimize` (the Spark 4 stored-procedure
+    // seam), and the read-back through the Iceberg-style
+    // `graft.`<path>`.history` METADATA TABLE in plain SQL. The
+    // literal oracle pins the whole life: versions 1..5 with file
+    // counts 1,2,3,3,2 — the merge rewriting exactly its one touched
+    // file, the CALL compacting to exactly target_files — and zero
+    // dv lines throughout. A procedure that stopped compacting, a
+    // metadata table that dropped a version, or a maintenance pass
+    // that minted a spurious commit all hash-mismatch.
+    "q_sql_history" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_sqhist") { sink =>
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val mx = o.agg(max("o_orderkey")).head().getLong(0)
+        var lo = Long.MinValue
+        for (hi <- Seq(mx / 3, 2 * mx / 3, mx)) {
+          AtomicIncrement.appendIncrementAtomic(
+            o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+              .repartition(1), sink, "o_orderkey")
+          lo = hi
+        }
+        AtomicIncrement.mergeAtomic(
+          o.filter(col("o_orderkey") <= mx / 3 &&
+            col("o_orderkey") % 10 === 0)
+            .withColumn("o_orderstatus", lit("X"))
+            .withColumn("del", lit(false)),
+          sink, "o_orderkey", "del")
+        s.sql(s"CALL graft.system.optimize(table_path => '$sink', " +
+          "target_files => 2, cluster_by => 'o_orderkey')")
+        s.sql(s"""SELECT version, files, dv_files
+          FROM graft.`$sink`.history ORDER BY version""")
+      },
+      """SELECT CAST(version AS BIGINT) AS version,
+        |  CAST(files AS INT) AS files, CAST(dv_files AS INT) AS dv_files
+        |FROM (VALUES (1, 1, 0), (2, 2, 0), (3, 3, 0), (4, 3, 0),
+        |  (5, 2, 0)) t(version, files, dv_files)
+        |ORDER BY version""".stripMargin),
+
     // DESCRIBE HISTORY under the oracle gate (round 14): three
     // single-file appends then a churn-CONFINED copy-on-write merge —
     // the listed history must show versions 1..4 with file counts

@@ -62,7 +62,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (drop/rename/retype) refuse loudly with the supported rewrite
   * path.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = "graft"
   private var warehouse: Option[String] = None
 
@@ -103,11 +104,72 @@ class GraftCatalog extends TableCatalog {
       AtomicIncrement.embeddedSchemaAt(spark, sink).nonEmpty)
   }
 
+  /** A maintenance CALL's table argument: an absolute path is the
+    * sink; a dot-separated name resolves against the warehouse.
+    */
+  private[graft] def resolveSink(table: String): String =
+    if (table.startsWith("/")) table
+    else warehouse match {
+      case Some(w) => (w +: table.split('.').toSeq).mkString("/")
+      case None => throw new IllegalArgumentException(
+        s"table '$table' is not an absolute path and the catalog " +
+          "has no 'warehouse' option to resolve names against")
+    }
+
   override def loadTable(ident: Identifier): Table = {
-    val sink = sinkPath(ident)
-    if (!isLoadable(sink)) throw new NoSuchTableException(ident)
-    new GraftSqlTable(sink)
+    val direct =
+      try {
+        val sink = sinkPath(ident)
+        if (isLoadable(sink)) Some(new GraftSqlTable(sink)) else None
+      } catch {
+        case _: NoSuchTableException => None
+        case _: IllegalArgumentException => None
+      }
+    direct.orElse(metaTableFor(ident))
+      .getOrElse(throw new NoSuchTableException(ident))
   }
+
+  /** Iceberg-style metadata tables: `graft.`<path>`.history` /
+    * `.detail` / `.files` / `.tags` parse as (namespace = the table
+    * identifier, name = the suffix). A REAL table wins over the
+    * suffix — this fallback engages only when the direct resolve
+    * missed and the parent identifier is a loadable graft table.
+    */
+  private def metaTableFor(ident: Identifier): Option[Table] = {
+    val suffix = ident.name.toLowerCase(java.util.Locale.ROOT)
+    if (!GraftMetaTable.Names.contains(suffix)) return None
+    val ns = ident.namespace
+    val parent: Option[String] =
+      if (ns.length == 1 && ns.head.startsWith("/")) Some(ns.head)
+      else if (ns.nonEmpty)
+        warehouse.map(w => (w +: ns.toSeq).mkString("/"))
+      else None
+    parent.filter(isLoadable)
+      .map(sink => GraftMetaTable.forName(spark, sink, suffix))
+  }
+
+  // ---- CALL graft.system.<proc>(…) — the maintenance surface ----
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure = {
+    val known = GraftProcedures.procedures(this)
+    if (!ident.namespace.sameElements(Array("system")))
+      throw new UnsupportedOperationException(
+        s"procedures live under the 'system' namespace " +
+          s"(CALL $catalogName.system.<name>): got $ident")
+    known.getOrElse(ident.name.toLowerCase(java.util.Locale.ROOT),
+      throw new UnsupportedOperationException(
+        s"no procedure '${ident.name}' — available: " +
+          known.keys.toSeq.sorted.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.procedures(this).keys.toSeq.sorted
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   /** SQL time travel, `SELECT … FROM graft.t VERSION AS OF x`: a
     * numeric `x` pins a manifest version, anything else resolves as a
