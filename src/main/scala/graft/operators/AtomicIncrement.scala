@@ -1846,6 +1846,75 @@ object AtomicIncrement {
     ()
   }
 
+  /** BOUNDED OCC RETRY for a CONFINED copy-on-write commit (round 17,
+    * the r16 verdict's #6 — Delta-style logical conflict detection):
+    * when the optimistic publish loses the version token, the loser
+    * RE-READS the winner's snapshot and checks, structurally, that
+    * its already-staged rewrite is still exactly right there:
+    *
+    *  1. every file this statement REWROTE still stands in the new
+    *     snapshot with an IDENTICAL manifest line — the winner
+    *     carried it verbatim, neither rewriting nor retiring what we
+    *     read;
+    *  2. the delete-vector set is unchanged by path (a new dv could
+    *     mask rows our rewrite already materialized as survivors; a
+    *     dropped one could resurrect rows we anti-joined away);
+    *  3. every file the winner ADDED is provably OUTSIDE this
+    *     statement's scope (`addedSafe` — churn-interval
+    *     disjointness for a keyed merge, a no-may-match stats
+    *     verdict for a predicate DELETE/UPDATE): our commit
+    *     serializes AFTER the winner, so it must behave as if it had
+    *     read those rows, and "provably irrelevant" is the only
+    *     recomputation-free way to honor that;
+    *  4. the snapshot schema is unchanged — a racing evolution would
+    *     make the staged files' schema stale.
+    *
+    * All four hold → re-publish `carried′ ++ dv ++ staged` on top of
+    * the winner with ZERO recomputation (the staged parquet is
+    * immutable and still exact). Any check fails → rethrow the
+    * original conflict and the caller re-runs the whole statement
+    * (the pre-round-17 behavior). `retries` bounds the loop, so a
+    * sink hot enough to lose every re-race still terminates loudly.
+    * Returns the version actually published.
+    */
+  private def publishConfinedRetry(spark: SparkSession, fs: FileSystem,
+      sink: String,
+      snap0: (Long, Seq[ManifestEntry], Seq[ManifestEntry]),
+      touchedPaths: Set[String],
+      schemaAtRead: org.apache.spark.sql.types.StructType,
+      addedSafe: Seq[ManifestEntry] => Boolean,
+      doPublish: (Long, Seq[ManifestEntry], Seq[ManifestEntry]) => Unit,
+      retries: Int = 2): Long = {
+    var (v, dataE, dvE) = snap0
+    val dvPaths0 = snap0._3.map(_.path).toSet
+    var attempt = 0
+    while (true) {
+      try {
+        doPublish(v,
+          dataE.filterNot(e => touchedPaths.contains(e.path)), dvE)
+        return v + 1
+      } catch {
+        case cme: java.util.ConcurrentModificationException =>
+          if (attempt >= retries) throw cme
+          attempt += 1
+          val (v2, dataE2, dvE2) = snapshotSplit(spark, sink)
+          val line = dataE.map(e => e.path -> e.render).toMap
+          val line2 = dataE2.map(e => e.path -> e.render).toMap
+          val touchedIntact = touchedPaths.forall(p =>
+            line.get(p).exists(r => line2.get(p).contains(r)))
+          val dvSame = dvE2.map(_.path).toSet == dvPaths0
+          val added = dataE2.filterNot(e => line.contains(e.path))
+          lazy val schemaSame =
+            asNullableStruct(dataSchema(spark, sink, dataE2)) ==
+              asNullableStruct(schemaAtRead)
+          if (!(touchedIntact && dvSame && addedSafe(added) &&
+              schemaSame)) throw cme
+          v = v2; dataE = dataE2; dvE = dvE2
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Maintenance compaction: rewrite the committed snapshot into
     * `numFiles` coalesced data files and publish THAT list as the next
     * manifest version. Incremental appends accrete one small batch dir
@@ -2548,20 +2617,31 @@ object AtomicIncrement {
     // re-masked); carried dv lines still apply to the carried files
     val stagedEntries = if (dvE.isEmpty) staged0
       else staged0.map(stampSeq(_, version + 1))
-    try {
-      beforePublish()
-      // merged already unions any change-batch-only columns over the
-      // carried schema (allowMissingColumns), so this IS the new
-      // snapshot's merge-schema
-      publish(fs, sink,
-        (carried ++ dvE ++ stagedEntries).map(_.render), version + 1,
-        snapshotSchema = mergeStructs(fullSchema, merged.schema))
-    } catch { case e: Throwable =>
-      stagedEntries.headOption.foreach(e0 =>
-        fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
-      throw e
-    }
-    MergeResult(version + 1, carried.size, touched.size,
+    val published =
+      try {
+        beforePublish()
+        // merged already unions any change-batch-only columns over the
+        // carried schema (allowMissingColumns), so this IS the new
+        // snapshot's merge-schema. A lost OCC race retries WITHOUT
+        // recomputation when the winner provably stayed outside this
+        // merge's scope: added files disjoint from the churn's key
+        // intervals (round 17).
+        publishConfinedRetry(spark, fs, sink, (version, dataE, dvE),
+          touched.map(_.path).toSet, fullSchema,
+          added => splitByKeyIntervals(added, keyCol, churn)._2.isEmpty,
+          (v, carriedNow, dvNow) => {
+            val st = if (dvNow.isEmpty) staged0
+              else staged0.map(stampSeq(_, v + 1))
+            publish(fs, sink,
+              (carriedNow ++ dvNow ++ st).map(_.render), v + 1,
+              snapshotSchema = mergeStructs(fullSchema, merged.schema))
+          })
+      } catch { case e: Throwable =>
+        stagedEntries.headOption.foreach(e0 =>
+          fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
+        throw e
+      }
+    MergeResult(published, carried.size, touched.size,
       stagedEntries.size, upserts,
       oldTouched.join(churnDf, Seq(keyCol), "left_semi"))
   }
@@ -2595,7 +2675,16 @@ object AtomicIncrement {
     */
   def deleteWhereAtomic(spark: SparkSession, sink: String,
       cond: org.apache.spark.sql.Column,
-      mayMatch: ManifestEntry => Boolean = _ => true): DeleteResult = {
+      mayMatch: ManifestEntry => Boolean = _ => true): DeleteResult =
+    deleteWhereHook(spark, sink, cond, mayMatch, () => ())
+
+  /** [[deleteWhereAtomic]] with a pre-publish hook — the OCC-race
+    * injection seam the spec drives.
+    */
+  private[graft] def deleteWhereHook(spark: SparkSession, sink: String,
+      cond: org.apache.spark.sql.Column,
+      mayMatch: ManifestEntry => Boolean,
+      beforePublish: () => Unit): DeleteResult = {
     val fs = fsOf(spark, sink)
     val (version, dataE, dvE) = snapshotSplit(spark, sink)
     require(dataE.nonEmpty, s"nothing committed to delete from at $sink")
@@ -2616,15 +2705,27 @@ object AtomicIncrement {
     // CoW merge)
     val stagedEntries = if (dvE.isEmpty) staged0
       else staged0.map(stampSeq(_, version + 1))
-    try publish(fs, sink,
-      (carried ++ dvE ++ stagedEntries).map(_.render), version + 1,
-      snapshotSchema = Some(fullSchema)) // a DELETE never moves schema
-    catch { case e: Throwable =>
-      stagedEntries.headOption.foreach(e0 =>
-        fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
-      throw e
-    }
-    DeleteResult(version + 1, carried.size, touched.size,
+    // lost OCC races retry recomputation-free when the winner's added
+    // files provably hold no row the predicate could touch (round 17)
+    val published =
+      try {
+        beforePublish()
+        publishConfinedRetry(spark, fs, sink, (version, dataE, dvE),
+          touched.map(_.path).toSet, fullSchema,
+          added => added.forall(e => !mayMatch(e)),
+          (v, carriedNow, dvNow) => {
+            val st = if (dvNow.isEmpty) staged0
+              else staged0.map(stampSeq(_, v + 1))
+            publish(fs, sink,
+              (carriedNow ++ dvNow ++ st).map(_.render), v + 1,
+              snapshotSchema = Some(fullSchema)) // DELETE never moves schema
+          })
+      } catch { case e: Throwable =>
+        stagedEntries.headOption.foreach(e0 =>
+          fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
+        throw e
+      }
+    DeleteResult(published, carried.size, touched.size,
       stagedEntries.size)
   }
 
@@ -2685,15 +2786,24 @@ object AtomicIncrement {
     val staged0 = stageEntries(updated, spark, fs, sink, statsFields)
     val stagedEntries = if (dvE.isEmpty) staged0
       else staged0.map(stampSeq(_, version + 1))
-    try publish(fs, sink,
-      (carried ++ dvE ++ stagedEntries).map(_.render), version + 1,
-      snapshotSchema = Some(fullSchema)) // SET casts pin the types
-    catch { case e: Throwable =>
-      stagedEntries.headOption.foreach(e0 =>
-        fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
-      throw e
-    }
-    DeleteResult(version + 1, carried.size, touched.size,
+    // same recomputation-free OCC retry as the predicate DELETE
+    val published =
+      try publishConfinedRetry(spark, fs, sink, (version, dataE, dvE),
+        touched.map(_.path).toSet, fullSchema,
+        added => added.forall(e => !mayMatch(e)),
+        (v, carriedNow, dvNow) => {
+          val st = if (dvNow.isEmpty) staged0
+            else staged0.map(stampSeq(_, v + 1))
+          publish(fs, sink,
+            (carriedNow ++ dvNow ++ st).map(_.render), v + 1,
+            snapshotSchema = Some(fullSchema)) // SET casts pin the types
+        })
+      catch { case e: Throwable =>
+        stagedEntries.headOption.foreach(e0 =>
+          fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
+        throw e
+      }
+    DeleteResult(published, carried.size, touched.size,
       stagedEntries.size)
   }
 
