@@ -453,12 +453,22 @@ object IncrementalAgg {
     applied
   }
 
-  /** Dyadic levels for the radix-16 prefix tree: value >> 60, 56, …,
-    * 4, 0 — 16 levels covering the full signed-long domain
-    * (arithmetic shifts compose, so negatives form a correct subtree
-    * under prefixes −8…−1).
+  /** Dyadic levels for a radix-2^b prefix tree over the signed-long
+    * domain: value >> (64−b), …, b, 0 (arithmetic shifts compose, so
+    * negatives form a correct subtree under the negative root
+    * prefixes). radixBits = 4 (the round-16 default) gives 16 levels
+    * × 16-way fan-out; radixBits = 8 gives 8 levels × 256-way — the
+    * fold constant HALVES (cells per row ∝ levels × depth) while the
+    * read's beam pays 16× more candidate children per expansion,
+    * still state-sized. The two are STATE-INCOMPATIBLE (different
+    * `__lvl` sets): fold and read of one sink must agree on the
+    * radix, and a sink folded at one radix never mixes with another.
     */
-  private val DyadicLevels: Seq[Int] = (0 to 60 by 4).reverse
+  private def dyadicLevels(radixBits: Int): Seq[Int] = {
+    require(radixBits == 4 || radixBits == 8,
+      s"radixBits must be 4 or 8, got $radixBits")
+    (0 to 64 - radixBits by radixBits).reverse
+  }
 
   /** DYADIC-RANGE count-min TOP-K (round 16) — the deletion-complete
     * twin of [[mergeCdcTopKSketch]]. The pooled sketch's candidate
@@ -481,7 +491,8 @@ object IncrementalAgg {
     */
   def mergeCdcTopKDyadic(plus: DataFrame, minus: DataFrame,
       sink: String, keys: Seq[String], valueCol: String,
-      batchId: Long, width: Int = 2048, depth: Int = 3): Boolean = {
+      batchId: Long, width: Int = 2048, depth: Int = 3,
+      radixBits: Int = 4): Boolean = {
     require(width >= 16 && depth >= 1,
       s"bad sketch shape: width=$width depth=$depth")
     def cells(df: DataFrame): DataFrame = {
@@ -492,10 +503,11 @@ object IncrementalAgg {
       require(AtomicIncrement.integralTags.exists(
           graft.operators.AtomicIncrement.tagOf(v.dataType).contains),
         s"dyadic top-k needs an integral value column, got " +
-          s"${v.dataType.simpleString}")
+          s"${v.dataType.simpleString} — use mergeCdcTopKAny for " +
+          "strings/doubles (hash domain + dictionary)")
       val base = df.select((keys.map(col) :+
         col(valueCol).cast("long").as("__v")): _*)
-      DyadicLevels.map(l =>
+      dyadicLevels(radixBits).map(l =>
         base.select((keys.map(col) :+
           shiftright(col("__v"), l).as("__p") :+
           lit(l).as("__lvl")): _*))
@@ -509,32 +521,72 @@ object IncrementalAgg {
       keys ++ Seq("__lvl", "__d", "__cell"), Nil, batchId)
   }
 
+  /** [[mergeCdcTopKDyadic]] for ARBITRARY value columns — strings,
+    * doubles, anything hashable (round 17, closing the integral-only
+    * boundary). The dyadic domain is `xxhash64(value)`: heavy-hitter
+    * descent needs a STABLE INTEGRAL domain, not semantic order, and
+    * a radix trie over hash bits finds heavy leaves exactly as over
+    * raw integers. Because a 64-bit hash cannot be inverted, a
+    * companion DICTIONARY fold (`<sink>/dyadicdict`, signed
+    * refcounts per (domain, value) through the same retractable CDC
+    * fold) recovers values at read time — entries whose refcount
+    * retracts to zero drop out, so the dictionary tracks LIVE values
+    * only. State: the sketch stays `levels × depth × width` cells
+    * per group (bounded, the dyadic point); the dictionary is
+    * O(live distinct values) — the same scale as the exact distinct
+    * fold's pair state, the honest price of recovering arbitrary
+    * values. Hash collisions (two live values, one domain) merge
+    * their counts — probability ≈ d²/2⁶⁴ for d live distincts; the
+    * read surfaces every colliding value under the shared estimate
+    * rather than silently dropping one.
+    */
+  def mergeCdcTopKAny(plus: DataFrame, minus: DataFrame,
+      sink: String, keys: Seq[String], valueCol: String,
+      batchId: Long, width: Int = 2048, depth: Int = 3,
+      radixBits: Int = 4): Boolean = {
+    def dom(df: DataFrame): DataFrame =
+      df.withColumn("__dom", xxhash64(col(valueCol)))
+    val applied = mergeCdcTopKDyadic(dom(plus), dom(minus), sink,
+      keys, "__dom", batchId, width, depth, radixBits)
+    // the dictionary fold carries its own replay shield on the same
+    // batchId, so a crash between the two folds self-heals on retry
+    // (the sketch skips the replay, the dictionary applies it)
+    mergeCdcBatch(
+      dom(plus).select(col("__dom"), col(valueCol)),
+      dom(minus).select(col("__dom"), col(valueCol)),
+      s"$sink/dyadicdict", Seq("__dom", valueCol), Nil, batchId)
+    applied
+  }
+
   /** Per-group top-k from a [[mergeCdcTopKDyadic]] sink by BEAM
-    * DESCENT over the prefix tree: start from the 16 root prefixes,
-    * estimate each candidate's range count (CM min over depth at its
-    * level), keep the best `beamFactor × k` per group, expand each
-    * survivor's 16 children, repeat to level 0 — the survivors there
-    * ARE values, ranked exactly like the exact twin (estimate desc,
-    * value asc). A true top-k value's ancestors carry at least its
-    * count, so they out-rank all but CM-noise-inflated rivals at
-    * every level; the beam absorbs that noise (εN per cell, min over
-    * depth). 16 state-sized driver rounds, never data.
+    * DESCENT over the prefix tree: start from the radix's root
+    * prefixes, estimate each candidate's range count (CM min over
+    * depth at its level), keep the best `beamFactor × k` per group,
+    * expand each survivor's children, repeat to level 0 — the
+    * survivors there ARE values, ranked exactly like the exact twin
+    * (estimate desc, value asc). A true top-k value's ancestors carry
+    * at least its count, so they out-rank all but CM-noise-inflated
+    * rivals at every level; the beam absorbs that noise (εN per
+    * cell, min over depth). One state-sized lazy stage per level,
+    * never data. `radixBits` must match the fold's.
     */
   def readTopKDyadic(spark: org.apache.spark.sql.SparkSession,
       sink: String, keys: Seq[String], valueCol: String, k: Int,
-      width: Int = 2048, depth: Int = 3, beamFactor: Int = 4)
-      : DataFrame = {
+      width: Int = 2048, depth: Int = 3, beamFactor: Int = 4,
+      radixBits: Int = 4): DataFrame = {
     require(k >= 1 && beamFactor >= 2,
       s"top-k needs k >= 1 and beamFactor >= 2: $k, $beamFactor")
     val beam = beamFactor * k
+    val fan = 1 << radixBits
     val cellState = readState(spark, s"$sink/dyadic")
     cellState.cache()
     try {
       val groups = cellState.select(keys.map(col): _*).distinct()
-      // roots: value >> 60 of any long lies in [-8, 7]
+      // roots: value >> (64−b) of any long lies in [−2^(b−1), 2^(b−1))
       var cand = groups.withColumn("__p",
-        explode(array((-8 to 7).map(i => lit(i.toLong)): _*)))
-      for (lvl <- DyadicLevels) {
+        explode(array((-(fan / 2) until fan / 2)
+          .map(i => lit(i.toLong)): _*)))
+      for (lvl <- dyadicLevels(radixBits)) {
         val probes = cand
           .withColumn("__d", explode(array((0 until depth).map(lit): _*)))
           .withColumn("__cell",
@@ -558,11 +610,11 @@ object IncrementalAgg {
         cand =
           if (lvl == 0) kept
           else kept.select((keys.map(col) :+
-            (col("__p") * 16).as("__p16")): _*)
+            (col("__p") * fan).as("__pf")): _*)
             .withColumn("__c",
-              explode(array((0 to 15).map(i => lit(i.toLong)): _*)))
-            .withColumn("__p", col("__p16") + col("__c"))
-            .drop("__p16", "__c")
+              explode(array((0 until fan).map(i => lit(i.toLong)): _*)))
+            .withColumn("__p", col("__pf") + col("__c"))
+            .drop("__pf", "__c")
         // the chain stays LAZY: 16 beam-sized window stages execute
         // as ONE job at the final action (an eager checkpoint per
         // level cost 16 job round trips — measured 7.4 s vs ~1.5 s
@@ -572,6 +624,32 @@ object IncrementalAgg {
         .select((keys.map(col) :+ col("__p").as(valueCol) :+
           col("__est").as("cnt_est") :+ col("__rk").as("rank")): _*)
     } finally { cellState.unpersist(); () }
+  }
+
+  /** Per-group top-k from a [[mergeCdcTopKAny]] sink: the same beam
+    * descent over the HASH domain, then a join against the live
+    * dictionary (`__n > 0`) recovers the actual values, and a final
+    * re-rank (estimate desc, value asc — the exact twin's order)
+    * absorbs collision fan-out: two live values sharing a domain
+    * both surface under the shared estimate, never a silent drop.
+    */
+  def readTopKAny(spark: org.apache.spark.sql.SparkSession,
+      sink: String, keys: Seq[String], valueCol: String, k: Int,
+      width: Int = 2048, depth: Int = 3, beamFactor: Int = 4,
+      radixBits: Int = 4): DataFrame = {
+    val leaves = readTopKDyadic(spark, sink, keys, "__dom", k,
+      width, depth, beamFactor, radixBits)
+    val dict = readState(spark, s"$sink/dyadicdict")
+      .filter(col("__n") > 0)
+      .select(col("__dom"), col(valueCol))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("cnt_est").desc, col(valueCol))
+    leaves.join(dict, "__dom")
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select((keys.map(col) :+ col(valueCol) :+
+        col("cnt_est") :+ col("rank")): _*)
   }
 
   /** The (value, depth-row, cell) exploded view shared by the fold and
@@ -1872,6 +1950,72 @@ object IncrementalAgg {
         |      ORDER BY cnt DESC, hh) AS INT) AS rank
         |  FROM counted)
         |SELECT o_orderstatus, hh, cnt, rank, TRUE AS within_band
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY o_orderstatus, rank""".stripMargin),
+
+    // ANY-DOMAIN dyadic top-k under the oracle gate (round 17,
+    // closing the integral-only boundary): the same two-batch
+    // retraction fixture as q_incr_agg_topk_dyadic, but the value is
+    // a STRING ('p' + the power-of-two hh, geometric counts so ranks
+    // are noise-separated) — the sketch folds over xxhash64(word),
+    // the companion dictionary refcounts (domain, word) pairs, and
+    // the read recovers the actual strings via the live dictionary.
+    // The oracle replays both batches relationally and ranks by
+    // exact count; a stale dictionary recovery, a hash-domain fold
+    // drift, or a collision silently dropping a value all
+    // hash-mismatch (`within_band` pins the CM error bound too).
+    "q_incr_agg_topk_str" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_tkstrex") { exactSink =>
+        withScratchSink(s, "graft_tkstrsk") { sketchSink =>
+          val o = table(s, dir, "orders").select(
+            col("o_orderkey"), col("o_orderstatus"),
+            concat(lit("p"), (col("o_custkey")
+              .bitwiseAND(-col("o_custkey"))).cast("string")).as("word"))
+          mergeCdcDistinct(o, o.limit(0), exactSink,
+            Seq("o_orderstatus"), "word", 0L)
+          mergeCdcTopKAny(o, o.limit(0), sketchSink,
+            Seq("o_orderstatus"), "word", 0L)
+          val minus = o.filter(col("o_orderkey") % 10 === 7)
+          val plus = o.filter(col("o_orderkey") % 10 === 3)
+            .withColumn("o_orderstatus", lit("X"))
+          mergeCdcDistinct(plus, minus, exactSink,
+            Seq("o_orderstatus"), "word", 1L)
+          mergeCdcTopKAny(plus, minus, sketchSink,
+            Seq("o_orderstatus"), "word", 1L)
+          val exact = readState(s, exactSink)
+            .select(col("o_orderstatus"), col("word"),
+              col("__n").as("cnt"))
+          val tot = exact.groupBy("o_orderstatus")
+            .agg(sum("cnt").as("__tot"))
+          readTopKAny(s, sketchSink, Seq("o_orderstatus"), "word", 3)
+            .join(exact, Seq("o_orderstatus", "word"))
+            .join(tot, Seq("o_orderstatus"))
+            .select(col("o_orderstatus"), col("word"), col("cnt"),
+              col("rank"),
+              (col("cnt_est") >= col("cnt") &&
+                (col("cnt_est") - col("cnt")) <=
+                  greatest(lit(1.0), col("__tot") * (math.E / 2048.0)))
+                .as("within_band"))
+            .orderBy("o_orderstatus", "rank")
+        }
+      },
+      """WITH resolved AS (
+        |  SELECT o_orderstatus,
+        |    'p' || CAST(o_custkey & -o_custkey AS VARCHAR) AS word
+        |  FROM orders WHERE o_orderkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT 'X' AS o_orderstatus,
+        |    'p' || CAST(o_custkey & -o_custkey AS VARCHAR) AS word
+        |  FROM orders WHERE o_orderkey % 10 = 3),
+        |counted AS (
+        |  SELECT o_orderstatus, word, count(*) AS cnt
+        |  FROM resolved GROUP BY o_orderstatus, word),
+        |ranked AS (
+        |  SELECT o_orderstatus, word, cnt,
+        |    CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY cnt DESC, word) AS INT) AS rank
+        |  FROM counted)
+        |SELECT o_orderstatus, word, cnt, rank, TRUE AS within_band
         |FROM ranked WHERE rank <= 3
         |ORDER BY o_orderstatus, rank""".stripMargin),
 

@@ -152,4 +152,76 @@ class TopKSketchSpec extends SparkSpec {
         Seq("grp"), "v", 1L))
     } finally rm(sink)
   }
+
+  test("ANY-domain twin (strings): finds a hitter promoted purely by " +
+      "others' retraction, recovers the VALUE through the live " +
+      "dictionary, stays retraction-exact and replay-shielded") {
+    val sink = tmp("graft_tka_str")
+    try {
+      def rows(w: String, n: Int) = Seq.fill(n)(("g", w))
+      // the dyadic promotion fixture, stringly: batch 1 touches only
+      // alpha and beta; true top-1 becomes gamma, never mentioned
+      val b0 = (rows("alpha", 100) ++ rows("beta", 90) ++
+        rows("gamma", 60) ++
+        (10 to 15).flatMap(i => rows(s"tail$i", 5))).toDF("grp", "w")
+      IncrementalAgg.mergeCdcTopKAny(b0, b0.limit(0), sink,
+        Seq("grp"), "w", 0L)
+      // alpha 100→10, beta 90→8: counts stay SEPARATED from the
+      // 5-row tail (an exact tie at the k-th rank resolves in hash
+      // order inside the beam — the usual sketch boundary semantics)
+      val minus = (rows("alpha", 90) ++ rows("beta", 82)).toDF("grp", "w")
+      assert(IncrementalAgg.mergeCdcTopKAny(b0.limit(0), minus, sink,
+        Seq("grp"), "w", 1L))
+      val top = IncrementalAgg.readTopKAny(spark, sink, Seq("grp"),
+        "w", 3).orderBy("rank").collect()
+      assert(top.map(_.getString(1)).toSeq ===
+        Seq("gamma", "alpha", "beta"),
+        s"promoted string hitter missed: ${top.toSeq}")
+      assert(top.head.getLong(2) >= 60L,
+        "CM estimate below the true count")
+      // a value retracted to ZERO drops out of the live dictionary —
+      // it can never resurface as a stale recovery
+      val killBeta = rows("beta", 8).toDF("grp", "w")
+      assert(IncrementalAgg.mergeCdcTopKAny(b0.limit(0), killBeta, sink,
+        Seq("grp"), "w", 2L))
+      val top2 = IncrementalAgg.readTopKAny(spark, sink, Seq("grp"),
+        "w", 10).collect()
+      assert(!top2.map(_.getString(1)).contains("beta"),
+        s"dead value resurfaced from the dictionary: ${top2.toSeq}")
+      // replay shield holds across both folds
+      assert(!IncrementalAgg.mergeCdcTopKAny(b0.limit(0), killBeta, sink,
+        Seq("grp"), "w", 2L))
+    } finally rm(sink)
+  }
+
+  test("radix-256 stride: same top-k as radix-16 on both signs, " +
+      "state at 8 levels instead of 16 — the halved fold constant") {
+    val r16 = tmp("graft_tkd_r16")
+    val r256 = tmp("graft_tkd_r256")
+    try {
+      val heavy = Seq((-7L, 300), (42L, 250), (1L << 40, 200),
+        (-(1L << 33), 150))
+      val tail = (100000L to 101000L).map((_, 1))
+      val b0 = (heavy ++ tail).flatMap { case (v, n) =>
+        Seq.fill(n)(("g", v)) }.toDF("grp", "v")
+      IncrementalAgg.mergeCdcTopKDyadic(b0, b0.limit(0), r16,
+        Seq("grp"), "v", 0L, radixBits = 4)
+      IncrementalAgg.mergeCdcTopKDyadic(b0, b0.limit(0), r256,
+        Seq("grp"), "v", 0L, radixBits = 8)
+      val lv16 = IncrementalAgg.readState(spark, s"$r16/dyadic")
+        .select("__lvl").distinct().count()
+      val lv256 = IncrementalAgg.readState(spark, s"$r256/dyadic")
+        .select("__lvl").distinct().count()
+      assert(lv16 == 16L && lv256 == 8L,
+        s"level counts: radix16=$lv16 radix256=$lv256")
+      val t16 = IncrementalAgg.readTopKDyadic(spark, r16, Seq("grp"),
+        "v", 4, radixBits = 4).orderBy("rank").collect()
+      val t256 = IncrementalAgg.readTopKDyadic(spark, r256, Seq("grp"),
+        "v", 4, radixBits = 8).orderBy("rank").collect()
+      assert(t16.map(_.getLong(1)).toSeq === t256.map(_.getLong(1)).toSeq,
+        s"radix strides disagree: ${t16.toSeq} vs ${t256.toSeq}")
+      assert(t256.map(_.getLong(1)).toSeq ===
+        Seq(-7L, 42L, 1L << 40, -(1L << 33)))
+    } finally { rm(r16); rm(r256) }
+  }
 }
