@@ -1245,3 +1245,69 @@ object MergeScaleCheck {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 }
+
+/** Round-17 measurement for the dyadic fold's radix trade: the SAME
+  * sf0.1 CDC batch folds at radix-16 (16 levels × depth cells/row)
+  * and radix-256 (8 levels — half the cell constant, 16× beam
+  * fan-out on the read). Prints fold and read times (min of reps)
+  * plus the top-3 parity check; the SCALING.md row comes from here.
+  */
+object DyadicRadixCheck {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    import operators.IncrementalAgg
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val o = sources.Tables.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      (col("o_custkey").bitwiseAND(-col("o_custkey"))).as("hh")).cache()
+    o.count()
+    val minus = o.filter(col("o_orderkey") % 10 === 7).cache()
+    val plus = o.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderstatus", lit("X")).cache()
+    minus.count(); plus.count()
+    def sinkDir(): String = java.nio.file.Files
+      .createTempDirectory("graft_radix").resolve("t").toString
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val cells = scala.collection.mutable.Map[(Int, String), List[Double]]()
+      .withDefaultValue(Nil)
+    var parity: Option[(Seq[Any], Seq[Any])] = None
+    (1 to reps).foreach { _ =>
+      val tops = (for (bits <- Seq(4, 8)) yield {
+        val s = sinkDir()
+        cells((bits, "boot")) ::= timed {
+          IncrementalAgg.mergeCdcTopKDyadic(o, o.limit(0), s,
+            Seq("o_orderstatus"), "hh", 0L, radixBits = bits); ()
+        }
+        cells((bits, "fold")) ::= timed {
+          IncrementalAgg.mergeCdcTopKDyadic(plus, minus, s,
+            Seq("o_orderstatus"), "hh", 1L, radixBits = bits); ()
+        }
+        var top: Seq[Any] = Nil
+        cells((bits, "read")) ::= timed {
+          top = IncrementalAgg.readTopKDyadic(spark, s,
+            Seq("o_orderstatus"), "hh", 3, radixBits = bits)
+            .orderBy("o_orderstatus", "rank")
+            .select("o_orderstatus", "hh", "rank")
+            .collect().toSeq.map(r => (r.get(0), r.get(1), r.get(2)))
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(new java.io.File(s).getParent))
+        top
+      }).toList
+      parity = Some((tops.head, tops(1)))
+    }
+    val Some((t4, t8)) = parity
+    require(t4 == t8, s"radix strides disagree on sf0.1:\n$t4\n$t8")
+    for (phase <- Seq("boot", "fold", "read")) {
+      val a = cells((4, phase)).min; val b = cells((8, phase)).min
+      println(f"[dyadicradix] $phase%-5s radix16=$a%6.2fs " +
+        f"radix256=$b%6.2fs ratio256/16=${b / a}%5.2f")
+    }
+    spark.stop()
+  }
+}
