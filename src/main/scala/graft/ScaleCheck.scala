@@ -1311,3 +1311,58 @@ object DyadicRadixCheck {
     spark.stop()
   }
 }
+
+/** Round-17 measurement for the row-level scan's columnar
+  * pass-through: the SAME wide-table SQL UPDATE (lineitem's 16
+  * columns, sf0.1) runs with `-Dgraft.cow.columnar` on and off —
+  * isolating the per-row overhead of flattening vectorized batches
+  * to row views in the rewrite read. Min of reps, identical results
+  * asserted (sum over a rewritten column).
+  */
+object CowColumnarCheck {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    import operators.AtomicIncrement
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val replicas = args.drop(2).headOption.map(_.toInt).getOrElse(1)
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val li0 = sources.Tables.table(spark, dir, "lineitem")
+    val mx0 = li0.agg(max("l_orderkey")).head().getLong(0)
+    val li = (1 until replicas).foldLeft(li0)((acc, r) =>
+      acc.unionByName(li0.withColumn("l_orderkey",
+        col("l_orderkey") + lit(r * 4L * mx0)))).cache()
+    val mx = if (replicas == 1) mx0 else (replicas - 1) * 4L * mx0 + mx0
+    li.count()
+    def sinkDir(): String = java.nio.file.Files
+      .createTempDirectory("graft_cowcol").resolve("t").toString
+    val cells = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    var sums = scala.collection.mutable.Map[String, Double]()
+    (1 to reps).foreach { _ =>
+      for (mode <- Seq("true", "false")) {
+        System.setProperty("graft.cow.columnar", mode)
+        val s = sinkDir()
+        AtomicIncrement.appendIncrementAtomic(li.repartition(8), s,
+          "l_orderkey", Seq("l_quantity"))
+        val t0 = System.nanoTime()
+        spark.sql(s"UPDATE graft.`$s` SET l_quantity = l_quantity + 1 " +
+          s"WHERE l_orderkey <= ${mx / 2}")
+        cells(mode) ::= (System.nanoTime() - t0) / 1e9
+        sums(mode) = AtomicIncrement.readCommitted(spark, s)
+          .agg(sum("l_quantity")).head().getDouble(0)
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(new java.io.File(s).getParent))
+      }
+    }
+    System.setProperty("graft.cow.columnar", "true")
+    require(sums("true") == sums("false"),
+      s"columnar and row paths disagree: $sums")
+    val c = cells("true").min; val r = cells("false").min
+    println(f"[cowcolumnar] update16col columnar=$c%6.2fs " +
+      f"rows=$r%6.2fs ratio=${c / r}%5.2f")
+    spark.stop()
+  }
+}

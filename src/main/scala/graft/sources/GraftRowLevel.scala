@@ -298,12 +298,24 @@ private[graft] class GraftCowScan(op: GraftRowLevelOperation,
           (Some(kf), StructType(dataCols))
         else (Some(kf), StructType(dataCols :+ kf))
       }
+    // COLUMNAR PASS-THROUGH (round 17): with no dv masks to apply
+    // row-by-row, the vectorized reader's batches flow to Spark
+    // whole (the file-identity column rides as a per-batch constant
+    // vector — the FileScanRDD metadata-column shape) instead of
+    // being flattened to row views. Spark requires the choice be
+    // UNIFORM across a scan's partitions, and dv application is a
+    // per-file row filter, so any standing tombstone keeps the whole
+    // scan row-shaped. `-Dgraft.cow.columnar=false` is the
+    // measurement/escape toggle.
+    val columnar = dvE.isEmpty &&
+      sys.props.getOrElse("graft.cow.columnar", "true") == "true" &&
+      ParquetIoBridge.supportsBatch(spark, physical)
     val dataReader = ParquetIoBridge.parquetReader(spark, fullSchema,
-      physical)
+      physical, returningBatch = columnar)
     val dvReader = keyField.map(kf => ParquetIoBridge.parquetReader(
       spark, StructType(Seq(kf)), StructType(Seq(kf))))
     new GraftCowReaderFactory(dataReader, dvReader, keyField, physical,
-      required)
+      required, columnar)
   }
 }
 
@@ -313,7 +325,8 @@ private[graft] class GraftCowReaderFactory(
     dvReader: Option[org.apache.spark.sql.execution.datasources.PartitionedFile
       => Iterator[InternalRow]],
     keyField: Option[StructField], physical: StructType,
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType,
+    columnar: Boolean = false) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
@@ -321,6 +334,69 @@ private[graft] class GraftCowReaderFactory(
     new GraftCowPartitionReader(p, dataReader, dvReader, keyField,
       physical, required)
   }
+
+  // uniform across partitions by construction: the driver decided
+  // columnar only when NO partition carries dv masks
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    require(columnar, "columnar read requested on a row-shaped scan")
+    val p = partition.asInstanceOf[GraftCowInputPartition]
+    new GraftCowColumnarReader(p, dataReader, physical, required)
+  }
+}
+
+/** Executor-side columnar pass-through: the vectorized reader's
+  * batches flow to Spark untouched except for the file-identity
+  * metadata column, appended as a per-batch CONSTANT vector (the
+  * exact shape `FileScanRDD` uses for its metadata columns). Only
+  * planned when no dv masks apply — tombstone filtering is row
+  * work, and Spark requires one shape per scan.
+  */
+private[graft] class GraftCowColumnarReader(p: GraftCowInputPartition,
+    dataReader: org.apache.spark.sql.execution.datasources.PartitionedFile
+      => Iterator[InternalRow],
+    physical: StructType, required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val raw =
+    dataReader(ParquetIoBridge.wholeFile(p.absPath, p.length))
+  private val passThrough =
+    required.fieldNames.toSeq == physical.fieldNames.toSeq
+  // required-order plan: Left(physical index) or Right(file constant)
+  private val plan: Array[Either[Int, Unit]] =
+    required.fields.map(f =>
+      if (f.name == GraftRowLevelOperation.FileCol) Right(())
+      else Left(physical.fieldIndex(f.name)))
+
+  private var current: ColumnarBatch = _
+
+  override def next(): Boolean =
+    if (!raw.hasNext) false
+    else {
+      val b = (raw.next(): Any).asInstanceOf[ColumnarBatch]
+      current =
+        if (passThrough) b
+        else {
+          val const = new org.apache.spark.sql.execution.vectorized
+            .ConstantColumnVector(b.numRows(),
+              org.apache.spark.sql.types.StringType)
+          const.setUtf8String(
+            org.apache.spark.unsafe.types.UTF8String.fromString(p.fileId))
+          val vs: Array[ColumnVector] = plan.map {
+            case Left(i) => b.column(i)
+            case Right(_) => const: ColumnVector
+          }
+          new ColumnarBatch(vs, b.numRows())
+        }
+      true
+    }
+
+  override def get(): ColumnarBatch = current
+  override def close(): Unit = ()
 }
 
 /** Executor-side: stream one touched file's rows, masked by the

@@ -45,18 +45,31 @@ object ParquetIoBridge {
     * rewrite must carry verbatim).
     */
   def parquetReader(spark: SparkSession, dataSchema: StructType,
-      requiredSchema: StructType)
+      requiredSchema: StructType, returningBatch: Boolean = false)
       : PartitionedFile => Iterator[InternalRow] =
     new ParquetFileFormat().buildReaderWithPartitionValues(
       spark, dataSchema, new StructType(), requiredSchema,
       Seq.empty,
-      // rows, not ColumnarBatch elements (the vectorized reader still
-      // runs underneath and serves row views) — the DSv2
-      // PartitionReader contract is row-shaped
+      // returningBatch=false: rows, not ColumnarBatch elements (the
+      // vectorized reader still runs underneath and serves row
+      // views) — the row-shaped DSv2 PartitionReader contract.
+      // returningBatch=true (round 17, ONLY legal when
+      // [[supportsBatch]] answered true for this schema): the
+      // iterator yields ColumnarBatch elements cast as InternalRow,
+      // exactly what FileScanRDD consumes on the batch path — the
+      // columnar pass-through for the row-level CoW scan.
       Map(org.apache.spark.sql.execution.datasources.FileFormat
-        .OPTION_RETURNING_BATCH -> "false"),
+        .OPTION_RETURNING_BATCH -> returningBatch.toString),
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.newHadoopConf())
+
+  /** Driver-side: can the vectorized reader serve whole BATCHES for
+    * this read schema under the session's config? (The gate for
+    * `returningBatch = true` — passing it when this is false throws
+    * in the reader.)
+    */
+  def supportsBatch(spark: SparkSession, schema: StructType): Boolean =
+    new ParquetFileFormat().supportBatch(spark, schema)
 
   /** An un-partitioned [[PartitionedFile]] covering one whole file. */
   def wholeFile(absPath: String, length: Long): PartitionedFile =

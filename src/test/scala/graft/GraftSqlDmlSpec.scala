@@ -255,6 +255,42 @@ class GraftSqlDmlSpec extends SparkSpec {
     } finally rm(sink)
   }
 
+  test("the row-level scan serves COLUMNAR batches when no dv masks " +
+      "apply and falls back to rows under standing tombstones " +
+      "(round 17 pass-through)") {
+    install()
+    val clean = tmp("graft_dml_colc")
+    val dved = tmp("graft_dml_colr")
+    try {
+      loadThree(clean)
+      loadThree(dved)
+      AtomicIncrement.mergeOnReadAtomic(
+        rows(1, 3).withColumn("del", lit(true)), dved, "k", "del")
+      def factoryFor(sink: String) = {
+        val op = new graft.sources.GraftRowLevelOperation(sink,
+          org.apache.spark.sql.connector.write.RowLevelOperation
+            .Command.UPDATE)
+        val scan = op.newScanBuilder(
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+            java.util.Collections.emptyMap())).build()
+        val batch = scan.toBatch
+        (batch.createReaderFactory(), batch.planInputPartitions())
+      }
+      val (cleanF, cleanP) = factoryFor(clean)
+      assert(cleanP.forall(cleanF.supportColumnarReads),
+        "dv-free scan must take the vectorized pass-through")
+      val (dvF, dvP) = factoryFor(dved)
+      assert(!dvP.exists(dvF.supportColumnarReads),
+        "tombstone filtering is row work — dv scan must stay rows")
+      // end-to-end through the columnar path: semantics unchanged,
+      // including the file-identity constant the commit keys on
+      spark.sql(s"UPDATE graft.`$clean` SET amt = amt + 1 WHERE k <= 40")
+      assert(AtomicIncrement.readCommitted(spark, clean)
+        .agg(sum("amt")).head().getDouble(0) ===
+        (1 to 120).map(_ * 1.5).sum + 40.0)
+    } finally { rm(clean); rm(dved) }
+  }
+
   test("a DELETE whose WHERE has no V1-filter form (arithmetic) now " +
       "executes through the CoW row-level path") {
     install()
