@@ -1877,8 +1877,8 @@ object AtomicIncrement {
     * sink hot enough to lose every re-race still terminates loudly.
     * Returns the version actually published.
     */
-  private def publishConfinedRetry(spark: SparkSession, fs: FileSystem,
-      sink: String,
+  private[graft] def publishConfinedRetry(spark: SparkSession,
+      fs: FileSystem, sink: String,
       snap0: (Long, Seq[ManifestEntry], Seq[ManifestEntry]),
       touchedPaths: Set[String],
       schemaAtRead: org.apache.spark.sql.types.StructType,

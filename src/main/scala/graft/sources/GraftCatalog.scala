@@ -63,7 +63,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * path.
   */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
   private var catalogName: String = "graft"
   private var warehouse: Option[String] = None
 
@@ -247,6 +248,55 @@ class GraftCatalog extends TableCatalog
     AtomicIncrement.createEmptyTable(spark, sink, schema)
     new GraftSqlTable(sink, declaredSchema = Some(schema))
   }
+
+  // ---- ATOMIC CTAS / RTAS (round 17): the StagingTableCatalog
+  // seam. stageCreate keeps the sink EMPTY until the CTAS write's own
+  // manifest commit (v1 = the data), so a failed CTAS leaves NOTHING
+  // — closing the create-then-write window where plain createTable's
+  // schema-only v1 would survive a failed query. stageReplace /
+  // stageCreateOrReplace give SQL `[CREATE OR] REPLACE TABLE … AS
+  // SELECT`: the staged write lands as ONE OCC snapshot replace (the
+  // manifest swap is the atomicity point; history and floors keep
+  // their replace semantics). abortStagedChanges drops the sink only
+  // when this staging created it.
+
+  private def stagedFor(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], mustExist: Option[Boolean])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    require(partitions.isEmpty,
+      "graft-atomic lays data out by manifest + clustering, not " +
+        "PARTITIONED BY — drop the partitioning clause")
+    val sink = sinkPath(ident)
+    val exists = AtomicIncrement.snapshot(spark, sink)._1 > 0L
+    mustExist.foreach {
+      case false if exists =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(
+            Seq(catalogName) ++ ident.namespace.toSeq :+ ident.name)
+      case true if !exists => throw new NoSuchTableException(ident)
+      case _ => ()
+    }
+    new GraftStagedTable(sink, schema, dropOnAbort = !exists,
+      replace = exists)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedFor(ident, schema, partitions, Some(false))
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedFor(ident, schema, partitions, Some(true))
+
+  override def stageCreateOrReplace(ident: Identifier,
+      schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedFor(ident, schema, partitions, None)
 
   /** `ALTER TABLE … ADD COLUMN` (round 17, the r16 verdict's top
     * item) and the safe variants — column COMMENTS and nullable
@@ -538,6 +588,57 @@ private[graft] class GraftSqlTable(sink: String,
       e => filters.forall(f => ManifestPruning.mayMatch(e, f)))
     ()
   }
+}
+
+/** The staged table behind atomic CTAS / RTAS: reads/writes like the
+  * ordinary [[GraftSqlTable]] (declared schema until the first
+  * commit), except that in `replace` mode EVERY insert is a full OCC
+  * snapshot replace (RTAS writes arrive as plain appends — the
+  * replace semantics live here, not in the write mode). Commit
+  * publishes a schema-only manifest iff the staged write produced no
+  * version at all (a zero-row CTAS still creates its table); abort
+  * drops the sink only when this staging created it.
+  */
+private[graft] class GraftStagedTable(sink: String,
+    declared: StructType, dropOnAbort: Boolean, replace: Boolean)
+    extends GraftSqlTable(sink, declaredSchema = Some(declared))
+    with org.apache.spark.sql.connector.catalog.StagedTable {
+
+  private def spark = SparkSession.active
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    if (!replace) super.newWriteBuilder(info)
+    else new WriteBuilder with SupportsTruncate with SupportsOverwriteV2 {
+      // every write to a staged-replace table IS the replace —
+      // Spark's RTAS plans OverwriteByExpression(true) here, and any
+      // mode collapses to the same single OCC snapshot swap
+      override def truncate(): WriteBuilder = this
+      override def overwrite(predicates: Array[V2Predicate])
+          : WriteBuilder = this
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit =
+                AtomicIncrement.replaceSnapshot(data, sink,
+                  AtomicIncrement.snapshot(data.sparkSession, sink)._1)
+            }
+          override def description(): String =
+            s"GraftStagedReplaceWrite($sink)"
+        }
+    }
+
+  override def commitStagedChanges(): Unit =
+    if (AtomicIncrement.snapshot(spark, sink)._1 == 0L)
+      AtomicIncrement.createEmptyTable(spark, sink, declared)
+
+  override def abortStagedChanges(): Unit =
+    if (dropOnAbort) {
+      val p = new Path(sink)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
 }
 
 /** Scan builder for the catalog read: takes every pushed filter for

@@ -94,10 +94,19 @@ private[graft] class GraftRowLevelOperation(sink: String,
   // union of files any scan touched — group commits carry the rest
   private val touchedPaths =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // the statement's pushed group filters — the commit's OCC retry
+  // uses them to prove a race-winner's added files out of scope
+  @volatile private var pushedF: Array[Filter] = Array.empty
 
   private[sources] def recordTouched(files: Seq[String]): Unit = {
     files.foreach(touchedPaths.add); ()
   }
+
+  private[sources] def recordPushed(fs: Array[Filter]): Unit = {
+    pushedF = fs
+  }
+
+  private[sources] def pushedFilters: Array[Filter] = pushedF
 
   /** Runtime group filtering narrowed the scan's file set — the
     * commit must carry exactly what the narrowed scan skipped.
@@ -163,6 +172,14 @@ private[graft] object GraftRowLevelOperation {
   val FileCol = "_graft_file"
 }
 
+/** Race-injection seam for the SQL DML commit — the spec swaps in a
+  * competing writer between staging and publish, exactly like the
+  * API paths' `beforePublish` hooks. Production value is a no-op.
+  */
+private[graft] object GraftCowTestSeam {
+  @volatile var beforePublish: () => Unit = () => ()
+}
+
 /** Filter push here is GROUP SELECTION, not row filtering: verdicts
   * prune whole files, every filter reports residual, and the rows of
   * every kept file flow to the rewrite projection complete.
@@ -192,6 +209,7 @@ private[graft] class GraftCowScanBuilder(op: GraftRowLevelOperation,
     val touched = dataE.filter(e =>
       filters.forall(f => ManifestPruning.mayMatch(e, f)))
     op.recordTouched(touched.map(_.path))
+    op.recordPushed(filters)
     new GraftCowScan(op, sink, fullSchema, required, touched, dvE)
   }
 }
@@ -510,16 +528,29 @@ private[graft] class GraftCowBatchWrite(op: GraftRowLevelOperation,
     val staged0 = rels.map(rel =>
       AtomicIncrement.entryForStagedFile(spark, sink, rel, statsFields))
     try {
+      GraftCowTestSeam.beforePublish()
       if (op.scanCount <= 1) {
         // group commit: untouched files ride verbatim, staged files
-        // outrank standing tombstones the scan already applied
-        val carried = dataE.filterNot(e => touched.contains(e.path))
-        val staged = if (dvE.isEmpty) staged0
-          else staged0.map(AtomicIncrement.stampSeq(_, version + 1))
-        AtomicIncrement.publish(fs, sink,
-          (carried ++ dvE ++ staged).map(_.render), version + 1,
-          snapshotSchema = AtomicIncrement
-            .mergeStructs(fullSchema, writeSchema))
+        // outrank standing tombstones the scan already applied. A
+        // lost OCC race retries recomputation-free when the winner's
+        // added files provably cannot match the statement's pushed
+        // group filters (round 17 — the API paths' conflict
+        // narrowing, on the SQL face); a MERGE pushes no target-only
+        // filters, so it retries only against add-free winners.
+        val pushed = op.pushedFilters
+        AtomicIncrement.publishConfinedRetry(spark, fs, sink,
+          (version, dataE, dvE), touched, fullSchema,
+          added => added.forall(e => pushed.nonEmpty &&
+            !pushed.forall(f => ManifestPruning.mayMatch(e, f))),
+          (v, carriedNow, dvNow) => {
+            val staged = if (dvNow.isEmpty) staged0
+              else staged0.map(AtomicIncrement.stampSeq(_, v + 1))
+            AtomicIncrement.publish(fs, sink,
+              (carriedNow ++ dvNow ++ staged).map(_.render), v + 1,
+              snapshotSchema = AtomicIncrement
+                .mergeStructs(fullSchema, writeSchema))
+          })
+        ()
       } else if (op.command() == Command.UPDATE &&
           dataE.forall(e => touched.contains(e.path))) {
         // the subquery-condition UNION shape: two scans read the

@@ -291,6 +291,98 @@ class GraftSqlDmlSpec extends SparkSpec {
     } finally { rm(clean); rm(dved) }
   }
 
+  test("SQL UPDATE racing a DISJOINT appender commits on retry; an " +
+      "in-scope appender still fails loudly (round 17 OCC on the " +
+      "SQL face)") {
+    install()
+    val sink = tmp("graft_dml_race")
+    try {
+      loadThree(sink)
+      val v0 = AtomicIncrement.snapshot(spark, sink)._1
+      // winner appends k in 201..240 — provably outside WHERE k <= 40
+      graft.sources.GraftCowTestSeam.beforePublish = () => {
+        AtomicIncrement.appendIncrementAtomic(
+          rows(201, 240).repartition(1), sink, "k")
+        ()
+      }
+      try spark.sql(s"UPDATE graft.`$sink` SET amt = amt + 1000 " +
+        "WHERE k <= 40")
+      finally graft.sources.GraftCowTestSeam.beforePublish = () => ()
+      assert(AtomicIncrement.snapshot(spark, sink)._1 == v0 + 2,
+        "append won v+1, the UPDATE must land on v+2 without rerun")
+      val got = AtomicIncrement.readCommitted(spark, sink)
+      assert(got.count() == 160L)
+      assert(got.filter($"k" === 1L).select("amt").as[Double]
+        .head() == 1001.5)
+      assert(got.filter($"k" === 210L).count() == 1L)
+      // winner appends k = 30 — the UPDATE would have to rewrite it
+      // to serialize after; the staged rewrite cannot, so it fails
+      graft.sources.GraftCowTestSeam.beforePublish = () => {
+        AtomicIncrement.appendBlindAtomic(
+          rows(30, 30).repartition(1), sink)
+        ()
+      }
+      val ex = intercept[Exception] {
+        try spark.sql(s"UPDATE graft.`$sink` SET amt = 0 WHERE k <= 40")
+        finally graft.sources.GraftCowTestSeam.beforePublish = () => ()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(ex).exists(_.contains("already committed")),
+        msgs(ex).mkString(" | "))
+    } finally {
+      graft.sources.GraftCowTestSeam.beforePublish = () => ()
+      rm(sink)
+    }
+  }
+
+  test("ATOMIC CTAS: a failing query leaves NO table behind; REPLACE " +
+      "TABLE AS SELECT swaps in one OCC commit; missing-table " +
+      "REPLACE refuses") {
+    install()
+    val sink = tmp("graft_dml_stage")
+    rm(sink)
+    try {
+      // failed CTAS: the staged create must abort to NOTHING
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.`$sink` AS " +
+          "SELECT raise_error('boom') AS x")
+      }
+      assert(AtomicIncrement.snapshot(spark, sink)._1 == 0L,
+        "a failed CTAS must leave no manifest")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT * FROM graft.`$sink`").collect()
+      }
+      // successful CTAS; then REPLACE swaps content + schema
+      spark.sql(s"CREATE TABLE graft.`$sink` AS " +
+        "SELECT id AS k, 'a' AS tag FROM range(5)")
+      assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$sink`")
+        .head().getLong(0) == 5L)
+      val v1 = AtomicIncrement.snapshot(spark, sink)._1
+      spark.sql(s"REPLACE TABLE graft.`$sink` AS " +
+        "SELECT id AS k, cast(id * 2 AS DOUBLE) AS dbl FROM range(3)")
+      assert(AtomicIncrement.snapshot(spark, sink)._1 == v1 + 1,
+        "RTAS is ONE snapshot replace")
+      val out = spark.sql(s"SELECT * FROM graft.`$sink` ORDER BY k")
+      assert(out.columns.toSeq == Seq("k", "dbl"))
+      assert(out.collect().map(_.getDouble(1)).toSeq ==
+        Seq(0.0, 2.0, 4.0))
+      // CREATE OR REPLACE works on the standing table too
+      spark.sql(s"CREATE OR REPLACE TABLE graft.`$sink` AS " +
+        "SELECT id AS k FROM range(2)")
+      assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$sink`")
+        .head().getLong(0) == 2L)
+      // REPLACE of a missing table refuses
+      val missing = tmp("graft_dml_rtas_missing")
+      rm(missing)
+      intercept[Exception] {
+        spark.sql(s"REPLACE TABLE graft.`$missing` AS SELECT 1 AS x")
+      }
+      assert(AtomicIncrement.snapshot(spark, missing)._1 == 0L)
+    } finally rm(sink)
+  }
+
   test("a DELETE whose WHERE has no V1-filter form (arithmetic) now " +
       "executes through the CoW row-level path") {
     install()
