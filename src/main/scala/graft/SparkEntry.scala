@@ -48,6 +48,7 @@ object SparkEntry {
   private val checkFirst: Seq[String] = Seq(
     // round-17 additions, never driver-checked yet
     "q_sql_evolve", "q_sql_history", "q_incr_agg_topk_str",
+    "q_sql_rtas",
     // round-16 additions, driver-checked once (r16)
     "q_sql_update", "q_sql_merge", "q_incr_agg_topk_dyadic",
     // round-15 additions, driver-checked once (r15)

@@ -2530,6 +2530,48 @@ object IncrementalAgg {
         |  (5, 2, 0)) t(version, files, dv_files)
         |ORDER BY version""".stripMargin),
 
+    // ATOMIC CTAS / RTAS under the oracle gate (round 17): CREATE
+    // TABLE AS SELECT through the StagingTableCatalog seam (the sink
+    // stays empty until the write's own manifest commit), then
+    // REPLACE TABLE AS SELECT swaps schema+content as ONE OCC
+    // snapshot replace, and the read-back aggregates the replaced
+    // table through the catalog SELECT face. `one_swap` pins the
+    // version arithmetic (create = v1, replace = v2 — nothing
+    // staged-then-patched); the oracle replays the final table
+    // relationally. A half-applied replace, a CTAS leaking its
+    // pre-replace rows, or a schema that kept the old column all
+    // hash-mismatch.
+    "q_sql_rtas" -> QueryDef(
+      (s, dir) => withScratchSink(s, "graft_sqrtas") { sink =>
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        // CTAS wants a fresh (uncreated) path
+        val fs = new org.apache.hadoop.fs.Path(sink).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(sink), true)
+        table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .createOrReplaceTempView("graft_sqrtas_src")
+        s.sql(s"""CREATE TABLE graft.`$sink` AS
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM graft_sqrtas_src""")
+        val v1 = AtomicIncrement.snapshot(s, sink)._1
+        s.sql(
+          s"""REPLACE TABLE graft.`$sink` AS
+             |SELECT o_orderstatus,
+             |  round(sum(o_totalprice), 2) AS total, count(*) AS n
+             |FROM graft_sqrtas_src GROUP BY o_orderstatus""".stripMargin)
+        val v2 = AtomicIncrement.snapshot(s, sink)._1
+        val out = s.sql(s"SELECT * FROM graft.`$sink`")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          .withColumn("one_swap", lit(v1 == 1L && v2 == 2L))
+          .orderBy("o_orderstatus")
+      },
+      """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS total,
+        |  count(*) AS n, TRUE AS one_swap
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
     // DESCRIBE HISTORY under the oracle gate (round 14): three
     // single-file appends then a churn-CONFINED copy-on-write merge —
     // the listed history must show versions 1..4 with file counts

@@ -117,6 +117,19 @@ class GraftProceduresSpec extends SparkSpec {
     } finally rm(sink)
   }
 
+  test("SHOW PROCEDURES lists the system namespace; DESCRIBE " +
+      "PROCEDURE answers for each") {
+    install()
+    val listed = spark.sql("SHOW PROCEDURES IN graft.system")
+      .collect().map(_.toSeq.map(String.valueOf).mkString(" ")).toSeq
+    for (p <- Seq("optimize", "vacuum", "expire_manifests", "tag",
+        "drop_tag"))
+      assert(listed.exists(_.contains(p)), s"'$p' missing from $listed")
+    val desc = spark.sql("DESCRIBE PROCEDURE graft.system.optimize")
+      .collect().map(_.mkString(" ")).mkString("\n")
+    assert(desc.contains("optimize"), desc)
+  }
+
   test("metadata tables: history / detail / files / tags mirror the " +
       "API faces through plain SQL") {
     install()

@@ -191,6 +191,57 @@ class GraftSqlEvolveSpec extends SparkSpec {
     } finally rm(sink)
   }
 
+  test("a standing STREAM keeps its start-frozen schema across an " +
+      "ALTER (the new column is projected away, rows keep flowing); " +
+      "a fresh subscription surfaces the column") {
+    install()
+    val sink = tmp("graft_evo_stream")
+    val ckpt = tmp("graft_evo_ck")
+    val ck2 = tmp("graft_evo_ck2")
+    try {
+      AtomicIncrement.appendIncrementAtomic(
+        rows(1, 10).repartition(1), sink, "k")
+      val seenCols =
+        scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      val n = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = spark.readStream.format("graft-atomic")
+        .option("path", sink).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          seenCols.synchronized { seenCols += df.columns.toSeq; () }
+          n.addAndGet(df.count()); ()
+        }.start()
+      q.processAllAvailable()
+      spark.sql(s"ALTER TABLE graft.`$sink` ADD COLUMN note STRING")
+      spark.sql(s"INSERT INTO graft.`$sink` VALUES (100, 'gx', 1.0, 'n1')")
+      q.processAllAvailable()
+      q.stop()
+      assert(n.get() == 11L,
+        s"bootstrap 10 + 1 insert must flow (evolution file is " +
+          s"zero rows): ${n.get()}")
+      assert(seenCols.forall(!_.contains("note")),
+        s"the frozen schema leaked the evolved column: $seenCols")
+      // a FRESH subscription (new checkpoint → full bootstrap)
+      // surfaces the column: old rows NULL, the inserted row carries it
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Option[String])]
+      val q2 = spark.readStream.format("graft-atomic")
+        .option("path", sink).load()
+        .writeStream.option("checkpointLocation", ck2)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val batch = df.select("k", "note").collect()
+            .map(r => (r.getLong(0), Option(r.getString(1))))
+          got.synchronized { got ++= batch; () }
+        }.start()
+      q2.processAllAvailable()
+      q2.stop()
+      assert(got.size == 11)
+      assert(got.toMap.apply(100L).contains("n1"))
+      assert(got.filter(_._1 <= 10L).forall(_._2.isEmpty),
+        "pre-evolution rows must read the new column as NULL")
+    } finally { rm(sink); rm(ckpt); rm(ck2) }
+  }
+
   test("stats coverage survives the evolution: the watermark gate " +
       "still dedupes a replay from MANIFEST stats after ALTER") {
     install()

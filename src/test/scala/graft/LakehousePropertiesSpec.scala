@@ -204,8 +204,9 @@ class LakehousePropertiesSpec extends SparkSpec {
           GreaterThanOrEqual("k", lo)) &&
         graft.sources.ManifestPruning.mayMatch(e,
           LessThanOrEqual("k", hi))
+      var evolved = List.empty[String]
       for (step <- 1 to 5) {
-        rnd.nextInt(5) match {
+        rnd.nextInt(6) match {
           case 0 => // keyed merge: CoW API, MoR API, or SQL MERGE INTO
             // (the round-16 row-level path) — same model fold
             val keys = rnd.shuffle((1L to (n + 10L)).toList)
@@ -278,6 +279,15 @@ class LakehousePropertiesSpec extends SparkSpec {
             assert(re === 0L,
               s"scenario $scenario step $step: replay re-admitted " +
                 s"$re since-deleted rows")
+          case 4 => // SCHEMA EVOLUTION (round 17): ALTER ADD COLUMN at
+            // a random point — metadata-only (the k/s/x projection the
+            // model checks is untouched), the new column reads NULL on
+            // every standing row, and every later merge/delete/replay
+            // in the sequence must hold over the evolved table
+            val cname = s"e${scenario}_$step"
+            spark.sql(s"ALTER TABLE graft.`$sink` ADD COLUMN " +
+              s"$cname DOUBLE")
+            evolved ::= cname
           case _ => // maintenance between DML steps
             rnd.nextInt(3) match {
               case 0 => AtomicIncrement.compact(spark, sink, 2)
@@ -289,6 +299,19 @@ class LakehousePropertiesSpec extends SparkSpec {
         if (model.nonEmpty)
           assert(tableOf(sink) == model,
             s"scenario $scenario step $step diverged from the model")
+      }
+      // every evolved column survives whatever rewrites followed it
+      // (partial compactions, dv folds, merges) and reads all-NULL —
+      // a rewrite that read less than the full snapshot schema would
+      // silently drop it
+      if (evolved.nonEmpty && model.nonEmpty) {
+        val fin = AtomicIncrement.readCommitted(spark, sink)
+        for (c <- evolved) {
+          assert(fin.columns.contains(c),
+            s"scenario $scenario: evolved column $c vanished")
+          assert(fin.filter(col(c).isNotNull).count() == 0L,
+            s"scenario $scenario: NULL backfill of $c violated")
+        }
       }
     }
   }
