@@ -883,6 +883,7 @@ object MetaScaleCheck {
     }
     val cells = scala.collection.mutable.Map[(String, String),
       List[Double]]().withDefaultValue(Nil)
+    var evolveN = 0
 
     // ---- statsagg + quantfold share the orders fixture ----
     val o1 = sources.Tables.table(spark, dir, "orders")
@@ -944,6 +945,16 @@ object MetaScaleCheck {
             Seq("o_orderstatus"), "o_totalprice",
             0.0, 640000.0, 6400, 1L))._1
         drop(st)
+      }
+      // round 17 — ALTER ADD COLUMN: the evolution commit is
+      // manifest-priced (snapshot parse + one zero-row driver-written
+      // file + publish) — flat across table size is the claim
+      spark.conf.set("spark.sql.catalog.graft",
+        "graft.sources.GraftCatalog")
+      for ((label, src) <- Seq("1x" -> s1, s"${factor}x" -> sN)) {
+        evolveN += 1
+        cells(("evolve", label)) ::= timed(spark.sql(
+          s"ALTER TABLE graft.`$src` ADD COLUMN ev_$evolveN DOUBLE"))._1
       }
     }
     drop(s1); drop(sN)
@@ -1085,9 +1096,9 @@ object MetaScaleCheck {
       }
     }
     batch.unpersist()
-    for (kind <- Seq("statsagg", "sqlprune", "quantfold", "grepbuild",
-        "grepprobe", "distprobe", "idxbuild", "idxprobe", "streamwin",
-        "sqldelete", "sqlupdate")) {
+    for (kind <- Seq("statsagg", "sqlprune", "quantfold", "evolve",
+        "grepbuild", "grepprobe", "distprobe", "idxbuild", "idxprobe",
+        "streamwin", "sqldelete", "sqlupdate")) {
       val t1 = cells((kind, "1x")).min
       val tN = cells((kind, s"${factor}x")).min
       println(f"[metascale] $kind%-9s 1x=$t1%7.3fs ${factor}x=$tN%7.3fs " +
