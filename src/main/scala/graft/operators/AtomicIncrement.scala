@@ -1330,14 +1330,55 @@ object AtomicIncrement {
         // or merge conflict embeds nothing — the legacy footer sweep
         // stays the adjudicator and the NEXT commit upgrades (any
         // dataSchema sweep seeds the memo).
-        val snapSchema =
-          if (dataEntries.isEmpty) Some(fresh.schema)
-          else Option(schemaMemo.get(schemaKey(sink, dataEntries)))
+        def snapSchemaOver(dataNow: Seq[ManifestEntry])
+            : Option[org.apache.spark.sql.types.StructType] =
+          if (dataNow.isEmpty) Some(fresh.schema)
+          else Option(schemaMemo.get(schemaKey(sink, dataNow)))
             .flatMap(mergeStructs(_, fresh.schema))
+        // APPEND-SIDE OCC RETRY (round 17): a lost race re-publishes
+        // the already-staged batch on top of the winner when the
+        // EFFECTIVE WATERMARK BOUND provably did not move — the raw
+        // manifest max AND the floor line for the gate column are
+        // byte-identical at the winner's version — because then the
+        // staged rows are still exactly the fresh set this gate
+        // admitted. A winner that raised the max (another appender —
+        // a single-writer-contract violation anyway) or lowered it
+        // (a replace) fails the fingerprint and rethrows; maintenance
+        // rewrites and confined merges keep it intact and retry. The
+        // staged lines RE-STAMP at the new version+1, so dvs the
+        // winner added still rank below this append (its rows
+        // serialize after the winner's deletes — correct survival).
+        // Gates that resolved their bound OUTSIDE manifest stats
+        // (footer sweep / scan) have no comparable fingerprint and
+        // never retry.
+        val wmFp0 = rawMaxFingerprint(dataEntries, resolved.name)
+        val floorFp0 = floorStatsFor(fs, sink, version, resolved.name)
         try {
           beforePublish()
-          publish(fs, sink, (priorEntries ++ staged).map(_.render),
-            version + 1, snapshotSchema = snapSchema)
+          var v = version
+          var dataNow = dataEntries
+          var dvNow = dvEntries
+          var attempt = 0
+          var done = false
+          while (!done) {
+            val st = if (dvNow.isEmpty) staged0
+              else staged0.map(stampSeq(_, v + 1))
+            try {
+              publish(fs, sink, (dataNow ++ dvNow ++ st).map(_.render),
+                v + 1, snapshotSchema = snapSchemaOver(dataNow))
+              done = true
+            } catch {
+              case cme: java.util.ConcurrentModificationException =>
+                if (attempt >= 2 || wmFp0.isEmpty) throw cme
+                attempt += 1
+                val (v2, d2, dv2) = snapshotSplit(spark, sink)
+                val boundSame =
+                  rawMaxFingerprint(d2, resolved.name) == wmFp0 &&
+                    floorStatsFor(fs, sink, v2, resolved.name) == floorFp0
+                if (!boundSame) throw cme
+                v = v2; dataNow = d2; dvNow = dv2
+            }
+          }
         } catch { case e: Throwable =>
           // failed commit must not leak half-staged state into a GC
           // race with the winner's readers — drop the whole batch dir
@@ -1348,6 +1389,39 @@ object AtomicIncrement {
       Some((n, dropped))
     } finally { toCache.unpersist(); () }
   }
+
+  /** The snapshot's raw (tag, max) for `column` from manifest stats
+    * alone — the COMPARABLE form of [[manifestMaxLiteral]]'s answer,
+    * under the same all-files-covered rule. Two snapshots with equal
+    * fingerprints provably gate an append identically; None (partial
+    * stats, tag drift, unparseable) disables fingerprint-based
+    * decisions.
+    */
+  private def rawMaxFingerprint(entries: Seq[ManifestEntry],
+      column: String): Option[(String, String)] = {
+    val stats = entries.map(_.statsFor(column))
+      .filterNot(_.exists(_.tag == NullTag))
+    if (stats.isEmpty || stats.exists(_.isEmpty)) return None
+    val tags = stats.flatten.map(_.tag).distinct
+    if (tags.size != 1) return None
+    val tag = tags.head
+    stats.flatten.map(_.max).foldLeft(Option.empty[String]) {
+      case (None, b) => Some(b)
+      case (Some(a), b) => maxByTag(tag, a, b) match {
+        case Some(m) => Some(m)
+        case None => return None
+      }
+    }.map(tag -> _)
+  }
+
+  /** The floor line's stats for ONE column at `version`'s manifest —
+    * memo-served when warm, one small manifest read otherwise. Part
+    * of the append gate's bound fingerprint.
+    */
+  private def floorStatsFor(fs: FileSystem, sink: String,
+      version: Long, column: String): Seq[FileColumnStats] =
+    priorFloors(fs, sink, version)
+      .filter(_.column.equalsIgnoreCase(column))
 
   /** The committed snapshot's max of `column` from manifest stats
     * alone — usable only when EVERY file carries matching stats (a

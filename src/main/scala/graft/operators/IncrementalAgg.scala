@@ -1971,23 +1971,27 @@ object IncrementalAgg {
             col("o_orderkey"), col("o_orderstatus"),
             concat(lit("p"), (col("o_custkey")
               .bitwiseAND(-col("o_custkey"))).cast("string")).as("word"))
+          // radixBits = 8: the measured-better stride for
+          // fold-dominated fixtures (SCALING.md "dyadic radix") — the
+          // radix-16 default stays pinned by q_incr_agg_topk_dyadic
           mergeCdcDistinct(o, o.limit(0), exactSink,
             Seq("o_orderstatus"), "word", 0L)
           mergeCdcTopKAny(o, o.limit(0), sketchSink,
-            Seq("o_orderstatus"), "word", 0L)
+            Seq("o_orderstatus"), "word", 0L, radixBits = 8)
           val minus = o.filter(col("o_orderkey") % 10 === 7)
           val plus = o.filter(col("o_orderkey") % 10 === 3)
             .withColumn("o_orderstatus", lit("X"))
           mergeCdcDistinct(plus, minus, exactSink,
             Seq("o_orderstatus"), "word", 1L)
           mergeCdcTopKAny(plus, minus, sketchSink,
-            Seq("o_orderstatus"), "word", 1L)
+            Seq("o_orderstatus"), "word", 1L, radixBits = 8)
           val exact = readState(s, exactSink)
             .select(col("o_orderstatus"), col("word"),
               col("__n").as("cnt"))
           val tot = exact.groupBy("o_orderstatus")
             .agg(sum("cnt").as("__tot"))
-          readTopKAny(s, sketchSink, Seq("o_orderstatus"), "word", 3)
+          readTopKAny(s, sketchSink, Seq("o_orderstatus"), "word", 3,
+            radixBits = 8)
             .join(exact, Seq("o_orderstatus", "word"))
             .join(tot, Seq("o_orderstatus"))
             .select(col("o_orderstatus"), col("word"), col("cnt"),

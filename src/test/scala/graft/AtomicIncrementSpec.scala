@@ -403,6 +403,46 @@ class AtomicIncrementSpec extends SparkSpec {
     assert(ex2.getMessage.contains("already committed"))
   }
 
+  test("an APPEND racing a confined merge commits on retry — the " +
+      "watermark-bound fingerprint held; a max-raising winner still " +
+      "loses") {
+    val sink = tmp()
+    loadRanged(sink)
+    val v0 = AtomicIncrement.snapshot(spark, sink)._1
+    // winner: a confined CoW merge updating k=5's value — the gate
+    // column's manifest max (30) is untouched, so the staged append
+    // is still exactly the fresh set and must land on top
+    val n = AtomicIncrement.appendWithHook(
+      Seq((31L, "w", 31.0)).toDF("k", "v", "x").repartition(1),
+      sink, "k",
+      beforePublish = () => {
+        AtomicIncrement.mergeAtomic(
+          Seq((5L, "U", 0.0, false)).toDF("k", "v", "x", "del"),
+          sink, "k", "del")
+        ()
+      })
+    assert(n == 1L)
+    assert(AtomicIncrement.snapshot(spark, sink)._1 == v0 + 2,
+      "merge won v+1, the append must retry onto v+2")
+    val got = AtomicIncrement.readCommitted(spark, sink)
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(got(5L) == "U" && got(31L) == "w" && got.size == 31)
+    // winner RAISING the max (a second appender — a single-writer
+    // violation anyway): the fingerprint moves, the loser rethrows
+    intercept[java.util.ConcurrentModificationException] {
+      AtomicIncrement.appendWithHook(
+        Seq((40L, "x40", 0.0)).toDF("k", "v", "x").repartition(1),
+        sink, "k",
+        beforePublish = () => {
+          AtomicIncrement.appendIncrementAtomic(
+            Seq((50L, "x50", 0.0)).toDF("k", "v", "x").repartition(1),
+            sink, "k")
+          ()
+        })
+    }
+    assert(AtomicIncrement.vacuumUncommitted(spark, sink) <= 1)
+  }
+
   test("a predicate DELETE racing a provably-out-of-scope append " +
       "commits on retry; a may-match append still loses") {
     import org.apache.spark.sql.sources.GreaterThan
