@@ -529,12 +529,17 @@ object AtomicIncrement {
       case None => df
     }
     // the hot path — no dvs, no pinned schema (the caller reads the
-    // whole snapshot, so subset schema == full schema): ONE mergeSchema
-    // relation, exactly the pre-dv readCommitted. Callers reading a
-    // PRUNED subset must pin the full schema themselves or an evolved
-    // column carried only by pruned files would vanish.
+    // whole snapshot, so subset schema == full schema): ONE relation
+    // pinned to the memoized merged schema of exactly this file list
+    // (dataSchema pays the mergeSchema footer job ONCE per list and
+    // every later read of the same immutable set plans with ZERO jobs
+    // — the bench's lakehouse fixtures re-read each sink many times,
+    // and the per-read schema-inference job was pure fixed cost).
+    // Callers reading a PRUNED subset must pin the full schema
+    // themselves or an evolved column carried only by pruned files
+    // would vanish.
     if (dvE.isEmpty && schemaOpt.isEmpty && dataSubset.nonEmpty)
-      return tag(spark.read.option("mergeSchema", "true")
+      return tag(spark.read.schema(dataSchema(spark, sink, dataSubset))
         .parquet(dataSubset.map(e => s"$sink/${e.path}"): _*))
     val schema = schemaOpt.getOrElse {
       // the schema comes from the FULL committed data list so a pruned
@@ -554,7 +559,10 @@ object AtomicIncrement {
       s"delete vectors disagree on the merge key at $sink: $keyCols")
     val keyCol = keyCols.head
     def dvKeys(entries: Seq[ManifestEntry]): DataFrame =
-      spark.read.parquet(entries.map(e => s"$sink/${e.path}"): _*)
+      // dv files are engine-written and immutable — pin their memoized
+      // merged schema so the read plans without a schema-inference job
+      spark.read.schema(dataSchema(spark, sink, entries))
+        .parquet(entries.map(e => s"$sink/${e.path}"): _*)
         .select(col(keyCol))
     dataSubset.groupBy(seqOf).toSeq.sortBy(_._1).map { case (s, group) =>
       val masks = dvE.filter(d => seqOf(d) > s)
@@ -998,10 +1006,13 @@ object AtomicIncrement {
       val empty = readVersion(spark, sink, to).limit(0)
       return (empty, empty)
     }
-    // one footer pass resolves the union schema both sides read under
-    val schema = spark.read.option("mergeSchema", "true")
-      .parquet((if (allFiles.nonEmpty) allFiles
-        else common.map(e => s"$sink/${e.path}")): _*).schema
+    // one memoized footer pass resolves the union schema both sides
+    // read under (content-addressed by the immutable file list — a
+    // repeated feed window re-plans with zero jobs; StructType.merge
+    // is order-insensitive under the append-only evolution the
+    // catalog allows, so the sorted memo key is safe)
+    val schema = dataSchema(spark, sink,
+      if (allFiles.nonEmpty) added ++ removed else common)
     // file-level halves, each under the dvs of ITS OWN version: plus =
     // added files' rows still live at `to`; minus = removed files'
     // rows that were live at `from` (rewritten survivors ride both
@@ -1026,7 +1037,8 @@ object AtomicIncrement {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           schema.apply(schema.fieldIndex(keyCol)))))
-      else spark.read.parquet(hit.map(e => s"$sink/${e.path}"): _*)
+      else spark.read.schema(dataSchema(spark, sink, hit))
+        .parquet(hit.map(e => s"$sink/${e.path}"): _*)
         .select(col(keyCol))
     }
     // the common files a newly-masked row can live in are PRUNED by
@@ -1056,6 +1068,7 @@ object AtomicIncrement {
       else {
         pruneChurnCollects.incrementAndGet()
         val vals = spark.read
+          .schema(dataSchema(spark, sink, newDv))
           .parquet(newDv.map(e => s"$sink/${e.path}"): _*)
           .select(col(keyCol)).distinct()
           .limit(maxPruneKeys + 1).collect()
@@ -1423,12 +1436,25 @@ object AtomicIncrement {
     priorFloors(fs, sink, version)
       .filter(_.column.equalsIgnoreCase(column))
 
+  /** Integral-column max from manifest stats alone, under
+    * [[rawMaxFingerprint]]'s all-files-covered rule — the zero-job
+    * answer for the fold-metadata columns (`__b`, `__wm`) the CDC
+    * folds stamp into their state lines (round-17 optimization: the
+    * replay-shield read was one 1-task job per fold/sync call).
+    */
+  private[graft] def manifestMaxLong(entries: Seq[ManifestEntry],
+      column: String): Option[Long] =
+    rawMaxFingerprint(entries, column).flatMap {
+      case (tag, mx) if integralTags.contains(tag) => mx.toLongOption
+      case _ => None
+    }
+
   /** The committed snapshot's max of `column` from manifest stats
     * alone — usable only when EVERY file carries matching stats (a
     * path-only line might hold the true max, so a partial answer is
     * no answer).
     */
-  private def manifestMaxLiteral(entries: Seq[ManifestEntry],
+  private[graft] def manifestMaxLiteral(entries: Seq[ManifestEntry],
       column: String, dt: org.apache.spark.sql.types.DataType)
       : Option[org.apache.spark.sql.Column] = {
     val expectTag = tagOf(dt).getOrElse(return None)
@@ -2480,11 +2506,22 @@ object AtomicIncrement {
       * typed in the key's own family so the join coerces exactly. */
     def toDf(spark: SparkSession, name: String): DataFrame
   }
+  /** Slices for a churn-keys frame: SIZE-ADAPTIVE, not
+    * defaultParallelism — `spark.createDataset(seq)` slices a local
+    * collection into one partition PER CORE, so a 3-key churn staged
+    * as a delete vector wrote 32 near-empty files per merge-on-read
+    * commit (each with its own manifest line, footer-stats read, scan
+    * task, and a share of a 64-path listing job on every later read).
+    * ~2 M keys per slice matches the merges' rowsPerStagedFile.
+    */
+  private def churnSlices(n: Int): Int =
+    math.max(1, n / 2000000)
   private[graft] final case class LongChurn(sorted: Array[Long])
       extends ChurnKeys {
     def size: Int = sorted.length
     def toDf(spark: SparkSession, name: String): DataFrame =
-      spark.createDataset(sorted.toSeq)(
+      spark.createDataset(spark.sparkContext.parallelize(
+        sorted.toSeq, churnSlices(sorted.length)))(
         org.apache.spark.sql.Encoders.scalaLong).toDF(name)
   }
   private[graft] final case class StringChurn(sorted: Array[String])
@@ -2493,7 +2530,8 @@ object AtomicIncrement {
       _.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     def size: Int = sorted.length
     def toDf(spark: SparkSession, name: String): DataFrame =
-      spark.createDataset(sorted.toSeq)(
+      spark.createDataset(spark.sparkContext.parallelize(
+        sorted.toSeq, churnSlices(sorted.length)))(
         org.apache.spark.sql.Encoders.STRING).toDF(name)
   }
 
@@ -3043,7 +3081,8 @@ object AtomicIncrement {
     var pooled = 0
     val keysBySeq: Map[Long, Array[org.apache.spark.sql.Row]] =
       dvE.groupBy(seqOf).map { case (s, es) =>
-        val r = spark.read.parquet(es.map(e => s"$sink/${e.path}"): _*)
+        val r = spark.read.schema(dataSchema(spark, sink, es))
+          .parquet(es.map(e => s"$sink/${e.path}"): _*)
           .select(col(keyCol)).distinct()
           .limit(maxChurnKeys + 1 - pooled).collect()
         pooled += r.length

@@ -561,7 +561,7 @@ object Dedup {
       clusterPairs(jaccardPairs(memoShingles(s, dir), "doc_id", minJaccard))
         .write.mode("overwrite").parquet(cache)
     }
-    s.read.parquet(cache)
+    graft.sources.DerivedCache.read(s, cache)
   }
 
   /** Memoized (doc_id, sh) shingle frame for a source dir — the
@@ -578,7 +578,7 @@ object Dedup {
     if (!graft.sources.DerivedCache.isComplete(s, cache))
       shingled(table(s, dir, "documents"), "doc_id", "text")
         .write.mode("overwrite").parquet(cache)
-    s.read.parquet(cache)
+    graft.sources.DerivedCache.read(s, cache)
   }
 
   /** Memoized LSH band frame over [[memoShingles]] — shared by the
@@ -592,7 +592,7 @@ object Dedup {
     if (!graft.sources.DerivedCache.isComplete(s, cache))
       lshBandsFromShingles(memoShingles(s, dir), "doc_id")
         .write.mode("overwrite").parquet(cache)
-    s.read.parquet(cache)
+    graft.sources.DerivedCache.read(s, cache)
   }
 
   /** [[minhashNearDups]] over a SUBSET of a source directory's

@@ -131,7 +131,7 @@ object Graph {
       s, s"$dir/lineitem.parquet", "coorder-edges")
     if (!graft.sources.DerivedCache.isComplete(s, cache))
       partCoOrderEdges(s, dir).write.mode("overwrite").parquet(cache)
-    s.read.parquet(cache)
+    graft.sources.DerivedCache.read(s, cache)
   }
 
   /** Memoized trade-graph pair list. Two source tables feed it, and
@@ -149,7 +149,7 @@ object Graph {
       s"${st.getModificationTime}:${st.getLen}")
     if (!graft.sources.DerivedCache.isComplete(s, cache))
       tradePairs(s, dir).write.mode("overwrite").parquet(cache)
-    s.read.parquet(cache)
+    graft.sources.DerivedCache.read(s, cache)
   }
 
   /** The trade graph in its MATERIALIZED iteration form: the
@@ -183,7 +183,7 @@ object Graph {
           .write.mode("overwrite").parquet(nodeDir)
       }
     }
-    (s.read.parquet(adjDir), s.read.parquet(nodeDir))
+    (graft.sources.DerivedCache.read(s, adjDir), graft.sources.DerivedCache.read(s, nodeDir))
   }
 
   /** Per-node triangle counts + local clustering coefficient over an

@@ -38,11 +38,20 @@ object IncrementalAgg {
       keys: Seq[String], sumCols: Seq[String], watermarkCol: String,
       beforePublish: () => Unit): Long = {
     val spark = batch.sparkSession
-    val (version, prior) = AtomicIncrement.snapshot(spark, sink)
-    val wm = if (prior.isEmpty) None
-      else Option(readState(spark, sink).agg(max("__wm")).head().get(0))
+    val (version, dataE, _) = AtomicIncrement.snapshotSplit(spark, sink)
+    // stored-watermark read: manifest stats first (the state lines
+    // stamp `__wm` bounds since the round-17 optimization — zero
+    // jobs), else the one-job max over the state (legacy sinks)
+    val wm: Option[org.apache.spark.sql.Column] =
+      if (dataE.isEmpty) None
+      else {
+        val st = readState(spark, sink)
+        AtomicIncrement.manifestMaxLiteral(dataE, "__wm",
+            st.schema("__wm").dataType)
+          .orElse(Option(st.agg(max("__wm")).head().get(0)).map(lit))
+      }
     val fresh = wm match {
-      case Some(w) => batch.filter(col(watermarkCol) > lit(w))
+      case Some(w) => batch.filter(col(watermarkCol) > w)
       case None => batch
     }
     // Aggregate FIRST, cache the aggregate: the fresh-row count is
@@ -59,13 +68,16 @@ object IncrementalAgg {
       val n = partial.agg(coalesce(sum("__n"), lit(0L))).head().getLong(0)
       if (n > 0) {
         val merged =
-          if (prior.isEmpty) partial
+          if (dataE.isEmpty) partial
           else readState(spark, sink).unionByName(partial)
             .groupBy(keys.map(col): _*).agg(
               sum("__n").as("__n"),
               sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")) :+
                 max("__wm").as("__wm"): _*)
-        AtomicIncrement.replaceWithHook(merged, sink, version, beforePublish)
+        // stamp `__wm` stats into the state lines so the next fold's
+        // stored-watermark read answers from the manifest (zero jobs)
+        AtomicIncrement.replaceWithHook(merged, sink, version,
+          beforePublish, statsFields = Seq(merged.schema("__wm")))
       }
       n
     } finally { partial.unpersist(); () }
@@ -118,14 +130,18 @@ object IncrementalAgg {
   def mergeCdcBatch(plus: DataFrame, minus: DataFrame, sink: String,
       keys: Seq[String], sumCols: Seq[String], batchId: Long): Boolean = {
     val spark = plus.sparkSession
-    val (version, priorFiles) = AtomicIncrement.snapshot(spark, sink)
+    val (version, dataE, _) = AtomicIncrement.snapshotSplit(spark, sink)
     val prior =
-      if (priorFiles.isEmpty) None else Some(readState(spark, sink))
+      if (dataE.isEmpty) None else Some(readState(spark, sink))
     // the bootstrap fold (no committed state yet) always applies — a
     // bootstrap conventionally sits at batchId −1 so the stream's own
-    // ids can start at 0 without colliding with it
+    // ids can start at 0 without colliding with it. The replay-shield
+    // read answers from manifest stats when the state lines stamp
+    // them (every fold since the round-17 optimization; zero jobs),
+    // else one small max job (legacy sinks).
     val last = prior.map(st =>
-      st.agg(max("__b")).head().getLong(0)).getOrElse(Long.MinValue)
+      AtomicIncrement.manifestMaxLong(dataE, "__b").getOrElse(
+        st.agg(max("__b")).head().getLong(0))).getOrElse(Long.MinValue)
     if (prior.nonEmpty && batchId <= last) return false
     val delta = signedAgg(plus, 1, keys, sumCols)
       .unionByName(signedAgg(minus, -1, keys, sumCols))
@@ -136,7 +152,8 @@ object IncrementalAgg {
         sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")): _*)
       .filter(col("__n") > 0)
       .withColumn("__b", lit(batchId))
-    AtomicIncrement.replaceSnapshot(merged, sink, version)
+    AtomicIncrement.replaceWithHook(merged, sink, version, () => (),
+      statsFields = Seq(merged.schema("__b")))
     true
   }
 
@@ -206,11 +223,12 @@ object IncrementalAgg {
     require(minMaxCols.nonEmpty,
       "no min/max columns: use mergeCdcBatch, which needs no rescan")
     val spark = plus.sparkSession
-    val (version, priorFiles) = AtomicIncrement.snapshot(spark, sink)
+    val (version, dataE, _) = AtomicIncrement.snapshotSplit(spark, sink)
     val prior =
-      if (priorFiles.isEmpty) None else Some(readState(spark, sink))
+      if (dataE.isEmpty) None else Some(readState(spark, sink))
     val last = prior.map(st =>
-      st.agg(max("__b")).head().getLong(0)).getOrElse(Long.MinValue)
+      AtomicIncrement.manifestMaxLong(dataE, "__b").getOrElse(
+        st.agg(max("__b")).head().getLong(0))).getOrElse(Long.MinValue)
     if (prior.nonEmpty && batchId <= last) return false
     val kcols = keys.map(col)
     val mmNames = minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
@@ -262,7 +280,8 @@ object IncrementalAgg {
       .select(kcols ++ (col("__n") +:
         (sumCols.map(c => col(s"sum_$c")) ++ mmNames.map(col))): _*)
       .withColumn("__b", lit(batchId))
-    AtomicIncrement.replaceSnapshot(merged, sink, version)
+    AtomicIncrement.replaceWithHook(merged, sink, version, () => (),
+      statsFields = Seq(merged.schema("__b")))
     true
   }
 
@@ -507,15 +526,22 @@ object IncrementalAgg {
           "strings/doubles (hash domain + dictionary)")
       val base = df.select((keys.map(col) :+
         col(valueCol).cast("long").as("__v")): _*)
-      dyadicLevels(radixBits).map(l =>
-        base.select((keys.map(col) :+
-          shiftright(col("__v"), l).as("__p") :+
-          lit(l).as("__lvl")): _*))
-        .reduce(_ unionByName _)
+      // ONE scan with a generator per level, not a union of per-level
+      // selects: the union shape re-scanned the source once PER LEVEL
+      // (16 scans at radix-16 — measured as the fold job's dominant
+      // task time), while explode emits the same (level, prefix) rows
+      // from a single pass. expr-shiftright takes the level as a
+      // column; types match the old shape exactly (int __lvl, long
+      // prefix), so every cell hash — and therefore the state — is
+      // byte-identical.
+      base
+        .withColumn("__lvl",
+          explode(array(dyadicLevels(radixBits).map(l => lit(l)): _*)))
+        .withColumn("__p", expr("shiftright(__v, __lvl)"))
         .withColumn("__d", explode(array((0 until depth).map(lit): _*)))
         .withColumn("__cell",
           pmod(xxhash64(col("__p"), col("__d")), lit(width.toLong)))
-        .drop("__p")
+        .drop("__v", "__p")
     }
     mergeCdcBatch(cells(plus), cells(minus), s"$sink/dyadic",
       keys ++ Seq("__lvl", "__d", "__cell"), Nil, batchId)
@@ -797,10 +823,7 @@ object IncrementalAgg {
       tableSink: String, stateSink: String, keys: Seq[String],
       valueCol: String, lo: Double, hi: Double, bins: Int): Long = {
     val current = AtomicIncrement.snapshot(spark, tableSink)._1
-    val bootstrapped =
-      AtomicIncrement.snapshot(spark, stateSink)._2.nonEmpty
-    val last = if (!bootstrapped) 0L
-      else readState(spark, stateSink).agg(max("__b")).head().getLong(0)
+    val last = lastSyncedBatch(spark, stateSink)
     if (current <= last) return 0L
     val (plus, minus) = AtomicIncrement.changesBetween(spark, tableSink,
       math.max(last, 0L), current)
@@ -831,10 +854,7 @@ object IncrementalAgg {
       tableSink: String, stateSink: String, keys: Seq[String],
       sumCols: Seq[String]): Long = {
     val current = AtomicIncrement.snapshot(spark, tableSink)._1
-    val bootstrapped =
-      AtomicIncrement.snapshot(spark, stateSink)._2.nonEmpty
-    val last = if (!bootstrapped) 0L
-      else readState(spark, stateSink).agg(max("__b")).head().getLong(0)
+    val last = lastSyncedBatch(spark, stateSink)
     if (current <= last) return 0L
     val (plus, minus) = AtomicIncrement.changesBetween(spark, tableSink,
       math.max(last, 0L), current)
@@ -856,10 +876,7 @@ object IncrementalAgg {
       tableSink: String, stateSink: String, keys: Seq[String],
       valueCol: String): Long = {
     val current = AtomicIncrement.snapshot(spark, tableSink)._1
-    val bootstrapped =
-      AtomicIncrement.snapshot(spark, stateSink)._2.nonEmpty
-    val last = if (!bootstrapped) 0L
-      else readState(spark, stateSink).agg(max("__b")).head().getLong(0)
+    val last = lastSyncedBatch(spark, stateSink)
     if (current <= last) return 0L
     val (plus, minus) = AtomicIncrement.changesBetween(spark, tableSink,
       math.max(last, 0L), current)
@@ -888,10 +905,7 @@ object IncrementalAgg {
       sumCols: Seq[String], minMaxCols: Seq[String],
       maxGroupKeys: Int = 1000000): Long = {
     val current = AtomicIncrement.snapshot(spark, tableSink)._1
-    val bootstrapped =
-      AtomicIncrement.snapshot(spark, stateSink)._2.nonEmpty
-    val last = if (!bootstrapped) 0L
-      else readState(spark, stateSink).agg(max("__b")).head().getLong(0)
+    val last = lastSyncedBatch(spark, stateSink)
     if (current <= last) return 0L
     val (plus, minus) = AtomicIncrement.changesBetween(spark, tableSink,
       math.max(last, 0L), current)
@@ -900,6 +914,19 @@ object IncrementalAgg {
     mergeCdcExtremes(plus, minus, churnedRows, stateSink, keys,
       sumCols, minMaxCols, current)
     current - math.max(last, 0L)
+  }
+
+  /** The state sink's last-applied batch id (0 before bootstrap —
+    * sync feeds start at version 0): manifest stats when the state
+    * lines stamp `__b` (zero jobs, every fold since the round-17
+    * optimization), else one small max job on legacy sinks.
+    */
+  private def lastSyncedBatch(spark: org.apache.spark.sql.SparkSession,
+      stateSink: String): Long = {
+    val (_, dataE, _) = AtomicIncrement.snapshotSplit(spark, stateSink)
+    if (dataE.isEmpty) 0L
+    else AtomicIncrement.manifestMaxLong(dataE, "__b").getOrElse(
+      readState(spark, stateSink).agg(max("__b")).head().getLong(0))
   }
 
   /** Run a query whose plumbing needs a scratch atomic sink, then
@@ -1907,23 +1934,30 @@ object IncrementalAgg {
           val o = table(s, dir, "orders").select(
             col("o_orderkey"), col("o_orderstatus"),
             (col("o_custkey").bitwiseAND(-col("o_custkey"))).as("hh"))
+          // radixBits = 8 (round-17 optimization): the stride SCALING.md
+          // "dyadic radix" measured at fold 0.68×/read 0.57× — half the
+          // levels × depth cells per row, half the beam's window stages.
+          // The CM band and the exact ranking are unchanged (the oracle
+          // pins both at sf0.001/0.01/0.1); radix-16 stays the API
+          // default and keeps its spec coverage (TopKSketchSpec).
           mergeCdcDistinct(o, o.limit(0), exactSink,
             Seq("o_orderstatus"), "hh", 0L)
           mergeCdcTopKDyadic(o, o.limit(0), sketchSink,
-            Seq("o_orderstatus"), "hh", 0L)
+            Seq("o_orderstatus"), "hh", 0L, radixBits = 8)
           val minus = o.filter(col("o_orderkey") % 10 === 7)
           val plus = o.filter(col("o_orderkey") % 10 === 3)
             .withColumn("o_orderstatus", lit("X"))
           mergeCdcDistinct(plus, minus, exactSink,
             Seq("o_orderstatus"), "hh", 1L)
           mergeCdcTopKDyadic(plus, minus, sketchSink,
-            Seq("o_orderstatus"), "hh", 1L)
+            Seq("o_orderstatus"), "hh", 1L, radixBits = 8)
           val exact = readState(s, exactSink)
             .select(col("o_orderstatus"), col("hh"),
               col("__n").as("cnt"))
           val tot = exact.groupBy("o_orderstatus")
             .agg(sum("cnt").as("__tot"))
-          readTopKDyadic(s, sketchSink, Seq("o_orderstatus"), "hh", 3)
+          readTopKDyadic(s, sketchSink, Seq("o_orderstatus"), "hh", 3,
+            radixBits = 8)
             .join(exact, Seq("o_orderstatus", "hh"))
             .join(tot, Seq("o_orderstatus"))
             .select(col("o_orderstatus"), col("hh"), col("cnt"),

@@ -514,7 +514,7 @@ object Multimodal {
       gridW: Int = 16, gridH: Int = 12, outDim: Int = 8): Dataset[Embedded] = {
     import s.implicits._
     val inDim = gridW * gridH
-    val stats = s.read.parquet(projDir)
+    val stats = graft.sources.DerivedCache.read(s, projDir)
       .select("dim", "pix_sum", "n_docs").collect()
     require(stats.length == inDim, s"projection artifact has " +
       s"${stats.length} dims, expected $inDim")

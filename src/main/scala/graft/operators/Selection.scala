@@ -291,7 +291,7 @@ object Selection {
     // `_indexed` contract).
     "q_dsir_weights_indexed" -> QueryDef(
       (s, dir) => dsirScoreWith(spreadScan(table(s, dir, "documents")),
-          "doc_id", "text", s.read.parquet(ensureDsirModel(s, dir)))
+          "doc_id", "text", graft.sources.DerivedCache.read(s, ensureDsirModel(s, dir)))
         .orderBy("doc_id"),
       dsirOracleSql),
 

@@ -58,7 +58,7 @@ object SparseRetrieval {
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         .write.mode("overwrite").parquet(cache)
     InternalCaches.track(
-      s.read.parquet(cache).persist(StorageLevel.MEMORY_AND_DISK))
+      graft.sources.DerivedCache.read(s, cache).persist(StorageLevel.MEMORY_AND_DISK))
   }
 
   /** (query_id, doc_id, s6) quantized per-document scores for the

@@ -393,7 +393,7 @@ object TextAnalysis {
     val in = fs.open(unkPath)
     val qlpUnk = try scala.io.Source.fromInputStream(in, "UTF-8")
       .mkString.trim.toLong finally in.close()
-    (s.read.parquet(s"$cacheDir/model"), qlpUnk)
+    (graft.sources.DerivedCache.read(s, s"$cacheDir/model"), qlpUnk)
   }
 
   /** Freeze the bigram LM of [[lmScored]] as an artifact: the

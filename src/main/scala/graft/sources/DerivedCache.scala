@@ -51,6 +51,25 @@ object DerivedCache {
   /** (hits, misses) since process start — snapshot and diff. */
   def probeCounts: (Long, Long) = (probeHits.get, probeMisses.get)
 
+  /** Read a COMPLETE artifact dir under its memoized schema. A bare
+    * `spark.read.parquet` runs a schema-inference job on every call;
+    * artifact dirs are content-keyed (the source's mtime/length is in
+    * the path) and immutable once `_SUCCESS` lands, so their schema is
+    * a pure function of the dir — pay the inference once, pin it
+    * forever after (zero planning jobs on re-reads). A crashed build
+    * rebuilt over the same dir derives the same schema by construction
+    * (same source, same kind, same params).
+    */
+  def read(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val schema = schemaMemo.computeIfAbsent(dir,
+      _ => spark.read.parquet(dir).schema)
+    spark.read.schema(schema).parquet(dir)
+  }
+
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   /** Has a complete artifact been published at `dir`? Spark's
     * _SUCCESS marker is the completeness witness — a crashed build
     * leaves no marker and the next caller rebuilds over it.

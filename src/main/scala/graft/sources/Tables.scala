@@ -28,9 +28,26 @@ object Tables {
     * emit raw `ts` values to the oracle compare, only
     * truncated/derived forms.
     */
+  /** Inferred-schema memo keyed by (path, mtime, length): a bare
+    * `spark.read.parquet` runs a schema-inference job on EVERY call,
+    * and the bench's 216 queries each open their tables afresh — the
+    * memo pays that job once per distinct file state and pins the
+    * schema on every later read (zero planning jobs). A regenerated
+    * harness file changes mtime/length and misses.
+    */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p)
+    val key = s"$path#${st.getModificationTime}:${st.getLen}"
+    val schema = schemaMemo.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     if (name == "events") normalizeEventsTs(df) else df
   }
 

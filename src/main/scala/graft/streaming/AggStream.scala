@@ -38,17 +38,22 @@ object AggStream {
   private[graft] def foldBatch(batch: DataFrame, batchId: Long,
       sink: String, keys: Seq[String], sumCols: Seq[String]): Long = {
     val spark = batch.sparkSession
-    val (version, prior) = AtomicIncrement.snapshot(spark, sink)
+    val (version, dataE, _) = AtomicIncrement.snapshotSplit(spark, sink)
     // ONE committed read serves both the replay gate and the merge:
     // a second readCommitted for the union could straddle an external
     // writer's publish and merge against a state the `__lastBatch`
     // gate never saw (the OCC token protects the WRITE, not the
     // consistency of two reads) — and it doubles per-batch state I/O.
+    // The replay gate itself answers from the SAME snapshot's manifest
+    // stats when the state lines stamp `__lastBatch` (zero jobs since
+    // the round-17 optimization), one small max job on legacy sinks.
     val state =
-      if (prior.isEmpty) None
+      if (dataE.isEmpty) None
       else Some(AtomicIncrement.readCommitted(spark, sink))
     val lastBatch = state match {
-      case Some(st) => st.agg(max("__lastBatch")).head().getLong(0)
+      case Some(st) =>
+        AtomicIncrement.manifestMaxLong(dataE, "__lastBatch").getOrElse(
+          st.agg(max("__lastBatch")).head().getLong(0))
       case None => -1L
     }
     if (batchId <= lastBatch) return 0L // redelivery after a crash
@@ -68,7 +73,8 @@ object AggStream {
               sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")) :+
                 max("__lastBatch").as("__lastBatch"): _*)
         }
-        AtomicIncrement.replaceSnapshot(merged, sink, version)
+        AtomicIncrement.replaceWithHook(merged, sink, version, () => (),
+          statsFields = Seq(merged.schema("__lastBatch")))
       }
       n
     } finally { partial.unpersist(); () }
