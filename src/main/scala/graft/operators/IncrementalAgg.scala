@@ -128,7 +128,24 @@ object IncrementalAgg {
     * here and derive ratios at read time.
     */
   def mergeCdcBatch(plus: DataFrame, minus: DataFrame, sink: String,
-      keys: Seq[String], sumCols: Seq[String], batchId: Long): Boolean = {
+      keys: Seq[String], sumCols: Seq[String], batchId: Long): Boolean =
+    mergeCdcCore(plus, minus, sink, keys, sumCols, batchId, None)
+
+  /** [[mergeCdcBatch]] for PRE-AGGREGATED inputs: each row of
+    * `plus`/`minus` carries `weightCol` occurrences (a long count an
+    * upstream aggregate folded before a generator fan-out — guide
+    * §2.3 "aggregate before you shuffle", applied before explode).
+    * Identical state and semantics, with `__n` moved by Σ weight
+    * instead of the row count.
+    */
+  private[graft] def mergeCdcWeighted(plus: DataFrame,
+      minus: DataFrame, sink: String, keys: Seq[String],
+      weightCol: String, batchId: Long): Boolean =
+    mergeCdcCore(plus, minus, sink, keys, Nil, batchId, Some(weightCol))
+
+  private def mergeCdcCore(plus: DataFrame, minus: DataFrame,
+      sink: String, keys: Seq[String], sumCols: Seq[String],
+      batchId: Long, weightCol: Option[String]): Boolean = {
     val spark = plus.sparkSession
     val (version, dataE, _) = AtomicIncrement.snapshotSplit(spark, sink)
     val prior =
@@ -143,8 +160,8 @@ object IncrementalAgg {
       AtomicIncrement.manifestMaxLong(dataE, "__b").getOrElse(
         st.agg(max("__b")).head().getLong(0))).getOrElse(Long.MinValue)
     if (prior.nonEmpty && batchId <= last) return false
-    val delta = signedAgg(plus, 1, keys, sumCols)
-      .unionByName(signedAgg(minus, -1, keys, sumCols))
+    val delta = signedAgg(plus, 1, keys, sumCols, weightCol)
+      .unionByName(signedAgg(minus, -1, keys, sumCols, weightCol))
     val merged = prior.map(_.drop("__b").unionByName(delta))
       .getOrElse(delta)
       .groupBy(keys.map(col): _*).agg(
@@ -164,7 +181,7 @@ object IncrementalAgg {
     * silently widening to double and drifting at 2⁵³-scale totals.
     */
   private def signedAgg(df: DataFrame, sign: Int, keys: Seq[String],
-      sumCols: Seq[String]): DataFrame = {
+      sumCols: Seq[String], weightCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types._
     def zeroOf(c: String) = df.schema.fields
       .find(_.name.equalsIgnoreCase(c)).map(_.dataType) match {
@@ -173,8 +190,12 @@ object IncrementalAgg {
           lit(java.math.BigDecimal.ZERO).cast(d)
         case _ => lit(0.0)
       }
+    // pre-aggregated rows carry their multiplicity; plain rows count 1
+    val n = weightCol
+      .map(w => coalesce(sum(col(w).cast(LongType)), lit(0L)))
+      .getOrElse(count(lit(1)))
     df.groupBy(keys.map(col): _*).agg(
-      (count(lit(1)) * sign).as("__n"),
+      (n * sign).as("__n"),
       sumCols.map(c =>
         (coalesce(sum(col(c)), zeroOf(c)) * sign).as(s"sum_$c")): _*)
   }
@@ -436,10 +457,20 @@ object IncrementalAgg {
       s"bad sketch shape: k=$k width=$width depth=$depth pool=$poolFactor")
     val spark = plus.sparkSession
     val (cellSink, poolSink) = (s"$sink/cm", s"$sink/pool")
-    def cells(df: DataFrame) = cmCells(df, keys, valueCol, width, depth)
+    // aggregate before the depth fan-out (guide §2.3): count per
+    // (group, value) first — the batch collapses to its distinct
+    // values before explode ships depth× rows into the fold — then
+    // move the same counters through the weighted fold. Cell hashes
+    // and state are byte-identical to the per-row shape.
+    def cells(df: DataFrame) = df
+      .groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__w"))
+      .withColumn("__d", explode(array((0 until depth).map(lit): _*)))
+      .withColumn("__cell",
+        pmod(xxhash64(col(valueCol), col("__d")), lit(width.toLong)))
       .drop(valueCol)
-    val applied = mergeCdcBatch(cells(plus), cells(minus), cellSink,
-      keys ++ Seq("__d", "__cell"), Nil, batchId)
+    val applied = mergeCdcWeighted(cells(plus), cells(minus), cellSink,
+      keys ++ Seq("__d", "__cell"), "__w", batchId)
     val pairCols = (keys :+ valueCol).map(col)
     mergeCdcBatch(plus.select(pairCols: _*), minus.select(pairCols: _*),
       poolSink, keys :+ valueCol, Nil, batchId)
@@ -526,15 +557,19 @@ object IncrementalAgg {
           "strings/doubles (hash domain + dictionary)")
       val base = df.select((keys.map(col) :+
         col(valueCol).cast("long").as("__v")): _*)
-      // ONE scan with a generator per level, not a union of per-level
-      // selects: the union shape re-scanned the source once PER LEVEL
-      // (16 scans at radix-16 — measured as the fold job's dominant
-      // task time), while explode emits the same (level, prefix) rows
-      // from a single pass. expr-shiftright takes the level as a
-      // column; types match the old shape exactly (int __lvl, long
-      // prefix), so every cell hash — and therefore the state — is
-      // byte-identical.
-      base
+      // AGGREGATE BEFORE THE FAN-OUT (guide §2.3), then ONE scan with
+      // a generator per level instead of a union of per-level selects:
+      // the union shape re-scanned the source once PER LEVEL (16 scans
+      // at radix-16 — measured as the fold job's dominant task time),
+      // and even single-scanned, exploding raw rows ships
+      // |batch| × levels × depth rows into the fold's aggregate. The
+      // per-(group, value) count first collapses the batch to its
+      // distinct values (bounded by the domain, ≪ |batch| for the
+      // heavy-hitter workloads this sketch exists for), and the
+      // weighted fold moves the same counters — cell hashes, state,
+      // and estimates are byte-identical (oracle-pinned).
+      base.groupBy((keys.map(col) :+ col("__v")): _*)
+        .agg(count(lit(1)).as("__w"))
         .withColumn("__lvl",
           explode(array(dyadicLevels(radixBits).map(l => lit(l)): _*)))
         .withColumn("__p", expr("shiftright(__v, __lvl)"))
@@ -543,8 +578,8 @@ object IncrementalAgg {
           pmod(xxhash64(col("__p"), col("__d")), lit(width.toLong)))
         .drop("__v", "__p")
     }
-    mergeCdcBatch(cells(plus), cells(minus), s"$sink/dyadic",
-      keys ++ Seq("__lvl", "__d", "__cell"), Nil, batchId)
+    mergeCdcWeighted(cells(plus), cells(minus), s"$sink/dyadic",
+      keys ++ Seq("__lvl", "__d", "__cell"), "__w", batchId)
   }
 
   /** [[mergeCdcTopKDyadic]] for ARBITRARY value columns — strings,
