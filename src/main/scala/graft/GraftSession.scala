@@ -30,6 +30,17 @@ object GraftSession {
       // explicit since the whole correctness/bench harness rides on them.
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.enableVectorizedReader", "true")
+      // v2 file-output committer: task commits rename straight into the
+      // output dir, job commit is O(1) instead of moving every task's
+      // dir again. Visibility/atomicity of a graft sink NEVER rides the
+      // committer — the manifest publish is the transaction boundary
+      // and half-staged batch dirs are reclaimed on failure — so v2's
+      // weaker job-failure cleanup is immaterial here while every
+      // staged commit saves the double rename (WriteProbe: 109 → 95 ms
+      // per tiny staged file; scales with file count on real tables).
+      // On an object store without atomic rename you would override
+      // this with a store-native committer either way.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
 
   def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 

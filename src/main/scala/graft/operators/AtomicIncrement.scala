@@ -1297,16 +1297,26 @@ object AtomicIncrement {
     // aggregate job — the previous shape (`df.count() - n`) rescanned
     // the entire micro-batch from source on every gated batch
     val countBoth = countDropped && wmExpr.isDefined
-    val toCache = if (countBoth) df else fresh
-    toCache.cache()
+    if (countBoth) df.cache()
     try {
-      val (n, dropped) =
+      // THE COMMON LEG STAGES FIRST and takes its row count from the
+      // staged footers (round 18, guide §1.2 step 1): the manifest
+      // line already opens every staged footer once — the exact row
+      // count rides it for free — so the pre-staging `fresh.count()`
+      // action (plus the cache that kept count+write to one source
+      // scan) is a second pass the append never needed. One source
+      // pass per append now; an all-filtered replay stages an empty
+      // batch dir and reclaims it immediately (the rare path pays a
+      // no-row write where it used to pay a count — the common path
+      // saves a whole action). The COUNTED leg keeps the old order:
+      // its fatal late-rows check must fire before any bytes land.
+      val (preN, dropped) =
         if (countBoth) {
           val r = df.agg(
             count(lit(1)),
             count(when(col(watermarkCol) > wmExpr.get, 1))).head()
           (r.getLong(1), r.getLong(0) - r.getLong(1))
-        } else (fresh.count(), 0L)
+        } else (-1L, 0L)
       // the fatal check fires BEFORE any staging or publish — a
       // failed batch must leave the table byte-identical (the
       // streaming sink's failOnLateRows rides this)
@@ -1317,12 +1327,27 @@ object AtomicIncrement {
             "batch is a retry, DATA LOSS if the stream delivers " +
             "out-of-order event times (the append contract requires " +
             "cross-batch watermark monotonicity)")
+      val (batchDir, staged0) =
+        if (preN == 0) ("", Seq.empty[ManifestEntry])
+        else {
+          val (dir, rels) = stageBatchDir(fresh, spark, fs, sink)
+          (dir, rels.map(rel =>
+            entryForStagedFile(spark, sink, rel, resolved +: extraFields)))
+        }
+      val n =
+        if (preN >= 0) preN
+        else staged0.foldLeft(Option(0L)) { (acc, e) =>
+          for { a <- acc; st <- e.statsFor(RowsCol)
+                c <- st.max.toLongOption } yield a + c
+        }.getOrElse( // unreadable footer: count the staged bytes
+          spark.read.schema(fresh.schema)
+            .parquet(staged0.map(e => s"$sink/${e.path}"): _*).count())
+      if (n == 0 && batchDir.nonEmpty)
+        fs.delete(new Path(s"$sink/$batchDir"), true)
       if (n > 0) {
         // on a dv-carrying table new data must outrank every standing
         // tombstone, or an appended key that was once deleted would be
         // re-masked — stamp the staged lines at this commit's sequence
-        val staged0 = stageEntries(fresh, spark, fs, sink,
-          resolved +: extraFields)
         val staged = if (dvEntries.isEmpty) staged0
           else staged0.map(stampSeq(_, version + 1))
         def dropStaged(): Unit =
@@ -1400,7 +1425,7 @@ object AtomicIncrement {
         }
       }
       Some((n, dropped))
-    } finally { toCache.unpersist(); () }
+    } finally { if (countBoth) df.unpersist(); () }
   }
 
   /** The snapshot's raw (tag, max) for `column` from manifest stats
@@ -1497,14 +1522,23 @@ object AtomicIncrement {
     * can crash-inject between stage and publish.
     */
   private[graft] def stageBatch(fresh: DataFrame, spark: SparkSession,
-      fs: FileSystem, sink: String): Seq[String] = {
+      fs: FileSystem, sink: String): Seq[String] =
+    stageBatchDir(fresh, spark, fs, sink)._2
+
+  /** [[stageBatch]] that also returns the batch directory itself, so a
+    * caller that discovers the staged batch is empty (zero parquet
+    * parts, or zero rows by footer count) can reclaim the directory
+    * without parsing it back out of a file path.
+    */
+  private[graft] def stageBatchDir(fresh: DataFrame, spark: SparkSession,
+      fs: FileSystem, sink: String): (String, Seq[String]) = {
     val batch = s"$DataDir/batch-${java.util.UUID.randomUUID()}"
     fresh.write.parquet(s"$sink/$batch")
-    fs.listStatus(new Path(s"$sink/$batch")).toSeq
+    (batch, fs.listStatus(new Path(s"$sink/$batch")).toSeq
       .map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
       .sorted
-      .map(n => s"$batch/$n")
+      .map(n => s"$batch/$n"))
   }
 
   /** [[stageBatch]] plus per-file footer stats for each of

@@ -160,44 +160,57 @@ object IncrementalAgg {
       AtomicIncrement.manifestMaxLong(dataE, "__b").getOrElse(
         st.agg(max("__b")).head().getLong(0))).getOrElse(Long.MinValue)
     if (prior.nonEmpty && batchId <= last) return false
-    val delta = signedAgg(plus, 1, keys, sumCols, weightCol)
-      .unionByName(signedAgg(minus, -1, keys, sumCols, weightCol))
-    val merged = prior.map(_.drop("__b").unionByName(delta))
-      .getOrElse(delta)
-      .groupBy(keys.map(col): _*).agg(
-        sum("__n").as("__n"),
-        sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")): _*)
-      .filter(col("__n") > 0)
-      .withColumn("__b", lit(batchId))
+    // ONE exchange for the whole fold (guide §2.3/§2.4, round 18): the
+    // prior state, the plus rows, and the minus rows union as signed
+    // per-row CONTRIBUTIONS (state rows carry their folded __n/sums,
+    // batch rows ±1/±weight and ±value) into a single hash aggregate —
+    // map-side partial aggregation collapses each side per partition,
+    // so the shuffle carries the same group partials the old per-side
+    // pre-aggregates shipped, minus their two extra exchanges and the
+    // re-aggregate exchange behind them (3 → 1; at the bench's AQE
+    // stage-per-job execution that is ~2 fewer jobs per fold). Group
+    // algebra, typed-zero coalesce, and the __n > 0 drop are unchanged
+    // (Σ±value ≡ Σplus − Σminus; doubles reassociate within the same
+    // rounding the fixtures already tolerate).
+    val merged = mergedCdcState(prior, plus, minus, keys, sumCols,
+      weightCol).withColumn("__b", lit(batchId))
     AtomicIncrement.replaceWithHook(merged, sink, version, () => (),
       statsFields = Seq(merged.schema("__b")))
     true
   }
 
-  /** One signed group partial — `(count, sums) × sign` — the abelian
-    * half of every CDC fold here. Sums coalesce their all-null-group
-    * zero in the column's NATIVE family, so an integer sum stays
-    * integral through the fold (parity with [[mergeBatch]]) instead of
-    * silently widening to double and drifting at 2⁵³-scale totals.
+  /** The fold's merged state in one aggregate: signed contributions
+    * from prior state + both batch sides through a single groupBy.
+    * Output: keys, `__n`, `sum_<c>`s (no `__b`).
     */
-  private def signedAgg(df: DataFrame, sign: Int, keys: Seq[String],
-      sumCols: Seq[String], weightCol: Option[String] = None): DataFrame = {
+  private def mergedCdcState(prior: Option[DataFrame], plus: DataFrame,
+      minus: DataFrame, keys: Seq[String], sumCols: Seq[String],
+      weightCol: Option[String]): DataFrame = {
     import org.apache.spark.sql.types._
-    def zeroOf(c: String) = df.schema.fields
-      .find(_.name.equalsIgnoreCase(c)).map(_.dataType) match {
+    def contrib(df: DataFrame, sign: Int): DataFrame = {
+      val n = weightCol
+        .map(w => col(w).cast(LongType) * sign)
+        .getOrElse(lit(sign.toLong))
+      df.select((keys.map(col) :+ n.as("__n")) ++
+        sumCols.map(c =>
+          (if (sign >= 0) col(c) else -col(c)).as(s"sum_$c")): _*)
+    }
+    val all = (prior.map(_.drop("__b")).toSeq :+
+      contrib(plus, 1) :+ contrib(minus, -1)).reduce(_ unionByName _)
+    // typed zero for a surviving group whose value contributions are
+    // all null — signedAgg's zeroOf semantics, applied once post-union
+    def zeroOf(c: String) = all.schema.fields
+      .find(_.name.equalsIgnoreCase(s"sum_$c")).map(_.dataType) match {
         case Some(ByteType | ShortType | IntegerType | LongType) => lit(0L)
         case Some(d: DecimalType) =>
           lit(java.math.BigDecimal.ZERO).cast(d)
         case _ => lit(0.0)
       }
-    // pre-aggregated rows carry their multiplicity; plain rows count 1
-    val n = weightCol
-      .map(w => coalesce(sum(col(w).cast(LongType)), lit(0L)))
-      .getOrElse(count(lit(1)))
-    df.groupBy(keys.map(col): _*).agg(
-      (n * sign).as("__n"),
+    all.groupBy(keys.map(col): _*).agg(
+      sum("__n").as("__n"),
       sumCols.map(c =>
-        (coalesce(sum(col(c)), zeroOf(c)) * sign).as(s"sum_$c")): _*)
+        coalesce(sum(s"sum_$c"), zeroOf(c)).as(s"sum_$c")): _*)
+      .filter(col("__n") > 0)
   }
 
   /** Retractable rollup WITH min/max — the non-abelian face
@@ -261,17 +274,12 @@ object IncrementalAgg {
       keys.map(k => col(k).as(s"__ck_$k")): _*)
     def touchesChurn(df: DataFrame) = keys
       .map(k => col(k) <=> col(s"__ck_$k")).reduce(_ && _)
-    // abelian half: counts and sums from the deltas alone
-    val delta = signedAgg(plus, 1, keys, sumCols)
-      .unionByName(signedAgg(minus, -1, keys, sumCols))
-    val counts = prior.map(_.select(
-        (kcols :+ col("__n")) ++ sumCols.map(c => col(s"sum_$c")): _*)
-        .unionByName(delta))
-      .getOrElse(delta)
-      .groupBy(kcols: _*).agg(
-        sum("__n").as("__n"),
-        sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")): _*)
-      .filter(col("__n") > 0)
+    // abelian half: state + both sides through the fold's single
+    // contribution aggregate (one exchange — see mergedCdcState)
+    val counts = mergedCdcState(
+      prior.map(_.select(
+        (kcols :+ col("__n")) ++ sumCols.map(c => col(s"sum_$c")): _*)),
+      plus, minus, keys, sumCols, None)
     // non-abelian half: churned groups rescan, the rest carry state
     val mmAggs = minMaxCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
@@ -469,11 +477,15 @@ object IncrementalAgg {
       .withColumn("__cell",
         pmod(xxhash64(col(valueCol), col("__d")), lit(width.toLong)))
       .drop(valueCol)
-    val applied = mergeCdcWeighted(cells(plus), cells(minus), cellSink,
-      keys ++ Seq("__d", "__cell"), "__w", batchId)
+    // the cell fold and the pool fold touch disjoint child sinks with
+    // independent replay shields — overlap them (guide §2.6); the
+    // prune below still runs strictly after both
     val pairCols = (keys :+ valueCol).map(col)
-    mergeCdcBatch(plus.select(pairCols: _*), minus.select(pairCols: _*),
-      poolSink, keys :+ valueCol, Nil, batchId)
+    val (applied, _) = inParallel2(
+      mergeCdcWeighted(cells(plus), cells(minus), cellSink,
+        keys ++ Seq("__d", "__cell"), "__w", batchId),
+      mergeCdcBatch(plus.select(pairCols: _*), minus.select(pairCols: _*),
+        poolSink, keys :+ valueCol, Nil, batchId))
     // prune the pool to the cap by CM estimate — state-sized, runs
     // even on replay (idempotent), so a crash mid-prune self-heals
     val cap = poolFactor * k
@@ -501,6 +513,31 @@ object IncrementalAgg {
           poolSink, poolVersion)
     }
     applied
+  }
+
+  /** Run two INDEPENDENT fold legs concurrently (guide §2.6: actions
+    * are only sequential because the driver calls them sequentially —
+    * Spark schedules concurrent jobs FIFO and back-fills idle cores).
+    * The legs must target DISJOINT sinks: each keeps its own `__b`
+    * replay shield and OCC token, so the pair's crash/replay matrix is
+    * the product of the legs' independent ones — a crash can leave
+    * either applied and the retry no-ops whichever already landed,
+    * exactly as under the old fixed order (neither leg ever read the
+    * other's sink). Errors rethrow on the caller's thread; the other
+    * leg is joined first so no fold is ever abandoned mid-commit.
+    */
+  private[operators] def inParallel2[A, B](a: => A, b: => B): (A, B) = {
+    var rb: Option[B] = None
+    var eb: Option[Throwable] = None
+    val tb = new Thread(() =>
+      try { rb = Some(b) } catch { case e: Throwable => eb = Some(e) })
+    tb.start()
+    val ra =
+      try a
+      catch { case e: Throwable => tb.join(); throw e }
+    tb.join()
+    eb.foreach(throw _)
+    (ra, rb.get)
   }
 
   /** Dyadic levels for a radix-2^b prefix tree over the signed-long
@@ -607,15 +644,18 @@ object IncrementalAgg {
       radixBits: Int = 4): Boolean = {
     def dom(df: DataFrame): DataFrame =
       df.withColumn("__dom", xxhash64(col(valueCol)))
-    val applied = mergeCdcTopKDyadic(dom(plus), dom(minus), sink,
-      keys, "__dom", batchId, width, depth, radixBits)
-    // the dictionary fold carries its own replay shield on the same
-    // batchId, so a crash between the two folds self-heals on retry
-    // (the sketch skips the replay, the dictionary applies it)
-    mergeCdcBatch(
-      dom(plus).select(col("__dom"), col(valueCol)),
-      dom(minus).select(col("__dom"), col(valueCol)),
-      s"$sink/dyadicdict", Seq("__dom", valueCol), Nil, batchId)
+    // the sketch and dictionary folds target disjoint child sinks,
+    // each under its own replay shield on the same batchId — overlap
+    // them (guide §2.6): whichever leg a crash strands, the retry
+    // applies it and no-ops the other, the same self-heal the old
+    // fixed order gave
+    val (applied, _) = inParallel2(
+      mergeCdcTopKDyadic(dom(plus), dom(minus), sink,
+        keys, "__dom", batchId, width, depth, radixBits),
+      mergeCdcBatch(
+        dom(plus).select(col("__dom"), col(valueCol)),
+        dom(minus).select(col("__dom"), col(valueCol)),
+        s"$sink/dyadicdict", Seq("__dom", valueCol), Nil, batchId))
     applied
   }
 
@@ -1725,17 +1765,20 @@ object IncrementalAgg {
         withScratchSink(s, "graft_dsketch") { sketchSink =>
           val o = table(s, dir, "orders").select(
             col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
-          mergeCdcDistinct(o, o.limit(0), exactSink,
-            Seq("o_orderstatus"), "o_custkey", 0L)
-          mergeCdcDistinctApprox(o, o.limit(0), sketchSink,
-            Seq("o_orderstatus"), "o_custkey", 0L)
+          // disjoint sinks — overlap each batch's two folds (§2.6)
+          inParallel2(
+            mergeCdcDistinct(o, o.limit(0), exactSink,
+              Seq("o_orderstatus"), "o_custkey", 0L),
+            mergeCdcDistinctApprox(o, o.limit(0), sketchSink,
+              Seq("o_orderstatus"), "o_custkey", 0L))
           val minus = o.filter(col("o_orderkey") % 10 === 7)
           val plus = o.filter(col("o_orderkey") % 10 === 3)
             .withColumn("o_orderstatus", lit("X"))
-          mergeCdcDistinct(plus, minus, exactSink,
-            Seq("o_orderstatus"), "o_custkey", 1L)
-          mergeCdcDistinctApprox(plus, minus, sketchSink,
-            Seq("o_orderstatus"), "o_custkey", 1L)
+          inParallel2(
+            mergeCdcDistinct(plus, minus, exactSink,
+              Seq("o_orderstatus"), "o_custkey", 1L),
+            mergeCdcDistinctApprox(plus, minus, sketchSink,
+              Seq("o_orderstatus"), "o_custkey", 1L))
           readDistinct(s, exactSink, Seq("o_orderstatus"), "o_custkey")
             .join(readDistinctApprox(s, sketchSink,
               Seq("o_orderstatus")), Seq("o_orderstatus"))
@@ -1908,17 +1951,22 @@ object IncrementalAgg {
           val o = table(s, dir, "orders").select(
             col("o_orderkey"), col("o_orderstatus"),
             (col("o_custkey").bitwiseAND(-col("o_custkey"))).as("hh"))
-          mergeCdcDistinct(o, o.limit(0), exactSink,
-            Seq("o_orderstatus"), "hh", 0L)
-          mergeCdcTopKSketch(o, o.limit(0), sketchSink,
-            Seq("o_orderstatus"), "hh", 0L, k = 3)
+          // the exact pair state and the sketch live in DISJOINT sinks
+          // — overlap each batch's two folds (guide §2.6); batches
+          // stay ordered within every sink
+          inParallel2(
+            mergeCdcDistinct(o, o.limit(0), exactSink,
+              Seq("o_orderstatus"), "hh", 0L),
+            mergeCdcTopKSketch(o, o.limit(0), sketchSink,
+              Seq("o_orderstatus"), "hh", 0L, k = 3))
           val minus = o.filter(col("o_orderkey") % 10 === 7)
           val plus = o.filter(col("o_orderkey") % 10 === 3)
             .withColumn("o_orderstatus", lit("X"))
-          mergeCdcDistinct(plus, minus, exactSink,
-            Seq("o_orderstatus"), "hh", 1L)
-          mergeCdcTopKSketch(plus, minus, sketchSink,
-            Seq("o_orderstatus"), "hh", 1L, k = 3)
+          inParallel2(
+            mergeCdcDistinct(plus, minus, exactSink,
+              Seq("o_orderstatus"), "hh", 1L),
+            mergeCdcTopKSketch(plus, minus, sketchSink,
+              Seq("o_orderstatus"), "hh", 1L, k = 3))
           val exact = readState(s, exactSink)
             .select(col("o_orderstatus"), col("hh"),
               col("__n").as("cnt"))
@@ -1975,17 +2023,20 @@ object IncrementalAgg {
           // The CM band and the exact ranking are unchanged (the oracle
           // pins both at sf0.001/0.01/0.1); radix-16 stays the API
           // default and keeps its spec coverage (TopKSketchSpec).
-          mergeCdcDistinct(o, o.limit(0), exactSink,
-            Seq("o_orderstatus"), "hh", 0L)
-          mergeCdcTopKDyadic(o, o.limit(0), sketchSink,
-            Seq("o_orderstatus"), "hh", 0L, radixBits = 8)
+          // disjoint sinks — overlap each batch's two folds (§2.6)
+          inParallel2(
+            mergeCdcDistinct(o, o.limit(0), exactSink,
+              Seq("o_orderstatus"), "hh", 0L),
+            mergeCdcTopKDyadic(o, o.limit(0), sketchSink,
+              Seq("o_orderstatus"), "hh", 0L, radixBits = 8))
           val minus = o.filter(col("o_orderkey") % 10 === 7)
           val plus = o.filter(col("o_orderkey") % 10 === 3)
             .withColumn("o_orderstatus", lit("X"))
-          mergeCdcDistinct(plus, minus, exactSink,
-            Seq("o_orderstatus"), "hh", 1L)
-          mergeCdcTopKDyadic(plus, minus, sketchSink,
-            Seq("o_orderstatus"), "hh", 1L, radixBits = 8)
+          inParallel2(
+            mergeCdcDistinct(plus, minus, exactSink,
+              Seq("o_orderstatus"), "hh", 1L),
+            mergeCdcTopKDyadic(plus, minus, sketchSink,
+              Seq("o_orderstatus"), "hh", 1L, radixBits = 8))
           val exact = readState(s, exactSink)
             .select(col("o_orderstatus"), col("hh"),
               col("__n").as("cnt"))
@@ -2043,17 +2094,20 @@ object IncrementalAgg {
           // radixBits = 8: the measured-better stride for
           // fold-dominated fixtures (SCALING.md "dyadic radix") — the
           // radix-16 default stays pinned by q_incr_agg_topk_dyadic
-          mergeCdcDistinct(o, o.limit(0), exactSink,
-            Seq("o_orderstatus"), "word", 0L)
-          mergeCdcTopKAny(o, o.limit(0), sketchSink,
-            Seq("o_orderstatus"), "word", 0L, radixBits = 8)
+          // disjoint sinks — overlap each batch's two folds (§2.6)
+          inParallel2(
+            mergeCdcDistinct(o, o.limit(0), exactSink,
+              Seq("o_orderstatus"), "word", 0L),
+            mergeCdcTopKAny(o, o.limit(0), sketchSink,
+              Seq("o_orderstatus"), "word", 0L, radixBits = 8))
           val minus = o.filter(col("o_orderkey") % 10 === 7)
           val plus = o.filter(col("o_orderkey") % 10 === 3)
             .withColumn("o_orderstatus", lit("X"))
-          mergeCdcDistinct(plus, minus, exactSink,
-            Seq("o_orderstatus"), "word", 1L)
-          mergeCdcTopKAny(plus, minus, sketchSink,
-            Seq("o_orderstatus"), "word", 1L, radixBits = 8)
+          inParallel2(
+            mergeCdcDistinct(plus, minus, exactSink,
+              Seq("o_orderstatus"), "word", 1L),
+            mergeCdcTopKAny(plus, minus, sketchSink,
+              Seq("o_orderstatus"), "word", 1L, radixBits = 8))
           val exact = readState(s, exactSink)
             .select(col("o_orderstatus"), col("word"),
               col("__n").as("cnt"))
