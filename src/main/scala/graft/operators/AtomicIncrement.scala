@@ -2500,13 +2500,28 @@ object AtomicIncrement {
     version + 1
   }
 
+  /** `publishIf` runs after the staging write and before any publish
+    * intent: false reclaims the staged batch and publishes NOTHING
+    * (the snapshot is untouched; returns Nil). It exists so a fold can
+    * read a metric OBSERVED during the staging scan (e.g. "how many
+    * fresh rows did this batch contribute") and turn a no-op replay
+    * into a skipped publish without a dedicated counting action.
+    */
   private[graft] def replaceWithHook(df: DataFrame, sink: String,
       expectVersion: Long, beforePublish: () => Unit,
       statsFields: Seq[org.apache.spark.sql.types.StructField] = Nil,
-      resetFloors: Boolean = true): Seq[ManifestEntry] = {
+      resetFloors: Boolean = true,
+      publishIf: () => Boolean = () => true): Seq[ManifestEntry] = {
     val spark = df.sparkSession
     val fs = fsOf(spark, sink)
     val staged = stageEntries(df, spark, fs, sink, statsFields)
+    def dropStaged(): Unit =
+      staged.headOption.foreach(e0 =>
+        fs.delete(new Path(s"$sink/${e0.path}").getParent, true))
+    val keep =
+      try publishIf()
+      catch { case e: Throwable => dropStaged(); throw e }
+    if (!keep) { dropStaged(); return Nil }
     try {
       beforePublish()
       // a full replace's snapshot schema IS the replacing frame's;

@@ -54,33 +54,40 @@ object IncrementalAgg {
       case Some(w) => batch.filter(col(watermarkCol) > w)
       case None => batch
     }
-    // Aggregate FIRST, cache the aggregate: the fresh-row count is
-    // Σ __n over the partial, so the increment is scanned exactly once
-    // and the cache holds |keys| rows — not the batch. The previous
-    // shape cached the raw increment and scanned it twice (count, then
-    // groupBy); at 100 TB that cache is the whole arriving batch.
+    // ONE action for count + fold (round 18, guide §1.2 step 1): the
+    // fresh-row count is OBSERVED on the partial aggregate while the
+    // staging write streams through it, so the increment is scanned
+    // exactly once with no cache and no dedicated counting job (the
+    // previous shape persisted the partial and paid a count action
+    // before the write). A zero-fresh batch (replay) is discovered
+    // after staging — `publishIf` reclaims the staged files and no
+    // version is published, the same no-op the count-first shape
+    // guaranteed; the replay pays a state-sized write-and-delete
+    // where it used to pay a count, and the common path saves a
+    // whole action per fold.
+    val obs = new org.apache.spark.sql.Observation()
     val partial = fresh.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("__n"),
       sumCols.map(c => sum(col(c)).as(s"sum_$c")) :+
         max(col(watermarkCol)).as("__wm"): _*)
-      .persist()
-    try {
-      val n = partial.agg(coalesce(sum("__n"), lit(0L))).head().getLong(0)
-      if (n > 0) {
-        val merged =
-          if (dataE.isEmpty) partial
-          else readState(spark, sink).unionByName(partial)
-            .groupBy(keys.map(col): _*).agg(
-              sum("__n").as("__n"),
-              sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")) :+
-                max("__wm").as("__wm"): _*)
-        // stamp `__wm` stats into the state lines so the next fold's
-        // stored-watermark read answers from the manifest (zero jobs)
-        AtomicIncrement.replaceWithHook(merged, sink, version,
-          beforePublish, statsFields = Seq(merged.schema("__wm")))
-      }
-      n
-    } finally { partial.unpersist(); () }
+      .observe(obs, coalesce(sum("__n"), lit(0L)).as("__fresh"))
+    val merged =
+      if (dataE.isEmpty) partial
+      else readState(spark, sink).unionByName(partial)
+        .groupBy(keys.map(col): _*).agg(
+          sum("__n").as("__n"),
+          sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")) :+
+            max("__wm").as("__wm"): _*)
+    var n = 0L
+    // stamp `__wm` stats into the state lines so the next fold's
+    // stored-watermark read answers from the manifest (zero jobs)
+    AtomicIncrement.replaceWithHook(merged, sink, version,
+      beforePublish, statsFields = Seq(merged.schema("__wm")),
+      publishIf = () => {
+        n = obs.get("__fresh").toString.toLong
+        n > 0
+      })
+    n
   }
 
   /** The committed state: keys, `__n`, `sum_<col>`s, `__wm`. */
@@ -292,25 +299,36 @@ object IncrementalAgg {
         .unionByName(rescan)
       case None => rescan
     }
+    // `__cov` marks a matched extremes row (mm values can be
+    // legitimately null, so coverage needs its own marker); the
+    // under-coverage check is OBSERVED on the staging write instead
+    // of paying a dedicated anti-join action (round 18, guide §1.2
+    // step 1) — an uncovered group fails the fold from `publishIf`
+    // BEFORE any publish, the staged files are reclaimed, and the
+    // committed state stays byte-identical, the same loudness the
+    // count-first shape guaranteed
     val extremesR = extremes.select(
-      keys.map(k => col(k).as(s"__e_$k")) ++ mmNames.map(col): _*)
+      (keys.map(k => col(k).as(s"__e_$k")) :+ lit(true).as("__cov")) ++
+        mmNames.map(col): _*)
     def matchesExt(df: DataFrame) = keys
       .map(k => col(k) <=> col(s"__e_$k")).reduce(_ && _)
-    // loud under-coverage: an alive group with no extremes row means
-    // churnedRows missed a churned group that still has rows
-    val uncovered = counts.join(extremesR, matchesExt(counts), "left_anti")
-      .limit(1).count()
-    require(uncovered == 0,
-      "churnedRows under-covers the churn: a group alive by the count " +
-        "algebra has no surviving rows to rescan extremes from — pass " +
-        "the churned groups' post-change rows (e.g. the keyed " +
-        "locality read of the merged table)")
-    val merged = counts.join(extremesR, matchesExt(counts))
+    val obs = new org.apache.spark.sql.Observation()
+    val merged = counts.join(extremesR, matchesExt(counts), "left")
+      .observe(obs, count(when(col("__cov").isNull, 1)).as("__uncov"))
+      .filter(col("__cov"))
       .select(kcols ++ (col("__n") +:
         (sumCols.map(c => col(s"sum_$c")) ++ mmNames.map(col))): _*)
       .withColumn("__b", lit(batchId))
     AtomicIncrement.replaceWithHook(merged, sink, version, () => (),
-      statsFields = Seq(merged.schema("__b")))
+      statsFields = Seq(merged.schema("__b")),
+      publishIf = () => {
+        require(obs.get("__uncov").toString.toLong == 0L,
+          "churnedRows under-covers the churn: a group alive by the " +
+            "count algebra has no surviving rows to rescan extremes " +
+            "from — pass the churned groups' post-change rows (e.g. " +
+            "the keyed locality read of the merged table)")
+        true
+      })
     true
   }
 
