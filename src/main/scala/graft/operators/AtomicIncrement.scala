@@ -1517,6 +1517,41 @@ object AtomicIncrement {
     }
   }
 
+  /** The committed snapshot's exact (min, max) of `column` from
+    * manifest stats alone, under [[manifestMaxLiteral]]'s
+    * all-files-covered rule. Raw stats strings (base64 for the string
+    * tag); `Some(None)` = provably all-null column; `None` = not
+    * fully covered / foreign tag / unparseable — the caller must fall
+    * back to a scan. NOTE file stats ignore delete vectors: exact
+    * table bounds only on a dv-free snapshot (the caller's check).
+    */
+  private[graft] def manifestMinMax(entries: Seq[ManifestEntry],
+      column: String, expectTag: String)
+      : Option[Option[(String, String)]] = {
+    val sts = entries.map(_.statsFor(column))
+    if (sts.isEmpty || sts.exists(_.isEmpty)) return None
+    val real = sts.flatten.filterNot(_.tag == NullTag)
+    if (real.isEmpty) return Some(None)
+    if (real.exists(_.tag != expectTag)) return None
+    try {
+      if (expectTag == "string") {
+        val dec = java.util.Base64.getDecoder
+        val mn = real.map(_.min).reduceLeft((a, b) =>
+          if (java.util.Arrays.compareUnsigned(
+            dec.decode(a), dec.decode(b)) <= 0) a else b)
+        val mx = real.map(_.max).reduceLeft((a, b) =>
+          if (java.util.Arrays.compareUnsigned(
+            dec.decode(a), dec.decode(b)) >= 0) a else b)
+        Some(Some((mn, mx)))
+      } else if (integralTags.contains(expectTag))
+        Some(Some((real.map(_.min.toLong).min.toString,
+          real.map(_.max.toLong).max.toString)))
+      else None
+    } catch {
+      case _: IllegalArgumentException | _: NumberFormatException => None
+    }
+  }
+
   /** Phase 1: write the increment under `_data/batch-<id>` and return
     * the new files' sink-relative paths. Package-visible so the spec
     * can crash-inject between stage and publish.
@@ -2259,7 +2294,7 @@ object AtomicIncrement {
     require(bits >= 1 && bits <= 16, s"bits out of range: $bits")
     require(bits * zCols.size <= 62,
       s"$bits bits x ${zCols.size} dims exceeds the 62-bit z-key")
-    val (version, dataE, _) = snapshotSplit(spark, sink)
+    val (version, dataE, dvE) = snapshotSplit(spark, sink)
     require(dataE.nonEmpty, s"nothing committed to z-order at $sink")
     val snap = readCommitted(spark, sink)
     def fieldOf(c: String) = snap.schema.fields
@@ -2273,26 +2308,63 @@ object AtomicIncrement {
           s"'$c' is ${fieldOf(c).dataType.simpleString}")
     val stringCols = zCols.filter(c =>
       tagOf(fieldOf(c).dataType).contains("string"))
-    // string dims: one bounds pass resolves each column's table-wide
-    // min/max, whose common prefix is what the packed image strips
+    // BOTH table-wide bounds passes (the string-prefix pass and the
+    // ordKey pass below) answer from MANIFEST STATS when the snapshot
+    // carries no delete vectors and every dimension is fully covered
+    // (round 18, guide §1.2/§6): file stats are exact over live rows
+    // on a dv-free snapshot, string bounds are untruncated by the
+    // staging contract, and ordKey is order-preserving per dimension —
+    // so min/max(ordKey(c)) = ordKey(min/max(c)), and evaluating the
+    // SAME bounds expressions over a two-row local frame of the stats
+    // bounds yields the identical grid with ZERO table scans. Any gap
+    // (dvs standing, uncovered column, foreign tag) falls back to the
+    // scans; the grid is byte-identical either way.
+    val statsMinMax: Option[Map[String, Option[(Any, Any)]]] =
+      if (dvE.nonEmpty) None
+      else {
+        val per = zCols.map { c =>
+          val tag = tagOf(fieldOf(c).dataType).get
+          manifestMinMax(dataE, c, tag).map { mm =>
+            c -> mm.map { case (mn, mx) =>
+              if (tag == "string") {
+                val dec = java.util.Base64.getDecoder
+                val u8 = java.nio.charset.StandardCharsets.UTF_8
+                (new String(dec.decode(mn), u8): Any,
+                  new String(dec.decode(mx), u8): Any)
+              } else (mn.toLong: Any, mx.toLong: Any)
+            }
+          }
+        }
+        if (per.exists(_.isEmpty)) None else Some(per.flatten.toMap)
+      }
+    // string dims: each column's table-wide min/max, whose common
+    // prefix is what the packed image strips
     val prefixLen: Map[String, Int] =
       if (stringCols.isEmpty) Map.empty
-      else {
-        val row = snap.agg(
-          min(col(stringCols.head)),
-          (max(col(stringCols.head)) +:
-            stringCols.tail.flatMap(c =>
-              Seq(min(col(c)), max(col(c))))): _*).head()
-        stringCols.zipWithIndex.map { case (c, i) =>
-          val (mnV, mxV) = (row.get(2 * i), row.get(2 * i + 1))
-          val L =
-            if (mnV == null || mxV == null) 0
-            else {
-              val (a, b) = (mnV.toString, mxV.toString)
+      else statsMinMax match {
+        case Some(mm) => stringCols.map { c =>
+          c -> (mm(c) match {
+            case Some((a: String, b: String)) =>
               a.zip(b).takeWhile { case (x, y) => x == y }.length
-            }
-          c -> L
+            case _ => 0
+          })
         }.toMap
+        case None =>
+          val row = snap.agg(
+            min(col(stringCols.head)),
+            (max(col(stringCols.head)) +:
+              stringCols.tail.flatMap(c =>
+                Seq(min(col(c)), max(col(c))))): _*).head()
+          stringCols.zipWithIndex.map { case (c, i) =>
+            val (mnV, mxV) = (row.get(2 * i), row.get(2 * i + 1))
+            val L =
+              if (mnV == null || mxV == null) 0
+              else {
+                val (a, b) = (mnV.toString, mxV.toString)
+                a.zip(b).takeWhile { case (x, y) => x == y }.length
+              }
+            c -> L
+          }.toMap
       }
     // order-preserving integral image of each dimension
     def ordKey(c: String): org.apache.spark.sql.Column =
@@ -2307,7 +2379,23 @@ object AtomicIncrement {
       }
     val boundAggs = zCols.flatMap(c =>
       Seq(min(ordKey(c)).cast("long"), max(ordKey(c)).cast("long")))
-    val bounds = snap.agg(boundAggs.head, boundAggs.tail: _*).head()
+    val bounds = statsMinMax match {
+      case Some(mm) =>
+        import org.apache.spark.sql.types.{LongType, StringType,
+          StructField, StructType}
+        val fields = zCols.map(c => StructField(c,
+          if (tagOf(fieldOf(c).dataType).contains("string")) StringType
+          else LongType, nullable = true))
+        val rows = Seq(
+          org.apache.spark.sql.Row(
+            zCols.map(c => mm(c).map(_._1).orNull): _*),
+          org.apache.spark.sql.Row(
+            zCols.map(c => mm(c).map(_._2).orNull): _*))
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+          StructType(fields))
+          .agg(boundAggs.head, boundAggs.tail: _*).head()
+      case None => snap.agg(boundAggs.head, boundAggs.tail: _*).head()
+    }
     // an all-null dimension has no grid to interleave — drop it; with
     // fewer than two left, degrade to the clustered/plain rewrite
     val live = zCols.zipWithIndex.filterNot { case (_, i) =>
