@@ -65,29 +65,30 @@ object IncrementalAgg {
     // guaranteed; the replay pays a state-sized write-and-delete
     // where it used to pay a count, and the common path saves a
     // whole action per fold.
-    val obs = new org.apache.spark.sql.Observation()
-    val partial = fresh.groupBy(keys.map(col): _*).agg(
-      count(lit(1)).as("__n"),
-      sumCols.map(c => sum(col(c)).as(s"sum_$c")) :+
-        max(col(watermarkCol)).as("__wm"): _*)
-      .observe(obs, coalesce(sum("__n"), lit(0L)).as("__fresh"))
-    val merged =
-      if (dataE.isEmpty) partial
-      else readState(spark, sink).unionByName(partial)
-        .groupBy(keys.map(col): _*).agg(
-          sum("__n").as("__n"),
-          sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")) :+
-            max("__wm").as("__wm"): _*)
-    var n = 0L
-    // stamp `__wm` stats into the state lines so the next fold's
-    // stored-watermark read answers from the manifest (zero jobs)
-    AtomicIncrement.replaceWithHook(merged, sink, version,
-      beforePublish, statsFields = Seq(merged.schema("__wm")),
-      publishIf = () => {
-        n = obs.get("__fresh").toString.toLong
-        n > 0
-      })
-    n
+    MetricGate.withGate(spark) { gate =>
+      val partial = fresh.groupBy(keys.map(col): _*).agg(
+        count(lit(1)).as("__n"),
+        sumCols.map(c => sum(col(c)).as(s"sum_$c")) :+
+          max(col(watermarkCol)).as("__wm"): _*)
+        .observe(gate.name, coalesce(sum("__n"), lit(0L)).as("__fresh"))
+      val merged =
+        if (dataE.isEmpty) partial
+        else readState(spark, sink).unionByName(partial)
+          .groupBy(keys.map(col): _*).agg(
+            sum("__n").as("__n"),
+            sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")) :+
+              max("__wm").as("__wm"): _*)
+      var n = 0L
+      // stamp `__wm` stats into the state lines so the next fold's
+      // stored-watermark read answers from the manifest (zero jobs)
+      AtomicIncrement.replaceWithHook(merged, sink, version,
+        beforePublish, statsFields = Seq(merged.schema("__wm")),
+        publishIf = () => {
+          n = gate.long()
+          n > 0
+        })
+      n
+    }
   }
 
   /** The committed state: keys, `__n`, `sum_<col>`s, `__wm`. */
@@ -190,9 +191,9 @@ object IncrementalAgg {
     * from prior state + both batch sides through a single groupBy.
     * Output: keys, `__n`, `sum_<c>`s (no `__b`).
     */
-  private def mergedCdcState(prior: Option[DataFrame], plus: DataFrame,
-      minus: DataFrame, keys: Seq[String], sumCols: Seq[String],
-      weightCol: Option[String]): DataFrame = {
+  private[graft] def mergedCdcState(prior: Option[DataFrame],
+      plus: DataFrame, minus: DataFrame, keys: Seq[String],
+      sumCols: Seq[String], weightCol: Option[String]): DataFrame = {
     import org.apache.spark.sql.types._
     def contrib(df: DataFrame, sign: Int): DataFrame = {
       val n = weightCol
@@ -312,23 +313,25 @@ object IncrementalAgg {
         mmNames.map(col): _*)
     def matchesExt(df: DataFrame) = keys
       .map(k => col(k) <=> col(s"__e_$k")).reduce(_ && _)
-    val obs = new org.apache.spark.sql.Observation()
-    val merged = counts.join(extremesR, matchesExt(counts), "left")
-      .observe(obs, count(when(col("__cov").isNull, 1)).as("__uncov"))
-      .filter(col("__cov"))
-      .select(kcols ++ (col("__n") +:
-        (sumCols.map(c => col(s"sum_$c")) ++ mmNames.map(col))): _*)
-      .withColumn("__b", lit(batchId))
-    AtomicIncrement.replaceWithHook(merged, sink, version, () => (),
-      statsFields = Seq(merged.schema("__b")),
-      publishIf = () => {
-        require(obs.get("__uncov").toString.toLong == 0L,
-          "churnedRows under-covers the churn: a group alive by the " +
-            "count algebra has no surviving rows to rescan extremes " +
-            "from — pass the churned groups' post-change rows (e.g. " +
-            "the keyed locality read of the merged table)")
-        true
-      })
+    MetricGate.withGate(spark) { gate =>
+      val merged = counts.join(extremesR, matchesExt(counts), "left")
+        .observe(gate.name,
+          count(when(col("__cov").isNull, 1)).as("__uncov"))
+        .filter(col("__cov"))
+        .select(kcols ++ (col("__n") +:
+          (sumCols.map(c => col(s"sum_$c")) ++ mmNames.map(col))): _*)
+        .withColumn("__b", lit(batchId))
+      AtomicIncrement.replaceWithHook(merged, sink, version, () => (),
+        statsFields = Seq(merged.schema("__b")),
+        publishIf = () => {
+          require(gate.long() == 0L,
+            "churnedRows under-covers the churn: a group alive by the " +
+              "count algebra has no surviving rows to rescan extremes " +
+              "from — pass the churned groups' post-change rows (e.g. " +
+              "the keyed locality read of the merged table)")
+          true
+        })
+    }
     true
   }
 

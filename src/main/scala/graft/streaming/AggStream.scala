@@ -63,28 +63,29 @@ object AggStream {
     // counting job per micro-batch. An empty redelivered batch is
     // discovered post-staging and `publishIf` reclaims the staged
     // files without publishing (the exactly-once no-op, unchanged).
-    val obs = new org.apache.spark.sql.Observation()
-    val partial = batch.groupBy(keys.map(col): _*).agg(
-      count(lit(1)).as("__n"),
-      sumCols.map(c => sum(col(c)).as(s"sum_$c")) :+
-        lit(batchId).as("__lastBatch"): _*)
-      .observe(obs, coalesce(sum("__n"), lit(0L)).as("__fresh"))
-    val merged = state match {
-      case None => partial
-      case Some(st) => st.unionByName(partial)
-        .groupBy(keys.map(col): _*).agg(
-          sum("__n").as("__n"),
-          sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")) :+
-            max("__lastBatch").as("__lastBatch"): _*)
+    graft.operators.MetricGate.withGate(spark) { gate =>
+      val partial = batch.groupBy(keys.map(col): _*).agg(
+        count(lit(1)).as("__n"),
+        sumCols.map(c => sum(col(c)).as(s"sum_$c")) :+
+          lit(batchId).as("__lastBatch"): _*)
+        .observe(gate.name, coalesce(sum("__n"), lit(0L)).as("__fresh"))
+      val merged = state match {
+        case None => partial
+        case Some(st) => st.unionByName(partial)
+          .groupBy(keys.map(col): _*).agg(
+            sum("__n").as("__n"),
+            sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")) :+
+              max("__lastBatch").as("__lastBatch"): _*)
+      }
+      var n = 0L
+      AtomicIncrement.replaceWithHook(merged, sink, version, () => (),
+        statsFields = Seq(merged.schema("__lastBatch")),
+        publishIf = () => {
+          n = gate.long()
+          n > 0
+        })
+      n
     }
-    var n = 0L
-    AtomicIncrement.replaceWithHook(merged, sink, version, () => (),
-      statsFields = Seq(merged.schema("__lastBatch")),
-      publishIf = () => {
-        n = obs.get("__fresh").toString.toLong
-        n > 0
-      })
-    n
   }
 
   /** Start the rollup: drains available source data (AvailableNow),
