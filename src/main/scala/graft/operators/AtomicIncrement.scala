@@ -1331,7 +1331,7 @@ object AtomicIncrement {
         if (preN == 0) ("", Seq.empty[ManifestEntry])
         else {
           val (dir, rels) = stageBatchDir(fresh, spark, fs, sink)
-          (dir, rels.map(rel =>
+          (dir, inParallel(rels)(rel =>
             entryForStagedFile(spark, sink, rel, resolved +: extraFields)))
         }
       val n =
@@ -1588,8 +1588,11 @@ object AtomicIncrement {
       fs: FileSystem, sink: String,
       statsFields: Seq[org.apache.spark.sql.types.StructField])
       : Seq[ManifestEntry] =
-    stageBatch(fresh, spark, fs, sink)
-      .map(rel => entryForStagedFile(spark, sink, rel, statsFields))
+    // footer opens are independent per staged file — read them on the
+    // driver pool (a 16-file OPTIMIZE rewrite pays one round trip, not
+    // sixteen in series; order is preserved by inParallel)
+    inParallel(stageBatch(fresh, spark, fs, sink))(rel =>
+      entryForStagedFile(spark, sink, rel, statsFields))
 
   /** One manifest line for an ALREADY-WRITTEN staged file — the
     * footer-stats half of [[stageEntries]], shared with the DSv2
